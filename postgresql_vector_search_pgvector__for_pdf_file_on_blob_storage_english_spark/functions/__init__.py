@@ -1,0 +1,28 @@
+"""Expression builders: vector distances, text transforms, portable hashing."""
+
+from .vector import (
+    cosine_distance,
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+    l2_distance_sq,
+    negative_inner_product,
+    vector_norm,
+)
+from .hashing import stable_hash60, chunk_id
+from .text import normalize_whitespace_col, split_chunks, split_chunks_udf
+
+__all__ = [
+    "l2_distance",
+    "l2_distance_sq",
+    "cosine_distance",
+    "cosine_similarity",
+    "dot_product",
+    "negative_inner_product",
+    "vector_norm",
+    "stable_hash60",
+    "chunk_id",
+    "normalize_whitespace_col",
+    "split_chunks",
+    "split_chunks_udf",
+]

@@ -1,0 +1,102 @@
+"""Text normalization + punctuation-aware chunking.
+
+Exact behavioral port of the reference ingestion text path:
+
+* normalization — ``"\\n"`` -> space, then collapse ``\\s{2,}`` to one
+  space (Function.java:108-109).
+* chunking — pages longer than 7500 chars are split repeatedly; each cut
+  point is found by scanning **backwards from index 7500 down to (but
+  not including) 7200** for a punctuation char in ``. : ; ? !``
+  (Function.java:216-252).  Two subtleties pinned by unit goldens:
+
+  - the punctuation char found at index ``i`` begins the **next** chunk
+    (``substring(0, i)`` keeps chars before it);
+  - if no punctuation exists in ``(7200, 7500]`` the scan loop exits at
+    ``splitIndex == start`` and the cut lands at **7200** — the
+    ``splitIndex == 0 -> maxLength`` fallback in the reference is
+    unreachable because ``start`` is always 7200 > 0.  (The reference's
+    own comment claims "split every 7500 characters"; the code does
+    7200.  We replicate the code, not the comment.)
+
+Lengths are in UTF-16 code units in Java and code points here; the two
+agree for all BMP text (documented choice, FIXTURES.md §3.8).
+
+The chunker is a pure Python function wrapped as a UDF returning
+``array<string>`` and exploded with ``posexplode`` — a UDTF in Spark
+terms, exactly the shape of the reference's per-page loop.  It runs once
+per *page*, not per row of the corpus, so Python overhead is amortized;
+the normalization stays native (``regexp_replace``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAX_CHUNK_LEN = 7500  # MAX_SEPARATE_TOKEN_LENGTH, Function.java:40
+SPLIT_WINDOW = 300    # scan window size, Function.java:234 (start = max - 300)
+PUNCTUATION = frozenset(".:;?!")  # Function.java:250-252
+
+# Java's \s is ASCII-only by default; match it exactly.
+_WS_RUN = re.compile(r"\s{2,}", re.ASCII)
+
+
+def normalize_whitespace(text: str) -> str:
+    """Pure-Python twin of the column expression (for UDF-side use)."""
+    return _WS_RUN.sub(" ", text.replace("\n", " "))
+
+
+def normalize_whitespace_col(col: Column | str) -> Column:
+    """Native (codegen'd) normalization: \\n -> ' ', then \\s{2,} -> ' '."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(c, "\n", " "), "\\s{2,}", " ")
+
+
+def find_split_index(text: str, max_length: int = MAX_CHUNK_LEN) -> int:
+    """Port of Function.java:232-247 (see module docstring for edge cases)."""
+    start = max_length - SPLIT_WINDOW
+    split_index = max_length
+    while split_index > start:
+        if text[split_index] in PUNCTUATION:
+            break
+        split_index -= 1
+    if split_index == 0:  # unreachable for start > 0; kept for fidelity
+        split_index = max_length
+    return split_index
+
+
+def split_chunks(text: str, max_length: int = MAX_CHUNK_LEN) -> list[str]:
+    """Port of Function.java:216-228: repeated cut + remainder.
+
+    Invariants (property-tested): ``''.join(chunks) == text``; every
+    chunk except the last has length in [7200, 7500]; input of length
+    <= max_length yields exactly [text] (including the empty page).
+    """
+    chunks: list[str] = []
+    while len(text) > max_length:
+        i = find_split_index(text, max_length)
+        chunks.append(text[:i])
+        text = text[i:]
+    chunks.append(text)
+    return chunks
+
+
+@F.udf(returnType=T.ArrayType(T.StringType()))
+def split_chunks_udf(text: str) -> list[str]:
+    if text is None:
+        return []
+    return split_chunks(text)
+
+
+def chunk_exploded(df, text_col: str = "text", out_prefix: str = "chunk"):
+    """normalize -> split -> posexplode to (chunk_index, chunk_text) rows."""
+    normalized = normalize_whitespace_col(text_col)
+    return df.select(
+        "*",
+        F.posexplode(split_chunks_udf(normalized)).alias(
+            f"{out_prefix}_index", f"{out_prefix}_text"
+        ),
+    )

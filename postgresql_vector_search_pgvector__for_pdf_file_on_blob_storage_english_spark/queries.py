@@ -1,0 +1,546 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(PySpark callable, DuckDB oracle SQL) pair over the driver's parquet
+fixtures.
+
+Conventions that make the driver's order-insensitive value-hash gate
+pass deterministically:
+
+* every computed column is aliased identically on both sides;
+* every floating-point *computation* is rounded (round(x, 4) for
+  distances/ratios, round(x, 2) for money sums) on both sides —
+  double accumulation order across engines/partitionings differs in
+  ulps, rounding makes the comparison well-defined;
+* distance math is done in DOUBLE on both sides (the storage type is
+  float4, matching pgvector);
+* top-k cutoffs order by the *unrounded* value with an id tiebreak, so
+  both engines select the same winner set;
+* timestamps are emitted as formatted strings, never raw timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import normalize_whitespace_col, split_chunks_udf
+from .functions.vector import DISTANCE_FNS
+from .operators.knn import knn, knn_join
+from .operators.status import STATUS_VALUES
+
+Entry = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+REGISTRY: dict[str, Entry] = {}
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
+    REGISTRY[name] = (fn, sql)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    read natively.  Read it as a nanos long (legacy conf) and truncate to
+    microseconds — the same ns->us truncation DuckDB applies — entirely
+    JVM-side."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# --------------------------------------------------------------------------
+# DuckDB-side expression fragments (the portable twins of functions/vector.py
+# and functions/text.py).  `a`/`b` are FLOAT[] columns.
+# --------------------------------------------------------------------------
+
+def _dd_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
+def _dd_l2(a: str, b: str) -> str:
+    return f"sqrt({_dd_l2sq(a, b)})"
+
+
+def _dd_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _dd_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
+
+
+def _dd_cosine_dist(a: str, b: str) -> str:
+    return f"(1.0 - {_dd_dot(a, b)} / ({_dd_norm(a)} * {_dd_norm(b)}))"
+
+
+_DD_NORMALIZE = (
+    "regexp_replace(regexp_replace({col}, '\\n', ' ', 'g'), '\\s{{2,}}', ' ', 'g')"
+)
+
+
+# ==========================================================================
+# Q2/Q3/Q4 — exact KNN top-k (flagship; SSEOpenAIController.java:315-316)
+# ==========================================================================
+
+def _knn_single(metric: str, probe_id: int, k: int = 5):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _t(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") == probe_id).select(F.col("embedding").alias("query_vec"))
+        out = knn(emb, q, k=k, metric=metric, payload_cols=["vec_id", "label"])
+        return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+    return fn
+
+
+_DD_KNN_SINGLE = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {probe_id})
+SELECT e.vec_id, e.label, round({dist}, 4) AS distance
+FROM embeddings e, q
+ORDER BY {dist}, e.vec_id
+LIMIT {k}
+"""
+
+_register(
+    "q2_knn_l2_top5",
+    _knn_single("l2", 0),
+    _DD_KNN_SINGLE.format(probe_id=0, k=5, dist=_dd_l2("e.embedding", "q.qe")),
+)
+_register(
+    "q3_knn_cosine_top5",
+    _knn_single("cosine", 1),
+    _DD_KNN_SINGLE.format(probe_id=1, k=5, dist=_dd_cosine_dist("e.embedding", "q.qe")),
+)
+_register(
+    "q3_knn_dot_top5",
+    _knn_single("dot", 2),
+    _DD_KNN_SINGLE.format(probe_id=2, k=5, dist=f"(- {_dd_dot('e.embedding', 'q.qe')})"),
+)
+
+
+def _knn_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q4: the reference drops the embedding (and the distance) from the
+    # SELECT list; output is the bare top-k payload.
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("query_vec"))
+    return knn(emb, q, k=5, metric="l2", payload_cols=["vec_id", "label"]).select("vec_id", "label")
+
+
+_register(
+    "q4_knn_projection",
+    _knn_projection,
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3)
+SELECT e.vec_id, e.label FROM embeddings e, q
+ORDER BY {dist}, e.vec_id LIMIT 5
+""".format(dist=_dd_l2("e.embedding", "q.qe")),
+)
+
+
+def _knn_batch(local_topk: bool):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _t(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = knn_join(
+            emb, queries, k=3, metric="l2", payload_cols=["vec_id", "label"],
+            local_topk=local_topk,
+        )
+        return out.select(
+            "query_id", "rank", "vec_id", "label", F.round("distance", 4).alias("distance")
+        )
+
+    return fn
+
+
+_DD_KNN_BATCH = """
+SELECT q.vec_id AS query_id,
+       row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, e.vec_id) AS rank,
+       e.vec_id, e.label, round({dist}, 4) AS distance
+FROM embeddings e, (SELECT vec_id, embedding AS qe FROM embeddings WHERE vec_id < 8) q
+QUALIFY rank <= 3
+""".format(dist=_dd_l2("e.embedding", "q.qe"))
+
+_register("q2_knn_l2_topk_batch", _knn_batch(local_topk=False), _DD_KNN_BATCH)
+# Same semantics, scale-path physical plan (partition-local Arrow top-k
+# selection before the exchange) — must agree bit-for-bit with the oracle.
+_register("q2_knn_l2_topk_batch_localtopk", _knn_batch(local_topk=True), _DD_KNN_BATCH)
+
+
+# ==========================================================================
+# L1/L2 — status listings (PDF-Summarizer CosmosDBUtil.java:33,35)
+# The status table is derived deterministically from `documents` on both
+# sides (the driver provides no status fixture).
+# ==========================================================================
+
+_STATUS_ARRAY_SQL = "[" + ", ".join(f"'{s}'" for s in STATUS_VALUES) + "]"
+
+
+def _derived_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in STATUS_VALUES]), ((F.col("doc_id") % 6) + 1).cast("int")
+    )
+    return docs.select(
+        F.sha2(F.col("doc_id").cast("string"), 256).alias("id"),
+        F.col("source").alias("fileName"),
+        status.alias("status"),
+        ((F.col("doc_id") % 40) + 1).cast("int").alias("pageNumber"),
+    )
+
+
+_DD_STATUS = f"""
+SELECT sha256(doc_id::VARCHAR) AS id,
+       source AS fileName,
+       {_STATUS_ARRAY_SQL}[((doc_id % 6) + 1)::INT] AS status,
+       ((doc_id % 40) + 1)::INT AS pageNumber
+FROM documents
+"""
+
+
+def _l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _derived_status(spark, sf_dir)
+        .filter(F.col("status") == "COMPLETED")
+        .orderBy("fileName", "pageNumber")
+    )
+
+
+def _l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _derived_status(spark, sf_dir)
+        .filter(F.col("status") != "COMPLETED")
+        .orderBy("fileName", "pageNumber")
+    )
+
+
+_register(
+    "l1_status_completed",
+    _l1,
+    f"SELECT * FROM ({_DD_STATUS}) WHERE status = 'COMPLETED' ORDER BY fileName, pageNumber",
+)
+_register(
+    "l2_status_failed",
+    _l2,
+    f"SELECT * FROM ({_DD_STATUS}) WHERE status != 'COMPLETED' ORDER BY fileName, pageNumber",
+)
+
+
+# ==========================================================================
+# P2/P3/P6 — normalization, chunking, deterministic chunk ids
+# ==========================================================================
+
+def _p2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_whitespace_col("text").alias("norm_text"))
+
+
+_register(
+    "p2_normalize_whitespace",
+    _p2_normalize,
+    f"SELECT doc_id, {_DD_NORMALIZE.format(col='text')} AS norm_text FROM documents",
+)
+
+
+def _p3_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixture docs are < 7500 chars: every doc yields exactly one chunk ==
+    # its normalized text.  The real splitting logic is oracle-checked by
+    # p3_chunk_long_stats below and unit-pinned in tests/test_chunker.py.
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_whitespace_col("text")
+    return docs.select(
+        "doc_id", F.posexplode(split_chunks_udf(norm)).alias("chunk_index", "chunk_text")
+    )
+
+
+_register(
+    "p3_chunk_rows",
+    _p3_chunk_rows,
+    f"SELECT doc_id, 0 AS chunk_index, {_DD_NORMALIZE.format(col='text')} AS chunk_text FROM documents",
+)
+
+
+def _p3_chunk_long_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the >7500-char split path: inflate each doc 40x, chunk,
+    and emit per-doc chunk statistics.
+
+    Fixture text contains no punctuation, so every cut lands at the
+    window start (index 7200 — see functions/text.py): chunk count and
+    sizes are closed-form, which is exactly what the oracle asserts.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    long_text = normalize_whitespace_col(F.repeat(F.concat(F.col("text"), F.lit("\n")), 40))
+    chunks = docs.select(
+        "doc_id", F.posexplode(split_chunks_udf(long_text)).alias("chunk_index", "chunk_text")
+    )
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.length("chunk_text")).cast("long").alias("total_chars"),
+        F.max_by(F.length("chunk_text"), F.col("chunk_index")).cast("long").alias("last_chunk_chars"),
+    )
+
+
+_DD_P3_LONG = f"""
+WITH norm AS (
+  SELECT doc_id,
+         length({_DD_NORMALIZE.format(col="repeat(text || chr(10), 40)")}) AS L
+  FROM documents
+)
+SELECT doc_id,
+       (CASE WHEN L <= 7500 THEN 1 ELSE ceil((L - 7500) / 7200.0)::BIGINT + 1 END) AS n_chunks,
+       L::BIGINT AS total_chars,
+       (L - 7200 * (CASE WHEN L <= 7500 THEN 1 ELSE ceil((L - 7500) / 7200.0)::BIGINT + 1 END - 1))::BIGINT
+         AS last_chunk_chars
+FROM norm
+"""
+
+_register("p3_chunk_long_stats", _p3_chunk_long_stats, _DD_P3_LONG)
+
+
+def _p6_chunk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import chunk_id
+
+    docs = _t(spark, sf_dir, "documents")
+    page = ((F.col("doc_id") % 40) + 1).cast("int")
+    return docs.select(
+        "doc_id",
+        chunk_id(F.col("source"), page, F.lit(0)).alias("chunk_id"),
+    )
+
+
+_register(
+    "p6_chunk_ids",
+    _p6_chunk_ids,
+    "SELECT doc_id, sha256(source || '§' || ((doc_id % 40) + 1)::INT || '§' || 0) AS chunk_id FROM documents",
+)
+
+
+# ==========================================================================
+# Q5/Q7 — prompt construction + blob URL reconstruction
+# ==========================================================================
+
+_PROMPT_QUERY_TEXT = "vector search"
+
+
+def _q5_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference builds the per-hit prompt from the KNN result's origntext
+    # (SSEOpenAIController.java:151-155); here: top-5 for probe vec 0,
+    # joined to `documents` for the text payload (vec_id == doc_id in the
+    # fixtures' shared key space).
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    top = knn(emb, q, k=5, metric="l2", payload_cols=["vec_id"]).select("vec_id")
+    joined = top.join(F.broadcast(docs), top.vec_id == docs.doc_id)
+    prompt = F.concat(
+        F.lit('""" '), F.col("text"), F.lit(' """'), F.lit("\n\n"),
+        F.lit('From the above document "'), F.lit(_PROMPT_QUERY_TEXT),
+        F.lit('" Please extract the part that describes.'),
+    )
+    return joined.select("vec_id", prompt.alias("prompt"))
+
+
+_register(
+    "q5_prompt_construction",
+    _q5_prompt,
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+top5 AS (
+  SELECT e.vec_id FROM embeddings e, q
+  ORDER BY {dist}, e.vec_id LIMIT 5
+)
+SELECT t.vec_id,
+       '\"\"\" ' || d.text || ' \"\"\"' || chr(10) || chr(10) ||
+       'From the above document "{qt}" Please extract the part that describes.' AS prompt
+FROM top5 t JOIN documents d ON t.vec_id = d.doc_id
+""".format(dist=_dd_l2("e.embedding", "q.qe"), qt=_PROMPT_QUERY_TEXT),
+)
+
+_BLOB_ACCOUNT_URL = "https://account.blob.core.windows.net/pdfs/"
+
+
+def _q7_blob_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    page = ((F.col("doc_id") % 40) + 1).cast("int")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(_BLOB_ACCOUNT_URL), F.col("source"), F.lit("#page="), page).alias("url"),
+    )
+
+
+_register(
+    "q7_blob_url",
+    _q7_blob_url,
+    f"SELECT doc_id, '{_BLOB_ACCOUNT_URL}' || source || '#page=' || ((doc_id % 40) + 1)::INT AS url FROM documents",
+)
+
+
+# ==========================================================================
+# S2-style scan filter (extension predicate pushed into the scan)
+# ==========================================================================
+
+def _scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("source").endswith("1")).select("doc_id", "source")
+
+
+_register(
+    "s2_scan_filter_endswith",
+    _scan_filter,
+    "SELECT doc_id, source FROM documents WHERE source LIKE '%1'",
+)
+
+
+# ==========================================================================
+# Generic relational substrate (engine completeness over TPC-H-ish tables)
+# ==========================================================================
+
+def _agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_register(
+    "agg_pricing_summary",
+    _agg_pricing_summary,
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
+def _topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+_register(
+    "topk_orders_by_price",
+    _topk_orders,
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+
+
+def _join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # Fact table drives; dimensions broadcast (nation/region/customer are
+    # tiny at every SF — at 100 TB, orders is the only large relation here).
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_register(
+    "join_revenue_per_nation",
+    _join_revenue_per_nation,
+    """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+
+
+def _window_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+_register(
+    "window_top_event_per_user",
+    _window_top_event,
+    """
+SELECT user_id, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+""",
+)
+
+
+def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )
+
+
+_register(
+    "json_extract_events",
+    _json_extract,
+    "SELECT event_id, json_extract_string(props, '$.k')::INT AS k_value FROM events",
+)
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+_register(
+    "events_hourly_rollup",
+    _events_hourly,
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
