@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is a composition of built-in string/regex functions —
+no Python in the hot path, so the operators run inside whole-stage
+codegen and scale linearly with the scan.  All of them are
+oracle-checkable (the regexes are chosen to mean the same thing in
+Java regex and RE2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_whitespace_col
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Counting is done on ' word '-padded text so markers match whole words.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "that"]
+
+# BPE-ish pretokenizer: letter runs | digit runs | single non-space symbol.
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _word_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), " "))
+
+
+def _marker_hits(padded: Column, words: list[str]) -> Column:
+    """Total whole-word occurrences of the marker list."""
+    out = F.lit(0)
+    for w in words:
+        out = out + F.size(F.split(padded, f" {w} ", -1)) - 1
+    return out
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    markers: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Argmax of per-language marker-word counts, 'und' when all zero.
+
+    Ties break in lexicographic language order (deterministic, declared).
+    """
+    markers = markers or LANG_MARKERS
+    padded = F.concat(F.lit(" "), normalize_whitespace_col(text_col), F.lit(" "))
+    scores = {lang: _marker_hits(padded, ws) for lang, ws in sorted(markers.items())}
+    best_score = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    pred = F.lit("und")
+    for lang in sorted(markers, reverse=True):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best_score.cast("long").alias("marker_hits"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1].
+
+    Features mirror the usual web-corpus filters: length, mean word
+    length, stopword ratio, symbol ratio.
+    """
+    norm = normalize_whitespace_col(text_col)
+    n_chars = F.length(norm)
+    n_words = _word_count(norm)
+    avg_word_len = (n_chars - (n_words - 1)).cast("double") / n_words.cast("double")
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    stop_hits = _marker_hits(padded, STOPWORDS_EN)
+    stop_ratio = stop_hits.cast("double") / n_words.cast("double")
+    sym_ratio = (
+        F.length(F.regexp_replace(norm, "[A-Za-z0-9 ]", "")).cast("double") / n_chars.cast("double")
+    )
+    score = (
+        F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(sym_ratio * 10.0, F.lit(1.0))) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish pretoken count + chars/token."""
+    norm = normalize_whitespace_col(text_col)
+    ws_tokens = _word_count(norm)
+    bpe_tokens = F.regexp_count(norm, F.lit(BPE_REGEX))
+    return df.select(
+        F.col(id_col),
+        ws_tokens.cast("long").alias("ws_tokens"),
+        bpe_tokens.cast("long").alias("bpe_tokens"),
+        F.round(F.length(norm).cast("double") / bpe_tokens.cast("double"), 4).alias("chars_per_token"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 of normalized text + a 60-bit prefix key
+    (cheap join/partition key for dedup pipelines)."""
+    norm = normalize_whitespace_col(text_col)
+    full = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        full.alias("fingerprint"),
+        F.conv(F.substring(full, 1, 15), 16, 10).cast("long").alias("fingerprint60"),
+    )

@@ -544,3 +544,533 @@ FROM events
 GROUP BY 1, 2
 """,
 )
+
+
+# ==========================================================================
+# Training-data pipeline: dedup family
+# (operators/dedup.py; corpus = documents + synthetic duplicates built
+# identically on both sides so the operators demonstrably fire)
+# ==========================================================================
+
+from .operators.dedup import (  # noqa: E402
+    LSH_P,
+    _lcg_params,
+    exact_dedup,
+    embedding_neardup_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+)
+from .operators.textstats import (  # noqa: E402
+    BPE_REGEX,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+_DUP_TAIL = " extra appended tail tokens"
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies of every 50th doc (ids offset by 1e6)."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(dups)
+
+
+_DD_DUP_CORPUS = """
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + *perturbed* copies (tail appended) of every 50th doc."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_DUP_TAIL)).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(dups)
+
+
+_DD_NEARDUP_CORPUS = f"""
+SELECT * FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text || '{_DUP_TAIL}' AS text, lang, source, n_chars
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = exact_dedup(_dup_corpus(spark, sf_dir))
+    return out.select("fingerprint", "group_size", "doc_id", "source")
+
+
+_register(
+    "dedup_exact_survivors",
+    _dedup_exact,
+    f"""
+WITH corpus AS ({_DD_DUP_CORPUS})
+SELECT md5({_DD_NORMALIZE.format(col="text")}) AS fingerprint,
+       count(*) OVER (PARTITION BY md5({_DD_NORMALIZE.format(col="text")})) AS group_size,
+       doc_id, source
+FROM corpus
+QUALIFY row_number() OVER (PARTITION BY md5({_DD_NORMALIZE.format(col="text")}) ORDER BY doc_id) = 1
+""",
+)
+
+
+def _dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir)
+    fp = F.md5(normalize_whitespace_col("text"))
+    return corpus.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dup_rows"),
+    )
+
+
+_register(
+    "dedup_exact_stats",
+    _dedup_exact_stats,
+    f"""
+WITH corpus AS ({_DD_DUP_CORPUS})
+SELECT count(*) AS n_rows,
+       count(DISTINCT md5({_DD_NORMALIZE.format(col="text")})) AS n_unique,
+       count(*) - count(DISTINCT md5({_DD_NORMALIZE.format(col="text")})) AS n_dup_rows
+FROM corpus
+""",
+)
+
+
+# ---- MinHash + banded LSH (fully oracle-replayed) ------------------------
+
+_MINHASH_PERMS = _lcg_params(16, seed=42)
+_LSH_BANDS = 4
+_ROWS_PER_BAND = 16 // _LSH_BANDS
+
+# DuckDB twins of operators/dedup.word_shingles + hash32
+_DD_HASH32 = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+
+
+def _dd_shingles(norm: str, n: int = 3) -> str:
+    words = f"string_split(trim({norm}), ' ')"
+    shingle = " || ' ' || ".join(f"{words}[i+{j}]" for j in range(n))
+    return (
+        f"(CASE WHEN len({words}) - {n - 1} >= 1 THEN "
+        f"list_distinct(list_transform(range(1, len({words}) - {n - 1} + 1), i -> {shingle})) "
+        f"ELSE [trim({norm})] END)"
+    )
+
+
+def _dd_minhash_sig(shingles_expr: str) -> str:
+    bases = f"list_transform({shingles_expr}, s -> {_DD_HASH32.format(s='s')})"
+    mins = ", ".join(
+        f"list_min(list_transform(bases, h -> ({a}::BIGINT * h + {b}) % {LSH_P}))"
+        for a, b in _MINHASH_PERMS
+    )
+    return f"(SELECT [{mins}] FROM (SELECT {bases} AS bases) _b)"
+
+
+def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_perm=16, shingle_n=3, seed=42)
+    return lsh_candidate_pairs(sigs, bands=_LSH_BANDS).orderBy("id_a", "id_b")
+
+
+_DD_MINHASH_LSH = f"""
+WITH corpus AS ({_DD_NEARDUP_CORPUS}),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(1, 17), j ->
+           list_min(list_transform(
+             list_transform({_dd_shingles(_DD_NORMALIZE.format(col="text"))}, s -> {_DD_HASH32.format(s="s")}),
+             h -> ([{", ".join(str(a) for a, _ in _MINHASH_PERMS)}][j]::BIGINT * h
+                   + [{", ".join(str(b) for _, b in _MINHASH_PERMS)}][j]) % {LSH_P}))) AS sig
+  FROM corpus
+),
+banded AS (
+  SELECT doc_id, b AS band_id,
+         md5(array_to_string(sig[b*{_ROWS_PER_BAND}+1 : b*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}], ',')) AS band_hash
+  FROM sigs CROSS JOIN unnest([{", ".join(str(b) for b in range(_LSH_BANDS))}]) AS t(b)
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r
+  ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+ORDER BY id_a, id_b
+"""
+
+_register("dedup_minhash_lsh_candidates", _minhash_lsh, _DD_MINHASH_LSH)
+
+
+# ---- SimHash --------------------------------------------------------------
+
+def _simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_neardup_corpus(spark, sf_dir), bits=32)
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hashes, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+    f"THEN {1 << b}::BIGINT ELSE 0 END)"
+    for b in range(32)
+)
+
+_DD_SIMHASH = f"""
+WITH corpus AS ({_DD_NEARDUP_CORPUS}),
+h AS (
+  SELECT doc_id,
+         list_transform(string_split(trim({_DD_NORMALIZE.format(col="text")}), ' '),
+                        w -> {_DD_HASH32.format(s="w")}) AS hashes
+  FROM corpus
+)
+SELECT doc_id, ({_SIMHASH_BITS_SQL}) AS simhash FROM h
+"""
+
+_register("dedup_simhash_values", _simhash_values, _DD_SIMHASH)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    values = simhash(corpus, bits=32).join(corpus.select("doc_id", "lang"), "doc_id")
+    return simhash_neardup_pairs(values, max_hamming=6, block_col="lang")
+
+
+_DD_SIMHASH_PAIRS = f"""
+WITH corpus AS ({_DD_NEARDUP_CORPUS}),
+h AS (
+  SELECT doc_id, lang,
+         list_transform(string_split(trim({_DD_NORMALIZE.format(col="text")}), ' '),
+                        w -> {_DD_HASH32.format(s="w")}) AS hashes
+  FROM corpus
+),
+v AS (SELECT doc_id, lang, ({_SIMHASH_BITS_SQL}) AS simhash FROM h)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+FROM v l JOIN v r ON l.lang = r.lang AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 6
+"""
+
+_register("dedup_simhash_neardup_pairs", _simhash_pairs, _DD_SIMHASH_PAIRS)
+
+
+# ---- n-gram Jaccard -------------------------------------------------------
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _neardup_corpus(spark, sf_dir), block_col="lang", shingle_n=3, threshold=0.5
+    )
+
+
+_DD_JACCARD = f"""
+WITH corpus AS ({_DD_NEARDUP_CORPUS}),
+sets AS (
+  SELECT doc_id, lang, {_dd_shingles(_DD_NORMALIZE.format(col="text"))} AS shingles
+  FROM corpus
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         round(len(list_intersect(l.shingles, r.shingles))::DOUBLE /
+               len(list_distinct(list_concat(l.shingles, r.shingles)))::DOUBLE, 4) AS jaccard
+  FROM sets l JOIN sets r ON l.lang = r.lang AND l.doc_id < r.doc_id
+)
+WHERE jaccard >= 0.5
+"""
+
+_register("dedup_ngram_jaccard_pairs", _jaccard_pairs, _DD_JACCARD)
+
+
+# ---- embedding-cosine near-dup --------------------------------------------
+
+def _emb_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: (x.cast("double") * 1.01).cast("float")).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(dups)
+
+
+_DD_EMB_NEARDUP_CORPUS = """
+SELECT * FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       list_transform(embedding, x -> (x::DOUBLE * 1.01)::FLOAT) AS embedding,
+       label
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        _emb_neardup_corpus(spark, sf_dir), block_col="label", threshold=0.99
+    )
+
+
+# normalize-then-dot, the exact arithmetic of embedding_neardup_pairs
+_DD_NVEC = (
+    "list_transform({v}, x -> x::DOUBLE / "
+    + _dd_norm("{v}")
+    + ")"
+)
+
+_register(
+    "dedup_embedding_cosine_pairs",
+    _emb_neardup,
+    f"""
+WITH corpus AS ({_DD_EMB_NEARDUP_CORPUS}),
+sets AS (SELECT vec_id, label, {_DD_NVEC.format(v="embedding")} AS nvec FROM corpus)
+SELECT id_a, id_b, cosine_sim FROM (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round({_dd_dot("l.nvec", "r.nvec")}, 4) AS cosine_sim
+  FROM sets l JOIN sets r ON l.label = r.label AND l.vec_id < r.vec_id
+)
+WHERE cosine_sim >= 0.99
+""",
+)
+
+
+def _similar_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, block_col="label", threshold=-1.0)
+    return pairs.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(20)
+
+
+_register(
+    "similarity_top_pairs",
+    _similar_pairs_topk,
+    f"""
+WITH sets AS (SELECT vec_id, label, {_DD_NVEC.format(v="embedding")} AS nvec FROM embeddings)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round({_dd_dot("l.nvec", "r.nvec")}, 4) AS cosine_sim
+FROM sets l JOIN sets r ON l.label = r.label AND l.vec_id < r.vec_id
+ORDER BY {_dd_dot("l.nvec", "r.nvec")} DESC, id_a, id_b
+LIMIT 20
+""",
+)
+
+
+# ==========================================================================
+# Text analysis: language ID, quality, token stats, fingerprint
+# (operators/textstats.py)
+# ==========================================================================
+
+def _dd_marker_hits(padded: str, words: list[str]) -> str:
+    return " + ".join(f"(len(string_split({padded}, ' {w} ')) - 1)" for w in words)
+
+
+def _langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+_DD_PADDED = "(' ' || " + _DD_NORMALIZE.format(col="text") + " || ' ')"
+_LANGS_SORTED = sorted(LANG_MARKERS)
+_DD_LANG_SCORES = ", ".join(
+    f"({_dd_marker_hits('padded', LANG_MARKERS[lang])}) AS s_{lang}" for lang in _LANGS_SORTED
+)
+_DD_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = best THEN '{lang}'" for lang in _LANGS_SORTED
+    )
+    + " ELSE 'und' END"
+)
+
+_DD_LANGID = f"""
+WITH p AS (SELECT doc_id, {_DD_PADDED} AS padded FROM documents),
+s AS (SELECT doc_id, {_DD_LANG_SCORES} FROM p),
+b AS (SELECT *, greatest({", ".join("s_" + lang for lang in _LANGS_SORTED)}) AS best FROM s)
+SELECT doc_id, {_DD_LANG_CASE} AS pred_lang, best::BIGINT AS marker_hits FROM b
+"""
+
+_register("text_language_id", _langid, _DD_LANGID)
+
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+_DD_QUALITY = f"""
+WITH n AS (
+  SELECT doc_id, {_DD_NORMALIZE.format(col="text")} AS norm FROM documents
+),
+f AS (
+  SELECT doc_id,
+         length(norm) AS n_chars,
+         len(string_split(trim(norm), ' ')) AS n_words,
+         ({_dd_marker_hits("(' ' || norm || ' ')", STOPWORDS_EN)}) AS stop_hits,
+         length(regexp_replace(norm, '[A-Za-z0-9 ]', '', 'g')) AS n_sym
+  FROM n
+),
+r AS (
+  SELECT doc_id, n_chars, n_words,
+         (n_chars - (n_words - 1))::DOUBLE / n_words AS avg_word_len,
+         stop_hits::DOUBLE / n_words AS stopword_ratio,
+         n_sym::DOUBLE / n_chars AS symbol_ratio
+  FROM f
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+       round(avg_word_len, 4) AS avg_word_len,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(symbol_ratio, 4) AS symbol_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.4
+             + least(stopword_ratio * 5.0, 1.0) * 0.3
+             + (1.0 - least(symbol_ratio * 10.0, 1.0)) * 0.3, 4) AS quality
+FROM r
+"""
+
+_register("text_quality_score", _quality, _DD_QUALITY)
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+_DD_TOKENS = f"""
+WITH n AS (SELECT doc_id, {_DD_NORMALIZE.format(col="text")} AS norm FROM documents)
+SELECT doc_id,
+       len(string_split(trim(norm), ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(norm, '{BPE_REGEX}'))::BIGINT AS bpe_tokens,
+       round(length(norm)::DOUBLE / len(regexp_extract_all(norm, '{BPE_REGEX}')), 4) AS chars_per_token
+FROM n
+"""
+
+_register("text_token_stats", _tokens, _DD_TOKENS)
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_DD_FINGERPRINT = f"""
+WITH n AS (SELECT doc_id, {_DD_NORMALIZE.format(col="text")} AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fingerprint,
+       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint60
+FROM n
+"""
+
+_register("text_fingerprint", _fingerprint, _DD_FINGERPRINT)
+
+
+# ==========================================================================
+# ANN scale paths: IVF coarse quantizer + random-hyperplane LSH
+# (operators/ann.py; centroids = first 16 corpus vectors — a deterministic
+# stand-in for k-means, identical on both sides)
+# ==========================================================================
+
+from .operators.ann import assign_ivf, hyperplanes, ivf_search, lsh_bucket  # noqa: E402
+
+_N_CENTROIDS = 16
+_IVF_PROBE_ID = 5
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = assign_ivf(emb, centroids)
+    q = emb.filter(F.col("vec_id") == _IVF_PROBE_ID).select(F.col("embedding").alias("query_vec"))
+    out = ivf_search(
+        assigned, centroids, q, k=5, nprobe=1, payload_cols=["vec_id", "label", "centroid_id"]
+    )
+    return out.select(
+        "vec_id", "label", "centroid_id", F.round("distance", 4).alias("distance")
+    )
+
+
+_DD_ANN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+assigned AS (
+  SELECT e.vec_id, e.label, e.embedding, c.centroid_id
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "c.cvec")}, c.centroid_id) = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_PROBE_ID}),
+probe AS (
+  SELECT centroid_id FROM cent, q ORDER BY {_dd_l2("cvec", "q.qe")}, centroid_id LIMIT 1
+)
+SELECT a.vec_id, a.label, a.centroid_id, round({_dd_l2("a.embedding", "q.qe")}, 4) AS distance
+FROM assigned a JOIN probe USING (centroid_id), q
+ORDER BY {_dd_l2("a.embedding", "q.qe")}, a.vec_id
+LIMIT 5
+"""
+
+_register("ann_ivf_search", _ann_ivf, _DD_ANN_IVF)
+
+
+_N_PLANES = 4
+_LSH_PLANES = hyperplanes(64, _N_PLANES, seed=42)
+_LSH_PROBE_ID = 7
+
+
+def _ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", lsh_bucket("embedding", _LSH_PLANES).alias("bucket"))
+
+
+def _dd_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+_DD_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(range(1, len({{v}})+1), "
+    f"i -> {{v}}[i]::DOUBLE * ({_dd_plane_literal(p)})[i])) >= 0 THEN {1 << b} ELSE 0 END)"
+    for b, p in enumerate(_LSH_PLANES)
+)
+
+_register(
+    "ann_lsh_buckets",
+    _ann_lsh_buckets,
+    f"SELECT vec_id, ({_DD_BUCKET_EXPR.format(v='embedding')})::BIGINT AS bucket FROM embeddings",
+)
+
+
+def _ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import knn_query_col
+    from .operators.knn import knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tagged = emb.withColumn("bucket", lsh_bucket("embedding", _LSH_PLANES))
+    qrow = emb.filter(F.col("vec_id") == _LSH_PROBE_ID).select(
+        F.col("embedding").alias("query_vec"),
+        lsh_bucket("embedding", _LSH_PLANES).alias("qbucket"),
+    )
+    bucket = tagged.crossJoin(F.broadcast(qrow)).filter(F.col("bucket") == F.col("qbucket"))
+    scored = bucket.withColumn("distance", DISTANCE_FNS["cosine"](F.col("embedding"), F.col("query_vec")))
+    return (
+        scored.select("vec_id", "label", "bucket", "distance")
+        .orderBy("distance", "vec_id").limit(5)
+        .select("vec_id", "label", "bucket", F.round("distance", 4).alias("distance"))
+    )
+
+
+_DD_ANN_LSH = f"""
+WITH tagged AS (
+  SELECT vec_id, label, embedding, ({_DD_BUCKET_EXPR.format(v="embedding")})::BIGINT AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe, ({_DD_BUCKET_EXPR.format(v="embedding")})::BIGINT AS qbucket
+      FROM embeddings WHERE vec_id = {_LSH_PROBE_ID})
+SELECT t.vec_id, t.label, t.bucket, round({_dd_cosine_dist("t.embedding", "q.qe")}, 4) AS distance
+FROM tagged t, q
+WHERE t.bucket = q.qbucket
+ORDER BY {_dd_cosine_dist("t.embedding", "q.qe")}, t.vec_id
+LIMIT 5
+"""
+
+_register("ann_lsh_search", _ann_lsh_search, _DD_ANN_LSH)
