@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, no driver
+collect overhead, no result materialization cost in the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+    REGISTRY,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.session import (
+    get_spark,
+)
+
+# Headline set: flagship KNN + the heaviest representative of each
+# operator family (relational, window, dedup, similarity, text, ANN).
+HEADLINE = [
+    "q2_knn_l2_top5",
+    "q2_knn_l2_topk_batch",
+    "agg_pricing_summary",
+    "topk_orders_by_price",
+    "join_revenue_per_nation",
+    "window_top_event_per_user",
+    "events_hourly_rollup",
+    "dedup_exact_stats",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_neardup_pairs",
+    "similarity_top_pairs",
+    "text_quality_score",
+    "text_token_stats",
+    "ann_ivf_search",
+    "ann_lsh_search",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        df = fn(spark, sf_dir)  # plan construction (cheap)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Unit + property tests for the chunker port (Function.java:216-252)
+and the whitespace normalizer (Function.java:108-109)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.functions.text import (
+    MAX_CHUNK_LEN,
+    SPLIT_WINDOW,
+    find_split_index,
+    normalize_whitespace,
+    split_chunks,
+)
+
+START = MAX_CHUNK_LEN - SPLIT_WINDOW  # 7200
+
+
+class TestNormalize:
+    def test_newline_to_space(self):
+        assert normalize_whitespace("a\nb") == "a b"
+
+    def test_collapse_runs(self):
+        assert normalize_whitespace("a  b   c") == "a b c"
+
+    def test_newline_runs_collapse(self):
+        # "\n\n" -> "  " -> " "
+        assert normalize_whitespace("a\n\nb") == "a b"
+
+    def test_tabs_collapse_only_in_runs(self):
+        # Java \s{2,}: a single tab survives, a run collapses to one space
+        assert normalize_whitespace("a\tb") == "a\tb"
+        assert normalize_whitespace("a\t\tb") == "a b"
+
+    def test_empty(self):
+        assert normalize_whitespace("") == ""
+
+
+class TestFindSplitIndex:
+    def test_punctuation_at_max(self):
+        text = "x" * (MAX_CHUNK_LEN + 100)
+        text = text[:MAX_CHUNK_LEN] + "." + text[MAX_CHUNK_LEN + 1 :]
+        assert find_split_index(text) == MAX_CHUNK_LEN
+
+    def test_punctuation_inside_window(self):
+        text = "x" * 7300 + "." + "x" * 400  # punct at index 7300
+        assert find_split_index(text) == 7300
+
+    def test_no_punctuation_lands_at_window_start(self):
+        # Scan exits at splitIndex == start == 7200 (the reference's
+        # comment says 7500; the code does 7200 — we replicate the code).
+        text = "x" * (MAX_CHUNK_LEN + 1000)
+        assert find_split_index(text) == START
+
+    def test_punctuation_at_window_start_not_found(self):
+        # index 7200 is excluded (loop condition is splitIndex > start)
+        text = "x" * START + "." + "x" * 800
+        assert find_split_index(text) == START
+
+    def test_punctuation_just_above_window_start(self):
+        text = "x" * (START + 1) + "." + "x" * 800
+        assert find_split_index(text) == START + 1
+
+    def test_picks_last_punctuation_in_window(self):
+        text = "x" * 7250 + "." + "x" * 100 + ";" + "x" * 500
+        assert find_split_index(text) == 7351
+
+
+class TestSplitChunks:
+    def test_short_text_single_chunk(self):
+        assert split_chunks("hello") == ["hello"]
+
+    def test_exactly_max_single_chunk(self):
+        t = "x" * MAX_CHUNK_LEN
+        assert split_chunks(t) == [t]
+
+    def test_max_plus_one_splits_at_window_start(self):
+        t = "x" * (MAX_CHUNK_LEN + 1)
+        chunks = split_chunks(t)
+        assert [len(c) for c in chunks] == [START, MAX_CHUNK_LEN + 1 - START]
+
+    def test_punctuation_starts_next_chunk(self):
+        # The punctuation char found at index i begins the NEXT chunk.
+        t = "x" * 7400 + "." + "y" * 7000
+        chunks = split_chunks(t)
+        assert chunks[0] == "x" * 7400
+        assert chunks[1].startswith(".")
+
+    def test_empty_string(self):
+        assert split_chunks("") == [""]
+
+    def test_multi_split(self):
+        t = "x" * 30000
+        chunks = split_chunks(t)
+        assert [len(c) for c in chunks[:-1]] == [START] * (len(chunks) - 1)
+        assert sum(len(c) for c in chunks) == 30000
+
+    @given(st.text(alphabet="ab .:;?!\n", max_size=20000))
+    @settings(max_examples=200, deadline=None)
+    def test_property_concat_roundtrip(self, t):
+        chunks = split_chunks(t)
+        assert "".join(chunks) == t
+
+    @given(st.text(alphabet="ab .:;?!", min_size=0, max_size=40000))
+    @settings(max_examples=100, deadline=None)
+    def test_property_chunk_bounds(self, t):
+        chunks = split_chunks(t)
+        # all but the last chunk: length in [START, MAX]; last <= MAX
+        for c in chunks[:-1]:
+            assert START <= len(c) <= MAX_CHUNK_LEN
+        assert len(chunks[-1]) <= MAX_CHUNK_LEN
+        if len(t) <= MAX_CHUNK_LEN:
+            assert chunks == [t]

@@ -1,0 +1,113 @@
+"""Dedup operators: planted duplicates must be found; staged shingle
+pipeline must equal the inline definition."""
+
+from __future__ import annotations
+
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_stage,
+    simhash,
+    simhash_neardup_pairs,
+    word_shingles,
+)
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and again today", "en"),  # near-dup
+        (4, "completely different content about spark query engines at scale", "en"),
+        (5, "der schnelle braune fuchs springt wieder", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_collapses_identical(spark, docs):
+    out = exact_dedup(docs).collect()
+    survivors = {r["doc_id"]: r["group_size"] for r in out}
+    assert survivors[1] == 2      # doc 2 collapsed into 1 (lowest id wins)
+    assert 2 not in survivors
+    assert survivors[3] == 1 and survivors[4] == 1 and survivors[5] == 1
+
+
+def test_exact_dedup_ignores_whitespace_differences(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b\nc"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = exact_dedup(df).collect()
+    assert len(out) == 1 and out[0]["group_size"] == 2
+
+
+def test_shingle_stage_equals_inline(spark, docs):
+    staged = shingle_stage(docs, "text", 3, keep_cols=["doc_id"], out_col="s")
+    inline = docs.select("doc_id", word_shingles("text", 3).alias("s"))
+    a = {r["doc_id"]: r["s"] for r in staged.collect()}
+    b = {r["doc_id"]: r["s"] for r in inline.collect()}
+    assert a == b
+
+
+def test_shingle_short_text_fallback(spark):
+    df = spark.createDataFrame([(1, "two words")], "doc_id long, text string")
+    out = shingle_stage(df, "text", 3, keep_cols=["doc_id"], out_col="s").first()
+    assert out["s"] == ["two words"]
+
+
+def test_minhash_identical_docs_identical_signatures(spark, docs):
+    sigs = {r["doc_id"]: tuple(r["signature"]) for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    assert len(sigs[1]) == 16
+
+
+def test_lsh_finds_planted_pairs(spark, docs):
+    sigs = minhash_signatures(docs, num_perm=16, shingle_n=3, seed=42)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, bands=4).collect()}
+    assert (1, 2) in pairs            # identical -> all bands collide
+    assert (1, 3) in pairs            # near-dup -> >=1 band collides (16/4 perms)
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_identical_equal_neardup_close(spark, docs):
+    vals = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert vals[1] == vals[2]
+    ham13 = bin(vals[1] ^ vals[3]).count("1")
+    ham14 = bin(vals[1] ^ vals[4]).count("1")
+    assert ham13 < ham14
+
+
+def test_simhash_neardup_pairs_blocked(spark, docs):
+    vals = simhash(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    pairs = simhash_neardup_pairs(vals, max_hamming=0, block_col="lang").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_jaccard_thresholds(spark, docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, block_col="lang", threshold=0.5).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.5 <= out[(1, 3)] < 1.0
+    assert (1, 4) not in out
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "g"),
+        (2, [0.99, 0.01, 0.0], "g"),   # nearly parallel to 1
+        (3, [0.0, 1.0, 0.0], "g"),     # orthogonal
+        (4, [1.0, 0.0, 0.0], "other"), # parallel to 1 but different block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in embedding_neardup_pairs(df, block_col="label", threshold=0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+    assert (1, 4) not in pairs  # blocked away

@@ -1,0 +1,78 @@
+"""KNN operators vs a NumPy brute-force reference on the fixture corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+    knn,
+    knn_join,
+)
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return df, ids, mat
+
+
+def _brute_topk(ids, mat, q, k):
+    d = np.linalg.norm(mat - q, axis=1)
+    order = np.lexsort((ids, d))[:k]
+    return [(int(ids[i]), float(d[i])) for i in order]
+
+
+def test_knn_literal_query_matches_bruteforce(spark, emb):
+    df, ids, mat = emb
+    q = mat[ids == 0][0]
+    got = knn(df, q.tolist(), k=5, payload_cols=["vec_id"]).collect()
+    expect = _brute_topk(ids, mat, q, 5)
+    assert [(r["vec_id"], round(r["distance"], 9)) for r in got] == [
+        (i, round(d, 9)) for i, d in expect
+    ]
+
+
+def test_knn_dataframe_query(spark, emb):
+    df, ids, mat = emb
+    qdf = df.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("qv"))
+    got = knn(df, qdf, k=5, payload_cols=["vec_id"]).collect()
+    expect = _brute_topk(ids, mat, mat[ids == 3][0], 5)
+    assert [r["vec_id"] for r in got] == [i for i, _ in expect]
+
+
+def test_knn_includes_self_at_distance_zero(spark, emb):
+    df, ids, mat = emb
+    got = knn(df, mat[ids == 7][0].tolist(), k=1, payload_cols=["vec_id"]).first()
+    assert got["vec_id"] == 7
+    assert got["distance"] == 0.0
+
+
+@pytest.mark.parametrize("local_topk", [False, True])
+def test_knn_join_matches_bruteforce(spark, emb, local_topk):
+    df, ids, mat = emb
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = knn_join(df, queries, k=3, payload_cols=["vec_id"], local_topk=local_topk).collect()
+    by_query = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_query.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid in range(4):
+        expect = [i for i, _ in _brute_topk(ids, mat, mat[ids == qid][0], 3)]
+        assert by_query[qid] == expect, f"query {qid}"
+
+
+def test_knn_join_rank_is_dense_per_query(spark, emb):
+    df, _, _ = emb
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = knn_join(df, queries, k=4, payload_cols=["vec_id"]).collect()
+    for qid in range(3):
+        ranks = sorted(r["rank"] for r in got if r["query_id"] == qid)
+        assert ranks == [1, 2, 3, 4]

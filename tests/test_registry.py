@@ -1,0 +1,61 @@
+"""Every REGISTRY query runs at sf0.001 and, where an oracle exists,
+hash-matches DuckDB — a fast local replica of the driver's t2 gate."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+    REGISTRY,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v) if v is not None else "<NULL>"
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, ddb, name):
+    fn, sql = REGISTRY[name]
+    sdf = fn(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        assert len(s_rows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    res = ddb.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} != {len(d_rows)}"
+    assert _canon(s_rows, s_cols) == _canon(d_rows, d_cols), f"{name}: values differ"
