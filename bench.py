@@ -42,6 +42,7 @@ HEADLINE = [
     "text_token_stats",
     "ann_ivf_search",
     "ann_lsh_search",
+    "pipeline_e2e_ingest_knn",
 ]
 
 

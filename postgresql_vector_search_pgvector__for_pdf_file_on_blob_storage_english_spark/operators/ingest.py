@@ -1,0 +1,124 @@
+"""Ingestion pipeline assembly — the Spark restatement of the
+reference's blob-upload path (SURVEY.md §3.1; Function.java:73-178).
+
+Reference control flow (per file, per page, per chunk, sequential with
+sleeps):  extract pages -> normalize -> chunk -> [status PAGE_SEPARATE_
+FINISHED] -> embed (3 retries) -> [FINISH_OAI_INVOCATION] -> JDBC
+INSERT -> [FINISH_DB_INSERTION] -> [COMPLETED | FAILED_DB_INSERTION].
+
+Spark restatement: one declarative job —
+
+    pages -> normalize (native regex) -> chunk UDTF -> posexplode
+          -> deterministic chunk id -> embed (Arrow-batched pandas UDF)
+          -> corpus rows (§1.1 schema)
+
+plus a status-event relation derived from the same lineage (the
+reference's per-chunk Cosmos writes become one set-oriented append;
+resolve with operators.status.status_upsert).  Per-chunk sequencing,
+20 ms pacing and per-chunk JDBC connections disappear — batching *is*
+the rate limiter, and one write per job replaces row-at-a-time inserts.
+
+Scale notes: the only Python stages are the chunker UDF (amortized per
+page) and the embedder (Arrow-batched).  Everything between is
+whole-stage codegen.  The corpus write partitions by ``fileName``
+prefix bucket so a 1000-executor ingest lays out files without a
+single hot partition; embeddings never shuffle (the pipeline is
+narrow from page rows to the sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embed import DEFAULT_DIM, make_embedder
+from ..functions.hashing import chunk_id
+from ..functions.text import normalize_whitespace_col, split_chunks_udf
+
+CORPUS_COLS = ["id", "embedding", "origntext", "fileName", "pageNumber", "chunk_index"]
+
+
+def pages_to_chunks(pages: DataFrame) -> DataFrame:
+    """(fileName, pageNumber, text) -> one row per chunk with its
+    deterministic id (P2 + P3 + P6).
+
+    The reference draws a random UUID per chunk (Function.java:139);
+    identity here is content-addressed — sha2(fileName § pageNumber §
+    chunk_index) — so re-ingesting a file is idempotent (same keys).
+    """
+    norm = normalize_whitespace_col("text")
+    chunked = pages.select(
+        "fileName",
+        "pageNumber",
+        F.posexplode(split_chunks_udf(norm)).alias("chunk_index", "origntext"),
+    )
+    return chunked.select(
+        chunk_id("fileName", "pageNumber", "chunk_index").alias("id"),
+        "origntext",
+        "fileName",
+        "pageNumber",
+        "chunk_index",
+    )
+
+
+def embed_chunks(
+    chunks: DataFrame, dim: int = DEFAULT_DIM, embed_fn=None, text_col: str = "origntext"
+) -> DataFrame:
+    """P5: attach the embedding column (Arrow-batched; deterministic
+    local embedder unless a real endpoint is injected)."""
+    embedder = make_embedder(dim=dim, embed_fn=embed_fn)
+    return chunks.withColumn("embedding", embedder(F.col(text_col)))
+
+
+def ingest_pages(
+    pages: DataFrame, dim: int = DEFAULT_DIM, embed_fn=None
+) -> tuple[DataFrame, DataFrame]:
+    """Full §3.1 pipeline from a page relation.
+
+    Returns ``(corpus, status_events)``:
+
+    * corpus — the §1.1 vector-table schema (+ chunk_index);
+    * status_events — one event per chunk per completed stage, a
+      set-oriented version of the reference's per-chunk Cosmos writes.
+      The unconditional-COMPLETED bug (Function.java:177) is not
+      replicated: a chunk that failed embedding would simply be absent
+      from the corpus relation and carry no COMPLETED event.
+    """
+    chunks = pages_to_chunks(pages)
+    corpus = embed_chunks(chunks, dim=dim, embed_fn=embed_fn).select(*CORPUS_COLS)
+
+    stages = ["PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION", "FINISH_DB_INSERTION", "COMPLETED"]
+    status_events = chunks.select(
+        "id",
+        "fileName",
+        F.explode(F.array(*[F.lit(s) for s in stages])).alias("status"),
+        "pageNumber",
+        F.current_timestamp().alias("updated_at"),
+    )
+    return corpus, status_events
+
+
+def validate_corpus(corpus: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
+    """The engine-side twin of pgvector's ``VECTOR(n)`` insert check
+    (SURVEY.md §1.1): reject rows whose embedding is missing or has the
+    wrong dimensionality.  Returns the offending rows (empty = valid).
+    """
+    return corpus.filter(
+        F.col("embedding").isNull() | (F.size("embedding") != F.lit(dim))
+    )
+
+
+def write_corpus(corpus: DataFrame, path: str, buckets: int = 64) -> None:
+    """S3 as a bulk columnar append.
+
+    ``fileName``-hash bucket as the partition column: bounded fan-out
+    (``buckets`` directories), no per-file skew, and chunk locality per
+    source file — the layout a 100 TB corpus wants for both per-file
+    reprocessing and embedding-scan queries.
+    """
+    (
+        corpus.withColumn("bucket", F.pmod(F.xxhash64("fileName"), F.lit(buckets)))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )

@@ -1,0 +1,128 @@
+"""Blob/PDF source + per-page text extraction.
+
+Reference surface (SURVEY.md §2.1/S1-S2, §2.2/P1):
+
+* S1 — blob-arrival PDF source delivering ``(fileName, bytes)``
+  (Function.java:73-81, ``@BlobTrigger`` on path ``pdfs/{name}``).
+  Spark: the ``binaryFile`` data source — batch **and** streaming
+  flavors of the same scan (`readStream` for arrival-driven mode).
+* S2 — ``.pdf`` extension predicate (Function.java:85).  Pushed into
+  the scan via ``pathGlobFilter`` so non-matching blobs are never
+  opened — at 100 TB the filter must prune *files*, not rows.
+* P1 — PDF bytes -> per-page text (Function.java:92-134, PDFBox
+  ``PDFTextStripper`` page loop).  This is a table function:
+  ``binary -> array<struct<pageNumber int, text string>>``, exploded
+  with ``posexplode``; runs as an Arrow-batched ``mapInPandas`` so one
+  Python worker handles a whole batch of files.
+
+PDF decoding needs a parser library.  This environment ships none
+(no pypdf/pdfminer), so decoding is **gated**:
+
+* real ``%PDF`` bytes -> ``pypdf`` when importable, else
+  ``NotImplementedError`` (clearly-marked stub, per the build contract);
+* the deterministic test format — UTF-8 text with ``\\f`` (form feed,
+  the ASCII page separator) between pages — exercises every part of
+  the Spark plumbing (binary source, page UDTF, explode, downstream
+  chunking) with bit-reproducible content.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGE_SEP = "\f"
+
+PAGES_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("pageNumber", T.IntegerType()),  # 1-based, Function.java:104
+            T.StructField("text", T.StringType()),
+        ]
+    )
+)
+
+
+def read_binary_docs(
+    spark: SparkSession, path: str, glob: str = "*.pdf", stream: bool = False
+) -> DataFrame:
+    """S1/S2: binary scan of a directory with the extension filter pushed
+    down as a path-glob (file-level pruning, no bytes read for misses).
+
+    Returns ``(path, modificationTime, length, content)``; ``stream=True``
+    gives the identical relation as a streaming source.
+    """
+    reader = spark.readStream if stream else spark.read
+    return reader.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+
+def extract_pages_bytes(content: bytes) -> list[tuple[int, str]]:
+    """Pure-Python page extraction (unit-test twin of the UDF).
+
+    ``%PDF`` magic -> pypdf (NotImplementedError without the library);
+    anything else -> UTF-8 text split on form-feed page separators.
+    """
+    if content[:5] == b"%PDF-":
+        try:
+            import io
+
+            from pypdf import PdfReader  # noqa: PLC0415 — optional dependency
+        except ImportError as e:  # pragma: no cover — env has no pdf lib
+            raise NotImplementedError(
+                "real PDF decoding requires pypdf, which is not installed; "
+                "use the \\f-separated text format for deterministic tests"
+            ) from e
+        reader = PdfReader(io.BytesIO(content))  # pragma: no cover
+        return [(i + 1, p.extract_text() or "") for i, p in enumerate(reader.pages)]
+    text = content.decode("utf-8", errors="replace")
+    return [(i + 1, page) for i, page in enumerate(text.split(PAGE_SEP))]
+
+
+def extract_pages(
+    df: DataFrame, content_col: str = "content", out_col: str = "pages"
+) -> DataFrame:
+    """P1 as an Arrow-batched table function: adds ``pages
+    array<struct<pageNumber,text>>``; explode downstream.
+
+    ``mapInPandas`` (not a scalar UDF) so each Python worker invocation
+    amortizes over a whole Arrow batch of files, and the binary column
+    is dropped from the output — page text, not raw blobs, crosses the
+    next shuffle.
+    """
+    import pandas as pd
+
+    keep = [c for c in df.columns if c != content_col]
+    schema = T.StructType(
+        [df.schema[c] for c in keep] + [T.StructField(out_col, PAGES_SCHEMA)]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pages = [extract_pages_bytes(b) if b is not None else [] for b in pdf[content_col]]
+            out = pdf[keep].copy()
+            out[out_col] = [[(n, t) for n, t in ps] for ps in pages]
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def pdf_source(
+    spark: SparkSession, path: str, glob: str = "*.pdf", stream: bool = False
+) -> DataFrame:
+    """S1+S2+P1 composed: one row per page, ``(fileName, pageNumber, text)``.
+
+    ``fileName`` is the file's base name (the reference's blob name).
+    """
+    binary = read_binary_docs(spark, path, glob, stream)
+    paged = extract_pages(binary)
+    return paged.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fileName"),
+        F.posexplode_outer(F.col("pages")).alias("_pos", "page"),
+    ).select(
+        "fileName",
+        F.col("page.pageNumber").alias("pageNumber"),
+        F.col("page.text").alias("text"),
+    )

@@ -1,0 +1,1 @@
+from .ingest_stream import ingest_stream  # noqa: F401

@@ -1,0 +1,138 @@
+"""End-to-end ingestion: binary source -> pages -> chunks -> embed ->
+corpus + status, batch and streaming (same pipeline, two modes)."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.functions.embed import (
+    hash_embed_text,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ingest import (
+    ingest_pages,
+    pages_to_chunks,
+    validate_corpus,
+    write_corpus,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+    knn,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.status import (
+    status_upsert,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.sources.pdf import (
+    PAGE_SEP,
+    extract_pages_bytes,
+    pdf_source,
+)
+from pyspark.sql import functions as F
+
+DOC_A = f"First page about spark.{PAGE_SEP}Second page about vectors."
+DOC_B = "Single page document."
+LONG_PAGE = ("word " * 2000).strip() + "."  # ~10k chars -> 2 chunks
+
+
+@pytest.fixture(scope="module")
+def pdf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pdfs")
+    (d / "a.pdf").write_text(DOC_A)
+    (d / "b.pdf").write_text(DOC_B)
+    (d / "long.pdf").write_text(LONG_PAGE)
+    (d / "ignored.txt").write_text("not a pdf")
+    return str(d)
+
+
+class TestExtractPagesBytes:
+    def test_formfeed_format(self):
+        pages = extract_pages_bytes(DOC_A.encode())
+        assert pages == [(1, "First page about spark."), (2, "Second page about vectors.")]
+
+    def test_single_page(self):
+        assert extract_pages_bytes(b"hello") == [(1, "hello")]
+
+    def test_real_pdf_without_library_raises(self):
+        with pytest.raises(NotImplementedError, match="pypdf"):
+            extract_pages_bytes(b"%PDF-1.7 fake content")
+
+
+class TestPdfSource:
+    def test_glob_filter_prunes_non_pdf(self, spark, pdf_dir):
+        pages = pdf_source(spark, pdf_dir).collect()
+        assert {r["fileName"] for r in pages} == {"a.pdf", "b.pdf", "long.pdf"}
+
+    def test_page_numbers_one_based(self, spark, pdf_dir):
+        pages = pdf_source(spark, pdf_dir).collect()
+        a = sorted(
+            [(r["pageNumber"], r["text"]) for r in pages if r["fileName"] == "a.pdf"]
+        )
+        assert a == [(1, "First page about spark."), (2, "Second page about vectors.")]
+
+
+class TestBatchIngest:
+    def test_chunk_ids_deterministic_idempotent(self, spark, pdf_dir):
+        pages = pdf_source(spark, pdf_dir)
+        ids1 = sorted(r["id"] for r in pages_to_chunks(pages).collect())
+        ids2 = sorted(r["id"] for r in pages_to_chunks(pages).collect())
+        assert ids1 == ids2  # re-ingest -> same keys (idempotent upsert)
+        assert len(ids1) == len(set(ids1))
+
+    def test_long_page_splits(self, spark, pdf_dir):
+        pages = pdf_source(spark, pdf_dir)
+        long_chunks = (
+            pages_to_chunks(pages).filter(F.col("fileName") == "long.pdf").collect()
+        )
+        assert len(long_chunks) == 2
+        assert {r["chunk_index"] for r in long_chunks} == {0, 1}
+
+    def test_corpus_schema_and_embeddings(self, spark, pdf_dir):
+        pages = pdf_source(spark, pdf_dir)
+        corpus, status = ingest_pages(pages, dim=32)
+        rows = corpus.collect()
+        assert corpus.columns == ["id", "embedding", "origntext", "fileName", "pageNumber", "chunk_index"]
+        b = next(r for r in rows if r["fileName"] == "b.pdf")
+        assert b["embedding"] == pytest.approx(hash_embed_text("Single page document.", 32))
+        assert validate_corpus(corpus, dim=32).count() == 0
+        assert validate_corpus(corpus, dim=64).count() == len(rows)  # wrong dim rejected
+
+    def test_status_events_resolve_completed(self, spark, pdf_dir):
+        pages = pdf_source(spark, pdf_dir)
+        corpus, status = ingest_pages(pages, dim=16)
+        current = status_upsert(status)
+        assert current.count() == corpus.count()
+        assert current.filter(F.col("status") != "COMPLETED").count() == 0
+
+    def test_ingested_corpus_is_queryable(self, spark, pdf_dir, tmp_path):
+        pages = pdf_source(spark, pdf_dir)
+        corpus, _ = ingest_pages(pages, dim=32)
+        out = str(tmp_path / "corpus")
+        write_corpus(corpus, out)
+        stored = spark.read.parquet(out)
+        q = hash_embed_text("Second page about vectors.", 32)
+        hit = knn(stored, q, k=1, id_col="id", payload_cols=["fileName", "pageNumber"]).first()
+        assert (hit["fileName"], hit["pageNumber"]) == ("a.pdf", 2)
+        assert hit["distance"] < 1e-6
+
+
+class TestStreamingIngest:
+    def test_available_now_drains_and_matches_batch(self, spark, pdf_dir, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.ingest_stream import (
+            ingest_stream,
+        )
+
+        corpus_path = str(tmp_path / "corpus")
+        status_path = str(tmp_path / "status")
+        ckpt = str(tmp_path / "ckpt")
+        q = ingest_stream(spark, pdf_dir, corpus_path, status_path, ckpt, dim=32)
+        q.awaitTermination(120)
+        stored = spark.read.parquet(corpus_path)
+        batch_corpus, _ = ingest_pages(pdf_source(spark, pdf_dir), dim=32)
+        assert sorted(r["id"] for r in stored.collect()) == sorted(
+            r["id"] for r in batch_corpus.collect()
+        )
+        # restart with same checkpoint: no new files -> no duplicate rows
+        q2 = ingest_stream(spark, pdf_dir, corpus_path, status_path, ckpt, dim=32)
+        q2.awaitTermination(60)
+        assert spark.read.parquet(corpus_path).count() == batch_corpus.count()
