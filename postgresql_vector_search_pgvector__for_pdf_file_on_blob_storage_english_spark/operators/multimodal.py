@@ -1,0 +1,253 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched ``mapInPandas`` stages.
+
+Design for 100 TB of media (per the training-data-pipeline contract):
+
+* media travels as a ``binary`` column next to narrow typed metadata —
+  filters and joins run on the metadata (codegen, pushdown-able) and
+  the blob crosses into Python only inside the Arrow batch of a decode
+  stage, only for rows that survive pruning;
+* every decode stage is ``mapInPandas`` (whole-batch amortization), and
+  drops the blob from its output schema as early as possible — features
+  and thumbnails shuffle, raw media never does;
+* real codecs (PNG/JPEG/WAV/MP4) need libraries this environment does
+  not ship, so those branches are **clearly-marked stubs** raising
+  ``NotImplementedError``; the deterministic RAW container below makes
+  the plumbing (schema, batching, UDF signatures, partitioning) real
+  and testable, and its pixel/sample arithmetic is replayable in SQL
+  for the oracle gate.
+
+RAW container formats (big-endian lengths, one header + payload):
+
+    IMG1 | width u32 | height u32 | channels u8 | pixels u8[w*h*c]
+    AUD1 | sample_rate u32 | n_samples u32 | samples i16[n] (BE)
+    VID1 | n_frames u16 | width u32 | height u32 | frames u8[f*w*h]
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"IMG1", b"AUD1", b"VID1"
+_REAL_MAGICS = {
+    b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"RIFF": "wav/avi", b"\x00\x00\x00": "mp4?",
+}
+
+
+def _reject_real_formats(b: bytes) -> None:
+    for magic, name in _REAL_MAGICS.items():
+        if b[: len(magic)] == magic:
+            # STUB: real codec support requires decoder libraries not
+            # present in this environment (PIL/ffmpeg/soundfile).
+            raise NotImplementedError(
+                f"real {name} decoding is stubbed; supply RAW-container media "
+                "or plug a decoder into the mapInPandas stage"
+            )
+
+
+# ---- encoders (pure, deterministic; test/fixture side) --------------------
+
+def encode_image(pixels: np.ndarray) -> bytes:
+    """(h, w, c) uint8 -> IMG1 bytes."""
+    h, w, c = pixels.shape
+    return IMG_MAGIC + struct.pack(">IIB", w, h, c) + pixels.tobytes()
+
+
+def decode_image(b: bytes) -> np.ndarray:
+    _reject_real_formats(b)
+    if b[:4] != IMG_MAGIC:
+        raise ValueError("not an IMG1 payload")
+    w, h, c = struct.unpack(">IIB", b[4:13])
+    return np.frombuffer(b[13 : 13 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> AUD1 bytes."""
+    return AUD_MAGIC + struct.pack(">II", sample_rate, len(samples)) + samples.astype(">i2").tobytes()
+
+
+def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
+    _reject_real_formats(b)
+    if b[:4] != AUD_MAGIC:
+        raise ValueError("not an AUD1 payload")
+    rate, n = struct.unpack(">II", b[4:12])
+    return np.frombuffer(b[12 : 12 + 2 * n], dtype=">i2").astype(np.int64), rate
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """(f, h, w) uint8 grayscale frames -> VID1 bytes."""
+    f, h, w = frames.shape
+    return VID_MAGIC + struct.pack(">HII", f, w, h) + frames.tobytes()
+
+
+def decode_video(b: bytes) -> np.ndarray:
+    _reject_real_formats(b)
+    if b[:4] != VID_MAGIC:
+        raise ValueError("not a VID1 payload")
+    f, w, h = struct.unpack(">HII", b[4:14])
+    return np.frombuffer(b[14 : 14 + f * w * h], dtype=np.uint8).reshape(f, h, w)
+
+
+# ---- decode / feature stages (mapInPandas over Arrow batches) -------------
+
+IMAGE_FEATURES_FIELDS = (
+    "width int, height int, channels int, "
+    "mean_brightness double, std_brightness double, n_pixels long"
+)
+
+
+def image_features(df: DataFrame, content_col: str = "content", id_col: str = "media_id") -> DataFrame:
+    """Decode + per-image stats; the blob does not survive this stage."""
+    import pandas as pd
+
+    schema = T.StructType.fromDDL(f"{id_col} long, {IMAGE_FEATURES_FIELDS}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                px = decode_image(bytes(blob))
+                h, w, c = px.shape
+                flat = px.reshape(-1).astype(np.float64)
+                rows.append((mid, w, h, c, float(flat.mean()), float(flat.std()), int(flat.size)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)
+
+
+def image_resize(
+    df: DataFrame, out_w: int, out_h: int, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Nearest-neighbor resample, re-encoded as IMG1 (thumbnailing stage).
+
+    src index = floor(dst * src_dim / out_dim) — pure integer math, so
+    downstream stats are oracle-replayable.
+    """
+    import pandas as pd
+
+    schema = T.StructType.fromDDL(f"{id_col} long, content binary, width int, height int")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                px = decode_image(bytes(blob))
+                h, w, _c = px.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                rows.append((mid, encode_image(px[np.ix_(ys, xs)]), out_w, out_h))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)
+
+
+def audio_features(df: DataFrame, content_col: str = "content", id_col: str = "media_id") -> DataFrame:
+    import pandas as pd
+
+    schema = T.StructType.fromDDL(
+        f"{id_col} long, sample_rate int, n_samples long, duration_s double, "
+        "rms double, zero_crossings long"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                s, rate = decode_audio(bytes(blob))
+                sf = s.astype(np.float64)
+                zc = int(np.sum((s[:-1] >= 0) != (s[1:] >= 0))) if len(s) > 1 else 0
+                rows.append(
+                    (mid, rate, len(s), len(s) / rate,
+                     float(np.sqrt(np.mean(sf * sf))) if len(s) else 0.0, zc)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)
+
+
+def video_frame_sample(
+    df: DataFrame, every: int = 2, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Every ``every``-th frame -> one row per sampled frame with its
+    IMG1 thumbnail payload (1 channel) + per-frame mean — a flatMap:
+    one media row fans out to n_frames/every rows."""
+    import pandas as pd
+
+    schema = T.StructType.fromDDL(
+        f"{id_col} long, frame_index int, width int, height int, frame_mean double"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                frames = decode_video(bytes(blob))
+                for i in range(0, frames.shape[0], every):
+                    fr = frames[i]
+                    rows.append((mid, i, fr.shape[1], fr.shape[0], float(fr.astype(np.float64).mean())))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)
+
+
+# ---- deterministic fixture synthesis (LCG pixels/samples; SQL-replayable) -
+
+A_PIX, B_PIX = 2654435761, 40503        # pixel i of doc d: (d*A + i*B) % 256
+A_AUD, B_AUD = 48271, 16807             # sample i: ((d*A + i*B) % 65536) - 32768
+
+
+def synth_image_pixels(doc_id: int, w: int, h: int, c: int = 3) -> np.ndarray:
+    i = np.arange(w * h * c, dtype=np.int64)
+    return (((doc_id * A_PIX) + i * B_PIX) % 256).astype(np.uint8).reshape(h, w, c)
+
+
+def synth_audio_samples(doc_id: int, n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.int64)
+    return ((((doc_id * A_AUD) + i * B_AUD) % 65536) - 32768).astype(np.int16)
+
+
+def synth_media_df(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """documents -> (media_id, kind, content, meta) with LCG payloads.
+
+    Sizes derive from doc_id (width = 8 + id%9 etc.) so every engine—
+    and the SQL oracle—can reconstruct them without seeing the bytes.
+    """
+    import pandas as pd
+
+    schema = T.StructType.fromDDL(
+        "media_id long, kind string, content binary, "
+        "meta struct<width:int, height:int, channels:int, sample_rate:int, "
+        "n_samples:int, n_frames:int>"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if kind == "image":
+                    w, h, c = 8 + d % 9, 8 + d % 7, 3
+                    blob = encode_image(synth_image_pixels(d, w, h, c))
+                    meta = (w, h, c, None, None, None)
+                elif kind == "audio":
+                    rate, n = 16000, 256 + (d % 128)
+                    blob = encode_audio(synth_audio_samples(d, n), rate)
+                    meta = (None, None, None, rate, n, None)
+                else:  # video
+                    f, w, h = 4 + d % 5, 8 + d % 9, 8 + d % 7
+                    frames = np.stack(
+                        [synth_image_pixels(d + k, w, h, 1)[:, :, 0] for k in range(f)]
+                    )
+                    blob = encode_video(frames)
+                    meta = (w, h, 1, None, None, f)
+                rows.append((d, kind, blob, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
+
+    return docs.select("doc_id").mapInPandas(run, schema)

@@ -1,0 +1,124 @@
+"""Serving veneer — the query-side presentation operators
+(SURVEY.md §2.3: Q5-Q8, S8), kept thin and set-oriented.
+
+The reference drives these per-hit and per-token over SSE
+(SSEOpenAIController.java:136-239); the engine's analog treats the
+top-k result as a relation and derives prompts, summaries, links and
+the SSE event stream as columns — the per-user demux (Q9) is a
+serving-process concern with no analytic content and is intentionally
+out of scope (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Q5 — SSEOpenAIController.java:151-155 (exact template)
+PROMPT_TEMPLATE_PREFIX = '""" '
+PROMPT_TEMPLATE_SUFFIX = (
+    ' """\n\nFrom the above document "{query}" Please extract the part that describes.'
+)
+
+# Q6 — the reference's fixed system prompt drives a GPT-4 call per hit
+# (SSEOpenAIController.java:90-94, 158-184).  Outside the deterministic
+# correctness surface: the default mock extracts a prefix.
+MOCK_SUMMARY_LEN = 80
+
+# Q8 — index.html:157 undoes this sentinel client-side
+SSE_SPACE_SENTINEL = "<SPECIAL_WHITE_SPACE>"
+
+
+def build_prompt(text_col: Column | str, query_text: str) -> Column:
+    """Q5: the per-hit chat prompt as a column expression."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.concat(
+        F.lit(PROMPT_TEMPLATE_PREFIX),
+        c,
+        F.lit(PROMPT_TEMPLATE_SUFFIX.replace("{query}", query_text)),
+    )
+
+
+def llm_extract(
+    df: DataFrame,
+    text_col: str = "origntext",
+    out_col: str = "summary",
+    llm_fn: Callable[[list[str]], list[str]] | None = None,
+) -> DataFrame:
+    """Q6: per-hit summarize stage.
+
+    ``llm_fn`` (prompts -> completions) is the external-model hook,
+    applied via an Arrow-batched pandas UDF.  The default mock —
+    first ``MOCK_SUMMARY_LEN`` chars + ellipsis — is a *native* column
+    expression: deterministic, oracle-checkable, and zero-cost.
+    """
+    if llm_fn is None:
+        c = F.col(text_col)
+        mock = F.when(
+            F.length(c) > MOCK_SUMMARY_LEN,
+            F.concat(F.substring(c, 1, MOCK_SUMMARY_LEN), F.lit("...")),
+        ).otherwise(c)
+        return df.withColumn(out_col, mock)
+
+    @F.pandas_udf(T.StringType())
+    def run(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield pd.Series(llm_fn(s.fillna("").tolist()))
+
+    return df.withColumn(out_col, run(F.col(text_col)))
+
+
+def blob_url(account_url: str, file_col: Column | str = "fileName", page_col: Column | str = "pageNumber") -> Column:
+    """Q7: ``{account}/{fileName}#page={pageNumber}`` citation link
+    (SSEOpenAIController.java:204-206)."""
+    f = F.col(file_col) if isinstance(file_col, str) else file_col
+    p = F.col(page_col) if isinstance(page_col, str) else page_col
+    return F.concat(F.lit(account_url), f, F.lit("#page="), p)
+
+
+def sse_escape(col: Column | str) -> Column:
+    """Q8: the space sentinel applied to streamed token text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, " ", SSE_SPACE_SENTINEL)
+
+
+def sse_events(
+    hits: DataFrame,
+    account_url: str,
+    id_col: str = "id",
+    summary_col: str = "summary",
+) -> DataFrame:
+    """S8: the three-event-per-hit SSE stream as a relation.
+
+    The reference emits a tagged union — ``create`` area, ``createLink``,
+    ``addMessage`` (entities/Create*.java, serialized at
+    SSEOpenAIController.java:189-234) — per hit, in that order.  Here:
+    one row per event, ``event_json`` shaped exactly like the
+    reference's Gson payloads (field order = record component order),
+    ``seq`` making the per-hit ordering explicit.
+    """
+    create = F.concat(
+        F.lit('{"type":"create","id":"'), F.col(id_col), F.lit('"}')
+    )
+    link = F.concat(
+        F.lit('{"type":"createLink","id":"'), F.col(id_col),
+        F.lit('","link":"'), blob_url(account_url),
+        F.lit('","pageNumber":'), F.col("pageNumber").cast("string"),
+        F.lit(',"fileName":"'), F.col("fileName"), F.lit('"}'),
+    )
+    message = F.concat(
+        F.lit('{"type":"addMessage","id":"'), F.col(id_col),
+        F.lit('","content":"'), sse_escape(summary_col), F.lit('"}'),
+    )
+    events = F.array(
+        F.struct(F.lit(1).alias("seq"), create.alias("event_json")),
+        F.struct(F.lit(2).alias("seq"), link.alias("event_json")),
+        F.struct(F.lit(3).alias("seq"), message.alias("event_json")),
+    )
+    return hits.select(
+        F.col(id_col), F.explode(events).alias("_e")
+    ).select(id_col, F.col("_e.seq").alias("seq"), F.col("_e.event_json").alias("event_json"))

@@ -1258,3 +1258,314 @@ LIMIT 5
 """
 
 _register("pipeline_e2e_ingest_knn", _pipeline_e2e_knn, _DD_E2E_KNN)
+
+
+# ==========================================================================
+# Multimodal columns (operators/multimodal.py): binary media + typed
+# metadata; decode/feature/resize/frame-sample via mapInPandas.  Fixture
+# media is synthesized from `documents` doc_ids with LCG payloads, so
+# the oracle reconstructs every pixel/sample arithmetically.
+# ==========================================================================
+
+from .operators.multimodal import (  # noqa: E402
+    A_AUD, A_PIX, B_AUD, B_PIX,
+    audio_features, image_features, image_resize, synth_media_df, video_frame_sample,
+)
+
+_DD_IMG_DIMS = """
+dims AS (
+  SELECT doc_id AS media_id,
+         (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h, 3::INT AS c
+  FROM documents
+)
+"""
+
+
+def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="image")
+    out = image_features(media)
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_brightness", 4).alias("mean_brightness"),
+        F.round("std_brightness", 4).alias("std_brightness"),
+        "n_pixels",
+    )
+
+
+_DD_MM_IMAGE = f"""
+WITH {_DD_IMG_DIMS},
+px AS (
+  SELECT media_id, w, h, c, i.i,
+         ((media_id * {A_PIX} + i.i * {B_PIX}) % 256)::DOUBLE AS p
+  FROM dims, unnest(range(0, (w * h * c)::BIGINT)) AS i(i)
+)
+SELECT media_id, w AS width, h AS height, c AS channels,
+       round(avg(p), 4) AS mean_brightness,
+       round(sqrt(avg(p * p) - avg(p) * avg(p)), 4) AS std_brightness,
+       count(*)::BIGINT AS n_pixels
+FROM px GROUP BY media_id, w, h, c
+"""
+
+_register("mm_image_features", _mm_image_features, _DD_MM_IMAGE)
+
+
+_RESIZE_W, _RESIZE_H = 4, 4
+
+
+def _mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="image")
+    resized = image_resize(media, _RESIZE_W, _RESIZE_H)
+    out = image_features(resized)
+    return out.select(
+        "media_id", "width", "height",
+        F.round("mean_brightness", 4).alias("mean_brightness"),
+        "n_pixels",
+    )
+
+
+# resized pixel (ty, tx, ch) = src pixel (floor(ty*h/H), floor(tx*w/W), ch);
+# flat src index = ((y*w) + x)*c + ch
+_DD_MM_RESIZE = f"""
+WITH {_DD_IMG_DIMS},
+tgt AS (
+  SELECT media_id, w, h, c, ty.ty, tx.tx, ch.ch,
+         ((((ty.ty * h) // {_RESIZE_H}) * w + ((tx.tx * w) // {_RESIZE_W})) * c + ch.ch) AS src_i
+  FROM dims,
+       unnest(range(0, {_RESIZE_H})) AS ty(ty),
+       unnest(range(0, {_RESIZE_W})) AS tx(tx),
+       unnest(range(0, 3)) AS ch(ch)
+)
+SELECT media_id, {_RESIZE_W} AS width, {_RESIZE_H} AS height,
+       round(avg(((media_id * {A_PIX} + src_i * {B_PIX}) % 256)::DOUBLE), 4) AS mean_brightness,
+       count(*)::BIGINT AS n_pixels
+FROM tgt GROUP BY media_id
+"""
+
+_register("mm_image_resize_stats", _mm_image_resize, _DD_MM_RESIZE)
+
+
+def _mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="audio")
+    out = audio_features(media)
+    return out.select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+    )
+
+
+_DD_MM_AUDIO = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id, 16000::INT AS rate, (256 + doc_id % 128)::INT AS n
+  FROM documents
+),
+smp AS (
+  SELECT media_id, rate, n, i.i,
+         (((media_id * {A_AUD} + i.i * {B_AUD}) % 65536) - 32768)::DOUBLE AS s,
+         (CASE WHEN i.i + 1 < n
+               THEN (((media_id * {A_AUD} + (i.i + 1) * {B_AUD}) % 65536) - 32768)::DOUBLE
+          END) AS s_next
+  FROM dims, unnest(range(0, n::BIGINT)) AS i(i)
+)
+SELECT media_id, rate AS sample_rate, n::BIGINT AS n_samples,
+       round(n::DOUBLE / rate, 6) AS duration_s,
+       round(sqrt(avg(s * s)), 4) AS rms,
+       (count(*) FILTER (s_next IS NOT NULL AND ((s >= 0) != (s_next >= 0))))::BIGINT
+         AS zero_crossings
+FROM smp GROUP BY media_id, rate, n
+"""
+
+_register("mm_audio_features", _mm_audio_features, _DD_MM_AUDIO)
+
+
+def _mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="video")
+    out = video_frame_sample(media, every=2)
+    return out.select(
+        "media_id", "frame_index", "width", "height",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+_DD_MM_VIDEO = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id, (4 + doc_id % 5)::INT AS f,
+         (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h
+  FROM documents
+),
+frames AS (
+  SELECT media_id, w, h, k.k::INT AS frame_index
+  FROM dims, unnest(range(0, f::BIGINT)) AS k(k)
+  WHERE k.k % 2 = 0
+),
+px AS (
+  SELECT media_id, frame_index, w, h, i.i,
+         (((media_id + frame_index) * {A_PIX} + i.i * {B_PIX}) % 256)::DOUBLE AS p
+  FROM frames, unnest(range(0, (w * h)::BIGINT)) AS i(i)
+)
+SELECT media_id, frame_index, w AS width, h AS height, round(avg(p), 4) AS frame_mean
+FROM px GROUP BY media_id, frame_index, w, h
+"""
+
+_register("mm_video_frame_sample", _mm_video_frames, _DD_MM_VIDEO)
+
+
+# ==========================================================================
+# Serving veneer (operators/serving.py): Q6 mock-LLM extract, Q8/S8 SSE
+# event stream; plus the remaining status-store surface (S5 upsert, L3).
+# ==========================================================================
+
+from .operators.serving import llm_extract, sse_events  # noqa: E402
+from .operators.status import status_upsert  # noqa: E402
+
+
+def _search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical query-path result: ingest docs, embed, top-5 for the
+    fixed probe text — id/origntext/fileName/pageNumber like the
+    reference's DocumentSummarizer rows."""
+    corpus, _ = ingest_pages(_synth_pages(spark, sf_dir), dim=_EMBED_DIM)
+    return knn(
+        corpus, _E2E_QVEC, k=5, metric="l2", id_col="id",
+        payload_cols=["id", "origntext", "fileName", "pageNumber"],
+    )
+
+
+_DD_SEARCH_HITS = f"""
+WITH {_dd_embed_cte(_EMBED_DIM)},
+dists AS (
+  SELECT fileName, pageNumber,
+         sqrt(sum((e - ({_DD_QVEC_LIT})[i + 1]) * (e - ({_DD_QVEC_LIT})[i + 1]))) AS dist
+  FROM emb GROUP BY fileName, pageNumber
+),
+hits AS (
+  SELECT sha256(d.fileName || '§' || d.pageNumber || '§' || 0) AS id,
+         n.norm_text AS origntext, d.fileName, d.pageNumber, d.dist
+  FROM dists d JOIN norm_pages n USING (fileName, pageNumber)
+  ORDER BY d.dist, id LIMIT 5
+)
+"""
+
+
+def _serve_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = _search_hits(spark, sf_dir)
+    return llm_extract(hits).select("id", "fileName", "pageNumber", "summary")
+
+
+_DD_SERVE_LLM = f"""
+{_DD_SEARCH_HITS}
+SELECT id, fileName, pageNumber,
+       CASE WHEN length(origntext) > 80
+            THEN substr(origntext, 1, 80) || '...'
+            ELSE origntext END AS summary
+FROM hits
+"""
+
+_register("serve_llm_extract_top5", _serve_llm, _DD_SERVE_LLM)
+
+
+_SSE_ACCOUNT = "https://account.blob.core.windows.net/pdfs/"
+
+
+def _serve_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = llm_extract(_search_hits(spark, sf_dir))
+    return sse_events(hits, _SSE_ACCOUNT)
+
+
+_DD_SERVE_SSE = f"""
+{_DD_SEARCH_HITS},
+summarized AS (
+  SELECT *, CASE WHEN length(origntext) > 80
+                 THEN substr(origntext, 1, 80) || '...'
+                 ELSE origntext END AS summary
+  FROM hits
+),
+ev AS (
+  SELECT id, 1 AS seq,
+         '{{"type":"create","id":"' || id || '"}}' AS event_json FROM summarized
+  UNION ALL
+  SELECT id, 2,
+         '{{"type":"createLink","id":"' || id || '","link":"{_SSE_ACCOUNT}' || fileName
+         || '#page=' || pageNumber || '","pageNumber":' || pageNumber
+         || ',"fileName":"' || fileName || '"}}' FROM summarized
+  UNION ALL
+  SELECT id, 3,
+         '{{"type":"addMessage","id":"' || id || '","content":"'
+         || replace(summary, ' ', '<SPECIAL_WHITE_SPACE>') || '"}}' FROM summarized
+)
+SELECT * FROM ev
+"""
+
+_register("serve_sse_events", _serve_sse, _DD_SERVE_SSE)
+
+
+# ---- S5: status upsert (last-write-wins over an event log) ----------------
+# Event log derived from documents: every doc gets the 4 happy-path
+# transitions at increasing timestamps; every 10th doc gets a late
+# FAILED_DB_INSERTION *instead of* COMPLETED — the upsert must resolve
+# exactly one terminal row per id.
+
+def _status_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.sha2(F.col("doc_id").cast("string"), 256).alias("id"),
+        F.col("source").alias("fileName"),
+        ((F.col("doc_id") % 40) + 1).cast("int").alias("pageNumber"),
+        F.col("doc_id"),
+    )
+    stages = ["PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION", "FINISH_DB_INSERTION"]
+    events = base.select(
+        "id", "fileName", "pageNumber", "doc_id",
+        F.posexplode(F.array(*[F.lit(s) for s in stages])).alias("step", "status"),
+    )
+    terminal = base.select(
+        "id", "fileName", "pageNumber", "doc_id",
+        F.lit(3).alias("step"),
+        F.when(F.col("doc_id") % 10 == 0, F.lit("FAILED_DB_INSERTION"))
+        .otherwise(F.lit("COMPLETED")).alias("status"),
+    )
+    all_events = events.unionByName(terminal)
+    return all_events.select(
+        "id", "fileName", "status", "pageNumber",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") * 10 + F.col("step")).alias("updated_at"),
+    )
+
+
+def _s5_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resolved = status_upsert(_status_event_log(spark, sf_dir))
+    return resolved.select(
+        "id", "fileName", "status", "pageNumber",
+        F.date_format("updated_at", "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+    )
+
+
+_DD_S5 = """
+WITH base AS (
+  SELECT sha256(doc_id::VARCHAR) AS id, source AS fileName,
+         ((doc_id % 40) + 1)::INT AS pageNumber, doc_id
+  FROM documents
+),
+log AS (
+  SELECT id, fileName, s.status, pageNumber, doc_id, s.step FROM base,
+  (VALUES ('PAGE_SEPARATE_FINISHED', 0), ('FINISH_OAI_INVOCATION', 1),
+          ('FINISH_DB_INSERTION', 2)) s(status, step)
+  UNION ALL
+  SELECT id, fileName,
+         CASE WHEN doc_id % 10 = 0 THEN 'FAILED_DB_INSERTION' ELSE 'COMPLETED' END,
+         pageNumber, doc_id, 3
+  FROM base
+)
+SELECT id, fileName, status, pageNumber,
+       strftime(to_timestamp(1700000000 + doc_id * 10 + step), '%Y-%m-%d %H:%M:%S') AS updated_at
+FROM log
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY step DESC) = 1
+"""
+
+_register("s5_status_upsert", _s5_upsert, _DD_S5)
+
+
+def _l3_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _derived_status(spark, sf_dir)
+
+
+_register("l3_status_dump", _l3_dump, _DD_STATUS)

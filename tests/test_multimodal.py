@@ -1,0 +1,103 @@
+"""Multimodal plumbing: RAW-container codecs, mapInPandas decode stages,
+resize/frame-sample semantics, real-format stub gating."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+    audio_features,
+    decode_audio,
+    decode_image,
+    decode_video,
+    encode_audio,
+    encode_image,
+    encode_video,
+    image_features,
+    image_resize,
+    synth_audio_samples,
+    synth_image_pixels,
+    synth_media_df,
+    video_frame_sample,
+)
+
+
+class TestCodecs:
+    def test_image_roundtrip(self):
+        px = synth_image_pixels(7, 5, 4, 3)
+        assert px.shape == (4, 5, 3)
+        out = decode_image(encode_image(px))
+        assert np.array_equal(out, px)
+
+    def test_audio_roundtrip(self):
+        s = synth_audio_samples(3, 100)
+        out, rate = decode_audio(encode_audio(s, 16000))
+        assert rate == 16000
+        assert np.array_equal(out, s.astype(np.int64))
+
+    def test_video_roundtrip(self):
+        frames = np.stack([synth_image_pixels(k, 6, 4, 1)[:, :, 0] for k in range(3)])
+        out = decode_video(encode_video(frames))
+        assert np.array_equal(out, frames)
+
+    @pytest.mark.parametrize("magic", [b"\x89PNG\r\n", b"\xff\xd8\xff\xe0data", b"RIFFxxxx"])
+    def test_real_formats_are_stubbed(self, magic):
+        with pytest.raises(NotImplementedError, match="stubbed"):
+            decode_image(magic + b"rest")
+
+    def test_wrong_container_rejected(self):
+        with pytest.raises(ValueError):
+            decode_audio(b"IMG1xxxxxxxxx")
+
+
+class TestStages:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+
+    def test_image_features(self, spark, docs):
+        media = synth_media_df(docs, kind="image")
+        out = {r["media_id"]: r for r in image_features(media).collect()}
+        for d in range(10):
+            px = synth_image_pixels(d, 8 + d % 9, 8 + d % 7, 3).reshape(-1).astype(np.float64)
+            r = out[d]
+            assert (r["width"], r["height"], r["channels"]) == (8 + d % 9, 8 + d % 7, 3)
+            assert r["mean_brightness"] == pytest.approx(px.mean())
+            assert r["std_brightness"] == pytest.approx(px.std())
+            assert r["n_pixels"] == px.size
+
+    def test_resize_nearest_neighbor(self, spark, docs):
+        media = synth_media_df(docs, kind="image")
+        out = {r["media_id"]: r for r in image_resize(media, 4, 4).collect()}
+        d = 5
+        px = synth_image_pixels(d, 8 + d % 9, 8 + d % 7, 3)
+        h, w, _ = px.shape
+        ys, xs = (np.arange(4) * h) // 4, (np.arange(4) * w) // 4
+        expect = px[np.ix_(ys, xs)]
+        got = decode_image(bytes(out[d]["content"]))
+        assert np.array_equal(got, expect)
+
+    def test_audio_features(self, spark, docs):
+        media = synth_media_df(docs, kind="audio")
+        out = {r["media_id"]: r for r in audio_features(media).collect()}
+        d = 3
+        s = synth_audio_samples(d, 256 + d % 128).astype(np.float64)
+        r = out[d]
+        assert r["n_samples"] == len(s)
+        assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(s * s))))
+        assert r["duration_s"] == pytest.approx(len(s) / 16000)
+
+    def test_video_frame_sample_fanout(self, spark, docs):
+        media = synth_media_df(docs, kind="video")
+        rows = video_frame_sample(media, every=2).collect()
+        d = 4  # n_frames = 4 + 4%5 = 8 -> sampled frames 0,2,4,6
+        idx = sorted(r["frame_index"] for r in rows if r["media_id"] == d)
+        assert idx == [0, 2, 4, 6]
+        r0 = next(r for r in rows if r["media_id"] == d and r["frame_index"] == 2)
+        fr = synth_image_pixels(d + 2, 8 + d % 9, 8 + d % 7, 1)[:, :, 0].astype(np.float64)
+        assert r0["frame_mean"] == pytest.approx(fr.mean())
+
+    def test_blob_dropped_after_decode(self, spark, docs):
+        media = synth_media_df(docs, kind="image")
+        assert "content" not in image_features(media).columns

@@ -1,0 +1,74 @@
+"""Serving veneer: prompt template, mock/injectable LLM stage, blob
+URLs, SSE event shaping."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.serving import (
+    MOCK_SUMMARY_LEN,
+    SSE_SPACE_SENTINEL,
+    blob_url,
+    build_prompt,
+    llm_extract,
+    sse_escape,
+    sse_events,
+)
+from pyspark.sql import functions as F
+
+ACCOUNT = "https://acct.blob.core.windows.net/pdfs/"
+
+
+@pytest.fixture(scope="module")
+def hits(spark):
+    rows = [
+        ("id1", "short text", "a.pdf", 1),
+        ("id2", "x" * 200, "b.pdf", 7),
+    ]
+    return spark.createDataFrame(rows, "id string, origntext string, fileName string, pageNumber int")
+
+
+def test_prompt_matches_reference_template(spark, hits):
+    out = hits.select(build_prompt("origntext", "my query").alias("p")).collect()
+    p = next(r["p"] for r in out if "short" in r["p"])
+    assert p == (
+        '""" short text """\n\n'
+        'From the above document "my query" Please extract the part that describes.'
+    )
+
+
+def test_mock_llm_truncates_long_passes_short(spark, hits):
+    out = {r["id"]: r["summary"] for r in llm_extract(hits).collect()}
+    assert out["id1"] == "short text"
+    assert out["id2"] == "x" * MOCK_SUMMARY_LEN + "..."
+
+
+def test_injected_llm_fn(spark, hits):
+    out = llm_extract(hits, llm_fn=lambda texts: [t[:1].upper() for t in texts])
+    got = {r["id"]: r["summary"] for r in out.collect()}
+    assert got == {"id1": "S", "id2": "X"}
+
+
+def test_blob_url_format(spark, hits):
+    out = {r["id"]: r["u"] for r in hits.select("id", blob_url(ACCOUNT).alias("u")).collect()}
+    assert out["id2"] == f"{ACCOUNT}b.pdf#page=7"
+
+
+def test_sse_escape_roundtrip(spark, hits):
+    r = hits.filter(F.col("id") == "id1").select(sse_escape("origntext").alias("e")).first()
+    assert r["e"] == f"short{SSE_SPACE_SENTINEL}text"
+    assert r["e"].replace(SSE_SPACE_SENTINEL, " ") == "short text"  # client-side undo
+
+
+def test_sse_events_shape_and_order(spark, hits):
+    ev = sse_events(llm_extract(hits), ACCOUNT).collect()
+    for_id1 = sorted((r["seq"], r["event_json"]) for r in ev if r["id"] == "id1")
+    assert [s for s, _ in for_id1] == [1, 2, 3]
+    parsed = [json.loads(e) for _, e in for_id1]
+    assert parsed[0] == {"type": "create", "id": "id1"}
+    assert parsed[1]["type"] == "createLink"
+    assert parsed[1]["link"] == f"{ACCOUNT}a.pdf#page=1"
+    assert parsed[2]["type"] == "addMessage"
+    assert parsed[2]["content"] == f"short{SSE_SPACE_SENTINEL}text"
