@@ -1,0 +1,119 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, top-k,
+shuffle counts.  These pin the plans SURVEY.md §4 promises — a
+regression here is a 100 TB performance bug even when results stay
+correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans import (
+    count_exchanges,
+    has_broadcast_hash_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schemas,
+    wholestage_codegen_spans,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+    REGISTRY,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return REGISTRY[name][0](spark, SF)
+
+
+class TestFlagshipKnn:
+    def test_no_shuffle(self, spark):
+        # TakeOrderedAndProject = per-partition heap, k rows to driver.
+        # The corpus is never exchanged — the property that makes exact
+        # KNN viable at 100 TB.
+        df = q(spark, "q2_knn_l2_top5")
+        assert count_exchanges(df) == 0
+        assert has_take_ordered(df)
+
+    def test_query_vector_filter_pushed(self, spark):
+        assert any("EqualTo(vec_id,0)" in f for f in pushed_filters(q(spark, "q2_knn_l2_top5")))
+
+    def test_batched_knn_single_exchange(self, spark):
+        # broadcast queries + map-side scoring; the only shuffle is the
+        # per-query window for the global top-k.
+        df = q(spark, "q2_knn_l2_topk_batch")
+        assert has_broadcast_hash_join(df) or "BroadcastNestedLoop" in str(df._jdf.queryExecution())
+        assert count_exchanges(df) == 1
+
+    def test_batched_knn_embedding_dropped_before_exchange(self, spark):
+        # the shuffled relation must be the narrow projection (no
+        # embedding column) — candidate rows carry ~tens of bytes.
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        plan = explain_str(q(spark, "q2_knn_l2_topk_batch"), "formatted")
+        exchange = next(
+            block for block in plan.split("\n\n") if "Exchange" in block.split("\n")[0]
+        ) if "\n\n" in plan else plan
+        # formatted plan lists Exchange Input [..]: embedding must be gone
+        import re
+
+        m = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+        assert m is not None
+        assert "embedding" not in m.group(1)
+
+
+class TestRelational:
+    def test_dim_joins_broadcast(self, spark):
+        df = q(spark, "join_revenue_per_nation")
+        assert has_broadcast_hash_join(df)
+        assert count_exchanges(df) == 1  # only the final groupBy
+
+    def test_scan_filter_pushdown(self, spark):
+        fs = pushed_filters(q(spark, "s2_scan_filter_endswith"))
+        assert any("StringEndsWith" in f for f in fs)
+
+    def test_column_pruning(self, spark):
+        # 2-column projection -> 2-column scan, never the full table
+        schemas = read_schemas(q(spark, "s2_scan_filter_endswith"))
+        assert schemas and all(s.count(":") == 2 for s in schemas)
+
+    def test_agg_partial_then_final_single_exchange(self, spark):
+        df = q(spark, "agg_pricing_summary")
+        assert count_exchanges(df) == 1
+        assert any("l_shipdate" in f for f in pushed_filters(df))
+
+    def test_topk_orders_is_take_ordered(self, spark):
+        assert has_take_ordered(q(spark, "topk_orders_by_price"))
+
+    def test_codegen_covers_plan(self, spark):
+        # AQE's pre-execution plan hides codegen subtrees; disable it
+        # for this one plan-shape check.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            assert wholestage_codegen_spans(q(spark, "agg_pricing_summary")) >= 1
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+class TestDedupPlans:
+    def test_exact_dedup_single_exchange(self, spark):
+        # min_by groupBy: map-side partial agg, one shuffle by fingerprint
+        df = q(spark, "dedup_exact_survivors")
+        assert count_exchanges(df) <= 2  # fingerprint agg (+AQE variance)
+
+    def test_lsh_shuffles_band_keys_not_text(self, spark):
+        schemas = read_schemas(q(spark, "dedup_minhash_lsh_candidates"))
+        # the text column is read from the scan (needed for shingles)...
+        assert any("text" in s for s in schemas)
+        # ...but what shuffles is (id, band_id, band_hash)
+        import re
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        plan = explain_str(q(spark, "dedup_minhash_lsh_candidates"), "formatted")
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+            assert "text" not in m.group(1)
