@@ -1,0 +1,55 @@
+"""Group-wise Python operators via ``applyInPandas`` — the escape hatch
+for per-group logic that built-in aggregates can't express (model
+scoring per segment, per-group normalization, grouped resampling).
+
+Costs to respect at 100 TB: ``applyInPandas`` shuffles the *full group*
+to one task, so group cardinality must bound memory (here: per
+event_type / per label — thousands of rows per group, not billions);
+prefer window functions when the computation is expressible natively
+(the z-score below intentionally exists in both forms as a
+correctness cross-check — the native form is the production path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def groupwise_zscore_pandas(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """(group, id, value) -> + zscore, computed per group in pandas
+    (population std; groups must fit one task)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(group_col, T.StringType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("zscore", T.DoubleType()),
+        ]
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype(float)
+        mean = v.sum() / len(v)
+        std = float(((v - mean) ** 2).sum() / len(v)) ** 0.5
+        out = pdf[[id_col, group_col, value_col]].copy()
+        out["zscore"] = (v - mean) / std if std > 0 else 0.0
+        return out
+
+    return df.groupBy(group_col).applyInPandas(score, schema)
+
+
+def groupwise_zscore_native(
+    df: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """The same z-score as window expressions (no Python, no group-size
+    limit) — the production form."""
+    w = Window.partitionBy(group_col)
+    mean = F.avg(value_col).over(w)
+    std = F.sqrt(F.avg(F.col(value_col) * F.col(value_col)).over(w) - mean * mean)
+    z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0))
+    return df.select(id_col, group_col, value_col, z.alias("zscore"))

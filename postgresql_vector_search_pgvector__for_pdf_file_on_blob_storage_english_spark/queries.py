@@ -1857,3 +1857,81 @@ SELECT user_id, session_id, count(*) AS n_events,
 FROM sess GROUP BY user_id, session_id
 """,
 )
+
+
+# ==========================================================================
+# Duplicate-cluster resolution (operators/cluster.py): connected
+# components over MinHash-LSH candidate pairs, iterated to fixpoint in
+# Spark and replayed as a recursive CTE in the oracle.
+# ==========================================================================
+
+from .operators.cluster import duplicate_clusters  # noqa: E402
+from .operators.groupwise import (  # noqa: E402
+    groupwise_zscore_native,
+    groupwise_zscore_pandas,
+)
+
+
+def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_perm=16, shingle_n=3, seed=42)
+    pairs = lsh_candidate_pairs(sigs, bands=_LSH_BANDS)
+    return duplicate_clusters(corpus, pairs)
+
+
+_DD_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_DD_MINHASH_LSH}),
+sym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+minreach AS (SELECT src AS id, min(dst) AS mr FROM reach GROUP BY src),
+corpus AS ({_DD_NEARDUP_CORPUS}),
+labeled AS (
+  SELECT c.doc_id AS id, least(c.doc_id, coalesce(m.mr, c.doc_id)) AS cluster_id
+  FROM corpus c LEFT JOIN minreach m ON c.doc_id = m.id
+)
+SELECT id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       id = cluster_id AS is_canonical
+FROM labeled
+"""
+
+_register("dedup_duplicate_clusters", _dup_clusters, _DD_DUP_CLUSTERS)
+
+
+# ==========================================================================
+# Group-wise ops (operators/groupwise.py): the applyInPandas escape
+# hatch and its native-window production twin, cross-checked against
+# the same oracle.
+# ==========================================================================
+
+def _zscore(native: bool):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+        f = groupwise_zscore_native if native else groupwise_zscore_pandas
+        out = f(ev, "event_type", "value", "event_id")
+        return out.select(
+            "event_id", "event_type", "value", F.round("zscore", 4).alias("zscore")
+        )
+
+    return fn
+
+
+_DD_ZSCORE = """
+SELECT event_id, event_type, value,
+       round(CASE WHEN stddev_pop(value) OVER w > 0
+                  THEN (value - avg(value) OVER w) / (stddev_pop(value) OVER w)
+                  ELSE 0.0 END, 4) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+_register("groupwise_zscore_pandas", _zscore(native=False), _DD_ZSCORE)
+_register("groupwise_zscore_native", _zscore(native=True), _DD_ZSCORE)

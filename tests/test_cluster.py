@@ -1,0 +1,65 @@
+"""Connected components + duplicate clusters on hand-built graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.cluster import (
+    connected_components,
+    duplicate_clusters,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+    groupwise_zscore_native,
+    groupwise_zscore_pandas,
+)
+from pyspark.sql import functions as F
+
+
+def test_components_chain_and_triangle(spark):
+    # chain 1-2-3-4 (diameter 3 -> needs >1 iteration) + triangle 10-11-12
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_components_deterministic_min_label(spark):
+    # labels converge to the min id regardless of edge direction/order
+    edges = spark.createDataFrame([(9, 5), (5, 7)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {5: 5, 7: 5, 9: 5}
+
+
+def test_duplicate_clusters_singletons_and_canonicals(spark):
+    corpus = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5]], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    out = {r["id"]: r for r in duplicate_clusters(corpus, pairs).collect()}
+    assert out[1]["cluster_id"] == 1 and out[3]["cluster_id"] == 1 and out[5]["cluster_id"] == 1
+    assert out[1]["cluster_size"] == 3
+    assert out[2]["cluster_size"] == 1 and out[2]["cluster_id"] == 2  # singleton
+    canonicals = {i for i, r in out.items() if r["is_canonical"]}
+    assert canonicals == {1, 2, 4}
+
+
+def test_zscore_pandas_equals_native(spark):
+    rows = [(i, "g1" if i < 6 else "g2", float(i * i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    a = {r["event_id"]: round(r["zscore"], 9)
+         for r in groupwise_zscore_pandas(df, "event_type", "value", "event_id").collect()}
+    b = {r["event_id"]: round(r["zscore"], 9)
+         for r in groupwise_zscore_native(df, "event_type", "value", "event_id").collect()}
+    assert a == b
+    # z-scores sum to ~0 per group
+    import math
+
+    g1 = sum(v for i, v in a.items() if i < 6)
+    assert math.isclose(g1, 0.0, abs_tol=1e-9)
+
+
+def test_zscore_constant_group_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", 5.0)], "event_id long, event_type string, value double"
+    )
+    out = groupwise_zscore_pandas(df, "event_type", "value", "event_id").collect()
+    assert all(r["zscore"] == 0.0 for r in out)
