@@ -29,6 +29,7 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spa
 HEADLINE = [
     "q2_knn_l2_top5",
     "q2_knn_l2_topk_batch",
+    "q2_knn_l2_topk_batch_numpy",
     "agg_pricing_summary",
     "topk_orders_by_price",
     "join_revenue_per_nation",

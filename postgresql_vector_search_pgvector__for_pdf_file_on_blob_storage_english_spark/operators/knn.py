@@ -133,3 +133,89 @@ def knn_join(
         narrow.withColumn("rank", F.row_number().over(global_w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_join_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    payload_cols: Sequence[str] | None = None,
+    distance_col: str = "distance",
+) -> DataFrame:
+    """The vectorized scale path: per-partition NumPy/BLAS distance
+    matrices + partition-local top-k, then one window for the global
+    cut (SURVEY.md §4's "pandas fallback").
+
+    Each Arrow batch computes a |batch| x |queries| distance matrix with
+    one GEMM instead of per-pair folds — 1-2 orders of magnitude faster
+    per row at high dim.  BLAS summation order differs from the
+    sequential HOF fold, so distances agree only to float tolerance
+    (~1e-12 relative): the winner *set* is identical whenever no two
+    candidates are within that tolerance, but this path is deliberately
+    NOT used in oracle-gated queries.  Queries (the small dimension
+    side) are collected to a closure matrix — the same data movement a
+    broadcast performs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if metric not in ("l2", "l2sq", "cosine", "dot"):
+        raise ValueError(f"unsupported metric {metric!r}")
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[query_id_col] for r in qrows])
+    qmat = np.array([r[query_vec_col] for r in qrows], dtype=np.float64)  # (Q, d)
+    if metric == "cosine":
+        qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qsq = (qmat * qmat).sum(axis=1)  # (Q,)
+
+    cols = list(payload_cols) if payload_cols is not None else [
+        c for c in corpus.columns if c != vec_col
+    ]
+
+    from pyspark.sql import types as T
+
+    base_fields = [corpus.schema[c] for c in cols]
+    schema = T.StructType(
+        [T.StructField(query_id_col, T.LongType())]
+        + base_fields
+        + [T.StructField(distance_col, T.DoubleType())]
+    )
+
+    def score(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.array(list(pdf[vec_col]), dtype=np.float64)  # (N, d)
+            if metric == "cosine":
+                cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+                dist = 1.0 - cn @ qmat.T                            # (N, Q)
+            elif metric == "dot":
+                dist = -(cmat @ qmat.T)
+            else:
+                csq = (cmat * cmat).sum(axis=1)
+                sq = csq[:, None] - 2.0 * (cmat @ qmat.T) + qsq[None, :]
+                np.maximum(sq, 0.0, out=sq)
+                dist = np.sqrt(sq) if metric == "l2" else sq
+            kk = min(k, dist.shape[0])
+            top = np.argpartition(dist, kk - 1, axis=0)[:kk]        # (k, Q)
+            out_frames = []
+            for qi in range(dist.shape[1]):
+                rows = pdf.iloc[top[:, qi]][cols].copy()
+                rows.insert(0, query_id_col, qids[qi])
+                rows[distance_col] = dist[top[:, qi], qi]
+                out_frames.append(rows)
+            yield pd.concat(out_frames, ignore_index=True)
+
+    needed = [vec_col] + [c for c in cols if c != vec_col]
+    candidates = corpus.select(*needed).mapInPandas(score, schema)
+    global_w = Window.partitionBy(query_id_col).orderBy(distance_col, id_col)
+    return (
+        candidates.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= k)
+    )

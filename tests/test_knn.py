@@ -76,3 +76,39 @@ def test_knn_join_rank_is_dense_per_query(spark, emb):
     for qid in range(3):
         ranks = sorted(r["rank"] for r in got if r["query_id"] == qid)
         assert ranks == [1, 2, 3, 4]
+
+
+class TestNumpyScalePath:
+    """knn_join_numpy: the GEMM-batched scale path must produce the same
+    winner sets and ranks as the sequential-fold reference path."""
+
+    @pytest.mark.parametrize("metric", ["l2", "cosine", "dot"])
+    def test_parity_with_hof_path(self, spark, emb, metric):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+            knn_join_numpy,
+        )
+
+        df, _, _ = emb
+        queries = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        a = knn_join(df, queries, k=4, metric=metric, payload_cols=["vec_id"])
+        b = knn_join_numpy(df, queries, k=4, metric=metric, payload_cols=["vec_id"])
+        sa = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in a.collect())
+        sb = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in b.collect())
+        assert sa == sb
+
+    def test_distances_within_tolerance(self, spark, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+            knn_join_numpy,
+        )
+
+        df, ids, mat = emb
+        queries = df.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        got = knn_join_numpy(df, queries, k=3, payload_cols=["vec_id"]).collect()
+        q = mat[ids == 0][0]
+        for r in got:
+            expect = float(np.linalg.norm(mat[ids == r["vec_id"]][0] - q))
+            assert abs(r["distance"] - expect) < 1e-9
