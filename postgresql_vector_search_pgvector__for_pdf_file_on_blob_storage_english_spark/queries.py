@@ -1954,3 +1954,88 @@ def _knn_batch_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("q2_knn_l2_topk_batch_numpy", _knn_batch_numpy, _DD_KNN_BATCH)
+
+
+# ==========================================================================
+# Skew mitigation (operators/skew.py): salted two-phase agg and salted
+# broadcast join — plan rewrites held to the same oracle as their
+# unsalted forms.  Plus the k-means-trained IVF (operators/kmeans.py);
+# cross-partition float summation makes trained centroids run-dependent
+# in the last ulps, so that one is a rows-only entry by design.
+# ==========================================================================
+
+from .operators.kmeans import kmeans_fit  # noqa: E402
+from .operators.skew import salted_agg, salted_broadcast_join  # noqa: E402
+
+
+def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n": ("*", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "min_qty": ("l_quantity", "min"),
+            "max_qty": ("l_quantity", "max"),
+        },
+        salts=16,
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n",
+        F.round("sum_qty", 2).alias("sum_qty"), "min_qty", "max_qty",
+    )
+
+
+_register(
+    "skew_salted_agg",
+    _skew_salted_agg,
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
+def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_broadcast_join(orders, cust, "o_custkey", salts=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_register(
+    "skew_salted_join",
+    _skew_salted_join,
+    """
+SELECT c_nationkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+)
+
+
+def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with data-adaptive (k-means-trained) centroids.  Rows-only:
+    trained centroid means depend on cross-partition float summation
+    order, so bit-level replay in another engine is not meaningful —
+    the fixed-centroid `ann_ivf_search` covers the oracle-gated path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding"))
+    centroids = kmeans_fit(vecs, k=8, max_iters=3)
+    assigned = assign_ivf(vecs, centroids)
+    q = vecs.filter(F.col("vec_id") == _IVF_PROBE_ID).select(F.col("embedding").alias("query_vec"))
+    out = ivf_search(
+        assigned, centroids, q, k=5, nprobe=2, payload_cols=["vec_id", "label", "centroid_id"]
+    )
+    return out.select("vec_id", "label", "centroid_id", F.round("distance", 4).alias("distance"))
+
+
+_register("ann_ivf_kmeans_search", _ann_ivf_kmeans, None)
