@@ -1,13 +1,78 @@
 """Relational / dataflow operators."""
 
-from .knn import knn, knn_join
+from .ann import assign_ivf, hyperplanes, ivf_search, lsh_bucket, lsh_search
+from .cluster import connected_components, duplicate_clusters
+from .dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_stage,
+    simhash,
+    simhash_neardup_pairs,
+)
+from .groupwise import groupwise_zscore_native, groupwise_zscore_pandas
+from .ingest import embed_chunks, ingest_pages, pages_to_chunks, validate_corpus, write_corpus
+from .kmeans import kmeans_fit
+from .knn import knn, knn_join, knn_join_numpy
+from .multimodal import (
+    audio_features,
+    image_features,
+    image_resize,
+    synth_media_df,
+    video_frame_sample,
+)
+from .serving import blob_url, build_prompt, llm_extract, sse_escape, sse_events
+from .skew import salted_agg, salted_broadcast_join
 from .status import STATUS_VALUES, completed_listing, failed_listing, status_upsert
+from .textstats import fingerprint, language_id, quality_score, token_stats
 
 __all__ = [
+    "STATUS_VALUES",
+    "assign_ivf",
+    "audio_features",
+    "blob_url",
+    "build_prompt",
+    "completed_listing",
+    "connected_components",
+    "duplicate_clusters",
+    "embed_chunks",
+    "embedding_neardup_pairs",
+    "exact_dedup",
+    "failed_listing",
+    "fingerprint",
+    "groupwise_zscore_native",
+    "groupwise_zscore_pandas",
+    "hyperplanes",
+    "image_features",
+    "image_resize",
+    "ingest_pages",
+    "ivf_search",
+    "kmeans_fit",
     "knn",
     "knn_join",
-    "STATUS_VALUES",
-    "completed_listing",
-    "failed_listing",
+    "knn_join_numpy",
+    "language_id",
+    "llm_extract",
+    "lsh_bucket",
+    "lsh_candidate_pairs",
+    "lsh_search",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "pages_to_chunks",
+    "quality_score",
+    "salted_agg",
+    "salted_broadcast_join",
+    "shingle_stage",
+    "simhash",
+    "simhash_neardup_pairs",
+    "sse_escape",
+    "sse_events",
     "status_upsert",
+    "synth_media_df",
+    "token_stats",
+    "validate_corpus",
+    "video_frame_sample",
+    "write_corpus",
 ]
