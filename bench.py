@@ -43,6 +43,10 @@ HEADLINE = [
     "text_token_stats",
     "ann_ivf_search",
     "ann_lsh_search",
+    "pq_adc_search_top5",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_volume_customers",
+    "sessionize_events_30m",
     "pipeline_e2e_ingest_knn",
 ]
 
