@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh_candidates",
     "dedup_simhash_neardup_pairs",
     "similarity_top_pairs",
+    "similarity_top_pairs_numpy",
     "text_quality_score",
     "text_token_stats",
     "ann_ivf_search",

@@ -2303,3 +2303,28 @@ SELECT vec_id, label, round(dist, 4) AS adc_dist_sq
 FROM adc ORDER BY dist, vec_id LIMIT 5
 """,
 )
+
+
+# ---- GEMM scale path for pair similarity, same oracle ---------------------
+
+from .operators.dedup import embedding_neardup_pairs_numpy  # noqa: E402
+
+
+def _similar_pairs_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs_numpy(emb, block_col="label", threshold=-1.0)
+    return pairs.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(20)
+
+
+_register(
+    "similarity_top_pairs_numpy",
+    _similar_pairs_topk_numpy,
+    f"""
+WITH sets AS (SELECT vec_id, label, {_DD_NVEC.format(v="embedding")} AS nvec FROM embeddings)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round({_dd_dot("l.nvec", "r.nvec")}, 4) AS cosine_sim
+FROM sets l JOIN sets r ON l.label = r.label AND l.vec_id < r.vec_id
+ORDER BY {_dd_dot("l.nvec", "r.nvec")} DESC, id_a, id_b
+LIMIT 20
+""",
+)

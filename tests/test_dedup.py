@@ -111,3 +111,22 @@ def test_embedding_neardup(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs
     assert (1, 4) not in pairs  # blocked away
+
+
+def test_embedding_neardup_numpy_parity(spark):
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_numpy,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_neardup_pairs(emb, block_col="label", threshold=0.5).collect()
+    }
+    gemm = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_neardup_pairs_numpy(emb, block_col="label", threshold=0.5).collect()
+    }
+    assert set(fold) == set(gemm)
+    assert all(abs(fold[k] - gemm[k]) <= 1e-4 for k in fold)
