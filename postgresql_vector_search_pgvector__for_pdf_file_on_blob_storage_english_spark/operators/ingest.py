@@ -122,3 +122,61 @@ def write_corpus(corpus: DataFrame, path: str, buckets: int = 64) -> None:
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def upsert_corpus_files(
+    spark,
+    corpus_path: str,
+    new_corpus: DataFrame,
+    buckets: int = 64,
+) -> None:
+    """Replace all chunks of the files present in ``new_corpus`` —
+    the re-uploaded-blob path.
+
+    The reference re-processes a re-uploaded blob into *new random
+    UUIDs*, silently duplicating the corpus (Function.java:139); here
+    chunk ids are content-addressed, and replacement is file-scoped:
+    keep rows whose fileName is NOT being re-ingested, union the new
+    rows, rewrite.  On a transactional table format this is
+    ``MERGE``/``replaceWhere``; on plain parquet it is a
+    read-filter-rewrite of only the buckets that contain the touched
+    files (bucket = pmod(xxhash64(fileName), buckets), so untouched
+    buckets are never rewritten).
+    """
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    touched = [r[0] for r in new_corpus.select("fileName").distinct().collect()]
+    new_bucketed = new_corpus.withColumn(
+        "bucket", F.pmod(F.xxhash64("fileName"), F.lit(buckets))
+    )
+    touched_buckets = sorted(
+        r[0] for r in new_bucketed.select("bucket").distinct().collect()
+    )
+
+    import os
+
+    existing_dirs = [
+        f"{corpus_path}/bucket={b}"
+        for b in touched_buckets
+        if os.path.isdir(f"{corpus_path}/bucket={b}")
+    ]
+    if existing_dirs:
+        kept = (
+            spark.read.option("basePath", corpus_path)
+            .parquet(*existing_dirs)
+            .filter(~F.col("fileName").isin(touched))
+            .localCheckpoint(eager=True)  # materialize before overwrite
+        )
+    else:
+        kept = None
+
+    merged = (
+        kept.unionByName(new_bucketed) if kept is not None else new_bucketed
+    )
+    for b in touched_buckets:
+        (
+            merged.filter(F.col("bucket") == b)
+            .drop("bucket")
+            .write.mode("overwrite")
+            .parquet(f"{corpus_path}/bucket={b}")
+        )

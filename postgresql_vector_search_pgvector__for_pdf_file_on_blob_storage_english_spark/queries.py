@@ -2388,3 +2388,54 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
 """,
 )
+
+
+# ==========================================================================
+# Scalar-function breadth: the string/math/date built-ins a user of the
+# reference's serving path reaches for, exercised in one projection.
+# ==========================================================================
+
+def _scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("source")
+    return docs.select(
+        "doc_id",
+        F.upper(t).alias("upper_src"),
+        F.lower(t).alias("lower_src"),
+        F.initcap(t).alias("initcap_src"),
+        F.length(t).alias("len_src"),
+        F.reverse(t).alias("rev_src"),
+        F.substring(t, 1, 3).alias("sub_src"),
+        F.lpad(t, 10, "_").alias("pad_src"),
+        F.translate(t, "src", "XYZ").alias("trans_src"),
+        F.levenshtein(t, F.lit("src0")).alias("lev_src"),
+        F.round(F.sqrt(F.col("doc_id").cast("double") + 1), 4).alias("sqrt_id"),
+        F.round(F.log(F.col("doc_id").cast("double") + 2.0), 4).alias("log_id"),
+        F.pmod(F.col("doc_id") * 37 + 11, F.lit(97)).alias("mod_id"),
+        F.conv(F.col("doc_id").cast("string"), 10, 16).alias("hex_id"),
+    )
+
+
+_register(
+    "scalar_function_breadth",
+    _scalar_functions,
+    """
+SELECT doc_id,
+       upper(source) AS upper_src,
+       lower(source) AS lower_src,
+       -- initcap: first letter of each word upper, rest lower
+       list_aggregate(list_transform(string_split(source, ' '),
+         w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), 'string_agg', ' ') AS initcap_src,
+       length(source) AS len_src,
+       reverse(source) AS rev_src,
+       substr(source, 1, 3) AS sub_src,
+       lpad(source, 10, '_') AS pad_src,
+       translate(source, 'src', 'XYZ') AS trans_src,
+       levenshtein(source, 'src0') AS lev_src,
+       round(sqrt(doc_id::DOUBLE + 1), 4) AS sqrt_id,
+       round(ln(doc_id::DOUBLE + 2.0), 4) AS log_id,
+       (doc_id * 37 + 11) % 97 AS mod_id,
+       upper(to_hex(doc_id)) AS hex_id
+FROM documents
+""",
+)

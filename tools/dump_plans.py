@@ -1,0 +1,72 @@
+"""Regenerate PLANS.md from the live physical plans.
+
+Usage: python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (  # noqa: E402
+    explain_str,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (  # noqa: E402
+    REGISTRY,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+SECTIONS = [
+    ("q2_knn_l2_top5", "Flagship exact KNN (single query)",
+     "TakeOrderedAndProject directly over the scored scan: each partition keeps a k-row "
+     "heap, only k rows reach the driver, the corpus is never shuffled. The probe-vector "
+     "lookup is a pushed parquet filter; ReadSchema shows only the columns the query "
+     "touches. This is the shape that scales to a 100 TB embedding column: cost = one "
+     "narrow scan, zero exchanges."),
+    ("q2_knn_l2_topk_batch", "Batched KNN (N queries)",
+     "The query relation broadcasts (BroadcastExchange under BroadcastNestedLoopJoin); "
+     "distances are computed map-side; the projection entering the single hash exchange "
+     "carries (query_id, id, label, distance) — the embedding column is dropped before "
+     "any data moves. The one shuffle feeds the per-query window for the global top-k."),
+    ("join_revenue_per_nation", "Star join",
+     "All three dimension tables broadcast (BroadcastHashJoin chain); the only exchange "
+     "is the final groupBy, preceded by a partial HashAggregate — map-side combine means "
+     "the shuffle carries one row per (nation, region) per task, not per order."),
+    ("dedup_minhash_lsh_candidates", "MinHash + banded LSH",
+     "Text is read once, shingled and hashed inside codegen projections; what shuffles "
+     "for the self-join is (doc_id, band_id, band_hash) — never text. HashAggregate "
+     "handles the final DISTINCT on candidate pairs."),
+    ("agg_pricing_summary", "Scan-heavy aggregate",
+     "Filter pushed to parquet (PushedFilters on l_shipdate), six-column ReadSchema from "
+     "an 11-column table, partial+final HashAggregate around a single exchange."),
+]
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plansdoc")
+    out = [
+        "# PLANS — physical plans of the headline queries",
+        "",
+        "Captured from `.explain('formatted')` at sf0.01 (plans are scale-independent;",
+        "AQE re-plans at runtime). Regenerate with `python tools/dump_plans.py`.",
+        "The shapes below are enforced by `tests/test_plans.py` — a regression fails CI.",
+        "",
+    ]
+    for name, title, comment in SECTIONS:
+        df = REGISTRY[name][0](spark, sf)
+        plan = explain_str(df, "formatted")
+        plan = "\n".join(l for l in plan.splitlines() if "Location:" not in l)
+        out.append(f"## {name} — {title}\n")
+        out.append(comment + "\n")
+        out.append("```\n" + plan.strip() + "\n```\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
