@@ -2439,3 +2439,82 @@ SELECT doc_id,
 FROM documents
 """,
 )
+
+
+# ==========================================================================
+# As-of join (operators/asof.py): for every click, the same user's most
+# recent purchase at or before it.  Oracle = DuckDB's native ASOF JOIN.
+# ==========================================================================
+
+from .operators.asof import asof_join  # noqa: E402
+
+
+def _asof_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    out = asof_join(clicks, purchases, key="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "purchase_id_asof",
+        F.round("value_asof", 4).alias("purchase_value_asof"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts_asof"),
+    )
+
+
+_register(
+    "asof_join_click_purchase",
+    _asof_clicks_purchases,
+    """
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       b.event_id AS purchase_id_asof,
+       round(b.value, 4) AS purchase_value_asof,
+       strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts_asof
+FROM (SELECT * FROM events WHERE event_type = 'click') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON p.user_id = b.user_id AND p.ts >= b.ts
+""",
+)
+
+
+# ==========================================================================
+# Range join (operators/rangejoin.py): clicks within 5 minutes after an
+# error by the same user (2h window) — binned equi-join, not a per-key
+# cross product.
+# ==========================================================================
+
+from .operators.rangejoin import range_join  # noqa: E402
+
+
+def _range_join_click_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    out = range_join(clicks, errors, key="user_id", lower=0.0, upper=7200.0)
+    return out.select(
+        "user_id", "event_id", "error_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+    )
+
+
+_register(
+    "range_join_click_after_error",
+    _range_join_click_after_error,
+    """
+SELECT c.user_id, c.event_id, e.event_id AS error_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND epoch(c.ts) - epoch(e.ts) >= 0 AND epoch(c.ts) - epoch(e.ts) <= 7200
+""",
+)
