@@ -38,7 +38,6 @@ HEADLINE = [
     "dedup_exact_stats",
     "dedup_minhash_lsh_candidates",
     "dedup_simhash_neardup_pairs",
-    "similarity_top_pairs",
     "similarity_top_pairs_numpy",
     "text_quality_score",
     "text_token_stats",
