@@ -53,3 +53,33 @@ def groupwise_zscore_native(
     std = F.sqrt(F.avg(F.col(value_col) * F.col(value_col)).over(w) - mean * mean)
     z = F.when(std > 0, (F.col(value_col) - mean) / std).otherwise(F.lit(0.0))
     return df.select(id_col, group_col, value_col, z.alias("zscore"))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate_pct: int, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ``rate_pct``% sample: keep rows where a stable
+    md5-derived bucket of (salt, id) falls below the rate.
+
+    Unlike ``df.sample`` this is reproducible across runs, engines and
+    partitionings — the property a training pipeline needs so every
+    worker, retry and audit selects the identical subset.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("§", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long") % 100
+    return df.filter(bucket < rate_pct)
+
+
+def train_test_split_hash(
+    df: DataFrame, id_col: str, test_pct: int = 10, salt: str = "split"
+) -> DataFrame:
+    """Adds a deterministic ``split`` column ('test' for ``test_pct``%
+    of rows, else 'train') keyed on a stable hash — membership never
+    changes when data is re-partitioned, appended to, or re-read."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("§", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long") % 100
+    return df.withColumn("split", F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train")))

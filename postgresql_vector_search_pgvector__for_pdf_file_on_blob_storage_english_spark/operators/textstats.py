@@ -120,3 +120,56 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         full.alias("fingerprint"),
         F.conv(F.substring(full, 1, 15), 16, 10).cast("long").alias("fingerprint60"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style document filter rules as native expressions —
+    the per-document pass/fail bits a web-scale curation pipeline
+    applies before training.  All whole-stage codegen; thresholds are
+    the published Gopher rules where applicable.
+
+    Emitted flags (True = passes the rule):
+      * word_count_ok     — 50 <= n_words <= 100_000
+      * mean_word_len_ok  — 3 <= mean word length <= 10
+      * symbol_ratio_ok   — '#' or '...' to word ratio <= 0.1
+      * bullet_ratio_ok   — <= 90% of lines start with a bullet
+      * ellipsis_ratio_ok — <= 30% of lines end with '...'
+      * alpha_word_ratio_ok — >= 80% of words contain a letter
+      * keep              — conjunction of all flags
+    """
+    norm = normalize_whitespace_col(text_col)
+    words = F.split(F.trim(norm), " ")
+    n_words = F.size(words)
+    n_chars_in_words = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = n_chars_in_words.cast("double") / n_words.cast("double")
+
+    hash_count = F.size(F.split(norm, "#", -1)) - 1
+    ellipsis_count = F.size(F.split(norm, r"\.\.\.", -1)) - 1
+    symbol_ratio = (hash_count + ellipsis_count).cast("double") / n_words.cast("double")
+
+    # line structure is judged on the RAW text (normalization folds \n)
+    lines = F.split(F.col(text_col), "\n", -1)
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100000),
+        "mean_word_len_ok": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "symbol_ratio_ok": symbol_ratio <= 0.1,
+        "bullet_ratio_ok": bullet_lines.cast("double") / n_lines.cast("double") <= 0.9,
+        "ellipsis_ratio_ok": ellipsis_lines.cast("double") / n_lines.cast("double") <= 0.3,
+        "alpha_word_ratio_ok": alpha_words.cast("double") / n_words.cast("double") >= 0.8,
+    }
+    out = df.select(F.col(id_col), *[v.alias(k) for k, v in flags.items()])
+    keep = None
+    for k in flags:
+        keep = F.col(k) if keep is None else (keep & F.col(k))
+    return out.withColumn("keep", keep)

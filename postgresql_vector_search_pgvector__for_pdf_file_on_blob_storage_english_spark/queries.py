@@ -2518,3 +2518,88 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
  AND epoch(c.ts) - epoch(e.ts) >= 0 AND epoch(c.ts) - epoch(e.ts) <= 7200
 """,
 )
+
+
+# ==========================================================================
+# Gopher-style quality rules + deterministic sampling / splits — the
+# remaining curation primitives of a training-data pipeline.
+# ==========================================================================
+
+from .operators.groupwise import hash_sample, train_test_split_hash  # noqa: E402
+from .operators.textstats import gopher_quality_flags  # noqa: E402
+
+
+def _gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+_DD_GOPHER = f"""
+WITH n AS (
+  SELECT doc_id, text AS raw, {_DD_NORMALIZE.format(col="text")} AS norm FROM documents
+),
+f AS (
+  SELECT doc_id, raw, norm,
+         string_split(trim(norm), ' ') AS words,
+         string_split(raw, chr(10)) AS lines
+  FROM n
+),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words) AS mean_wl,
+         ((len(string_split(norm, '#')) - 1) + (len(string_split(norm, '...')) - 1))::DOUBLE
+           / len(words) AS sym_ratio,
+         len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+           / len(lines) AS bullet_ratio,
+         len(list_filter(lines, l -> trim(l) LIKE '%...'))::DOUBLE / len(lines) AS ell_ratio,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+           / len(words) AS alpha_ratio
+  FROM f
+)
+SELECT doc_id,
+       (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS mean_word_len_ok,
+       (sym_ratio <= 0.1) AS symbol_ratio_ok,
+       (bullet_ratio <= 0.9) AS bullet_ratio_ok,
+       (ell_ratio <= 0.3) AS ellipsis_ratio_ok,
+       (alpha_ratio >= 0.8) AS alpha_word_ratio_ok,
+       ((n_words >= 50 AND n_words <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+        AND (sym_ratio <= 0.1) AND (bullet_ratio <= 0.9) AND (ell_ratio <= 0.3)
+        AND (alpha_ratio >= 0.8)) AS keep
+FROM m
+"""
+
+_register("text_gopher_quality_flags", _gopher_flags, _DD_GOPHER)
+
+
+def _hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", rate_pct=20).select("doc_id", "source")
+
+
+_DD_BUCKET = (
+    "(('0x' || substr(md5('{salt}' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT % 100)"
+)
+
+_register(
+    "sample_deterministic_20pct",
+    _hash_sample_docs,
+    f"SELECT doc_id, source FROM documents WHERE {_DD_BUCKET.format(salt='sample')} < 20",
+)
+
+
+def _split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = train_test_split_hash(docs, "doc_id", test_pct=10)
+    return out.groupBy("split").agg(F.count("*").alias("n"))
+
+
+_register(
+    "train_test_split_counts",
+    _split_docs,
+    f"""
+SELECT CASE WHEN {_DD_BUCKET.format(salt='split')} < 10 THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n
+FROM documents GROUP BY 1
+""",
+)

@@ -60,3 +60,44 @@ def test_fingerprint_is_md5_of_normalized(spark):
     expect = hashlib.md5(b"a b c").hexdigest()
     assert r["fingerprint"] == expect
     assert r["fingerprint60"] == int(expect[:15], 16)
+
+
+def test_gopher_flags_rules(spark):
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    rows = [
+        (1, " ".join(["word"] * 60)),                     # clean: passes all
+        (2, "too short"),                                 # fails word_count
+        (3, " ".join(["word"] * 30) + "\n" + "\n".join(f"- bullet {i}" for i in range(30))),  # bullet-heavy
+        (4, " ".join(["####"] * 60)),                     # symbol + alpha fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["word_count_ok"] is False and out[2]["keep"] is False
+    assert out[3]["bullet_ratio_ok"] is False
+    assert out[4]["symbol_ratio_ok"] is False
+    assert out[4]["alpha_word_ratio_ok"] is False
+
+
+def test_hash_sample_deterministic_and_disjoint_salts(spark):
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+        hash_sample,
+        train_test_split_hash,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in hash_sample(df, "doc_id", 20).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df.repartition(7), "doc_id", 20).collect()}
+    assert s1 == s2                      # partitioning-independent
+    assert 0.15 < len(s1) / 2000 < 0.25  # ~20%
+    sub = {r["doc_id"] for r in hash_sample(df, "doc_id", 10).collect()}
+    assert sub <= s1                     # rates nest (same salt, lower cutoff)
+
+    split = train_test_split_hash(df, "doc_id", test_pct=10)
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 2000
+    assert 0.05 < counts["test"] / 2000 < 0.15
