@@ -2603,3 +2603,65 @@ SELECT CASE WHEN {_DD_BUCKET.format(salt='split')} < 10 THEN 'test' ELSE 'train'
 FROM documents GROUP BY 1
 """,
 )
+
+
+def _join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-nation customer counts vs supplier counts, full outer on nation
+    cust = (
+        _t(spark, sf_dir, "customer").groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier").groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+_register(
+    "join_full_outer_nation_counts",
+    _join_full_outer,
+    """
+WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+""",
+)
+
+
+def _pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .filter(F.col("user_id") < 50)
+    )
+
+
+_register(
+    "pivot_event_type_counts",
+    _pivot_events,
+    """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events
+WHERE user_id < 50
+GROUP BY user_id
+""",
+)
