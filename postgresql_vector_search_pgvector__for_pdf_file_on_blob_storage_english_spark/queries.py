@@ -2665,3 +2665,79 @@ WHERE user_id < 50
 GROUP BY user_id
 """,
 )
+
+
+def _agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )
+
+
+_register(
+    "agg_cube_lineitem",
+    _agg_cube,
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+
+
+def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_register(
+    "agg_grouping_sets_orders",
+    _agg_grouping_sets,
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+
+
+def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: for every order, revenue of the customer's orders in
+    the trailing 90 days (value-based frame, not row-based)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-90, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_revenue"),
+        F.count("*").over(w).alias("trailing_90d_orders"),
+    )
+
+
+_register(
+    "window_range_frame_trailing",
+    _window_range_frame,
+    """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w, 2) AS trailing_90d_revenue,
+       count(*) OVER w AS trailing_90d_orders
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+""",
+)

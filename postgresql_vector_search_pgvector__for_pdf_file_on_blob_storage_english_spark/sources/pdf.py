@@ -82,28 +82,51 @@ def extract_pages_bytes(content: bytes) -> list[tuple[int, str]]:
 
 
 def extract_pages(
-    df: DataFrame, content_col: str = "content", out_col: str = "pages"
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "pages",
+    on_error: str = "fail",
 ) -> DataFrame:
     """P1 as an Arrow-batched table function: adds ``pages
-    array<struct<pageNumber,text>>``; explode downstream.
+    array<struct<pageNumber,text>>`` plus ``extract_error string``
+    (null on success); explode downstream.
 
     ``mapInPandas`` (not a scalar UDF) so each Python worker invocation
     amortizes over a whole Arrow batch of files, and the binary column
     is dropped from the output — page text, not raw blobs, crosses the
     next shuffle.
+
+    ``on_error``: ``'fail'`` propagates the first decode exception
+    (fail-fast default); ``'skip'`` emits the row with empty pages and
+    the error message in ``extract_error`` — one malformed blob among
+    millions must not kill a 1000-executor ingest, and the error rows
+    feed the status store as FAILED entries.
     """
     import pandas as pd
 
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
     keep = [c for c in df.columns if c != content_col]
     schema = T.StructType(
-        [df.schema[c] for c in keep] + [T.StructField(out_col, PAGES_SCHEMA)]
+        [df.schema[c] for c in keep]
+        + [T.StructField(out_col, PAGES_SCHEMA), T.StructField("extract_error", T.StringType())]
     )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            pages = [extract_pages_bytes(b) if b is not None else [] for b in pdf[content_col]]
+            pages, errors = [], []
+            for b in pdf[content_col]:
+                try:
+                    pages.append(extract_pages_bytes(b) if b is not None else [])
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine contract
+                    if on_error == "fail":
+                        raise
+                    pages.append([])
+                    errors.append(f"{type(e).__name__}: {e}")
             out = pdf[keep].copy()
             out[out_col] = [[(n, t) for n, t in ps] for ps in pages]
+            out["extract_error"] = errors
             yield out
 
     return df.mapInPandas(run, schema)

@@ -136,3 +136,30 @@ class TestStreamingIngest:
         q2 = ingest_stream(spark, pdf_dir, corpus_path, status_path, ckpt, dim=32)
         q2.awaitTermination(60)
         assert spark.read.parquet(corpus_path).count() == batch_corpus.count()
+
+
+class TestExtractErrorHandling:
+    def test_skip_quarantines_bad_blob(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.sources.pdf import (
+            extract_pages,
+        )
+
+        rows = [
+            ("good", b"page one\x0cpage two"),
+            ("bad", b"%PDF-1.7 real pdf, no decoder installed"),
+        ]
+        df = spark.createDataFrame(rows, "name string, content binary")
+        out = {r["name"]: r for r in extract_pages(df, on_error="skip").collect()}
+        assert out["good"]["extract_error"] is None
+        assert len(out["good"]["pages"]) == 2
+        assert "NotImplementedError" in out["bad"]["extract_error"]
+        assert out["bad"]["pages"] == []
+
+    def test_fail_mode_raises(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.sources.pdf import (
+            extract_pages,
+        )
+
+        df = spark.createDataFrame([("bad", b"%PDF-1.7 x")], "name string, content binary")
+        with pytest.raises(Exception, match="pypdf|NotImplementedError"):
+            extract_pages(df, on_error="fail").collect()
