@@ -2741,3 +2741,87 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01',
              RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
 """,
 )
+
+
+def _array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over per-order lineitem quantity vectors."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.struct("l_linenumber", "l_quantity"))).alias("_lines")
+    )
+    qtys = F.transform("_lines", lambda s: s["l_quantity"])
+    return per_order.select(
+        "l_orderkey",
+        F.size(qtys).alias("n_lines"),
+        F.round(F.aggregate(qtys, F.lit(0.0), lambda a, x: a + x), 2).alias("total_qty"),
+        F.array_max(qtys).alias("max_qty"),
+        F.array_min(qtys).alias("min_qty"),
+        F.element_at(qtys, 1).alias("first_qty"),
+        F.element_at(F.reverse(qtys), 1).alias("last_qty"),
+        F.round(F.aggregate(F.slice(qtys, 1, 2), F.lit(0.0), lambda a, x: a + x), 2).alias("first2_qty"),
+        F.array_contains(qtys, F.lit(1.0)).alias("has_qty_one"),
+        F.size(F.array_distinct(qtys)).alias("n_distinct_qty"),
+    )
+
+
+_register(
+    "array_function_breadth",
+    _array_functions,
+    """
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_transform(list_sort(list(ROW(l_linenumber, l_quantity))), s -> s[2]) AS qtys
+  FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qtys) AS n_lines,
+       round(list_sum(qtys), 2) AS total_qty,
+       list_max(qtys) AS max_qty,
+       list_min(qtys) AS min_qty,
+       qtys[1] AS first_qty,
+       list_reverse(qtys)[1] AS last_qty,
+       round(list_sum(qtys[1:2]), 2) AS first2_qty,
+       list_contains(qtys, 1.0) AS has_qty_one,
+       len(list_distinct(qtys)) AS n_distinct_qty
+FROM per_order
+""",
+)
+
+
+def _date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mo"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+        F.date_format(F.trunc(d.cast("date"), "quarter"), "yyyy-MM-dd").alias("qtr_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias("days_to_2002"),
+        F.round(F.months_between(F.lit("2002-01-01").cast("timestamp"), d), 4).alias("months_to_2002"),
+    )
+
+
+_register(
+    "date_function_breadth",
+    _date_functions,
+    """
+SELECT o_orderkey,
+       year(o_orderdate)::INT AS yr,
+       quarter(o_orderdate)::INT AS qtr,
+       month(o_orderdate)::INT AS mo,
+       (dayofweek(o_orderdate) + 1)::INT AS dow,
+       strftime(o_orderdate::DATE + 30, '%Y-%m-%d') AS plus30,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+       strftime(date_trunc('quarter', o_orderdate)::DATE, '%Y-%m-%d') AS qtr_start,
+       date_diff('day', o_orderdate::DATE, DATE '2002-01-01') AS days_to_2002,
+       round(
+         (year(DATE '2002-01-01') - year(o_orderdate)) * 12
+         + (month(DATE '2002-01-01') - month(o_orderdate))
+         + (1 - day(o_orderdate)) / 31.0, 4) AS months_to_2002
+FROM orders WHERE o_orderkey < 3000
+""",
+)

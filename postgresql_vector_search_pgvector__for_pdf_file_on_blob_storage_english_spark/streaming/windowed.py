@@ -78,3 +78,53 @@ def run_hourly_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_hourly_rollup_incremental(
+    spark: SparkSession,
+    events_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental maintenance of the rollup: ``update`` output mode
+    emits only the (window, event_type) rows each micro-batch changed;
+    they are appended with the batch id, and :func:`read_rollup`
+    resolves last-write-wins per key.
+
+    Contrast with :func:`run_hourly_rollup` (complete mode, rewrites
+    everything): at scale the complete rewrite is O(|all hours|) per
+    trigger while this is O(|touched hours|) — the difference between
+    re-materializing a year and touching the current hour.  On a
+    transactional table the append+resolve becomes a keyed MERGE.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    rollup = hourly_rollup_stream(reader.parquet(events_dir), watermark)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(out_path)
+
+    return (
+        rollup.writeStream.outputMode("update")
+        .foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark: SparkSession, out_path: str) -> DataFrame:
+    """Resolve the incremental append log: latest update per
+    (hour, event_type) wins."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(out_path)
+    w = Window.partitionBy("hour", "event_type").orderBy(F.col("_batch_id").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )
