@@ -100,3 +100,23 @@ def chunk_exploded(df, text_col: str = "text", out_prefix: str = "chunk"):
             f"{out_prefix}_index", f"{out_prefix}_text"
         ),
     )
+
+
+def make_chunk_udtf():
+    """The chunker as a Python UDTF (Spark 4 table-function surface):
+    ``chunk_udtf(fileName, pageNumber, text)`` lateral-joins to one row
+    per chunk.  Same splitting code as :func:`split_chunks`; the UDTF
+    form exists for SQL-first callers (``SELECT * FROM pages, LATERAL
+    chunk_udtf(...)``) and is parity-tested against the
+    posexplode(udf) path.
+    """
+
+    @F.udtf(returnType="chunk_index int, chunk_text string")
+    class ChunkUDTF:
+        def eval(self, text: str):  # noqa: D401
+            if text is None:
+                return
+            for i, c in enumerate(split_chunks(normalize_whitespace(text))):
+                yield i, c
+
+    return ChunkUDTF

@@ -180,3 +180,26 @@ def upsert_corpus_files(
             .write.mode("overwrite")
             .parquet(f"{corpus_path}/bucket={b}")
         )
+
+
+def with_ingest_metrics(chunks: DataFrame):
+    """P7 as query-lifetime observability: attach an ``Observation``
+    collecting chunk count / total tokens / total chars in the same
+    pass as whatever action consumes the relation — the set-at-a-time
+    analog of the reference's per-call token logging
+    (Function.java:194-196), with zero extra scans.
+
+    Returns ``(df, observation)``; read ``observation.get`` after the
+    first action on ``df``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    tokens = F.size(F.split(F.trim(F.col("origntext")), " "))
+    observed = chunks.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(tokens).alias("total_tokens"),
+        F.sum(F.length("origntext")).alias("total_chars"),
+    )
+    return observed, obs

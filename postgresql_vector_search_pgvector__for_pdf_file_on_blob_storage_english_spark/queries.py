@@ -2825,3 +2825,27 @@ SELECT o_orderkey,
 FROM orders WHERE o_orderkey < 3000
 """,
 )
+
+
+def _null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared null placement in sorts (engines default differently:
+    Spark nulls-first ASC, DuckDB nulls-last — so the query pins it)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        orders.select("o_orderkey", pri.alias("pri"))
+        .orderBy(F.col("pri").asc_nulls_last(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+_register(
+    "sort_nulls_last",
+    _null_ordering,
+    """
+SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri
+FROM orders WHERE o_orderkey < 500
+ORDER BY pri ASC NULLS LAST, o_orderkey
+LIMIT 50
+""",
+)

@@ -112,3 +112,35 @@ class TestSplitChunks:
         assert len(chunks[-1]) <= MAX_CHUNK_LEN
         if len(t) <= MAX_CHUNK_LEN:
             assert chunks == [t]
+
+
+class TestChunkUDTF:
+    def test_udtf_parity_with_posexplode_path(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.functions.text import (
+            make_chunk_udtf,
+            normalize_whitespace_col,
+            split_chunks_udf,
+        )
+        from pyspark.sql import functions as F
+
+        chunk_udtf = make_chunk_udtf()
+        spark.udtf.register("chunk_udtf", chunk_udtf)
+        long_text = ("word " * 2000).strip() + ". tail"
+        df = spark.createDataFrame(
+            [("a.pdf", 1, "short page"), ("a.pdf", 2, long_text)],
+            "fileName string, pageNumber int, text string",
+        )
+        df.createOrReplaceTempView("_pages_udtf")
+
+        via_udtf = spark.sql(
+            "SELECT fileName, pageNumber, c.chunk_index, c.chunk_text "
+            "FROM _pages_udtf, LATERAL chunk_udtf(text) c"
+        ).collect()
+        via_explode = df.select(
+            "fileName", "pageNumber",
+            F.posexplode(split_chunks_udf(normalize_whitespace_col("text"))).alias(
+                "chunk_index", "chunk_text"
+            ),
+        ).collect()
+        assert sorted(map(tuple, via_udtf)) == sorted(map(tuple, via_explode))
+        assert len(via_udtf) == 3  # 1 + 2 chunks

@@ -163,3 +163,19 @@ class TestExtractErrorHandling:
         df = spark.createDataFrame([("bad", b"%PDF-1.7 x")], "name string, content binary")
         with pytest.raises(Exception, match="pypdf|NotImplementedError"):
             extract_pages(df, on_error="fail").collect()
+
+
+class TestIngestMetrics:
+    def test_observation_collected_in_one_pass(self, spark, pdf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ingest import (
+            with_ingest_metrics,
+        )
+
+        chunks = pages_to_chunks(pdf_source(spark, pdf_dir))
+        observed, obs = with_ingest_metrics(chunks)
+        n_rows = observed.count()  # the action that materializes the metrics
+        m = obs.get
+        assert m["n_chunks"] == n_rows
+        expect_chars = sum(len(r["origntext"]) for r in chunks.collect())
+        assert m["total_chars"] == expect_chars
+        assert m["total_tokens"] > 0
