@@ -2849,3 +2849,120 @@ ORDER BY pri ASC NULLS LAST, o_orderkey
 LIMIT 50
 """,
 )
+
+
+# ==========================================================================
+# Corpus statistics for tokenizer/vocab training and batch packing.
+# ==========================================================================
+
+def _vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: distinct words with document and total
+    frequencies, min-df filtered, top-200 — the wordpiece-precursor
+    scan.  explode -> two-level agg; the shuffle key is the word."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(normalize_whitespace_col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.groupBy("w")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy(F.col("tf").desc(), "w")
+        .limit(200)
+    )
+
+
+_register(
+    "vocab_top_words",
+    _vocab_top_words,
+    f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, {_DD_NORMALIZE.format(col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+)
+SELECT w, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM words GROUP BY w HAVING count(DISTINCT doc_id) >= 5
+ORDER BY tf DESC, w LIMIT 200
+""",
+)
+
+
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram counts (language-model n-gram statistics)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(normalize_whitespace_col("text")), " ")
+    staged = docs.select("doc_id", words.alias("_w"))
+    k = F.size("_w") - 1
+    bigrams = staged.select(
+        F.explode(
+            F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.element_at("_w", i), F.element_at("_w", i + 1)),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram").limit(100)
+    )
+
+
+_register(
+    "bigram_counts_top100",
+    _bigram_counts,
+    f"""
+WITH w AS (
+  SELECT string_split(trim({_DD_NORMALIZE.format(col="text")}), ' ') AS ws FROM documents
+),
+bg AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+)
+SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 100
+""",
+)
+
+
+def _length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for padded-batch packing: docs binned
+    by token count into power-of-2 buckets, with per-bucket stats the
+    batch planner needs (count, token sum, padding waste)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(normalize_whitespace_col("text")), " "))
+    bucket = F.pow(F.lit(2.0), F.ceil(F.log2(n_tok.cast("double")))).cast("long")
+    staged = docs.select(n_tok.alias("n_tok"), bucket.alias("bucket"))
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            (F.sum(F.col("bucket") - F.col("n_tok"))).cast("long").alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_register(
+    "length_bucket_packing",
+    _length_buckets,
+    f"""
+WITH t AS (
+  SELECT len(string_split(trim({_DD_NORMALIZE.format(col="text")}), ' ')) AS n_tok
+  FROM documents
+),
+b AS (SELECT n_tok, (2 ** ceil(log2(n_tok)))::BIGINT AS bucket FROM t)
+SELECT bucket, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
+       sum(bucket - n_tok)::BIGINT AS padding_waste
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
