@@ -51,6 +51,7 @@ def make_embedder(
     embed_fn: Callable[[list[str]], list[list[float]]] | None = None,
     max_retries: int = 3,
     backoff_s: float = 10.0,
+    on_error: str = "fail",
 ) -> Callable[[Column], Column]:
     """Build an Arrow-batched embedding column function.
 
@@ -58,9 +59,18 @@ def make_embedder(
     selects the deterministic local embedder. Retry policy mirrors
     Function.java:189-210 (status side-effects are handled by the
     pipeline layer, not here).
-    """
 
-    def _embed_batch(texts: list[str]) -> list[list[float]]:
+    ``on_error``: ``'fail'`` propagates after retry exhaustion
+    (fail-fast default); ``'null'`` quarantines the exhausted batch as
+    null vectors — ``validate_corpus`` then rejects those rows and the
+    pipeline records them as FAILED status entries instead of killing
+    a corpus-wide ingest (the reference marks the chunk
+    FAILED_DB_INSERTION and moves on, Function.java:173-174).
+    """
+    if on_error not in ("fail", "null"):
+        raise ValueError("on_error must be 'fail' or 'null'")
+
+    def _embed_batch(texts: list[str]) -> list[list[float] | None]:
         if embed_fn is None:
             return [hash_embed_text(t or "", dim) for t in texts]
         import time
@@ -73,6 +83,8 @@ def make_embedder(
                 last_err = e
                 if attempt < max_retries - 1:
                     time.sleep(backoff_s)
+        if on_error == "null":
+            return [None] * len(texts)
         raise RuntimeError(f"embedding failed after {max_retries} attempts") from last_err
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))

@@ -62,12 +62,32 @@ def pages_to_chunks(pages: DataFrame) -> DataFrame:
 
 
 def embed_chunks(
-    chunks: DataFrame, dim: int = DEFAULT_DIM, embed_fn=None, text_col: str = "origntext"
+    chunks: DataFrame,
+    dim: int = DEFAULT_DIM,
+    embed_fn=None,
+    text_col: str = "origntext",
+    on_error: str = "fail",
 ) -> DataFrame:
     """P5: attach the embedding column (Arrow-batched; deterministic
-    local embedder unless a real endpoint is injected)."""
-    embedder = make_embedder(dim=dim, embed_fn=embed_fn)
+    local embedder unless a real endpoint is injected).  With
+    ``on_error='null'`` an exhausted-retry batch yields null vectors
+    for downstream quarantine instead of failing the job."""
+    embedder = make_embedder(dim=dim, embed_fn=embed_fn, on_error=on_error)
     return chunks.withColumn("embedding", embedder(F.col(text_col)))
+
+
+def failed_chunk_status(corpus: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
+    """Status events for quarantined chunks: every row failing the
+    ``VECTOR(n)`` check becomes a FAILED_DB_INSERTION entry — the
+    terminal-failure path of the reference's state machine
+    (Function.java:173-174), set-at-a-time."""
+    return validate_corpus(corpus, dim=dim).select(
+        "id",
+        "fileName",
+        F.lit("FAILED_DB_INSERTION").alias("status"),
+        "pageNumber",
+        F.current_timestamp().alias("updated_at"),
+    )
 
 
 def ingest_pages(

@@ -2966,3 +2966,65 @@ SELECT bucket, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
 FROM b GROUP BY bucket ORDER BY bucket
 """,
 )
+
+
+# ==========================================================================
+# Subquery shapes: scalar subquery + correlated EXISTS (Catalyst's
+# decorrelation exercised through the SQL surface).
+# ==========================================================================
+
+def _subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM _orders_sq
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM _orders_sq)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+        """
+    )
+
+
+_register(
+    "subquery_scalar_above_avg",
+    _subquery_scalar,
+    """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+
+
+def _tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_q4")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM _orders_q4
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM _lineitem_q4
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_register(
+    "tpch_q4_order_priority",
+    _tpch_q4_order_priority,
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)

@@ -179,3 +179,49 @@ class TestIngestMetrics:
         expect_chars = sum(len(r["origntext"]) for r in chunks.collect())
         assert m["total_chars"] == expect_chars
         assert m["total_tokens"] > 0
+
+
+class TestEmbedQuarantine:
+    def test_failed_embeds_become_failed_status(self, spark, pdf_dir):
+        """Fault injection (SURVEY §5.4): an embed endpoint that rejects
+        texts mentioning 'vectors' quarantines those chunks as null
+        vectors; validate_corpus rejects them and they terminate as
+        FAILED_DB_INSERTION — the rest of the corpus is unaffected."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.functions.embed import (
+            hash_embed_text,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ingest import (
+            embed_chunks,
+            failed_chunk_status,
+        )
+
+        def flaky(texts):
+            if any("vectors" in t for t in texts):
+                raise ValueError("endpoint rejected batch")
+            return [hash_embed_text(t, 16) for t in texts]
+
+        chunks = pages_to_chunks(pdf_source(spark, pdf_dir))
+        # quarantine granularity is the Arrow batch: the poisoned chunk
+        # fails, co-batched rows fail with it, other batches are clean
+        corpus = embed_chunks(
+            chunks.repartition(chunks.count()), dim=16, embed_fn=flaky,
+            on_error="null",
+        )
+        failed = failed_chunk_status(corpus, dim=16).collect()
+        failed_keys = {(r["fileName"], r["pageNumber"]) for r in failed}
+        assert ("a.pdf", 2) in failed_keys                 # the poisoned chunk
+        assert all(r["status"] == "FAILED_DB_INSERTION" for r in failed)
+        ok = corpus.filter(F.col("embedding").isNotNull())
+        assert 0 < ok.count() < chunks.count()             # rest of corpus survives
+
+    def test_on_error_fail_raises(self, spark, pdf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ingest import (
+            embed_chunks,
+        )
+
+        def always_fail(texts):
+            raise ValueError("down")
+
+        chunks = pages_to_chunks(pdf_source(spark, pdf_dir))
+        with pytest.raises(Exception, match="embedding failed"):
+            embed_chunks(chunks, dim=16, embed_fn=always_fail, on_error="fail").collect()
