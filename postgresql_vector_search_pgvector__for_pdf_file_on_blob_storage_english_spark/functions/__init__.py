@@ -10,7 +10,12 @@ from .vector import (
     vector_norm,
 )
 from .hashing import stable_hash60, chunk_id
-from .text import normalize_whitespace_col, split_chunks, split_chunks_udf
+from .text import (
+    normalize_whitespace_col,
+    split_chunks,
+    split_chunks_pandas_udf,
+    split_chunks_udf,
+)
 
 __all__ = [
     "l2_distance",
@@ -24,5 +29,6 @@ __all__ = [
     "chunk_id",
     "normalize_whitespace_col",
     "split_chunks",
+    "split_chunks_pandas_udf",
     "split_chunks_udf",
 ]

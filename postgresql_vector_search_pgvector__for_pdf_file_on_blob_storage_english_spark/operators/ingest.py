@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.embed import DEFAULT_DIM, make_embedder
 from ..functions.hashing import chunk_id
-from ..functions.text import normalize_whitespace_col, split_chunks_udf
+from ..functions.text import normalize_whitespace_col, split_chunks_pandas_udf
 
 CORPUS_COLS = ["id", "embedding", "origntext", "fileName", "pageNumber", "chunk_index"]
 
@@ -50,7 +50,7 @@ def pages_to_chunks(pages: DataFrame) -> DataFrame:
     chunked = pages.select(
         "fileName",
         "pageNumber",
-        F.posexplode(split_chunks_udf(norm)).alias("chunk_index", "origntext"),
+        F.posexplode(split_chunks_pandas_udf(norm)).alias("chunk_index", "origntext"),
     )
     return chunked.select(
         chunk_id("fileName", "pageNumber", "chunk_index").alias("id"),
@@ -91,7 +91,10 @@ def failed_chunk_status(corpus: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
 
 
 def ingest_pages(
-    pages: DataFrame, dim: int = DEFAULT_DIM, embed_fn=None
+    pages: DataFrame,
+    dim: int = DEFAULT_DIM,
+    embed_fn=None,
+    on_error: str = "fail",
 ) -> tuple[DataFrame, DataFrame]:
     """Full §3.1 pipeline from a page relation.
 
@@ -101,20 +104,45 @@ def ingest_pages(
     * status_events — one event per chunk per completed stage, a
       set-oriented version of the reference's per-chunk Cosmos writes.
       The unconditional-COMPLETED bug (Function.java:177) is not
-      replicated: a chunk that failed embedding would simply be absent
-      from the corpus relation and carry no COMPLETED event.
+      replicated: COMPLETED is emitted only for chunks whose embedding
+      passes the ``VECTOR(n)`` check; a quarantined chunk
+      (``on_error='null'``) gets the pre-embedding stages plus the
+      FAILED_DB_INSERTION event from :func:`failed_chunk_status`, and
+      :func:`..operators.status.status_upsert` resolves the union to the
+      failure (terminal-failure outranks terminal-success on ties).
+
+    ``on_error`` is passed through to the embedder (P5): ``'fail'``
+    raises on exhausted retries, ``'null'`` quarantines the batch as
+    null vectors so the job survives a partial embedding outage.
     """
     chunks = pages_to_chunks(pages)
-    corpus = embed_chunks(chunks, dim=dim, embed_fn=embed_fn).select(*CORPUS_COLS)
+    corpus = embed_chunks(chunks, dim=dim, embed_fn=embed_fn, on_error=on_error).select(
+        *CORPUS_COLS
+    )
 
-    stages = ["PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION", "FINISH_DB_INSERTION", "COMPLETED"]
-    status_events = chunks.select(
+    pre_stages = ["PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION", "FINISH_DB_INSERTION"]
+    pre_events = chunks.select(
         "id",
         "fileName",
-        F.explode(F.array(*[F.lit(s) for s in stages])).alias("status"),
+        F.explode(F.array(*[F.lit(s) for s in pre_stages])).alias("status"),
         "pageNumber",
         F.current_timestamp().alias("updated_at"),
     )
+    # Terminal event per chunk in ONE pass over corpus (the embedder runs
+    # once for this leg): COMPLETED iff the embedding passes the
+    # VECTOR(n) check, FAILED_DB_INSERTION otherwise — the conditional
+    # the reference forgot (Function.java:177).
+    valid = F.col("embedding").isNotNull() & (F.size("embedding") == F.lit(dim))
+    terminal_events = corpus.select(
+        "id",
+        "fileName",
+        F.when(valid, F.lit("COMPLETED"))
+        .otherwise(F.lit("FAILED_DB_INSERTION"))
+        .alias("status"),
+        "pageNumber",
+        F.current_timestamp().alias("updated_at"),
+    )
+    status_events = pre_events.unionByName(terminal_events)
     return corpus, status_events
 
 

@@ -181,8 +181,9 @@ def knn_join_numpy(
     from pyspark.sql import types as T
 
     base_fields = [corpus.schema[c] for c in cols]
+    qid_type = queries.schema[query_id_col].dataType  # string/int ids work too
     schema = T.StructType(
-        [T.StructField(query_id_col, T.LongType())]
+        [T.StructField(query_id_col, qid_type)]
         + base_fields
         + [T.StructField(distance_col, T.DoubleType())]
     )

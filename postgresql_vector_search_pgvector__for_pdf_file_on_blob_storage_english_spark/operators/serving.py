@@ -18,10 +18,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Q5 — SSEOpenAIController.java:151-155 (exact template)
+# Q5 — SSEOpenAIController.java:151-155 (exact template; note the space
+# between the closing triple-quote and the newlines, '""" \n\n' at :153)
 PROMPT_TEMPLATE_PREFIX = '""" '
 PROMPT_TEMPLATE_SUFFIX = (
-    ' """\n\nFrom the above document "{query}" Please extract the part that describes.'
+    ' """ \n\nFrom the above document "{query}" Please extract the part that describes.'
 )
 
 # Q6 — the reference's fixed system prompt drives a GPT-4 call per hit
@@ -86,6 +87,16 @@ def sse_escape(col: Column | str) -> Column:
     return F.regexp_replace(c, " ", SSE_SPACE_SENTINEL)
 
 
+def json_escape(col: Column | str) -> Column:
+    """Escape ``\\`` and ``\"`` in a string column destined for a JSON
+    string literal — the two characters the reference's Gson serializer
+    escapes that can appear in fileName/summary payloads
+    (SSEOpenAIController.java:189-234).  Backslash first so the quote
+    escape's own backslash is not re-escaped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.replace(F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"'))
+
+
 def sse_events(
     hits: DataFrame,
     account_url: str,
@@ -101,18 +112,19 @@ def sse_events(
     reference's Gson payloads (field order = record component order),
     ``seq`` making the per-hit ordering explicit.
     """
+    esc_file = json_escape("fileName")
     create = F.concat(
         F.lit('{"type":"create","id":"'), F.col(id_col), F.lit('"}')
     )
     link = F.concat(
         F.lit('{"type":"createLink","id":"'), F.col(id_col),
-        F.lit('","link":"'), blob_url(account_url),
+        F.lit('","link":"'), blob_url(account_url, file_col=esc_file),
         F.lit('","pageNumber":'), F.col("pageNumber").cast("string"),
-        F.lit(',"fileName":"'), F.col("fileName"), F.lit('"}'),
+        F.lit(',"fileName":"'), esc_file, F.lit('"}'),
     )
     message = F.concat(
         F.lit('{"type":"addMessage","id":"'), F.col(id_col),
-        F.lit('","content":"'), sse_escape(summary_col), F.lit('"}'),
+        F.lit('","content":"'), sse_escape(json_escape(summary_col)), F.lit('"}'),
     )
     events = F.array(
         F.struct(F.lit(1).alias("seq"), create.alias("event_json")),

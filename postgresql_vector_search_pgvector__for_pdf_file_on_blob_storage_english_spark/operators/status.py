@@ -30,8 +30,10 @@ STATUS_VALUES = [
     "RETRY_OAI_INVOCATION",     # each failed embedding attempt
     "FINISH_OAI_INVOCATION",    # embedding obtained
     "FINISH_DB_INSERTION",      # vector row written
-    "FAILED_DB_INSERTION",      # terminal failure
     "COMPLETED",                # terminal success
+    "FAILED_DB_INSERTION",      # terminal failure — outranks COMPLETED on
+                                # same-timestamp ties so a batch emitting
+                                # both resolves to the failure
 ]
 
 TERMINAL_STATES = {"COMPLETED", "FAILED_DB_INSERTION"}
@@ -42,7 +44,9 @@ def status_upsert(events: DataFrame, id_col: str = "id", ts_col: str = "updated_
 
     Last-write-wins on ``(ts, status-ordinal)`` — the ordinal breaks
     same-timestamp ties in state-machine order so a batch that emits
-    several transitions at one timestamp resolves to the furthest state.
+    several transitions at one timestamp resolves to the furthest state;
+    terminal failure outranks terminal success on a tie (a quarantined
+    chunk unioned with the happy-path events must resolve FAILED).
     """
     ordinal = F.array_position(F.array(*[F.lit(s) for s in STATUS_VALUES]), F.col("status"))
     w = Window.partitionBy(id_col).orderBy(F.col(ts_col).desc(), ordinal.desc())

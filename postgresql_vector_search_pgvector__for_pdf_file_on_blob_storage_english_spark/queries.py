@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.text import normalize_whitespace_col, split_chunks_udf
+from .functions.text import normalize_whitespace_col, split_chunks_pandas_udf
 from .functions.vector import DISTANCE_FNS
 from .operators.knn import knn, knn_join
 from .operators.status import STATUS_VALUES
@@ -259,7 +259,7 @@ def _p3_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     norm = normalize_whitespace_col("text")
     return docs.select(
-        "doc_id", F.posexplode(split_chunks_udf(norm)).alias("chunk_index", "chunk_text")
+        "doc_id", F.posexplode(split_chunks_pandas_udf(norm)).alias("chunk_index", "chunk_text")
     )
 
 
@@ -281,7 +281,7 @@ def _p3_chunk_long_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     long_text = normalize_whitespace_col(F.repeat(F.concat(F.col("text"), F.lit("\n")), 40))
     chunks = docs.select(
-        "doc_id", F.posexplode(split_chunks_udf(long_text)).alias("chunk_index", "chunk_text")
+        "doc_id", F.posexplode(split_chunks_pandas_udf(long_text)).alias("chunk_index", "chunk_text")
     )
     return chunks.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_chunks"),
@@ -342,8 +342,10 @@ def _q5_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
     top = knn(emb, q, k=5, metric="l2", payload_cols=["vec_id"]).select("vec_id")
     joined = top.join(F.broadcast(docs), top.vec_id == docs.doc_id)
+    # note the trailing space after the closing triple-quote — the
+    # reference emits '""" \n\n' (SSEOpenAIController.java:153)
     prompt = F.concat(
-        F.lit('""" '), F.col("text"), F.lit(' """'), F.lit("\n\n"),
+        F.lit('""" '), F.col("text"), F.lit(' """ '), F.lit("\n\n"),
         F.lit('From the above document "'), F.lit(_PROMPT_QUERY_TEXT),
         F.lit('" Please extract the part that describes.'),
     )
@@ -360,7 +362,7 @@ top5 AS (
   ORDER BY {dist}, e.vec_id LIMIT 5
 )
 SELECT t.vec_id,
-       '\"\"\" ' || d.text || ' \"\"\"' || chr(10) || chr(10) ||
+       '\"\"\" ' || d.text || ' \"\"\" ' || chr(10) || chr(10) ||
        'From the above document "{qt}" Please extract the part that describes.' AS prompt
 FROM top5 t JOIN documents d ON t.vec_id = d.doc_id
 """.format(dist=_dd_l2("e.embedding", "q.qe"), qt=_PROMPT_QUERY_TEXT),
@@ -1480,18 +1482,24 @@ summarized AS (
                  ELSE origntext END AS summary
   FROM hits
 ),
+esc AS (
+  SELECT *,
+         replace(replace(fileName, '\\', '\\\\'), '"', '\\"') AS esc_file,
+         replace(replace(summary,  '\\', '\\\\'), '"', '\\"') AS esc_summary
+  FROM summarized
+),
 ev AS (
   SELECT id, 1 AS seq,
-         '{{"type":"create","id":"' || id || '"}}' AS event_json FROM summarized
+         '{{"type":"create","id":"' || id || '"}}' AS event_json FROM esc
   UNION ALL
   SELECT id, 2,
-         '{{"type":"createLink","id":"' || id || '","link":"{_SSE_ACCOUNT}' || fileName
+         '{{"type":"createLink","id":"' || id || '","link":"{_SSE_ACCOUNT}' || esc_file
          || '#page=' || pageNumber || '","pageNumber":' || pageNumber
-         || ',"fileName":"' || fileName || '"}}' FROM summarized
+         || ',"fileName":"' || esc_file || '"}}' FROM esc
   UNION ALL
   SELECT id, 3,
          '{{"type":"addMessage","id":"' || id || '","content":"'
-         || replace(summary, ' ', '<SPECIAL_WHITE_SPACE>') || '"}}' FROM summarized
+         || replace(esc_summary, ' ', '<SPECIAL_WHITE_SPACE>') || '"}}' FROM esc
 )
 SELECT * FROM ev
 """

@@ -15,15 +15,11 @@ Reference surface (SURVEY.md §2.1/S1-S2, §2.2/P1):
   with ``posexplode``; runs as an Arrow-batched ``mapInPandas`` so one
   Python worker handles a whole batch of files.
 
-PDF decoding needs a parser library.  This environment ships none
-(no pypdf/pdfminer), so decoding is **gated**:
-
-* real ``%PDF`` bytes -> ``pypdf`` when importable, else
-  ``NotImplementedError`` (clearly-marked stub, per the build contract);
-* the deterministic test format — UTF-8 text with ``\\f`` (form feed,
-  the ASCII page separator) between pages — exercises every part of
-  the Spark plumbing (binary source, page UDTF, explode, downstream
-  chunking) with bit-reproducible content.
+Real ``%PDF`` bytes decode with ``pypdf`` when importable, else with
+the vendored stdlib-only codec (:mod:`.pdfcodec` — classic-xref +
+FlateDecode + text-operator subset, round-trip-tested against its own
+writer's goldens).  The deterministic ``\\f``-separated text format is
+kept alongside as the bit-reproducible fixture path.
 """
 
 from __future__ import annotations
@@ -62,19 +58,20 @@ def read_binary_docs(
 def extract_pages_bytes(content: bytes) -> list[tuple[int, str]]:
     """Pure-Python page extraction (unit-test twin of the UDF).
 
-    ``%PDF`` magic -> pypdf (NotImplementedError without the library);
-    anything else -> UTF-8 text split on form-feed page separators.
+    ``%PDF`` magic -> pypdf when importable, else the vendored
+    :mod:`.pdfcodec` reader — the stdlib stand-in for PDFBox's
+    page-by-page ``PDFTextStripper`` loop (Function.java:99-118).
+    Anything else -> UTF-8 text split on form-feed page separators.
     """
     if content[:5] == b"%PDF-":
         try:
             import io
 
-            from pypdf import PdfReader  # noqa: PLC0415 — optional dependency
-        except ImportError as e:  # pragma: no cover — env has no pdf lib
-            raise NotImplementedError(
-                "real PDF decoding requires pypdf, which is not installed; "
-                "use the \\f-separated text format for deterministic tests"
-            ) from e
+            from pypdf import PdfReader  # noqa: PLC0415 — optional, preferred
+        except ImportError:
+            from .pdfcodec import extract_text_pdf
+
+            return extract_text_pdf(content)
         reader = PdfReader(io.BytesIO(content))  # pragma: no cover
         return [(i + 1, p.extract_text() or "") for i, p in enumerate(reader.pages)]
     text = content.decode("utf-8", errors="replace")

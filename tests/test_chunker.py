@@ -144,3 +144,30 @@ class TestChunkUDTF:
         ).collect()
         assert sorted(map(tuple, via_udtf)) == sorted(map(tuple, via_explode))
         assert len(via_udtf) == 3  # 1 + 2 chunks
+
+
+class TestPandasUdfParity:
+    def test_pandas_udf_matches_row_udf(self, spark):
+        """The Arrow-batched hot-path chunker and the row-at-a-time twin
+        wrap the same split_chunks — assert identical output on a mix of
+        short, long, punctuation-free, empty and null pages."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.functions.text import (
+            split_chunks_pandas_udf,
+            split_chunks_udf,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            ("short",),
+            (("word " * 3000).strip() + ". tail",),   # multiple cuts
+            ("x" * 20000,),                           # no punctuation: cuts at 7200
+            ("",),
+            (None,),
+        ]
+        df = spark.createDataFrame(rows, "text string")
+        got = df.select(
+            split_chunks_udf("text").alias("row_udf"),
+            split_chunks_pandas_udf("text").alias("arrow_udf"),
+        ).collect()
+        for r in got:
+            assert r["row_udf"] == r["arrow_udf"]

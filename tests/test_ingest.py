@@ -53,8 +53,18 @@ class TestExtractPagesBytes:
     def test_single_page(self):
         assert extract_pages_bytes(b"hello") == [(1, "hello")]
 
-    def test_real_pdf_without_library_raises(self):
-        with pytest.raises(NotImplementedError, match="pypdf"):
+    def test_real_pdf_decodes_via_vendored_codec(self):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.sources.pdfcodec import (
+            make_pdf,
+        )
+
+        pages = extract_pages_bytes(make_pdf(["First real page.", "Second real page."]))
+        assert pages == [(1, "First real page."), (2, "Second real page.")]
+
+    def test_malformed_pdf_raises(self):
+        # %PDF magic but no object structure -> decode error (quarantined
+        # by extract_pages(on_error='skip'))
+        with pytest.raises(ValueError, match="catalog"):
             extract_pages_bytes(b"%PDF-1.7 fake content")
 
 
@@ -146,13 +156,13 @@ class TestExtractErrorHandling:
 
         rows = [
             ("good", b"page one\x0cpage two"),
-            ("bad", b"%PDF-1.7 real pdf, no decoder installed"),
+            ("bad", b"%PDF-1.7 truncated garbage, not a real pdf"),
         ]
         df = spark.createDataFrame(rows, "name string, content binary")
         out = {r["name"]: r for r in extract_pages(df, on_error="skip").collect()}
         assert out["good"]["extract_error"] is None
         assert len(out["good"]["pages"]) == 2
-        assert "NotImplementedError" in out["bad"]["extract_error"]
+        assert "ValueError" in out["bad"]["extract_error"]
         assert out["bad"]["pages"] == []
 
     def test_fail_mode_raises(self, spark):
@@ -161,7 +171,7 @@ class TestExtractErrorHandling:
         )
 
         df = spark.createDataFrame([("bad", b"%PDF-1.7 x")], "name string, content binary")
-        with pytest.raises(Exception, match="pypdf|NotImplementedError"):
+        with pytest.raises(Exception, match="catalog|ValueError"):
             extract_pages(df, on_error="fail").collect()
 
 
@@ -213,6 +223,26 @@ class TestEmbedQuarantine:
         assert all(r["status"] == "FAILED_DB_INSERTION" for r in failed)
         ok = corpus.filter(F.col("embedding").isNotNull())
         assert 0 < ok.count() < chunks.count()             # rest of corpus survives
+
+    def test_ingest_pages_quarantine_resolves_failed(self, spark, pdf_dir):
+        """ADVICE r1 repro: a quarantined chunk's events, resolved through
+        status_upsert, must terminate FAILED_DB_INSERTION — not COMPLETED
+        (the reference's Function.java:177 bug, which we do not replicate).
+        Reachable through the main pipeline entry point via on_error."""
+
+        def flaky(texts):
+            if any("vectors" in t for t in texts):
+                raise ValueError("endpoint rejected batch")
+            return [hash_embed_text(t, 16) for t in texts]
+
+        pages = pdf_source(spark, pdf_dir).repartition(8)
+        corpus, status = ingest_pages(pages, dim=16, embed_fn=flaky, on_error="null")
+        current = {r["id"]: r["status"] for r in status_upsert(status).collect()}
+        failed_ids = {r["id"] for r in validate_corpus(corpus, dim=16).collect()}
+        assert failed_ids, "fault injection produced no quarantined chunk"
+        assert all(current[i] == "FAILED_DB_INSERTION" for i in failed_ids)
+        ok_ids = set(current) - failed_ids
+        assert ok_ids and all(current[i] == "COMPLETED" for i in ok_ids)
 
     def test_on_error_fail_raises(self, spark, pdf_dir):
         from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ingest import (

@@ -33,8 +33,10 @@ def hits(spark):
 def test_prompt_matches_reference_template(spark, hits):
     out = hits.select(build_prompt("origntext", "my query").alias("p")).collect()
     p = next(r["p"] for r in out if "short" in r["p"])
+    # the reference emits a space between the closing triple-quote and the
+    # newlines (SSEOpenAIController.java:153)
     assert p == (
-        '""" short text """\n\n'
+        '""" short text """ \n\n'
         'From the above document "my query" Please extract the part that describes.'
     )
 
@@ -72,3 +74,17 @@ def test_sse_events_shape_and_order(spark, hits):
     assert parsed[1]["link"] == f"{ACCOUNT}a.pdf#page=1"
     assert parsed[2]["type"] == "addMessage"
     assert parsed[2]["content"] == f"short{SSE_SPACE_SENTINEL}text"
+
+
+def test_sse_events_json_escaping(spark):
+    # a fileName/summary containing quotes or backslashes must still
+    # produce valid JSON (the reference serializes via Gson, which escapes)
+    rows = [("idq", 'he said "hi" \\ bye', 'we"ird\\.pdf', 3)]
+    df = spark.createDataFrame(
+        rows, "id string, origntext string, fileName string, pageNumber int"
+    )
+    ev = sse_events(llm_extract(df), ACCOUNT).collect()
+    by_seq = {r["seq"]: json.loads(r["event_json"]) for r in ev}
+    assert by_seq[2]["fileName"] == 'we"ird\\.pdf'
+    assert by_seq[2]["link"] == f'{ACCOUNT}we"ird\\.pdf#page=3'
+    assert by_seq[3]["content"].replace(SSE_SPACE_SENTINEL, " ") == 'he said "hi" \\ bye'

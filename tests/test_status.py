@@ -68,11 +68,29 @@ def test_listings_partition_and_sort(spark, events):
 
 
 def test_status_values_cover_reference_enum(spark):
-    assert STATUS_VALUES == [
+    # same six states as models/CosmosDBDocumentStatus.java:5-10; the
+    # tie-break ordinal ranks terminal failure above terminal success
+    assert set(STATUS_VALUES) == {
         "PAGE_SEPARATE_FINISHED",
         "RETRY_OAI_INVOCATION",
         "FINISH_OAI_INVOCATION",
         "FINISH_DB_INSERTION",
         "FAILED_DB_INSERTION",
         "COMPLETED",
+    }
+    assert STATUS_VALUES.index("FAILED_DB_INSERTION") > STATUS_VALUES.index("COMPLETED")
+
+
+def test_failed_outranks_completed_on_same_timestamp(spark):
+    # a batch that unions the happy-path COMPLETED leg with a quarantine
+    # FAILED_DB_INSERTION event at the same timestamp must resolve FAILED
+    rows = [
+        ("q", "f3.pdf", "PAGE_SEPARATE_FINISHED", 1, _ts(0)),
+        ("q", "f3.pdf", "COMPLETED", 1, _ts(0)),
+        ("q", "f3.pdf", "FAILED_DB_INSERTION", 1, _ts(0)),
     ]
+    ev = spark.createDataFrame(
+        rows, "id string, fileName string, status string, pageNumber int, updated_at timestamp"
+    )
+    cur = status_upsert(ev).collect()
+    assert len(cur) == 1 and cur[0]["status"] == "FAILED_DB_INSERTION"
