@@ -120,29 +120,36 @@ def ingest_pages(
         *CORPUS_COLS
     )
 
-    pre_stages = ["PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION", "FINISH_DB_INSERTION"]
-    pre_events = chunks.select(
+    # Only PAGE_SEPARATE_FINISHED is known at chunk time (Function.java:142-144).
+    # The OAI/DB stage events are history that happened only when the embedding
+    # actually succeeded (Function.java:149, 165), so they derive from the
+    # corpus validity predicate below — a quarantined chunk must not leave
+    # FINISH_OAI_INVOCATION / FINISH_DB_INSERTION ghosts in the raw event log.
+    chunk_events = chunks.select(
         "id",
         "fileName",
-        F.explode(F.array(*[F.lit(s) for s in pre_stages])).alias("status"),
+        F.lit("PAGE_SEPARATE_FINISHED").alias("status"),
         "pageNumber",
         F.current_timestamp().alias("updated_at"),
     )
-    # Terminal event per chunk in ONE pass over corpus (the embedder runs
-    # once for this leg): COMPLETED iff the embedding passes the
-    # VECTOR(n) check, FAILED_DB_INSERTION otherwise — the conditional
+    # Post-embedding events per chunk in ONE pass over corpus (the embedder
+    # runs once for this leg): the full success trail iff the embedding passes
+    # the VECTOR(n) check, the terminal failure otherwise — the conditional
     # the reference forgot (Function.java:177).
     valid = F.col("embedding").isNotNull() & (F.size("embedding") == F.lit(dim))
-    terminal_events = corpus.select(
+    success_trail = F.array(
+        F.lit("FINISH_OAI_INVOCATION"), F.lit("FINISH_DB_INSERTION"), F.lit("COMPLETED")
+    )
+    post_events = corpus.select(
         "id",
         "fileName",
-        F.when(valid, F.lit("COMPLETED"))
-        .otherwise(F.lit("FAILED_DB_INSERTION"))
-        .alias("status"),
+        F.explode(
+            F.when(valid, success_trail).otherwise(F.array(F.lit("FAILED_DB_INSERTION")))
+        ).alias("status"),
         "pageNumber",
         F.current_timestamp().alias("updated_at"),
     )
-    status_events = pre_events.unionByName(terminal_events)
+    status_events = chunk_events.unionByName(post_events)
     return corpus, status_events
 
 

@@ -25,18 +25,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Pinned to the reference enum ordinal (models/CosmosDBDocumentStatus.java:5-10)
+# so fixtures derived by indexing into this list stay aligned with the
+# reference's state numbering.  Tie-break precedence lives in _TIE_ORDER below,
+# NOT in this list's order.
 STATUS_VALUES = [
     "PAGE_SEPARATE_FINISHED",   # created after chunking
     "RETRY_OAI_INVOCATION",     # each failed embedding attempt
     "FINISH_OAI_INVOCATION",    # embedding obtained
     "FINISH_DB_INSERTION",      # vector row written
+    "FAILED_DB_INSERTION",      # terminal failure
     "COMPLETED",                # terminal success
-    "FAILED_DB_INSERTION",      # terminal failure — outranks COMPLETED on
-                                # same-timestamp ties so a batch emitting
-                                # both resolves to the failure
 ]
 
 TERMINAL_STATES = {"COMPLETED", "FAILED_DB_INSERTION"}
+
+# Same-timestamp tie-break precedence: state-machine progress order, with
+# terminal failure outranking terminal success — a batch emitting both for one
+# id must resolve to the failure.  Kept as an explicit map (not STATUS_VALUES
+# order) so the enum list above can stay pinned to the reference ordinal.
+_TIE_ORDER = [
+    "PAGE_SEPARATE_FINISHED",
+    "RETRY_OAI_INVOCATION",
+    "FINISH_OAI_INVOCATION",
+    "FINISH_DB_INSERTION",
+    "COMPLETED",
+    "FAILED_DB_INSERTION",
+]
 
 
 def status_upsert(events: DataFrame, id_col: str = "id", ts_col: str = "updated_at") -> DataFrame:
@@ -48,7 +63,7 @@ def status_upsert(events: DataFrame, id_col: str = "id", ts_col: str = "updated_
     terminal failure outranks terminal success on a tie (a quarantined
     chunk unioned with the happy-path events must resolve FAILED).
     """
-    ordinal = F.array_position(F.array(*[F.lit(s) for s in STATUS_VALUES]), F.col("status"))
+    ordinal = F.array_position(F.array(*[F.lit(s) for s in _TIE_ORDER]), F.col("status"))
     w = Window.partitionBy(id_col).orderBy(F.col(ts_col).desc(), ordinal.desc())
     return (
         events.withColumn("_rn", F.row_number().over(w))

@@ -1132,6 +1132,48 @@ def _pipeline_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("pipeline_pages_from_binary", _pipeline_pages, _DD_PAGES)
 
 
+def _synth_real_pdf_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fileName, content binary) — one REAL ``%PDF`` file per
+    ``documents.source``, built with the deterministic writer
+    (:func:`..sources.pdfcodec.make_pdf`); pages = that source's docs in
+    doc_id order.  Unlike :func:`_synth_binary_files` (the ``\\f`` page
+    format), decoding these exercises the full PDF codec: xref loading,
+    FlateDecode, page-tree walk, and the text-operator interpreter."""
+    from .sources.pdfcodec import make_pdf  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))).alias("_ps")
+    )
+    _mk_pdf = F.pandas_udf(
+        lambda pages: pages.map(lambda ps: make_pdf(list(ps))), "binary"
+    )
+
+    return files.select(
+        F.col("source").alias("fileName"),
+        _mk_pdf(F.transform("_ps", lambda s: s["text"])).alias("content"),
+    )
+
+
+def _pipeline_pages_real_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``%PDF`` branch of P1 under the oracle gate (VERDICT r2 item 1):
+    encode documents into real PDFs, decode through ``extract_pages`` —
+    whose ``%PDF`` magic dispatch runs ``pdfcodec.extract_text_pdf``
+    (Function.java:92-134's front door) — and hash-match the per-page text
+    against the same documents-derived SQL as the ``\\f`` twin."""
+    paged = extract_pages(_synth_real_pdf_files(spark, sf_dir))
+    return paged.select(
+        "fileName", F.posexplode_outer("pages").alias("_pos", "page")
+    ).select(
+        "fileName",
+        F.col("page.pageNumber").alias("pageNumber"),
+        F.col("page.text").alias("text"),
+    )
+
+
+_register("pipeline_pages_from_real_pdf", _pipeline_pages_real_pdf, _DD_PAGES)
+
+
 def _pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_to_chunks(_synth_pages(spark, sf_dir))
 

@@ -234,6 +234,9 @@ def _maybe_ref(val, data: bytes, i: int):
 # ---------------------------------------------------------------------------
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_XREF_SUB_RE = re.compile(rb"(\d+)\s+(\d+)")
+_XREF_ENT_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
 
 
 class _PdfDoc:
@@ -242,22 +245,119 @@ class _PdfDoc:
             raise ValueError("not a PDF: missing %PDF- header")
         self.data = data
         self._raw: dict[int, tuple[object, int | None]] = {}  # num -> (value, stream_start)
+        # Authoritative path: classic xref offsets (ISO 32000 §7.5.4) — an
+        # 'N G obj'-shaped byte run inside a compressed stream body can never
+        # shadow a real object this way.  Fall back to a stream-skipping
+        # byte scan only when no usable classic xref exists (xref streams,
+        # truncated trailers, hand-damaged files).
+        offsets = self._xref_offsets()
+        if offsets is None or not self._load_from_offsets(offsets):
+            self._scan_objects()
+
+    def _xref_offsets(self) -> dict[int, int] | None:
+        """Object offsets from the classic xref table chain, newest section
+        winning (incremental updates); ``None`` when absent/unusable."""
+        data = self.data
+        last = None
+        for last in _STARTXREF_RE.finditer(data):
+            pass
+        if last is None:
+            return None
+        offsets: dict[int, int] = {}
+        pos = int(last.group(1))
+        seen: set[int] = set()
+        while 0 <= pos < len(data) and pos not in seen:
+            seen.add(pos)
+            i = _skip_ws(data, pos)
+            if data[i : i + 4] != b"xref":
+                return None  # cross-reference *stream* (PDF 1.5+): scan instead
+            i += 4
+            trailer: object = None
+            while True:
+                i = _skip_ws(data, i)
+                if data[i : i + 7] == b"trailer":
+                    try:
+                        trailer, _ = parse_object(data, i + 7)
+                    except ValueError:
+                        return None
+                    break
+                m = _XREF_SUB_RE.match(data, i)
+                if not m:
+                    return None
+                start, count = int(m.group(1)), int(m.group(2))
+                i = m.end()
+                for k in range(count):
+                    i = _skip_ws(data, i)
+                    e = _XREF_ENT_RE.match(data, i)
+                    if not e:
+                        return None
+                    if e.group(3) == b"n":
+                        # first (newest) section to claim an object wins
+                        offsets.setdefault(start + k, int(e.group(1)))
+                    i = e.end()
+            prev = trailer.get("Prev") if isinstance(trailer, dict) else None
+            if not isinstance(prev, int):
+                break
+            pos = prev
+        return offsets or None
+
+    def _load_from_offsets(self, offsets: dict[int, int]) -> bool:
+        """Parse each object at its xref offset; False (triggering the scan
+        fallback) if any offset does not point at the declared object."""
+        parsed: dict[int, tuple[object, int | None]] = {}
+        for num, off in offsets.items():
+            if num == 0 or off >= len(self.data):
+                continue
+            m = _OBJ_RE.match(self.data, _skip_ws(self.data, off))
+            if m is None or int(m.group(1)) != num:
+                return False
+            try:
+                parsed[num] = self._parse_body(m.end())
+            except ValueError:
+                return False
+        if not parsed:
+            return False
+        self._raw = parsed
+        return True
+
+    def _scan_objects(self) -> None:
+        """Fallback byte scan for 'N G obj', skipping stream bodies so byte
+        runs inside compressed streams cannot shadow real objects."""
+        data = self.data
+        guard = 0  # next match must start at/after this (end of last stream)
         for m in _OBJ_RE.finditer(data):
+            if m.start() < guard:
+                continue
             num = int(m.group(1))
             try:
-                val, j = parse_object(data, m.end())
+                val, stream_start = self._parse_body(m.end())
             except ValueError:
                 continue
-            j2 = _skip_ws(data, j)
-            stream_start: int | None = None
-            if data[j2 : j2 + 6] == b"stream":
-                j2 += 6
-                if data[j2 : j2 + 2] == b"\r\n":
-                    j2 += 2
-                elif data[j2 : j2 + 1] == b"\n":
-                    j2 += 1
-                stream_start = j2
+            if stream_start is not None:
+                length = val.get("Length") if isinstance(val, dict) else None
+                if isinstance(length, int):
+                    guard = stream_start + length
+                else:
+                    try:
+                        guard = data.index(b"endstream", stream_start)
+                    except ValueError:
+                        guard = len(data)
             self._raw[num] = (val, stream_start)
+
+    def _parse_body(self, i: int) -> tuple[object, int | None]:
+        """Parse an object body at ``i`` (just past 'obj'); returns
+        ``(value, stream_start_or_None)``."""
+        val, j = parse_object(self.data, i)
+        j2 = _skip_ws(self.data, j)
+        stream_start: int | None = None
+        if self.data[j2 : j2 + 6] == b"stream":
+            j2 += 6
+            if self.data[j2 : j2 + 2] == b"\r\n":
+                j2 += 2
+            elif self.data[j2 : j2 + 1] == b"\n":
+                j2 += 1
+            stream_start = j2
+        return val, stream_start
 
     def resolve(self, v):
         seen = set()
@@ -332,6 +432,45 @@ class _PdfDoc:
         return b"\n".join(parts)
 
 
+def _check_page_fonts(doc: "_PdfDoc", page: dict) -> None:
+    """Refuse pages whose fonts this codec cannot decode *correctly*.
+
+    The decoder assumes simple single-byte Latin-1-ish text (the subset
+    :func:`make_pdf` emits).  Composite (Type0/CID) fonts, /ToUnicode
+    CMaps, and custom /Encoding entries all mean the shown bytes are NOT
+    Latin-1 — silently decoding them would feed garbled text into the
+    corpus.  Raising here routes the file into ``extract_pages``'
+    ``on_error='skip'`` quarantine instead (the loud-failure contract the
+    reference gets from PDFBox raising on broken files)."""
+    res = doc.resolve(page.get("Resources"))
+    fonts = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
+    if not isinstance(fonts, dict):
+        return
+    for fname, f in fonts.items():
+        f = doc.resolve(f)
+        if not isinstance(f, dict):
+            continue
+        if f.get("Subtype") == "Type0":
+            raise ValueError(
+                f"unsupported PDF font /{fname}: composite (Type0/CID) fonts "
+                "are not decodable by this codec"
+            )
+        for feature in ("ToUnicode", "Encoding"):
+            if feature in f:
+                raise ValueError(
+                    f"unsupported PDF font /{fname}: /{feature} present — "
+                    "text bytes are not plain Latin-1"
+                )
+
+
+def _decode_text_string(b: bytes) -> str:
+    """Decode a shown text string; refuse UTF-16BE (BOM-prefixed) strings —
+    decoding those as Latin-1 would interleave NULs into the corpus text."""
+    if b[:2] == b"\xfe\xff":
+        raise ValueError("unsupported UTF-16BE text string in PDF content")
+    return b.decode("latin-1")
+
+
 def _content_text(stream: bytes) -> str:
     """Text shown by a content stream: ``Tj '/\" TJ`` emit, ``Td TD T*``
     and ``BT`` break lines.  Strings decode as Latin-1 (PDFDocEncoding's
@@ -362,16 +501,16 @@ def _content_text(stream: bytes) -> str:
         if op == b"Tj" and operands:
             s = operands[-1]
             if isinstance(s, (bytes, bytearray)):
-                cur.append(bytes(s).decode("latin-1"))
+                cur.append(_decode_text_string(bytes(s)))
         elif op in (b"'", b'"'):
             newline()
             s = operands[-1] if operands else b""
             if isinstance(s, (bytes, bytearray)):
-                cur.append(bytes(s).decode("latin-1"))
+                cur.append(_decode_text_string(bytes(s)))
         elif op == b"TJ" and operands and isinstance(operands[-1], list):
             for el in operands[-1]:
                 if isinstance(el, (bytes, bytearray)):
-                    cur.append(bytes(el).decode("latin-1"))
+                    cur.append(_decode_text_string(bytes(el)))
         elif op in (b"Td", b"TD"):
             ty = operands[-1] if operands else 0
             if isinstance(ty, (int, float)) and ty != 0:
@@ -392,6 +531,8 @@ def extract_text_pdf(content: bytes) -> list[tuple[int, str]]:
     pages = doc.pages()
     if not pages:
         raise ValueError("PDF contains no pages")
+    for p in pages:
+        _check_page_fonts(doc, p)
     return [(i + 1, _content_text(doc.page_content(p))) for i, p in enumerate(pages)]
 
 

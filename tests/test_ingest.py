@@ -244,6 +244,38 @@ class TestEmbedQuarantine:
         ok_ids = set(current) - failed_ids
         assert ok_ids and all(current[i] == "COMPLETED" for i in ok_ids)
 
+    def test_quarantined_chunk_leaves_no_ghost_stage_events(self, spark, pdf_dir):
+        """ADVICE r2 repro: the raw event log must not contain
+        FINISH_OAI_INVOCATION / FINISH_DB_INSERTION for chunks whose
+        embedding failed — the reference only writes those after actual
+        success (Function.java:149, 165), so a history query over the log
+        must show the failed chunk stopping at PAGE_SEPARATE_FINISHED +
+        FAILED_DB_INSERTION."""
+
+        def flaky(texts):
+            if any("vectors" in t for t in texts):
+                raise ValueError("endpoint rejected batch")
+            return [hash_embed_text(t, 16) for t in texts]
+
+        pages = pdf_source(spark, pdf_dir).repartition(8)
+        corpus, status = ingest_pages(pages, dim=16, embed_fn=flaky, on_error="null")
+        failed_ids = {r["id"] for r in validate_corpus(corpus, dim=16).collect()}
+        assert failed_ids, "fault injection produced no quarantined chunk"
+        history = {}
+        for r in status.collect():
+            history.setdefault(r["id"], set()).add(r["status"])
+        for i in failed_ids:
+            assert history[i] == {"PAGE_SEPARATE_FINISHED", "FAILED_DB_INSERTION"}
+        ok_ids = set(history) - failed_ids
+        assert ok_ids
+        for i in ok_ids:
+            assert history[i] == {
+                "PAGE_SEPARATE_FINISHED",
+                "FINISH_OAI_INVOCATION",
+                "FINISH_DB_INSERTION",
+                "COMPLETED",
+            }
+
     def test_on_error_fail_raises(self, spark, pdf_dir):
         from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ingest import (
             embed_chunks,

@@ -68,17 +68,24 @@ def test_listings_partition_and_sort(spark, events):
 
 
 def test_status_values_cover_reference_enum(spark):
-    # same six states as models/CosmosDBDocumentStatus.java:5-10; the
-    # tie-break ordinal ranks terminal failure above terminal success
-    assert set(STATUS_VALUES) == {
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.status import (
+        _TIE_ORDER,
+    )
+
+    # STATUS_VALUES pinned to the reference enum ordinal
+    # (models/CosmosDBDocumentStatus.java:5-10) — FAILED before COMPLETED
+    assert STATUS_VALUES == [
         "PAGE_SEPARATE_FINISHED",
         "RETRY_OAI_INVOCATION",
         "FINISH_OAI_INVOCATION",
         "FINISH_DB_INSERTION",
         "FAILED_DB_INSERTION",
         "COMPLETED",
-    }
-    assert STATUS_VALUES.index("FAILED_DB_INSERTION") > STATUS_VALUES.index("COMPLETED")
+    ]
+    # the tie-break precedence (separate map) ranks terminal failure above
+    # terminal success
+    assert set(_TIE_ORDER) == set(STATUS_VALUES)
+    assert _TIE_ORDER.index("FAILED_DB_INSERTION") > _TIE_ORDER.index("COMPLETED")
 
 
 def test_failed_outranks_completed_on_same_timestamp(spark):
