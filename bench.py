@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,6 +30,7 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spa
 HEADLINE = [
     "q2_knn_l2_top5",
     "q2_knn_l2_topk_batch",
+    "q2_knn_l2_topk_batch_localtopk",
     "q2_knn_l2_topk_batch_numpy",
     "agg_pricing_summary",
     "topk_orders_by_price",
@@ -50,6 +52,15 @@ HEADLINE = [
     "pipeline_e2e_ingest_knn",
 ]
 
+# Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%
+# run-to-run swing at ~2 s each; report the median of 3 runs so
+# round-over-round deltas reflect plan changes, not scheduler noise.
+REPEATS = {
+    "q2_knn_l2_topk_batch": 3,
+    "q2_knn_l2_topk_batch_localtopk": 3,
+    "q2_knn_l2_topk_batch_numpy": 3,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,10 +70,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        df = fn(spark, sf_dir)  # plan construction (cheap)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        n = REPEATS.get(name, 1)
+        runs = []
+        for _ in range(n):
+            df = fn(spark, sf_dir)  # plan construction (cheap)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -11,6 +11,7 @@ from .dedup import (
     shingle_stage,
     simhash,
     simhash_neardup_pairs,
+    simhash_packed,
 )
 from .groupwise import groupwise_zscore_native, groupwise_zscore_pandas
 from .ingest import embed_chunks, ingest_pages, pages_to_chunks, validate_corpus, write_corpus
@@ -67,6 +68,7 @@ __all__ = [
     "shingle_stage",
     "simhash",
     "simhash_neardup_pairs",
+    "simhash_packed",
     "sse_escape",
     "sse_events",
     "status_upsert",

@@ -19,12 +19,27 @@ ulps of centroid means run-dependent, so k-means is *not* oracle-gated
 bit-for-bit (the fixed-centroid IVF queries are); determinism claims
 here are "same partitioning -> same result", tested, plus invariants
 (inertia non-increasing, assignment = nearest centroid).
+
+Two trainers:
+
+* :func:`kmeans_fit` — fully distributed Lloyd (assign/update as Spark
+  jobs).  Use when the training set itself must stay distributed.
+* :func:`kmeans_fit_sampled` — the production IVF topology: a coarse
+  quantizer is trained on a bounded *sample* regardless of corpus size
+  (a 100 TB corpus trains its quantizer on 10^5-10^6 vectors, then only
+  the cheap assignment pass is distributed — the same split FAISS
+  ``train`` vs ``add`` makes).  The sample collects to the driver
+  (bounded by ``train_limit``), Lloyd runs in numpy (single accumulation
+  order -> deterministic for a fixed sample), and the centroids re-enter
+  the plan as a broadcastable relation.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vector import l2_distance_sq
 from .ann import assign_ivf
@@ -92,3 +107,58 @@ def kmeans_fit(
         prev_inertia = inertia
 
     return centroids
+
+
+def kmeans_fit_sampled(
+    corpus: DataFrame,
+    k: int = 16,
+    max_iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tol: float = 1e-6,
+    train_limit: int = 100_000,
+) -> DataFrame:
+    """Sample-trained Lloyd: same init (k lowest-id vectors), same
+    assignment tiebreak (lowest centroid_id), same empty-cluster rule as
+    :func:`kmeans_fit`, but the Lloyd loop runs in numpy over a
+    deterministic bounded sample (the ``train_limit`` lowest-id vectors —
+    a TakeOrdered, never a full sort).  One Spark job total instead of
+    2 per iteration."""
+    rows = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+        .orderBy(id_col)
+        .limit(train_limit)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} vectors to train, got {len(rows)}")
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+
+    C = X[:k].copy()  # k lowest-id vectors (rows are already id-ordered)
+    prev_inertia = None
+    for _ in range(max_iters):
+        # ||x-c||^2 via the GEMM identity; argmin ties -> lowest centroid_id
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2.0 * (X @ C.T)
+        )
+        assign = d2.argmin(axis=1)
+        inertia = float(d2[np.arange(len(X)), assign].sum())
+        for c in range(k):  # empty clusters keep their previous centroid
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        if prev_inertia is not None and abs(prev_inertia - inertia) <= tol * prev_inertia:
+            break
+        prev_inertia = inertia
+
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("centroid_vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return corpus.sparkSession.createDataFrame(
+        [(i, [float(v) for v in C[i]]) for i in range(k)], schema
+    )

@@ -562,8 +562,8 @@ from .operators.dedup import (  # noqa: E402
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
-    simhash,
     simhash_neardup_pairs,
+    simhash_packed,
 )
 from .operators.textstats import (  # noqa: E402
     BPE_REGEX,
@@ -666,8 +666,11 @@ _ROWS_PER_BAND = 16 // _LSH_BANDS
 _DD_HASH32 = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
 
 
-def _dd_shingles(norm: str, n: int = 3) -> str:
-    words = f"string_split(trim({norm}), ' ')"
+def _dd_shingles(norm: str, n: int = 3, words: str | None = None) -> str:
+    """DuckDB shingle-set expr.  Pass ``words`` (a precomputed
+    ``string_split(trim(norm), ' ')`` column) to avoid re-splitting the
+    text once per reference — the expression reads its word list 5×."""
+    words = words or f"string_split(trim({norm}), ' ')"
     shingle = " || ' ' || ".join(f"{words}[i+{j}]" for j in range(n))
     return (
         f"(CASE WHEN len({words}) - {n - 1} >= 1 THEN "
@@ -693,14 +696,24 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DD_MINHASH_LSH = f"""
 WITH corpus AS ({_DD_NEARDUP_CORPUS}),
+w AS (
+  SELECT doc_id, trim({_DD_NORMALIZE.format(col="text")}) AS norm_text,
+         string_split(trim({_DD_NORMALIZE.format(col="text")}), ' ') AS words
+  FROM corpus
+),
+bases AS (
+  -- per-shingle md5 hashes computed ONCE per doc, not once per permutation
+  SELECT doc_id,
+         list_transform({_dd_shingles("norm_text", words="words")}, s -> {_DD_HASH32.format(s="s")}) AS base_hashes
+  FROM w
+),
 sigs AS (
   SELECT doc_id,
          list_transform(range(1, 17), j ->
-           list_min(list_transform(
-             list_transform({_dd_shingles(_DD_NORMALIZE.format(col="text"))}, s -> {_DD_HASH32.format(s="s")}),
+           list_min(list_transform(base_hashes,
              h -> ([{", ".join(str(a) for a, _ in _MINHASH_PERMS)}][j]::BIGINT * h
                    + [{", ".join(str(b) for _, b in _MINHASH_PERMS)}][j]) % {LSH_P}))) AS sig
-  FROM corpus
+  FROM bases
 ),
 banded AS (
   SELECT doc_id, b AS band_id,
@@ -719,7 +732,7 @@ _register("dedup_minhash_lsh_candidates", _minhash_lsh, _DD_MINHASH_LSH)
 # ---- SimHash --------------------------------------------------------------
 
 def _simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(_neardup_corpus(spark, sf_dir), bits=32)
+    return simhash_packed(_neardup_corpus(spark, sf_dir), bits=32)
 
 
 _SIMHASH_BITS_SQL = " + ".join(
@@ -744,7 +757,7 @@ _register("dedup_simhash_values", _simhash_values, _DD_SIMHASH)
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _neardup_corpus(spark, sf_dir)
-    values = simhash(corpus, bits=32).join(corpus.select("doc_id", "lang"), "doc_id")
+    values = simhash_packed(corpus, bits=32).join(corpus.select("doc_id", "lang"), "doc_id")
     return simhash_neardup_pairs(values, max_hamming=6, block_col="lang")
 
 
@@ -776,9 +789,14 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DD_JACCARD = f"""
 WITH corpus AS ({_DD_NEARDUP_CORPUS}),
-sets AS (
-  SELECT doc_id, lang, {_dd_shingles(_DD_NORMALIZE.format(col="text"))} AS shingles
+w AS (
+  SELECT doc_id, lang, trim({_DD_NORMALIZE.format(col="text")}) AS norm_text,
+         string_split(trim({_DD_NORMALIZE.format(col="text")}), ' ') AS words
   FROM corpus
+),
+sets AS (
+  SELECT doc_id, lang, {_dd_shingles("norm_text", words="words")} AS shingles
+  FROM w
 )
 SELECT id_a, id_b, jaccard FROM (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b,
@@ -2014,7 +2032,7 @@ _register("q2_knn_l2_topk_batch_numpy", _knn_batch_numpy, _DD_KNN_BATCH)
 # in the last ulps, so that one is a rows-only entry by design.
 # ==========================================================================
 
-from .operators.kmeans import kmeans_fit  # noqa: E402
+from .operators.kmeans import kmeans_fit_sampled  # noqa: E402
 from .operators.skew import salted_agg, salted_broadcast_join  # noqa: E402
 
 
@@ -2079,7 +2097,7 @@ def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed-centroid `ann_ivf_search` covers the oracle-gated path."""
     emb = _t(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding"))
-    centroids = kmeans_fit(vecs, k=8, max_iters=3)
+    centroids = kmeans_fit_sampled(vecs, k=8, max_iters=3)
     assigned = assign_ivf(vecs, centroids)
     q = vecs.filter(F.col("vec_id") == _IVF_PROBE_ID).select(F.col("embedding").alias("query_vec"))
     out = ivf_search(

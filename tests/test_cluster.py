@@ -31,6 +31,36 @@ def test_components_deterministic_min_label(spark):
     assert comp == {5: 5, 7: 5, 9: 5}
 
 
+def test_components_distributed_path_matches_union_find(spark):
+    # same labeling from both paths: fast (driver union-find) vs
+    # distributed (min-label propagation, forced via threshold=0)
+    import random
+
+    rng = random.Random(7)
+    edges_py = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = spark.createDataFrame(edges_py, "id_a long, id_b long")
+    fast = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    assert fast == dist
+    assert all(c == min(v for v, cc in fast.items() if cc == c) for c in set(fast.values()))
+
+
+def test_components_string_ids_fast_path(spark):
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "id_a string, id_b string"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+
 def test_duplicate_clusters_singletons_and_canonicals(spark):
     corpus = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5]], "doc_id long")
     pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")

@@ -84,6 +84,18 @@ def test_simhash_identical_equal_neardup_close(spark, docs):
     assert ham13 < ham14
 
 
+def test_simhash_packed_bit_identical(spark, docs):
+    # single-pass variant must produce the SAME 32-bit values as the
+    # per-bit-fold original (it feeds the same oracle)
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+        simhash_packed,
+    )
+
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash_packed(docs).collect()}
+    assert a == b
+
+
 def test_simhash_neardup_pairs_blocked(spark, docs):
     vals = simhash(docs).join(docs.select("doc_id", "lang"), "doc_id")
     pairs = simhash_neardup_pairs(vals, max_hamming=0, block_col="lang").collect()

@@ -125,3 +125,33 @@ class TestKMeans:
         init = kmeans_fit(emb, k=8, max_iters=1)
         trained = kmeans_fit(emb, k=8, max_iters=5)
         assert inertia(trained) <= inertia(init) * 1.0000001
+
+    def test_sampled_trainer_matches_distributed_assignments(self, spark, emb):
+        """The FAISS-style sampled trainer (numpy Lloyd over a bounded
+        sample) must induce the same cluster *assignments* as the
+        distributed trainer when the sample covers the full input —
+        centroid floats differ in summation order only."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+            assign_ivf,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.kmeans import (
+            kmeans_fit_sampled,
+        )
+
+        vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        dist_c = kmeans_fit(vecs, k=8, max_iters=3)
+        samp_c = kmeans_fit_sampled(vecs, k=8, max_iters=3)
+        a = {r["vec_id"]: r["centroid_id"] for r in assign_ivf(vecs, dist_c).collect()}
+        b = {r["vec_id"]: r["centroid_id"] for r in assign_ivf(vecs, samp_c).collect()}
+        assert a == b
+
+    def test_sampled_trainer_deterministic_and_bounded(self, spark, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.kmeans import (
+            kmeans_fit_sampled,
+        )
+
+        c1 = sorted(map(tuple, kmeans_fit_sampled(emb, k=4, max_iters=2).collect()))
+        c2 = sorted(map(tuple, kmeans_fit_sampled(emb, k=4, max_iters=2).collect()))
+        assert c1 == c2  # fixed sample -> bit-identical centroids
+        with pytest.raises(ValueError, match="at least k"):
+            kmeans_fit_sampled(emb, k=8, max_iters=1, train_limit=4)

@@ -54,11 +54,23 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # Warm up JVM + a Python worker before the first timed query so
+    # per-query numbers reflect the query, not session spin-up.
+    import gc
+
+    from pyspark.sql import functions as _F
+    spark.range(100).select(
+        _F.pandas_udf(lambda s: s, "long")(_F.col("id"))
+    ).write.mode("overwrite").format("noop").save()
+
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Release DataFrames/checkpointed RDDs from the previous query so
+        # their cleanup doesn't bleed into this query's timing.
+        gc.collect()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
