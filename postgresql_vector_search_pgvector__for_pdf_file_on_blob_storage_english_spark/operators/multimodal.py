@@ -11,12 +11,15 @@ Design for 100 TB of media (per the training-data-pipeline contract):
 * every decode stage is ``mapInPandas`` (whole-batch amortization), and
   drops the blob from its output schema as early as possible — features
   and thumbnails shuffle, raw media never does;
-* real codecs (PNG/JPEG/WAV/MP4) need libraries this environment does
-  not ship, so those branches are **clearly-marked stubs** raising
-  ``NotImplementedError``; the deterministic RAW container below makes
-  the plumbing (schema, batching, UDF signatures, partitioning) real
-  and testable, and its pixel/sample arithmetic is replayable in SQL
-  for the oracle gate.
+* **PNG and WAV decode for real** via the vendored stdlib codec
+  (:mod:`..sources.mediacodec` — zlib/struct, all five PNG filters,
+  PCM16 WAV); unsupported sub-formats (palette/16-bit/interlaced PNG,
+  float/stereo WAV) raise loudly for quarantine.  JPEG and MP4 remain
+  **clearly-marked stubs** raising ``NotImplementedError`` (entropy-
+  coded DCT / ISO-BMFF are not honestly implementable stdlib-only); the
+  deterministic RAW container below keeps the plumbing (schema,
+  batching, UDF signatures, partitioning) testable either way, and its
+  pixel/sample arithmetic is replayable in SQL for the oracle gate.
 
 RAW container formats (big-endian lengths, one header + payload):
 
@@ -35,20 +38,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.mediacodec import make_png, make_wav, read_png, read_wav  # noqa: E402
+
 IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"IMG1", b"AUD1", b"VID1"
-_REAL_MAGICS = {
-    b"\x89PNG": "png", b"\xff\xd8\xff": "jpeg", b"RIFF": "wav/avi", b"\x00\x00\x00": "mp4?",
+_STUB_MAGICS = {
+    b"\xff\xd8\xff": "jpeg", b"\x00\x00\x00": "mp4?",
 }
 
 
-def _reject_real_formats(b: bytes) -> None:
-    for magic, name in _REAL_MAGICS.items():
+def _reject_stub_formats(b: bytes) -> None:
+    for magic, name in _STUB_MAGICS.items():
         if b[: len(magic)] == magic:
-            # STUB: real codec support requires decoder libraries not
-            # present in this environment (PIL/ffmpeg/soundfile).
+            # STUB: JPEG/MP4 need entropy-coded DCT / ISO-BMFF decoders a
+            # stdlib-only build cannot honestly provide (PNG and WAV are
+            # decoded for real via ..sources.mediacodec).
             raise NotImplementedError(
-                f"real {name} decoding is stubbed; supply RAW-container media "
-                "or plug a decoder into the mapInPandas stage"
+                f"real {name} decoding is stubbed; supply RAW-container, PNG, "
+                "or WAV media, or plug a decoder into the mapInPandas stage"
             )
 
 
@@ -61,7 +67,10 @@ def encode_image(pixels: np.ndarray) -> bytes:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    _reject_real_formats(b)
+    """IMG1 or PNG bytes -> (h, w, c) uint8; JPEG stays a loud stub."""
+    _reject_stub_formats(b)
+    if b[:4] == b"\x89PNG":
+        return read_png(b)
     if b[:4] != IMG_MAGIC:
         raise ValueError("not an IMG1 payload")
     w, h, c = struct.unpack(">IIB", b[4:13])
@@ -74,7 +83,10 @@ def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
-    _reject_real_formats(b)
+    """AUD1 or PCM16 WAV bytes -> (int64 samples, rate)."""
+    _reject_stub_formats(b)
+    if b[:4] == b"RIFF":
+        return read_wav(b)
     if b[:4] != AUD_MAGIC:
         raise ValueError("not an AUD1 payload")
     rate, n = struct.unpack(">II", b[4:12])
@@ -88,7 +100,7 @@ def encode_video(frames: np.ndarray) -> bytes:
 
 
 def decode_video(b: bytes) -> np.ndarray:
-    _reject_real_formats(b)
+    _reject_stub_formats(b)
     if b[:4] != VID_MAGIC:
         raise ValueError("not a VID1 payload")
     f, w, h = struct.unpack(">HII", b[4:14])
@@ -213,12 +225,18 @@ def synth_audio_samples(doc_id: int, n: int) -> np.ndarray:
     return ((((doc_id * A_AUD) + i * B_AUD) % 65536) - 32768).astype(np.int16)
 
 
-def synth_media_df(docs: DataFrame, kind: str = "image") -> DataFrame:
+def synth_media_df(docs: DataFrame, kind: str = "image", container: str = "raw") -> DataFrame:
     """documents -> (media_id, kind, content, meta) with LCG payloads.
 
     Sizes derive from doc_id (width = 8 + id%9 etc.) so every engine—
     and the SQL oracle—can reconstruct them without seeing the bytes.
+
+    ``container='real'`` wraps the same pixels/samples in PNG/WAV bytes
+    (video stays VID1) so the decode stages exercise the vendored real
+    codec while the oracle stays byte-independent.
     """
+    if container not in ("raw", "real"):
+        raise ValueError("container must be 'raw' or 'real'")
     import pandas as pd
 
     schema = T.StructType.fromDDL(
@@ -234,11 +252,17 @@ def synth_media_df(docs: DataFrame, kind: str = "image") -> DataFrame:
                 d = int(d)
                 if kind == "image":
                     w, h, c = 8 + d % 9, 8 + d % 7, 3
-                    blob = encode_image(synth_image_pixels(d, w, h, c))
+                    px = synth_image_pixels(d, w, h, c)
+                    blob = make_png(px) if container == "real" else encode_image(px)
                     meta = (w, h, c, None, None, None)
                 elif kind == "audio":
                     rate, n = 16000, 256 + (d % 128)
-                    blob = encode_audio(synth_audio_samples(d, n), rate)
+                    samples = synth_audio_samples(d, n)
+                    blob = (
+                        make_wav(samples, rate)
+                        if container == "real"
+                        else encode_audio(samples, rate)
+                    )
                     meta = (None, None, None, rate, n, None)
                 else:  # video
                     f, w, h = 4 + d % 5, 8 + d % 9, 8 + d % 7

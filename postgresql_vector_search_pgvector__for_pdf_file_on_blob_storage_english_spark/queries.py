@@ -1371,6 +1371,24 @@ FROM px GROUP BY media_id, w, h, c
 _register("mm_image_features", _mm_image_features, _DD_MM_IMAGE)
 
 
+def _mm_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pixels, REAL PNG container: the decode stage runs the vendored
+    stdlib PNG reader (sources/mediacodec.py) instead of the RAW header
+    parse; the oracle is identical because it recomputes pixel stats from
+    the LCG synthesis params, never the bytes."""
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="image", container="real")
+    out = image_features(media)
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_brightness", 4).alias("mean_brightness"),
+        F.round("std_brightness", 4).alias("std_brightness"),
+        "n_pixels",
+    )
+
+
+_register("mm_image_features_png", _mm_image_features_png, _DD_MM_IMAGE)
+
+
 _RESIZE_W, _RESIZE_H = 4, 4
 
 
@@ -1439,6 +1457,22 @@ FROM smp GROUP BY media_id, rate, n
 """
 
 _register("mm_audio_features", _mm_audio_features, _DD_MM_AUDIO)
+
+
+def _mm_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same samples, REAL WAV container (PCM16 RIFF decode via
+    sources/mediacodec.py); oracle identical — see _mm_image_features_png."""
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="audio", container="real")
+    out = audio_features(media)
+    return out.select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+    )
+
+
+_register("mm_audio_features_wav", _mm_audio_features_wav, _DD_MM_AUDIO)
 
 
 def _mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

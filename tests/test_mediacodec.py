@@ -1,0 +1,208 @@
+"""Stdlib PNG/WAV codec: round-trips, all five PNG scanline filters,
+quarantine gates, and parity of the real-container decode path with the
+RAW-container path through the Spark feature stages."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.sources.mediacodec import (
+    PNG_SIG,
+    make_png,
+    make_wav,
+    read_png,
+    read_wav,
+)
+
+RNG = np.random.default_rng(1234)
+
+
+class TestPngRoundTrip:
+    @pytest.mark.parametrize("shape", [(1, 1, 1), (7, 5, 1), (8, 8, 3), (5, 9, 4), (3, 4, 2)])
+    def test_roundtrip_shapes(self, shape):
+        px = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(read_png(make_png(px)), px)
+
+    def test_grayscale_2d_input(self):
+        px = RNG.integers(0, 256, size=(6, 4), dtype=np.uint8)
+        out = read_png(make_png(px))
+        assert np.array_equal(out[:, :, 0], px) and out.shape == (6, 4, 1)
+
+    def test_deterministic_bytes(self):
+        px = RNG.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+        assert make_png(px) == make_png(px)
+
+
+def _png_with_filters(px: np.ndarray, filters: list[int]) -> bytes:
+    """Forward-filter each scanline per the PNG spec (one filter type per
+    row, cycling through ``filters``) and emit a valid PNG — an
+    independent encoder used to prove the decoder's reconstruction."""
+    h, w, c = px.shape
+    bpp = c
+    raw = bytearray()
+    prior = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = line % 256
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - left) % 256
+        elif f == 2:  # Up
+            enc = (line - prior) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - ((left + prior) >> 1)) % 256
+        else:  # Paeth
+            enc = np.zeros_like(line)
+            for x in range(len(line)):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                cc = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[x] = (line[x] - pred) % 256
+        raw += enc.astype(np.uint8).tobytes()
+        prior = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9)) + chunk(b"IEND", b"")
+    )
+
+
+class TestPngFilters:
+    @pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+    def test_single_filter_reconstruction(self, f):
+        px = RNG.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+        assert np.array_equal(read_png(_png_with_filters(px, [f])), px)
+
+    def test_mixed_filters_reconstruction(self):
+        px = RNG.integers(0, 256, size=(16, 5, 3), dtype=np.uint8)
+        assert np.array_equal(read_png(_png_with_filters(px, [0, 1, 2, 3, 4])), px)
+
+    def test_multi_idat_concatenation(self):
+        # IDAT data may be split across chunks arbitrarily (ISO 15948 §11.2.4)
+        px = RNG.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        b = make_png(px)
+        # split the single IDAT into two
+        i = b.index(b"IDAT") - 4
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        data = b[i + 8 : i + 8 + length]
+        half = len(data) // 2
+
+        def chunk(ctype, d):
+            return (
+                struct.pack(">I", len(d)) + ctype + d
+                + struct.pack(">I", zlib.crc32(ctype + d) & 0xFFFFFFFF)
+            )
+
+        rebuilt = (
+            b[:i] + chunk(b"IDAT", data[:half]) + chunk(b"IDAT", data[half:])
+            + b[i + 12 + length:]
+        )
+        assert np.array_equal(read_png(rebuilt), px)
+
+
+class TestPngGates:
+    def test_palette_rejected(self):
+        px = RNG.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        b = bytearray(make_png(px))
+        b[8 + 8 + 9] = 3  # IHDR color type byte -> palette
+        with pytest.raises(ValueError, match="color type"):
+            read_png(bytes(b))
+
+    def test_sixteen_bit_rejected(self):
+        px = RNG.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        b = bytearray(make_png(px))
+        b[8 + 8 + 8] = 16  # IHDR bit depth
+        with pytest.raises(ValueError, match="bit depth"):
+            read_png(bytes(b))
+
+    def test_interlace_rejected(self):
+        px = RNG.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        b = bytearray(make_png(px))
+        b[8 + 8 + 12] = 1  # IHDR interlace flag
+        with pytest.raises(ValueError, match="interlace"):
+            read_png(bytes(b))
+
+    def test_not_a_png(self):
+        with pytest.raises(ValueError, match="signature"):
+            read_png(b"GIF89a....")
+
+
+class TestWav:
+    def test_roundtrip(self):
+        s = RNG.integers(-32768, 32768, size=999, dtype=np.int16)
+        out, rate = read_wav(make_wav(s, 22050))
+        assert rate == 22050
+        assert np.array_equal(out, s.astype(np.int64))
+
+    def test_extra_chunks_skipped(self):
+        s = np.array([1, -2, 3], dtype=np.int16)
+        b = make_wav(s, 8000)
+        # splice a LIST chunk (odd length -> tests word-alignment skip)
+        info = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        spliced = b[:12] + info + b[12:]
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        out, rate = read_wav(spliced)
+        assert rate == 8000 and np.array_equal(out, s.astype(np.int64))
+
+    def test_stereo_rejected(self):
+        b = bytearray(make_wav(np.array([0, 1], dtype=np.int16), 8000))
+        b[22] = 2  # channels field
+        with pytest.raises(ValueError, match="channel"):
+            read_wav(bytes(b))
+
+    def test_float_format_rejected(self):
+        b = bytearray(make_wav(np.array([0, 1], dtype=np.int16), 8000))
+        b[20] = 3  # IEEE float format code
+        with pytest.raises(ValueError, match="audio format"):
+            read_wav(bytes(b))
+
+
+class TestSparkRealContainerParity:
+    def test_png_features_match_raw(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            image_features,
+            synth_media_df,
+        )
+
+        docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+        raw = image_features(synth_media_df(docs, "image", container="raw")).collect()
+        png = image_features(synth_media_df(docs, "image", container="real")).collect()
+        assert sorted(map(tuple, raw)) == sorted(map(tuple, png))
+
+    def test_wav_features_match_raw(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            audio_features,
+            synth_media_df,
+        )
+
+        docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+        raw = audio_features(synth_media_df(docs, "audio", container="raw")).collect()
+        wav = audio_features(synth_media_df(docs, "audio", container="real")).collect()
+        assert sorted(map(tuple, raw)) == sorted(map(tuple, wav))
+
+    def test_jpeg_still_stubbed(self):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        with pytest.raises(NotImplementedError, match="jpeg"):
+            decode_image(b"\xff\xd8\xff\xe0fakejpeg")

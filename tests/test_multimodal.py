@@ -41,10 +41,24 @@ class TestCodecs:
         out = decode_video(encode_video(frames))
         assert np.array_equal(out, frames)
 
-    @pytest.mark.parametrize("magic", [b"\x89PNG\r\n", b"\xff\xd8\xff\xe0data", b"RIFFxxxx"])
-    def test_real_formats_are_stubbed(self, magic):
+    @pytest.mark.parametrize("magic", [b"\xff\xd8\xff\xe0data", b"\x00\x00\x00\x18ftyp"])
+    def test_jpeg_mp4_are_stubbed(self, magic):
+        # PNG and WAV decode for real now (sources/mediacodec.py, gated
+        # tests in test_mediacodec.py); JPEG/MP4 remain loud stubs
         with pytest.raises(NotImplementedError, match="stubbed"):
             decode_image(magic + b"rest")
+
+    def test_png_and_wav_decode_for_real(self):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.sources.mediacodec import (
+            make_png,
+            make_wav,
+        )
+
+        px = synth_image_pixels(5, 6, 4, 3)
+        assert np.array_equal(decode_image(make_png(px)), px)
+        s = synth_audio_samples(5, 64)
+        out, rate = decode_audio(make_wav(s, 16000))
+        assert rate == 16000 and np.array_equal(out, s.astype(np.int64))
 
     def test_wrong_container_rejected(self):
         with pytest.raises(ValueError):
