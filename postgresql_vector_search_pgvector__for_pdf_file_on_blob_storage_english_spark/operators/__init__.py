@@ -1,6 +1,6 @@
 """Relational / dataflow operators."""
 
-from .ann import assign_ivf, hyperplanes, ivf_search, lsh_bucket, lsh_search
+from .ann import assign_ivf, hyperplanes, ivf_search, lsh_bucket, lsh_search, recall_sweep
 from .cluster import connected_components, duplicate_clusters
 from .dedup import (
     embedding_neardup_pairs,
@@ -24,10 +24,12 @@ from .multimodal import (
     synth_media_df,
     video_frame_sample,
 )
+from .nsw import nsw_build, nsw_search
 from .serving import blob_url, build_prompt, llm_extract, sse_escape, sse_events
 from .skew import salted_agg, salted_broadcast_join
 from .status import STATUS_VALUES, completed_listing, failed_listing, status_upsert
 from .textstats import fingerprint, language_id, quality_score, token_stats
+from .upsert import delta_available, merge_status, read_status
 
 __all__ = [
     "STATUS_VALUES",
@@ -59,8 +61,14 @@ __all__ = [
     "lsh_bucket",
     "lsh_candidate_pairs",
     "lsh_search",
+    "delta_available",
+    "merge_status",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "nsw_build",
+    "nsw_search",
+    "read_status",
+    "recall_sweep",
     "pages_to_chunks",
     "quality_score",
     "salted_agg",

@@ -1096,6 +1096,104 @@ LIMIT 5
 _register("ann_lsh_search", _ann_lsh_search, _DD_ANN_LSH)
 
 
+# Recall@k of the ANN paths measured against exact brute force — ANN
+# quality as a number, not an assertion.  Queries are corpus members
+# (so every probe set is non-empty and both engines agree on n_q);
+# every top-k ties on (distance, id), making the winner sets — and
+# therefore the recall ratios — exactly SQL-replayable.
+_RECALL_QMOD = 53
+_RECALL_QRES = 11
+_RECALL_NPROBES = (1, 2, 4)
+
+
+def _ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann import recall_sweep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % _RECALL_QMOD == _RECALL_QRES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return recall_sweep(
+        emb, queries, centroids, _LSH_PLANES, k=5, nprobes=_RECALL_NPROBES
+    ).orderBy("method", "nprobe")
+
+
+_DD_RECALL_SWEEP = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id % {_RECALL_QMOD} = {_RECALL_QRES}
+),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+exact_l2 AS (
+  SELECT q.qid, e.vec_id FROM embeddings e CROSS JOIN q
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid ORDER BY {_dd_l2("e.embedding", "q.qvec")}, e.vec_id) <= 5
+),
+exact_cos AS (
+  SELECT q.qid, e.vec_id FROM embeddings e CROSS JOIN q
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid ORDER BY {_dd_cosine_dist("e.embedding", "q.qvec")}, e.vec_id) <= 5
+),
+nq AS (SELECT count(DISTINCT qid) AS n FROM exact_l2),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "c.cvec")}, c.centroid_id) = 1
+),
+cranked AS (
+  SELECT q.qid, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY q.qid ORDER BY {_dd_l2("c.cvec", "q.qvec")}, c.centroid_id) AS crank
+  FROM cent c CROSS JOIN q
+  QUALIFY crank <= {max(_RECALL_NPROBES)}
+),
+levels AS (SELECT unnest([{", ".join(str(n) for n in _RECALL_NPROBES)}]) AS nprobe),
+ivf_topk AS (
+  SELECT l.nprobe, cr.qid, a.vec_id
+  FROM assigned a
+  JOIN cranked cr USING (centroid_id)
+  JOIN levels l ON cr.crank <= l.nprobe
+  JOIN q ON q.qid = cr.qid
+  QUALIFY row_number() OVER (
+    PARTITION BY l.nprobe, cr.qid ORDER BY {_dd_l2("a.embedding", "q.qvec")}, a.vec_id) <= 5
+),
+ivf_recall AS (
+  SELECT 'ivf' AS method, t.nprobe AS nprobe,
+         round(count(*)::DOUBLE / (5 * nq.n), 4) AS recall
+  FROM ivf_topk t JOIN exact_l2 x ON t.qid = x.qid AND t.vec_id = x.vec_id, nq
+  GROUP BY t.nprobe, nq.n
+),
+tagged AS (
+  SELECT vec_id, embedding, ({_DD_BUCKET_EXPR.format(v="embedding")})::BIGINT AS bucket
+  FROM embeddings
+),
+qb AS (
+  SELECT qid, qvec, ({_DD_BUCKET_EXPR.format(v="qvec")})::BIGINT AS qbucket FROM q
+),
+lsh_topk AS (
+  SELECT qb.qid, t.vec_id
+  FROM tagged t JOIN qb ON t.bucket = qb.qbucket
+  QUALIFY row_number() OVER (
+    PARTITION BY qb.qid ORDER BY {_dd_cosine_dist("t.embedding", "qb.qvec")}, t.vec_id) <= 5
+),
+lsh_recall AS (
+  SELECT 'lsh' AS method, 0 AS nprobe,
+         round(count(*)::DOUBLE / (5 * nq.n), 4) AS recall
+  FROM lsh_topk t JOIN exact_cos x ON t.qid = x.qid AND t.vec_id = x.vec_id, nq
+  GROUP BY nq.n
+)
+SELECT * FROM ivf_recall UNION ALL SELECT * FROM lsh_recall
+ORDER BY method, nprobe
+"""
+
+_register("ann_recall_sweep", _ann_recall_sweep, _DD_RECALL_SWEEP)
+
+
 # ==========================================================================
 # Ingestion pipeline slices (sources/pdf.py + operators/ingest.py), each
 # oracle-checked.  The "files" are synthesized deterministically from
@@ -2141,6 +2239,56 @@ def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("ann_ivf_kmeans_search", _ann_ivf_kmeans, None)
+
+
+def _nsw_graph(spark: SparkSession, sf_dir: str):
+    from .operators.nsw import nsw_build
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb, nsw_build(emb, n_shards=4, m=8, ef_construction=32)
+
+
+def _ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded NSW graph ANN, realistic beam width.  Rows-only: the
+    iterative graph build/walk has no single-statement SQL equivalent
+    (same class as `ann_ivf_kmeans_search`); its quality is pinned by
+    tests/test_nsw.py (recall floor) and the oracle-gated exhaustive
+    twin below proves the same build+walk+merge plumbing exactly."""
+    from .operators.nsw import nsw_search
+
+    emb, graph = _nsw_graph(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"]
+    out = nsw_search(graph, list(q), k=5, ef_search=32)
+    return out.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+_register("ann_nsw_search", _ann_nsw, None)
+
+
+def _ann_nsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW with beam width >= shard size: the walk visits every node of
+    each (connected) shard graph, so scatter-gather NSW must equal the
+    exact global top-k — an exact SQL oracle over the *graph* code path
+    (build, per-shard walk, global merge).  Deterministic: build order,
+    tie-breaks, and entry points are all pinned."""
+    from .operators.nsw import nsw_search
+
+    emb, graph = _nsw_graph(spark, sf_dir)
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"]
+    out = nsw_search(graph, list(q), k=5, ef_search=int(n))
+    return out.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+_DD_NSW_EXHAUSTIVE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_PROBE_ID})
+SELECT vec_id, round({_dd_l2("embedding", "q.qe")}, 4) AS distance
+FROM embeddings, q
+ORDER BY {_dd_l2("embedding", "q.qe")}, vec_id
+LIMIT 5
+"""
+
+_register("ann_nsw_search_exhaustive", _ann_nsw_exhaustive, _DD_NSW_EXHAUSTIVE)
 
 
 # ==========================================================================
