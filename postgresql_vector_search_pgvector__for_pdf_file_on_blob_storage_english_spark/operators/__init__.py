@@ -1,6 +1,15 @@
 """Relational / dataflow operators."""
 
-from .ann import assign_ivf, hyperplanes, ivf_search, lsh_bucket, lsh_search, recall_sweep
+from .ann import (
+    assign_ivf,
+    hyperplanes,
+    ivf_index_search,
+    ivf_index_write,
+    ivf_search,
+    lsh_bucket,
+    lsh_search,
+    recall_sweep,
+)
 from .cluster import connected_components, duplicate_clusters
 from .dedup import (
     embedding_neardup_pairs,
@@ -51,6 +60,8 @@ __all__ = [
     "image_features",
     "image_resize",
     "ingest_pages",
+    "ivf_index_search",
+    "ivf_index_write",
     "ivf_search",
     "kmeans_fit",
     "knn",

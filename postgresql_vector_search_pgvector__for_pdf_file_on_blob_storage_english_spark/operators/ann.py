@@ -129,6 +129,74 @@ def ivf_search(
     )
 
 
+def ivf_index_write(
+    assigned_corpus: DataFrame,
+    path: str,
+    centroid_id_col: str = "centroid_id",
+) -> None:
+    """Materialize the IVF index: parquet partitioned by ``centroid_id``.
+
+    This is the physical layout the IVF docstring promises — one
+    directory per inverted list.  At 100 TB the write is the offline
+    index build (amortized over every query), and it is what turns the
+    probe from "scan 100 TB, filter rows" into "read nprobe
+    directories": the search filter lands in ``PartitionFilters``, so
+    unprobed lists are eliminated at planning time with zero I/O.
+    """
+    assigned_corpus.write.mode("overwrite").partitionBy(centroid_id_col).parquet(path)
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    query_vec,
+    k: int = 5,
+    nprobe: int = 1,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    payload_cols=None,
+) -> DataFrame:
+    """Search a persisted IVF index with *static* partition pruning.
+
+    Ranks centroids against the query and collects the ``nprobe``
+    winning ids (a driver collect of nprobe rows — bounded by the probe
+    width, never corpus-sized), then reads the index with an ``isin``
+    filter on the partition column.  Unlike the semi-join in
+    :func:`ivf_search` (which prunes dynamically at runtime), the
+    literal ``isin`` prunes at planning time — the scan's
+    ``PartitionFilters`` lists it, and only the probed directories are
+    ever opened (gated in tests/test_plans.py).
+    """
+    from .knn import knn
+
+    dist_fn = DISTANCE_FNS[metric]
+    probe_rows = (
+        centroids.withColumn(
+            "_qd", dist_fn(F.col(centroid_vec_col), knn_query_col(query_vec))
+        )
+        .orderBy("_qd", centroid_id_col)
+        .limit(nprobe)
+        .select(centroid_id_col)
+        .collect()
+    )
+    probe_ids = [r[centroid_id_col] for r in probe_rows]
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col(centroid_id_col).isin(probe_ids))
+        # Partition-column values round-trip through directory names;
+        # restore the pre-write integer type after the pruning filter.
+        .withColumn(centroid_id_col, F.col(centroid_id_col).cast("long"))
+    )
+    return knn(
+        index, query_vec, k=k, metric=metric, vec_col=vec_col, id_col=id_col,
+        payload_cols=payload_cols,
+    )
+
+
 def knn_query_col(query_vec) -> Column:
     if isinstance(query_vec, Column):
         return query_vec

@@ -49,6 +49,14 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """The PartitionFilters lists from every scan — the partition-pruning
+    witness: a filter here eliminates whole directories before any I/O,
+    unlike PushedFilters which still opens files."""
+    plan = explain_str(df, "formatted")
+    return re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema of every file scan — the column-pruning witness."""
     plan = explain_str(df, "formatted")

@@ -1033,6 +1033,38 @@ LIMIT 5
 _register("ann_ivf_search", _ann_ivf, _DD_ANN_IVF)
 
 
+def _ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same probe as ``ann_ivf_search`` but through a *persisted* index:
+    assignment written partitioned-by-centroid, search reading back with
+    a literal ``isin`` on the partition column — static partition
+    pruning (PartitionFilters), the physical layout the 100 TB IVF story
+    rests on.  Same oracle as the in-memory path by construction."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.ann import ivf_index_search, ivf_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_index_{tag}")
+    ivf_index_write(assign_ivf(emb, centroids), path)
+    q = list(emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"])
+    out = ivf_index_search(
+        spark, path, centroids, q, k=5, nprobe=1,
+        payload_cols=["vec_id", "label", "centroid_id"],
+    )
+    return out.select(
+        "vec_id", "label", "centroid_id", F.round("distance", 4).alias("distance")
+    )
+
+
+_register("ann_ivf_index_search", _ann_ivf_index, _DD_ANN_IVF)
+
+
 _N_PLANES = 4
 _LSH_PLANES = hyperplanes(64, _N_PLANES, seed=42)
 _LSH_PROBE_ID = 7

@@ -1,0 +1,101 @@
+"""Persisted IVF index: partition layout, static pruning, search parity.
+
+The 100 TB IVF story rests on the index being *physically* partitioned
+by centroid so a probe reads nprobe directories, not the corpus.  These
+tests pin all three legs: the layout exists on disk, the search plan
+prunes statically (PartitionFilters), and — the hard proof — unprobed
+partitions are never opened (deleting them mid-query changes nothing).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+    assign_ivf,
+    ivf_index_search,
+    ivf_index_write,
+    ivf_search,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+    count_exchanges,
+    has_take_ordered,
+    partition_filters,
+)
+
+SF = "/root/testdata/sf0.001"
+N_CENTROIDS = 16
+PROBE_ID = 5
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_index_write(assign_ivf(emb, centroids), path)
+    q = list(emb.filter(F.col("vec_id") == PROBE_ID).first()["embedding"])
+    return emb, centroids, path, q
+
+
+class TestIvfIndex:
+    def test_layout_one_directory_per_list(self, index):
+        import os
+
+        _, _, path, _ = index
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("centroid_id="))
+        assert dirs, "index must be hive-partitioned by centroid_id"
+        assert len(dirs) <= N_CENTROIDS
+
+    def test_search_plan_prunes_statically(self, spark, index):
+        _, centroids, path, q = index
+        out = ivf_index_search(spark, path, centroids, q, k=5, nprobe=2)
+        pf = [f for f in partition_filters(out) if "centroid_id" in f]
+        assert pf, "probe filter must land in PartitionFilters, not a row filter"
+        # in-bucket top-k keeps the flagship plan: heap, no shuffle
+        assert has_take_ordered(out)
+        assert count_exchanges(out) == 0
+
+    def test_unprobed_partitions_never_opened(self, spark, index):
+        import os
+
+        _, centroids, path, q = index
+        out = ivf_index_search(spark, path, centroids, q, k=5, nprobe=1)
+        expected = [(r["vec_id"], round(r["distance"], 4)) for r in out.collect()]
+
+        # Find the one probed directory, physically delete every other
+        # partition, and re-run the *same plan*: with static pruning the
+        # deleted files are never opened, so the query must succeed and
+        # match.  (Without pruning, reading a deleted file fails the job.)
+        out2 = ivf_index_search(spark, path, centroids, q, k=5, nprobe=1,
+                                payload_cols=["vec_id", "centroid_id"])
+        probed = {str(r["centroid_id"]) for r in out2.collect()}
+        for d in os.listdir(path):
+            if d.startswith("centroid_id=") and d.split("=", 1)[1] not in probed:
+                shutil.rmtree(os.path.join(path, d))
+        again = ivf_index_search(spark, path, centroids, q, k=5, nprobe=1)
+        got = [(r["vec_id"], round(r["distance"], 4)) for r in again.collect()]
+        assert got == expected
+
+    def test_matches_inmemory_ivf(self, spark, index):
+        emb, centroids, path, q = index
+        # rebuild: the pruning test above mutated the module-scoped index
+        ivf_index_write(assign_ivf(emb, centroids), path)
+        persisted = ivf_index_search(
+            spark, path, centroids, q, k=5, nprobe=2,
+            payload_cols=["vec_id", "label", "centroid_id"],
+        )
+        qdf = emb.filter(F.col("vec_id") == PROBE_ID).select(
+            F.col("embedding").alias("query_vec")
+        )
+        inmem = ivf_search(
+            assign_ivf(emb, centroids), centroids, qdf, k=5, nprobe=2,
+            payload_cols=["vec_id", "label", "centroid_id"],
+        )
+        key = lambda r: (r["vec_id"], r["label"], r["centroid_id"], round(r["distance"], 4))  # noqa: E731
+        assert [key(r) for r in persisted.collect()] == [key(r) for r in inmem.collect()]
