@@ -37,7 +37,7 @@ from .nsw import nsw_build, nsw_search
 from .serving import blob_url, build_prompt, llm_extract, sse_escape, sse_events
 from .skew import salted_agg, salted_broadcast_join
 from .status import STATUS_VALUES, completed_listing, failed_listing, status_upsert
-from .textstats import fingerprint, language_id, quality_score, token_stats
+from .textstats import fingerprint, language_id, quality_score, repetition_stats, token_stats
 from .upsert import delta_available, merge_status, read_status
 
 __all__ = [
@@ -82,6 +82,7 @@ __all__ = [
     "recall_sweep",
     "pages_to_chunks",
     "quality_score",
+    "repetition_stats",
     "salted_agg",
     "salted_broadcast_join",
     "shingle_stage",

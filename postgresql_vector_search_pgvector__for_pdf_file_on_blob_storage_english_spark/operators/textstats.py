@@ -122,6 +122,107 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher's intra-document repetition filters: duplicate-line
+    fractions and the most-repeated word bigram — the rules that catch
+    boilerplate/spam documents whole-document dedup misses.
+
+    Two cost regimes, each in its right engine tier:
+
+    * Line stats are per-row array expressions (split → trim → filter →
+      aggregate) — no shuffle, the whole corpus pass stays scan-bound.
+      ``dup_line_char_frac`` is O(lines²) per document via a nested HOF,
+      fine because line counts per document are small and bounded.
+    * The top-bigram needs per-key counting, so it is the idiomatic
+      explode → groupBy(doc, bigram) → per-doc argmax — map-side partial
+      aggregation keeps the exchange ∝ distinct bigrams, and the argmax
+      is a ``min_by`` on (−count, bigram) so ties are deterministic.
+
+    Emitted per document:
+      * n_lines            — non-empty (trimmed) lines
+      * dup_line_frac      — 1 − distinct/total lines
+      * dup_line_char_frac — chars in lines occurring >1× / line chars
+      * top_bigram         — most frequent word bigram ('' if <2 words)
+      * top_bigram_frac    — its share of all bigram occurrences
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n", -1), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    total_line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    dup_line_chars = F.aggregate(
+        lines,
+        F.lit(0),
+        lambda a, l: a
+        + F.when(F.size(F.filter(lines, lambda x: x == l)) > 1, F.length(l)).otherwise(0),
+    )
+    zero = F.lit(0.0)
+    line_stats = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            F.when(
+                n_lines > 0,
+                (n_lines - n_distinct).cast("double") / n_lines.cast("double"),
+            ).otherwise(zero),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(
+                total_line_chars > 0,
+                dup_line_chars.cast("double") / total_line_chars.cast("double"),
+            ).otherwise(zero),
+            4,
+        ).alias("dup_line_char_frac"),
+    )
+
+    words = F.split(F.trim(normalize_whitespace_col(text_col)), " ")
+    n_words = F.size(words)
+    # The <2-word guard must live INSIDE the expression (when() evaluates
+    # its branch per-row): a trailing .filter() can be pushed below the
+    # projection, and sequence(1, 0) runs *descending*, indexing out of
+    # bounds on one-word documents.
+    bigrams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    counts = exploded.groupBy(id_col, "bigram").agg(F.count("*").alias("_c"))
+    top = counts.groupBy(id_col).agg(
+        F.min_by(
+            F.col("bigram"), F.struct((-F.col("_c")).alias("_nc"), F.col("bigram"))
+        ).alias("top_bigram"),
+        F.max("_c").alias("_top_c"),
+        F.sum("_c").alias("_n_bigrams"),
+    )
+    return (
+        line_stats.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            F.round(
+                F.coalesce(
+                    F.col("_top_c").cast("double") / F.col("_n_bigrams").cast("double"),
+                    zero,
+                ),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def gopher_quality_flags(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

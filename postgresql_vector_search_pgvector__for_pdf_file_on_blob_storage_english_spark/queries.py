@@ -2854,6 +2854,63 @@ FROM m
 _register("text_gopher_quality_flags", _gopher_flags, _DD_GOPHER)
 
 
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+_DD_REPETITION = f"""
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS t(l)
+  WHERE trim(l) <> ''
+),
+lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+lstats AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         count(*) AS n_distinct,
+         sum(c * length(line)) AS total_chars,
+         sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars
+  FROM lc GROUP BY 1
+),
+w AS (
+  SELECT doc_id,
+         string_split(trim({_DD_NORMALIZE.format(col="text")}), ' ') AS words
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM w WHERE len(words) >= 2
+),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+btop AS (
+  SELECT doc_id, bigram AS top_bigram, c AS top_c,
+         sum(c) OVER (PARTITION BY doc_id) AS n_bigrams
+  FROM bc
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) = 1
+)
+SELECT d.doc_id,
+       coalesce(s.n_lines, 0)::BIGINT AS n_lines,
+       round(CASE WHEN coalesce(s.n_lines, 0) > 0
+                  THEN (s.n_lines - s.n_distinct)::DOUBLE / s.n_lines
+                  ELSE 0.0 END, 4) AS dup_line_frac,
+       round(CASE WHEN coalesce(s.total_chars, 0) > 0
+                  THEN s.dup_chars::DOUBLE / s.total_chars
+                  ELSE 0.0 END, 4) AS dup_line_char_frac,
+       coalesce(b.top_bigram, '') AS top_bigram,
+       round(coalesce(b.top_c::DOUBLE / b.n_bigrams, 0.0), 4) AS top_bigram_frac
+FROM documents d
+LEFT JOIN lstats s USING (doc_id)
+LEFT JOIN btop b USING (doc_id)
+"""
+
+_register("text_repetition_stats", _repetition, _DD_REPETITION)
+
+
 def _hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return hash_sample(docs, "doc_id", rate_pct=20).select("doc_id", "source")

@@ -101,3 +101,57 @@ def test_hash_sample_deterministic_and_disjoint_salts(spark):
     counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert counts["test"] + counts["train"] == 2000
     assert 0.05 < counts["test"] / 2000 < 0.15
+
+
+class TestRepetitionStats:
+    @pytest.fixture(scope="class")
+    def rep(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.textstats import (
+            repetition_stats,
+        )
+
+        rows = [
+            # 4 non-empty lines, "spam spam" twice (8 chars x2 of 22 total)
+            (1, "spam spam\nham\nspam spam\neggs\n"),
+            # all lines distinct
+            (2, "alpha\nbeta\ngamma"),
+            # one word: no bigrams
+            (3, "loner"),
+            # empty text
+            (4, ""),
+            # "buy now" dominates the bigrams: buy now buy now buy now
+            (5, "buy now buy now buy now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    def test_duplicate_lines(self, rep):
+        r = rep[1]
+        assert r["n_lines"] == 4
+        assert r["dup_line_frac"] == pytest.approx(1 - 3 / 4)
+        # dup chars: 2 x len("spam spam") = 18 of 18+3+4 = 25 line chars
+        assert r["dup_line_char_frac"] == pytest.approx(round(18 / 25, 4))
+
+    def test_no_duplicates(self, rep):
+        assert rep[2]["dup_line_frac"] == 0.0
+        assert rep[2]["dup_line_char_frac"] == 0.0
+
+    def test_top_bigram(self, rep):
+        # bigrams: (buy now) x3, (now buy) x2 -> "buy now" at 3/5
+        assert rep[5]["top_bigram"] == "buy now"
+        assert rep[5]["top_bigram_frac"] == pytest.approx(0.6)
+
+    def test_edge_docs_survive(self, rep):
+        assert rep[3]["top_bigram"] == "" and rep[3]["top_bigram_frac"] == 0.0
+        assert rep[4]["n_lines"] == 0
+        assert rep[4]["dup_line_frac"] == 0.0
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.textstats import (
+            repetition_stats,
+        )
+
+        # "b c" and "a b" both occur once; the lex-smaller bigram wins
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        r = repetition_stats(df).collect()[0]
+        assert r["top_bigram"] == "a b"
