@@ -36,6 +36,7 @@ from .multimodal import (
 from .nsw import nsw_build, nsw_search
 from .serving import blob_url, build_prompt, llm_extract, sse_escape, sse_events
 from .skew import salted_agg, salted_broadcast_join
+from .pq import fixed_codebooks, ivfpq_encode, ivfpq_search, pq_encode, pq_search
 from .status import STATUS_VALUES, completed_listing, failed_listing, status_upsert
 from .textstats import fingerprint, language_id, quality_score, repetition_stats, token_stats
 from .upsert import delta_available, merge_status, read_status
@@ -60,9 +61,12 @@ __all__ = [
     "image_features",
     "image_resize",
     "ingest_pages",
+    "fixed_codebooks",
     "ivf_index_search",
     "ivf_index_write",
     "ivf_search",
+    "ivfpq_encode",
+    "ivfpq_search",
     "kmeans_fit",
     "knn",
     "knn_join",
@@ -81,6 +85,8 @@ __all__ = [
     "read_status",
     "recall_sweep",
     "pages_to_chunks",
+    "pq_encode",
+    "pq_search",
     "quality_score",
     "repetition_stats",
     "salted_agg",

@@ -88,6 +88,119 @@ def pq_encode(
     return df.withColumn(code_col, F.array(*codes))
 
 
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    payload_cols=None,
+) -> DataFrame:
+    """IVF-PQ build: coarse-assign, then PQ-encode the *residual*.
+
+    The standard billion-scale layout (FAISS IVFPQ): each vector stores
+    its inverted-list id plus m bytes of residual codes — the coarse
+    centroid absorbs the vector's location so the codebooks only have to
+    cover the (much tighter) residual distribution.  One broadcast join
+    re-attaches the centroid vector, the residual is a ``zip_with``, and
+    encoding is the same native-expression argmin as :func:`pq_encode`.
+    Persist the result partitioned by ``centroid_id`` (ivf_index_write)
+    for pruned probes.
+    """
+    from .ann import assign_ivf
+
+    assigned = assign_ivf(
+        corpus, centroids, vec_col=vec_col, id_col=id_col,
+        centroid_id_col=centroid_id_col, centroid_vec_col=centroid_vec_col,
+    )
+    residual = F.zip_with(
+        F.col(vec_col),
+        F.col(centroid_vec_col),
+        lambda a, b: a.cast("double") - b.cast("double"),
+    )
+    with_resid = (
+        assigned.join(F.broadcast(centroids), centroid_id_col)
+        .withColumn("_residual", residual)
+    )
+    encoded = pq_encode(with_resid, codebooks, vec_col="_residual")
+    keep = list(payload_cols) if payload_cols is not None else [id_col]
+    return encoded.select(*keep, centroid_id_col, "pq_code")
+
+
+def ivfpq_search(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    code_col: str = "pq_code",
+    payload_cols=None,
+    distance_col: str = "adc_dist_sq",
+) -> DataFrame:
+    """ADC search over the probed inverted lists.
+
+    Ranks centroids against the query driver-side (a collect bounded by
+    the centroid count — the same small relation a broadcast ships),
+    keeps ``nprobe`` lists, and scores each code row against the LUT of
+    *its own list* (the residual query differs per centroid, so the LUT
+    is selected by a CASE on ``centroid_id`` — nprobe literal arrays,
+    still pure codegen arithmetic).  On an index persisted
+    partitioned-by-centroid the ``isin`` filter prunes statically, and
+    the top-k stays TakeOrderedAndProject: probed-bytes scan, m lookups
+    per row, no shuffle.
+    """
+    dsub = len(codebooks[0][0])
+    m = len(codebooks)
+    ranked = sorted(
+        (
+            (
+                sum(
+                    (float(query_vec[i]) - float(r[centroid_vec_col][i])) ** 2
+                    for i in range(len(query_vec))
+                ),
+                r[centroid_id_col],
+                list(r[centroid_vec_col]),
+            )
+            for r in centroids.collect()
+        )
+    )[:nprobe]
+
+    def lut_for(cvec: list[float]) -> list[list[float]]:
+        rq = [float(q) - float(c) for q, c in zip(query_vec, cvec)]
+        return [
+            [
+                sum((rq[j * dsub + i] - float(c[i])) ** 2 for i in range(dsub))
+                for c in book
+            ]
+            for j, book in enumerate(codebooks)
+        ]
+
+    dist = None
+    for _, cid, cvec in ranked:
+        lut = lut_for(cvec)
+        adc = F.lit(0.0)
+        for j in range(m):
+            lut_col = F.array(*[F.lit(v) for v in lut[j]])
+            adc = adc + F.element_at(lut_col, F.element_at(F.col(code_col), j + 1) + 1)
+        branch = (F.col(centroid_id_col) == F.lit(cid), adc)
+        dist = F.when(*branch) if dist is None else dist.when(*branch)
+
+    probe_ids = [cid for _, cid, _ in ranked]
+    cols = list(payload_cols) if payload_cols is not None else [id_col]
+    scored = (
+        encoded.filter(F.col(centroid_id_col).isin(probe_ids))
+        .withColumn(distance_col, dist)
+    )
+    out_cols = cols + [distance_col]
+    return scored.select(*out_cols).orderBy(distance_col, id_col).limit(k)
+
+
 def pq_search(
     encoded: DataFrame,
     query_vec: list[float],

@@ -2587,6 +2587,90 @@ FROM adc ORDER BY dist, vec_id LIMIT 5
 )
 
 
+# IVF-PQ: coarse quantizer + residual PQ codes + per-list ADC — the
+# composed billion-scale index.  Same deterministic stand-ins (coarse
+# centroids AND PQ codebooks from the lowest-id vectors), so the full
+# assign -> residual -> encode -> probe -> ADC chain replays in SQL.
+_IVFPQ_NPROBE = 2
+
+
+def _ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pq import ivfpq_encode, ivfpq_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    encoded = ivfpq_encode(emb, centroids, books, payload_cols=["vec_id", "label"])
+    qvec = list(emb.filter(F.col("vec_id") == _PQ_PROBE_ID).first()["embedding"])
+    out = ivfpq_search(
+        encoded, centroids, qvec, books, k=5, nprobe=_IVFPQ_NPROBE,
+        payload_cols=["vec_id", "label", "centroid_id"],
+    )
+    return out.select(
+        "vec_id", "label", "centroid_id", F.round("adc_dist_sq", 4).alias("adc_dist_sq")
+    )
+
+
+_DD_IVFPQ = f"""
+WITH coarse AS (
+  SELECT vec_id AS cc, embedding AS ccv FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+cent AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_PQ_KSUB}),
+cassign AS (
+  SELECT e.vec_id, e.label, e.embedding, co.cc, co.ccv
+  FROM embeddings e, coarse co
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "co.ccv")}, co.cc) = 1
+),
+resid AS (
+  SELECT vec_id, label, cc,
+         list_transform(range(1, {_PQ_M} * {_PQ_DSUB} + 1),
+                        i -> embedding[i]::DOUBLE - ccv[i]::DOUBLE) AS rv
+  FROM cassign
+),
+rpairs AS (
+  SELECT r.vec_id, r.label, r.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM resid r, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c
+),
+rcodes AS (
+  SELECT vec_id, label, cc, j, c AS code FROM rpairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_PQ_PROBE_ID}),
+probe AS (
+  SELECT cc, ccv FROM coarse, q
+  ORDER BY {_dd_l2sq("ccv", "q.qe")}, cc
+  LIMIT {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT p.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           ((q.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+            - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * ((q.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+              - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM probe p, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c, q
+),
+adc AS (
+  SELECT cd.vec_id, any_value(cd.label) AS label, any_value(cd.cc) AS centroid_id,
+         sum(l.d) AS dist
+  FROM rcodes cd JOIN lut l ON cd.cc = l.cc AND cd.j = l.j AND cd.code = l.c
+  GROUP BY cd.vec_id
+)
+SELECT vec_id, label, centroid_id, round(dist, 4) AS adc_dist_sq
+FROM adc ORDER BY dist, vec_id LIMIT 5
+"""
+
+_register("ann_ivfpq_search", _ann_ivfpq_search, _DD_IVFPQ)
+
+
 # ---- GEMM scale path for pair similarity, same oracle ---------------------
 
 from .operators.dedup import embedding_neardup_pairs_numpy  # noqa: E402

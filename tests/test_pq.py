@@ -69,3 +69,92 @@ def test_adc_search_and_recall(spark, emb, books):
 def test_compression_ratio():
     # 64 float32 -> 4 uint8 codes: 64x
     assert (64 * 4) / M == 64
+
+
+class TestIvfPq:
+    @pytest.fixture(scope="class")
+    def parts(self, spark, emb, books):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            ivfpq_encode,
+        )
+
+        centroids = emb.filter(F.col("vec_id") < KSUB).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        encoded = ivfpq_encode(
+            emb, centroids, books, payload_cols=["vec_id"]
+        ).localCheckpoint(eager=True)
+        return centroids, encoded
+
+    def test_encode_shape(self, parts, emb):
+        _, encoded = parts
+        rows = encoded.collect()
+        assert len(rows) == emb.count()
+        assert all(len(r["pq_code"]) == M for r in rows)
+        assert all(0 <= c < KSUB for r in rows for c in r["pq_code"])
+
+    def test_centroid_members_residual_zero_code(self, parts, books):
+        # a vector that IS a coarse centroid has residual ~0; its code must
+        # be the argmin of each codebook against the zero vector
+        _, encoded = parts
+        zero_codes = []
+        dsub = len(books[0][0])
+        for j in range(M):
+            d = [float((np.array(c) ** 2).sum()) for c in books[j]]
+            zero_codes.append(int(np.argmin(d)))
+        got = {r["vec_id"]: list(r["pq_code"]) for r in encoded.collect()}
+        for c in range(KSUB):
+            assert got[c] == zero_codes
+
+    def test_exhaustive_probe_matches_numpy(self, spark, parts, emb, books):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            ivfpq_search,
+        )
+
+        centroids, encoded = parts
+        qvec = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+        got = ivfpq_search(
+            encoded, centroids, qvec, books, k=10, nprobe=KSUB,
+            payload_cols=["vec_id"],
+        ).collect()
+
+        # numpy replication of assign -> residual -> encode -> ADC
+        cvecs = {
+            r["centroid_id"]: np.array(r["centroid_vec"], dtype=np.float64)
+            for r in centroids.collect()
+        }
+        dsub = len(books[0][0])
+        q = np.array(qvec, dtype=np.float64)
+        dists = {}
+        for r in emb.select("vec_id", "embedding").collect():
+            v = np.array(r["embedding"], dtype=np.float64)
+            cid = min(
+                cvecs, key=lambda c: (float(((v - cvecs[c]) ** 2).sum()), c)
+            )
+            resid = v - cvecs[cid]
+            rq = q - cvecs[cid]
+            total = 0.0
+            for j in range(M):
+                sub = resid[j * dsub : (j + 1) * dsub]
+                code = int(np.argmin([float(((sub - np.array(c)) ** 2).sum()) for c in books[j]]))
+                qsub = rq[j * dsub : (j + 1) * dsub]
+                total += float(((qsub - np.array(books[j][code])) ** 2).sum())
+            dists[r["vec_id"]] = total
+        expect = sorted(dists, key=lambda i: (dists[i], i))[:10]
+        assert [r["vec_id"] for r in got] == expect
+        for r in got:
+            assert r["adc_dist_sq"] == pytest.approx(dists[r["vec_id"]], rel=1e-9)
+
+    def test_narrow_probe_subset_of_lists(self, parts, emb, books):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            ivfpq_search,
+        )
+
+        centroids, encoded = parts
+        qvec = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+        got = ivfpq_search(
+            encoded, centroids, qvec, books, k=5, nprobe=1,
+            payload_cols=["vec_id", "centroid_id"],
+        ).collect()
+        assert len({r["centroid_id"] for r in got}) == 1  # one probed list

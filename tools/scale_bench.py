@@ -168,7 +168,7 @@ def ann_section(spark, base: str) -> list[str]:
     }
 
     # NSW recall over the same query set vs the exact L2 top-5.
-    qids = [r["vec_id"] for r in queries.select("qid").collect()]
+    qids = [r["qid"] for r in queries.select("qid").collect()]
     nsw_hits, exact_ref = 0, 0
     for qid in qids:
         qv = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
