@@ -42,6 +42,11 @@ SECTIONS = [
     ("agg_pricing_summary", "Scan-heavy aggregate",
      "Filter pushed to parquet (PushedFilters on l_shipdate), six-column ReadSchema from "
      "an 11-column table, partial+final HashAggregate around a single exchange."),
+    ("ann_ivf_index_search", "Persisted IVF index probe",
+     "The probe is PartitionFilters on the hive layout (centroid_id IN (...)): unprobed "
+     "inverted lists are eliminated at planning time with zero I/O — the scan's partition "
+     "count IS nprobe, independent of corpus size. Inside the probed lists the top-k "
+     "keeps the flagship TakeOrderedAndProject shape: no shuffle, k rows to the driver."),
 ]
 
 
