@@ -3,6 +3,7 @@
 from .ann import (
     assign_ivf,
     hyperplanes,
+    ivf_index_append,
     ivf_index_search,
     ivf_index_write,
     ivf_search,
@@ -62,6 +63,7 @@ __all__ = [
     "image_resize",
     "ingest_pages",
     "fixed_codebooks",
+    "ivf_index_append",
     "ivf_index_search",
     "ivf_index_write",
     "ivf_search",

@@ -146,6 +146,32 @@ def ivf_index_write(
     assigned_corpus.write.mode("overwrite").partitionBy(centroid_id_col).parquet(path)
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> None:
+    """Incrementally maintain a persisted IVF index: assign the new
+    batch to its centroids and append into the matching partitions.
+
+    Dynamic partition overwrite is NOT needed — parquet append with
+    ``partitionBy`` only touches the directories the batch lands in, so
+    maintenance cost tracks the batch, not the index.  Centroids stay
+    fixed (the standard IVF contract; retrain + rebuild is the offline
+    path), so existing lists never need rewriting and searches see old
+    and new rows with identical semantics.  This is the foreachBatch
+    body for streaming ingest into a vector index.
+    """
+    assigned = assign_ivf(
+        new_vectors, centroids, vec_col=vec_col, id_col=id_col,
+        centroid_id_col=centroid_id_col,
+    )
+    assigned.write.mode("append").partitionBy(centroid_id_col).parquet(path)
+
+
 def ivf_index_search(
     spark,
     path: str,

@@ -99,3 +99,43 @@ class TestIvfIndex:
         )
         key = lambda r: (r["vec_id"], r["label"], r["centroid_id"], round(r["distance"], 4))  # noqa: E731
         assert [key(r) for r in persisted.collect()] == [key(r) for r in inmem.collect()]
+
+
+class TestIvfIndexAppend:
+    def test_append_only_touches_landed_partitions(self, spark, tmp_path):
+        import os
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+            ivf_index_append,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        path = str(tmp_path / "index")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        ivf_index_write(assign_ivf(base, centroids), path)
+        files_before = {
+            d: set(os.listdir(os.path.join(path, d)))
+            for d in os.listdir(path) if d.startswith("centroid_id=")
+        }
+
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        ivf_index_append(batch, centroids, path)
+
+        # every pre-existing file still present (append never rewrites)
+        for d, files in files_before.items():
+            assert files <= set(os.listdir(os.path.join(path, d)))
+
+        # the merged index answers searches over old+new identically to a
+        # from-scratch build
+        q = list(emb.filter(F.col("vec_id") == PROBE_ID).first()["embedding"])
+        merged = ivf_index_search(spark, path, centroids, q, k=5, nprobe=2)
+        scratch_path = str(tmp_path / "scratch")
+        ivf_index_write(assign_ivf(emb, centroids), scratch_path)
+        scratch = ivf_index_search(spark, scratch_path, centroids, q, k=5, nprobe=2)
+        key = lambda r: (r["vec_id"], round(r["distance"], 4))  # noqa: E731
+        assert [key(r) for r in merged.collect()] == [key(r) for r in scratch.collect()]

@@ -117,3 +117,18 @@ class TestDedupPlans:
         plan = explain_str(q(spark, "dedup_minhash_lsh_candidates"), "formatted")
         for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
             assert "text" not in m.group(1)
+
+
+class TestIvfIndexRegistryPlan:
+    def test_probe_is_partition_pruned(self, spark):
+        # registry-level wiring gate: the persisted-index entry must keep
+        # PartitionFilters pruning + the zero-shuffle top-k (the operator
+        # itself is gated in test_ivf_index.py)
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            partition_filters,
+        )
+
+        df = q(spark, "ann_ivf_index_search")
+        assert any("centroid_id" in f for f in partition_filters(df))
+        assert has_take_ordered(df)
+        assert count_exchanges(df) == 0
