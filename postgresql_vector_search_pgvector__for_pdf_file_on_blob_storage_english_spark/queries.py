@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions.text import normalize_whitespace_col, split_chunks_pandas_udf
 from .functions.vector import DISTANCE_FNS
@@ -42,14 +43,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    read natively.  Read it as a nanos long (legacy conf) and truncate to
-    microseconds — the same ns->us truncation DuckDB applies — entirely
-    JVM-side."""
+    """`events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+    Spark 4 refuses to read natively — the legacy conf reads it as a
+    nanos long we truncate to microseconds, matching DuckDB's ns->us
+    truncation) and plain TIMESTAMP(MICROS) (read natively).  Branch on
+    the decoded type so either fixture vintage works."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ev.schema["ts"].dataType, T.TimestampNTZType):
+        # Micros vintage decodes as TIMESTAMP_NTZ; downstream expressions
+        # (unix_micros, cast to bigint) expect TIMESTAMP_LTZ like the nanos
+        # branch produces.  Session tz is pinned UTC above, so this cast is
+        # a pure re-tag, not a wall-clock shift.
+        ev = ev.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return ev
 
 
 # --------------------------------------------------------------------------
