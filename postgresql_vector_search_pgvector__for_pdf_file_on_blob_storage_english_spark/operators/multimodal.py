@@ -38,23 +38,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.mediacodec import make_png, make_wav, read_png, read_wav  # noqa: E402
+from ..sources.mediacodec import (  # noqa: E402
+    make_mp4,
+    make_png,
+    make_wav,
+    read_mp4,
+    read_png,
+    read_wav,
+)
 
 IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"IMG1", b"AUD1", b"VID1"
 _STUB_MAGICS = {
-    b"\xff\xd8\xff": "jpeg", b"\x00\x00\x00": "mp4?",
+    b"\xff\xd8\xff": "jpeg",
 }
 
 
 def _reject_stub_formats(b: bytes) -> None:
     for magic, name in _STUB_MAGICS.items():
         if b[: len(magic)] == magic:
-            # STUB: JPEG/MP4 need entropy-coded DCT / ISO-BMFF decoders a
-            # stdlib-only build cannot honestly provide (PNG and WAV are
-            # decoded for real via ..sources.mediacodec).
+            # STUB: baseline JPEG needs an entropy-coded DCT decoder a
+            # stdlib-only build cannot honestly provide (PNG, WAV, and
+            # ISO-BMFF MP4 are decoded for real via ..sources.mediacodec).
             raise NotImplementedError(
                 f"real {name} decoding is stubbed; supply RAW-container, PNG, "
-                "or WAV media, or plug a decoder into the mapInPandas stage"
+                "WAV, or raw-sample MP4 media, or plug a decoder into the "
+                "mapInPandas stage"
             )
 
 
@@ -100,7 +108,12 @@ def encode_video(frames: np.ndarray) -> bytes:
 
 
 def decode_video(b: bytes) -> np.ndarray:
+    """VID1 or ISO-BMFF (raw-sample) MP4 bytes -> (f, h, w) uint8 frames;
+    compressed MP4 codecs stay a loud stub inside read_mp4."""
     _reject_stub_formats(b)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        frames, _fps = read_mp4(b)
+        return frames
     if b[:4] != VID_MAGIC:
         raise ValueError("not a VID1 payload")
     f, w, h = struct.unpack(">HII", b[4:14])
@@ -231,9 +244,9 @@ def synth_media_df(docs: DataFrame, kind: str = "image", container: str = "raw")
     Sizes derive from doc_id (width = 8 + id%9 etc.) so every engine—
     and the SQL oracle—can reconstruct them without seeing the bytes.
 
-    ``container='real'`` wraps the same pixels/samples in PNG/WAV bytes
-    (video stays VID1) so the decode stages exercise the vendored real
-    codec while the oracle stays byte-independent.
+    ``container='real'`` wraps the same pixels/samples in PNG/WAV/MP4
+    bytes so the decode stages exercise the vendored real codec while
+    the oracle stays byte-independent.
     """
     if container not in ("raw", "real"):
         raise ValueError("container must be 'raw' or 'real'")
@@ -269,7 +282,7 @@ def synth_media_df(docs: DataFrame, kind: str = "image", container: str = "raw")
                     frames = np.stack(
                         [synth_image_pixels(d + k, w, h, 1)[:, :, 0] for k in range(f)]
                     )
-                    blob = encode_video(frames)
+                    blob = make_mp4(frames) if container == "real" else encode_video(frames)
                     meta = (w, h, 1, None, None, f)
                 rows.append((d, kind, blob, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])

@@ -1647,6 +1647,22 @@ FROM px GROUP BY media_id, frame_index, w, h
 _register("mm_video_frame_sample", _mm_video_frames, _DD_MM_VIDEO)
 
 
+def _mm_video_frames_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same frames, REAL ISO-BMFF container: the decode stage runs the
+    vendored MP4 demuxer (sources/mediacodec.py box walk + stsc/stsz/stco
+    sample resolution) instead of the VID1 header parse; oracle identical
+    because it recomputes frame stats from the LCG synthesis params."""
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="video", container="real")
+    out = video_frame_sample(media, every=2)
+    return out.select(
+        "media_id", "frame_index", "width", "height",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+_register("mm_video_frame_sample_mp4", _mm_video_frames_mp4, _DD_MM_VIDEO)
+
+
 # ==========================================================================
 # Serving veneer (operators/serving.py): Q6 mock-LLM extract, Q8/S8 SSE
 # event stream; plus the remaining status-store surface (S5 upsert, L3).

@@ -17,13 +17,21 @@ implemented from scratch:
   multi-channel, 8/24-bit) raises.  Writer emits the canonical 44-byte
   header + LE samples: deterministic.
 
-JPEG and MP4 stay stubbed: entropy-coded DCT and the ISO-BMFF codec zoo
-are not honestly implementable here, and a wrong decoder is worse than
-a loud stub.
+* **MP4** (ISO-BMFF, ISO 14496-12): the *container* is parsed for real —
+  box tree walk, ``moov/trak/mdia`` hierarchy, and the full sample-table
+  machinery (``stts`` timing, ``stsc`` chunk map, ``stsz`` sizes,
+  ``stco``/``co64`` offsets) resolving every sample to its absolute byte
+  range, exactly how a real demuxer locates frames.  The *sample
+  payloads* use an uncompressed greyscale sample entry (fourcc
+  ``rawg``, a standard VisualSampleEntry): entropy-coded codecs
+  (``avc1``/``hev1``/…) raise loudly — H.264 entropy decode is not
+  honestly implementable here, and a wrong decoder is worse than a loud
+  stub.  JPEG is served by :func:`make_jpeg`/:func:`read_jpeg` below.
 
-Both round-trips (``make_png``→``read_png``, ``make_wav``→``read_wav``)
-are bit-exact for supported inputs, so downstream feature stats are
-SQL-oracle-replayable from the synthesis parameters alone.
+All lossless round-trips (``make_png``→``read_png``,
+``make_wav``→``read_wav``, ``make_mp4``→``read_mp4``) are bit-exact for
+supported inputs, so downstream feature stats are SQL-oracle-replayable
+from the synthesis parameters alone.
 """
 
 from __future__ import annotations
@@ -176,6 +184,243 @@ def make_wav(samples: np.ndarray, sample_rate: int) -> bytes:
         + struct.pack("<I", len(data))
         + data
     )
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF
+# ---------------------------------------------------------------------------
+
+_RAW_VIDEO_FOURCC = b"rawg"  # uncompressed 8-bit greyscale, one sample = one frame
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full_box(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">B", version) + flags.to_bytes(3, "big") + payload)
+
+
+def make_mp4(frames: np.ndarray, fps: int = 24) -> bytes:
+    """(f, h, w) uint8 greyscale frames -> ISO-BMFF bytes.
+
+    Real box structure throughout: ``ftyp`` + ``mdat`` (one sample per
+    frame, back to back) + ``moov`` with a single ``vide`` track whose
+    sample tables (stts/stsc/stsz/stco) describe the mdat layout the
+    standard way.  Sample entry is the uncompressed ``rawg``
+    VisualSampleEntry, so the round-trip is bit-exact.
+    """
+    if frames.dtype != np.uint8 or frames.ndim != 3:
+        raise ValueError("make_mp4 expects (f, h, w) uint8 frames")
+    f, h, w = frames.shape
+    if not f:
+        raise ValueError("make_mp4 needs at least one frame")
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"iso2")
+    samples = [frames[i].tobytes() for i in range(f)]
+    mdat_body = b"".join(samples)
+    mdat = _box(b"mdat", mdat_body)
+    # First sample starts right after ftyp + mdat header (offsets in stco are
+    # absolute file offsets).
+    chunk_offset = len(ftyp) + 8
+
+    timescale = fps  # 1 tick per frame: stts delta = 1, pts_i = i / fps
+    duration = f
+
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)   # ctime, mtime, scale, dur
+        + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10  # rate, volume, rsvd
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)  # matrix
+        + b"\x00" * 24                                     # pre_defined
+        + struct.pack(">I", 2),                            # next_track_id
+    )
+    tkhd = _full_box(
+        b"tkhd", 0, 7,  # enabled | in_movie | in_preview
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)        # ctime, mtime, id, rsvd, dur
+        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)   # rsvd, layer, group, volume
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16),            # 16.16 fixed width/height
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"raw greyscale\x00",
+    )
+    # VisualSampleEntry (ISO 14496-12 §12.1.3): 6 reserved + data_ref_index,
+    # then pre_defined/reserved, width/height, dpi, frame_count, compressor
+    # name, depth, pre_defined.
+    sample_entry = _box(
+        _RAW_VIDEO_FOURCC,
+        b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", w, h)
+        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 8, -1),
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, f, 1))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, f, 1))
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, f) + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full_box(b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        btype = b[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"MP4: malformed box {btype!r} at {pos}")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_box(b: bytes, start: int, end: int, *path: bytes) -> tuple[int, int]:
+    for btype, body, bend in _walk_boxes(b, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return body, bend
+            return _find_box(b, body, bend, *path[1:])
+    raise ValueError(f"MP4: missing box {b'/'.join(path).decode()}")
+
+
+def read_mp4(b: bytes) -> tuple[np.ndarray, int]:
+    """ISO-BMFF bytes -> ((f, h, w) uint8 frames, fps).
+
+    Full demuxer walk: finds the ``vide`` track, resolves every sample's
+    absolute byte range via stsc x stsz x stco/co64, and checks stts
+    timing.  Compressed sample entries (avc1/hev1/...) raise — the
+    quarantine contract, same as pdfcodec's font gates.
+    """
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp")
+    moov_s, moov_e = _find_box(b, 0, len(b), b"moov")
+
+    # Find the video track: trak whose mdia/hdlr handler_type == 'vide'.
+    stbl_range = mdhd_range = None
+    for btype, body, bend in _walk_boxes(b, moov_s, moov_e):
+        if btype != b"trak":
+            continue
+        try:
+            mdia_s, mdia_e = _find_box(b, body, bend, b"mdia")
+            hdlr_s, _ = _find_box(b, mdia_s, mdia_e, b"hdlr")
+        except ValueError:
+            continue
+        if b[hdlr_s + 8 : hdlr_s + 12] == b"vide":
+            stbl_range = _find_box(b, mdia_s, mdia_e, b"minf", b"stbl")
+            mdhd_range = _find_box(b, mdia_s, mdia_e, b"mdhd")
+            break
+    if stbl_range is None:
+        raise ValueError("MP4: no video track")
+    stbl_s, stbl_e = stbl_range
+
+    # mdhd: timescale (v0 at +12, v1 at +20).
+    mdhd_s, _ = mdhd_range
+    version = b[mdhd_s]
+    (timescale,) = struct.unpack(
+        ">I", b[mdhd_s + (20 if version == 1 else 12) :][:4]
+    )
+
+    # stsd: gate on the sample-entry fourcc, read frame geometry.
+    stsd_s, stsd_e = _find_box(b, stbl_s, stbl_e, b"stsd")
+    entry_type, entry_s, _ = next(_walk_boxes(b, stsd_s + 8, stsd_e))
+    if entry_type != _RAW_VIDEO_FOURCC:
+        raise NotImplementedError(
+            f"MP4: compressed codec {entry_type.decode(errors='replace')!r} is "
+            "stubbed; only the uncompressed 'rawg' sample entry decodes here"
+        )
+    w, h = struct.unpack(">HH", b[entry_s + 24 : entry_s + 28])
+
+    # Sample tables.
+    stts_s, _ = _find_box(b, stbl_s, stbl_e, b"stts")
+    (n_stts,) = struct.unpack(">I", b[stts_s + 4 : stts_s + 8])
+    deltas: list[int] = []
+    for i in range(n_stts):
+        cnt, delta = struct.unpack(">II", b[stts_s + 8 + 8 * i : stts_s + 16 + 8 * i])
+        deltas.extend([delta] * cnt)
+
+    stsz_s, _ = _find_box(b, stbl_s, stbl_e, b"stsz")
+    uniform, n_samples = struct.unpack(">II", b[stsz_s + 4 : stsz_s + 12])
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        sizes = list(
+            struct.unpack(f">{n_samples}I", b[stsz_s + 12 : stsz_s + 12 + 4 * n_samples])
+        )
+
+    stsc_s, _ = _find_box(b, stbl_s, stbl_e, b"stsc")
+    (n_stsc,) = struct.unpack(">I", b[stsc_s + 4 : stsc_s + 8])
+    stsc_rows = [
+        struct.unpack(">III", b[stsc_s + 8 + 12 * i : stsc_s + 20 + 12 * i])
+        for i in range(n_stsc)
+    ]
+
+    try:
+        stco_s, _ = _find_box(b, stbl_s, stbl_e, b"stco")
+        (n_chunks,) = struct.unpack(">I", b[stco_s + 4 : stco_s + 8])
+        offsets = list(
+            struct.unpack(f">{n_chunks}I", b[stco_s + 8 : stco_s + 8 + 4 * n_chunks])
+        )
+    except ValueError:
+        co64_s, _ = _find_box(b, stbl_s, stbl_e, b"co64")
+        (n_chunks,) = struct.unpack(">I", b[co64_s + 4 : co64_s + 8])
+        offsets = list(
+            struct.unpack(f">{n_chunks}Q", b[co64_s + 8 : co64_s + 8 + 8 * n_chunks])
+        )
+
+    # stsc run-length -> samples per chunk, then walk chunks accumulating
+    # sizes to absolute per-sample offsets.
+    per_chunk = []
+    for i, (first, spc, _desc) in enumerate(stsc_rows):
+        last = stsc_rows[i + 1][0] - 1 if i + 1 < len(stsc_rows) else n_chunks
+        per_chunk.extend([spc] * (last - first + 1))
+    frames = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets):
+        pos = chunk_off
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= n_samples:
+                break
+            size = sizes[si]
+            if size != w * h:
+                raise ValueError(
+                    f"MP4: sample {si} size {size} != frame geometry {w}x{h}"
+                )
+            frames.append(
+                np.frombuffer(b[pos : pos + size], dtype=np.uint8).reshape(h, w)
+            )
+            pos += size
+            si += 1
+    if si != n_samples:
+        raise ValueError(f"MP4: resolved {si} of {n_samples} samples")
+    if len(deltas) != n_samples or any(d != deltas[0] for d in deltas):
+        raise ValueError("MP4: non-uniform stts timing not supported")
+    fps = timescale // deltas[0] if deltas and deltas[0] else timescale
+    return np.stack(frames), fps
 
 
 def read_wav(b: bytes) -> tuple[np.ndarray, int]:

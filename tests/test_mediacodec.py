@@ -1,6 +1,7 @@
-"""Stdlib PNG/WAV codec: round-trips, all five PNG scanline filters,
-quarantine gates, and parity of the real-container decode path with the
-RAW-container path through the Spark feature stages."""
+"""Stdlib PNG/WAV/MP4 codec: round-trips, all five PNG scanline filters,
+ISO-BMFF sample-table resolution, quarantine gates, and parity of the
+real-container decode path with the RAW-container path through the Spark
+feature stages."""
 
 from __future__ import annotations
 
@@ -12,8 +13,10 @@ import pytest
 
 from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.sources.mediacodec import (
     PNG_SIG,
+    make_mp4,
     make_png,
     make_wav,
+    read_mp4,
     read_png,
     read_wav,
 )
@@ -176,6 +179,87 @@ class TestWav:
             read_wav(bytes(b))
 
 
+class TestMp4:
+    @pytest.mark.parametrize("shape", [(1, 1, 1), (3, 7, 5), (8, 9, 13)])
+    def test_roundtrip_shapes(self, shape):
+        frames = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+        out, fps = read_mp4(make_mp4(frames, fps=24))
+        assert fps == 24
+        assert np.array_equal(out, frames)
+
+    def test_deterministic_bytes(self):
+        frames = RNG.integers(0, 256, size=(4, 6, 6), dtype=np.uint8)
+        assert make_mp4(frames) == make_mp4(frames)
+
+    def test_multi_chunk_stco_resolution(self):
+        # Rebuild the single-chunk file as one chunk PER SAMPLE (n stsc/stco
+        # entries, shuffled physical order) — proves the reader resolves
+        # samples through the chunk map rather than assuming contiguity.
+        frames = RNG.integers(0, 256, size=(3, 4, 5), dtype=np.uint8)
+        fsz = 4 * 5
+        b = make_mp4(frames, fps=10)
+        moov_at = b.index(b"moov") - 4
+        ftyp_len = b.index(b"mdat") - 4
+        # new mdat: frames physically reversed
+        payload = b"".join(frames[i].tobytes() for i in (2, 1, 0))
+        mdat = struct.pack(">I", 8 + len(payload)) + b"mdat" + payload
+        base = ftyp_len + 8
+        offsets = [base + 2 * fsz, base + fsz, base]  # logical sample i -> its offset
+
+        def full_box(btype, payload):
+            return struct.pack(">I", 12 + len(payload)) + btype + b"\x00" * 4 + payload
+
+        new_stsc = full_box(b"stsc", struct.pack(">I", 3)
+                            + b"".join(struct.pack(">III", i + 1, 1, 1) for i in range(3)))
+        new_stco = full_box(b"stco", struct.pack(">I", 3)
+                            + b"".join(struct.pack(">I", o) for o in offsets))
+        moov = b[moov_at:]
+        old_stsc = moov.index(b"stsc") - 4  # box start = fourcc - 4
+        old_stsc_len = struct.unpack(">I", moov[old_stsc:old_stsc + 4])[0]
+        old_stco = moov.index(b"stco") - 4
+        old_stco_len = struct.unpack(">I", moov[old_stco:old_stco + 4])[0]
+        moov = (moov[:old_stsc] + new_stsc
+                + moov[old_stsc + old_stsc_len:old_stco] + new_stco
+                + moov[old_stco + old_stco_len:])
+
+        def bump_sizes(buf, path_types, delta):
+            # fix enclosing box sizes after the splice
+            out = bytearray(buf)
+            pos = 0
+            for t in path_types:
+                while out[pos + 4:pos + 8] != t:
+                    pos += struct.unpack(">I", out[pos:pos + 4])[0]
+                struct.pack_into(">I", out, pos, struct.unpack(">I", out[pos:pos + 4])[0] + delta)
+                pos += 8
+            return bytes(out)
+
+        delta = len(new_stsc) + len(new_stco) - (old_stsc_len + old_stco_len)
+        moov = bump_sizes(moov, [b"moov", b"trak", b"mdia", b"minf", b"stbl"], delta)
+        out, fps = read_mp4(b[:ftyp_len] + mdat + moov)
+        assert fps == 10
+        assert np.array_equal(out, frames)
+
+    def test_compressed_codec_rejected(self):
+        frames = RNG.integers(0, 256, size=(2, 4, 4), dtype=np.uint8)
+        b = bytearray(make_mp4(frames))
+        i = b.index(b"rawg")
+        b[i:i + 4] = b"avc1"
+        with pytest.raises(NotImplementedError, match="avc1"):
+            read_mp4(bytes(b))
+
+    def test_not_an_mp4(self):
+        with pytest.raises(ValueError, match="ftyp"):
+            read_mp4(b"\x00\x00\x00\x08free" + b"x" * 64)
+
+    def test_size_geometry_mismatch_rejected(self):
+        frames = RNG.integers(0, 256, size=(2, 4, 4), dtype=np.uint8)
+        b = bytearray(make_mp4(frames))
+        i = b.index(b"stsz")  # fourcc; body at i+4: verflags, uniform, count, entries
+        b[i + 16 : i + 20] = struct.pack(">I", 15)  # corrupt sample 0 size
+        with pytest.raises(ValueError, match="size"):
+            read_mp4(bytes(b))
+
+
 class TestSparkRealContainerParity:
     def test_png_features_match_raw(self, spark):
         from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
@@ -198,6 +282,17 @@ class TestSparkRealContainerParity:
         raw = audio_features(synth_media_df(docs, "audio", container="raw")).collect()
         wav = audio_features(synth_media_df(docs, "audio", container="real")).collect()
         assert sorted(map(tuple, raw)) == sorted(map(tuple, wav))
+
+    def test_mp4_frames_match_raw(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            synth_media_df,
+            video_frame_sample,
+        )
+
+        docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+        raw = video_frame_sample(synth_media_df(docs, "video", container="raw")).collect()
+        mp4 = video_frame_sample(synth_media_df(docs, "video", container="real")).collect()
+        assert sorted(map(tuple, raw)) == sorted(map(tuple, mp4))
 
     def test_jpeg_still_stubbed(self):
         from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (

@@ -41,15 +41,16 @@ class TestCodecs:
         out = decode_video(encode_video(frames))
         assert np.array_equal(out, frames)
 
-    @pytest.mark.parametrize("magic", [b"\xff\xd8\xff\xe0data", b"\x00\x00\x00\x18ftyp"])
-    def test_jpeg_mp4_are_stubbed(self, magic):
-        # PNG and WAV decode for real now (sources/mediacodec.py, gated
-        # tests in test_mediacodec.py); JPEG/MP4 remain loud stubs
+    def test_jpeg_is_stubbed(self):
+        # PNG, WAV, and raw-sample MP4 decode for real now
+        # (sources/mediacodec.py, gated tests in test_mediacodec.py);
+        # baseline JPEG remains a loud stub
         with pytest.raises(NotImplementedError, match="stubbed"):
-            decode_image(magic + b"rest")
+            decode_image(b"\xff\xd8\xff\xe0data" + b"rest")
 
-    def test_png_and_wav_decode_for_real(self):
+    def test_png_wav_mp4_decode_for_real(self):
         from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.sources.mediacodec import (
+            make_mp4,
             make_png,
             make_wav,
         )
@@ -59,6 +60,8 @@ class TestCodecs:
         s = synth_audio_samples(5, 64)
         out, rate = decode_audio(make_wav(s, 16000))
         assert rate == 16000 and np.array_equal(out, s.astype(np.int64))
+        frames = np.stack([synth_image_pixels(k, 6, 4, 1)[:, :, 0] for k in range(3)])
+        assert np.array_equal(decode_video(make_mp4(frames)), frames)
 
     def test_wrong_container_rejected(self):
         with pytest.raises(ValueError):
