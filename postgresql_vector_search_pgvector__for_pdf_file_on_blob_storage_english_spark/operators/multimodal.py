@@ -11,15 +11,17 @@ Design for 100 TB of media (per the training-data-pipeline contract):
 * every decode stage is ``mapInPandas`` (whole-batch amortization), and
   drops the blob from its output schema as early as possible — features
   and thumbnails shuffle, raw media never does;
-* **PNG and WAV decode for real** via the vendored stdlib codec
-  (:mod:`..sources.mediacodec` — zlib/struct, all five PNG filters,
-  PCM16 WAV); unsupported sub-formats (palette/16-bit/interlaced PNG,
-  float/stereo WAV) raise loudly for quarantine.  JPEG and MP4 remain
-  **clearly-marked stubs** raising ``NotImplementedError`` (entropy-
-  coded DCT / ISO-BMFF are not honestly implementable stdlib-only); the
-  deterministic RAW container below keeps the plumbing (schema,
-  batching, UDF signatures, partitioning) testable either way, and its
-  pixel/sample arithmetic is replayable in SQL for the oracle gate.
+* **all four real formats decode for real** via the vendored stdlib
+  codec (:mod:`..sources.mediacodec`): PNG (all five scanline filters),
+  baseline JPEG (T.81 SOF0, Annex K tables, restart markers), PCM16
+  WAV, and ISO-BMFF MP4 (full box/sample-table demux over uncompressed
+  sample entries).  Unsupported sub-formats (palette/16-bit/interlaced
+  PNG, progressive/subsampled JPEG, float/stereo WAV, entropy-coded MP4
+  codecs like avc1) raise loudly for quarantine.  The deterministic RAW
+  container below keeps the plumbing (schema, batching, UDF signatures,
+  partitioning) testable either way, and its pixel/sample arithmetic is
+  replayable in SQL for the oracle gate; JPEG, being lossy, is gated by
+  a round-trip error *bound* instead (:func:`image_jpeg_roundtrip_check`).
 
 RAW container formats (big-endian lengths, one header + payload):
 
@@ -39,31 +41,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.mediacodec import (  # noqa: E402
+    make_jpeg,
     make_mp4,
     make_png,
     make_wav,
+    read_jpeg,
     read_mp4,
     read_png,
     read_wav,
 )
 
 IMG_MAGIC, AUD_MAGIC, VID_MAGIC = b"IMG1", b"AUD1", b"VID1"
-_STUB_MAGICS = {
-    b"\xff\xd8\xff": "jpeg",
-}
-
-
-def _reject_stub_formats(b: bytes) -> None:
-    for magic, name in _STUB_MAGICS.items():
-        if b[: len(magic)] == magic:
-            # STUB: baseline JPEG needs an entropy-coded DCT decoder a
-            # stdlib-only build cannot honestly provide (PNG, WAV, and
-            # ISO-BMFF MP4 are decoded for real via ..sources.mediacodec).
-            raise NotImplementedError(
-                f"real {name} decoding is stubbed; supply RAW-container, PNG, "
-                "WAV, or raw-sample MP4 media, or plug a decoder into the "
-                "mapInPandas stage"
-            )
+# All four real formats (PNG, JPEG, WAV, MP4) now decode via
+# ..sources.mediacodec; unsupported *features* inside each format
+# (progressive JPEG, palette PNG, compressed MP4 codecs, float WAV)
+# raise loudly from the codec itself — the quarantine contract.
 
 
 # ---- encoders (pure, deterministic; test/fixture side) --------------------
@@ -75,10 +67,11 @@ def encode_image(pixels: np.ndarray) -> bytes:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """IMG1 or PNG bytes -> (h, w, c) uint8; JPEG stays a loud stub."""
-    _reject_stub_formats(b)
+    """IMG1, PNG, or baseline JPEG bytes -> (h, w, c) uint8."""
     if b[:4] == b"\x89PNG":
         return read_png(b)
+    if b[:2] == b"\xff\xd8":
+        return read_jpeg(b)
     if b[:4] != IMG_MAGIC:
         raise ValueError("not an IMG1 payload")
     w, h, c = struct.unpack(">IIB", b[4:13])
@@ -92,7 +85,6 @@ def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
     """AUD1 or PCM16 WAV bytes -> (int64 samples, rate)."""
-    _reject_stub_formats(b)
     if b[:4] == b"RIFF":
         return read_wav(b)
     if b[:4] != AUD_MAGIC:
@@ -110,7 +102,6 @@ def encode_video(frames: np.ndarray) -> bytes:
 def decode_video(b: bytes) -> np.ndarray:
     """VID1 or ISO-BMFF (raw-sample) MP4 bytes -> (f, h, w) uint8 frames;
     compressed MP4 codecs stay a loud stub inside read_mp4."""
-    _reject_stub_formats(b)
     if len(b) >= 12 and b[4:8] == b"ftyp":
         frames, _fps = read_mp4(b)
         return frames
@@ -192,6 +183,41 @@ def audio_features(df: DataFrame, content_col: str = "content", id_col: str = "m
                     (mid, rate, len(s), len(s) / rate,
                      float(np.sqrt(np.mean(sf * sf))) if len(s) else 0.0, zc)
                 )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)
+
+
+def image_jpeg_roundtrip_check(
+    df: DataFrame,
+    quality: int = 100,
+    tol: int = 3,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode -> re-encode as baseline JPEG -> decode -> compare.
+
+    JPEG is lossy, so per-pixel stats are not SQL-replayable the way the
+    PNG/WAV/MP4 paths are; the oracle-able contract is the *bound*:
+    geometry survives exactly and every pixel lands within ``tol`` of
+    the source at the given quality (q=100 scales the Annex K tables to
+    all-ones, leaving only DCT/color-transform rounding).
+    """
+    import pandas as pd
+
+    schema = T.StructType.fromDDL(
+        f"{id_col} long, width int, height int, channels int, jpeg_ok boolean"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                px = decode_image(bytes(blob))
+                out = read_jpeg(make_jpeg(px, quality=quality))
+                h, w, c = px.shape
+                err = int(np.abs(out.astype(np.int64) - px.astype(np.int64)).max())
+                rows.append((mid, w, h, c, bool(out.shape == px.shape and err <= tol)))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(run, schema)

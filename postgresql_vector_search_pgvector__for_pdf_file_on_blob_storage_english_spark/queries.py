@@ -1471,7 +1471,8 @@ _register("pipeline_e2e_ingest_knn", _pipeline_e2e_knn, _DD_E2E_KNN)
 
 from .operators.multimodal import (  # noqa: E402
     A_AUD, A_PIX, B_AUD, B_PIX,
-    audio_features, image_features, image_resize, synth_media_df, video_frame_sample,
+    audio_features, image_features, image_jpeg_roundtrip_check, image_resize,
+    synth_media_df, video_frame_sample,
 )
 
 _DD_IMG_DIMS = """
@@ -1661,6 +1662,29 @@ def _mm_video_frames_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("mm_video_frame_sample_mp4", _mm_video_frames_mp4, _DD_MM_VIDEO)
+
+
+def _mm_image_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG encode->decode bound check over every synthetic
+    image.  JPEG is lossy, so the SQL-replayable contract is the bound,
+    not the pixels: geometry survives exactly and max |err| <= tol at
+    q=100 (all-ones quant tables leave only DCT/color rounding).  The
+    oracle asserts the dims and a literal TRUE — the row hash matches
+    iff the vendored codec (sources/mediacodec.py make_jpeg/read_jpeg)
+    honors the bound for every document."""
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="image")
+    return image_jpeg_roundtrip_check(media, quality=100, tol=3).select(
+        "media_id", "width", "height", "channels", "jpeg_ok"
+    )
+
+
+_DD_MM_JPEG = f"""
+WITH {_DD_IMG_DIMS}
+SELECT media_id, w AS width, h AS height, c AS channels, TRUE AS jpeg_ok
+FROM dims
+"""
+
+_register("mm_image_jpeg_roundtrip", _mm_image_jpeg_roundtrip, _DD_MM_JPEG)
 
 
 # ==========================================================================

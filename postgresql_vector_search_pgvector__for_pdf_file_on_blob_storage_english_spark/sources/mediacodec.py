@@ -187,6 +187,469 @@ def make_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (ITU T.81 baseline sequential, 4:4:4)
+# ---------------------------------------------------------------------------
+# Public-spec constants: zigzag scan order, Annex K quantization tables, and
+# Annex K "typical" Huffman tables (T.81 §K.1, §K.3).
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+_QT_CHR = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# (bits[1..16], values) per Annex K.
+_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HUFF_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# Orthonormal 8-point DCT-II basis: forward coeffs = C @ block @ C.T.
+_DCT_C = np.array([
+    [(np.sqrt(1 / 8) if k == 0 else 0.5) * np.cos((2 * n + 1) * k * np.pi / 16)
+     for n in range(8)]
+    for k in range(8)
+])
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling (public formula): 1..100 -> table."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+def _huff_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """(bits, values) -> {symbol: (code, length)} per T.81 §C.2 canonical codes."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[vi]] = (code, length)
+            code += 1
+            vi += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(bits, values) -> {(length, code): symbol}."""
+    return {(l, c): s for s, (c, l) in _huff_encode_table(bits, values).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 §B.1.1.5)
+                self.buf.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    bw: _BitWriter,
+    coefs: np.ndarray,
+    dc_pred: int,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+) -> int:
+    zz = coefs.reshape(-1)[_ZIGZAG].astype(np.int64)
+    diff = int(zz[0]) - dc_pred
+    s = _category(diff)
+    bw.write(*dc_tab[s])
+    if s:
+        bw.write(int(diff) if diff > 0 else int(diff) + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*ac_tab[0xF0])  # ZRL
+            run -= 16
+        s = _category(v)
+        bw.write(*ac_tab[(run << 4) | s])
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        bw.write(*ac_tab[0x00])  # EOB
+    return int(zz[0])
+
+
+def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad (h, w) to 8-multiples by edge replication, return (blocks, bh, bw)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(plane, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    H, W = padded.shape
+    blocks = padded.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    return blocks, H // 8, W // 8
+
+
+def make_jpeg(pixels: np.ndarray, quality: int = 95) -> bytes:
+    """(h, w) / (h, w, 1) greyscale or (h, w, 3) RGB uint8 -> baseline
+    JFIF bytes (SOF0, 4:4:4, Annex K tables scaled by ``quality``).
+    Deterministic: same pixels + quality -> same bytes."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("make_jpeg expects uint8 pixels")
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    if c not in (1, 3):
+        raise ValueError(f"unsupported channel count: {c}")
+    if not h or not w:
+        raise ValueError("empty image")
+
+    px = pixels.astype(np.float64)
+    if c == 3:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [px[:, :, 0]]
+
+    qts = [_scaled_qt(_QT_LUM, quality)] + ([_scaled_qt(_QT_CHR, quality)] if c == 3 else [])
+    dc_tabs = [_huff_encode_table(*_HUFF_DC_LUM)] + (
+        [_huff_encode_table(*_HUFF_DC_CHR)] if c == 3 else []
+    )
+    ac_tabs = [_huff_encode_table(*_HUFF_AC_LUM)] + (
+        [_huff_encode_table(*_HUFF_AC_CHR)] if c == 3 else []
+    )
+
+    # Quantized coefficient blocks per component (4:4:4 -> same grid).
+    comp_blocks = []
+    for ci, plane in enumerate(planes):
+        blocks, bh, bw_ = _plane_blocks(plane)
+        shifted = blocks - 128.0
+        coefs = np.einsum("kn,ijnm,lm->ijkl", _DCT_C, shifted, _DCT_C)
+        q = qts[min(ci, 1)]
+        comp_blocks.append(np.round(coefs / q).astype(np.int64))
+
+    bw2 = _BitWriter()
+    preds = [0] * c
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci in range(c):
+                ti = min(ci, 1)
+                preds[ci] = _encode_block(
+                    bw2, comp_blocks[ci][by, bx], preds[ci], dc_tabs[ti], ac_tabs[ti]
+                )
+    bw2.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, 2 + len(payload)) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    for ti, qt in enumerate(qts):
+        zz = qt.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        out += seg(0xFFDB, bytes([ti]) + zz)  # DQT, 8-bit precision
+    comp_spec = b"".join(
+        bytes([ci + 1, 0x11, min(ci, 1)]) for ci in range(c)  # id, 1x1 sampling, qt id
+    )
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, c) + comp_spec)  # SOF0
+    huff_defs = [(0x00, _HUFF_DC_LUM), (0x10, _HUFF_AC_LUM)]
+    if c == 3:
+        huff_defs += [(0x01, _HUFF_DC_CHR), (0x11, _HUFF_AC_CHR)]
+    for tc_th, (bits, values) in huff_defs:
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(values))  # DHT
+    scan_spec = b"".join(
+        bytes([ci + 1, (min(ci, 1) << 4) | min(ci, 1)]) for ci in range(c)
+    )
+    out += seg(0xFFDA, bytes([c]) + scan_spec + b"\x00\x3f\x00")  # SOS
+    out += bw2.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data; un-stuffs FF 00, stops at
+    markers, and handles RSTn restarts (T.81 §B.2.1, §E.2.4)."""
+
+    def __init__(self, b: bytes, pos: int) -> None:
+        self.b = b
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.restart_hit = False
+
+    def _fill(self) -> None:
+        while self._n < 24:
+            if self.pos >= len(self.b):
+                raise ValueError("JPEG: truncated entropy stream")
+            byte = self.b[self.pos]
+            if byte == 0xFF:
+                nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn inside _fill: defer to sync()
+                    return
+                else:  # a real marker (EOI etc.) ends the scan
+                    return
+            else:
+                self.pos += 1
+            self._acc = (self._acc << 8) | byte
+            self._n += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self._n < n:
+            raise ValueError("JPEG: truncated entropy stream")
+        v = (self._acc >> (self._n - n)) & ((1 << n) - 1)
+        self._n -= n
+        self._acc &= (1 << self._n) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def sync_restart(self) -> None:
+        """Skip to just past the next RSTn marker, dropping partial bits."""
+        self._acc = 0
+        self._n = 0
+        while self.pos + 1 < len(self.b):
+            if self.b[self.pos] == 0xFF and 0xD0 <= self.b[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("JPEG: expected restart marker")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def read_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, c) uint8 (c in {1, 3}).
+
+    Supports SOF0 8-bit 4:4:4 with restart intervals.  Progressive
+    (SOF2), arithmetic coding, 12-bit, and subsampled chroma raise
+    loudly — the quarantine contract."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    h = w = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
+    restart_interval = 0
+    scan_pos = None
+    scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        body = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq:
+                    raise NotImplementedError("JPEG: 16-bit quant tables not supported")
+                tbl = np.zeros(64)
+                tbl[_ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qts[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                values = list(body[i + 17 : i + 17 + n])
+                (ac_tables if tc else dc_tables)[th] = _huff_decode_table(bits, values)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise NotImplementedError(f"JPEG: {precision}-bit precision not supported")
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "JPEG: subsampled chroma not supported (4:4:4 only)"
+                    )
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: only baseline sequential (SOF0) supported, got SOF{marker - 0xC0}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for si in range(ns):
+                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(i for i, cmp_ in enumerate(comps) if cmp_[0] == cid)
+                scan_comps.append((idx, tabs >> 4, tabs & 0xF))
+            scan_pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+
+    if h is None or scan_pos is None:
+        raise ValueError("JPEG: missing SOF0/SOS")
+    nc = len(comps)
+
+    br = _BitReader(b, scan_pos)
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in range(nc)]
+    preds = [0] * nc
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.sync_restart()
+                preds = [0] * nc
+            for idx, dc_id, ac_id in scan_comps:
+                s = br.huff(dc_tables[dc_id])
+                diff = _extend(br.bits(s), s) if s else 0
+                preds[idx] += diff
+                zz = np.zeros(64)
+                zz[0] = preds[idx]
+                k = 1
+                while k < 64:
+                    sym = br.huff(ac_tables[ac_id])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG: AC coefficient index overflow")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                coefs = np.zeros(64)
+                coefs[_ZIGZAG] = zz
+                block = coefs.reshape(8, 8) * qts[comps[idx][2]]
+                pix = _DCT_C.T @ block @ _DCT_C + 128.0
+                planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+            mcu += 1
+
+    planes = [p[:h, :w] for p in planes]
+    if nc == 1:
+        out = planes[0][:, :, None]
+    elif nc == 3:
+        y, cb, cr = planes
+        out = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        )
+    else:
+        raise NotImplementedError(f"JPEG: {nc}-component images not supported")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # MP4 / ISO-BMFF
 # ---------------------------------------------------------------------------
 

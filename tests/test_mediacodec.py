@@ -13,9 +13,11 @@ import pytest
 
 from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.sources.mediacodec import (
     PNG_SIG,
+    make_jpeg,
     make_mp4,
     make_png,
     make_wav,
+    read_jpeg,
     read_mp4,
     read_png,
     read_wav,
@@ -179,6 +181,79 @@ class TestWav:
             read_wav(bytes(b))
 
 
+class TestJpeg:
+    @pytest.mark.parametrize("shape", [(8, 8, 3), (17, 23, 3), (3, 5, 3), (24, 24, 1)])
+    def test_roundtrip_q100_bound(self, shape):
+        px = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+        out = read_jpeg(make_jpeg(px, quality=100))
+        assert out.shape == px.shape
+        assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 3
+
+    def test_greyscale_near_lossless(self):
+        # single-component path has no color transform: q=100 error <= 1
+        px = (np.fromfunction(lambda y, x: x * 3 + y * 2, (24, 24)) % 256).astype(np.uint8)
+        out = read_jpeg(make_jpeg(px[:, :, None], quality=100))
+        assert int(np.abs(out[:, :, 0].astype(int) - px.astype(int)).max()) <= 1
+
+    def test_quality_monotone_size(self):
+        px = RNG.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        sizes = [len(make_jpeg(px, quality=q)) for q in (25, 75, 100)]
+        assert sizes == sorted(sizes)
+
+    def test_deterministic_bytes(self):
+        px = RNG.integers(0, 256, size=(9, 9, 3), dtype=np.uint8)
+        assert make_jpeg(px) == make_jpeg(px)
+
+    def test_restart_markers_decoded(self):
+        # splice a DRI segment and RST markers into a single-block-row image
+        # by re-encoding manually: simplest honest path — encode, then insert
+        # DRI=1 and RSTn between MCU byte boundaries is invasive; instead
+        # verify the decoder's restart logic on a stream built with two
+        # identical scans separated by RST0 after re-aligning.  Build a 2-MCU
+        # image, decode a hand-stitched variant with DRI=1 + RST0.
+        px = np.concatenate(
+            [np.full((8, 8, 1), 40, np.uint8), np.full((8, 8, 1), 200, np.uint8)], axis=1
+        )
+        base = make_jpeg(px, quality=100)
+        half = make_jpeg(px[:, :8], quality=100)
+        half2 = make_jpeg(px[:, 8:], quality=100)
+
+        def entropy(b):
+            i = b.index(b"\xff\xda")
+            (ln,) = struct.unpack(">H", b[i + 2 : i + 4])
+            return b[i + 2 + ln : -2]
+
+        i = base.index(b"\xff\xda")
+        dri = b"\xff\xdd\x00\x04\x00\x01"  # DRI, interval 1 MCU
+        stitched = (
+            base[:i] + dri + base[i : i + 2 + struct.unpack(">H", base[i + 2 : i + 4])[0]]
+            + entropy(half) + b"\xff\xd0" + entropy(half2) + b"\xff\xd9"
+        )
+        out = read_jpeg(stitched)
+        assert out.shape == (8, 16, 1)
+        assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 1
+
+    def test_progressive_rejected(self):
+        px = RNG.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        b = bytearray(make_jpeg(px))
+        i = bytes(b).index(b"\xff\xc0")
+        b[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError, match="SOF"):
+            read_jpeg(bytes(b))
+
+    def test_subsampling_rejected(self):
+        px = RNG.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        b = bytearray(make_jpeg(px))
+        i = bytes(b).index(b"\xff\xc0")
+        b[i + 11] = 0x22  # Y sampling factor -> 2x2 (4:2:0)
+        with pytest.raises(NotImplementedError, match="subsampl"):
+            read_jpeg(bytes(b))
+
+    def test_not_a_jpeg(self):
+        with pytest.raises(ValueError, match="SOI"):
+            read_jpeg(b"\x89PNG....")
+
+
 class TestMp4:
     @pytest.mark.parametrize("shape", [(1, 1, 1), (3, 7, 5), (8, 9, 13)])
     def test_roundtrip_shapes(self, shape):
@@ -294,10 +369,12 @@ class TestSparkRealContainerParity:
         mp4 = video_frame_sample(synth_media_df(docs, "video", container="real")).collect()
         assert sorted(map(tuple, raw)) == sorted(map(tuple, mp4))
 
-    def test_jpeg_still_stubbed(self):
+    def test_jpeg_decodes_through_decode_image(self):
         from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
             decode_image,
         )
 
-        with pytest.raises(NotImplementedError, match="jpeg"):
-            decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+        px = RNG.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        out = decode_image(make_jpeg(px, quality=100))
+        assert out.shape == px.shape
+        assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 3

@@ -41,12 +41,11 @@ class TestCodecs:
         out = decode_video(encode_video(frames))
         assert np.array_equal(out, frames)
 
-    def test_jpeg_is_stubbed(self):
-        # PNG, WAV, and raw-sample MP4 decode for real now
-        # (sources/mediacodec.py, gated tests in test_mediacodec.py);
-        # baseline JPEG remains a loud stub
-        with pytest.raises(NotImplementedError, match="stubbed"):
-            decode_image(b"\xff\xd8\xff\xe0data" + b"rest")
+    def test_unsupported_format_features_raise(self):
+        # All four real formats decode now; unsupported *features* inside
+        # each format still quarantine loudly from the codec itself.
+        with pytest.raises(ValueError):
+            decode_image(b"\xff\xd8\xff\xe0data" + b"rest")  # truncated JPEG
 
     def test_png_wav_mp4_decode_for_real(self):
         from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.sources.mediacodec import (
