@@ -30,11 +30,13 @@ from .knn import knn, knn_join, knn_join_numpy
 from .multimodal import (
     audio_features,
     image_features,
+    image_jpeg_roundtrip_check,
     image_resize,
     synth_media_df,
     video_frame_sample,
 )
 from .nsw import nsw_build, nsw_search
+from .retrieval import bm25_topk, rrf_fuse, with_rank
 from .serving import blob_url, build_prompt, llm_extract, sse_escape, sse_events
 from .skew import salted_agg, salted_broadcast_join
 from .pq import fixed_codebooks, ivfpq_encode, ivfpq_search, pq_encode, pq_search
@@ -59,7 +61,9 @@ __all__ = [
     "groupwise_zscore_native",
     "groupwise_zscore_pandas",
     "hyperplanes",
+    "bm25_topk",
     "image_features",
+    "image_jpeg_roundtrip_check",
     "image_resize",
     "ingest_pages",
     "fixed_codebooks",
@@ -86,6 +90,8 @@ __all__ = [
     "nsw_search",
     "read_status",
     "recall_sweep",
+    "rrf_fuse",
+    "with_rank",
     "pages_to_chunks",
     "pq_encode",
     "pq_search",

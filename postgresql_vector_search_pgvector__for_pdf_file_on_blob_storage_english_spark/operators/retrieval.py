@@ -1,0 +1,139 @@
+"""Full-text retrieval: BM25 scoring and reciprocal-rank fusion.
+
+The reference searches its corpus by vector similarity only
+(SSEOpenAIController.java:315-316 — `ORDER BY embedding <-> q LIMIT 5`);
+a user replacing it with this engine gets the standard lexical
+complement: Okapi BM25 over the chunk text, and hybrid retrieval that
+fuses the lexical and vector top-k lists with reciprocal-rank fusion
+(RRF, the score used by Elasticsearch/Vespa/pgvector hybrid examples:
+``sum over lists of 1 / (C + rank)``).
+
+Everything is native DataFrame algebra — no Python in the row path:
+
+* tokenization is the same whitespace convention the corpus-statistics
+  queries use (`normalize_whitespace` + split), so lexical stats stay
+  consistent engine-wide and SQL-replayable;
+* document length and term frequency are two partial-aggregated
+  shuffles keyed by (doc) and (doc, term) — both map-side combinable,
+  shuffle volume ∝ distinct keys, never the token stream;
+* per-term document frequencies (≤ |query| rows) and the 1-row corpus
+  stats (N, avgdl) are **broadcast**; the only non-broadcast join keys
+  on doc_id across two doc-sized relations.  At 100 TB the plan's big
+  shuffles are the two aggregations — there is no all-pairs or
+  driver-side loop anywhere.
+
+Scoring (Lucene's BM25 variant, public formula):
+
+    idf(t)  = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+    s(d, t) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    bm25(d) = sum over query terms of s(d, t)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_whitespace_col
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, text) -> one lowercased whitespace token per row."""
+    return (
+        docs.select(
+            id_col,
+            F.explode(
+                F.split(F.trim(normalize_whitespace_col(text_col)), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .withColumn("term", F.lower("term"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "bm25",
+) -> DataFrame:
+    """Top-k documents by BM25 against a bag of query terms.
+
+    Deterministic tiebreak: (score desc, id asc) — same contract as the
+    KNN top-k (SURVEY.md §4 item 2).
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    tokens = tokenize(docs, text_col=text_col, id_col=id_col)
+    doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = doc_len.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tokens.filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+
+    scored = (
+        tf.join(doc_len, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(dfreq), "term")
+        .select(id_col, term_score.alias("_s"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("_s").alias(score_col))
+        .orderBy(F.col(score_col).desc(), id_col)
+        .limit(k)
+    )
+
+
+def with_rank(df: DataFrame, order_cols: Sequence, rank_col: str = "rank") -> DataFrame:
+    """Attach a 1-based dense rank position by the given ordering.
+
+    Meant for already-truncated top-k lists (k rows): the single-partition
+    window is bounded by k, not by the corpus.
+    """
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+    rank_col: str = "rank",
+    score_col: str = "rrf",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists.
+
+    ``score(d) = sum over lists containing d of 1 / (c + rank_d)``; a
+    document present in only one list scores from that list alone
+    (full outer join).  Inputs are top-k lists, so both sides are tiny;
+    the join broadcasts under AQE.
+    """
+    sa = ranked_a.select(id_col, (1.0 / (c + F.col(rank_col))).alias("_sa"))
+    sb = ranked_b.select(id_col, (1.0 / (c + F.col(rank_col))).alias("_sb"))
+    fused = sa.join(sb, id_col, "full_outer").select(
+        id_col,
+        (
+            F.coalesce(F.col("_sa"), F.lit(0.0))
+            + F.coalesce(F.col("_sb"), F.lit(0.0))
+        ).alias(score_col),
+    )
+    return fused.orderBy(F.col(score_col).desc(), id_col).limit(k)

@@ -3501,3 +3501,126 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04
 GROUP BY o_orderpriority
 """,
 )
+
+
+# ==========================================================================
+# Full-text retrieval: BM25 and hybrid lexical+vector fusion.
+# The reference searches by vector only (SSEOpenAIController.java:315-316);
+# BM25 + RRF is the standard lexical complement a switching user expects.
+# ==========================================================================
+
+from .operators.retrieval import bm25_topk, rrf_fuse, with_rank  # noqa: E402
+
+_BM25_TERMS = ["spark", "vector", "join"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+# Tokenization twin of the Spark side: normalize whitespace, split, lower.
+_DD_TOKENS = f"""
+tokens AS (
+  SELECT doc_id, lower(w) AS term
+  FROM (SELECT doc_id, {_DD_NORMALIZE.format(col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+)
+"""
+
+_DD_BM25_SCORED = f"""
+WITH {_DD_TOKENS},
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_len),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN ({{terms}}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({_BM25_K1} + 1.0)
+           / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)) AS s
+  FROM tf
+  JOIN doc_len USING (doc_id)
+  CROSS JOIN corpus
+  JOIN dfreq USING (term)
+),
+bm25 AS (
+  SELECT doc_id, sum(s) AS bm25 FROM scored GROUP BY doc_id
+)
+"""
+
+_DD_TERMS_LIST = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+
+
+def _bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over `documents` for a fixed 3-term query —
+    all native expressions; df/corpus stats broadcast
+    (operators/retrieval.py)."""
+    out = bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+    return out.select("doc_id", F.round("bm25", 4).alias("bm25"))
+
+
+_register(
+    "bm25_topk_docs",
+    _bm25_topk_docs,
+    _DD_BM25_SCORED.format(terms=_DD_TERMS_LIST)
+    + """
+SELECT doc_id, round(bm25, 4) AS bm25 FROM bm25
+ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+)
+
+
+_HYBRID_POOL = 20  # per-list candidate depth before fusion
+_RRF_C = 60
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: exact-KNN top-20 (probe vec_id=0, L2) fused
+    with BM25 top-20 by reciprocal rank, top-10 out.  doc_id and vec_id
+    are the same key in the fixtures (TESTDATA.md: one embedding per
+    document)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    knn_out = knn(emb, q, k=_HYBRID_POOL, metric="l2", payload_cols=["vec_id"])
+    ranked_knn = with_rank(knn_out, [F.col("distance"), F.col("vec_id")]).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    bm25_out = bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=_HYBRID_POOL)
+    ranked_bm25 = with_rank(bm25_out, [F.col("bm25").desc(), F.col("doc_id")]).select(
+        "doc_id", "rank"
+    )
+    fused = rrf_fuse(ranked_knn, ranked_bm25, k=10, c=_RRF_C)
+    return fused.select("doc_id", F.round("rrf", 6).alias("rrf"))
+
+
+_register(
+    "hybrid_rrf_knn_bm25",
+    _hybrid_rrf,
+    _DD_BM25_SCORED.format(terms=_DD_TERMS_LIST)
+    + f""",
+knn_pool AS (
+  SELECT e.vec_id AS doc_id
+  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+  ORDER BY {_dd_l2("e.embedding", "q.qe")}, e.vec_id
+  LIMIT {_HYBRID_POOL}
+),
+knn_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY rn) AS rank
+  FROM (SELECT doc_id, row_number() OVER () AS rn FROM knn_pool)
+),
+bm25_pool AS (
+  SELECT doc_id, bm25 FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {_HYBRID_POOL}
+),
+bm25_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm25_pool
+),
+fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / ({_RRF_C} + a.rank), 0.0)
+           + coalesce(1.0 / ({_RRF_C} + b.rank), 0.0) AS rrf
+  FROM knn_ranked a FULL OUTER JOIN bm25_ranked b USING (doc_id)
+)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+)
