@@ -56,9 +56,12 @@ HEADLINE = [
 # run-to-run swing at ~2 s each; report the median of 3 runs so
 # round-over-round deltas reflect plan changes, not scheduler noise.
 REPEATS = {
+    "q2_knn_l2_top5": 3,  # r3: +36% swing as first-after-warmup (plan unchanged)
     "q2_knn_l2_topk_batch": 3,
     "q2_knn_l2_topk_batch_localtopk": 3,
     "q2_knn_l2_topk_batch_numpy": 3,
+    "dedup_minhash_lsh_candidates": 3,  # r3: ±11% drift, re-measure on medians
+    "pipeline_e2e_ingest_knn": 3,  # r3: +22% drift
 }
 
 

@@ -191,7 +191,7 @@ def audio_features(df: DataFrame, content_col: str = "content", id_col: str = "m
 def image_jpeg_roundtrip_check(
     df: DataFrame,
     quality: int = 100,
-    tol: int = 3,
+    tol: int = 5,
     content_col: str = "content",
     id_col: str = "media_id",
 ) -> DataFrame:
@@ -201,7 +201,11 @@ def image_jpeg_roundtrip_check(
     PNG/WAV/MP4 paths are; the oracle-able contract is the *bound*:
     geometry survives exactly and every pixel lands within ``tol`` of
     the source at the given quality (q=100 scales the Annex K tables to
-    all-ones, leaving only DCT/color-transform rounding).
+    all-ones, leaving only DCT/color-transform rounding).  The default
+    ``tol=5`` covers the analytic worst case: +-0.5 per-coefficient
+    quantization rounding propagated through the IDCT basis (~4) plus
+    RGB<->YCbCr rounding (~1); tol=3 was empirical for the LCG fixtures
+    and could flake if fixture geometry changes.
     """
     import pandas as pd
 

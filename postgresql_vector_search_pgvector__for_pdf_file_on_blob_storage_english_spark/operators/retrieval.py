@@ -102,12 +102,17 @@ def bm25_topk(
 
 
 def with_rank(df: DataFrame, order_cols: Sequence, rank_col: str = "rank") -> DataFrame:
-    """Attach a 1-based dense rank position by the given ordering.
+    """Attach a 1-based row-number position by the given ordering
+    (``row_number()``, not ``dense_rank()`` — ties get distinct ranks,
+    matching the SQL oracle's ``row_number() OVER (ORDER BY ...)``).
 
     Meant for already-truncated top-k lists (k rows): the single-partition
     window is bounded by k, not by the corpus.
     """
-    w = Window.orderBy(*order_cols)
+    # Constant partition key: same single-partition semantics (inputs are
+    # pre-truncated to k rows) without Spark's "No Partition Defined" warning
+    # flooding the 100-query gate logs.
+    w = Window.partitionBy(F.lit(1)).orderBy(*order_cols)
     return df.withColumn(rank_col, F.row_number().over(w))
 
 

@@ -132,3 +132,35 @@ class TestIvfIndexRegistryPlan:
         assert any("centroid_id" in f for f in partition_filters(df))
         assert has_take_ordered(df)
         assert count_exchanges(df) == 0
+
+
+class TestRetrievalPlans:
+    def test_rrf_rank_windows_sit_on_pretruncated_lists(self, spark):
+        # VERDICT r3 item 6: with_rank uses a constant-partition window,
+        # which is only safe because every fused input is already a k-row
+        # top-k list.  Gate that invariant in the plan: both rank windows
+        # must sit above a bounded (TakeOrderedAndProject / GlobalLimit)
+        # child, so no unbounded single-partition sort can sneak in.
+        import re
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        df = q(spark, "hybrid_rrf_knn_bm25")
+        plan = explain_str(df, "formatted")
+        n_windows = len(re.findall(r"\)\s+Window\b", plan))
+        n_bounded = len(re.findall(r"TakeOrderedAndProject|GlobalLimit", plan))
+        assert n_windows == 2, plan
+        assert n_bounded >= 2, plan
+
+    def test_bm25_aggs_are_partial_then_final(self, spark):
+        # Both BM25 aggregations (doc length, tf) must map-side combine —
+        # the property that keeps the shuffle ∝ distinct (doc, term), not
+        # token count, at 100 TB.
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        plan = explain_str(q(spark, "bm25_topk_docs"), "formatted")
+        assert "partial_" in plan  # HashAggregate(partial_count/partial_sum)
