@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_ivf_search",
     "ann_lsh_search",
     "pq_adc_search_top5",
+    "quant_sq8_knn_top5",
     "tpch_q3_shipping_priority",
     "tpch_q18_large_volume_customers",
     "sessionize_events_30m",

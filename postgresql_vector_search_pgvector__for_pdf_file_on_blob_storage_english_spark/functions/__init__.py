@@ -10,6 +10,7 @@ from .vector import (
     vector_norm,
 )
 from .hashing import stable_hash60, chunk_id
+from .pii import PII_PATTERNS, pii_counts, redact_col, redact_pii
 from .text import (
     normalize_whitespace_col,
     split_chunks,
@@ -28,6 +29,10 @@ __all__ = [
     "stable_hash60",
     "chunk_id",
     "normalize_whitespace_col",
+    "PII_PATTERNS",
+    "pii_counts",
+    "redact_col",
+    "redact_pii",
     "split_chunks",
     "split_chunks_pandas_udf",
     "split_chunks_udf",

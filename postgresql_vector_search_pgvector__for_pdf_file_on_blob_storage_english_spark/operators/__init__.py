@@ -36,6 +36,13 @@ from .multimodal import (
     video_frame_sample,
 )
 from .nsw import nsw_build, nsw_search
+from .quant import (
+    binary_encode,
+    hamming_knn,
+    matryoshka_knn,
+    sq8_encode,
+    sq8_knn,
+)
 from .retrieval import bm25_topk, rrf_fuse, with_rank
 from .serving import blob_url, build_prompt, llm_extract, sse_escape, sse_events
 from .skew import salted_agg, salted_broadcast_join
@@ -87,6 +94,11 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "nsw_build",
+    "binary_encode",
+    "hamming_knn",
+    "matryoshka_knn",
+    "sq8_encode",
+    "sq8_knn",
     "nsw_search",
     "read_status",
     "recall_sweep",

@@ -1,0 +1,232 @@
+"""Quantized vector search: int8 scalar quantization, binary (sign-bit)
+quantization with Hamming pre-filter, and Matryoshka prefix-dim search —
+the three standard "shrink the scan" scale paths for ANN over ~100 TB of
+embeddings, each with an exact rerank so answer quality is bounded.
+
+Reference parity: the reference's pgvector index (`SURVEY.md §2.3`, exact
+`<->` scan in SSEOpenAIController.java:315-316) stores float4 vectors and
+scans them in full.  At 100 TB the dominant cost is bytes scanned per
+candidate; these operators cut that 4x (int8), 32x (sign bits), or
+``dim/prefix_dim``x (Matryoshka) while keeping the final top-k exact over
+the surviving candidate pool.
+
+All three follow the same two-stage shape, entirely in native Spark
+expressions (no Python in the hot path):
+
+1. **Coarse stage** — a cheap per-row distance over the compressed form,
+   ``TakeOrderedAndProject`` down to ``k * oversample`` candidates
+   (partition-local heaps, zero exchange — the flagship-KNN property).
+2. **Rerank stage** — exact double-precision distance over the surviving
+   candidates only (a driver-sized list), final top-k.
+
+The registry queries derive codes on the fly from the float column so the
+DuckDB oracle can replay them; in a persisted deployment the encoded table
+is written once (like the persisted IVF index, ``ann.py::ivf_index_write``)
+and the coarse stage scans ONLY the code bytes — that is where the 4-32x
+byte saving materializes.  Determinism: every arithmetic step is DOUBLE
+with a fixed left-to-right fold and ``(distance, id)`` tiebreaks, so
+Spark and DuckDB agree bit-for-bit (SURVEY §7 float-determinism rule).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EPS = 1e-30  # zero-vector guard: scale floor, same literal in the oracles
+
+
+def sq8_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_col: str = "scale",
+    code_col: str = "code",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization.
+
+    ``scale = max(|x|)/127`` (floored at ``_EPS`` so zero vectors encode
+    to zeros instead of NaN); ``code_i = floor(x_i/scale + 0.5)`` —
+    round-half-up spelled as ``floor(+0.5)`` because Spark's ``round``
+    (HALF_UP) and DuckDB's (HALF_EVEN) disagree on ties, while ``floor``
+    is IEEE-identical in both.  Codes land in [-127, 127].
+    """
+    x = F.col(vec_col)
+    scale = (
+        F.greatest(
+            F.aggregate(
+                x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+            ),
+            F.lit(_EPS),
+        )
+        / F.lit(127.0)
+    )
+    out = df.withColumn(scale_col, scale)
+    code = F.transform(
+        x, lambda v: F.floor(v.cast("double") / F.col(scale_col) + F.lit(0.5))
+    )
+    return out.withColumn(code_col, code)
+
+
+def _approx_then_exact(
+    scored: DataFrame,
+    approx_col: str,
+    vec_col: str,
+    query_col: str,
+    id_col: str,
+    k: int,
+    oversample: int,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Shared two-stage tail: coarse top-(k*oversample) by the approx
+    distance, exact L2 rerank, final top-k.  Both stages are
+    ``ORDER BY ... LIMIT`` → TakeOrderedAndProject, zero exchanges."""
+    pool = scored.orderBy(F.col(approx_col).asc(), F.col(id_col).asc()).limit(
+        k * oversample
+    )
+    exact = pool.withColumn(
+        "distance",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col(query_col),
+                    lambda a, b: F.pow(a.cast("double") - b.cast("double"), F.lit(2.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
+    cols = [id_col, *payload_cols, "distance"]
+    return exact.orderBy(F.col("distance").asc(), F.col(id_col).asc()).limit(k).select(*cols)
+
+
+def sq8_knn(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Asymmetric int8 search (ADC-style): the corpus is int8-coded, the
+    query stays full precision; coarse distance is
+    ``sum((code_i*scale - q_i)^2)`` — one multiply per dim over bytes
+    instead of floats.  ``query_df`` must be a 1-row relation with a
+    ``query_vec`` column (crossJoin-broadcast, like ``knn.py``)."""
+    enc = sq8_encode(df, vec_col=vec_col)
+    scored = enc.crossJoin(F.broadcast(query_df)).withColumn(
+        "adist",
+        F.aggregate(
+            F.zip_with(
+                F.col("code"),
+                F.col("query_vec"),
+                lambda c, q: F.pow(
+                    c.cast("double") * F.col("scale") - q.cast("double"), F.lit(2.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return _approx_then_exact(
+        scored, "adist", vec_col, "query_vec", id_col, k, oversample, payload_cols
+    )
+
+
+def binary_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    words_col: str = "bwords",
+    word_bits: int = 16,
+) -> DataFrame:
+    """Sign-bit quantization packed into ``word_bits``-bit integer words
+    (16 by default: values < 65536 are overflow-safe in every engine's
+    int type, and DuckDB replays the packing with the identical
+    range/CASE expression).  dim must be a multiple of ``word_bits``."""
+    x = F.col(vec_col)
+    # 2^i via pow (exact for i < word_bits <= 62); F.shiftleft only takes a
+    # literal shift amount, not a lambda-bound Column.
+    word = lambda off: F.aggregate(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(0), F.lit(word_bits - 1)),
+            lambda i: F.when(
+                F.element_at(x, (off + i + F.lit(1)).cast("int")) >= 0,
+                F.pow(F.lit(2.0), i).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_words = (F.size(x) / F.lit(word_bits)).cast("int") - F.lit(1)
+    words = F.transform(F.sequence(F.lit(0), n_words), lambda j: word(j * word_bits))
+    return df.withColumn(words_col, words)
+
+
+def hamming_knn(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
+    word_bits: int = 16,
+) -> DataFrame:
+    """Binary-quantized search: both sides sign-bit-packed, coarse
+    distance is the Hamming distance ``sum(bit_count(xor(word pairs)))``
+    — 32x fewer bytes than float32 and XOR+popcount per word — then
+    exact L2 rerank of the candidate pool."""
+    enc = binary_encode(df, vec_col=vec_col, word_bits=word_bits)
+    qenc = binary_encode(
+        query_df, vec_col="query_vec", words_col="qwords", word_bits=word_bits
+    )
+    scored = enc.crossJoin(F.broadcast(qenc)).withColumn(
+        "hamming",
+        F.aggregate(
+            F.zip_with(
+                F.col("bwords"),
+                F.col("qwords"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double"),
+    )
+    return _approx_then_exact(
+        scored, "hamming", vec_col, "query_vec", id_col, k, oversample, payload_cols
+    )
+
+
+def matryoshka_knn(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    prefix_dim: int = 16,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Matryoshka (prefix-dimension) search: coarse L2 over the first
+    ``prefix_dim`` components only — for MRL-trained embeddings the
+    prefix is a valid low-rank view, so the coarse scan reads
+    ``prefix_dim/dim`` of the bytes — then exact full-dim rerank."""
+    scored = df.crossJoin(F.broadcast(query_df)).withColumn(
+        "pdist",
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col(vec_col), 1, prefix_dim),
+                F.slice(F.col("query_vec"), 1, prefix_dim),
+                lambda a, b: F.pow(a.cast("double") - b.cast("double"), F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return _approx_then_exact(
+        scored, "pdist", vec_col, "query_vec", id_col, k, oversample, payload_cols
+    )

@@ -3647,3 +3647,209 @@ SELECT doc_id, round(rrf, 6) AS rrf FROM fused
 ORDER BY rrf DESC, doc_id LIMIT 10
 """,
 )
+
+
+# ==========================================================================
+# Quantized vector search (round 4) — int8 scalar quantization, binary
+# sign-bit + Hamming, Matryoshka prefix-dim; each coarse-then-exact-rerank.
+# The 100 TB rationale (bytes scanned per candidate: 4x / 32x / dim-ratio
+# smaller) is documented in operators/quant.py.  Reference parity: same
+# result contract as the pgvector exact scan (SSEOpenAIController.java:
+# 315-316) — these are the scale paths a pgvector user upgrades to.
+# ==========================================================================
+
+from .operators.quant import hamming_knn, matryoshka_knn, sq8_knn  # noqa: E402
+
+_SQ8_POOL = 50  # k * oversample
+
+
+def _quant_query(spark: SparkSession, sf_dir: str, probe_id: int) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("query_vec")
+    )
+
+
+def _sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sq8_knn(emb, _quant_query(spark, sf_dir, 5), k=5, oversample=10,
+                  payload_cols=["label"])
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+# DuckDB twin of sq8_encode + the asymmetric coarse distance.  floor(+0.5)
+# instead of round(): Spark rounds HALF_UP, DuckDB HALF_EVEN — floor is
+# IEEE-identical in both (operators/quant.py docstring).
+_DD_SQ8 = dd_sql(
+    """
+WITH codes AS (
+  SELECT vec_id, label, embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS scale,
+         list_transform(embedding,
+           x -> floor(x::DOUBLE / (greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE))), 1e-30) / 127.0) + 0.5)) AS code
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 5),
+pool AS (
+  SELECT c.vec_id, c.label, c.embedding, q.qe,
+         list_sum(list_transform(range(1, len(code)+1),
+           i -> (code[i] * scale - qe[i]::DOUBLE) ^ 2)) AS adist
+  FROM codes c, q
+  ORDER BY adist, c.vec_id
+  LIMIT {pool}
+)
+SELECT vec_id, label, round({dist}, 4) AS distance
+FROM pool ORDER BY {dist}, vec_id LIMIT 5
+""",
+    pool=_SQ8_POOL,
+    dist=_dd_l2("pool.embedding", "pool.qe"),
+)
+
+_register("quant_sq8_knn_top5", _sq8_search, _DD_SQ8)
+
+
+def _hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hamming_knn(emb, _quant_query(spark, sf_dir, 6), k=5, oversample=10,
+                      payload_cols=["label"])
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+# Sign-bit packing twin: 16-bit words (4 words for dim 64 — overflow-safe
+# in every engine int type), Hamming = sum(bit_count(xor(word pairs))).
+_DD_BPACK = (
+    "list_transform(range(0, 4), j -> "
+    "list_sum(list_transform(range(1, 17), "
+    "i -> CASE WHEN {v}[j*16 + i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)))"
+)
+
+_DD_HAMMING = dd_sql(
+    """
+WITH enc AS (
+  SELECT vec_id, label, embedding, {pack_e} AS bwords FROM embeddings
+),
+q AS (
+  SELECT embedding AS qe, {pack_q} AS qwords
+  FROM embeddings WHERE vec_id = 6
+),
+pool AS (
+  SELECT e.vec_id, e.label, e.embedding, q.qe,
+         list_sum(list_transform(range(1, 5),
+           w -> bit_count(xor(e.bwords[w], q.qwords[w])))) AS hamming
+  FROM enc e, q
+  ORDER BY hamming, e.vec_id
+  LIMIT {pool}
+)
+SELECT vec_id, label, round({dist}, 4) AS distance
+FROM pool ORDER BY {dist}, vec_id LIMIT 5
+""",
+    pack_e=dd_sql(_DD_BPACK, v="embedding"),
+    pack_q=dd_sql(_DD_BPACK, v="embedding"),
+    pool=_SQ8_POOL,
+    dist=_dd_l2("pool.embedding", "pool.qe"),
+)
+
+_register("quant_hamming_knn_top5", _hamming_search, _DD_HAMMING)
+
+
+_MRL_PREFIX = 16
+
+
+def _matryoshka_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = matryoshka_knn(emb, _quant_query(spark, sf_dir, 7), k=5,
+                         prefix_dim=_MRL_PREFIX, oversample=10,
+                         payload_cols=["label"])
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+_DD_MATRYOSHKA = dd_sql(
+    """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+pool AS (
+  SELECT e.vec_id, e.label, e.embedding, q.qe,
+         list_sum(list_transform(range(1, {prefix}+1),
+           i -> (e.embedding[i]::DOUBLE - q.qe[i]::DOUBLE) ^ 2)) AS pdist
+  FROM embeddings e, q
+  ORDER BY pdist, e.vec_id
+  LIMIT {pool}
+)
+SELECT vec_id, label, round({dist}, 4) AS distance
+FROM pool ORDER BY {dist}, vec_id LIMIT 5
+""",
+    prefix=_MRL_PREFIX,
+    pool=_SQ8_POOL,
+    dist=_dd_l2("pool.embedding", "pool.qe"),
+)
+
+_register("quant_matryoshka_knn_top5", _matryoshka_search, _DD_MATRYOSHKA)
+
+
+# ==========================================================================
+# PII redaction (round 4) — training-data scrubbing stage; the fixtures
+# carry no PII, so the query weaves deterministic synthetic PII (email,
+# phone, IPv4 keyed on doc_id) into every third document IDENTICALLY on
+# both sides, then redacts and counts.  functions/pii.py documents the
+# Java-regex/RE2 portable-pattern constraint.
+# ==========================================================================
+
+from .functions.pii import PII_PATTERNS, redact_pii  # noqa: E402
+
+
+def _pii_weave(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    woven = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com or +1-555-"),
+        F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."), (did % 256).cast("string"), F.lit("."),
+        ((did * 7) % 256).cast("string"),
+    )
+    return docs.withColumn(
+        "text", F.when(did % 3 == 0, woven).otherwise(F.col("text"))
+    )
+
+
+def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _pii_weave(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5(F.col("redacted")).alias("red_md5"),
+        F.length("redacted").alias("red_len"),
+    )
+
+
+_DD_PII = dd_sql(
+    """
+WITH woven AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || doc_id || '@example.com or +1-555-'
+                || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                || ' at 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{email}')) AS n_emails,
+       len(regexp_extract_all(text, '{phone}')) AS n_phones,
+       len(regexp_extract_all(text, '{ipv4}')) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{email}', '<EMAIL>', 'g'),
+           '{phone}', '<PHONE>', 'g'),
+           '{ipv4}', '<IP>', 'g')) AS red_md5,
+       length(regexp_replace(regexp_replace(regexp_replace(text,
+           '{email}', '<EMAIL>', 'g'),
+           '{phone}', '<PHONE>', 'g'),
+           '{ipv4}', '<IP>', 'g')) AS red_len
+FROM woven
+""",
+    email=PII_PATTERNS["email"][0],
+    phone=PII_PATTERNS["phone"][0],
+    ipv4=PII_PATTERNS["ipv4"][0],
+)
+
+_register("text_pii_redaction", _pii_redaction, _DD_PII)

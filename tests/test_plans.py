@@ -164,3 +164,24 @@ class TestRetrievalPlans:
 
         plan = explain_str(q(spark, "bm25_topk_docs"), "formatted")
         assert "partial_" in plan  # HashAggregate(partial_count/partial_sum)
+
+
+class TestQuantPlans:
+    def test_quant_paths_zero_exchange(self, spark):
+        # All three quantized searches keep the flagship-KNN property:
+        # coarse top-N and exact rerank are both TakeOrderedAndProject
+        # over a broadcast-joined scan — the corpus is never exchanged.
+        for name in (
+            "quant_sq8_knn_top5",
+            "quant_hamming_knn_top5",
+            "quant_matryoshka_knn_top5",
+        ):
+            df = q(spark, name)
+            assert count_exchanges(df) == 0, name
+            assert has_take_ordered(df), name
+
+    def test_pii_redaction_is_pure_map(self, spark):
+        # scrubbing must stay a zero-shuffle codegen map stage
+        df = q(spark, "text_pii_redaction")
+        assert count_exchanges(df) == 0
+        assert wholestage_codegen_spans(df) >= 1

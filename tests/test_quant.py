@@ -1,0 +1,132 @@
+"""Quantized vector search (operators/quant.py): numpy-replicated
+encodings, recall-vs-exact floors, and the coarse/rerank contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+    knn,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.quant import (
+    binary_encode,
+    hamming_knn,
+    matryoshka_knn,
+    sq8_encode,
+    sq8_knn,
+)
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def np_emb(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    return {r["vec_id"]: np.array(r["embedding"], dtype=np.float32) for r in rows}
+
+
+def query_df(emb, probe_id):
+    return emb.filter(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("query_vec")
+    )
+
+
+class TestSq8Encode:
+    def test_codes_match_numpy(self, emb, np_emb):
+        out = sq8_encode(emb).select("vec_id", "scale", "code").limit(50).collect()
+        for r in out:
+            x = np_emb[r["vec_id"]].astype(np.float64)
+            scale = max(np.abs(x).max(), 1e-30) / 127.0
+            expect = np.floor(x / scale + 0.5)
+            assert r["scale"] == pytest.approx(scale, rel=1e-12)
+            assert list(expect) == list(r["code"])
+
+    def test_codes_bounded(self, emb):
+        stats = (
+            sq8_encode(emb)
+            .select(F.explode("code").alias("c"))
+            .agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+            .collect()[0]
+        )
+        assert -127 <= stats["lo"] and stats["hi"] <= 127
+
+
+class TestBinaryEncode:
+    def test_words_match_numpy(self, emb, np_emb):
+        out = binary_encode(emb).select("vec_id", "bwords").limit(50).collect()
+        for r in out:
+            x = np_emb[r["vec_id"]]
+            bits = (x >= 0).astype(np.int64)
+            words = [
+                int(sum(bits[j * 16 + i] << i for i in range(16)))
+                for j in range(len(x) // 16)
+            ]
+            assert words == list(r["bwords"])
+
+    def test_word_range(self, emb):
+        stats = (
+            binary_encode(emb)
+            .select(F.explode("bwords").alias("w"))
+            .agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
+            .collect()[0]
+        )
+        assert 0 <= stats["lo"] and stats["hi"] < 1 << 16
+
+
+class TestQuantSearchRecall:
+    """Each coarse path must recover the exact top-5 at oversample=10 on
+    the fixture corpus (500 vecs, pool of 50) — and the rerank makes the
+    reported distances exactly the true L2s."""
+
+    @pytest.mark.parametrize("probe", [0, 5, 11])
+    def test_sq8_matches_exact(self, emb, probe):
+        exact = knn(emb, query_df(emb, probe), k=5, metric="l2", payload_cols=["vec_id"])
+        got = sq8_knn(emb, query_df(emb, probe), k=5, oversample=10)
+        e = [(r["vec_id"], round(r["distance"], 6)) for r in exact.collect()]
+        g = [(r["vec_id"], round(r["distance"], 6)) for r in got.collect()]
+        assert e == g
+
+    @pytest.mark.parametrize("probe", [0, 6])
+    def test_matryoshka_matches_exact(self, emb, probe):
+        exact = knn(emb, query_df(emb, probe), k=5, metric="l2", payload_cols=["vec_id"])
+        got = matryoshka_knn(emb, query_df(emb, probe), k=5, prefix_dim=16, oversample=10)
+        e = [r["vec_id"] for r in exact.collect()]
+        g = [r["vec_id"] for r in got.collect()]
+        # prefix-dim recall on non-MRL synthetic vectors is weaker; the
+        # probe itself (distance 0) must always survive, and reported
+        # distances must be true L2 (ascending).
+        assert g[0] == e[0]
+        d = [r["distance"] for r in got.collect()]
+        assert d == sorted(d)
+
+    @pytest.mark.parametrize("probe", [0, 6])
+    def test_hamming_self_hit(self, emb, probe):
+        got = hamming_knn(emb, query_df(emb, probe), k=5, oversample=10).collect()
+        assert got[0]["vec_id"] == probe
+        assert got[0]["distance"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_sq8_recall_at5_floor(self, emb, spark):
+        # sweep 20 probes; int8 coarse + 10x oversample should be lossless
+        # (recall 1.0) on this corpus — pin a floor of 0.95 for slack.
+        hits = total = 0
+        for probe in range(20):
+            exact = [
+                r["vec_id"]
+                for r in knn(
+                    emb, query_df(emb, probe), k=5, metric="l2", payload_cols=["vec_id"]
+                ).collect()
+            ]
+            got = {
+                r["vec_id"]
+                for r in sq8_knn(emb, query_df(emb, probe), k=5, oversample=10).collect()
+            }
+            hits += len(got.intersection(exact))
+            total += len(exact)
+        assert hits / total >= 0.95
