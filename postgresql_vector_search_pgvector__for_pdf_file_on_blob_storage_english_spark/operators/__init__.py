@@ -41,6 +41,8 @@ from .quant import (
     hamming_knn,
     matryoshka_knn,
     sq8_encode,
+    sq8_index_search,
+    sq8_index_write,
     sq8_knn,
 )
 from .retrieval import bm25_topk, rrf_fuse, with_rank
@@ -98,6 +100,8 @@ __all__ = [
     "hamming_knn",
     "matryoshka_knn",
     "sq8_encode",
+    "sq8_index_search",
+    "sq8_index_write",
     "sq8_knn",
     "nsw_search",
     "read_status",

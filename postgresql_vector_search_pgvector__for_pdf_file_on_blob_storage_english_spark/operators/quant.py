@@ -230,3 +230,92 @@ def matryoshka_knn(
     return _approx_then_exact(
         scored, "pdist", vec_col, "query_vec", id_col, k, oversample, payload_cols
     )
+
+
+def sq8_index_write(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
+) -> None:
+    """Encode once and persist ONLY ``(id, payload, scale, code)`` — the
+    table the coarse stage scans.  The float corpus is NOT duplicated
+    here: at 100 TB the codes table is ~4x smaller than the corpus (int8
+    vs float32 per dim), and a coarse pass touches it alone.  Mirrors
+    the persisted-IVF layout contract (``ann.py::ivf_index_write``)."""
+    enc = sq8_encode(df, vec_col=vec_col)
+    cols = [id_col, *payload_cols, "scale", "code"]
+    enc.select(*cols).write.mode("overwrite").parquet(path)
+
+
+def sq8_index_search(
+    spark,
+    path: str,
+    corpus_df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Two-scan search over a persisted SQ8 index.
+
+    1. Coarse: scan the codes table only (no float vectors in it at
+       all), asymmetric distance against the literal query, TakeOrdered
+       down to ``k * oversample`` ids.  This is the 4x-cheaper scan.
+    2. Rerank: re-read ONLY the candidate rows from the full corpus via
+       a literal ``isin`` — parquet row-group min/max stats prune
+       non-matching groups, so the corpus re-read is candidate-bounded,
+       not a second full scan.  Exact double L2, final top-k.
+
+    The mid-plan ``collect()`` is bounded at ``k * oversample`` rows
+    (50 by default) — the same documented driver-sized materialization
+    the IVF probe uses (``ann.py::ivf_index_search``).
+    """
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+    codes = spark.read.parquet(path).withColumn("qv", qarr)
+    scored = codes.withColumn(
+        "adist",
+        F.aggregate(
+            F.zip_with(
+                F.col("code"),
+                F.col("qv"),
+                lambda c, q: F.pow(c.cast("double") * F.col("scale") - q, F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    pool = (
+        scored.orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k * oversample)
+        .select(id_col)
+        .collect()
+    )
+    cand_ids = [r[id_col] for r in pool]
+    exact = (
+        corpus_df.filter(F.col(id_col).isin(cand_ids))
+        .withColumn("qv", qarr)
+        .withColumn(
+            "distance",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.col("qv"),
+                        lambda a, b: F.pow(a.cast("double") - b, F.lit(2.0)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+        )
+    )
+    cols = [id_col, *payload_cols, "distance"]
+    return (
+        exact.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(*cols)
+    )

@@ -3853,3 +3853,29 @@ FROM woven
 )
 
 _register("text_pii_redaction", _pii_redaction, _DD_PII)
+
+
+def _sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same probe/contract as ``quant_sq8_knn_top5`` but through the
+    *persisted* codes table: coarse stage scans only (id, label, scale,
+    code) — the 4x-smaller artifact — and the exact rerank re-reads just
+    the candidate rows from the corpus via a pushed ``isin`` filter
+    (operators/quant.py::sq8_index_search).  Same oracle by construction."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.quant import sq8_index_search, sq8_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_sq8_index_{tag}")
+    sq8_index_write(emb, path, payload_cols=["label"])
+    q = list(emb.filter(F.col("vec_id") == 5).first()["embedding"])
+    out = sq8_index_search(
+        spark, path, emb, q, k=5, oversample=10, payload_cols=["label"]
+    )
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+_register("quant_sq8_index_search", _sq8_index_search, _DD_SQ8)

@@ -130,3 +130,53 @@ class TestQuantSearchRecall:
             hits += len(got.intersection(exact))
             total += len(exact)
         assert hits / total >= 0.95
+
+
+class TestSq8Index:
+    @pytest.fixture(scope="class")
+    def index_path(self, emb, tmp_path_factory):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.quant import (
+            sq8_index_write,
+        )
+
+        path = str(tmp_path_factory.mktemp("sq8") / "codes")
+        sq8_index_write(emb, path, payload_cols=["label"])
+        return path
+
+    def test_artifact_holds_codes_not_floats(self, spark, index_path):
+        # the persisted table is the 4x-smaller scan target: codes+scale
+        # only, no float embedding column anywhere in it.
+        codes = spark.read.parquet(index_path)
+        assert set(codes.columns) == {"vec_id", "label", "scale", "code"}
+
+    def test_matches_inline_path(self, spark, emb, index_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.quant import (
+            sq8_index_search,
+        )
+
+        q = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+        got = sq8_index_search(spark, index_path, emb, q, k=5, oversample=10,
+                               payload_cols=["label"]).collect()
+        inline = sq8_knn(
+            emb,
+            emb.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("query_vec")),
+            k=5, oversample=10, payload_cols=["label"],
+        ).collect()
+        assert [(r["vec_id"], round(r["distance"], 9)) for r in got] == [
+            (r["vec_id"], round(r["distance"], 9)) for r in inline
+        ]
+
+    def test_rerank_filter_is_pushed(self, spark, emb, index_path):
+        # candidate re-read must reach the corpus scan as a pushed In
+        # filter (row-group pruning at scale), not a post-scan Filter only.
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.quant import (
+            sq8_index_search,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            pushed_filters,
+        )
+
+        corpus = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
+        out = sq8_index_search(spark, index_path, corpus, q, k=5, oversample=10)
+        assert any("In(vec_id" in f for f in pushed_filters(out))
