@@ -59,3 +59,36 @@ def test_query_matches_oracle(spark, ddb, name):
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
     assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} != {len(d_rows)}"
     assert _canon(s_rows, s_cols) == _canon(d_rows, d_cols), f"{name}: values differ"
+
+
+class TestDdSql:
+    """dd_sql is the brace-safety fix for the r3 import crash: .format()
+    re-parses every brace; dd_sql only touches named markers."""
+
+    def test_substitutes_markers(self):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            dd_sql,
+        )
+
+        assert dd_sql("SELECT {a} FROM {b}", a="x", b="t") == "SELECT x FROM t"
+
+    def test_regex_braces_survive_composition(self):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            dd_sql,
+        )
+
+        # the exact r3 crash shape: composed SQL containing \s{2,} goes
+        # through a SECOND substitution pass unharmed.
+        inner = dd_sql("regexp_replace({col}, '\\s{2,}', ' ')", col="text")
+        outer = dd_sql("WITH t AS (SELECT {expr}) SELECT {k}", expr=inner, k="1")
+        assert "\\s{2,}" in outer and "{col}" not in outer
+
+    def test_missing_marker_raises(self):
+        import pytest
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            dd_sql,
+        )
+
+        with pytest.raises(KeyError):
+            dd_sql("SELECT 1", nope="x")

@@ -47,6 +47,12 @@ SECTIONS = [
      "inverted lists are eliminated at planning time with zero I/O — the scan's partition "
      "count IS nprobe, independent of corpus size. Inside the probed lists the top-k "
      "keeps the flagship TakeOrderedAndProject shape: no shuffle, k rows to the driver."),
+    ("quant_sq8_knn_top5", "Int8-quantized KNN (coarse + exact rerank)",
+     "Two nested TakeOrderedAndProject stages, zero exchanges: the coarse stage scores "
+     "the int8 codes (asymmetric ADC distance) and keeps k*oversample rows via "
+     "partition-local heaps; the rerank computes exact double L2 over those survivors "
+     "only. With persisted codes (quant_sq8_index_search) the coarse scan reads a ~4x "
+     "smaller table and the rerank re-reads candidates through a pushed In filter."),
 ]
 
 
