@@ -12,6 +12,7 @@ from .ann import (
     recall_sweep,
 )
 from .cluster import connected_components, duplicate_clusters
+from .decontam import benchmark_grams, contamination_flags
 from .dedup import (
     embedding_neardup_pairs,
     exact_dedup,
@@ -96,7 +97,9 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "nsw_build",
+    "benchmark_grams",
     "binary_encode",
+    "contamination_flags",
     "hamming_knn",
     "matryoshka_knn",
     "sq8_encode",

@@ -3879,3 +3879,57 @@ def _sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("quant_sq8_index_search", _sq8_index_search, _DD_SQ8)
+
+
+# ==========================================================================
+# Benchmark decontamination (round 4) — n-gram leakage guard between a
+# train corpus and a benchmark set (operators/decontam.py).  Benchmark =
+# every 50th doc; the fixture's planted duplicate documents make the
+# expected contamination hits nonzero and deterministic.
+# ==========================================================================
+
+from .functions.hashing import stable_hash60_sql  # noqa: E402
+from .operators.decontam import contamination_flags  # noqa: E402
+
+_DECONTAM_N = 8
+
+
+def _decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_flags(train, bench, n=_DECONTAM_N).orderBy("doc_id")
+
+
+_DD_DECONTAM = dd_sql(
+    """
+WITH w AS (
+  SELECT doc_id, trim(norm) AS norm_text, string_split(trim(norm), ' ') AS words
+  FROM (SELECT doc_id, {norm} AS norm FROM documents)
+),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM w),
+bench AS (
+  SELECT DISTINCT {h} AS gram_h
+  FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0)
+),
+train_grams AS (
+  SELECT doc_id, {h} AS gram_h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 != 0)
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM train_grams JOIN bench USING (gram_h) GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.shingles) AS n_grams,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM sh t LEFT JOIN hits h USING (doc_id)
+WHERE t.doc_id % 50 != 0
+ORDER BY t.doc_id
+""",
+    norm=dd_sql(_DD_NORMALIZE, col="text"),
+    shingles=_dd_shingles("norm_text", _DECONTAM_N, words="words"),
+    h=stable_hash60_sql("s"),
+)
+
+_register("decontam_ngram_overlap", _decontam_flags, _DD_DECONTAM)
