@@ -24,7 +24,13 @@ from .dedup import (
     simhash_neardup_pairs,
     simhash_packed,
 )
-from .groupwise import groupwise_zscore_native, groupwise_zscore_pandas
+from .groupwise import (
+    groupwise_zscore_native,
+    groupwise_zscore_pandas,
+    hash_sample,
+    mixture_sample,
+    train_test_split_hash,
+)
 from .ingest import embed_chunks, ingest_pages, pages_to_chunks, validate_corpus, write_corpus
 from .kmeans import kmeans_fit
 from .knn import knn, knn_join, knn_join_numpy

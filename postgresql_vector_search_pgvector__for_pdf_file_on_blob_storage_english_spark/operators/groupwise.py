@@ -83,3 +83,37 @@ def train_test_split_hash(
         16, 10,
     ).cast("long") % 100
     return df.withColumn("split", F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train")))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic per-source subsampling to a target mixture — the
+    training-data "data mixture" stage (e.g. keep 100% of wiki, 30% of
+    web, 5% of logs).
+
+    Same stable-hash bucket contract as :func:`hash_sample` but in
+    basis points (``% 10000``) for sub-percent rates, with the
+    threshold selected per row by ``source_col``.  Pure codegen filter:
+    zero shuffle, membership independent of partitioning/append order,
+    and every worker/retry/audit selects the identical subset.  Rates
+    are fractions in [0, 1]; sources absent from ``rates`` get
+    ``default_rate``.
+    """
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("§", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long") % 10000
+    threshold = F.lit(int(round(default_rate * 10000)))
+    for src, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(source_col) == src, F.lit(int(round(rate * 10000)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

@@ -3933,3 +3933,40 @@ ORDER BY t.doc_id
 )
 
 _register("decontam_ngram_overlap", _decontam_flags, _DD_DECONTAM)
+
+
+# ==========================================================================
+# Mixture sampling (round 4) — per-source deterministic subsampling to a
+# target training mixture (operators/groupwise.py::mixture_sample).
+# ==========================================================================
+
+from .operators.groupwise import mixture_sample  # noqa: E402
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.055}
+_MIX_DEFAULT = 0.10
+
+
+def _mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs, _MIX_RATES, default_rate=_MIX_DEFAULT)
+    return out.select("doc_id", "source")
+
+
+_DD_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(round(r * 10000))}"
+    for s, r in sorted(_MIX_RATES.items())
+)
+
+_register(
+    "mixture_sample_docs",
+    _mixture_sample_docs,
+    dd_sql(
+        """
+SELECT doc_id, source FROM documents
+WHERE (('0x' || substr(md5('mixture' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
+      < (CASE source {cases} ELSE {dflt} END)
+""",
+        cases=_DD_MIX_CASE,
+        dflt=int(round(_MIX_DEFAULT * 10000)),
+    ),
+)

@@ -1,0 +1,54 @@
+"""Mixture sampling (operators/groupwise.py::mixture_sample): target
+rates, determinism under repartition, threshold-subset nesting."""
+
+from __future__ import annotations
+
+
+class TestMixtureSample:
+    def test_rates_and_determinism(self, spark):
+        import pyspark.sql.functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            mixture_sample,
+        )
+
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+        )
+        rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+        out = mixture_sample(df, rates, default_rate=0.25)
+        by_src = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_src.get("s0") == 1000          # keep-all is exact
+        assert "s2" not in by_src                # rate 0 drops everything
+        assert 400 <= by_src.get("s1", 0) <= 600  # ~50% of 1000
+        assert 150 <= by_src.get("s3", 0) <= 350  # default ~25%
+
+        # determinism: re-evaluation and repartition select identical ids
+        ids_a = sorted(r["doc_id"] for r in out.collect())
+        ids_b = sorted(
+            r["doc_id"]
+            for r in mixture_sample(df.repartition(13), rates, default_rate=0.25).collect()
+        )
+        assert ids_a == ids_b
+
+    def test_subset_nesting(self, spark):
+        # lowering a source's rate must select a SUBSET of the higher
+        # rate's rows (threshold semantics on one stable bucket) — the
+        # property that makes mixtures monotonically tunable.
+        import pyspark.sql.functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            mixture_sample,
+        )
+
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("doc_id"), F.lit("web").alias("source")
+        )
+        lo = {r["doc_id"] for r in mixture_sample(df, {"web": 0.2}).collect()}
+        hi = {r["doc_id"] for r in mixture_sample(df, {"web": 0.6}).collect()}
+        assert lo <= hi
+        assert len(lo) < len(hi)
