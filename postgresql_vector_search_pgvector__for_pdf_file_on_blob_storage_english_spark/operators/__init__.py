@@ -46,6 +46,8 @@ from .nsw import nsw_build, nsw_search
 from .quant import (
     binary_encode,
     hamming_knn,
+    ivf_sq8_index_search,
+    ivf_sq8_index_write,
     matryoshka_knn,
     sq8_encode,
     sq8_index_search,
@@ -107,6 +109,8 @@ __all__ = [
     "binary_encode",
     "contamination_flags",
     "hamming_knn",
+    "ivf_sq8_index_search",
+    "ivf_sq8_index_write",
     "matryoshka_knn",
     "sq8_encode",
     "sq8_index_search",

@@ -319,3 +319,121 @@ def sq8_index_search(
         .limit(k)
         .select(*cols)
     )
+
+
+def ivf_sq8_index_write(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
+    centroid_id_col: str = "centroid_id",
+) -> None:
+    """IVFADC-style combined index: assign each vector to its nearest
+    centroid (``ann.py::assign_ivf``), int8-encode it, and persist ONLY
+    ``(id, payload, scale, code)`` partitioned by centroid.
+
+    The two 100 TB levers compose: a probe opens ``nprobe`` directories
+    (static PartitionFilters prune — unprobed lists cost zero I/O) and
+    inside them scans int8 codes, not floats — ~4x fewer bytes per
+    probed candidate.  Centroids stay fixed (standard IVF contract);
+    append-maintenance works exactly as ``ivf_index_append``.
+    """
+    from .ann import assign_ivf
+
+    assigned = assign_ivf(
+        corpus, centroids, vec_col=vec_col, id_col=id_col,
+        centroid_id_col=centroid_id_col,
+    )
+    enc = sq8_encode(assigned, vec_col=vec_col)
+    cols = [id_col, *payload_cols, "scale", "code", centroid_id_col]
+    enc.select(*cols).write.mode("overwrite").partitionBy(centroid_id_col).parquet(path)
+
+
+def ivf_sq8_index_search(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    corpus_df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    nprobe: int = 1,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols: Sequence[str] = (),
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Probe an IVF+SQ8 index: rank centroids, statically prune to the
+    ``nprobe`` winning directories, ADC-score the int8 codes inside
+    them, then exact-rerank the ``k * oversample`` survivors against the
+    float corpus via a pushed ``In`` filter.
+
+    Driver-side materializations are bounded by design: ``nprobe``
+    centroid ids + ``k * oversample`` candidate ids (the same contract
+    as ``ann.py::ivf_index_search`` / ``sq8_index_search``).
+    """
+    from .ann import knn_query_col
+    from ..functions.vector import l2_distance
+
+    qarr = knn_query_col(query_vec)
+    probe_rows = (
+        centroids.withColumn("_qd", l2_distance(F.col(centroid_vec_col), qarr))
+        .orderBy("_qd", centroid_id_col)
+        .limit(nprobe)
+        .select(centroid_id_col)
+        .collect()
+    )
+    probe_ids = [r[centroid_id_col] for r in probe_rows]
+    codes = (
+        spark.read.parquet(path)
+        .filter(F.col(centroid_id_col).isin(probe_ids))
+        .withColumn("qv", qarr)
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("code"),
+                    F.col("qv"),
+                    lambda c, q: F.pow(
+                        c.cast("double") * F.col("scale") - q, F.lit(2.0)
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    pool = (
+        codes.orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k * oversample)
+        .select(id_col)
+        .collect()
+    )
+    cand_ids = [r[id_col] for r in pool]
+    exact = (
+        corpus_df.filter(F.col(id_col).isin(cand_ids))
+        .withColumn("qv", qarr)
+        .withColumn(
+            "distance",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.col("qv"),
+                        lambda a, b: F.pow(a.cast("double") - b, F.lit(2.0)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+        )
+    )
+    cols = [id_col, *payload_cols, "distance"]
+    return (
+        exact.orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(*cols)
+    )

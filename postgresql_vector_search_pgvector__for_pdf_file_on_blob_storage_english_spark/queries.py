@@ -4067,3 +4067,77 @@ GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """,
 )
+
+
+# ==========================================================================
+# IVF + SQ8 combined index (round 4) — the two 100 TB levers composed:
+# static partition prune to nprobe inverted lists AND int8 codes inside
+# them (operators/quant.py::ivf_sq8_index_*).  Same centroid set and
+# probe as the IVF entries; same quantizer as the SQ8 entries.
+# ==========================================================================
+
+def _ivf_sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.quant import ivf_sq8_index_search, ivf_sq8_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfsq8_index_{tag}")
+    ivf_sq8_index_write(emb, centroids, path, payload_cols=["label"])
+    q = list(emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"])
+    out = ivf_sq8_index_search(
+        spark, path, centroids, emb, q, k=5, nprobe=1, oversample=10,
+        payload_cols=["label"],
+    )
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+_DD_IVF_SQ8 = dd_sql(
+    """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {nc}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {probe}),
+probe AS (
+  SELECT centroid_id FROM cent, q ORDER BY {cdist}, centroid_id LIMIT 1
+),
+assigned AS (
+  SELECT e.vec_id, e.label, e.embedding, c.centroid_id
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {adist_assign}, c.centroid_id) = 1
+),
+codes AS (
+  SELECT vec_id, label, embedding, centroid_id,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS scale,
+         list_transform(embedding,
+           x -> floor(x::DOUBLE / (greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE))), 1e-30) / 127.0) + 0.5)) AS code
+  FROM assigned
+  WHERE centroid_id IN (SELECT centroid_id FROM probe)
+),
+pool AS (
+  SELECT c.vec_id, c.label, c.embedding, q.qe,
+         list_sum(list_transform(range(1, len(code)+1),
+           i -> (code[i] * scale - qe[i]::DOUBLE) ^ 2)) AS adist
+  FROM codes c, q
+  ORDER BY adist, c.vec_id
+  LIMIT {pool}
+)
+SELECT vec_id, label, round({dist}, 4) AS distance
+FROM pool ORDER BY {dist}, vec_id LIMIT 5
+""",
+    nc=_N_CENTROIDS,
+    probe=_IVF_PROBE_ID,
+    cdist=_dd_l2("cvec", "q.qe"),
+    adist_assign=_dd_l2("e.embedding", "c.cvec"),
+    pool=_SQ8_POOL,
+    dist=_dd_l2("pool.embedding", "pool.qe"),
+)
+
+_register("quant_ivf_sq8_index_search", _ivf_sq8_index_search, _DD_IVF_SQ8)

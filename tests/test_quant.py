@@ -180,3 +180,75 @@ class TestSq8Index:
         q = list(emb.filter(F.col("vec_id") == 3).first()["embedding"])
         out = sq8_index_search(spark, index_path, corpus, q, k=5, oversample=10)
         assert any("In(vec_id" in f for f in pushed_filters(out))
+
+
+class TestIvfSq8Index:
+    """IVFADC-style combined index: both 100 TB levers in one artifact —
+    static partition prune to probed lists AND int8 codes inside them."""
+
+    @pytest.fixture(scope="class")
+    def centroids(self, emb):
+        return emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+
+    @pytest.fixture(scope="class")
+    def index_path(self, emb, centroids, tmp_path_factory):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.quant import (
+            ivf_sq8_index_write,
+        )
+
+        path = str(tmp_path_factory.mktemp("ivfsq8") / "index")
+        ivf_sq8_index_write(emb, centroids, path, payload_cols=["label"])
+        return path
+
+    def test_layout_partitioned_codes_only(self, spark, index_path):
+        import os
+
+        dirs = [d for d in os.listdir(index_path) if d.startswith("centroid_id=")]
+        assert len(dirs) > 1  # one directory per inverted list
+        codes = spark.read.parquet(index_path)
+        assert "embedding" not in codes.columns  # int8 artifact, no floats
+        assert {"scale", "code", "vec_id", "label"} <= set(codes.columns)
+
+    def test_probe_is_partition_pruned_and_rerank_pushed(
+        self, spark, emb, centroids, index_path
+    ):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.quant import (
+            ivf_sq8_index_search,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            partition_filters,
+            pushed_filters,
+        )
+
+        q = list(emb.filter(F.col("vec_id") == 5).first()["embedding"])
+        out = ivf_sq8_index_search(
+            spark, index_path, centroids, emb, q, k=5, nprobe=1, oversample=10
+        )
+        # rerank side: candidate In-filter pushed into the corpus scan
+        assert any("In(vec_id" in f for f in pushed_filters(out))
+        # coarse side: rebuild the probed-codes scan and check the prune
+        codes = spark.read.parquet(index_path).filter(
+            F.col("centroid_id").isin([0])
+        )
+        assert any("centroid_id" in f for f in partition_filters(codes))
+
+    def test_exhaustive_probe_equals_sq8(self, spark, emb, centroids, index_path):
+        # probing ALL lists removes the IVF approximation: result must
+        # equal the plain SQ8 search (same quantizer, same rerank).
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.quant import (
+            ivf_sq8_index_search,
+        )
+
+        q = list(emb.filter(F.col("vec_id") == 9).first()["embedding"])
+        got = ivf_sq8_index_search(
+            spark, index_path, centroids, emb, q, k=5, nprobe=16, oversample=10
+        ).collect()
+        ref = sq8_knn(
+            emb, query_df(emb, 9), k=5, oversample=10
+        ).collect()
+        assert [(r["vec_id"], round(r["distance"], 9)) for r in got] == [
+            (r["vec_id"], round(r["distance"], 9)) for r in ref
+        ]
