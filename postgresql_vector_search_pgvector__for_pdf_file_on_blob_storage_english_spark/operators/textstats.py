@@ -274,3 +274,48 @@ def gopher_quality_flags(
     for k in flags:
         keep = F.col(k) if keep is None else (keep & F.col(k))
     return out.withColumn("keep", keep)
+
+
+def line_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    blocklist: tuple[str, ...] = ("javascript", "cookie", "lorem ipsum"),
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style LINE-level quality filtering (Raffel et al. 2020 §2.2) —
+    the page-level Gopher flags' (``gopher_quality_flags``) line-grained
+    sibling: each document is split on newlines, lines failing any rule
+    are dropped, survivors are rejoined.
+
+    Rules (all C4's):  a line must have >= ``min_words`` words, must not
+    contain a blocklist phrase (case-insensitive; C4 uses a policy/
+    javascript/cookie list), and — when ``require_terminal_punct`` —
+    must end in a terminal punctuation mark (. ! ? or closing quote).
+
+    Pure per-row array HOFs: zero shuffle, whole-stage codegen, trivially
+    streamable.  Output: ``(id, n_lines, n_kept, filtered_text)``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line: Column) -> Column:
+        ok = F.size(F.split(F.trim(line), " ")) >= min_words
+        low = F.lower(line)
+        for phrase in blocklist:
+            ok = ok & (F.instr(low, phrase) == 0)
+        if require_terminal_punct:
+            punct = (
+                line.endswith(".") | line.endswith("!")
+                | line.endswith("?") | line.endswith('"')
+            )
+            ok = ok & punct
+        return ok
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("filtered_text"),
+    )

@@ -4141,3 +4141,86 @@ FROM pool ORDER BY {dist}, vec_id LIMIT 5
 )
 
 _register("quant_ivf_sq8_index_search", _ivf_sq8_index_search, _DD_IVF_SQ8)
+
+
+# ==========================================================================
+# C4 line-level quality filtering (round 4) — the fixtures are single-line
+# word soup, so the query first BUILDS multi-line docs deterministically
+# (8-word lines; every 3rd line gets terminal punctuation, every 7th a
+# javascript/cookie boilerplate phrase, keyed on doc_id+line) identically
+# on both sides, then applies operators/textstats.py::line_quality_filter.
+# ==========================================================================
+
+from .operators.textstats import line_quality_filter  # noqa: E402
+
+
+def _weave_lines(docs: DataFrame) -> DataFrame:
+    words = F.split(F.trim(normalize_whitespace_col("text")), " ")
+    docs = docs.withColumn("_w", words)
+    nl = F.ceil(F.size("_w") / F.lit(8.0)).cast("int")
+
+    def mk(j: Column) -> Column:
+        base = F.concat_ws(" ", F.slice(F.col("_w"), j * F.lit(8) + F.lit(1), 8))
+        base = F.concat(
+            base,
+            F.when(
+                (F.col("doc_id") * 31 + j) % 7 == 0,
+                F.lit(" please enable javascript cookies"),
+            ).otherwise(F.lit("")),
+        )
+        return F.concat(
+            base,
+            F.when((F.col("doc_id") + j) % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        )
+
+    lines = F.transform(F.sequence(F.lit(0), nl - F.lit(1)), mk)
+    return docs.withColumn("text", F.array_join(lines, "\n")).drop("_w")
+
+
+def _c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _weave_lines(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    out = line_quality_filter(docs)
+    return out.select(
+        "doc_id", "n_lines", "n_kept",
+        F.md5("filtered_text").alias("filt_md5"),
+    )
+
+
+_DD_C4_LINES = dd_sql(
+    """
+WITH w AS (
+  SELECT doc_id, string_split(trim({norm}), ' ') AS words FROM documents
+),
+built AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, ceil(len(words) / 8.0)::INT),
+        j -> (array_to_string(words[j*8+1 : j*8+8], ' ')
+              || CASE WHEN (doc_id*31 + j) % 7 = 0
+                   THEN ' please enable javascript cookies' ELSE '' END
+              || CASE WHEN (doc_id + j) % 3 = 0 THEN '.' ELSE '' END)),
+      chr(10)) AS text
+  FROM w
+),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM built
+),
+filt AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l ->
+           len(string_split(trim(l), ' ')) >= 3
+           AND strpos(lower(l), 'javascript') = 0
+           AND strpos(lower(l), 'cookie') = 0
+           AND strpos(lower(l), 'lorem ipsum') = 0
+           AND (ends_with(l, '.') OR ends_with(l, '!')
+                OR ends_with(l, '?') OR ends_with(l, '"'))) AS kept
+  FROM split
+)
+SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS filt_md5
+FROM filt
+""",
+    norm=dd_sql(_DD_NORMALIZE, col="text"),
+)
+
+_register("text_c4_line_filter", _c4_line_filter, _DD_C4_LINES)

@@ -155,3 +155,49 @@ class TestRepetitionStats:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         r = repetition_stats(df).collect()[0]
         assert r["top_bigram"] == "a b"
+
+
+class TestLineQualityFilter:
+    def test_c4_rules(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.textstats import (
+            line_quality_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "this line survives the filter.\nshort one.\n"
+                    "no terminal punctuation here at all\n"
+                    "please enable JavaScript to continue.\n"
+                    "we use cookie banners everywhere.\n"
+                    "another perfectly good sentence stays!"),
+                (2, "every single line here fails\nso does this\nx y."),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in line_quality_filter(docs).collect()}
+
+        r1 = out[1]
+        assert r1["n_lines"] == 6
+        # survivors: line 1 (punct+words) and line 6 (!); dropped: 2-word
+        # "short one.", unpunctuated line, javascript line, cookie line
+        assert r1["n_kept"] == 2
+        assert r1["filtered_text"] == (
+            "this line survives the filter.\nanother perfectly good sentence stays!"
+        )
+
+        r2 = out[2]
+        assert r2["n_kept"] == 0 and r2["filtered_text"] == ""
+
+    def test_punct_rule_optional(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.textstats import (
+            line_quality_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "three words unpunctuated\nanother three words")],
+            ["doc_id", "text"],
+        )
+        strict = line_quality_filter(docs).collect()[0]
+        lax = line_quality_filter(docs, require_terminal_punct=False).collect()[0]
+        assert strict["n_kept"] == 0
+        assert lax["n_kept"] == 2
