@@ -38,6 +38,7 @@ HEADLINE = [
     "window_top_event_per_user",
     "events_hourly_rollup",
     "dedup_exact_stats",
+    "decontam_ngram_overlap",
     "dedup_minhash_lsh_candidates",
     "dedup_simhash_neardup_pairs",
     "similarity_top_pairs_numpy",

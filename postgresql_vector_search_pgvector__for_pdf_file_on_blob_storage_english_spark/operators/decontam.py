@@ -5,21 +5,28 @@ n is a parameter here).
 
 Not in the reference (it ingests trusted PDFs); part of the
 training-data-pipeline surface this engine adds, alongside dedup
-(``dedup.py``) whose shingle/hash primitives it reuses so Spark and the
-DuckDB oracle agree bit-for-bit (``hashing.py`` portable md5-60bit).
+(``dedup.py``) whose shingle semantics it mirrors and the portable
+md5-60bit hash (``hashing.py``) so Spark and the DuckDB oracle agree
+bit-for-bit.
 
 Scale shape (the benchmark set is SMALL, the train set is the 100 TB
 side — the asymmetry the plan exploits):
 
 * benchmark grams: shingle → hash → distinct — a few million longs at
   most, **broadcast** to every executor;
-* train side: shingle → hash → explode → **broadcast** inner join (no
-  shuffle of train data) → partial-count groupBy per doc, so the one
-  exchange carries ``(doc_id, count)`` for docs with at least one hit —
-  contamination-bound, not corpus-bound;
-* the final left join back onto train doc ids re-uses the train scan
-  and broadcasts the hit counts (hit docs are a tiny minority by
-  construction in a healthy corpus).
+* train side: ONE pass — explode *shingle indices* (see below), hash,
+  per-doc distinct, **broadcast** left join (no shuffle of train rows
+  against the benchmark), then a partial-combinable per-doc count;
+* the two exchanges both carry hashed-gram-sized rows, never text.
+
+**Why indices, not ``explode(shingle_array)``**: Spark's ``Generate``
+re-evaluates a non-attribute generator expression per OUTPUT row, so
+exploding the composed shingle array costs ``O(shingles_per_doc^2)``
+text work per document (measured 7x wall-clock at sf0.1; a
+non-deterministic projection barrier does not help).  Exploding a cheap
+``sequence(1, k)`` instead and building ONE shingle per output row from
+the carried ``_words`` attribute keeps total work linear in corpus
+tokens.
 """
 
 from __future__ import annotations
@@ -28,7 +35,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash60
-from .dedup import shingle_stage
+from ..functions.text import normalize_whitespace_col
+
+
+def _exploded_gram_hashes(
+    df: DataFrame, text_col: str, n: int, keep_cols: list[str]
+) -> DataFrame:
+    """``(keep_cols..., gram_h)`` — one row per word-n-gram occurrence.
+
+    ``slice(words, i, n)`` self-truncates at the array end, so documents
+    shorter than ``n`` words fall back to a single full-text gram —
+    byte-identical to ``dedup.py::shingle_stage``'s fallback (normalized
+    text is single-spaced, so re-joining all words IS the trimmed text).
+    """
+    words = F.split(F.trim(normalize_whitespace_col(text_col)), " ")
+    staged = df.select(*keep_cols, words.alias("_words")).withColumn(
+        "_k", F.greatest(F.size("_words") - (n - 1), F.lit(1))
+    )
+    ex = staged.select(
+        *keep_cols,
+        "_words",
+        F.explode(F.sequence(F.lit(1), F.col("_k"))).alias("_i"),
+    )
+    gram = F.concat_ws(" ", F.slice("_words", F.col("_i"), n))
+    return ex.select(*keep_cols, stable_hash60(gram).alias("gram_h"))
 
 
 def benchmark_grams(
@@ -36,12 +66,7 @@ def benchmark_grams(
 ) -> DataFrame:
     """Distinct 60-bit hashes of the benchmark's word n-grams —
     the small broadcast side: ``(gram_h long)``."""
-    sh = shingle_stage(benchmark, text_col, n, keep_cols=[], out_col="_sh")
-    return (
-        sh.select(F.explode("_sh").alias("_s"))
-        .select(stable_hash60("_s").alias("gram_h"))
-        .distinct()
-    )
+    return _exploded_gram_hashes(benchmark, text_col, n, keep_cols=[]).distinct()
 
 
 def contamination_flags(
@@ -54,20 +79,16 @@ def contamination_flags(
     """Per-train-document contamination report:
     ``(id, n_grams, n_hits, contaminated)``.
 
-    ``n_hits`` counts the doc's distinct n-grams that appear anywhere in
-    the benchmark set (shingle arrays are pre-deduplicated per doc);
-    ``contaminated`` is ``n_hits > 0``.  Callers drop or quarantine
-    flagged docs: ``flags.filter(~F.col("contaminated"))`` joined back
-    by id, or inverted as a left-anti join at scale.
+    ``n_grams`` counts the doc's distinct n-grams; ``n_hits`` counts how
+    many of those appear anywhere in the benchmark set; ``contaminated``
+    is ``n_hits > 0``.  Callers drop or quarantine flagged docs:
+    ``flags.filter(~F.col("contaminated"))`` joined back by id, or
+    inverted as a left-anti join at scale.
     """
     grams = benchmark_grams(benchmark, text_col, n).withColumn("_hit", F.lit(1))
-    train_sh = shingle_stage(train, text_col, n, keep_cols=[id_col], out_col="_sh")
-    # ONE pass over the train corpus: explode grams, mark hits via the
-    # broadcast left join (no train-side shuffle), then a single partial-
-    # combinable groupBy whose exchange carries (id, two longs) per doc.
-    train_grams = train_sh.select(
-        F.col(id_col), F.explode("_sh").alias("_s")
-    ).select(id_col, stable_hash60("_s").alias("gram_h"))
+    train_grams = _exploded_gram_hashes(
+        train, text_col, n, keep_cols=[id_col]
+    ).dropDuplicates([id_col, "gram_h"])
     marked = train_grams.join(F.broadcast(grams), "gram_h", "left")
     return (
         marked.groupBy(id_col)
