@@ -181,21 +181,30 @@ def repetition_stats(
     )
 
     words = F.split(F.trim(normalize_whitespace_col(text_col)), " ")
-    n_words = F.size(words)
-    # The <2-word guard must live INSIDE the expression (when() evaluates
-    # its branch per-row): a trailing .filter() can be pushed below the
-    # projection, and sequence(1, 0) runs *descending*, indexing out of
-    # bounds on one-word documents.
-    bigrams = F.when(
-        n_words >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_words - 1),
-            lambda i: F.concat(
-                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    # Explode INDICES, not the composed bigram array: Spark's Generate
+    # re-evaluates a non-attribute generator per OUTPUT row, making
+    # explode(bigram_array) O(words^2) text work per doc (measured ~7x
+    # wall-clock at sf0.1 — same pathology fixed in decontam.py).  The
+    # sequence generator is cheap; each bigram is built once per output
+    # row from the carried words attribute.  Docs with <2 words are
+    # filtered out pre-explode (sequence(1, 0) runs *descending* and
+    # would index out of bounds) and re-enter via the left join.
+    staged = df.select(F.col(id_col), words.alias("_bw")).withColumn(
+        "_nw", F.size("_bw")
+    )
+    ex = staged.filter(F.col("_nw") >= 2).select(
+        F.col(id_col),
+        "_bw",
+        F.explode(F.sequence(F.lit(1), F.col("_nw") - 1)).alias("_i"),
+    )
+    exploded = ex.select(
+        F.col(id_col),
+        F.concat(
+            F.element_at("_bw", F.col("_i")),
+            F.lit(" "),
+            F.element_at("_bw", F.col("_i") + 1),
+        ).alias("bigram"),
+    )
     counts = exploded.groupBy(id_col, "bigram").agg(F.count("*").alias("_c"))
     top = counts.groupBy(id_col).agg(
         F.min_by(
