@@ -64,6 +64,8 @@ REPEATS = {
     "q2_knn_l2_topk_batch_numpy": 3,
     "dedup_minhash_lsh_candidates": 3,  # r3: ±11% drift, re-measure on medians
     "pipeline_e2e_ingest_knn": 3,  # r3: +22% drift
+    "sessionize_events_30m": 3,  # r4: +39% drift, plan unchanged (VERDICT r4 item 3)
+    "ann_lsh_search": 3,  # r4: +26% drift, plan unchanged (VERDICT r4 item 3)
 }
 
 

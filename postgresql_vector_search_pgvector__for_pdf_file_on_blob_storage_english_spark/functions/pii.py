@@ -19,10 +19,19 @@ from pyspark.sql import functions as F
 
 # Order matters: emails first (their local part can contain digits that
 # the phone pattern would otherwise nibble), then phones, then IPv4.
+#
+# Anchoring (ADVICE r4): `\b` word boundaries — supported identically by
+# Java regex and RE2 — stop the patterns matching *inside* longer runs
+# (e.g. the old IPv4 pattern redacted a substring of `1234.5.6.7890`),
+# and the IPv4 octet alternation rejects values > 255 outright.  Email
+# and phone get trailing boundaries only: their leading characters
+# (`.`/`%`/`+`) are non-word, so a leading `\b` would be wrong there.
+_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
 PII_PATTERNS: dict[str, tuple[str, str]] = {
-    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    "phone": (r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}", "<PHONE>"),
-    "ipv4": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "<EMAIL>"),
+    "phone": (r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b", "<PHONE>"),
+    "ipv4": (rf"\b{_OCTET}(?:\.{_OCTET}){{3}}\b", "<IP>"),
 }
 
 

@@ -146,7 +146,10 @@ def binary_encode(
     """Sign-bit quantization packed into ``word_bits``-bit integer words
     (16 by default: values < 65536 are overflow-safe in every engine's
     int type, and DuckDB replays the packing with the identical
-    range/CASE expression).  dim must be a multiple of ``word_bits``."""
+    range/CASE expression).  dim must be a multiple of ``word_bits`` —
+    enforced per row with ``assert_true`` (ADVICE r4: flooring the word
+    count would silently drop trailing dimensions, e.g. a 60-dim corpus
+    quietly searching on 48 dims)."""
     x = F.col(vec_col)
     # 2^i via pow (exact for i < word_bits <= 62); F.shiftleft only takes a
     # literal shift amount, not a lambda-bound Column.
@@ -163,7 +166,18 @@ def binary_encode(
     )
     n_words = (F.size(x) / F.lit(word_bits)).cast("int") - F.lit(1)
     words = F.transform(F.sequence(F.lit(0), n_words), lambda j: word(j * word_bits))
-    return df.withColumn(words_col, words)
+    # The guard lives INSIDE the projected expression (a pruned side
+    # column would be optimized away): assert_true yields NULL on pass,
+    # so the when() always takes the words branch — or throws.
+    guard = F.assert_true(
+        F.size(x) % F.lit(word_bits) == 0,
+        F.concat(
+            F.lit(f"binary_encode: size({vec_col})="),
+            F.size(x).cast("string"),
+            F.lit(f" is not a multiple of word_bits={word_bits}"),
+        ),
+    )
+    return df.withColumn(words_col, F.when(guard.isNull(), words))
 
 
 def hamming_knn(

@@ -19,6 +19,7 @@ pass deterministically:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -93,23 +94,37 @@ def _dd_cosine_dist(a: str, b: str) -> str:
     return f"(1.0 - {_dd_dot(a, b)} / ({_dd_norm(a)} * {_dd_norm(b)}))"
 
 
+_DD_MARKER_RE = re.compile(r"\{(\w+)\}")
+
+
 def dd_sql(template: str, **subs: object) -> str:
     """Brace-safe SQL template substitution (VERDICT r3 item 3).
 
     ``str.format`` re-parses EVERY brace in the template, so a composed
     fragment containing e.g. the regex ``\\s{2,}`` crashes a later
     format pass with ``KeyError: '2,'`` — the bug that bricked round 3
-    (queries.py:3565).  Plain token replacement never re-parses: only
-    the named ``{key}`` markers are touched, and braces arriving inside
-    substituted VALUES are inert too, so composed output is always safe
-    to pass through ``dd_sql`` again.
+    (queries.py:3565).  This is a SINGLE regex pass over the original
+    template (ADVICE r4): substituted values are never re-scanned, so a
+    value containing a sibling key's ``{marker}`` stays inert — unlike
+    the earlier sequential ``str.replace`` loop, where a later key could
+    rewrite text a previous substitution had just inserted.  Non-marker
+    braces (regex quantifiers ``{2,}``, bare ``{3}``) don't collide:
+    they either fail the ``\\w+`` shape or miss the subs dict and are
+    left untouched.
     """
-    for k, v in subs.items():
-        marker = "{" + k + "}"
-        if marker not in template:
-            raise KeyError(f"dd_sql: no {marker} marker in template")
-        template = template.replace(marker, str(v))
-    return template
+    unused = set(subs)
+
+    def _repl(m: re.Match[str]) -> str:
+        key = m.group(1)
+        if key in subs:
+            unused.discard(key)
+            return str(subs[key])
+        return m.group(0)
+
+    out = _DD_MARKER_RE.sub(_repl, template)
+    if unused:
+        raise KeyError(f"dd_sql: no {{{'}/{'.join(sorted(unused))}}} marker in template")
+    return out
 
 
 # NOTE: single-braced regex quantifier {2,} is fine here — dd_sql never
@@ -3982,10 +3997,16 @@ WHERE (('0x' || substr(md5('mixture' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT
 def _tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7: revenue shipped between two nations, by year and direction.
     Both nation dims broadcast; the lineitem->orders join is the only
-    large join; year extraction stays in codegen."""
+    large join; year extraction stays in codegen.
+
+    Nation pair + date range chosen to be NON-EMPTY at every fixture
+    scale (ADVICE r4: the original NATION_1/NATION_2 + 1996-1997 window
+    yielded 0 rows at sf0.001, making the oracle comparison vacuous);
+    NATION_20/NATION_11 over 1995-2001 returns 6 groups at sf0.001 and
+    12 at sf0.01/sf0.1 — verified against the shipped fixtures."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
     )
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -3993,8 +4014,8 @@ def _tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     n1 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
-    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    pair = (F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11") | (
+        (F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20")
     )
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
@@ -4025,9 +4046,9 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+  AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """,

@@ -252,3 +252,17 @@ class TestIvfSq8Index:
         assert [(r["vec_id"], round(r["distance"], 9)) for r in got] == [
             (r["vec_id"], round(r["distance"], 9)) for r in ref
         ]
+
+
+class TestBinaryEncodeGuard:
+    def test_raises_on_non_multiple_dim(self, spark):
+        """ADVICE r4: a dim that is not a multiple of word_bits must fail
+        loudly instead of silently truncating trailing dimensions."""
+        from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+        df = spark.createDataFrame(
+            [(1, [float(i) for i in range(60)])], ["vec_id", "embedding"]
+        )
+        with pytest.raises((PySparkRuntimeError, SparkRuntimeException, Exception)) as ei:
+            binary_encode(df).select("bwords").collect()
+        assert "multiple of word_bits" in str(ei.value)

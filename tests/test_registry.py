@@ -92,3 +92,22 @@ class TestDdSql:
 
         with pytest.raises(KeyError):
             dd_sql("SELECT 1", nope="x")
+
+
+class TestDdSqlSinglePass:
+    def test_value_containing_sibling_marker_is_inert(self):
+        """ADVICE r4: a substituted VALUE containing a later key's
+        {marker} must not be re-substituted (single-pass guarantee)."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            dd_sql,
+        )
+
+        out = dd_sql("SELECT {a}, {b}", a="literal {b} inside", b="B")
+        assert out == "SELECT literal {b} inside, B"
+
+    def test_bare_numeric_quantifier_left_alone(self):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            dd_sql,
+        )
+
+        assert dd_sql("x{3} and {k}", k="v") == "x{3} and v"
