@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _EPS = 1e-30  # zero-vector guard: scale floor, same literal in the oracles
@@ -134,6 +134,95 @@ def sq8_knn(
     )
     return _approx_then_exact(
         scored, "adist", vec_col, "query_vec", id_col, k, oversample, payload_cols
+    )
+
+
+def sq8_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    payload_cols: Sequence[str] = (),
+    distance_col: str = "distance",
+) -> DataFrame:
+    """Batched int8 search: N query vectors against the coded corpus —
+    the quantized twin of ``knn.py::knn_join`` (VERDICT r4 item 4).  At
+    100 TB query batching is how the scan cost amortizes: ONE pass over
+    the codes scores every query.
+
+    Physical shape (the part that must survive a 100x scale-up):
+
+    1. **Coarse** — codes x broadcast(queries), int8 ADC distance, then
+       the projection narrows to ``(query_id, id, adist)`` BEFORE the
+       per-query window: the only exchange carries ~24-byte candidate
+       rows, never a code array or an embedding.
+    2. **Pool cut** — ``row_number() <= k*oversample`` per query: the
+       candidate list is |Q| * k * oversample rows (driver-sized).
+    3. **Exact rerank** — the candidate list is BROADCAST back onto the
+       corpus (map-side hash join, no corpus shuffle), full-precision L2
+       against the re-attached query vectors, final per-query top-k.
+
+    Same determinism contract as the single-query path: DOUBLE math,
+    fixed fold order, ``(distance, id)`` tiebreaks.
+    """
+    enc = sq8_encode(corpus, vec_col=vec_col)
+    scored = enc.crossJoin(F.broadcast(queries)).withColumn(
+        "adist",
+        F.aggregate(
+            F.zip_with(
+                F.col("code"),
+                F.col(query_vec_col),
+                lambda c, q: F.pow(
+                    c.cast("double") * F.col("scale") - q.cast("double"), F.lit(2.0)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    # Narrow pre-exchange: candidate identity + coarse score only.
+    narrow = scored.select(query_id_col, id_col, "adist")
+    coarse_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    pool = (
+        narrow.withColumn("crank", F.row_number().over(coarse_w))
+        .filter(F.col("crank") <= k * oversample)
+        .select(query_id_col, id_col)
+    )
+    # Rerank: broadcast the tiny candidate list onto the corpus (corpus
+    # side never shuffles), re-attach query vectors, exact L2.
+    cand = corpus.join(F.broadcast(pool), id_col).join(
+        F.broadcast(queries), query_id_col
+    )
+    exact = cand.withColumn(
+        distance_col,
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col(query_vec_col),
+                    lambda a, b: F.pow(a.cast("double") - b.cast("double"), F.lit(2.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
+    # Narrow again before the final window: the rerank exchange carries
+    # (query_id, id, payload, distance) — embeddings stay map-side.
+    exact_narrow = exact.select(query_id_col, id_col, *payload_cols, distance_col)
+    final_w = Window.partitionBy(query_id_col).orderBy(
+        F.col(distance_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        exact_narrow.withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, *payload_cols, distance_col)
     )
 
 

@@ -3723,6 +3723,56 @@ FROM pool ORDER BY {dist}, vec_id LIMIT 5
 _register("quant_sq8_knn_top5", _sq8_search, _DD_SQ8)
 
 
+def _sq8_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched quantized search (VERDICT r4 item 4): 8 query vectors in
+    ONE pass over the codes; coarse exchange carries only (query_id, id,
+    adist); exact rerank via broadcast candidate list.  Same probe set as
+    the flagship batch (vec_id < 8)."""
+    from .operators.quant import sq8_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sq8_knn_join(emb, queries, k=5, oversample=10, payload_cols=["label"])
+    return out.select(
+        "query_id", "rank", "vec_id", "label", F.round("distance", 4).alias("distance")
+    )
+
+
+_DD_SQ8_BATCH = dd_sql(
+    """
+WITH codes AS (
+  SELECT vec_id, label, embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS scale,
+         list_transform(embedding,
+           x -> floor(x::DOUBLE / (greatest(list_max(list_transform(embedding, y -> abs(y::DOUBLE))), 1e-30) / 127.0) + 0.5)) AS code
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+coarse AS (
+  SELECT q.query_id, c.vec_id, c.label, c.embedding, q.qe,
+         list_sum(list_transform(range(1, len(code)+1),
+           i -> (code[i] * scale - qe[i]::DOUBLE) ^ 2)) AS adist
+  FROM codes c, q
+),
+pool AS (
+  SELECT query_id, vec_id, label, embedding, qe FROM coarse
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) <= {pool}
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY {dist}, vec_id) AS rank,
+       vec_id, label, round({dist}, 4) AS distance
+FROM pool
+QUALIFY rank <= 5
+""",
+    pool=_SQ8_POOL,
+    dist=_dd_l2("pool.embedding", "pool.qe"),
+)
+
+_register("quant_sq8_knn_batch", _sq8_batch, _DD_SQ8_BATCH)
+
+
 def _hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = hamming_knn(emb, _quant_query(spark, sf_dir, 6), k=5, oversample=10,
