@@ -371,3 +371,66 @@ def lsh_search(
         bucket, query_vec, k=k, metric=metric, vec_col=vec_col, id_col=id_col,
         payload_cols=payload_cols,
     )
+
+
+def lsh_index_write(
+    corpus: DataFrame,
+    path: str,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> None:
+    """Materialize the LSH index: parquet partitioned by bucket id.
+
+    The persisted twin of :func:`lsh_search` (VERDICT r4 item 6): that
+    path recomputes every row's bucket per query — a full corpus scan
+    per probe, wrong at scale.  Written partitioned-by-bucket, a probe
+    becomes a one-directory read via static partition pruning, exactly
+    the :func:`ivf_index_write` layout with ``bucket`` in place of
+    ``centroid_id``.  With ``n_planes`` bits the index has at most
+    ``2^n_planes`` directories; size ``n_planes`` so directories stay
+    within file-size sweet spots (at 100 TB / 8 bits, ~400 GB per
+    bucket directory — pick 12-16 bits there).
+    """
+    tagged = corpus.withColumn(bucket_col, lsh_bucket(vec_col, planes))
+    tagged.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
+
+
+def lsh_index_search(
+    spark,
+    path: str,
+    query_vec,
+    planes: list[list[float]],
+    k: int = 5,
+    metric: str = "cosine",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_col: str = "bucket",
+    payload_cols=None,
+) -> DataFrame:
+    """Search a persisted LSH index with *static* partition pruning.
+
+    The query's bucket is computed by the SAME ``lsh_bucket`` expression
+    that built the index (a 1-row Spark job — a bounded collect, like
+    the nprobe-row collect in :func:`ivf_index_search` — so the two
+    sides can never drift in summation order), then the index is read
+    with a literal equality on the partition column: the filter lands in
+    ``PartitionFilters`` and only one directory is ever opened (the
+    delete-proof is tests/test_lsh_index.py).  In-bucket top-k is the
+    flagship TakeOrderedAndProject — zero exchanges end to end.
+    """
+    from .knn import knn
+
+    qrow = spark.range(1).select(knn_query_col(query_vec).alias("_qv"))
+    qbucket = qrow.select(lsh_bucket(F.col("_qv"), planes).alias("_b")).first()["_b"]
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col(bucket_col) == F.lit(qbucket))
+        # partition values round-trip through directory names; restore
+        # the pre-write integer type after the pruning filter
+        .withColumn(bucket_col, F.col(bucket_col).cast("long"))
+    )
+    return knn(
+        index, query_vec, k=k, metric=metric, vec_col=vec_col, id_col=id_col,
+        payload_cols=payload_cols,
+    )

@@ -910,6 +910,61 @@ WHERE cosine_sim >= 0.99
 )
 
 
+# ---- SemDeDup: embedding-cluster dedup (VERDICT r4 item 5) ---------------
+
+_SEM_N_CENTROIDS = 8
+_SEM_THRESHOLD = 0.99
+
+
+def _semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-near-dup over the woven corpus (same planted 1.01x
+    duplicates as ``dedup_embedding_cosine_pairs``); centroids are the 8
+    lowest-id base vectors — the deterministic k-means stand-in that
+    keeps the composition oracle-replayable (kmeans.py trains real
+    centroids in production, where bit-replay is not required)."""
+    from .operators.dedup import semantic_dedup
+
+    corpus = _emb_neardup_corpus(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _SEM_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return semantic_dedup(corpus, centroids, threshold=_SEM_THRESHOLD)
+
+
+_DD_SEMANTIC = dd_sql(
+    """
+WITH corpus AS ({corpus}),
+cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {nc}
+),
+assigned AS (
+  SELECT c.vec_id, c.embedding, ct.centroid_id
+  FROM corpus c CROSS JOIN cent ct
+  QUALIFY row_number() OVER (
+    PARTITION BY c.vec_id ORDER BY {adist}, ct.centroid_id) = 1
+),
+sets AS (SELECT vec_id, centroid_id, {nvec} AS nvec FROM assigned),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM sets l JOIN sets r ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+  WHERE round({sim}, 4) >= {thresh}
+),
+dups AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+SELECT a.vec_id, a.centroid_id, (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d USING (vec_id)
+""",
+    corpus=_DD_EMB_NEARDUP_CORPUS,
+    nc=_SEM_N_CENTROIDS,
+    adist=_dd_l2("c.embedding", "ct.cvec"),
+    nvec=dd_sql(_DD_NVEC, v="embedding"),
+    sim=_dd_dot("l.nvec", "r.nvec"),
+    thresh=_SEM_THRESHOLD,
+)
+
+_register("dedup_semantic_clusters", _semantic_clusters, _DD_SEMANTIC)
+
+
 def _similar_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(emb, block_col="label", threshold=-1.0)
@@ -1175,6 +1230,35 @@ LIMIT 5
 """
 
 _register("ann_lsh_search", _ann_lsh_search, _DD_ANN_LSH)
+
+
+def _ann_lsh_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same probe/contract as ``ann_lsh_search`` but through a
+    *persisted* bucket-partitioned index (operators/ann.py::
+    lsh_index_write) — the probe reads ONE bucket directory via static
+    partition pruning instead of re-bucketing the corpus per query
+    (VERDICT r4 item 6).  Same oracle by construction."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.ann import lsh_index_search, lsh_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lsh_index_{tag}")
+    lsh_index_write(emb, path, _LSH_PLANES)
+    q = list(emb.filter(F.col("vec_id") == _LSH_PROBE_ID).first()["embedding"])
+    out = lsh_index_search(
+        spark, path, q, _LSH_PLANES, k=5, metric="cosine",
+        payload_cols=["vec_id", "label", "bucket"],
+    )
+    return out.select(
+        "vec_id", "label", "bucket", F.round("distance", 4).alias("distance")
+    )
+
+
+_register("ann_lsh_index_search", _ann_lsh_index_search, _DD_ANN_LSH)
 
 
 # Recall@k of the ANN paths measured against exact brute force — ANN
@@ -2344,22 +2428,37 @@ GROUP BY c_nationkey
 
 
 def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with data-adaptive (k-means-trained) centroids.  Rows-only:
-    trained centroid means depend on cross-partition float summation
-    order, so bit-level replay in another engine is not meaningful —
-    the fixed-centroid `ann_ivf_search` covers the oracle-gated path."""
+    """IVF with data-adaptive (k-means-trained) centroids.
+
+    Oracle (VERDICT r4 item 8): Lloyd means cannot be bit-replayed in
+    another engine (accumulation-order ulps), so the oracle is the
+    EXACT top-k SQL instead — valid because measured recall@5 of this
+    probe is 1.0 at every shipped fixture (verified sf0.001/sf0.01; the
+    recall_sweep operator measures the same property).  The gate is
+    deliberate: an ANN recall regression on the gated fixture now FAILS
+    CORRECTNESS rather than hiding behind a rows-only check.
+    ``centroid_id`` is not SQL-derivable (it depends on the trained
+    centroids), so the output carries (vec_id, label, distance) only."""
     emb = _t(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding"))
     centroids = kmeans_fit_sampled(vecs, k=8, max_iters=3)
     assigned = assign_ivf(vecs, centroids)
     q = vecs.filter(F.col("vec_id") == _IVF_PROBE_ID).select(F.col("embedding").alias("query_vec"))
     out = ivf_search(
-        assigned, centroids, q, k=5, nprobe=2, payload_cols=["vec_id", "label", "centroid_id"]
+        assigned, centroids, q, k=5, nprobe=2, payload_cols=["vec_id", "label"]
     )
-    return out.select("vec_id", "label", "centroid_id", F.round("distance", 4).alias("distance"))
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
 
 
-_register("ann_ivf_kmeans_search", _ann_ivf_kmeans, None)
+_DD_IVF_KMEANS_EXACT = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_PROBE_ID})
+SELECT vec_id, label, round({_dd_l2("embedding", "q.qe")}, 4) AS distance
+FROM embeddings, q
+ORDER BY {_dd_l2("embedding", "q.qe")}, vec_id
+LIMIT 5
+"""
+
+_register("ann_ivf_kmeans_search", _ann_ivf_kmeans, _DD_IVF_KMEANS_EXACT)
 
 
 def _nsw_graph(spark: SparkSession, sf_dir: str):
@@ -2370,11 +2469,16 @@ def _nsw_graph(spark: SparkSession, sf_dir: str):
 
 
 def _ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sharded NSW graph ANN, realistic beam width.  Rows-only: the
-    iterative graph build/walk has no single-statement SQL equivalent
-    (same class as `ann_ivf_kmeans_search`); its quality is pinned by
-    tests/test_nsw.py (recall floor) and the oracle-gated exhaustive
-    twin below proves the same build+walk+merge plumbing exactly."""
+    """Sharded NSW graph ANN, realistic beam width (ef_search=32).
+
+    Oracle (VERDICT r4 item 8): the iterative build/walk has no
+    single-statement SQL equivalent, but the beam's RESULT at this
+    probe is the exact top-5 on every shipped fixture (verified
+    sf0.001/sf0.01, consistent with the test_nsw.py recall floor), so
+    the exact top-k SQL gates it — a beam-quality regression on the
+    gated fixture now fails CORRECTNESS instead of passing rows-only.
+    The exhaustive twin below proves the plumbing independently of
+    beam quality."""
     from .operators.nsw import nsw_search
 
     emb, graph = _nsw_graph(spark, sf_dir)
@@ -2383,7 +2487,15 @@ def _ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("distance", 4).alias("distance"))
 
 
-_register("ann_nsw_search", _ann_nsw, None)
+_DD_NSW_EXHAUSTIVE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_PROBE_ID})
+SELECT vec_id, round({_dd_l2("embedding", "q.qe")}, 4) AS distance
+FROM embeddings, q
+ORDER BY {_dd_l2("embedding", "q.qe")}, vec_id
+LIMIT 5
+"""
+
+_register("ann_nsw_search", _ann_nsw, _DD_NSW_EXHAUSTIVE)
 
 
 def _ann_nsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2400,14 +2512,6 @@ def _ann_nsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = nsw_search(graph, list(q), k=5, ef_search=int(n))
     return out.select("vec_id", F.round("distance", 4).alias("distance"))
 
-
-_DD_NSW_EXHAUSTIVE = f"""
-WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_PROBE_ID})
-SELECT vec_id, round({_dd_l2("embedding", "q.qe")}, 4) AS distance
-FROM embeddings, q
-ORDER BY {_dd_l2("embedding", "q.qe")}, vec_id
-LIMIT 5
-"""
 
 _register("ann_nsw_search_exhaustive", _ann_nsw_exhaustive, _DD_NSW_EXHAUSTIVE)
 
@@ -3918,6 +4022,57 @@ FROM woven
 )
 
 _register("text_pii_redaction", _pii_redaction, _DD_PII)
+
+
+def _stream_pii_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII scrub executed through Structured Streaming (VERDICT r4
+    item 7): ``readStream`` over the documents fixture, the SAME weave +
+    redact transformation as ``text_pii_redaction``, ``writeStream`` to
+    a parquet sink with ``Trigger.AvailableNow``, then the sink is read
+    back and oracle-checked against the identical batch SQL — proving
+    the streaming CODEPATH end to end, not just its batch twin.
+
+    Stateless narrow transforms run unchanged under streaming (SURVEY
+    §2.5: the reference's trigger model is exactly this arrival-driven,
+    stateless shape).  Sink + checkpoint are wiped per run so the replay
+    is deterministic."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_pii_{tag}")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # FileStreamSource requires a *directory*; the fixture is one file,
+    # so stream the fixture dir with a glob pinned to that file.
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", "text")
+    )
+    scrubbed = redact_pii(_pii_weave(stream)).select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5(F.col("redacted")).alias("red_md5"),
+        F.length("redacted").alias("red_len"),
+    )
+    q = (
+        scrubbed.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink)
+
+
+_register("stream_pii_scrub_replay", _stream_pii_scrub_replay, _DD_PII)
 
 
 def _sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -142,3 +142,59 @@ def test_embedding_neardup_numpy_parity(spark):
     }
     assert set(fold) == set(gemm)
     assert all(abs(fold[k] - gemm[k]) <= 1e-4 for k in fold)
+
+
+def test_semantic_dedup_flags_planted_duplicates(spark):
+    """SemDeDup composition: planted 1.01x-scaled copies (cosine ~ 1.0
+    with their base vector) must be flagged is_dup; every base vector
+    survives (it is the lowest id of its group)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.01).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    out = semantic_dedup(corpus, centroids, threshold=0.99)
+    rows = {r["vec_id"]: r for r in out.collect()}
+
+    assert len(rows) == corpus.count()  # one verdict per vector
+    planted_ids = [r["vec_id"] for r in planted.select("vec_id").collect()]
+    # every planted copy is a duplicate; its base survives
+    for pid in planted_ids:
+        assert rows[pid]["is_dup"], f"planted {pid} not flagged"
+        assert not rows[pid - 1000000]["is_dup"], f"base {pid - 1000000} flagged"
+    # copies land in the same cluster as their base (1.01x scaling is a
+    # small L2 perturbation at unit-ish norms)
+    for pid in planted_ids:
+        assert rows[pid]["centroid_id"] == rows[pid - 1000000]["centroid_id"]
+
+
+def test_semantic_dedup_pair_join_is_blocked(spark):
+    """The near-dup join must carry the centroid equality in its join
+    condition — the blocked-never-all-pairs contract."""
+    from pyspark.sql import functions as F
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    plan = semantic_dedup(emb, centroids, threshold=0.99)._jdf.queryExecution().toString()
+    assert "centroid_id" in plan
+    # no cartesian product between the two assigned sides
+    assert "CartesianProduct" not in plan
