@@ -111,3 +111,43 @@ class TestDdSqlSinglePass:
         )
 
         assert dd_sql("x{3} and {k}", k="v") == "x{3} and v"
+
+
+class TestDriverWindow:
+    """The driver's CORRECTNESS gate records only the first 50 registry
+    entries; these invariants keep every SURVEY §2 operator (and one
+    representative per pipeline family) inside that window."""
+
+    SURVEY_S2 = [
+        "q2_knn_l2_top5", "q3_knn_cosine_top5", "q3_knn_dot_top5",
+        "q4_knn_projection", "q2_knn_l2_topk_batch", "q1_query_embedding",
+        "q5_prompt_construction", "q7_blob_url", "serve_llm_extract_top5",
+        "serve_sse_events", "s2_scan_filter_endswith", "s5_status_upsert",
+        "l1_status_completed", "l2_status_failed", "l3_status_dump",
+        "p2_normalize_whitespace", "p3_chunk_rows", "p6_chunk_ids",
+        "p7_token_usage", "pipeline_pages_from_binary",
+        "pipeline_pages_from_real_pdf", "pipeline_embed_stats",
+        "pipeline_e2e_ingest_knn",
+    ]
+
+    def _registry(self):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            _WINDOW_50,
+            REGISTRY,
+        )
+
+        return _WINDOW_50, REGISTRY
+
+    def test_first_50_is_the_declared_window(self):
+        window, registry = self._registry()
+        assert list(registry)[:50] == window
+
+    def test_every_survey_s2_operator_in_window(self):
+        window, _ = self._registry()
+        missing = [n for n in self.SURVEY_S2 if n not in window]
+        assert not missing, missing
+
+    def test_window_entries_all_have_oracles(self):
+        window, registry = self._registry()
+        weak = [n for n in window if registry[n][1] is None]
+        assert not weak, f"window entries without oracle SQL: {weak}"
