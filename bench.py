@@ -46,8 +46,11 @@ HEADLINE = [
     "text_token_stats",
     "ann_ivf_search",
     "ann_lsh_search",
+    "ann_lsh_index_search",  # r5: persisted bucket-pruned probe
     "pq_adc_search_top5",
     "quant_sq8_knn_top5",
+    "quant_sq8_knn_batch",  # r5: N queries amortized over one codes pass
+    "dedup_semantic_clusters",  # r5: SemDeDup composition
     "tpch_q3_shipping_priority",
     "tpch_q18_large_volume_customers",
     "sessionize_events_30m",

@@ -912,7 +912,9 @@ WHERE cosine_sim >= 0.99
 
 # ---- SemDeDup: embedding-cluster dedup (VERDICT r4 item 5) ---------------
 
-_SEM_N_CENTROIDS = 8
+# 16 centroids: cluster size (not cluster count) bounds the pair join's
+# fan-out, so more clusters = less work; at 100 TB k scales ~sqrt(N).
+_SEM_N_CENTROIDS = 16
 _SEM_THRESHOLD = 0.99
 
 

@@ -53,6 +53,27 @@ SECTIONS = [
      "partition-local heaps; the rerank computes exact double L2 over those survivors "
      "only. With persisted codes (quant_sq8_index_search) the coarse scan reads a ~4x "
      "smaller table and the rerank re-reads candidates through a pushed In filter."),
+    ("quant_sq8_knn_batch", "Batched int8-quantized KNN (N queries, one codes pass)",
+     "The broadcast query relation is scored against the codes map-side; the projection "
+     "entering the coarse exchange carries only (query_id, id, adist) — no code array, "
+     "no embedding. The per-query pool cut (row_number <= k*oversample) yields a "
+     "driver-sized candidate list that is BROADCAST back onto the corpus for the exact "
+     "rerank (BroadcastHashJoin — the corpus side never shuffles), and the final "
+     "per-query window again sits on a narrow projection. Scan cost amortizes across "
+     "all N queries: this is how quantized search is actually served at 100 TB."),
+    ("dedup_semantic_clusters", "SemDeDup: embedding-cluster near-dup",
+     "assign_ivf broadcasts the centroid relation and reduces map-side (min_by partial "
+     "aggregate) to one row per vector; the cosine pair join is blocked on centroid_id "
+     "— fan-out bounded by the largest cluster, never all-pairs — and vectors are "
+     "L2-normalized once per row BEFORE the join, so per-pair work is a single dot "
+     "product. The duplicate verdict re-enters via a broadcast left join."),
+    ("ann_lsh_index_search", "Persisted LSH index probe",
+     "Same layout trick as the IVF index with bucket in place of centroid_id: the "
+     "probe's literal bucket equality lands in PartitionFilters, so exactly ONE bucket "
+     "directory is opened regardless of corpus size (delete-proof in "
+     "tests/test_lsh_index.py). In-bucket top-k is the flagship TakeOrderedAndProject — "
+     "zero exchanges end to end, versus ann_lsh_search which re-buckets the whole "
+     "corpus per probe."),
 ]
 
 
