@@ -50,7 +50,8 @@ HEADLINE = [
     "pq_adc_search_top5",
     "quant_sq8_knn_top5",
     "quant_sq8_knn_batch",  # r5: N queries amortized over one codes pass
-    "dedup_semantic_clusters",  # r5: SemDeDup composition
+    "dedup_semantic_clusters_numpy",  # r5: SemDeDup, GEMM pair stage (scale path)
+    "pipeline_llm_corpus_prep",  # r5: composed dedup+langid+quality+decontam+mixture
     "tpch_q3_shipping_priority",
     "tpch_q18_large_volume_customers",
     "sessionize_events_30m",

@@ -46,10 +46,13 @@ def _marker_hits(padded: Column, words: list[str]) -> Column:
 def language_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     markers: dict[str, list[str]] | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Argmax of per-language marker-word counts, 'und' when all zero.
 
     Ties break in lexicographic language order (deterministic, declared).
+    ``keep_cols`` pass through unchanged so pipeline compositions stay a
+    single projection instead of re-joining on id.
     """
     markers = markers or LANG_MARKERS
     padded = F.concat(F.lit(" "), normalize_whitespace_col(text_col), F.lit(" "))
@@ -60,16 +63,21 @@ def language_id(
         pred = F.when((scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)).otherwise(pred)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         pred.alias("pred_lang"),
         best_score.cast("long").alias("marker_hits"),
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + a composite score in [0, 1].
 
     Features mirror the usual web-corpus filters: length, mean word
-    length, stopword ratio, symbol ratio.
+    length, stopword ratio, symbol ratio.  ``keep_cols`` pass through
+    unchanged (single-projection pipeline composition).
     """
     norm = normalize_whitespace_col(text_col)
     n_chars = F.length(norm)
@@ -88,6 +96,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_chars.cast("long").alias("n_chars"),
         n_words.cast("long").alias("n_words"),
         F.round(avg_word_len, 4).alias("avg_word_len"),

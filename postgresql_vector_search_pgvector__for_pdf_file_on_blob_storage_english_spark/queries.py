@@ -967,6 +967,24 @@ FROM assigned a LEFT JOIN dups d USING (vec_id)
 _register("dedup_semantic_clusters", _semantic_clusters, _DD_SEMANTIC)
 
 
+def _semantic_clusters_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM scale path: identical contract, pair stage = one BLAS
+    similarity matrix per cluster (applyInPandas).  Held to the SAME
+    oracle — valid under the 4-decimal rounding both pair paths share
+    (see embedding_neardup_pairs_numpy's tolerance note)."""
+    from .operators.dedup import semantic_dedup
+
+    corpus = _emb_neardup_corpus(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _SEM_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return semantic_dedup(corpus, centroids, threshold=_SEM_THRESHOLD, gemm=True)
+
+
+_register("dedup_semantic_clusters_numpy", _semantic_clusters_numpy, _DD_SEMANTIC)
+
+
 def _similar_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(emb, block_col="label", threshold=-1.0)
@@ -4452,6 +4470,113 @@ FROM filt
 )
 
 _register("text_c4_line_filter", _c4_line_filter, _DD_C4_LINES)
+
+
+# ==========================================================================
+# Composed LLM-corpus preparation (round 5) — the FineWeb/RefinedWeb-class
+# end-to-end prep expressed as ONE declarative plan: exact dedup ->
+# language ID + quality scoring (single projection pass, keep_cols
+# composition) -> benchmark decontamination (broadcast anti-join) ->
+# deterministic mixture sampling.  Every stage is an already-oracle-gated
+# operator; this entry gates their COMPOSITION.
+# ==========================================================================
+
+_PREP_QUALITY_MIN = 0.5
+
+
+def _llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-plan corpus prep.  Scale shape: the corpus path itself
+    shuffles ONCE (dedup: one narrow struct per distinct fingerprint);
+    langid+quality are one codegen projection over the survivors
+    (keep_cols passthrough — no re-join on id); the decontam side
+    branch shuffles only hashed gram keys (bytes per gram, never text)
+    to produce a tiny contaminated-id list that broadcasts back as a
+    left-anti join; the mixture filter is zero-shuffle codegen."""
+    from .operators.dedup import exact_dedup
+    from .operators.textstats import language_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+
+    surv = exact_dedup(docs).select("doc_id", "text", "source")
+    train = surv.filter(F.col("doc_id") % 50 != 0)
+
+    enriched = quality_score(
+        language_id(train, keep_cols=("text", "source")),
+        keep_cols=("source", "pred_lang"),
+    )
+    kept = enriched.filter(
+        (F.col("pred_lang") == "en") & (F.col("quality") >= _PREP_QUALITY_MIN)
+    )
+
+    bad = (
+        contamination_flags(train, bench, n=_DECONTAM_N)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    clean = kept.join(F.broadcast(bad), "doc_id", "left_anti")
+
+    out = mixture_sample(clean, _MIX_RATES, default_rate=_MIX_DEFAULT)
+    return out.select("doc_id", "source", "pred_lang", "quality")
+
+
+_DD_CORPUS_PREP = dd_sql(
+    """
+WITH docs AS (SELECT doc_id, text, source FROM documents),
+surv AS (
+  SELECT doc_id, text, source FROM docs
+  QUALIFY row_number() OVER (PARTITION BY md5({normtext}) ORDER BY doc_id) = 1
+),
+train AS (SELECT * FROM surv WHERE doc_id % 50 != 0),
+lp AS (SELECT doc_id, source, text, {padded} AS padded FROM train),
+ls AS (SELECT doc_id, source, text, {lang_scores} FROM lp),
+lb AS (SELECT *, greatest({score_list}) AS best FROM ls),
+lang AS (SELECT doc_id, source, text, {lang_case} AS pred_lang FROM lb),
+qn AS (SELECT doc_id, source, pred_lang, {normtext} AS norm FROM lang),
+qf AS (
+  SELECT doc_id, source, pred_lang,
+         length(norm) AS n_chars,
+         len(string_split(trim(norm), ' ')) AS n_words,
+         ({stop_hits}) AS stop_hits,
+         length(regexp_replace(norm, '[A-Za-z0-9 ]', '', 'g')) AS n_sym
+  FROM qn
+),
+enr AS (
+  SELECT doc_id, source, pred_lang,
+         round(least(n_words / 100.0, 1.0) * 0.4
+               + least((stop_hits::DOUBLE / n_words) * 5.0, 1.0) * 0.3
+               + (1.0 - least((n_sym::DOUBLE / n_chars) * 10.0, 1.0)) * 0.3, 4) AS quality
+  FROM qf
+),
+kept AS (SELECT * FROM enr WHERE pred_lang = 'en' AND quality >= {qmin}),
+tw AS (SELECT doc_id, string_split(trim(norm), ' ') AS words, trim(norm) AS norm_text
+       FROM (SELECT doc_id, {normtext} AS norm FROM train)),
+tsh AS (SELECT doc_id, {shingles} AS shingles FROM tw),
+bw AS (SELECT doc_id, string_split(trim(norm), ' ') AS words, trim(norm) AS norm_text
+       FROM (SELECT doc_id, {normtext} AS norm FROM docs WHERE doc_id % 50 = 0)),
+bsh AS (SELECT doc_id, {shingles} AS shingles FROM bw),
+bench AS (SELECT DISTINCT {h} AS gram_h FROM (SELECT unnest(shingles) AS s FROM bsh)),
+tg AS (SELECT doc_id, {h} AS gram_h FROM (SELECT doc_id, unnest(shingles) AS s FROM tsh)),
+bad AS (SELECT DISTINCT doc_id FROM tg JOIN bench USING (gram_h)),
+final AS (SELECT k.* FROM kept k ANTI JOIN bad b USING (doc_id))
+SELECT doc_id, source, pred_lang, quality FROM final
+WHERE (('0x' || substr(md5('mixture' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
+      < (CASE source {mix_cases} ELSE {mix_dflt} END)
+""",
+    normtext=dd_sql(_DD_NORMALIZE, col="text"),
+    padded=_DD_PADDED,
+    lang_scores=_DD_LANG_SCORES,
+    score_list=", ".join("s_" + lang for lang in _LANGS_SORTED),
+    lang_case=_DD_LANG_CASE,
+    stop_hits=_dd_marker_hits("(' ' || norm || ' ')", STOPWORDS_EN),
+    qmin=_PREP_QUALITY_MIN,
+    shingles=_dd_shingles("norm_text", _DECONTAM_N, words="words"),
+    h=stable_hash60_sql("s"),
+    mix_cases=_DD_MIX_CASE,
+    mix_dflt=int(round(_MIX_DEFAULT * 10000)),
+)
+
+_register("pipeline_llm_corpus_prep", _llm_corpus_prep, _DD_CORPUS_PREP)
 
 
 # ==========================================================================

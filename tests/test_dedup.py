@@ -198,3 +198,22 @@ def test_semantic_dedup_pair_join_is_blocked(spark):
     assert "centroid_id" in plan
     # no cartesian product between the two assigned sides
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_gemm_matches_fold(spark):
+    """The BLAS pair stage must produce the identical verdict set as the
+    expression-fold stage (both threshold on 4-decimal-rounded sims)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    key = lambda r: (r["vec_id"], r["centroid_id"], r["is_dup"])  # noqa: E731
+    fold = sorted(key(r) for r in semantic_dedup(emb, centroids, threshold=0.99).collect())
+    gemm = sorted(key(r) for r in semantic_dedup(emb, centroids, threshold=0.99, gemm=True).collect())
+    assert fold == gemm
