@@ -129,6 +129,66 @@ def ivf_search(
     )
 
 
+def ivf_search_join(
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    payload_cols=None,
+) -> DataFrame:
+    """Batched IVF probe: N query vectors, each scanning only its own
+    ``nprobe`` inverted lists — the IVF twin of ``knn.knn_join``.
+
+    Physical shape: centroids x broadcast(queries) ranks probes map-side
+    (both relations are small); the (query_id, centroid_id) probe list
+    broadcasts onto the assigned corpus, so a corpus row is scored once
+    per query that probes its list — total scored volume is
+    sum over queries of their probed-list sizes, NOT |corpus| x N.  The
+    projection entering the final per-query top-k window is narrow
+    (id, payload, distance); embeddings never cross an exchange.
+    """
+    from pyspark.sql import Window
+
+    dist_fn = DISTANCE_FNS[metric]
+    ranked = centroids.crossJoin(F.broadcast(queries)).select(
+        query_id_col,
+        centroid_id_col,
+        dist_fn(F.col(centroid_vec_col), F.col(query_vec_col)).alias("_qd"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_qd").asc(), F.col(centroid_id_col).asc()
+    )
+    probes = (
+        ranked.withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id_col, centroid_id_col)
+    )
+    cols = list(payload_cols) if payload_cols is not None else [
+        c for c in assigned_corpus.columns if c not in (vec_col,)
+    ]
+    cand = assigned_corpus.join(F.broadcast(probes), centroid_id_col).join(
+        F.broadcast(queries), query_id_col
+    )
+    scored = cand.withColumn(
+        "distance", dist_fn(F.col(vec_col), F.col(query_vec_col))
+    ).select(query_id_col, *[c for c in cols if c != query_id_col], "distance")
+    top_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(top_w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_index_write(
     assigned_corpus: DataFrame,
     path: str,

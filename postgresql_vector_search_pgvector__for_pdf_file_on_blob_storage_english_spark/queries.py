@@ -220,6 +220,67 @@ QUALIFY rank <= 3
     dist=_dd_l2("e.embedding", "q.qe"),
 )
 
+def _knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the pgvector idiom
+    ``WHERE label = ... ORDER BY embedding <-> q LIMIT 5`` (metadata
+    predicate + KNN).  The filter lands in the parquet scan
+    (PushedFilters) BEFORE any distance math, so the heap only sees
+    matching rows — predicate pushdown composes with the zero-shuffle
+    TakeOrderedAndProject flagship shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 2).select(F.col("embedding").alias("query_vec"))
+    out = knn(
+        emb.filter(F.col("label") == 3), q, k=5, metric="l2",
+        payload_cols=["vec_id", "label"],
+    )
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+_register(
+    "q2_knn_l2_filtered_top5",
+    _knn_filtered,
+    dd_sql("""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 2)
+SELECT e.vec_id, e.label, round({dist}, 4) AS distance
+FROM embeddings e, q
+WHERE e.label = 3
+ORDER BY {dist}, e.vec_id LIMIT 5
+""", dist=_dd_l2("e.embedding", "q.qe")),
+)
+
+
+# 16-22 hits at sf0.001/0.01, 84 at sf0.1 — non-vacuous at every fixture
+_RANGE_RADIUS = 1.25
+
+
+def _knn_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search — pgvector's ``WHERE embedding <-> q < r``:
+    every vector within distance r, not a fixed k.  A pure filter over
+    the scored scan: zero shuffles, no sort at all (the driver's compare
+    is order-insensitive; consumers needing order add orderBy)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 2).select(F.col("embedding").alias("query_vec"))
+    scored = emb.crossJoin(F.broadcast(q)).withColumn(
+        "distance", DISTANCE_FNS["l2"](F.col("embedding"), F.col("query_vec"))
+    )
+    return (
+        scored.filter(F.col("distance") < _RANGE_RADIUS)
+        .select("vec_id", "label", F.round("distance", 4).alias("distance"))
+    )
+
+
+_register(
+    "q2_knn_range_search",
+    _knn_range,
+    dd_sql("""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 2)
+SELECT e.vec_id, e.label, round({dist}, 4) AS distance
+FROM embeddings e, q
+WHERE {dist} < {radius}
+""", dist=_dd_l2("e.embedding", "q.qe"), radius=_RANGE_RADIUS),
+)
+
+
 _register("q2_knn_l2_topk_batch", _knn_batch(local_topk=False), _DD_KNN_BATCH)
 # Same semantics, scale-path physical plan (partition-local Arrow top-k
 # selection before the exchange) — must agree bit-for-bit with the oracle.
@@ -1155,6 +1216,58 @@ LIMIT 5
 """
 
 _register("ann_ivf_search", _ann_ivf, _DD_ANN_IVF)
+
+
+def _ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF (operators/ann.py::ivf_search_join): 8 queries, each
+    probing its own nprobe=2 lists in one plan — scored volume tracks
+    probed-list sizes, not |corpus| x N."""
+    from .operators.ann import ivf_search_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = assign_ivf(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_search_join(
+        assigned, centroids, queries, k=5, nprobe=2,
+        payload_cols=["vec_id", "label", "centroid_id"],
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", "label", "centroid_id",
+        F.round("distance", 4).alias("distance"),
+    )
+
+
+_DD_ANN_IVF_BATCH = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+assigned AS (
+  SELECT e.vec_id, e.label, e.embedding, c.centroid_id
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "c.cvec")}, c.centroid_id) = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+probes AS (
+  SELECT q.query_id, c.centroid_id FROM cent c, q
+  QUALIFY row_number() OVER (
+    PARTITION BY q.query_id ORDER BY {_dd_l2("c.cvec", "q.qe")}, c.centroid_id) <= 2
+)
+SELECT p.query_id,
+       row_number() OVER (
+         PARTITION BY p.query_id ORDER BY {_dd_l2("a.embedding", "q.qe")}, a.vec_id) AS rank,
+       a.vec_id, a.label, a.centroid_id,
+       round({_dd_l2("a.embedding", "q.qe")}, 4) AS distance
+FROM assigned a JOIN probes p USING (centroid_id) JOIN q ON q.query_id = p.query_id
+QUALIFY rank <= 5
+"""
+
+_register("ann_ivf_search_batch", _ann_ivf_batch, _DD_ANN_IVF_BATCH)
 
 
 def _ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4093,6 +4206,92 @@ def _stream_pii_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("stream_pii_scrub_replay", _stream_pii_scrub_replay, _DD_PII)
+
+
+def _stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming gated by the oracle: the documents fixture is
+    split into 4 range files and streamed with ``maxFilesPerTrigger=1``,
+    so the cross-batch seen-set in ``streaming_exact_dedup``
+    (applyInPandasWithState) is genuinely exercised across 4
+    micro-batches.  The sink is then aggregated per fingerprint to the
+    batch-split-independent invariants:
+
+    * ``n_docs`` = final ``n_seen`` — the state must accumulate to the
+      TRUE total occurrence count across batches;
+    * ``n_new_flags`` = sum(is_new) — ``is_new`` must fire exactly once
+      per fingerprint ever, whatever the batch boundaries.
+
+    Both equal what one batch SQL over the raw table computes — that SQL
+    is the oracle."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.dedup_stream import streaming_exact_dedup
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_dedup_{tag}")
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # Weave exact duplicates (same text, offset id, every 50th doc) so
+    # the stream genuinely hits the seen-set across batch boundaries —
+    # the raw fixture's 500 texts are all distinct.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    woven = docs.unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    woven.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_exact_dedup(stream)
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(_append)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    return (
+        spark.read.parquet(sink)
+        .groupBy("fingerprint")
+        .agg(
+            F.max("n_seen").alias("n_docs"),
+            F.sum(F.col("is_new").cast("long")).alias("n_new_flags"),
+        )
+    )
+
+
+_DD_STREAM_DEDUP = dd_sql(
+    """
+WITH woven AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+),
+n AS (SELECT doc_id, md5({norm}) AS fingerprint FROM woven)
+SELECT fingerprint, count(*) AS n_docs, 1::BIGINT AS n_new_flags
+FROM n GROUP BY fingerprint
+""",
+    norm=dd_sql(_DD_NORMALIZE, col="text"),
+)
+
+_register("stream_dedup_replay", _stream_dedup_replay, _DD_STREAM_DEDUP)
 
 
 def _sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:

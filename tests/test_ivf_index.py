@@ -139,3 +139,57 @@ class TestIvfIndexAppend:
         scratch = ivf_index_search(spark, scratch_path, centroids, q, k=5, nprobe=2)
         key = lambda r: (r["vec_id"], round(r["distance"], 4))  # noqa: E731
         assert [key(r) for r in merged.collect()] == [key(r) for r in scratch.collect()]
+
+
+class TestIvfSearchJoin:
+    """Batched IVF probe (r5)."""
+
+    def test_exhaustive_probe_equals_exact_batch(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+            ivf_search_join,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+            knn_join,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+        )
+        queries = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        assigned = assign_ivf(emb, centroids)
+        # probing every list == exact brute force
+        ivf = ivf_search_join(
+            assigned, centroids, queries, k=5, nprobe=N_CENTROIDS,
+            payload_cols=["vec_id"],
+        )
+        exact = knn_join(emb, queries, k=5, metric="l2", payload_cols=["vec_id"])
+        key = lambda r: (r["query_id"], r["rank"], r["vec_id"], round(r["distance"], 6))  # noqa: E731
+        assert sorted(key(r) for r in ivf.collect()) == sorted(key(r) for r in exact.collect())
+
+    def test_no_embedding_in_shuffles(self, spark):
+        import re
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+            ivf_search_join,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+        )
+        queries = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        plan = explain_str(
+            ivf_search_join(assign_ivf(emb, centroids), centroids, queries, k=5,
+                            nprobe=2, payload_cols=["vec_id"]),
+            "formatted",
+        )
+        for inputs in re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+            assert "embedding" not in inputs and "query_vec" not in inputs, inputs

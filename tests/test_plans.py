@@ -38,6 +38,21 @@ class TestFlagshipKnn:
     def test_query_vector_filter_pushed(self, spark):
         assert any("EqualTo(vec_id,0)" in f for f in pushed_filters(q(spark, "q2_knn_l2_top5")))
 
+    def test_filtered_knn_pushes_metadata_predicate(self, spark):
+        # pgvector's WHERE label = ... ORDER BY <-> LIMIT idiom: the
+        # metadata filter must reach the parquet scan, and the plan keeps
+        # the flagship zero-shuffle TakeOrdered shape.
+        df = q(spark, "q2_knn_l2_filtered_top5")
+        assert any("EqualTo(label,3)" in f for f in pushed_filters(df))
+        assert count_exchanges(df) == 0
+        assert has_take_ordered(df)
+
+    def test_range_search_is_pure_scan_filter(self, spark):
+        # radius search is a filter over the scored scan: no shuffle, no
+        # sort, no limit — cost is exactly one corpus pass.
+        df = q(spark, "q2_knn_range_search")
+        assert count_exchanges(df) == 0
+
     def test_batched_knn_single_exchange(self, spark):
         # broadcast queries + map-side scoring; the only shuffle is the
         # per-query window for the global top-k.

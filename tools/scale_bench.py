@@ -34,7 +34,7 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spa
     get_spark,
 )
 
-REPS = [1, 10, 50]
+REPS = [1, 10, 50, 100]  # r5: extend the curves one decade (VERDICT r4 item 8)
 
 
 def replicate(df, n, id_col, text_col=None, vec_col=None):
