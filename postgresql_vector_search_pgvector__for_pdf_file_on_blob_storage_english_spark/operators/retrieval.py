@@ -101,6 +101,68 @@ def bm25_topk(
     )
 
 
+def bm25_topk_join(
+    docs: DataFrame,
+    queries: dict[int, Sequence[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    score_col: str = "bm25",
+) -> DataFrame:
+    """Per-query BM25 top-k for a batch of term-bag queries — the
+    lexical twin of ``knn.knn_join``.
+
+    The expensive corpus statistics (tokenization, document lengths,
+    N/avgdl, term frequencies, document frequencies) are computed ONCE
+    over the union of all query terms; each query then reuses them
+    through a broadcast (query_id, term) relation.  Shuffles: the two
+    partial-aggregated stats shuffles (dl and tf — shared by all
+    queries) plus one narrow per-query window; N queries cost ~one
+    query's corpus work.  Ranks use the (score desc, id asc) tiebreak.
+    """
+    qterms = [
+        (int(qid), t.lower())
+        for qid, terms in sorted(queries.items())
+        for t in sorted({x.lower() for x in terms})
+    ]
+    if not qterms:
+        raise ValueError("bm25_topk_join needs at least one query term")
+    spark = docs.sparkSession
+    qrel = spark.createDataFrame(qterms, f"{query_id_col} int, term string")
+    all_terms = sorted({t for _, t in qterms})
+
+    tokens = tokenize(docs, text_col=text_col, id_col=id_col)
+    doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = doc_len.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        tokens.filter(F.col("term").isin(all_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+
+    scored = (
+        tf.join(doc_len, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qrel), "term")  # fan out per query AFTER stats
+        .select(query_id_col, id_col, term_score.alias("_s"))
+    )
+    per_query = scored.groupBy(query_id_col, id_col).agg(F.sum("_s").alias(score_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def with_rank(df: DataFrame, order_cols: Sequence, rank_col: str = "rank") -> DataFrame:
     """Attach a 1-based row-number position by the given ordering
     (``row_number()``, not ``dense_rank()`` — ties get distinct ranks,

@@ -3846,6 +3846,75 @@ ORDER BY bm25 DESC, doc_id LIMIT 10
 )
 
 
+# Batched BM25 (r5): term sets chosen with nonzero df at every fixture.
+_BM25_QUERIES = {
+    0: ["spark", "vector", "join"],
+    1: ["data", "query", "table"],
+    2: ["stream", "batch"],
+}
+
+
+def _bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 (operators/retrieval.py::bm25_topk_join): corpus
+    stats computed once, shared by all queries through a broadcast
+    (query_id, term) relation."""
+    from .operators.retrieval import bm25_topk_join
+
+    out = bm25_topk_join(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+    return out.select("query_id", "rank", "doc_id", F.round("bm25", 4).alias("bm25"))
+
+
+_DD_BM25_QREL = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, terms in sorted(_BM25_QUERIES.items())
+    for t in sorted(set(terms))
+)
+_DD_BM25_ALL_TERMS = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+)
+
+_DD_BM25_BATCH = dd_sql(
+    """
+WITH {tokens},
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_len),
+qrel(query_id, term) AS (VALUES {qrel}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({k1} + 1.0)
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS s
+  FROM tf
+  JOIN doc_len USING (doc_id)
+  CROSS JOIN corpus
+  JOIN dfreq USING (term)
+  JOIN qrel q USING (term)
+),
+bm AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM scored GROUP BY query_id, doc_id)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank,
+       doc_id, round(bm25, 4) AS bm25
+FROM bm
+QUALIFY rank <= 10
+""",
+    # NB: at this point in the module _DD_TOKENS is the tokens-CTE
+    # fragment (the earlier token-stats SQL of the same name was
+    # captured by its _register before this rebinding).
+    tokens=_DD_TOKENS,
+    qrel=_DD_BM25_QREL,
+    terms=_DD_BM25_ALL_TERMS,
+    k1=_BM25_K1,
+    b=_BM25_B,
+)
+
+_register("bm25_topk_batch", _bm25_batch, _DD_BM25_BATCH)
+
+
 _HYBRID_POOL = 20  # per-list candidate depth before fusion
 _RRF_C = 60
 

@@ -151,3 +151,27 @@ class TestDriverWindow:
         window, registry = self._registry()
         weak = [n for n in window if registry[n][1] is None]
         assert not weak, f"window entries without oracle SQL: {weak}"
+
+
+class TestBm25Batch:
+    def test_batch_query_matches_single(self, spark):
+        """bm25_topk_join's per-query result must equal bm25_topk run
+        alone with the same terms (corpus stats are shared, scores must
+        not change)."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.retrieval import (
+            bm25_topk,
+            bm25_topk_join,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        terms = ["spark", "vector", "join"]
+        single = bm25_topk(docs, terms, k=10)
+        batch = bm25_topk_join(docs, {7: terms, 8: ["data", "table"]}, k=10)
+        s = [(r["doc_id"], round(r["bm25"], 6)) for r in single.collect()]
+        b = [
+            (r["doc_id"], round(r["bm25"], 6))
+            for r in sorted(
+                batch.filter("query_id = 7").collect(), key=lambda r: r["rank"]
+            )
+        ]
+        assert s == b
