@@ -494,3 +494,78 @@ def lsh_index_search(
         index, query_vec, k=k, metric=metric, vec_col=vec_col, id_col=id_col,
         payload_cols=payload_cols,
     )
+
+
+def multiprobe_buckets(qbucket: int, n_planes: int, max_flips: int = 1) -> list[int]:
+    """The query bucket plus every bucket within Hamming distance
+    ``max_flips`` of it in signature space (flip-1 enumeration for
+    max_flips=1 — the standard multi-probe LSH sequence: near-miss
+    vectors most likely landed one sign-bit away)."""
+    buckets = {int(qbucket)}
+    frontier = {int(qbucket)}
+    for _ in range(max_flips):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(n_planes)} - buckets
+        buckets |= frontier
+    return sorted(buckets)
+
+
+def lsh_search_multiprobe(
+    corpus: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 5,
+    metric: str = "cosine",
+    max_flips: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols=None,
+) -> DataFrame:
+    """Multi-probe LSH: exact top-k over the query's bucket PLUS its
+    ``max_flips``-bit neighbors — recall approaches nprobe-style IVF
+    widening without more hash tables.  With 8 planes and max_flips=1
+    the probe reads 9 of 256 buckets (~3.5% of the corpus) instead of 1."""
+    from .knn import knn
+
+    spark = corpus.sparkSession
+    qrow = spark.range(1).select(knn_query_col(query_vec).alias("_qv"))
+    qbucket = qrow.select(lsh_bucket(F.col("_qv"), planes).alias("_b")).first()["_b"]
+    probe = multiprobe_buckets(qbucket, len(planes), max_flips)
+    tagged = corpus.withColumn("_bucket", lsh_bucket(vec_col, planes))
+    bucket = tagged.filter(F.col("_bucket").isin(probe)).drop("_bucket")
+    return knn(
+        bucket, query_vec, k=k, metric=metric, vec_col=vec_col, id_col=id_col,
+        payload_cols=payload_cols,
+    )
+
+
+def lsh_index_search_multiprobe(
+    spark,
+    path: str,
+    query_vec,
+    planes: list[list[float]],
+    k: int = 5,
+    metric: str = "cosine",
+    max_flips: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_col: str = "bucket",
+    payload_cols=None,
+) -> DataFrame:
+    """Multi-probe against the PERSISTED bucket-partitioned index: the
+    literal ``isin`` over the probe set lands in PartitionFilters, so
+    exactly |probe set| directories are opened — multi-probe recall at
+    partition-pruned cost."""
+    from .knn import knn
+
+    qrow = spark.range(1).select(knn_query_col(query_vec).alias("_qv"))
+    qbucket = qrow.select(lsh_bucket(F.col("_qv"), planes).alias("_b")).first()["_b"]
+    probe = multiprobe_buckets(qbucket, len(planes), max_flips)
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col(bucket_col).isin(probe))
+        .withColumn(bucket_col, F.col(bucket_col).cast("long"))
+    )
+    return knn(
+        index, query_vec, k=k, metric=metric, vec_col=vec_col, id_col=id_col,
+        payload_cols=payload_cols,
+    )

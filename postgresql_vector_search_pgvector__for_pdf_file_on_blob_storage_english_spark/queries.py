@@ -1394,6 +1394,45 @@ def _ann_lsh_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ann_lsh_index_search", _ann_lsh_index_search, _DD_ANN_LSH)
 
 
+def _ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (operators/ann.py::lsh_search_multiprobe): the
+    query's bucket plus all 1-bit-flip neighbors — the standard recall
+    widener without extra hash tables.  Same output contract as
+    ``ann_lsh_search`` (whose single bucket is a subset of this probe
+    set, so results can only improve toward exact)."""
+    from .operators.ann import lsh_search_multiprobe
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == _LSH_PROBE_ID).first()["embedding"])
+    out = lsh_search_multiprobe(
+        emb, q, _LSH_PLANES, k=5, metric="cosine", max_flips=1,
+        payload_cols=["vec_id", "label"],
+    )
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+_DD_ANN_LSH_MULTI = f"""
+WITH tagged AS (
+  SELECT vec_id, label, embedding, ({dd_sql(_DD_BUCKET_EXPR, v="embedding")})::BIGINT AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe, ({dd_sql(_DD_BUCKET_EXPR, v="embedding")})::BIGINT AS qbucket
+      FROM embeddings WHERE vec_id = {_LSH_PROBE_ID}),
+probe AS (
+  SELECT qbucket AS b FROM q
+  UNION
+  SELECT xor(qbucket, (1::BIGINT << i)) AS b FROM q, range(0, {len(_LSH_PLANES)}) t(i)
+)
+SELECT t.vec_id, t.label, round({_dd_cosine_dist("t.embedding", "q.qe")}, 4) AS distance
+FROM tagged t, q
+WHERE t.bucket IN (SELECT b FROM probe)
+ORDER BY {_dd_cosine_dist("t.embedding", "q.qe")}, t.vec_id
+LIMIT 5
+"""
+
+_register("ann_lsh_multiprobe_search", _ann_lsh_multiprobe, _DD_ANN_LSH_MULTI)
+
+
 # Recall@k of the ANN paths measured against exact brute force — ANN
 # quality as a number, not an assertion.  Queries are corpus members
 # (so every probe set is non-empty and both engines agree on n_q);

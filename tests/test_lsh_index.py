@@ -97,3 +97,55 @@ class TestLshIndex:
         )
         hits = lsh_index_search(spark, path, q, planes, k=5, payload_cols=["vec_id", "bucket"])
         assert all(r["bucket"] == corpus_bucket for r in hits.collect())
+
+
+class TestMultiprobe:
+    def test_bucket_enumeration(self):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+            multiprobe_buckets,
+        )
+
+        got = multiprobe_buckets(0b101, 3, max_flips=1)
+        assert got == sorted({0b101, 0b100, 0b111, 0b001})
+        assert multiprobe_buckets(5, 8, max_flips=0) == [5]
+        # 2 flips over 3 planes from 0: all masks of popcount <= 2
+        assert multiprobe_buckets(0, 3, max_flips=2) == [0, 1, 2, 3, 4, 5, 6]
+
+    def test_multiprobe_superset_of_single_bucket(self, spark, index):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+            lsh_search,
+            lsh_search_multiprobe,
+        )
+
+        emb, planes, _, q = index
+        big = emb.count()  # k >= corpus: both return their FULL pool
+        single = {r["vec_id"]: round(r["distance"], 6) for r in
+                  lsh_search(emb, q, planes, k=big, payload_cols=["vec_id"]).collect()}
+        multi = {r["vec_id"]: round(r["distance"], 6) for r in
+                 lsh_search_multiprobe(emb, q, planes, k=big, max_flips=1,
+                                       payload_cols=["vec_id"]).collect()}
+        # the multiprobe candidate pool strictly contains the single
+        # bucket (flip-0 is in the probe set), with identical distances
+        assert set(single) <= set(multi)
+        assert all(single[v] == multi[v] for v in single)
+        assert len(multi) > len(single), "1-bit flips should widen the pool"
+
+    def test_persisted_multiprobe_prunes_and_matches(self, spark, index):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+            lsh_index_search_multiprobe,
+            lsh_index_write,
+            lsh_search_multiprobe,
+        )
+
+        emb, planes, path, q = index
+        lsh_index_write(emb, path, planes)  # rebuild after delete-proof
+        persisted = lsh_index_search_multiprobe(
+            spark, path, q, planes, k=5, max_flips=1, payload_cols=["vec_id", "label"]
+        )
+        pf = [f for f in partition_filters(persisted) if "bucket" in f]
+        assert pf, "multi-probe must still prune via PartitionFilters"
+        inmem = lsh_search_multiprobe(
+            emb, q, planes, k=5, max_flips=1, payload_cols=["vec_id", "label"]
+        )
+        key = lambda r: (r["vec_id"], r["label"], round(r["distance"], 6))  # noqa: E731
+        assert [key(r) for r in persisted.collect()] == [key(r) for r in inmem.collect()]
