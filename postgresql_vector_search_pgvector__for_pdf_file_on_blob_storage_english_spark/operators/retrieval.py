@@ -204,3 +204,135 @@ def rrf_fuse(
         ).alias(score_col),
     )
     return fused.orderBy(F.col(score_col).desc(), id_col).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Persisted inverted index: the offline/online split of bm25_topk.
+#
+# bm25_topk re-tokenizes the corpus per query — correct, but at 100 TB
+# that is a full corpus scan per search.  The deployed shape (Lucene,
+# Elasticsearch, Vespa) builds the postings ONCE and serves queries from
+# them.  Here the postings live as parquet hive-partitioned by a stable
+# hash bucket of the term, so a |Q|-term query opens at most |Q| bucket
+# directories via *static* partition pruning (PartitionFilters) — probe
+# I/O tracks the query, never the corpus.  Mirrors the IVF/LSH/SQ8
+# persisted-index family (operators/ann.py::ivf_index_write).
+# --------------------------------------------------------------------------
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of :func:`term_bucket_col` — same md5-prefix
+    bucket, so a search can enumerate its partitions without a job."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def term_bucket_col(term_col, n_buckets: int):
+    """Stable md5-derived bucket of a term (engine-wide stable-hash
+    convention — groupwise.hash_sample).  Deterministic across engines,
+    partitionings and runs; NOT Spark's `hash()` (seed/version bound)."""
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def bm25_index_write(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build the persisted BM25 index: one tokenize pass, then
+
+    * ``{path}/postings`` — (term, doc_id, tf, dl), partitioned by
+      ``term_bucket``: the inverted lists;
+    * ``{path}/terms``    — (term, df), same partitioning: per-term
+      document frequencies for idf;
+    * ``{path}/stats``    — 1 row (n_docs, avgdl): corpus constants.
+
+    Cost model at 100 TB: the tokenize pass is map-only; the two
+    aggregations (per-(doc,term) tf and per-doc dl) are partial-agg
+    shuffles whose volume is distinct keys, not the token stream; the
+    join back of dl onto postings keys on doc_id.  This is the offline
+    index build, amortized over every query it serves.  Incremental
+    maintenance appends new docs' postings into the same bucket layout
+    (parquet append touches only the buckets the batch lands in), with
+    stats/terms refreshed by the same aggregation over the delta — the
+    ivf_index_append contract.
+    """
+    tokens = tokenize(docs, text_col=text_col, id_col=id_col)
+    doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    postings = tf.join(doc_len, id_col).withColumn(
+        "term_bucket", term_bucket_col(F.col("term"), n_buckets)
+    )
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+    )
+    dfreq.write.mode("overwrite").partitionBy("term_bucket").parquet(f"{path}/terms")
+    doc_len.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+
+
+def bm25_index_search(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    score_col: str = "bm25",
+) -> DataFrame:
+    """Serve a BM25 top-k from the persisted index.
+
+    The query's bucket ids are computed DRIVER-SIDE (md5 of each term —
+    no Spark job), so the ``term_bucket IN (...)`` literal lands in the
+    scan's ``PartitionFilters``: unqueried bucket directories are
+    eliminated at planning time with zero I/O (delete-proof gated in
+    tests/test_bm25_index.py).  Identical scoring math and
+    (score desc, id asc) tiebreak as :func:`bm25_topk`, so the two are
+    result-identical by construction — same SQL oracle.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_index_search needs at least one query term")
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
+
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    dfreq = (
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    corpus = spark.read.parquet(f"{path}/stats")
+
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+
+    scored = (
+        postings.crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(dfreq), "term")
+        .select(id_col, term_score.alias("_s"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("_s").alias(score_col))
+        .orderBy(F.col(score_col).desc(), id_col)
+        .limit(k)
+    )

@@ -3954,6 +3954,39 @@ QUALIFY rank <= 10
 _register("bm25_topk_batch", _bm25_batch, _DD_BM25_BATCH)
 
 
+def _bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query/contract as ``bm25_topk_docs`` but served from a
+    *persisted* inverted index (operators/retrieval.py::
+    bm25_index_write): postings hive-partitioned by a stable md5 term
+    bucket, probe buckets computed driver-side so the scan prunes
+    statically (PartitionFilters) — the Lucene-shaped offline/online
+    split the 100 TB lexical story needs.  Identical scoring math and
+    tiebreak as the scan path, so same oracle by construction."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.retrieval import bm25_index_search, bm25_index_write
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_index_{tag}")
+    bm25_index_write(docs, path, n_buckets=32)
+    out = bm25_index_search(spark, path, _BM25_TERMS, k=10, n_buckets=32)
+    return out.select("doc_id", F.round("bm25", 4).alias("bm25"))
+
+
+_register(
+    "bm25_index_search",
+    _bm25_index_search,
+    dd_sql(_DD_BM25_SCORED, terms=_DD_TERMS_LIST)
+    + """
+SELECT doc_id, round(bm25, 4) AS bm25 FROM bm25
+ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+)
+
+
 _HYBRID_POOL = 20  # per-list candidate depth before fusion
 _RRF_C = 60
 
