@@ -117,3 +117,44 @@ def mixture_sample(
             F.col(source_col) == src, F.lit(int(round(rate * 10000)))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-source document quota: keep at most ``cap`` rows per source,
+    chosen deterministically — the "domain cap" stage of web-corpus
+    pipelines (CommonCrawl dedup recipes cap pages per domain so one
+    mega-site can't dominate the mixture).
+
+    Selection ranks rows WITHIN each source by the engine's stable md5
+    hash of (salt, id) with an id tiebreak, so the surviving set is a
+    uniform per-source sample that is reproducible across runs, engines
+    and partitionings, and *monotone in cap*: raising the cap only adds
+    rows, never swaps earlier survivors — an audit/incremental-build
+    property ``df.limit``-per-group would not have.
+
+    Cost: ONE shuffle keyed on ``source_col`` (the window partition).
+    For a pathologically skewed source (one domain = a whole executor's
+    input) the standard mitigation is a hash-threshold pre-filter at
+    ~(cap / est_count) to shrink the window's input before the exact
+    rank — same two-stage shape as the salted aggregations in skew.py.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("§", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_cap_rank", F.row_number().over(w))
+        .filter(F.col("_cap_rank") <= cap)
+        .drop("_cap_rank")
+    )

@@ -4553,6 +4553,49 @@ WHERE (('0x' || substr(md5('mixture' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT
 
 
 # ==========================================================================
+# Per-source quota cap (round 5) — the "domain cap" corpus stage:
+# at most N docs per source, selected by stable-hash rank so the
+# survivor set is deterministic and monotone in the cap
+# (operators/groupwise.py::source_cap).
+# ==========================================================================
+
+from .operators.groupwise import source_cap  # noqa: E402
+
+_CAP_N = 10
+_CAP_SALT = "cap"
+
+
+def _source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep <= 10 docs per source (fixtures carry 25/source at every sf,
+    so the cap bites everywhere — no vacuous gate).  One shuffle keyed
+    on source; selection order is the engine stable-hash convention."""
+    docs = _t(spark, sf_dir, "documents")
+    out = source_cap(docs, cap=_CAP_N, salt=_CAP_SALT)
+    return out.select("doc_id", "source")
+
+
+_register(
+    "source_cap_sample",
+    _source_cap_sample,
+    dd_sql(
+        """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('{salt}' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                    doc_id
+         ) AS r
+  FROM documents
+) WHERE r <= {cap}
+""",
+        salt=_CAP_SALT,
+        cap=_CAP_N,
+    ),
+)
+
+
+# ==========================================================================
 # TPC-H Q7 / Q13 analogs (round 4) — volume shipping between nation pairs
 # and the customer order-count distribution; widen the relational
 # substrate the fixtures can express (no l_shipmode/partsupp columns, so

@@ -52,3 +52,64 @@ class TestMixtureSample:
         hi = {r["doc_id"] for r in mixture_sample(df, {"web": 0.6}).collect()}
         assert lo <= hi
         assert len(lo) < len(hi)
+
+
+class TestSourceCap:
+    def _docs(self, spark):
+        import pyspark.sql.functions as F
+
+        return spark.range(0, 900).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("d"), (F.col("id") % 3).cast("string")).alias("source"),
+        )
+
+    def test_cap_respected_and_deterministic(self, spark):
+        import pyspark.sql.functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            source_cap,
+        )
+
+        df = self._docs(spark)
+        out = source_cap(df, cap=50)
+        by_src = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_src == {"d0": 50, "d1": 50, "d2": 50}
+        ids_a = sorted(r["doc_id"] for r in out.collect())
+        ids_b = sorted(
+            r["doc_id"] for r in source_cap(df.repartition(13), cap=50).collect()
+        )
+        assert ids_a == ids_b
+
+    def test_monotone_in_cap(self, spark):
+        # raising the cap only ADDS survivors — hash-rank order means the
+        # cap is a prefix cut, so incremental re-caps never churn rows.
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            source_cap,
+        )
+
+        df = self._docs(spark)
+        lo = {r["doc_id"] for r in source_cap(df, cap=20).collect()}
+        hi = {r["doc_id"] for r in source_cap(df, cap=80).collect()}
+        assert lo < hi
+        assert len(lo) == 60 and len(hi) == 240
+
+    def test_small_groups_pass_through(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            source_cap,
+        )
+
+        df = self._docs(spark)
+        assert source_cap(df, cap=1000).count() == 900
+
+    def test_bad_cap_raises(self, spark):
+        import pytest
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            source_cap,
+        )
+
+        with pytest.raises(ValueError):
+            source_cap(self._docs(spark), cap=0)
