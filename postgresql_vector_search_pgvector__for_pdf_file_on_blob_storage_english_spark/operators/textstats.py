@@ -337,3 +337,90 @@ def line_quality_filter(
         F.size(kept).alias("n_kept"),
         F.array_join(kept, "\n").alias("filtered_text"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style (Wenzek et al. 2020) language-model
+    quality signal (there KenLM perplexity; the unigram LM is its
+    self-contained, SQL-replayable analog: score = mean over tokens of
+    ln(count(term) / total_tokens); higher = more typical text).
+
+    Shape at 100 TB: tokenization is map-only; the score is computed on
+    per-(doc, term) tf — one partial-agg shuffle ∝ distinct doc-term
+    pairs, never the token stream.  Term totals (vocab-sized) are
+    broadcast when ``broadcast_vocab`` (right up to ~100M-term vocabs);
+    set False for open-vocab web corpora and the join shuffles on term
+    instead.  No smoothing is needed: every scored token is in the
+    vocabulary by construction (the LM is fit on the same corpus).
+    Output: (id, n_tokens, logprob) — logprob in [-ln(N), 0].
+    """
+    tokens = (
+        df.select(
+            id_col,
+            F.explode(
+                F.split(F.trim(normalize_whitespace_col(text_col)), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .withColumn("term", F.lower("term"))
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    vocab = F.broadcast(cnt) if broadcast_vocab else cnt
+    term_lp = F.col("tf") * F.log(
+        F.col("c").cast("double") / F.col("n").cast("double")
+    )
+    return (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(term_lp) / F.sum("tf")).alias("logprob"),
+        )
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    names: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by LM score and
+    cut into equal-frequency buckets (best third = "head", used as the
+    highest-quality training slice; Wenzek et al. 2020 §4.3).
+
+    The rank orders by the ROUNDED score (4 dp) with an id tiebreak so
+    bucket membership is well-defined across engines/partitionings —
+    raw double ordering could flip boundary docs on accumulation-order
+    ulps.  ``ntile`` is a global sort — the honest cost of an exact
+    equal-frequency split; at 100 TB the standard cheaper variant cuts
+    on approximate score quantiles from a sample (then the split is a
+    zero-shuffle threshold filter like mixture_sample), trading exact
+    bucket sizes for a scan-local plan.
+    """
+    from pyspark.sql import Window
+
+    if len(names) != n_buckets:
+        raise ValueError(f"need {n_buckets} bucket names, got {len(names)}")
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.round("logprob", 4).desc(), F.col(id_col).asc()
+    )
+    tile = F.ntile(n_buckets).over(w)
+    bucket = F.element_at(F.array(*[F.lit(n) for n in names]), tile)
+    return scored.select(
+        id_col,
+        "n_tokens",
+        F.round("logprob", 4).alias("logprob"),
+        bucket.alias("bucket"),
+    )

@@ -4856,6 +4856,73 @@ _register("text_c4_line_filter", _c4_line_filter, _DD_C4_LINES)
 
 
 # ==========================================================================
+# CCNet-style LM quality scoring (round 5) — per-doc mean unigram
+# log-probability under the corpus's own unigram LM, and the
+# head/middle/tail equal-frequency split cut on it
+# (operators/textstats.py::unigram_logprob / ccnet_buckets;
+# Wenzek et al. 2020).
+# ==========================================================================
+
+from .operators.textstats import ccnet_buckets, unigram_logprob  # noqa: E402
+
+# Shared tokens -> tf -> vocab-count SQL (same tokenization convention as
+# the BM25/vocab queries).
+_DD_UNIGRAM_SCORED = f"""
+WITH tokens AS (
+  SELECT doc_id, lower(w) AS term
+  FROM (SELECT doc_id, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+tot AS (SELECT sum(c) AS n FROM cnt),
+scored AS (
+  SELECT doc_id, sum(tf) AS n_tokens,
+         sum(tf * ln(c::DOUBLE / n::DOUBLE)) / sum(tf) AS lp
+  FROM tf JOIN cnt USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+)
+"""
+
+
+def _text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("logprob", 4).alias("logprob")
+    )
+
+
+_register(
+    "text_unigram_logprob",
+    _text_unigram_logprob,
+    _DD_UNIGRAM_SCORED
+    + """
+SELECT doc_id, n_tokens, round(lp, 4) AS logprob FROM scored
+""",
+)
+
+
+def _text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(docs)
+
+
+_register(
+    "text_ccnet_buckets",
+    _text_ccnet_buckets,
+    _DD_UNIGRAM_SCORED
+    + """
+SELECT doc_id, n_tokens, round(lp, 4) AS logprob,
+       (['head', 'middle', 'tail'])[
+         ntile(3) OVER (ORDER BY round(lp, 4) DESC, doc_id)] AS bucket
+FROM scored
+""",
+)
+
+
+# ==========================================================================
 # Composed LLM-corpus preparation (round 5) — the FineWeb/RefinedWeb-class
 # end-to-end prep expressed as ONE declarative plan: exact dedup ->
 # language ID + quality scoring (single projection pass, keep_cols

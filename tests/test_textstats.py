@@ -201,3 +201,84 @@ class TestLineQualityFilter:
         lax = line_quality_filter(docs, require_terminal_punct=False).collect()[0]
         assert strict["n_kept"] == 0
         assert lax["n_kept"] == 2
+
+
+class TestUnigramLM:
+    def _docs(self, spark):
+        rows = [
+            (0, "the the the cat"),       # all high-frequency tokens
+            (1, "the cat sat"),
+            (2, "zyxqw the cat"),          # one hapax -> lower mean logprob
+            (3, "zyxqw vvvqk pppqj"),      # all hapaxes -> lowest
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_logprob_orders_by_typicality(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.textstats import (
+            unigram_logprob,
+        )
+
+        out = {r["doc_id"]: r for r in unigram_logprob(self._docs(spark)).collect()}
+        assert out[0]["logprob"] > out[2]["logprob"] > out[3]["logprob"]
+        assert out[0]["n_tokens"] == 4
+        # mean log-prob is a probability log: always < 0, >= -ln(N)
+        import math
+
+        n_total = 13
+        for r in out.values():
+            assert -math.log(n_total) - 1e-9 <= r["logprob"] < 0
+
+    def test_exact_value_tiny_corpus(self, spark):
+        import math
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.textstats import (
+            unigram_logprob,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+        )
+        # counts: a=2 b=2 c=1, N=5
+        out = {r["doc_id"]: r["logprob"] for r in unigram_logprob(df).collect()}
+        exp0 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+        exp1 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+        assert out[0] == pytest.approx(exp0, rel=1e-12)
+        assert out[1] == pytest.approx(exp1, rel=1e-12)
+
+    def test_shuffle_join_variant_matches_broadcast(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.textstats import (
+            unigram_logprob,
+        )
+
+        df = self._docs(spark)
+        a = sorted(map(tuple, unigram_logprob(df, broadcast_vocab=True).collect()))
+        b = sorted(map(tuple, unigram_logprob(df, broadcast_vocab=False).collect()))
+        assert a == pytest.approx(b)
+
+    def test_ccnet_buckets_equal_frequency(self, spark):
+        import pyspark.sql.functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.textstats import (
+            ccnet_buckets,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = ccnet_buckets(docs)
+        sizes = {
+            r["bucket"]: r["n"]
+            for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(sizes) == {"head", "middle", "tail"}
+        assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile contract
+        # head docs score >= tail docs (bucket 1 = best)
+        head_min = out.filter(F.col("bucket") == "head").agg(F.min("logprob")).first()[0]
+        tail_max = out.filter(F.col("bucket") == "tail").agg(F.max("logprob")).first()[0]
+        assert head_min >= tail_max
+
+    def test_ccnet_bad_names_raise(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.textstats import (
+            ccnet_buckets,
+        )
+
+        with pytest.raises(ValueError):
+            ccnet_buckets(self._docs(spark), names=("a", "b"))
