@@ -1,0 +1,124 @@
+"""Training-data export: deterministic global shuffle into shards, and
+deterministic token-budget selection.
+
+The last mile of a corpus pipeline hands tokenizer/trainer jobs a set of
+shard files whose contents and ORDER are reproducible — retraining from
+the same corpus snapshot must read byte-identical shards, and adding
+data must not reshuffle what earlier runs already wrote.  Random
+`repartition` gives neither property; the engine's stable md5 hash
+(groupwise.hash_sample convention) gives both:
+
+* shard membership = hash % n_shards — independent of input
+  partitioning, append order, and Spark version (NOT `hash()`/
+  `repartition`, which are seed- and partition-count-bound);
+* intra-shard order = (hash, id) — a deterministic "global shuffle" (the
+  hash decorrelates neighboring source docs) that every engine replays
+  identically.
+
+The reference has no export stage (its corpus lives in a vector table;
+SSEOpenAIController.java serves queries, never training jobs); this is
+part of the training-pipeline surface the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _stable_hash(id_col: str, salt: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("§", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    shard_col: str = "shard",
+    sort_col: str = "sort_key",
+) -> DataFrame:
+    """Adds (shard, sort_key): shard = stable-hash % n_shards, sort_key =
+    the hash itself.  Pure codegen projection — zero shuffle; the
+    shuffle happens once, in the writer, keyed on the shard."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = _stable_hash(id_col, salt)
+    return df.withColumn(sort_col, h).withColumn(
+        shard_col, (F.col(sort_col) % n_shards).cast("int")
+    )
+
+
+def shard_export_write(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> None:
+    """Write the training shards: parquet hive-partitioned by ``shard``,
+    rows within each shard in (hash, id) order.
+
+    ONE shuffle (repartition on the shard key) + a partition-local sort
+    — the minimal cost of a deterministic global shuffle.  Each shard
+    directory is an independent unit of trainer input: a 1000-file
+    DataLoader maps shards to workers with no cross-file coordination.
+    sortWithinPartitions (not orderBy) keeps the sort local: no range
+    exchange, no global sort barrier.
+    """
+    assigned = shard_assign(df, n_shards, id_col=id_col, salt=salt)
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        # Leading the sort with the partition column matters: the parquet
+        # writer demands its input clustered by partition cols and will
+        # insert its own NON-STABLE sort on `shard` alone if the incoming
+        # order doesn't already provide it — scrambling the (sort_key, id)
+        # order this sort establishes.  Satisfying the requirement here
+        # keeps one partition-local sort and the order it promises.
+        .sortWithinPartitions("shard", "sort_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Deterministically fill a token budget: walk documents in stable
+    (hash, id) order, keep each doc whose inclusion STARTS below the
+    budget (so output tokens land in [budget, budget + max_doc) — the
+    "take until full" convention; the final doc may overshoot).
+
+    This is the "cut a 1B-token training set from a 15T-token corpus"
+    stage.  Hash order makes the cut a uniform corpus sample, and the
+    selection is monotone in ``budget``: raising it only appends docs.
+    Cost: one global cumulative-sum window — an exact prefix sum needs a
+    range-partitioned sort; the cheaper scale variant estimates
+    tokens/doc from a sample and cuts by hash threshold (zero shuffle,
+    approximate budget) like mixture_sample.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    h = _stable_hash(id_col, salt)
+    staged = df.withColumn("_bh", h)
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("_bh").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return (
+        staged.withColumn("_before", before)
+        .filter(F.col("_before") < budget)
+        .drop("_bh", "_before")
+    )

@@ -1,0 +1,123 @@
+"""Training export (operators/export.py): shard determinism, writer
+layout + intra-shard order, token-budget semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.export import (
+    shard_assign,
+    shard_export_write,
+    token_budget_select,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text for "), F.col("id").cast("string")).alias("text"),
+    )
+
+
+class TestShardAssign:
+    def test_membership_independent_of_partitioning(self, spark):
+        df = _docs(spark)
+        a = {r["doc_id"]: r["shard"] for r in shard_assign(df, 8).collect()}
+        b = {
+            r["doc_id"]: r["shard"]
+            for r in shard_assign(df.repartition(13), 8).collect()
+        }
+        assert a == b
+        assert set(a.values()) == set(range(8))
+
+    def test_roughly_balanced(self, spark):
+        df = _docs(spark, 4000)
+        sizes = [
+            r["n"]
+            for r in shard_assign(df, 8)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        assert len(sizes) == 8
+        assert max(sizes) < 2 * min(sizes)  # hash balance, no empty shard
+
+    def test_bad_n_shards_raises(self, spark):
+        with pytest.raises(ValueError):
+            shard_assign(_docs(spark), 0)
+
+
+class TestShardExportWrite:
+    def test_layout_and_intra_shard_order(self, spark, tmp_path):
+        import os
+
+        df = _docs(spark)
+        path = str(tmp_path / "shards")
+        shard_export_write(df, path, n_shards=4)
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+        assert len(dirs) == 4
+        # each shard's rows come back in (sort_key, id) order — the
+        # deterministic-global-shuffle contract trainers rely on
+        for d in dirs:
+            rows = (
+                spark.read.parquet(f"{path}/{d}")
+                .select("sort_key", "doc_id")
+                .collect()
+            )
+            keys = [(r["sort_key"], r["doc_id"]) for r in rows]
+            assert keys == sorted(keys), d
+        # nothing lost or duplicated across the full artifact
+        back = spark.read.parquet(path)
+        assert sorted(r["doc_id"] for r in back.collect()) == list(range(400))
+
+    def test_rewrite_is_byte_stable(self, spark, tmp_path):
+        import hashlib
+
+        df = _docs(spark)
+
+        def digest(p):
+            back = spark.read.parquet(p).select("shard", "sort_key", "doc_id")
+            rows = sorted(map(tuple, back.collect()))
+            return hashlib.md5(str(rows).encode()).hexdigest()
+
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        shard_export_write(df, p1, n_shards=4)
+        shard_export_write(df.repartition(7), p2, n_shards=4)
+        assert digest(p1) == digest(p2)
+
+
+class TestTokenBudget:
+    def _sized(self, spark):
+        return spark.range(0, 100).select(
+            F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens")
+        )
+
+    def test_budget_boundary_semantics(self, spark):
+        df = self._sized(spark)
+        # 100 docs x 10 tokens; "starts below budget" => ceil(b/10) docs
+        assert token_budget_select(df, 0).count() == 0
+        assert token_budget_select(df, 1).count() == 1
+        assert token_budget_select(df, 10).count() == 1
+        assert token_budget_select(df, 11).count() == 2
+        assert token_budget_select(df, 250).count() == 25
+        assert token_budget_select(df, 10_000).count() == 100
+
+    def test_monotone_in_budget(self, spark):
+        df = self._sized(spark)
+        lo = {r["doc_id"] for r in token_budget_select(df, 100).collect()}
+        hi = {r["doc_id"] for r in token_budget_select(df, 300).collect()}
+        assert lo < hi
+
+    def test_deterministic_under_repartition(self, spark):
+        df = self._sized(spark)
+        a = sorted(r["doc_id"] for r in token_budget_select(df, 300).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in token_budget_select(df.repartition(9), 300).collect()
+        )
+        assert a == b
+
+    def test_negative_budget_raises(self, spark):
+        with pytest.raises(ValueError):
+            token_budget_select(self._sized(spark), -1)
