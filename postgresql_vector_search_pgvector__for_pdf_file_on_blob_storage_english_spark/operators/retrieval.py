@@ -336,3 +336,53 @@ def bm25_index_search(
         .orderBy(F.col(score_col).desc(), id_col)
         .limit(k)
     )
+
+
+def bm25_index_append(
+    new_docs: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally maintain a persisted BM25 index: append the new
+    batch's postings into the bucket layout, then refresh the
+    corpus-relative side tables — the lexical twin of
+    ``ann.ivf_index_append`` (and the foreachBatch body for streaming
+    ingest into a text index).
+
+    Postings rows are doc-local (term, doc_id, tf, dl): appending new
+    docs (ids disjoint from the indexed corpus — the append contract)
+    never touches existing rows, and parquet append only writes into the
+    buckets the batch lands in.  df/n_docs/avgdl are corpus-relative, so
+    they are REBUILT from the post-append postings: one aggregation pass
+    ∝ index size, shuffling only (term) and (doc) keys.  This keeps the
+    invariant tests pin — append(A); append(B) == write(A ∪ B) exactly,
+    old docs' scores included (BM25 idf/avgdl shift with the corpus; a
+    stale-stats index would silently diverge from the scan path).  A
+    merge-based refresh (old stats + delta) avoids the postings pass but
+    needs a staged swap to not read-and-overwrite the same directory;
+    recompute is the simple default at fixture scale.
+    """
+    spark = new_docs.sparkSession
+    tokens = tokenize(new_docs, text_col=text_col, id_col=id_col)
+    doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    postings = tf.join(doc_len, id_col).withColumn(
+        "term_bucket", term_bucket_col(F.col("term"), n_buckets)
+    )
+    postings.write.mode("append").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+
+    all_postings = spark.read.parquet(f"{path}/postings")
+    dfreq = (
+        all_postings.groupBy("term")
+        .agg(F.count("*").alias("df"))  # one posting row per (doc, term)
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+    )
+    dfreq.write.mode("overwrite").partitionBy("term_bucket").parquet(f"{path}/terms")
+    doc_lens = all_postings.groupBy(id_col).agg(F.first("dl").alias("dl"))
+    doc_lens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")

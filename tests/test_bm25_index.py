@@ -105,3 +105,48 @@ class TestBm25Index:
         _, path = index
         with pytest.raises(ValueError):
             bm25_index_search(spark, path, [], k=10)
+
+
+class TestBm25IndexAppend:
+    def test_append_equals_full_rebuild(self, spark, tmp_path):
+        """write(A); append(B) must equal write(A ∪ B) — including OLD
+        docs' scores, which shift with corpus-relative df/avgdl."""
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.retrieval import (
+            bm25_index_append,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        half_a = docs.filter(F.col("doc_id") % 2 == 0)
+        half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+        full = str(tmp_path / "full")
+        incr = str(tmp_path / "incr")
+        bm25_index_write(docs, full, n_buckets=N_BUCKETS)
+        bm25_index_write(half_a, incr, n_buckets=N_BUCKETS)
+        bm25_index_append(half_b, incr, n_buckets=N_BUCKETS)
+
+        for terms in (TERMS, ["data", "query"], ["stream"]):
+            a = bm25_index_search(spark, full, terms, k=10, n_buckets=N_BUCKETS).collect()
+            b = bm25_index_search(spark, incr, terms, k=10, n_buckets=N_BUCKETS).collect()
+            assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+            for x, y in zip(a, b):
+                assert x["bm25"] == pytest.approx(y["bm25"], rel=1e-12)
+
+    def test_append_refreshes_corpus_stats(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.retrieval import (
+            bm25_index_append,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        path = str(tmp_path / "idx")
+        bm25_index_write(docs.filter(F.col("doc_id") < 100), path, n_buckets=N_BUCKETS)
+        n0 = spark.read.parquet(f"{path}/stats").first()["n_docs"]
+        bm25_index_append(
+            docs.filter(F.col("doc_id") >= 100), path, n_buckets=N_BUCKETS
+        )
+        n1 = spark.read.parquet(f"{path}/stats").first()["n_docs"]
+        assert n0 == 100 and n1 == docs.count()
