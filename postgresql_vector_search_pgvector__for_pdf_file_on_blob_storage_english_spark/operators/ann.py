@@ -245,6 +245,7 @@ def ivf_index_search(
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid_vec",
     payload_cols=None,
+    pre_filter=None,
 ) -> DataFrame:
     """Search a persisted IVF index with *static* partition pruning.
 
@@ -256,6 +257,15 @@ def ivf_index_search(
     literal ``isin`` prunes at planning time — the scan's
     ``PartitionFilters`` lists it, and only the probed directories are
     ever opened (gated in tests/test_plans.py).
+
+    ``pre_filter`` (an optional boolean Column over payload columns) is
+    the pgvector filtered-search idiom ``WHERE label = ... ORDER BY
+    embedding <-> q`` on the index path: applied BEFORE any distance
+    math, it reaches the parquet scan as a pushed row-group filter
+    (PushedFilters) and composes with the partition pruning — probe
+    directories x matching rows is all that's ever scored.  As with any
+    pre-filter ANN, recall is relative to the probed lists: widen
+    ``nprobe`` when the predicate is selective.
     """
     from .knn import knn
 
@@ -277,6 +287,8 @@ def ivf_index_search(
         # restore the pre-write integer type after the pruning filter.
         .withColumn(centroid_id_col, F.col(centroid_id_col).cast("long"))
     )
+    if pre_filter is not None:
+        index = index.filter(pre_filter)
     return knn(
         index, query_vec, k=k, metric=metric, vec_col=vec_col, id_col=id_col,
         payload_cols=payload_cols,

@@ -1302,6 +1302,62 @@ def _ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ann_ivf_index_search", _ann_ivf_index, _DD_ANN_IVF)
 
 
+def _ann_ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search on the persisted IVF index (round 5): the
+    pgvector ``WHERE label ... ORDER BY embedding <-> q`` idiom on the
+    index path — metadata predicate pushed into the probed partitions
+    (PushedFilters ∘ PartitionFilters), distances computed only for
+    matching rows of probed lists.  nprobe=2 keeps the candidate pool
+    non-trivial under the predicate.  The oracle replays assignment,
+    probe, and filter exactly, so this is a hash-gated entry."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.ann import ivf_index_search, ivf_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_index_{tag}")
+    ivf_index_write(assign_ivf(emb, centroids), path)
+    q = list(emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"])
+    out = ivf_index_search(
+        spark, path, centroids, q, k=5, nprobe=2,
+        payload_cols=["vec_id", "label", "centroid_id"],
+        pre_filter=(F.col("label") % 3 == 0),
+    )
+    return out.select(
+        "vec_id", "label", "centroid_id", F.round("distance", 4).alias("distance")
+    )
+
+
+_DD_ANN_IVF_FILTERED = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+assigned AS (
+  SELECT e.vec_id, e.label, e.embedding, c.centroid_id
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "c.cvec")}, c.centroid_id) = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_PROBE_ID}),
+probe AS (
+  SELECT centroid_id FROM cent, q ORDER BY {_dd_l2("cvec", "q.qe")}, centroid_id LIMIT 2
+)
+SELECT a.vec_id, a.label, a.centroid_id, round({_dd_l2("a.embedding", "q.qe")}, 4) AS distance
+FROM assigned a JOIN probe USING (centroid_id), q
+WHERE a.label % 3 = 0
+ORDER BY {_dd_l2("a.embedding", "q.qe")}, a.vec_id
+LIMIT 5
+"""
+
+_register("ann_ivf_index_filtered_search", _ann_ivf_index_filtered, _DD_ANN_IVF_FILTERED)
+
+
 _N_PLANES = 4
 _LSH_PLANES = hyperplanes(64, _N_PLANES, seed=42)
 _LSH_PROBE_ID = 7

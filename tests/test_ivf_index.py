@@ -193,3 +193,41 @@ class TestIvfSearchJoin:
         )
         for inputs in re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
             assert "embedding" not in inputs and "query_vec" not in inputs, inputs
+
+
+class TestIvfIndexFilteredSearch:
+    def test_filter_pushes_and_partitions_prune(self, spark, index):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            pushed_filters,
+        )
+
+        _, centroids, path, q = index
+        out = ivf_index_search(
+            spark, path, centroids, q, k=5, nprobe=2,
+            pre_filter=(F.col("label") % 3 == 0),
+        )
+        assert [f for f in partition_filters(out) if "centroid_id" in f], (
+            "probe must still prune partitions with a pre_filter present"
+        )
+        assert any("label" in f for f in pushed_filters(out)), (
+            "metadata predicate must reach the scan as a pushed filter"
+        )
+
+    def test_filtered_results_satisfy_predicate_and_match_postfilter_knn(
+        self, spark, index
+    ):
+        emb, centroids, path, q = index
+        out = ivf_index_search(
+            spark, path, centroids, q, k=5, nprobe=2,
+            pre_filter=(F.col("label") % 3 == 0),
+            payload_cols=["vec_id", "label"],
+        ).collect()
+        assert out and all(r["label"] % 3 == 0 for r in out)
+        # pre-filter == post-filter on the same probed candidate pool
+        # (predicate doesn't interact with distance ranking)
+        wide = ivf_index_search(
+            spark, path, centroids, q, k=10_000, nprobe=2,
+            payload_cols=["vec_id", "label"],
+        ).collect()
+        expected = [r["vec_id"] for r in wide if r["label"] % 3 == 0][:5]
+        assert [r["vec_id"] for r in out] == expected
