@@ -47,6 +47,7 @@ HEADLINE = [
     "ann_ivf_search",
     "ann_lsh_search",
     "ann_lsh_index_search",  # r5: persisted bucket-pruned probe
+    "bm25_index_search",  # r5: persisted inverted index (build + pruned probe)
     "pq_adc_search_top5",
     "quant_sq8_knn_top5",
     "quant_sq8_knn_batch",  # r5: N queries amortized over one codes pass

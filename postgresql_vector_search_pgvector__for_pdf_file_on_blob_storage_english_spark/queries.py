@@ -1327,7 +1327,11 @@ def _ann_ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_index_search(
         spark, path, centroids, q, k=5, nprobe=2,
         payload_cols=["vec_id", "label", "centroid_id"],
-        pre_filter=(F.col("label") % 3 == 0),
+        # Equality predicate: pushes whole (EqualTo, not just IsNotNull),
+        # so row groups skip before any distance math — the plan
+        # PLANS.md documents.  Arbitrary Columns work too (tests pin a
+        # modulo filter); they just evaluate post-scan.
+        pre_filter=(F.col("label") == 3),
     )
     return out.select(
         "vec_id", "label", "centroid_id", F.round("distance", 4).alias("distance")
@@ -1350,7 +1354,7 @@ probe AS (
 )
 SELECT a.vec_id, a.label, a.centroid_id, round({_dd_l2("a.embedding", "q.qe")}, 4) AS distance
 FROM assigned a JOIN probe USING (centroid_id), q
-WHERE a.label % 3 = 0
+WHERE a.label = 3
 ORDER BY {_dd_l2("a.embedding", "q.qe")}, a.vec_id
 LIMIT 5
 """

@@ -74,6 +74,19 @@ SECTIONS = [
      "tests/test_lsh_index.py). In-bucket top-k is the flagship TakeOrderedAndProject — "
      "zero exchanges end to end, versus ann_lsh_search which re-buckets the whole "
      "corpus per probe."),
+    ("bm25_index_search", "Persisted BM25 inverted-index probe",
+     "The lexical twin of the IVF/LSH index probes: postings are hive-partitioned by a "
+     "stable md5 term bucket, the query's buckets are computed driver-side (no job), and "
+     "the literal IN lands in PartitionFilters — at most |Q| bucket directories are "
+     "opened regardless of corpus size (delete-proof in tests/test_bm25_index.py). "
+     "Scoring then runs over posting rows only: tiny broadcast joins for df/corpus "
+     "stats, one partial-agg exchange on doc_id for the score sum, TakeOrderedAndProject "
+     "for the top-k. Compare bm25_topk, which re-tokenizes the corpus per query."),
+    ("ann_ivf_index_filtered_search", "Filtered probe on the persisted IVF index",
+     "The pgvector 'WHERE label ... ORDER BY embedding <-> q' idiom on the index path: "
+     "PartitionFilters still prunes to the nprobe probed lists AND the metadata "
+     "predicate shows in PushedFilters on the same scan — row groups of non-matching "
+     "rows are skipped before any distance math. Top-k stays TakeOrderedAndProject."),
 ]
 
 
