@@ -5089,6 +5089,68 @@ FROM scored
 
 
 # ==========================================================================
+# Inter-document line dedup (round 5) — RefinedWeb/Falcon repeated-span
+# removal (operators/dedup.py::interdoc_line_dedup) over the same woven
+# multi-line fixture as the C4 filter.  Non-vacuous: the small fixture
+# vocabulary makes ~150 8-word lines recur across distinct docs at
+# sf0.01 (~90 at sf0.001).
+# ==========================================================================
+
+from .operators.dedup import interdoc_line_dedup  # noqa: E402
+
+
+def _interdoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _weave_lines(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    out = interdoc_line_dedup(docs, max_docs=1)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("text").alias("kept_md5")
+    )
+
+
+_DD_LINE_DEDUP = dd_sql(
+    """
+WITH w AS (
+  SELECT doc_id, string_split(trim({norm}), ' ') AS words FROM documents
+),
+built AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, ceil(len(words) / 8.0)::INT),
+        j -> (array_to_string(words[j*8+1 : j*8+8], ' ')
+              || CASE WHEN (doc_id*31 + j) % 7 = 0
+                   THEN ' please enable javascript cookies' ELSE '' END
+              || CASE WHEN (doc_id + j) % 3 = 0 THEN '.' ELSE '' END)),
+      chr(10)) AS text
+  FROM w
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM built),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM ls, unnest(range(1, len(ls)+1)) AS t(i)
+),
+freq AS (SELECT md5(line) AS h, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN freq f ON md5(l.line) = f.h
+  WHERE f.nd <= 1
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, len(string_split(b.text, chr(10))) AS n_lines,
+       coalesce(r.n_kept, 0) AS n_kept,
+       md5(coalesce(r.text, '')) AS kept_md5
+FROM built b LEFT JOIN reb r USING (doc_id)
+""",
+    norm=dd_sql(_DD_NORMALIZE, col="text"),
+)
+
+_register("dedup_interdoc_lines", _interdoc_line_dedup, _DD_LINE_DEDUP)
+
+
+# ==========================================================================
 # Composed LLM-corpus preparation (round 5) — the FineWeb/RefinedWeb-class
 # end-to-end prep expressed as ONE declarative plan: exact dedup ->
 # language ID + quality scoring (single projection pass, keep_cols

@@ -217,3 +217,63 @@ def test_semantic_dedup_gemm_matches_fold(spark):
     fold = sorted(key(r) for r in semantic_dedup(emb, centroids, threshold=0.99).collect())
     gemm = sorted(key(r) for r in semantic_dedup(emb, centroids, threshold=0.99, gemm=True).collect())
     assert fold == gemm
+
+
+class TestInterdocLineDedup:
+    def _docs(self, spark):
+        rows = [
+            (0, "unique alpha line\nCOMMON BOILERPLATE\nunique beta line"),
+            (1, "COMMON BOILERPLATE\nonly in doc one"),
+            (2, "totally distinct text\nanother original line"),
+            (3, "COMMON BOILERPLATE"),  # doc that is ONLY boilerplate
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cross_doc_lines_dropped_everywhere(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            interdoc_line_dedup,
+        )
+
+        out = {r["doc_id"]: r for r in interdoc_line_dedup(self._docs(spark)).collect()}
+        assert out[0]["text"] == "unique alpha line\nunique beta line"
+        assert out[1]["text"] == "only in doc one"
+        assert out[2]["text"] == "totally distinct text\nanother original line"
+        assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+        assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 2)
+
+    def test_order_preserved_within_doc(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            interdoc_line_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "z last first\na middle\nm end"), (1, "noise")],
+            "doc_id long, text string",
+        )
+        out = interdoc_line_dedup(df).filter("doc_id = 0").first()
+        # original position order, NOT lexicographic
+        assert out["text"] == "z last first\na middle\nm end"
+
+    def test_max_docs_threshold(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            interdoc_line_dedup,
+        )
+
+        df = self._docs(spark)
+        # boilerplate appears in 3 docs: survives at max_docs=3, dies at 2
+        loose = interdoc_line_dedup(df, max_docs=3)
+        assert loose.filter("doc_id = 3").first()["n_kept"] == 1
+        strict = interdoc_line_dedup(df, max_docs=2)
+        assert strict.filter("doc_id = 3").first()["n_kept"] == 0
+
+    def test_within_doc_repeats_unaffected(self, spark):
+        # a line repeated WITHIN one doc is not cross-doc boilerplate
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            interdoc_line_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "echo\necho\necho"), (1, "other")], "doc_id long, text string"
+        )
+        out = interdoc_line_dedup(df).filter("doc_id = 0").first()
+        assert out["n_kept"] == 3 and out["text"] == "echo\necho\necho"
