@@ -5257,6 +5257,68 @@ WHERE (('0x' || substr(md5('mixture' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT
 _register("pipeline_llm_corpus_prep", _llm_corpus_prep, _DD_CORPUS_PREP)
 
 
+# Round-5 extension: the same composed prep, then the r5 stages a real
+# training cut adds — per-source domain cap (≤8: bites on src0/src1 at
+# every fixture) and a 2k-token budget fill (~55-60% of the capped
+# corpus tokens — partial everywhere).  Gates the END-TO-END composition
+# dedup -> langid/quality -> decontam -> mixture -> cap -> budget.
+
+_PREP_CAP = 8
+_PREP_BUDGET = 2_000
+
+
+def _llm_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 composition + source_cap + token_budget_select.  The cap's
+    source window and the budget's prefix sum both run over the ~70
+    prep survivors, not the corpus — their shuffles are negligible next
+    to the dedup shuffle upstream."""
+    base = _llm_corpus_prep(spark, sf_dir)
+    capped = source_cap(base, cap=_PREP_CAP, salt=_CAP_SALT)
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(normalize_whitespace_col("text")), " ")).alias(
+            "n_tokens"
+        ),
+    )
+    sized = capped.join(toks, "doc_id")
+    out = token_budget_select(sized, budget=_PREP_BUDGET)
+    return out.select("doc_id", "source", "quality", "n_tokens")
+
+
+_DD_CORPUS_PREP_V2 = dd_sql(
+    f"""
+WITH prep AS (
+{_DD_CORPUS_PREP}
+),
+capped AS (
+  SELECT * FROM prep
+  QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY ('0x' || substr(md5('{_CAP_SALT}' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT,
+             doc_id
+  ) <= {_PREP_CAP}
+),
+sized AS (
+  SELECT c.doc_id, c.source, c.quality,
+         len(string_split(trim({{norm}}), ' ')) AS n_tokens
+  FROM capped c JOIN documents d USING (doc_id)
+),
+sel AS (
+  SELECT doc_id, source, quality, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY ('0x' || substr(md5('budget' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                    doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM sized
+)
+SELECT doc_id, source, quality, n_tokens FROM sel WHERE before < {_PREP_BUDGET}
+""",
+    norm=dd_sql(_DD_NORMALIZE, col="d.text"),
+)
+
+_register("pipeline_llm_corpus_prep_v2", _llm_corpus_prep_v2, _DD_CORPUS_PREP_V2)
+
+
 # ==========================================================================
 # Registry ordering — the driver's CORRECTNESS gate window
 # ==========================================================================
