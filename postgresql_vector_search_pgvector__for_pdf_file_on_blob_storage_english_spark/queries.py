@@ -5320,6 +5320,72 @@ _register("pipeline_llm_corpus_prep_v2", _llm_corpus_prep_v2, _DD_CORPUS_PREP_V2
 
 
 # ==========================================================================
+# URL hygiene (round 5) — host extraction + blocklist + per-host stats
+# (operators/urls.py).  Fixtures carry no URL column; deterministic URLs
+# are woven from (source, doc_id) on both engines, including malformed
+# rows (every 41st doc) that must be dropped.
+# ==========================================================================
+
+from .operators.urls import registrable_domain, url_blocklist_filter  # noqa: E402
+
+_URL_BLOCKED = ["src0-3.example.com", "src1-0.example.com", "src2-5.example.com"]
+
+
+def _woven_urls(docs: DataFrame) -> DataFrame:
+    url = F.when(F.col("doc_id") % 41 == 0, F.lit("not a url")).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit("-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    return docs.withColumn("url", url)
+
+
+def _url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _woven_urls(_t(spark, sf_dir, "documents").select("doc_id", "source"))
+    filt = url_blocklist_filter(docs, _URL_BLOCKED)
+    return (
+        filt.withColumn("domain", registrable_domain(F.col("host")))
+        .groupBy("host", "domain")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+_DD_URL_BLOCKED_LIST = ", ".join(f"'{h}'" for h in sorted(_URL_BLOCKED))
+
+_DD_URL_STATS = f"""
+WITH u AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 41 = 0 THEN 'not a url'
+              ELSE 'https://' || source || '-' || (doc_id % 7)::VARCHAR
+                   || '.example.com/page/' || doc_id::VARCHAR END AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host
+  FROM u
+),
+f AS (SELECT * FROM h WHERE host != '' AND host NOT IN ({_DD_URL_BLOCKED_LIST})),
+d AS (
+  SELECT doc_id, host,
+         array_to_string(
+           string_split(host, '.')[greatest(len(string_split(host, '.')) - 1, 1)
+                                   : len(string_split(host, '.'))], '.') AS domain
+  FROM f
+)
+SELECT host, domain, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM d GROUP BY host, domain
+"""
+
+_register("url_host_stats", _url_host_stats, _DD_URL_STATS)
+
+
+# ==========================================================================
 # Registry ordering — the driver's CORRECTNESS gate window
 # ==========================================================================
 # CONSTRAINT (VERDICT r4 items 1+2): the driver's per-round CORRECTNESS
