@@ -137,6 +137,69 @@ def sq8_knn(
     )
 
 
+def _approx_then_exact_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    scored: DataFrame,
+    coarse_col: str,
+    k: int,
+    oversample: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    payload_cols: Sequence[str] = (),
+    distance_col: str = "distance",
+) -> DataFrame:
+    """Shared batched coarse->exact tail (the quantized twin of
+    ``knn_join``'s shape), used by every ``*_knn_join`` variant:
+
+    1. narrow the coarse-scored relation to ``(query_id, id, coarse)``
+       BEFORE the per-query window — the only corpus-sized exchange
+       carries ~24-byte rows, never codes/words/embeddings;
+    2. pool cut ``row_number() <= k*oversample`` per query (candidate
+       list is |Q|*k*oversample rows — driver-sized);
+    3. exact rerank: candidates BROADCAST back onto the corpus (map-side
+       join, corpus never shuffles), full-precision L2, final per-query
+       top-k with the (distance, id) tiebreak.
+    """
+    narrow = scored.select(query_id_col, id_col, coarse_col)
+    coarse_w = Window.partitionBy(query_id_col).orderBy(
+        F.col(coarse_col).asc(), F.col(id_col).asc()
+    )
+    pool = (
+        narrow.withColumn("crank", F.row_number().over(coarse_w))
+        .filter(F.col("crank") <= k * oversample)
+        .select(query_id_col, id_col)
+    )
+    cand = corpus.join(F.broadcast(pool), id_col).join(
+        F.broadcast(queries), query_id_col
+    )
+    exact = cand.withColumn(
+        distance_col,
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col(query_vec_col),
+                    lambda a, b: F.pow(a.cast("double") - b.cast("double"), F.lit(2.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+    )
+    exact_narrow = exact.select(query_id_col, id_col, *payload_cols, distance_col)
+    final_w = Window.partitionBy(query_id_col).orderBy(
+        F.col(distance_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        exact_narrow.withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, *payload_cols, distance_col)
+    )
+
+
 def sq8_knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -184,45 +247,11 @@ def sq8_knn_join(
             lambda acc, v: acc + v,
         ),
     )
-    # Narrow pre-exchange: candidate identity + coarse score only.
-    narrow = scored.select(query_id_col, id_col, "adist")
-    coarse_w = Window.partitionBy(query_id_col).orderBy(
-        F.col("adist").asc(), F.col(id_col).asc()
-    )
-    pool = (
-        narrow.withColumn("crank", F.row_number().over(coarse_w))
-        .filter(F.col("crank") <= k * oversample)
-        .select(query_id_col, id_col)
-    )
-    # Rerank: broadcast the tiny candidate list onto the corpus (corpus
-    # side never shuffles), re-attach query vectors, exact L2.
-    cand = corpus.join(F.broadcast(pool), id_col).join(
-        F.broadcast(queries), query_id_col
-    )
-    exact = cand.withColumn(
-        distance_col,
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.col(query_vec_col),
-                    lambda a, b: F.pow(a.cast("double") - b.cast("double"), F.lit(2.0)),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        ),
-    )
-    # Narrow again before the final window: the rerank exchange carries
-    # (query_id, id, payload, distance) — embeddings stay map-side.
-    exact_narrow = exact.select(query_id_col, id_col, *payload_cols, distance_col)
-    final_w = Window.partitionBy(query_id_col).orderBy(
-        F.col(distance_col).asc(), F.col(id_col).asc()
-    )
-    return (
-        exact_narrow.withColumn("rank", F.row_number().over(final_w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", id_col, *payload_cols, distance_col)
+    return _approx_then_exact_join(
+        corpus, queries, scored, "adist", k, oversample,
+        vec_col=vec_col, id_col=id_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, payload_cols=payload_cols,
+        distance_col=distance_col,
     )
 
 
@@ -332,6 +361,79 @@ def matryoshka_knn(
     )
     return _approx_then_exact(
         scored, "pdist", vec_col, "query_vec", id_col, k, oversample, payload_cols
+    )
+
+
+def hamming_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    payload_cols: Sequence[str] = (),
+    word_bits: int = 16,
+) -> DataFrame:
+    """Batched binary-quantized search: the corpus is sign-bit packed
+    ONCE, every query's Hamming distance is XOR+popcount against the
+    same words — one 32x-smaller pass amortized over all N queries,
+    then the shared broadcast-rerank tail (``_approx_then_exact_join``)."""
+    enc = binary_encode(corpus, vec_col=vec_col, word_bits=word_bits)
+    qenc = binary_encode(
+        queries, vec_col=query_vec_col, words_col="qwords", word_bits=word_bits
+    )
+    scored = enc.crossJoin(F.broadcast(qenc)).withColumn(
+        "hamming",
+        F.aggregate(
+            F.zip_with(
+                F.col("bwords"),
+                F.col("qwords"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double"),
+    )
+    return _approx_then_exact_join(
+        corpus, queries, scored, "hamming", k, oversample,
+        vec_col=vec_col, id_col=id_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, payload_cols=payload_cols,
+    )
+
+
+def matryoshka_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dim: int = 16,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Batched Matryoshka search: coarse prefix-dim L2 for every query
+    in one corpus pass (reading ``prefix_dim/dim`` of the bytes), then
+    the shared broadcast-rerank tail."""
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "pdist",
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col(vec_col), 1, prefix_dim),
+                F.slice(F.col(query_vec_col), 1, prefix_dim),
+                lambda a, b: F.pow(a.cast("double") - b.cast("double"), F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return _approx_then_exact_join(
+        corpus, queries, scored, "pdist", k, oversample,
+        vec_col=vec_col, id_col=id_col, query_id_col=query_id_col,
+        query_vec_col=query_vec_col, payload_cols=payload_cols,
     )
 
 

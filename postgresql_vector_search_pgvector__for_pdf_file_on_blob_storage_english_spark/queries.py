@@ -4288,6 +4288,101 @@ FROM pool ORDER BY {dist}, vec_id LIMIT 5
 _register("quant_matryoshka_knn_top5", _matryoshka_search, _DD_MATRYOSHKA)
 
 
+# Round-5: batch forms for the remaining quant paths (the sq8 batch shape
+# generalized — operators/quant.py::_approx_then_exact_join): one coded /
+# prefix pass scores all 8 probes, coarse exchange carries (query_id, id,
+# coarse) only, rerank via broadcast candidate list.
+
+def _hamming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quant import hamming_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = hamming_knn_join(emb, queries, k=5, oversample=10, payload_cols=["label"])
+    return out.select(
+        "query_id", "rank", "vec_id", "label", F.round("distance", 4).alias("distance")
+    )
+
+
+_DD_HAMMING_BATCH = dd_sql(
+    """
+WITH enc AS (
+  SELECT vec_id, label, embedding, {pack_e} AS bwords FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, {pack_q} AS qwords
+  FROM embeddings WHERE vec_id < 8
+),
+coarse AS (
+  SELECT q.query_id, e.vec_id, e.label, e.embedding, q.qe,
+         list_sum(list_transform(range(1, 5),
+           w -> bit_count(xor(e.bwords[w], q.qwords[w])))) AS hamming
+  FROM enc e, q
+),
+pool AS (
+  SELECT query_id, vec_id, label, embedding, qe FROM coarse
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) <= {pool}
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY {dist}, vec_id) AS rank,
+       vec_id, label, round({dist}, 4) AS distance
+FROM pool
+QUALIFY rank <= 5
+""",
+    pack_e=dd_sql(_DD_BPACK, v="embedding"),
+    pack_q=dd_sql(_DD_BPACK, v="embedding"),
+    pool=_SQ8_POOL,
+    dist=_dd_l2("pool.embedding", "pool.qe"),
+)
+
+_register("quant_hamming_knn_batch", _hamming_batch, _DD_HAMMING_BATCH)
+
+
+def _matryoshka_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quant import matryoshka_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = matryoshka_knn_join(
+        emb, queries, k=5, prefix_dim=_MRL_PREFIX, oversample=10,
+        payload_cols=["label"],
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", "label", F.round("distance", 4).alias("distance")
+    )
+
+
+_DD_MATRYOSHKA_BATCH = dd_sql(
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+coarse AS (
+  SELECT q.query_id, e.vec_id, e.label, e.embedding, q.qe,
+         list_sum(list_transform(range(1, {prefix}+1),
+           i -> (e.embedding[i]::DOUBLE - q.qe[i]::DOUBLE) ^ 2)) AS pdist
+  FROM embeddings e, q
+),
+pool AS (
+  SELECT query_id, vec_id, label, embedding, qe FROM coarse
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY pdist, vec_id) <= {pool}
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY {dist}, vec_id) AS rank,
+       vec_id, label, round({dist}, 4) AS distance
+FROM pool
+QUALIFY rank <= 5
+""",
+    prefix=_MRL_PREFIX,
+    pool=_SQ8_POOL,
+    dist=_dd_l2("pool.embedding", "pool.qe"),
+)
+
+_register("quant_matryoshka_knn_batch", _matryoshka_batch, _DD_MATRYOSHKA_BATCH)
+
+
 # ==========================================================================
 # PII redaction (round 4) — training-data scrubbing stage; the fixtures
 # carry no PII, so the query weaves deterministic synthetic PII (email,

@@ -316,3 +316,74 @@ class TestSq8KnnJoin:
         assert shuffles, "expected shuffle exchanges in the plan"
         for inputs in shuffles:
             assert "embedding" not in inputs and "code" not in inputs and "query_vec" not in inputs, inputs
+
+
+class TestQuantBatchVariants:
+    """r5: hamming/matryoshka batch forms share the sq8 batch tail —
+    same winner sets as N single-query calls, same narrow shuffles."""
+
+    def _queries(self, emb):
+        return emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+
+    def test_hamming_batch_matches_single(self, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.quant import (
+            hamming_knn,
+            hamming_knn_join,
+        )
+
+        batch = hamming_knn_join(emb, self._queries(emb), k=5, oversample=10)
+        got = {
+            (r["query_id"], r["rank"]): (r["vec_id"], round(r["distance"], 6))
+            for r in batch.collect()
+        }
+        for qid in range(4):
+            q = emb.filter(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("query_vec")
+            )
+            single = hamming_knn(emb, q, k=5, oversample=10).collect()
+            for rank, r in enumerate(single, 1):
+                assert got[(qid, rank)] == (r["vec_id"], round(r["distance"], 6))
+
+    def test_matryoshka_batch_matches_single(self, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.quant import (
+            matryoshka_knn,
+            matryoshka_knn_join,
+        )
+
+        batch = matryoshka_knn_join(
+            emb, self._queries(emb), k=5, prefix_dim=16, oversample=10
+        )
+        got = {
+            (r["query_id"], r["rank"]): (r["vec_id"], round(r["distance"], 6))
+            for r in batch.collect()
+        }
+        for qid in range(4):
+            q = emb.filter(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("query_vec")
+            )
+            single = matryoshka_knn(emb, q, k=5, prefix_dim=16, oversample=10).collect()
+            for rank, r in enumerate(single, 1):
+                assert got[(qid, rank)] == (r["vec_id"], round(r["distance"], 6))
+
+    def test_batch_shuffles_are_narrow(self, emb):
+        import re
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.quant import (
+            hamming_knn_join,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        df = hamming_knn_join(emb, self._queries(emb), k=5, oversample=10)
+        plan = explain_str(df, "formatted")
+        shuffles = re.findall(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+        assert shuffles
+        for inputs in shuffles:
+            assert (
+                "embedding" not in inputs
+                and "bwords" not in inputs
+                and "query_vec" not in inputs
+            ), inputs
