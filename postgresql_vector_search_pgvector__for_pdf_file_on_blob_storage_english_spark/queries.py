@@ -5480,6 +5480,266 @@ FROM d GROUP BY host, domain
 _register("url_host_stats", _url_host_stats, _DD_URL_STATS)
 
 
+# --------------------------------------------------------------------------
+# TPC-H analog breadth, round 5 second wave: Q8 / Q15 / Q17 / Q19 / Q22.
+# The fixtures carry no partsupp / l_shipmode / l_commitdate / c_phone, so
+# Q2/Q9/Q11/Q12/Q16/Q20/Q21 remain out of reach and the five below are
+# adapted to the columns that exist (noted per query).  Every predicate is
+# checked non-vacuous at sf0.001 AND sf0.01 (the ADVICE r4 tpch_q7 lesson).
+# --------------------------------------------------------------------------
+
+
+def _tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), adapted: p_type = 'ECONOMY' (the
+    fixtures use bare type names), supplier nation NATION_19 (nonzero
+    share at every fixture scale), customer region AMERICA, 1995-1996.
+
+    Scale shape: the fact-side join chain is lineitem->orders (the only
+    big-big join, on the natural key), every dimension (part, customer,
+    supplier, nation, region) is broadcast; the yearly ratio is a 2-group
+    final aggregate after a map-side partial."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nat = cust.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region), nation.n_regionkey == region.r_regionkey
+            ).select("n_nationkey")
+        ),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nat = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust_nat), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_19", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_register(
+    "tpch_q8_market_share",
+    _tpch_q8_market_share,
+    """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_19'
+                      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+""",
+)
+
+
+def _tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): revenue per supplier over a quarter,
+    then the supplier(s) achieving the max.  Revenue is rounded to 2
+    decimals BEFORE the max comparison on both sides, so the winner set
+    is identical across engines despite summation-order ulps.
+
+    Scale shape: one shuffle (groupBy l_suppkey — at most |supplier|
+    groups), the scalar max comes back as a broadcast 1-row join, and
+    supplier is broadcast.  No window over the full fact table."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("max_revenue"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_register(
+    "tpch_q15_top_supplier",
+    _tpch_q15_top_supplier,
+    """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+
+
+def _tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: brand pair
+    Brand#13/Brand#14 (no p_container column), threshold 0.5*avg
+    (0.2*avg would be vacuous at min quantity 1 on the uniform 1..50
+    fixture distribution).
+
+    Scale shape: the correlated scalar subquery becomes a per-part
+    partial aggregate joined back on l_partkey — both sides shuffle on
+    the same key once; part (dimension) is broadcast into the fact scan
+    before the agg so the brand filter prunes early."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand").isin("Brand#13", "Brand#14"))
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )
+
+
+_register(
+    "tpch_q17_small_quantity",
+    _tpch_q17_small_quantity,
+    """
+WITH per_part AS (
+  SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS qty_thr
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand IN ('Brand#13', 'Brand#14') AND l_quantity < qty_thr
+""",
+)
+
+
+def _tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted: the three OR-arms keep
+    the brand/size/quantity envelope shape but drop l_shipinstruct /
+    l_shipmode (absent from the fixtures).
+
+    Scale shape: part is broadcast; the disjunction is a single codegen
+    filter over the joined row — one pass over lineitem, no shuffle
+    before the final scalar aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    arm1 = (b == "Brand#12") & s.between(1, 15) & q.between(1, 15)
+    arm2 = (b == "Brand#23") & s.between(1, 25) & q.between(10, 25)
+    arm3 = (b == "Brand#3") & s.between(1, 35) & q.between(20, 35)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_register(
+    "tpch_q19_discounted_revenue",
+    _tpch_q19_discounted_revenue,
+    """
+SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)
+""",
+)
+
+
+def _tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: the fixtures have
+    no c_phone, so the country-code grouping becomes the customer's
+    nation, and "no orders at all" (vacuous here — every customer
+    orders) becomes "no orders since 2000-07-01", i.e. churned
+    above-average-balance customers per nation (~13 at sf0.001).
+
+    Scale shape: the scalar avg is a broadcast 1-row cross join; the
+    NOT EXISTS is a left-anti join shuffling only (o_custkey) pairs
+    from the date-pruned orders slice; nation is broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_register(
+    "tpch_q22_sales_opportunity",
+    _tpch_q22_sales_opportunity,
+    """
+WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0)
+SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg_bal FROM ab)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+
+
 # ==========================================================================
 # Registry ordering — the driver's CORRECTNESS gate window
 # ==========================================================================
