@@ -4590,6 +4590,67 @@ FROM n GROUP BY fingerprint
 _register("stream_dedup_replay", _stream_dedup_replay, _DD_STREAM_DEDUP)
 
 
+def _stream_knn_serve_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN *serving* through Structured Streaming: queries ARRIVE as a
+    stream — the reference's query side is exactly this shape, one user
+    request at a time against a static vector table
+    (SSEOpenAIController.java:302-308) — and each micro-batch is scored
+    with the SAME ``knn_join`` the batch path uses, against the static
+    corpus.  The 8 probe vectors are split into 4 files streamed with
+    ``maxFilesPerTrigger=1``, so at least 4 independent micro-batches
+    each run the broadcast-queries KNN; per-query top-k is appended to a
+    parquet sink, and the sink is oracle-checked against the identical
+    batch SQL (``_DD_KNN_BATCH``) — valid because every query lands in
+    exactly one micro-batch, so the union of per-batch top-k IS the
+    batch answer.
+
+    100 TB shape: the corpus never moves — each micro-batch broadcasts
+    only the arrived queries into the corpus scan, which is the
+    continuous-serving plan you'd run on a cluster (static side cached,
+    stream side tiny)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_knn_{tag}")
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("query_id long, query_vec array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _serve(batch_df: DataFrame, _batch_id: int) -> None:
+        out = knn_join(emb, batch_df, k=3, metric="l2", payload_cols=["vec_id", "label"])
+        out.select(
+            "query_id", "rank", "vec_id", "label",
+            F.round("distance", 4).alias("distance"),
+        ).write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink)
+
+
+_register("stream_knn_serve_replay", _stream_knn_serve_replay, _DD_KNN_BATCH)
+
+
 def _sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same probe/contract as ``quant_sq8_knn_top5`` but through the
     *persisted* codes table: coarse stage scans only (id, label, scale,
