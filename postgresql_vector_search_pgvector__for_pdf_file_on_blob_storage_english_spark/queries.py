@@ -4383,6 +4383,71 @@ QUALIFY rank <= 5
 _register("quant_matryoshka_knn_batch", _matryoshka_batch, _DD_MATRYOSHKA_BATCH)
 
 
+# PCA-projected search (operators/pca.py): the LEARNED low-rank coarse
+# stage for non-MRL embeddings (FAISS PCAMatrix shape).  The
+# eigendecomposition cannot be replayed in DuckDB, so these entries are
+# gated by the EXACT top-k SQL — valid because the exact rerank recovers
+# the true top-k at the gated fixtures (64->32, oversample 40 = pool 200;
+# sufficiency measured over every probe at sf0.001 AND sf0.01, and pinned
+# by tests/test_pca.py::test_recall_exact_at_fixture).  Same contract as
+# ann_ivf_kmeans_search (COVERAGE.md).  The fixtures are near-isotropic —
+# PCA's worst case — hence 32 dims, not 8; see the pca.py docstring.
+_PCA_OUT_DIM = 32
+_PCA_OVERSAMPLE = 40
+
+
+def _pca_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pca import pca_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_knn(
+        emb, _quant_query(spark, sf_dir, 5), k=5, out_dim=_PCA_OUT_DIM,
+        oversample=_PCA_OVERSAMPLE, payload_cols=["label"],
+    )
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+_register(
+    "quant_pca_knn_top5",
+    _pca_search,
+    dd_sql("""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 5)
+SELECT e.vec_id, e.label, round({dist}, 4) AS distance
+FROM embeddings e, q
+ORDER BY {dist}, e.vec_id LIMIT 5
+""", dist=_dd_l2("e.embedding", "q.qe")),
+)
+
+
+def _pca_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pca import pca_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pca_knn_join(
+        emb, queries, k=5, out_dim=_PCA_OUT_DIM, oversample=_PCA_OVERSAMPLE,
+        payload_cols=["label"],
+    )
+    return out.select(
+        "query_id", "rank", "vec_id", "label", F.round("distance", 4).alias("distance")
+    )
+
+
+_register(
+    "quant_pca_knn_batch",
+    _pca_batch,
+    dd_sql("""
+SELECT q.vec_id AS query_id,
+       row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, e.vec_id) AS rank,
+       e.vec_id, e.label, round({dist}, 4) AS distance
+FROM embeddings e, (SELECT vec_id, embedding AS qe FROM embeddings WHERE vec_id < 8) q
+QUALIFY rank <= 5
+""", dist=_dd_l2("e.embedding", "q.qe")),
+)
+
+
 # ==========================================================================
 # PII redaction (round 4) — training-data scrubbing stage; the fixtures
 # carry no PII, so the query weaves deterministic synthetic PII (email,
