@@ -12,6 +12,15 @@ At 100 TB the file layout is a first-class query-performance input:
   min/max; a sorted layout makes those ranges disjoint, so selective
   filters skip whole files/row groups (the poor man's Z-order — exact
   for 1-D clustering keys, still effective for a leading composite).
+* ``zorder_write`` — true multi-column clustering: each clustering
+  column is quantile-bucketed (approxQuantile boundaries, skew-robust
+  unlike linear min/max scaling), the bucket ids are Morton
+  bit-interleaved into one z-value, and the data is range-partitioned
+  + sorted on z.  Every file then covers a small HYPERCUBE of the key
+  space, so min/max skipping works for a selective predicate on ANY
+  clustering column — the property a lexicographic sort only gives its
+  leading column.  This is the layout Delta's OPTIMIZE ZORDER BY
+  produces, built from plain DataFrame ops.
 """
 
 from __future__ import annotations
@@ -50,3 +59,72 @@ def sorted_write(
         else df.repartitionByRange(*sort_cols)
     )
     parted.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def _bucket_col(col: str, boundaries: list[float], bits: int) -> F.Column:
+    """Quantile-bucket ``col`` into [0, 2**bits): the bucket is how many
+    of the ``2**bits - 1`` interior quantile boundaries lie at or below
+    the value.  A literal-array ``filter`` — pure codegen, no join; the
+    boundary list is driver-computed and tiny (255 doubles at bits=8)."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(arr, lambda b: b <= F.col(col).cast("double")))
+
+
+def _morton2(x: F.Column, y: F.Column, bits: int) -> F.Column:
+    """Interleave the low ``bits`` bits of two bucket ids: bit i of x
+    lands at position 2i, bit i of y at 2i+1.  A fixed sum of
+    shift/mask terms — whole-stage-codegen arithmetic, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered write on exactly two numeric columns.
+
+    1. approxQuantile each column into ``2**bits`` equi-depth buckets
+       (driver-side boundary list; skew-robust where linear min/max
+       scaling collapses under heavy-tailed keys);
+    2. Morton-interleave the bucket ids into a single z-value;
+    3. range-partition + sort on z, write, drop the helper column.
+
+    Scale shape: one quantile sketch pass (no shuffle beyond the
+    aggregation), then exactly the ``sorted_write`` single range
+    shuffle.  Each output file covers a compact square-ish region of
+    the (colA, colB) space, so parquet min/max stats prune files for
+    selective predicates on EITHER column (gated from real footers in
+    tests/test_layout.py)."""
+    if len(cols) != 2:
+        raise ValueError(f"zorder_write clusters exactly 2 columns, got {len(cols)}")
+    n_bounds = 2**bits - 1
+    probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
+    cast_df = df.select(
+        *df.columns, *[F.col(c).cast("double").alias(f"__zq_{c}") for c in cols]
+    )
+    bounds = {
+        c: cast_df.stat.approxQuantile(f"__zq_{c}", probs, 0.001) for c in cols
+    }
+    zed = df.withColumn(
+        "__z",
+        _morton2(
+            _bucket_col(cols[0], bounds[cols[0]], bits),
+            _bucket_col(cols[1], bounds[cols[1]], bits),
+            bits,
+        ),
+    )
+    (
+        zed.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -66,3 +66,88 @@ def test_sorted_write_disjoint_ranges_and_pruning(spark, tmp_path):
     a = spark.read.parquet(out).filter(F.col("o_custkey") == key).count()
     b = orders.filter(F.col("o_custkey") == key).count()
     assert a == b > 0
+
+
+def _file_ranges(path: str, col: str) -> list[tuple[float, float]]:
+    """(min, max) of ``col`` per parquet file, from the real footers."""
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == col
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+class TestZorder:
+    def test_both_columns_skippable(self, spark, tmp_path):
+        """The Z-order property: per-file min/max ranges are narrow on
+        BOTH clustering columns, where a lexicographic sort localizes
+        only its leading column.  Measured as the fraction of files a
+        point-predicate scan can skip, straight from the footers."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            zorder_write,
+        )
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        zpath = str(tmp_path / "zordered")
+        spath = str(tmp_path / "lexsorted")
+        cols = ["l_partkey", "l_suppkey"]
+        zorder_write(li, zpath, cols, bits=8, num_files=16)
+        sorted_write(li, spath, cols, num_files=16)
+
+        def skip_fraction(path, col, probes):
+            ranges = _file_ranges(path, col)
+            skipped = sum(
+                sum(1 for lo, hi in ranges if probe < lo or probe > hi)
+                for probe in probes
+            )
+            return skipped / (len(probes) * len(ranges))
+
+        lo_p, hi_p = li.select(F.min("l_partkey"), F.max("l_partkey")).first()
+        lo_s, hi_s = li.select(F.min("l_suppkey"), F.max("l_suppkey")).first()
+        probes_p = [lo_p + (hi_p - lo_p) * i // 8 for i in range(1, 8)]
+        probes_s = [lo_s + (hi_s - lo_s) * i // 8 for i in range(1, 8)]
+
+        # Leading column: both layouts skip well.
+        assert skip_fraction(zpath, "l_partkey", probes_p) >= 0.5
+        assert skip_fraction(spath, "l_partkey", probes_p) >= 0.75
+        # Second column: z-order keeps skipping, lex sort cannot.
+        z_second = skip_fraction(zpath, "l_suppkey", probes_s)
+        lex_second = skip_fraction(spath, "l_suppkey", probes_s)
+        assert z_second >= 0.5, f"z-order second-column skip {z_second}"
+        assert lex_second <= 0.1, f"lex sort unexpectedly skips {lex_second}"
+
+    def test_roundtrip_and_schema(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            zorder_write,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        out = str(tmp_path / "z2")
+        zorder_write(orders, out, ["o_custkey", "o_totalprice"], num_files=4)
+        back = spark.read.parquet(out)
+        assert back.columns == orders.columns  # helper column dropped
+        assert back.count() == orders.count()
+        key = orders.select(F.min("o_custkey")).first()[0]
+        assert (
+            back.filter(F.col("o_custkey") == key).count()
+            == orders.filter(F.col("o_custkey") == key).count()
+            > 0
+        )
+
+    def test_two_columns_required(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            zorder_write,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        with pytest.raises(ValueError):
+            zorder_write(orders, str(tmp_path / "z3"), ["o_custkey"])
