@@ -5866,6 +5866,67 @@ ORDER BY n_name
 )
 
 
+# --------------------------------------------------------------------------
+# Behavioral analytics (round 5): ordered funnel + cohort retention over
+# the events table (operators/funnel.py).  The two canonical
+# product-analytics shapes; both pure keyed aggregates/joins.
+# --------------------------------------------------------------------------
+
+
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.funnel import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir), ["view", "click", "purchase"])
+
+
+_register(
+    "events_funnel_conversion",
+    _events_funnel,
+    """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS conv FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS conv
+  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.conv
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS conv
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.conv
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users FROM s0
+UNION ALL
+SELECT 1 AS step_idx, 'click' AS step, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2 AS step_idx, 'purchase' AS step, count(*) AS n_users FROM s2
+""",
+)
+
+
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.funnel import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), unit="week")
+
+
+_register(
+    "events_weekly_retention",
+    _events_retention,
+    """
+WITH p AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+firsts AS (SELECT user_id, min(w) AS cohort FROM p GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, w FROM p)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', f.cohort, a.w) / 7 AS INT) AS "offset",
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+
+
 # ==========================================================================
 # Registry ordering — the driver's CORRECTNESS gate window
 # ==========================================================================
