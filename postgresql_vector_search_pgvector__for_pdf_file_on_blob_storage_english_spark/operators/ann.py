@@ -295,6 +295,69 @@ def ivf_index_search(
     )
 
 
+def ivf_index_stats(
+    spark,
+    path: str,
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Inverted-list size distribution of a persisted IVF index:
+    ``(centroid_id, n_vectors, frac)`` per list, ``frac`` the list's
+    share of the corpus.  The maintenance dial: ``ivf_index_append``
+    keeps centroids fixed, so sustained appends drift list sizes —
+    probe cost tracks the LARGEST probed list, so a ballooning ``frac``
+    says "retrain" (``ivf_index_rebuild``).  Scan cost: the groupBy
+    reads only the partition column, i.e. directory names — no data
+    pages."""
+    idx = spark.read.parquet(path).select(centroid_id_col)
+    per = idx.groupBy(centroid_id_col).agg(F.count("*").alias("n_vectors"))
+    total = per.agg(F.sum("n_vectors").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        centroid_id_col,
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("_total"), 4).alias("frac"),
+    )
+
+
+def ivf_index_rebuild(
+    spark,
+    src_path: str,
+    dest_path: str,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    train_limit: int = 100_000,
+) -> DataFrame:
+    """Offline retrain + rebuild of a persisted IVF index: re-train
+    centroids on the index's CURRENT contents (``kmeans_fit_sampled`` —
+    bounded driver sample, the FAISS train-vs-add split), re-assign
+    every row, write the re-partitioned index to ``dest_path``, return
+    the new centroid relation (the searcher needs it).
+
+    This is the periodic maintenance job that pairs with
+    ``ivf_index_append``: appends are cheap because centroids stay
+    fixed, and the drift that fixed centroids accumulate (skewed lists,
+    rising probe cost — watch ``ivf_index_stats``) is paid down here in
+    one bulk pass.  Writes to a NEW path: Spark cannot safely overwrite
+    an input mid-read, and at scale the swap is an atomic pointer flip
+    (rename / view repoint) after validation, never an in-place
+    rewrite."""
+    from .kmeans import kmeans_fit_sampled
+
+    if src_path == dest_path:
+        raise ValueError("rebuild writes to a new path; swap after validation")
+    contents = spark.read.parquet(src_path).drop(centroid_id_col)
+    centroids = kmeans_fit_sampled(
+        contents, k=k, vec_col=vec_col, id_col=id_col, train_limit=train_limit
+    )
+    assigned = assign_ivf(
+        contents, centroids, vec_col=vec_col, id_col=id_col,
+        centroid_id_col=centroid_id_col,
+    )
+    ivf_index_write(assigned, dest_path, centroid_id_col=centroid_id_col)
+    return centroids
+
+
 def knn_query_col(query_vec) -> Column:
     if isinstance(query_vec, Column):
         return query_vec

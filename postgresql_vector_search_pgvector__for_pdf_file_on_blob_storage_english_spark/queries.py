@@ -1302,6 +1302,50 @@ def _ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ann_ivf_index_search", _ann_ivf_index, _DD_ANN_IVF)
 
 
+def _ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-size distribution of the persisted IVF index — the
+    maintenance dial for append-drift (operators/ann.py::
+    ivf_index_stats; pairs with ivf_index_rebuild).  The oracle replays
+    the fixed-centroid assignment and counts per list."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.ann import ivf_index_stats, ivf_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_index_{tag}")
+    ivf_index_write(assign_ivf(emb, centroids), path)
+    return ivf_index_stats(spark, path).withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
+
+
+_register(
+    "ann_ivf_index_stats",
+    _ann_ivf_index_stats,
+    dd_sql("""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {nc}
+),
+assigned AS (
+  SELECT e.vec_id, c.centroid_id
+  FROM embeddings e, cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {adist}, c.centroid_id) = 1
+),
+per AS (SELECT centroid_id, count(*) AS n_vectors FROM assigned GROUP BY centroid_id)
+SELECT centroid_id, n_vectors,
+       round(n_vectors / (SELECT sum(n_vectors) FROM per), 4) AS frac
+FROM per
+""", nc=_N_CENTROIDS, adist=_dd_l2("e.embedding", "c.cvec")),
+)
+
+
 def _ann_ivf_index_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered search on the persisted IVF index (round 5): the
     pgvector ``WHERE label ... ORDER BY embedding <-> q`` idiom on the

@@ -231,3 +231,58 @@ class TestIvfIndexFilteredSearch:
         ).collect()
         expected = [r["vec_id"] for r in wide if r["label"] % 3 == 0][:5]
         assert [r["vec_id"] for r in out] == expected
+
+
+class TestIvfIndexMaintenance:
+    def test_stats_account_for_every_row(self, spark, index):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+            ivf_index_stats,
+        )
+
+        emb, _, path, _ = index
+        rows = ivf_index_stats(spark, path).collect()
+        assert sum(r["n_vectors"] for r in rows) == emb.count()
+        assert abs(sum(r["frac"] for r in rows) - 1.0) < 0.01
+        assert len(rows) <= N_CENTROIDS
+
+    def test_rebuild_equals_fresh_build(self, spark, index, tmp_path):
+        """Retrain+rebuild from index contents == building from the raw
+        corpus with the same trainer: the sample is id-ordered, so the
+        index's partition-scrambled row order must not matter."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+            ivf_index_rebuild,
+            ivf_index_search,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.kmeans import (
+            kmeans_fit_sampled,
+        )
+
+        emb, _, path, q = index
+        dest = str(tmp_path / "rebuilt")
+        new_cents = ivf_index_rebuild(spark, path, dest, k=8)
+
+        fresh_cents = kmeans_fit_sampled(emb.select("vec_id", "label", "embedding"), k=8)
+        fresh = str(tmp_path / "fresh")
+        ivf_index_write(assign_ivf(emb, fresh_cents), fresh)
+
+        got = ivf_index_search(
+            spark, dest, new_cents, q, k=5, nprobe=2, payload_cols=["vec_id", "label"],
+            centroid_vec_col="centroid_vec",
+        ).collect()
+        want = ivf_index_search(
+            spark, fresh, fresh_cents, q, k=5, nprobe=2, payload_cols=["vec_id", "label"],
+            centroid_vec_col="centroid_vec",
+        ).collect()
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+        # row counts preserved; source index untouched
+        assert spark.read.parquet(dest).count() == emb.count()
+        assert spark.read.parquet(path).count() == emb.count()
+
+    def test_rebuild_rejects_inplace(self, spark, index):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ann import (
+            ivf_index_rebuild,
+        )
+
+        _, _, path, _ = index
+        with pytest.raises(ValueError):
+            ivf_index_rebuild(spark, path, path)
