@@ -1,0 +1,187 @@
+"""Data profiling and declarative quality constraints — the validation
+stage a training-data pipeline runs before anything trains on a new
+snapshot (the Deequ/Great-Expectations capability, re-expressed as plain
+aggregates).
+
+* :func:`column_profile` — per-column statistics (rows, nulls, exact
+  distincts, min/max, mean) in ONE aggregation pass: all columns'
+  measures are expressions of a single ``agg``, so the corpus is read
+  once; Spark plans the multi-distinct via Expand + one shuffle of
+  partial aggregates, never N scans for N columns.
+* :func:`histogram` — equi-width value histogram with a closed bucket
+  formula (``floor((x-lo)/width)``, top edge clamped into the last
+  bucket) so any engine reproduces identical buckets.
+* :func:`check_constraints` — Deequ-style declarative checks: each
+  constraint contributes one aggregate expression (its *observation*)
+  and a threshold; all observations compute in the same single pass and
+  the report is one row per constraint ``(constraint, observed,
+  passed)``.  Helpers build the standard observations: completeness
+  (non-null fraction), uniqueness (distinct/total), range and set
+  conformance fractions, regex-match fraction.
+
+100 TB shape: everything here is a map-side-partial aggregate over one
+scan; no joins, no windows, no driver loop.  Gate a pipeline by
+``check_constraints(...).filter(~passed)`` being empty.
+
+Determinism: fractions are rounded to 6 decimals; min/max/mean on
+doubles follow the engine-portable rounding conventions used across the
+registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Long-format per-column profile:
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value, mean)``.
+
+    ``min_value``/``max_value`` are stringified (profile rows span
+    heterogeneous column types); ``mean`` is NULL for non-numeric
+    columns.  Exact distincts, not sketches — the profile IS the gate,
+    so it must not wobble run-to-run."""
+    cols = cols or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+        if isinstance(schema[c], _NUMERIC_TYPES):
+            aggs.append(F.round(F.avg(F.col(c).cast("double")), 6).alias(f"__mean_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__mean_{c}"))
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__dist_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+            F.col(f"__mean_{c}").alias("mean"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram ``(bucket, lo, hi, n)`` over ``col``.
+
+    Bounds default to the observed min/max (one cheap agg, broadcast
+    back as literals is avoided — the bounds join is a 1-row cross
+    join).  Bucket = ``floor((x - lo) / width)`` with the top edge
+    clamped into bucket ``n_buckets - 1``; empty buckets are absent
+    (outer-join a bucket spine if a dense axis is needed)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    x = F.col(col).cast("double")
+    if lo is None or hi is None:
+        bounds = df.agg(
+            F.min(x).alias("__lo"), F.max(x).alias("__hi")
+        )
+        src = df.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        src = df
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(float(n_buckets))
+    bucket = F.least(
+        F.greatest(F.floor((x - lo_c) / width), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    nb = F.lit(float(n_buckets))
+    return (
+        src.filter(x.isNotNull() & (x >= lo_c) & (x <= hi_c))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.min(lo_c + F.lit(0.0)).alias("_lo"),
+            F.min(hi_c + F.lit(0.0)).alias("_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "bucket",
+            F.round(
+                F.col("_lo") + F.col("bucket") * (F.col("_hi") - F.col("_lo")) / nb, 6
+            ).alias("bucket_lo"),
+            F.round(
+                F.col("_lo") + (F.col("bucket") + 1) * (F.col("_hi") - F.col("_lo")) / nb, 6
+            ).alias("bucket_hi"),
+            "n",
+        )
+    )
+
+
+# ---- constraint observation builders (each is ONE aggregate Column) ----
+
+def completeness(col: str) -> Column:
+    """Fraction of rows with a non-null value."""
+    return F.avg(F.col(col).isNotNull().cast("double"))
+
+
+def uniqueness(col: str) -> Column:
+    """Exact distinct values / total rows (1.0 = a key)."""
+    return F.count_distinct(F.col(col)) / F.count(F.lit(1))
+
+
+def fraction_in_range(col: str, lo: float, hi: float) -> Column:
+    """Fraction of non-null values inside [lo, hi]."""
+    x = F.col(col).cast("double")
+    return F.avg(((x >= lo) & (x <= hi)).cast("double"))
+
+
+def fraction_in_set(col: str, allowed: list) -> Column:
+    """Fraction of ALL rows whose value is one of ``allowed`` — a NULL
+    is non-conforming (``isin`` yields NULL on NULL input, which
+    ``avg`` would silently drop; coalesce pins it to False)."""
+    return F.avg(F.coalesce(F.col(col).isin(allowed), F.lit(False)).cast("double"))
+
+
+def fraction_matching(col: str, pattern: str) -> Column:
+    """Fraction of ALL rows matching the (portable-subset) regex; NULL
+    is non-conforming (same coalesce rationale as ``fraction_in_set``)."""
+    return F.avg(F.coalesce(F.col(col).rlike(pattern), F.lit(False)).cast("double"))
+
+
+def check_constraints(
+    df: DataFrame,
+    checks: list[tuple[str, Column, float]],
+) -> DataFrame:
+    """Evaluate ``(name, observation, min_threshold)`` constraints in one
+    aggregation pass.  Returns ``(constraint, observed, passed)`` — one
+    row per check, ``observed`` rounded to 6, ``passed`` =
+    ``observed >= min_threshold``."""
+    if not checks:
+        raise ValueError("no constraints given")
+    names = [n for n, _, _ in checks]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate constraint names")
+    wide = df.agg(
+        *[F.round(obs.cast("double"), 6).alias(f"__obs_{i}") for i, (_, obs, _) in enumerate(checks)]
+    )
+    rows = [
+        F.struct(
+            F.lit(name).alias("constraint"),
+            F.col(f"__obs_{i}").alias("observed"),
+            (F.col(f"__obs_{i}") >= F.lit(float(thr))).alias("passed"),
+        )
+        for i, (name, _, thr) in enumerate(checks)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("c")).select("c.*")

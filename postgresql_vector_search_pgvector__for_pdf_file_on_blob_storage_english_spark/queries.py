@@ -5971,6 +5971,117 @@ GROUP BY 1, 2
 )
 
 
+# --------------------------------------------------------------------------
+# Data profiling + declarative quality constraints (round 5): the Deequ-
+# class validation stage (operators/profile.py) — the gate a training
+# pipeline runs on a fresh snapshot before anything trains on it.
+# --------------------------------------------------------------------------
+
+
+def _profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import column_profile
+
+    return column_profile(_t(spark, sf_dir, "documents"))
+
+
+_register(
+    "profile_documents",
+    _profile_documents,
+    """
+SELECT 'doc_id' AS "column", count(*) AS n_rows, count(*) - count(doc_id) AS n_nulls,
+       count(DISTINCT doc_id) AS n_distinct, min(doc_id)::VARCHAR AS min_value,
+       max(doc_id)::VARCHAR AS max_value, round(avg(doc_id), 6) AS mean
+FROM documents
+UNION ALL
+SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+       min(text)::VARCHAR, max(text)::VARCHAR, NULL::DOUBLE
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+       min(lang)::VARCHAR, max(lang)::VARCHAR, NULL::DOUBLE
+FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+       min(source)::VARCHAR, max(source)::VARCHAR, NULL::DOUBLE
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+       min(n_chars)::VARCHAR, max(n_chars)::VARCHAR, round(avg(n_chars), 6)
+FROM documents
+""",
+)
+
+
+def _quality_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over orders; the last check is
+    deliberately calibrated to FAIL (observed ~0.7 < 0.99) so the report
+    proves both verdict paths, not just a vacuous all-green."""
+    from .operators.profile import (
+        check_constraints,
+        completeness,
+        fraction_in_range,
+        fraction_in_set,
+        fraction_matching,
+        uniqueness,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return check_constraints(orders, [
+        ("custkey_complete", completeness("o_custkey"), 1.0),
+        ("orderkey_unique", uniqueness("o_orderkey"), 1.0),
+        ("price_in_bounds", fraction_in_range("o_totalprice", 0.0, 500000.0), 1.0),
+        ("status_in_set", fraction_in_set("o_orderstatus", ["F", "O", "P"]), 1.0),
+        ("priority_format", fraction_matching("o_orderpriority", "^[1-5]-"), 1.0),
+        ("price_under_100k", fraction_in_range("o_totalprice", 0.0, 100000.0), 0.99),
+    ])
+
+
+_register(
+    "quality_checks_orders",
+    _quality_checks_orders,
+    """
+WITH obs AS (
+  SELECT
+    round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS custkey_complete,
+    round(count(DISTINCT o_orderkey) / count(*), 6) AS orderkey_unique,
+    round(avg(CASE WHEN o_totalprice BETWEEN 0.0 AND 500000.0 THEN 1.0 ELSE 0.0 END), 6) AS price_in_bounds,
+    round(avg(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1.0 ELSE 0.0 END), 6) AS status_in_set,
+    round(avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END), 6) AS priority_format,
+    round(avg(CASE WHEN o_totalprice BETWEEN 0.0 AND 100000.0 THEN 1.0 ELSE 0.0 END), 6) AS price_under_100k
+  FROM orders
+)
+SELECT 'custkey_complete' AS "constraint", custkey_complete AS observed, custkey_complete >= 1.0 AS passed FROM obs
+UNION ALL SELECT 'orderkey_unique', orderkey_unique, orderkey_unique >= 1.0 FROM obs
+UNION ALL SELECT 'price_in_bounds', price_in_bounds, price_in_bounds >= 1.0 FROM obs
+UNION ALL SELECT 'status_in_set', status_in_set, status_in_set >= 1.0 FROM obs
+UNION ALL SELECT 'priority_format', priority_format, priority_format >= 1.0 FROM obs
+UNION ALL SELECT 'price_under_100k', price_under_100k, price_under_100k >= 0.99 FROM obs
+""",
+)
+
+
+def _profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import histogram
+
+    return histogram(_events(spark, sf_dir), "value", n_buckets=10)
+
+
+_register(
+    "profile_value_histogram",
+    _profile_histogram,
+    """
+WITH b AS (SELECT min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi FROM events)
+SELECT CAST(least(greatest(floor((value::DOUBLE - lo) / ((hi - lo) / 10.0)), 0), 9) AS INT) AS bucket,
+       round(lo + CAST(least(greatest(floor((value::DOUBLE - lo) / ((hi - lo) / 10.0)), 0), 9) AS INT) * (hi - lo) / 10.0, 6) AS bucket_lo,
+       round(lo + (CAST(least(greatest(floor((value::DOUBLE - lo) / ((hi - lo) / 10.0)), 0), 9) AS INT) + 1) * (hi - lo) / 10.0, 6) AS bucket_hi,
+       count(*) AS n
+FROM events, b
+WHERE value IS NOT NULL AND value::DOUBLE >= lo AND value::DOUBLE <= hi
+GROUP BY 1, 2, 3
+""",
+)
+
+
 # ==========================================================================
 # Registry ordering — the driver's CORRECTNESS gate window
 # ==========================================================================

@@ -1,0 +1,108 @@
+"""Profiling + constraints (operators/profile.py): hand-computed stats
+on a frame with nulls/duplicates, histogram bucket math, constraint
+verdicts, single-pass plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+    check_constraints,
+    column_profile,
+    completeness,
+    fraction_in_range,
+    fraction_in_set,
+    fraction_matching,
+    histogram,
+    uniqueness,
+)
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+        (2, None, 30.0),
+        (3, "a", None),
+        (4, "c", 40.0),
+    ]
+    return spark.createDataFrame(rows, "id int, tag string, x double")
+
+
+class TestProfile:
+    def test_hand_computed(self, messy):
+        p = {r["column"]: r for r in column_profile(messy).collect()}
+        assert p["id"]["n_rows"] == 5
+        assert p["id"]["n_nulls"] == 0
+        assert p["id"]["n_distinct"] == 4
+        assert p["id"]["min_value"] == "1" and p["id"]["max_value"] == "4"
+        assert p["id"]["mean"] == 2.4
+        assert p["tag"]["n_nulls"] == 1
+        assert p["tag"]["n_distinct"] == 3  # nulls don't count as a value
+        assert p["tag"]["mean"] is None  # non-numeric
+        assert p["x"]["n_nulls"] == 1
+        assert p["x"]["mean"] == 25.0  # avg ignores the null
+
+    def test_single_pass(self, messy):
+        """All columns' stats come from ONE aggregation over one scan —
+        the plan has exactly one scan of the source."""
+        plan = column_profile(messy)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("LocalRelation") + plan.count("LogicalRDD") == 1
+
+    def test_column_subset(self, messy):
+        rows = column_profile(messy, ["id"]).collect()
+        assert [r["column"] for r in rows] == ["id"]
+
+
+class TestHistogram:
+    def test_bucket_math(self, spark):
+        df = spark.createDataFrame([(float(v),) for v in range(0, 100)], "v double")
+        h = {r["bucket"]: r for r in histogram(df, "v", n_buckets=10).collect()}
+        assert len(h) == 10
+        assert all(h[b]["n"] == 10 for b in range(10))
+        assert h[0]["bucket_lo"] == 0.0
+        # max value (99) clamps into the last bucket
+        assert h[9]["n"] == 10 and h[9]["bucket_hi"] == 99.0
+
+    def test_explicit_bounds_filter_outliers(self, spark):
+        df = spark.createDataFrame([(1.0,), (2.0,), (999.0,)], "v double")
+        h = histogram(df, "v", n_buckets=2, lo=0.0, hi=4.0).collect()
+        assert sum(r["n"] for r in h) == 2  # 999 excluded
+
+    def test_rejects_bad_buckets(self, spark):
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            histogram(df, "v", n_buckets=0)
+
+
+class TestConstraints:
+    def test_verdicts(self, messy):
+        rep = {
+            r["constraint"]: r
+            for r in check_constraints(messy, [
+                ("id_complete", completeness("id"), 1.0),
+                ("id_unique", uniqueness("id"), 1.0),
+                ("tag_complete", completeness("tag"), 0.75),
+                ("x_in_range", fraction_in_range("x", 0.0, 100.0), 0.75),
+                ("tag_in_set", fraction_in_set("tag", ["a", "b", "c"]), 0.9),
+                ("tag_format", fraction_matching("tag", "^[a-z]$"), 0.75),
+            ]).collect()
+        }
+        assert rep["id_complete"]["passed"] is True
+        assert rep["id_unique"]["observed"] == 0.8
+        assert rep["id_unique"]["passed"] is False
+        assert rep["tag_complete"]["observed"] == 0.8
+        assert rep["tag_complete"]["passed"] is True
+        assert rep["tag_in_set"]["observed"] == 0.8
+        assert rep["tag_in_set"]["passed"] is False
+
+    def test_rejects_empty_and_dupes(self, messy):
+        with pytest.raises(ValueError):
+            check_constraints(messy, [])
+        with pytest.raises(ValueError):
+            check_constraints(messy, [
+                ("a", completeness("id"), 1.0),
+                ("a", uniqueness("id"), 1.0),
+            ])
