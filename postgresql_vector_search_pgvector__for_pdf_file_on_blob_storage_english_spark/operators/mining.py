@@ -1,0 +1,88 @@
+"""Contrastive-pair mining for embedding/metric training: per anchor,
+the nearest same-label vectors (positives) and the nearest
+DIFFERENT-label vectors (hard negatives) — the standard triplet /
+InfoNCE sampling stage of an embedding training pipeline, run inside
+the engine so the pairs ship with the shards instead of being mined by
+a separate service.
+
+Shape (the batched-KNN pattern, ``knn.py::knn_join``): anchors
+broadcast into one corpus pass, distance computed per (candidate,
+anchor), the embedding dropped BEFORE the exchange so the shuffle
+carries ``(ids, labels, distance)`` only, then two role-filtered
+windows over the anchor key.  The mining must filter BEFORE ranking —
+pruning a top-k pool first and filtering after would under-deliver
+negatives whenever an anchor's neighborhood is label-pure (exactly the
+anchors hard-negative mining cares about).
+
+Determinism: ``(distance, id)`` ordering, double arithmetic — the same
+cross-engine contract as the flagship KNN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import DISTANCE_FNS
+
+
+def triplet_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    n_pos: int = 1,
+    n_neg: int = 3,
+    metric: str = "l2",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    anchor_label_col: str = "anchor_label",
+    anchor_vec_col: str = "anchor_vec",
+) -> DataFrame:
+    """Returns ``(anchor_id, role, rank, vec_id, label, distance)`` with
+    ``role`` in {'positive', 'hard_negative'}: the ``n_pos`` nearest
+    same-label rows (the anchor itself excluded) and the ``n_neg``
+    nearest different-label rows, per anchor.
+
+    ``anchors`` must carry (anchor_id, anchor_label, anchor_vec); build
+    it from the corpus with a rename-select.  One corpus pass scores
+    every anchor (anchors broadcast); the windows run over role-filtered
+    slices keyed on ``anchor_id``."""
+    if n_pos < 0 or n_neg < 0 or (n_pos == 0 and n_neg == 0):
+        raise ValueError("need n_pos >= 0, n_neg >= 0, and at least one positive")
+    dist_fn = DISTANCE_FNS[metric]
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .withColumn("distance", dist_fn(F.col(vec_col), F.col(anchor_vec_col)))
+        .select(anchor_id_col, anchor_label_col, id_col, label_col, "distance")
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy("distance", id_col)
+
+    def _ranked(slice_df: DataFrame, role: str, n: int) -> DataFrame:
+        return (
+            slice_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select(
+                anchor_id_col,
+                F.lit(role).alias("role"),
+                "rank",
+                id_col,
+                label_col,
+                F.round("distance", 4).alias("distance"),
+            )
+        )
+
+    pos = _ranked(
+        scored.filter(
+            (F.col(label_col) == F.col(anchor_label_col))
+            & (F.col(id_col) != F.col(anchor_id_col))
+        ),
+        "positive",
+        n_pos,
+    )
+    neg = _ranked(
+        scored.filter(F.col(label_col) != F.col(anchor_label_col)),
+        "hard_negative",
+        n_neg,
+    )
+    return pos.unionByName(neg)

@@ -6082,6 +6082,55 @@ GROUP BY 1, 2, 3
 )
 
 
+# --------------------------------------------------------------------------
+# Contrastive-pair mining (round 5): per-anchor nearest positives + hard
+# negatives for embedding training (operators/mining.py).
+# --------------------------------------------------------------------------
+
+
+def _train_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mining import triplet_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    return triplet_mining(emb, anchors, n_pos=1, n_neg=3)
+
+
+_register(
+    "train_triplet_mining",
+    _train_triplets,
+    dd_sql("""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av
+  FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label, {dist} AS d
+  FROM embeddings e, a
+),
+pos AS (
+  SELECT anchor_id, 'positive' AS role,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY d, vec_id) AS rank,
+         vec_id, label, round(d, 4) AS distance
+  FROM scored WHERE label = anchor_label AND vec_id != anchor_id
+  QUALIFY rank <= 1
+),
+neg AS (
+  SELECT anchor_id, 'hard_negative' AS role,
+         row_number() OVER (PARTITION BY anchor_id ORDER BY d, vec_id) AS rank,
+         vec_id, label, round(d, 4) AS distance
+  FROM scored WHERE label != anchor_label
+  QUALIFY rank <= 3
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+""", dist=_dd_l2("e.embedding", "a.av")),
+)
+
+
 # ==========================================================================
 # Registry ordering — the driver's CORRECTNESS gate window
 # ==========================================================================

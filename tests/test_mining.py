@@ -1,0 +1,76 @@
+"""Triplet mining (operators/mining.py): role semantics on hand-built
+vectors, filter-before-rank guarantee, no-embedding-in-exchange plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+    triplet_mining,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # 1-D embeddings on a line; labels split odd/even neighborhoods.
+    rows = [
+        (0, 0, [0.0]), (1, 0, [1.0]), (2, 0, [2.0]),
+        (3, 1, [3.0]), (4, 1, [4.0]), (5, 1, [10.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id int, label int, embedding array<float>")
+
+
+def _anchors(df, ids):
+    return df.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+
+
+class TestTripletMining:
+    def test_roles_hand_computed(self, tiny):
+        out = triplet_mining(tiny, _anchors(tiny, [2]), n_pos=1, n_neg=2).collect()
+        by_role = {}
+        for r in out:
+            by_role.setdefault(r["role"], []).append((r["rank"], r["vec_id"]))
+        # anchor 2 (label 0 at x=2): nearest same-label is 1 (x=1);
+        # nearest different-label are 3 (x=3) then 4 (x=4).
+        assert by_role["positive"] == [(1, 1)]
+        assert sorted(by_role["hard_negative"]) == [(1, 3), (2, 4)]
+
+    def test_anchor_never_its_own_positive(self, tiny):
+        out = triplet_mining(tiny, _anchors(tiny, [0, 3]), n_pos=2, n_neg=1).collect()
+        for r in out:
+            if r["role"] == "positive":
+                assert r["vec_id"] != r["anchor_id"]
+
+    def test_filter_before_rank(self, tiny):
+        """Anchor 5 (label 1 at x=10) has ONLY same-label vectors as its
+        4 nearest neighbors; a prune-then-filter implementation would
+        return fewer negatives than requested."""
+        out = triplet_mining(tiny, _anchors(tiny, [5]), n_pos=1, n_neg=3).collect()
+        negs = [r for r in out if r["role"] == "hard_negative"]
+        assert len(negs) == 3
+        assert all(r["label"] == 0 for r in negs)
+
+    def test_rejects_bad_counts(self, tiny):
+        with pytest.raises(ValueError):
+            triplet_mining(tiny, _anchors(tiny, [0]), n_pos=0, n_neg=0)
+
+    def test_no_embedding_in_exchanges(self, tiny):
+        import re
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        df = triplet_mining(tiny, _anchors(tiny, [0, 1]))
+        formatted = explain_str(df, "formatted")
+        found = 0
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", formatted):
+            found += 1
+            inputs = m.group(1)
+            assert "embedding" not in inputs and "anchor_vec" not in inputs, inputs
+        assert found >= 1  # the window exchanges exist and were checked
