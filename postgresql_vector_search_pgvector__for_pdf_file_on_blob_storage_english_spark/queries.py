@@ -4760,6 +4760,55 @@ def _stream_knn_serve_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("stream_knn_serve_replay", _stream_knn_serve_replay, _DD_KNN_BATCH)
 
 
+def _stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance through the driver
+    gate: the hourly rollup kept up to date by a WATERMARKED streaming
+    aggregation in ``update`` mode (streaming/windowed.py::
+    run_hourly_rollup_incremental) — each micro-batch appends only the
+    (hour, event_type) rows it changed, ``read_rollup`` resolves
+    last-write-wins, and the resolved view must equal the batch rollup
+    (the oracle).  Events stream in 4 micro-batches; the replay uses a
+    fixture-spanning watermark so the equality is exact (a production
+    deployment narrows it to bound state, trading exactness on
+    later-than-watermark stragglers — the documented watermark
+    contract)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.windowed import read_rollup, run_hourly_rollup_incremental
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_rollup_{tag}")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "props", "ts"
+    )
+    ev.repartition(4).write.parquet(src)
+    q = run_hourly_rollup_incremental(
+        spark, src, out, ckpt, watermark="90 days", max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    return read_rollup(spark, out)
+
+
+_register(
+    "stream_rollup_replay",
+    _stream_rollup_replay,
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+
+
 def _sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same probe/contract as ``quant_sq8_knn_top5`` but through the
     *persisted* codes table: coarse stage scans only (id, label, scale,
