@@ -53,8 +53,12 @@ HEADLINE = [
     "quant_sq8_knn_batch",  # r5: N queries amortized over one codes pass
     "dedup_semantic_clusters_numpy",  # r5: SemDeDup, GEMM pair stage (scale path)
     "pipeline_llm_corpus_prep",  # r5: composed dedup+langid+quality+decontam+mixture
+    "quant_pca_knn_top5",  # r5: learned low-rank coarse stage (fit + search)
+    "events_funnel_conversion",  # r5: behavioral analytics, chained keyed joins
+    "profile_documents",  # r5: one-pass multi-distinct column profile
     "tpch_q3_shipping_priority",
     "tpch_q18_large_volume_customers",
+    "tpch_q8_market_share",  # r5: widest join tree in the suite (7 relations)
     "sessionize_events_30m",
     "pipeline_e2e_ingest_knn",
 ]

@@ -87,6 +87,25 @@ SECTIONS = [
      "PartitionFilters still prunes to the nprobe probed lists AND the metadata "
      "predicate shows in PushedFilters on the same scan — row groups of non-matching "
      "rows are skipped before any distance math. Top-k stays TakeOrderedAndProject."),
+    ("quant_pca_knn_top5", "PCA-projected KNN (learned low-rank coarse stage)",
+     "The fitted projection re-enters the plan as literal component arrays inside a "
+     "codegen Project — out_dim fused dot products per row, no Python, no join for the "
+     "model. Then the same two nested TakeOrderedAndProject stages as every quantized "
+     "path: coarse L2 in projected space, exact full-dim rerank, zero shuffle "
+     "exchanges. With the projection persisted (pca_index_search) the coarse scan reads "
+     "out_dim/dim of the corpus bytes."),
+    ("events_funnel_conversion", "Ordered funnel (3 steps)",
+     "Each step is one partial+final HashAggregate (min conversion time per user) and "
+     "one SortMergeJoin/BroadcastHashJoin back onto the next step's events, all keyed "
+     "on user_id — the step relations narrow monotonically, and AQE converts the later "
+     "tiny steps to broadcasts at runtime. No window over an unpartitioned frame "
+     "anywhere; shuffle volume is per-user rows, not events squared."),
+    ("profile_documents", "One-pass column profile (multi-distinct aggregate)",
+     "Every column's rows/nulls/exact-distincts/min/max/mean come from a single "
+     "aggregation over ONE scan: Spark plans the multi-count_distinct via Expand "
+     "(one duplicated stream per distinct column) feeding partial HashAggregates — "
+     "N columns profiled for one read of the table, where naive per-column profiling "
+     "would scan N times. The long-format explode of the 1-row wide result is free."),
 ]
 
 
