@@ -158,3 +158,44 @@ def source_cap(
         .filter(F.col("_cap_rank") <= cap)
         .drop("_cap_rank")
     )
+
+
+def rebalance_classes(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    salt: str = "rebalance",
+) -> DataFrame:
+    """Balanced downsampling to the smallest class — the class-rebalance
+    stage of a training pipeline (e.g. equalize languages or quality
+    tiers before training so the majority class can't dominate).
+
+    Unlike :func:`mixture_sample` (fixed caller-supplied rates), the
+    per-class keep rate is DATA-DEPENDENT: ``rate_c = min_count /
+    count_c`` in basis points, computed by one tiny per-class aggregate
+    and broadcast back; membership then uses the same stable-hash
+    bucket contract as every sampler here (deterministic, independent
+    of partitioning, nests as counts change only via the rate).  The
+    corpus-side work is a broadcast join + codegen filter — no shuffle
+    of the data rows.  Integer math throughout (floor of an exact
+    small-magnitude division), so Spark and a SQL replay agree exactly.
+
+    Expected survivors per class ~ min_count (rate-based, not exact-N;
+    pair with ``source_cap`` when a hard ceiling is needed)."""
+    counts = df.groupBy(label_col).agg(F.count("*").alias("_cnt"))
+    min_cnt = counts.agg(F.min("_cnt").alias("_min_cnt"))
+    rates = counts.crossJoin(F.broadcast(min_cnt)).select(
+        label_col,
+        F.floor(F.col("_min_cnt") * 10000 / F.col("_cnt")).alias("_thr"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("§", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long") % 10000
+    return (
+        df.join(F.broadcast(rates), label_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -86,3 +86,84 @@ def triplet_mining(
         n_neg,
     )
     return pos.unionByName(neg)
+
+
+def label_prototypes(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-class mean embedding (class prototypes): ``(label, n_members,
+    prototype array<double>)`` — the nearest-class-mean building block
+    (prototypical-network inference, per-class centroid drift checks,
+    embedding-quality triage).
+
+    Fully distributed: ``posexplode`` to (label, dim, value), one
+    partial-agg shuffle keyed (label, dim), prototypes reassembled with
+    an ordered ``array_sort(collect_list(struct))`` — no driver
+    participation, corpus never collected.  Prototype components are
+    rounded to ``round_to`` so downstream consumers (and cross-engine
+    replays) operate on identical bits."""
+    ex = corpus.select(label_col, F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    per = ex.groupBy(label_col, "pos").agg(
+        F.sum(F.col("val").cast("double")).alias("_s"),
+        F.count(F.lit(1)).alias("_c"),
+    )
+    return per.groupBy(label_col).agg(
+        F.max("_c").alias("n_members"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (F.round(F.col("_s") / F.col("_c"), round_to) + F.lit(0.0)).alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("prototype"),
+    )
+
+
+def prototype_confusion(
+    corpus: DataFrame,
+    prototypes: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-prototype classification confusion counts:
+    ``(label, pred_label, n)`` — how often each class's vectors land
+    nearest their own (or another) class mean.  The standard
+    embedding-space sanity check before training on a labeled corpus.
+
+    Prototypes broadcast; the argmin is the ``min_by`` map-side-partial
+    shape (one shuffled row per vector, ``(distance, pred_label)``
+    tiebreak), then a tiny confusion aggregate."""
+    protos = prototypes.select(
+        F.col(label_col).alias("_proto_label"), F.col("prototype").alias("_proto")
+    )
+    scored = corpus.crossJoin(F.broadcast(protos)).withColumn(
+        "_d",
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("_proto"),
+                lambda a, b: F.pow(a.cast("double") - b, F.lit(2.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    pred = (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col(label_col), F.col("_proto_label")),
+                F.struct(F.col("_d"), F.col("_proto_label")),
+            ).alias("_best")
+        )
+        .select(F.col(f"_best.{label_col}").alias(label_col), F.col("_best._proto_label").alias("pred_label"))
+    )
+    return pred.groupBy(label_col, "pred_label").agg(F.count(F.lit(1)).alias("n"))

@@ -6132,6 +6132,36 @@ GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+# Class-balanced downsampling (round 5): data-dependent per-class rates,
+# equalizing the language mix (operators/groupwise.py::rebalance_classes).
+# --------------------------------------------------------------------------
+
+
+def _rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance documents across languages: en is ~2.7x the smallest
+    class at every fixture scale, so the rebalance bites everywhere."""
+    from .operators.groupwise import rebalance_classes
+
+    docs = _t(spark, sf_dir, "documents")
+    out = rebalance_classes(docs, label_col="lang", id_col="doc_id")
+    return out.select("doc_id", "lang")
+
+
+_register(
+    "rebalance_lang_classes",
+    _rebalance_langs,
+    """
+WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS mn FROM counts),
+rates AS (SELECT lang, floor(mn * 10000 / cnt) AS thr FROM counts, m)
+SELECT doc_id, lang
+FROM documents JOIN rates USING (lang)
+WHERE (('0x' || substr(md5('rebalance' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < thr
+""",
+)
+
+
+# --------------------------------------------------------------------------
 # Contrastive-pair mining (round 5): per-anchor nearest positives + hard
 # negatives for embedding training (operators/mining.py).
 # --------------------------------------------------------------------------
@@ -6147,6 +6177,66 @@ def _train_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("anchor_vec"),
     )
     return triplet_mining(emb, anchors, n_pos=1, n_neg=3)
+
+
+def _label_protos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mining import label_prototypes
+
+    return label_prototypes(_t(spark, sf_dir, "embeddings"))
+
+
+_register(
+    "embed_label_prototypes",
+    _label_protos,
+    """
+WITH ex AS (
+  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos, unnest(embedding) AS val
+  FROM embeddings
+),
+per AS (
+  SELECT label, pos, round(sum(val::DOUBLE) / count(*), 4) + 0.0 AS v, count(*) AS c
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, max(c) AS n_members, list(v ORDER BY pos) AS prototype
+FROM per GROUP BY label
+""",
+)
+
+
+def _proto_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mining import label_prototypes, prototype_confusion
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return prototype_confusion(emb, label_prototypes(emb))
+
+
+_register(
+    "embed_prototype_confusion",
+    _proto_confusion,
+    """
+WITH ex AS (
+  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos, unnest(embedding) AS val
+  FROM embeddings
+),
+per AS (
+  SELECT label, pos, round(sum(val::DOUBLE) / count(*), 4) + 0.0 AS v
+  FROM ex GROUP BY 1, 2
+),
+proto AS (SELECT label AS proto_label, list(v ORDER BY pos) AS p FROM per GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label, pr.proto_label,
+         list_sum(list_transform(range(1, len(pr.p) + 1),
+           i -> (e.embedding[i]::DOUBLE - pr.p[i]) * (e.embedding[i]::DOUBLE - pr.p[i]))) AS d
+  FROM embeddings e, proto pr
+),
+pred AS (
+  SELECT vec_id, label, proto_label FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, proto_label) = 1
+)
+SELECT label, proto_label AS pred_label, count(*) AS n
+FROM pred GROUP BY 1, 2
+""",
+)
 
 
 _register(

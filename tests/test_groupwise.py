@@ -113,3 +113,35 @@ class TestSourceCap:
 
         with pytest.raises(ValueError):
             source_cap(self._docs(spark), cap=0)
+
+
+class TestRebalanceClasses:
+    def test_balances_toward_smallest(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            rebalance_classes,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        out = rebalance_classes(docs, label_col="lang", id_col="doc_id")
+        after = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        mn = min(before.values())
+        # smallest class fully kept; every class lands near min_count
+        assert after[min(before, key=before.get)] == mn
+        for lang, n in after.items():
+            assert n <= before[lang]
+            assert abs(n - mn) / mn < 0.35, (lang, n, mn)  # hash-rate tolerance
+
+    def test_deterministic_and_partition_independent(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            rebalance_classes,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(r["doc_id"] for r in rebalance_classes(docs, label_col="lang").select("doc_id").collect())
+        b = sorted(
+            r["doc_id"]
+            for r in rebalance_classes(docs.repartition(13), label_col="lang").select("doc_id").collect()
+        )
+        assert a == b

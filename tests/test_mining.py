@@ -74,3 +74,48 @@ class TestTripletMining:
             inputs = m.group(1)
             assert "embedding" not in inputs and "anchor_vec" not in inputs, inputs
         assert found >= 1  # the window exchanges exist and were checked
+
+
+class TestPrototypes:
+    def test_prototypes_match_numpy(self, spark):
+        import numpy as np
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+            label_prototypes,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = emb.select("vec_id", "label", "embedding").collect()
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        labels = np.array([r["label"] for r in rows])
+        got = {r["label"]: r for r in label_prototypes(emb).collect()}
+        for lab in set(labels.tolist()):
+            members = X[labels == lab]
+            want = np.round(members.mean(axis=0), 4)
+            assert got[lab]["n_members"] == len(members)
+            np.testing.assert_allclose(got[lab]["prototype"], want, atol=1e-9)
+
+    def test_confusion_counts_every_vector_once(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+            label_prototypes,
+            prototype_confusion,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        conf = prototype_confusion(emb, label_prototypes(emb)).collect()
+        assert sum(r["n"] for r in conf) == emb.count()
+
+    def test_confusion_diagonal_for_separable_classes(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+            label_prototypes,
+            prototype_confusion,
+        )
+
+        rows = [
+            (0, 0, [0.0, 0.0]), (1, 0, [1.0, 0.0]),
+            (2, 1, [10.0, 10.0]), (3, 1, [11.0, 10.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<float>")
+        conf = {(r["label"], r["pred_label"]): r["n"]
+                for r in prototype_confusion(df, label_prototypes(df)).collect()}
+        assert conf == {(0, 0): 2, (1, 1): 2}
