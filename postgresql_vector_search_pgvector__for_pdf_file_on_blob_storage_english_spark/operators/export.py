@@ -122,3 +122,30 @@ def token_budget_select(
         .filter(F.col("_before") < budget)
         .drop("_bh", "_before")
     )
+
+
+def shard_export_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> None:
+    """The JSONL twin of :func:`shard_export_write` — trainer tooling
+    that consumes text shards (one JSON object per line) instead of
+    parquet.  Identical shard membership, identical intra-shard
+    (hash, id) order, identical single shuffle + partition-local sort;
+    only the sink format differs (hive-partitioned ``shard=N``
+    directories of .json line files).  Numeric fidelity note: JSON
+    round-trips longs/strings/booleans exactly; floating-point columns
+    re-parse to the same doubles (shortest-round-trip encoding), but
+    binary columns don't belong in a JSONL export — drop or base64 them
+    first."""
+    assigned = shard_assign(df, n_shards, id_col=id_col, salt=salt)
+    (
+        assigned.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )

@@ -185,3 +185,40 @@ def check_constraints(
         for i, (name, _, thr) in enumerate(checks)
     ]
     return wide.select(F.explode(F.array(*rows)).alias("c")).select("c.*")
+
+
+def profile_drift(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Snapshot drift report: join two :func:`column_profile` outputs on
+    ``column`` and emit per-column deltas — the check a pipeline runs
+    between corpus snapshots (did the null rate jump? did the mean
+    shift? did cardinality collapse?) before retraining on the new one.
+
+    Returns ``(column, n_rows_before, n_rows_after, null_frac_delta,
+    distinct_ratio_delta, mean_delta)``; ratio deltas are fractions of
+    the respective snapshot's row count so differently-sized snapshots
+    compare meaningfully.  Inner join: a column present in only one
+    snapshot is a SCHEMA change, which callers should catch by comparing
+    ``df.columns`` first (this operator reports value drift, not schema
+    drift)."""
+    b = before.select(
+        "column",
+        F.col("n_rows").alias("n_rows_before"),
+        (F.col("n_nulls") / F.col("n_rows")).alias("_b_null_frac"),
+        (F.col("n_distinct") / F.col("n_rows")).alias("_b_dist_ratio"),
+        F.col("mean").alias("_b_mean"),
+    )
+    a = after.select(
+        "column",
+        F.col("n_rows").alias("n_rows_after"),
+        (F.col("n_nulls") / F.col("n_rows")).alias("_a_null_frac"),
+        (F.col("n_distinct") / F.col("n_rows")).alias("_a_dist_ratio"),
+        F.col("mean").alias("_a_mean"),
+    )
+    return b.join(a, "column").select(
+        "column",
+        "n_rows_before",
+        "n_rows_after",
+        F.round(F.col("_a_null_frac") - F.col("_b_null_frac"), 6).alias("null_frac_delta"),
+        F.round(F.col("_a_dist_ratio") - F.col("_b_dist_ratio"), 6).alias("distinct_ratio_delta"),
+        F.round(F.col("_a_mean") - F.col("_b_mean"), 6).alias("mean_delta"),
+    )

@@ -6132,6 +6132,98 @@ GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+# JSONL shard export (round 5): the text-shard twin of the parquet
+# training export (operators/export.py::shard_export_jsonl).
+# --------------------------------------------------------------------------
+
+
+def _train_shard_jsonl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the JSONL export: write hive-partitioned .json shards,
+    read them back with an explicit schema, recompute the shard stats —
+    must equal the in-memory assignment (same oracle), proving the text
+    sink preserves membership, keys, and long fidelity."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.export import shard_export_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_jsonl_shards_{tag}")
+    shard_export_jsonl(docs, path, n_shards=_N_SHARDS)
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long, sort_key long"
+        )
+        .json(path)
+        .withColumn(
+            "shard",
+            F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1).cast("int"),
+        )
+    )
+    return _shard_stats(back)
+
+
+_register("train_shard_export_jsonl_read", _train_shard_jsonl_read, _DD_SHARD_STATS)
+
+
+# --------------------------------------------------------------------------
+# Snapshot drift (round 5): per-column profile deltas between a corpus
+# snapshot and its mixture-sampled successor (operators/profile.py::
+# profile_drift) — the "did the data change under me" retraining gate.
+# --------------------------------------------------------------------------
+
+
+def _profile_drift_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profile import column_profile, profile_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id", "n_chars"]
+    before = column_profile(docs.select(*cols))
+    after = column_profile(
+        mixture_sample(docs, _MIX_RATES, default_rate=_MIX_DEFAULT).select(*cols)
+    )
+    return profile_drift(before, after)
+
+
+_register(
+    "profile_drift_mixture",
+    _profile_drift_mixture,
+    dd_sql(
+        """
+WITH kept AS (
+  SELECT * FROM documents
+  WHERE (('0x' || substr(md5('mixture' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
+        < (CASE source {cases} ELSE {dflt} END)
+)
+SELECT 'doc_id' AS "column",
+       (SELECT count(*) FROM documents) AS n_rows_before,
+       (SELECT count(*) FROM kept) AS n_rows_after,
+       round((SELECT (count(*) - count(doc_id)) / count(*)::DOUBLE FROM kept)
+             - (SELECT (count(*) - count(doc_id)) / count(*)::DOUBLE FROM documents), 6) AS null_frac_delta,
+       round((SELECT count(DISTINCT doc_id) / count(*)::DOUBLE FROM kept)
+             - (SELECT count(DISTINCT doc_id) / count(*)::DOUBLE FROM documents), 6) AS distinct_ratio_delta,
+       round((SELECT round(avg(doc_id), 6) FROM kept)
+             - (SELECT round(avg(doc_id), 6) FROM documents), 6) AS mean_delta
+UNION ALL
+SELECT 'n_chars',
+       (SELECT count(*) FROM documents),
+       (SELECT count(*) FROM kept),
+       round((SELECT (count(*) - count(n_chars)) / count(*)::DOUBLE FROM kept)
+             - (SELECT (count(*) - count(n_chars)) / count(*)::DOUBLE FROM documents), 6),
+       round((SELECT count(DISTINCT n_chars) / count(*)::DOUBLE FROM kept)
+             - (SELECT count(DISTINCT n_chars) / count(*)::DOUBLE FROM documents), 6),
+       round((SELECT round(avg(n_chars), 6) FROM kept)
+             - (SELECT round(avg(n_chars), 6) FROM documents), 6)
+""",
+        cases=_DD_MIX_CASE,
+        dflt=int(round(_MIX_DEFAULT * 10000)),
+    ),
+)
+
+
+# --------------------------------------------------------------------------
 # Class-balanced downsampling (round 5): data-dependent per-class rates,
 # equalizing the language mix (operators/groupwise.py::rebalance_classes).
 # --------------------------------------------------------------------------

@@ -121,3 +121,52 @@ class TestTokenBudget:
     def test_negative_budget_raises(self, spark):
         with pytest.raises(ValueError):
             token_budget_select(self._sized(spark), -1)
+
+
+class TestJsonlExport:
+    def test_jsonl_matches_parquet_shards(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.export import (
+            shard_export_jsonl,
+            shard_export_write,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        jpath, ppath = str(tmp_path / "jsonl"), str(tmp_path / "pq")
+        shard_export_jsonl(docs, jpath, n_shards=4)
+        shard_export_write(docs, ppath, n_shards=4)
+
+        schema = "doc_id long, text string, lang string, source string, n_chars long, sort_key long"
+        back_j = (
+            spark.read.schema(schema).json(jpath)
+            .withColumn("shard", F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1).cast("int"))
+        )
+        back_p = spark.read.parquet(ppath).withColumn("shard", F.col("shard").cast("int"))
+        rows_j = sorted(
+            (r["shard"], r["doc_id"], r["sort_key"], r["text"]) for r in back_j.collect()
+        )
+        rows_p = sorted(
+            (r["shard"], r["doc_id"], r["sort_key"], r["text"]) for r in back_p.collect()
+        )
+        assert rows_j == rows_p
+
+    def test_jsonl_intra_shard_order_on_disk(self, spark, tmp_path):
+        import glob
+        import json
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.export import (
+            shard_export_jsonl,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "jsonl2")
+        shard_export_jsonl(docs, path, n_shards=4)
+        for shard_dir in sorted(glob.glob(f"{path}/shard=*")):
+            keys = []
+            for f in sorted(glob.glob(f"{shard_dir}/part-*")):
+                with open(f) as fh:
+                    keys += [
+                        (json.loads(line)["sort_key"], json.loads(line)["doc_id"])
+                        for line in fh if line.strip()
+                    ]
+            assert keys == sorted(keys), f"unsorted lines in {shard_dir}"

@@ -106,3 +106,42 @@ class TestConstraints:
                 ("a", completeness("id"), 1.0),
                 ("a", uniqueness("id"), 1.0),
             ])
+
+
+class TestDrift:
+    def test_drift_hand_computed(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            column_profile,
+            profile_drift,
+        )
+
+        before_df = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)], "id int, x double"
+        )
+        after_df = spark.createDataFrame(
+            [(1, 10.0), (1, 10.0), (2, None), (3, None)], "id int, x double"
+        )
+        drift = {
+            r["column"]: r
+            for r in profile_drift(
+                column_profile(before_df), column_profile(after_df)
+            ).collect()
+        }
+        # id: distinct ratio 4/4 -> 3/4; x nulls 1/4 -> 2/4; x mean 20 -> 10
+        assert drift["id"]["n_rows_before"] == 4 and drift["id"]["n_rows_after"] == 4
+        assert drift["id"]["distinct_ratio_delta"] == -0.25
+        assert drift["x"]["null_frac_delta"] == 0.25
+        assert drift["x"]["mean_delta"] == -10.0
+
+    def test_identical_snapshots_zero_drift(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            column_profile,
+            profile_drift,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+        p = column_profile(docs)
+        for r in profile_drift(p, p).collect():
+            assert r["null_frac_delta"] == 0.0
+            assert r["distinct_ratio_delta"] == 0.0
+            assert r["mean_delta"] == 0.0
