@@ -6362,6 +6362,74 @@ SELECT * FROM pos UNION ALL SELECT * FROM neg
 )
 
 
+# --------------------------------------------------------------------------
+# Source/sink format matrix (round 5): the documents table written and
+# re-read through every text-capable format the engine serves (parquet /
+# JSON-lines / CSV), each round-trip reduced to the same invariants.
+# CSV is the adversarial one — document text carries newlines, quotes,
+# and commas — so the writer emits quoted/escaped fields and the reader
+# runs multiLine; a fidelity bug in either direction breaks the hash.
+# --------------------------------------------------------------------------
+
+
+def _source_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_fmt_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    paths = {f: os.path.join(base, f) for f in ("parquet", "json", "csv")}
+    docs.write.parquet(paths["parquet"])
+    docs.write.json(paths["json"])
+    (
+        docs.write.option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(paths["csv"])
+    )
+    readers = {
+        "parquet": spark.read.schema(schema).parquet(paths["parquet"]),
+        "json": spark.read.schema(schema).json(paths["json"]),
+        "csv": spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(paths["csv"]),
+    }
+    stats = [
+        back.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.count_distinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        for fmt, back in sorted(readers.items())
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+_register(
+    "source_format_matrix",
+    _source_format_matrix,
+    """
+SELECT fmt, count(*) AS n_rows, sum(doc_id) AS sum_ids,
+       count(DISTINCT md5(text)) AS n_distinct_texts, sum(n_chars) AS sum_chars
+FROM documents, (SELECT unnest(['csv', 'json', 'parquet']) AS fmt)
+GROUP BY fmt
+""",
+)
+
+
 # ==========================================================================
 # Registry ordering — the driver's CORRECTNESS gate window
 # ==========================================================================
