@@ -6430,6 +6430,69 @@ GROUP BY fmt
 )
 
 
+# --------------------------------------------------------------------------
+# UNPIVOT + ordered string aggregation (round 5): the two relational
+# surface pieces not yet exercised — melt wide measures to long form
+# (the inverse of pivot_event_type_counts) and listagg with declared
+# order (non-deterministic without one; the ORDER BY inside the
+# aggregate is the portability contract).
+# --------------------------------------------------------------------------
+
+
+def _unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+_register(
+    "unpivot_lineitem_measures",
+    _unpivot_measures,
+    """
+WITH long AS (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+)
+SELECT measure, count(*) AS n, round(sum(value), 2) AS total
+FROM long GROUP BY measure
+""",
+)
+
+
+def _listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+_register(
+    "listagg_nations_per_region",
+    _listagg_nations,
+    """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+)
+
+
 # ==========================================================================
 # Registry ordering — the driver's CORRECTNESS gate window
 # ==========================================================================
