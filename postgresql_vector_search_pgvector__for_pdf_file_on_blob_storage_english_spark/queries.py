@@ -6493,6 +6493,137 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 )
 
 
+# --------------------------------------------------------------------------
+# Distributed statistics via sufficient statistics (round 5): closed-form
+# OLS and a correlation matrix — the "train a (linear) model inside the
+# engine" primitives.  Everything reduces to one aggregation pass of
+# sums/products; the closed forms are exact algebra over those sums, so
+# the cross-engine replay is exact after rounding.
+# --------------------------------------------------------------------------
+
+
+def _linreg_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS of l_extendedprice on l_quantity from sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) — the map-side-combinable shape every
+    distributed regression starts from; slope/intercept/r² in closed
+    form, one scan, one 1-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity").cast("double"), F.col("l_extendedprice").cast("double")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r_den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 2).alias("intercept"),
+        F.round(F.pow(r_num / r_den, F.lit(2.0)), 4).alias("r2"),
+    )
+
+
+_register(
+    "stats_linreg_price_qty",
+    _linreg_price_qty,
+    """
+WITH s AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(l_quantity::DOUBLE) AS sx, sum(l_extendedprice::DOUBLE) AS sy,
+         sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy,
+         sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx,
+         sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy
+  FROM lineitem
+)
+SELECT n::BIGINT AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 2) AS intercept,
+       round(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) ^ 2, 4) AS r2
+FROM s
+""",
+)
+
+
+def _corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric measures,
+    long form (col_x < col_y).  Built from the same one-pass sufficient
+    statistics, unpivoted into rows — N columns correlate in one scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(x).alias(f"s_{c}"))
+        aggs.append(F.sum(x * x).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast("double") * F.col(b).cast("double")).alias(f"sp_{a}_{b}")
+            )
+    wide = _t(spark, sf_dir, "lineitem").agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            den = F.sqrt(
+                (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    (F.round(num / den, 4) + F.lit(0.0)).alias("corr"),
+                )
+            )
+    return wide.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+def _dd_corr_pair(a: str, b: str) -> str:
+    return (
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+        f"round((n * sp_{a}_{b} - s_{a} * s_{b}) / "
+        f"sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})), 4) + 0.0 AS corr FROM s"
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_DD_CORR_SUMS = ", ".join(
+    [f"sum({c}::DOUBLE) AS s_{c}, sum({c}::DOUBLE * {c}::DOUBLE) AS ss_{c}" for c in _CORR_COLS]
+    + [
+        f"sum({a}::DOUBLE * {b}::DOUBLE) AS sp_{a}_{b}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+)
+_DD_CORR_PAIRS = "\nUNION ALL\n".join(
+    _dd_corr_pair(a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+)
+
+_register(
+    "stats_correlation_matrix",
+    _corr_matrix,
+    f"""
+WITH s AS (
+  SELECT count(*)::DOUBLE AS n, {_DD_CORR_SUMS}
+  FROM lineitem
+)
+{_DD_CORR_PAIRS}
+""",
+)
+
+
 # ==========================================================================
 # Registry ordering — the driver's CORRECTNESS gate window
 # ==========================================================================
