@@ -2774,6 +2774,30 @@ LIMIT 5
 _register("ann_nsw_search", _ann_nsw, _DD_NSW_EXHAUSTIVE)
 
 
+def _ann_nsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-graph variant: build once, write partitioned by
+    shard, beam-search from the artifact (operators/nsw.py::
+    nsw_index_write/nsw_index_search).  Same probe, same exact-top-k
+    oracle contract as ann_nsw_search — plus the round-trip proves the
+    adjacency/vector arrays survive the parquet cycle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.nsw import nsw_index_search, nsw_index_write
+
+    emb, graph = _nsw_graph(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_nsw_index_{tag}")
+    nsw_index_write(graph, path)
+    q = emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"]
+    out = nsw_index_search(spark, path, list(q), k=5, ef_search=32)
+    return out.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+_register("ann_nsw_index_search", _ann_nsw_index, _DD_NSW_EXHAUSTIVE)
+
+
 def _ann_nsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NSW with beam width >= shard size: the walk visits every node of
     each (connected) shard graph, so scatter-gather NSW must equal the

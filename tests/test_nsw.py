@@ -95,3 +95,35 @@ def test_recall_at_5_beats_floor(graph, np_corpus):
         hits += len(got & exact)
     recall = hits / (5 * len(qids))
     assert recall >= 0.8, f"recall@5 {recall}"
+
+
+class TestNswIndex:
+    def test_persisted_parity(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            nsw_build,
+            nsw_index_search,
+            nsw_index_write,
+            nsw_search,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        graph = nsw_build(emb, n_shards=4, m=8, ef_construction=32)
+        path = str(tmp_path / "nsw_idx")
+        nsw_index_write(graph, path)
+
+        back = spark.read.parquet(path)
+        assert set(back.columns) == {"vec_id", "embedding", "neighbors", "shard"}
+        assert back.count() == emb.count()
+        # one directory per shard
+        import glob
+
+        assert len(glob.glob(f"{path}/shard=*")) == 4
+
+        q = emb.filter(F.col("vec_id") == 9).first()["embedding"]
+        got = nsw_index_search(spark, path, list(q), k=5, ef_search=32).collect()
+        want = nsw_search(graph, list(q), k=5, ef_search=32).collect()
+        assert [(r["vec_id"], round(r["distance"], 6)) for r in got] == [
+            (r["vec_id"], round(r["distance"], 6)) for r in want
+        ]
