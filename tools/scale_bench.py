@@ -263,16 +263,18 @@ def quant_section(spark, base: str) -> list[str]:
                   .write.mode("overwrite").format("noop").save())
 
     from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pca import (
-        pca_fit,
+        pca_index_search,
+        pca_index_write,
         pca_knn,
     )
 
+    pca_path = "/root/repo/spark-warehouse/scale_pca_index"
     t0 = time.perf_counter()
-    pca_fitted = pca_fit(emb, out_dim=32)
+    pca_fitted = pca_index_write(emb, pca_path, out_dim=32)
     t_pca_fit = round(time.perf_counter() - t0, 2)
-    t_pca = timed(lambda: pca_knn(emb, qdf(probe), k=5, oversample=40,
-                                  fitted=pca_fitted)
-                  .write.mode("overwrite").format("noop").save())
+    t_pca = timed(lambda: pca_index_search(
+        spark, pca_path, emb, probe_vec, pca_fitted, k=5, oversample=40)
+        .write.mode("overwrite").format("noop").save())
 
     recalls = {"sq8": 0, "ham": 0, "mrl": 0, "pca": 0}
     total = 0
@@ -308,7 +310,7 @@ def quant_section(spark, base: str) -> list[str]:
         f"| SQ8 persisted codes + pushed-In rerank | ~1/4x | {t_sq8_idx} | {rec['sq8']} |",
         f"| binary sign-bits + Hamming | ~1/32x | {t_ham} | {rec['ham']} |",
         f"| Matryoshka prefix-16 of 64 | 1/4x (prefix scan) | {t_mrl} | {rec['mrl']} |",
-        f"| PCA 64->32 projection (fit {t_pca_fit} s) | 1/2x (persisted projection) | {t_pca} | {rec['pca']} |",
+        f"| PCA 64->32 persisted projection (fit+write {t_pca_fit} s) | 1/2x coarse scan | {t_pca} | {rec['pca']} |",
         "",
         "* All three coarse stages keep the flagship zero-exchange",
         "  TakeOrderedAndProject shape; the rerank is exact double L2 over",
