@@ -38,11 +38,16 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Per-step converted-user counts for the ordered ``steps`` funnel.
 
     Returns ``(step_idx int, step string, n_users long)`` — one row per
-    step, ``n_users`` non-increasing by construction."""
+    step, ``n_users`` non-increasing by construction.  With
+    ``within_seconds`` set, every later step must also complete within
+    that window of the user's FIRST-step conversion (the standard
+    conversion-deadline funnel: "purchased within 6 h of first view");
+    the deadline anchors on step 1, not the previous step."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     converted: list[DataFrame] = []
@@ -54,8 +59,22 @@ def funnel_counts(
         if prev is not None:
             stage = stage.join(prev, user_col).filter(
                 F.col("_ev_ts") > F.col("_conv_ts")
-            ).select(user_col, "_ev_ts")
-        cur = stage.groupBy(user_col).agg(F.min("_ev_ts").alias("_conv_ts"))
+            )
+            if within_seconds is not None:
+                stage = stage.filter(
+                    F.col("_ev_ts")
+                    <= F.col("_t0") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+                )
+            stage = stage.select(user_col, "_ev_ts", "_t0")
+            cur = stage.groupBy(user_col).agg(
+                F.min("_ev_ts").alias("_conv_ts"), F.min("_t0").alias("_t0")
+            )
+        else:
+            cur = (
+                stage.groupBy(user_col)
+                .agg(F.min("_ev_ts").alias("_conv_ts"))
+                .withColumn("_t0", F.col("_conv_ts"))
+            )
         converted.append(
             cur.agg(
                 F.lit(i).alias("step_idx"),

@@ -6022,6 +6022,47 @@ SELECT 2 AS step_idx, 'purchase' AS step, count(*) AS n_users FROM s2
 )
 
 
+def _events_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-deadline funnel: later steps must land within 6 h of
+    the first view (the deadline bites hard at every fixture scale:
+    15->3->1 at sf0.001, 150->19->0 at sf0.01 — a 0-count step still
+    emits its report row)."""
+    from .operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _events(spark, sf_dir), ["view", "click", "purchase"],
+        within_seconds=6 * 3600,
+    )
+
+
+_register(
+    "events_funnel_deadline",
+    _events_funnel_deadline,
+    """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS conv FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS conv, min(s0.conv) AS t0
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+   AND e.ts > s0.conv AND e.ts <= s0.conv + INTERVAL 6 HOUR
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS conv
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+   AND e.ts > s1.conv AND e.ts <= s1.t0 + INTERVAL 6 HOUR
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users FROM s0
+UNION ALL
+SELECT 1 AS step_idx, 'click' AS step, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2 AS step_idx, 'purchase' AS step, count(*) AS n_users FROM s2
+""",
+)
+
+
 def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.funnel import cohort_retention
 

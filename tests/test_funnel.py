@@ -108,3 +108,50 @@ class TestRetention:
         for (c, o), v in week0.items():
             if o > 0:
                 assert v <= week0[(c, 0)]
+
+
+class TestFunnelDeadline:
+    def test_deadline_excludes_late_steps(self, spark):
+        # u1 clicks 30 min after view (in window), u2 clicks 2 h after
+        # view (outside a 1 h deadline).
+        ev = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 9, 0), "view"),
+                (1, dt.datetime(2024, 1, 1, 9, 30), "click"),
+                (2, dt.datetime(2024, 1, 1, 9, 0), "view"),
+                (2, dt.datetime(2024, 1, 1, 11, 0), "click"),
+            ],
+            "user_id int, ts timestamp, event_type string",
+        )
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(ev, ["view", "click"], within_seconds=3600).collect()
+        }
+        assert got == {"view": 2, "click": 1}
+
+    def test_deadline_anchors_on_first_step(self, spark):
+        # click at +50 min, purchase at +70 min: within 1 h of the CLICK
+        # but outside 1 h of the VIEW -> must not convert.
+        ev = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 9, 0), "view"),
+                (1, dt.datetime(2024, 1, 1, 9, 50), "click"),
+                (1, dt.datetime(2024, 1, 1, 10, 10), "purchase"),
+            ],
+            "user_id int, ts timestamp, event_type string",
+        )
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(
+                ev, ["view", "click", "purchase"], within_seconds=3600
+            ).collect()
+        }
+        assert got == {"view": 1, "click": 1, "purchase": 0}
+
+    def test_no_deadline_unchanged(self, spark):
+        ev = _ev(spark, [(1, 1, 1, "view"), (1, 5, 1, "click")])
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(ev, ["view", "click"]).collect()
+        }
+        assert got == {"view": 1, "click": 1}
