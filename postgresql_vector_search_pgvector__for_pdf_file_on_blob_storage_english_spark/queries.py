@@ -2540,6 +2540,52 @@ FROM sess GROUP BY user_id, session_id
 )
 
 
+def _sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE session-window operator (``F.session_window`` — the
+    same code path Structured Streaming uses for stateful session
+    aggregation), as a second sessionization semantics next to the
+    lag+cumsum entry.  Boundary note the oracle must replicate: Spark
+    merges events whose 30-min windows OVERLAP, i.e. a new session
+    starts at gap >= 30 min at FULL microsecond precision — whereas
+    ``sessionize_events_30m`` flags at gap > 1800 over second-truncated
+    epochs; the two disagree for true gaps in [1800 s, 1801 s)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_register(
+    "sessionize_native_gap",
+    _sessionize_native,
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(_new) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+
+
 # ==========================================================================
 # Duplicate-cluster resolution (operators/cluster.py): connected
 # components over MinHash-LSH candidate pairs, iterated to fixpoint in
