@@ -75,6 +75,8 @@ REPEATS = {
     "pipeline_e2e_ingest_knn": 3,  # r3: +22% drift
     "sessionize_events_30m": 3,  # r4: +39% drift, plan unchanged (VERDICT r4 item 3)
     "ann_lsh_search": 3,  # r4: +26% drift, plan unchanged (VERDICT r4 item 3)
+    "pipeline_llm_corpus_prep": 3,  # r5: 2.8-3.8 s run-to-run swing, plan unchanged
+    "quant_pca_knn_top5": 3,  # r5: includes the driver-side fit; median the collect noise
 }
 
 
