@@ -3425,6 +3425,87 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
 )
 
 
+def _stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM correlation through the driver gate: clicks and
+    errors arrive as two independent micro-batched streams, joined live
+    with the watermarked interval join (streaming/joins.py::
+    stream_stream_interval_join — state bounded by rate x window in
+    production).  The replay uses a fixture-spanning watermark so no
+    pair is evicted before its partner arrives, making the drained sink
+    equal the BATCH interval join — the same oracle as
+    ``range_join_click_after_error`` by construction.  Inner
+    stream-stream joins emit on match, so AvailableNow drains every
+    pair once both sides' files have landed."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.joins import stream_stream_interval_join
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_join_{tag}")
+    src_l = os.path.join(base, "clicks")
+    src_r = os.path.join(base, "errors")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = _events(spark, sf_dir)
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    ).repartition(3).write.parquet(src_l)
+    ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    ).repartition(3).write.parquet(src_r)
+
+    clicks = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_l)
+    )
+    errors = (
+        spark.readStream.schema("user_id long, ts timestamp, error_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_r)
+    )
+    joined = stream_stream_interval_join(
+        clicks, errors, key="user_id", lower_s=0.0, upper_s=7200.0,
+        watermark="90 days",
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        "event_id",
+        "error_id",
+        F.date_format(F.col("l.ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format(F.col("ts_r"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink)
+
+
+_register(
+    "stream_interval_join_replay",
+    _stream_interval_join_replay,
+    """
+SELECT c.user_id, c.event_id, e.event_id AS error_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND epoch(c.ts) - epoch(e.ts) >= 0 AND epoch(c.ts) - epoch(e.ts) <= 7200
+""",
+)
+
+
 # ==========================================================================
 # Gopher-style quality rules + deterministic sampling / splits — the
 # remaining curation primitives of a training-data pipeline.
