@@ -6523,6 +6523,80 @@ FROM pred GROUP BY 1, 2
 )
 
 
+def _proto_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between snapshots, measured at the class level:
+    per-label prototype L2 shift between the full corpus and a
+    deterministic half-sample (the monitoring check that catches an
+    embedding-model or upstream-distribution change before retraining).
+    Both snapshots' prototypes come from the same distributed operator;
+    the shift math is a zip_with fold over the two rounded prototypes,
+    so the oracle replays it exactly."""
+    from .operators.mining import label_prototypes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    half = emb.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("§", F.lit("protodrift"), F.col("vec_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 2 == 0
+    )
+    a = label_prototypes(emb).select(
+        "label",
+        F.col("n_members").alias("n_full"),
+        F.col("prototype").alias("_p_full"),
+    )
+    b = label_prototypes(half).select(
+        "label",
+        F.col("n_members").alias("n_half"),
+        F.col("prototype").alias("_p_half"),
+    )
+    shift = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_p_full"), F.col("_p_half"), lambda x, y: F.pow(x - y, F.lit(2.0))
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return a.join(b, "label").select(
+        "label", "n_full", "n_half", F.round(shift, 4).alias("proto_shift")
+    )
+
+
+_register(
+    "embed_prototype_drift",
+    _proto_drift,
+    """
+WITH ex AS (
+  SELECT label, vec_id, unnest(range(1, len(embedding) + 1)) AS pos, unnest(embedding) AS val
+  FROM embeddings
+),
+pf AS (
+  SELECT label, pos, round(sum(val::DOUBLE) / count(*), 4) + 0.0 AS v, count(*) AS c
+  FROM ex GROUP BY 1, 2
+),
+full_p AS (SELECT label, max(c) AS n_full, list(v ORDER BY pos) AS p FROM pf GROUP BY label),
+hx AS (
+  SELECT * FROM ex
+  WHERE (('0x' || substr(md5('protodrift' || '§' || vec_id::VARCHAR), 1, 8))::BIGINT % 2) = 0
+),
+ph AS (
+  SELECT label, pos, round(sum(val::DOUBLE) / count(*), 4) + 0.0 AS v, count(*) AS c
+  FROM hx GROUP BY 1, 2
+),
+half_p AS (SELECT label, max(c) AS n_half, list(v ORDER BY pos) AS p FROM ph GROUP BY label)
+SELECT f.label, f.n_full, h.n_half,
+       round(sqrt(list_sum(list_transform(range(1, len(f.p) + 1),
+             i -> (f.p[i] - h.p[i]) * (f.p[i] - h.p[i])))), 4) AS proto_shift
+FROM full_p f JOIN half_p h ON f.label = h.label
+""",
+)
+
+
 _register(
     "train_triplet_mining",
     _train_triplets,
