@@ -5040,6 +5040,53 @@ ORDER BY t.doc_id
 _register("decontam_ngram_overlap", _decontam_flags, _DD_DECONTAM)
 
 
+def _stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as a STREAMING stage: train documents arrive in 4
+    micro-batches and each batch is flagged against the static benchmark
+    set via foreachBatch — the shape a continuously-ingesting corpus
+    runs (benchmark grams are a fixed broadcast side; per-doc flags are
+    batch-independent, so the drained sink equals the batch operator,
+    gated by the identical oracle)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_decontam_{tag}")
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    docs.filter(F.col("doc_id") % 50 != 0).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _flag(batch_df: DataFrame, _batch_id: int) -> None:
+        contamination_flags(batch_df, bench, n=_DECONTAM_N).write.mode(
+            "append"
+        ).parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(_flag)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(sink)
+
+
+_register("stream_decontam_replay", _stream_decontam_replay, _DD_DECONTAM)
+
+
 # ==========================================================================
 # Mixture sampling (round 4) — per-source deterministic subsampling to a
 # target training mixture (operators/groupwise.py::mixture_sample).
