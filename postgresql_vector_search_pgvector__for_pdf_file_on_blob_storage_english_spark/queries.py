@@ -2495,6 +2495,48 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+def _winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier capping to exact [p1, p99]) — the standard
+    numeric-feature cleaning stage before training: one exact-percentile
+    aggregate broadcast back as a 1-row join, then a pure codegen clip.
+    Output is the before/after evidence a pipeline logs: clipped
+    min/max/mean vs raw mean and how many rows the cap touched."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.expr("percentile(value, 0.01)").alias("_p1"),
+        F.expr("percentile(value, 0.99)").alias("_p99"),
+    )
+    v = F.least(F.greatest(F.col("value"), F.col("_p1")), F.col("_p99"))
+    return ev.crossJoin(F.broadcast(bounds)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(v), 4).alias("clipped_min"),
+        F.round(F.max(v), 4).alias("clipped_max"),
+        F.round(F.avg(v), 4).alias("clipped_mean"),
+        F.round(F.avg("value"), 4).alias("raw_mean"),
+        F.sum(
+            ((F.col("value") < F.col("_p1")) | (F.col("value") > F.col("_p99"))).cast("long")
+        ).alias("n_clipped"),
+    )
+
+
+_register(
+    "events_value_winsorized",
+    _winsorize_values,
+    """
+WITH b AS (
+  SELECT quantile_cont(value, 0.01) AS p1, quantile_cont(value, 0.99) AS p99 FROM events
+)
+SELECT count(*) AS n,
+       round(min(least(greatest(value, p1), p99)), 4) AS clipped_min,
+       round(max(least(greatest(value, p1), p99)), 4) AS clipped_max,
+       round(avg(least(greatest(value, p1), p99)), 4) AS clipped_mean,
+       round(avg(value), 4) AS raw_mean,
+       sum(CASE WHEN value < p1 OR value > p99 THEN 1 ELSE 0 END) AS n_clipped
+FROM events, b
+""",
+)
+
+
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization — lag + cumulative sum of boundary
     flags, the standard shuffle-once pattern (one window partition per
