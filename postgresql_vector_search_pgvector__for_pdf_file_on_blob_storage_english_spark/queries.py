@@ -3977,6 +3977,61 @@ ORDER BY tf DESC, w LIMIT 200
 )
 
 
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped TF-IDF: the 3 most characteristic terms per language —
+    term frequency within the language group times global inverse
+    document frequency (ln(N/df)).  The per-group keyword extraction a
+    corpus report runs.  Tokenization is the engine-wide normalize+split
+    convention; ranking uses the UNROUNDED score (bit-identical in both
+    engines: integer tf, one ln, one multiply) with a term tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(normalize_whitespace_col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        words.select("doc_id", "w").distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("_n") / F.col("df")))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.col("score").desc(), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "rank", "w", "tf", "df", F.round("score", 4).alias("tfidf"))
+    )
+
+
+_register(
+    "text_tfidf_top_terms_per_lang",
+    _tfidf_top_terms,
+    f"""
+WITH words AS (
+  SELECT doc_id, lang, w
+  FROM (SELECT doc_id, lang, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+),
+tf AS (SELECT lang, w, count(*) AS tf FROM words GROUP BY lang, w),
+df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM words) GROUP BY w),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.lang, tf.w, tf.tf, df.df, tf.tf * ln(n.n_docs / df.df) AS score
+  FROM tf JOIN df USING (w), n
+)
+SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY score DESC, w) AS rank,
+       w, tf, df, round(score, 4) AS tfidf
+FROM scored
+QUALIFY rank <= 3
+""",
+)
+
+
 def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram counts (language-model n-gram statistics)."""
     docs = _t(spark, sf_dir, "documents")
