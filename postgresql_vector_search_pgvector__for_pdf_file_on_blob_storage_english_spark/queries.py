@@ -1102,6 +1102,31 @@ SELECT doc_id, {_DD_LANG_CASE} AS pred_lang, best::BIGINT AS marker_hits FROM b
 _register("text_language_id", _langid, _DD_LANGID)
 
 
+def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a relation: the language-ID confusion
+    matrix against the fixture's ground-truth ``lang`` column —
+    (truth, prediction, count), the table a pipeline logs to decide
+    whether the heuristic is good enough for routing.  Pure composition:
+    ``language_id`` with the truth column passed through, one
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs, keep_cols=("lang",))
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+_register(
+    "text_langid_confusion",
+    _langid_confusion,
+    f"""
+WITH p AS (SELECT doc_id, lang, {_DD_PADDED} AS padded FROM documents),
+s AS (SELECT doc_id, lang, {_DD_LANG_SCORES} FROM p),
+b AS (SELECT *, greatest({", ".join("s_" + lang for lang in _LANGS_SORTED)}) AS best FROM s)
+SELECT lang, {_DD_LANG_CASE} AS pred_lang, count(*) AS n
+FROM b GROUP BY 1, 2
+""",
+)
+
+
 def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_t(spark, sf_dir, "documents"))
 
