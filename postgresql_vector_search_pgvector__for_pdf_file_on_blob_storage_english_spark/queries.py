@@ -1350,6 +1350,54 @@ def _ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-freshness report: corpus rows NOT yet in the persisted
+    index, per target list — the operational check between ingest and
+    `ivf_index_append` runs.  The index here is deliberately built on a
+    6/7 subset so staleness is non-vacuous; the anti-join ships only
+    ids, and the per-list grouping says which directories the catch-up
+    append will touch."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.ann import ivf_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_stale_{tag}")
+    ivf_index_write(assign_ivf(emb.filter(F.col("vec_id") % 7 != 0), centroids), path)
+    idx_ids = spark.read.parquet(path).select("vec_id")
+    missing = assign_ivf(emb, centroids).join(idx_ids, "vec_id", "left_anti")
+    return (
+        missing.groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
+        .agg(F.count(F.lit(1)).alias("n_missing"), F.min("vec_id").alias("first_missing"))
+    )
+
+
+_register(
+    "ann_ivf_index_staleness",
+    _ann_ivf_index_staleness,
+    dd_sql("""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {nc}
+),
+assigned AS (
+  SELECT e.vec_id, c.centroid_id
+  FROM embeddings e, cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {adist}, c.centroid_id) = 1
+)
+SELECT centroid_id, count(*) AS n_missing, min(vec_id) AS first_missing
+FROM assigned WHERE vec_id % 7 = 0
+GROUP BY centroid_id
+""", nc=_N_CENTROIDS, adist=_dd_l2("e.embedding", "c.cvec")),
+)
+
+
 _register(
     "ann_ivf_index_stats",
     _ann_ivf_index_stats,
@@ -2558,6 +2606,56 @@ SELECT count(*) AS n,
        round(avg(value), 4) AS raw_mean,
        sum(CASE WHEN value < p1 OR value > p99 THEN 1 ELSE 0 END) AS n_clipped
 FROM events, b
+""",
+)
+
+
+def _quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality dashboard: the aggregate view of the quality
+    scorer a pipeline reads before setting mixture rates — doc counts,
+    mean quality, mean stopword/symbol ratios, and the share of docs
+    under a 0.5 quality floor, per source."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs, keep_cols=("source",))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg("symbol_ratio"), 4).alias("avg_symbol_ratio"),
+        F.round(F.avg((F.col("quality") < 0.5).cast("double")), 4).alias("frac_low_quality"),
+    )
+
+
+_register(
+    "text_quality_by_source",
+    _quality_by_source,
+    f"""
+WITH n AS (
+  SELECT doc_id, source, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents
+),
+f AS (
+  SELECT doc_id, source,
+         length(norm) AS n_chars,
+         len(string_split(trim(norm), ' ')) AS n_words,
+         ({_dd_marker_hits("(' ' || norm || ' ')", STOPWORDS_EN)}) AS stop_hits,
+         length(regexp_replace(norm, '[A-Za-z0-9 ]', '', 'g')) AS n_sym
+  FROM n
+),
+r AS (
+  SELECT doc_id, source,
+         round(stop_hits::DOUBLE / n_words, 4) AS stopword_ratio,
+         round(n_sym::DOUBLE / n_chars, 4) AS symbol_ratio,
+         round(least(n_words / 100.0, 1.0) * 0.4
+               + least(stop_hits::DOUBLE / n_words * 5.0, 1.0) * 0.3
+               + (1.0 - least(n_sym::DOUBLE / n_chars * 10.0, 1.0)) * 0.3, 4) AS quality
+  FROM f
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(quality), 4) AS avg_quality,
+       round(avg(stopword_ratio), 4) AS avg_stopword_ratio,
+       round(avg(symbol_ratio), 4) AS avg_symbol_ratio,
+       round(avg(CASE WHEN quality < 0.5 THEN 1.0 ELSE 0.0 END), 4) AS frac_low_quality
+FROM r GROUP BY source
 """,
 )
 
