@@ -2610,6 +2610,38 @@ FROM events, b
 )
 
 
+def _skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: per-key concentration of orders on
+    o_custkey — total keys, max key share, and the Herfindahl index
+    (sum of squared key shares; 1/n_keys = uniform, 1.0 = one key) —
+    the numbers that decide whether a join needs salting
+    (operators/skew.py) before it hits a 1000-executor shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_n").alias("n_rows"),
+        F.max("_n").alias("max_key_rows"),
+        F.round(F.max("_n") / F.sum("_n"), 6).alias("max_key_share"),
+        F.round(
+            F.sum(F.col("_n") * F.col("_n")) / (F.sum("_n") * F.sum("_n")), 6
+        ).alias("herfindahl"),
+    )
+
+
+_register(
+    "skew_report_orders",
+    _skew_report_orders,
+    """
+WITH per_key AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_key_rows,
+       round(max(n) / sum(n)::DOUBLE, 6) AS max_key_share,
+       round(sum(n * n) / (sum(n)::DOUBLE * sum(n)), 6) AS herfindahl
+FROM per_key
+""",
+)
+
+
 def _quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality dashboard: the aggregate view of the quality
     scorer a pipeline reads before setting mixture rates — doc counts,
