@@ -141,3 +141,35 @@ def make_chunk_udtf():
                 yield i, c
 
     return ChunkUDTF
+
+
+def sliding_chunks_col(text_col, size: int = 400, overlap: int = 100):
+    """Fixed-size sliding-window chunking with overlap — the modern RAG
+    alternative to the reference's punctuation-aware splitter
+    (Function.java:216-252): deterministic window starts every
+    ``size - overlap`` chars, each chunk ``size`` chars (the last one
+    shorter), consecutive chunks sharing ``overlap`` chars so no
+    sentence is ever lost to a boundary.
+
+    Pure codegen: ``sequence`` over window starts + ``substring`` per
+    element — no UDF, no shuffle, replayable in any SQL engine.
+    Returns ``array<struct<chunk_index int, chunk string>>``."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    step = size - overlap
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.length(c)
+    # number of windows: 1 + ceil(max(len - size, 0) / step), via ints
+    extra = F.greatest(n - F.lit(size), F.lit(0))
+    n_win = F.lit(1) + F.ceil(extra.cast("double") / F.lit(step)).cast("int")
+    idx = F.sequence(F.lit(0), n_win - F.lit(1))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_index"),
+            F.substring(c, i * step + 1, size).alias("chunk"),
+        ),
+    )

@@ -920,6 +920,56 @@ WHERE jaccard >= 0.5
 _register("dedup_ngram_jaccard_pairs", _jaccard_pairs, _DD_JACCARD)
 
 
+def _jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning report: candidate-pair counts at 0.3/0.5/0.7/0.9
+    Jaccard from ONE pass of the pair computation — the sweep a pipeline
+    runs before fixing its dedup threshold (how many pairs does each
+    setting flag?).  Same blocked join as the 0.5 entry; the four counts
+    are conditional aggregates over the same scored pairs."""
+    thresholds = (0.3, 0.5, 0.7, 0.9)
+    pairs = ngram_jaccard_pairs(
+        _neardup_corpus(spark, sf_dir), block_col="lang", shingle_n=3, threshold=0.3
+    )
+    wide = pairs.agg(
+        *[
+            F.sum((F.col("jaccard") >= t).cast("long")).alias(f"_n_{i}")
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    rows = [
+        F.struct(F.lit(t).alias("threshold"), F.col(f"_n_{i}").alias("n_pairs"))
+        for i, t in enumerate(thresholds)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+_register(
+    "dedup_jaccard_threshold_sweep",
+    _jaccard_threshold_sweep,
+    f"""
+WITH corpus AS ({_DD_NEARDUP_CORPUS}),
+w AS (
+  SELECT doc_id, lang, trim({dd_sql(_DD_NORMALIZE, col="text")}) AS norm_text,
+         string_split(trim({dd_sql(_DD_NORMALIZE, col="text")}), ' ') AS words
+  FROM corpus
+),
+sets AS (
+  SELECT doc_id, lang, {_dd_shingles("norm_text", words="words")} AS shingles
+  FROM w
+),
+scored AS (
+  SELECT round(len(list_intersect(l.shingles, r.shingles))::DOUBLE /
+               len(list_distinct(list_concat(l.shingles, r.shingles)))::DOUBLE, 4) AS jaccard
+  FROM sets l JOIN sets r ON l.lang = r.lang AND l.doc_id < r.doc_id
+),
+kept AS (SELECT * FROM scored WHERE jaccard >= 0.3)
+SELECT t.threshold, sum(CASE WHEN jaccard >= t.threshold THEN 1 ELSE 0 END) AS n_pairs
+FROM kept, (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS threshold) t
+GROUP BY t.threshold
+""",
+)
+
+
 # ---- embedding-cosine near-dup --------------------------------------------
 
 def _emb_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2606,6 +2656,44 @@ SELECT count(*) AS n,
        round(avg(value), 4) AS raw_mean,
        sum(CASE WHEN value < p1 OR value > p99 THEN 1 ELSE 0 END) AS n_clipped
 FROM events, b
+""",
+)
+
+
+def _sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking with overlap (functions/text.py::
+    sliding_chunks_col) — the modern RAG splitter next to the
+    reference's punctuation-aware port: 400-char windows every 300
+    chars, consecutive chunks sharing 100.  Emitted as per-chunk
+    (index, length, md5) so the oracle compares content without
+    shipping full text through the hash gate."""
+    from .functions.text import sliding_chunks_col
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(sliding_chunks_col("text", size=400, overlap=100)).alias("c")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_index").alias("chunk_index"),
+        F.length("c.chunk").alias("chunk_len"),
+        F.md5("c.chunk").alias("chunk_md5"),
+    )
+
+
+_register(
+    "p3_sliding_window_chunks",
+    _sliding_chunks,
+    """
+WITH w AS (
+  SELECT doc_id, text,
+         unnest(range(0, 1 + CAST(ceil(greatest(length(text) - 400, 0) / 300.0) AS INT))) AS i
+  FROM documents
+)
+SELECT doc_id, i::INT AS chunk_index,
+       length(substr(text, i * 300 + 1, 400)) AS chunk_len,
+       md5(substr(text, i * 300 + 1, 400)) AS chunk_md5
+FROM w
 """,
 )
 

@@ -171,3 +171,68 @@ class TestPandasUdfParity:
         ).collect()
         for r in got:
             assert r["row_udf"] == r["arrow_udf"]
+
+
+class TestSlidingChunks:
+    def test_overlap_contract(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.functions.text import (
+            sliding_chunks_col,
+        )
+
+        text = "abcdefghi." * 10  # 100 chars; '.' marks each decade
+        df = spark.createDataFrame([(1, text)], "id int, text string")
+        rows = (
+            df.select(F.explode(sliding_chunks_col("text", size=40, overlap=10)).alias("c"))
+            .select("c.chunk_index", "c.chunk")
+            .collect()
+        )
+        chunks = [r["chunk"] for r in sorted(rows, key=lambda r: r["chunk_index"])]
+        # windows start every 30 chars: 0, 30, 60 — the third reaches
+        # char 100 exactly, so 3 windows give complete coverage
+        assert len(chunks) == 3
+        assert all(len(c) == 40 for c in chunks)
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-10:] == b[:10]  # consecutive chunks share the overlap
+        # reassembly: stitching non-overlap prefixes + last chunk = original
+        assert "".join(c[:30] for c in chunks[:-1]) + chunks[-1] == text
+
+    def test_short_tail_window(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.functions.text import (
+            sliding_chunks_col,
+        )
+
+        text = "x" * 95  # starts 0,30,60; last window holds chars 61-95
+        df = spark.createDataFrame([(1, text)], "id int, text string")
+        rows = df.select(
+            F.explode(sliding_chunks_col("text", size=40, overlap=10)).alias("c")
+        ).collect()
+        lens = sorted(len(r["c"]["chunk"]) for r in rows)
+        assert lens == [35, 40, 40]
+
+    def test_short_text_single_window(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.functions.text import (
+            sliding_chunks_col,
+        )
+
+        df = spark.createDataFrame([(1, "tiny")], "id int, text string")
+        rows = df.select(
+            F.explode(sliding_chunks_col("text", size=40, overlap=10)).alias("c")
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["c"]["chunk"] == "tiny"
+
+    def test_overlap_must_be_smaller(self, spark):
+        import pytest as _pytest
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.functions.text import (
+            sliding_chunks_col,
+        )
+
+        with _pytest.raises(ValueError):
+            sliding_chunks_col("text", size=10, overlap=10)
