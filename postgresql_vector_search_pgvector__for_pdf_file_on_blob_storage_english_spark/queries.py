@@ -970,6 +970,63 @@ GROUP BY t.threshold
 )
 
 
+def _eval_knn_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation as a relation: MRR and recall@5 of the exact
+    KNN retriever against planted ground truth — every 50th vector gets
+    a 1.01x-perturbed twin used as the QUERY, whose base vector is THE
+    relevant document.  Misses (relevant not in the top-10) contribute
+    0 to MRR, the standard convention.  One batched KNN pass + one
+    aggregate; this is the eval loop a retrieval stack runs after any
+    index or embedding change."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.01).cast("float")
+        ).alias("query_vec"),
+    )
+    hits = knn_join(emb, queries, k=10, metric="l2", payload_cols=["vec_id"])
+    found = hits.filter(F.col("vec_id") == F.col("query_id")).select(
+        "query_id", "rank"
+    )
+    return (
+        queries.join(found, "query_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.col("rank").isNotNull().cast("long")).alias("n_found_top10"),
+            F.round(F.avg(F.coalesce(1.0 / F.col("rank"), F.lit(0.0))), 4).alias("mrr"),
+            F.round(
+                F.avg(F.coalesce((F.col("rank") <= 5).cast("double"), F.lit(0.0))), 4
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+_register(
+    "eval_knn_mrr",
+    _eval_knn_mrr,
+    dd_sql("""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> (x::DOUBLE * 1.01)::FLOAT) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+ranked AS (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {dist}, e.vec_id) AS rank
+  FROM embeddings e, q
+  QUALIFY rank <= 10
+),
+found AS (SELECT query_id, rank FROM ranked WHERE vec_id = query_id)
+SELECT count(*) AS n_queries,
+       sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_found_top10,
+       round(avg(coalesce(1.0 / f.rank, 0.0)), 4) AS mrr,
+       round(avg(CASE WHEN f.rank <= 5 THEN 1.0 ELSE 0.0 END), 4) AS recall_at_5
+FROM q LEFT JOIN found f USING (query_id)
+""", dist=_dd_l2("e.embedding", "q.qv")),
+)
+
+
 # ---- embedding-cosine near-dup --------------------------------------------
 
 def _emb_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
