@@ -6166,6 +6166,81 @@ WHERE (('0x' || substr(md5('mixture' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT
 _register("pipeline_llm_corpus_prep", _llm_corpus_prep, _DD_CORPUS_PREP)
 
 
+def _prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prep pipeline's YIELD FUNNEL: surviving-doc counts after each
+    stage (raw -> exact dedup -> train split -> lang+quality ->
+    decontam -> mixture) — the one-glance audit of where documents go,
+    over the identical stage logic the composed entry gates."""
+    from .operators.dedup import exact_dedup
+    from .operators.textstats import language_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    surv = exact_dedup(docs).select("doc_id", "text", "source")
+    train = surv.filter(F.col("doc_id") % 50 != 0)
+    enriched = quality_score(
+        language_id(train, keep_cols=("text", "source")),
+        keep_cols=("source", "pred_lang"),
+    )
+    kept = enriched.filter(
+        (F.col("pred_lang") == "en") & (F.col("quality") >= _PREP_QUALITY_MIN)
+    )
+    bad = (
+        contamination_flags(train, bench, n=_DECONTAM_N)
+        .filter("contaminated")
+        .select("doc_id")
+    )
+    clean = kept.join(F.broadcast(bad), "doc_id", "left_anti")
+    out = mixture_sample(clean, _MIX_RATES, default_rate=_MIX_DEFAULT)
+
+    stages = [
+        ("raw", docs), ("exact_dedup", surv), ("train_split", train),
+        ("lang_quality", kept), ("decontam", clean), ("mixture", out),
+    ]
+    counts = [
+        df.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        for i, (name, df) in enumerate(stages)
+    ]
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, counts)
+
+
+_DD_PREP_FUNNEL = (
+    _DD_CORPUS_PREP[: _DD_CORPUS_PREP.index(
+        "SELECT doc_id, source, pred_lang, quality FROM final"
+    )]
+    + dd_sql(
+        """mix AS (
+  SELECT doc_id FROM final
+  WHERE (('0x' || substr(md5('mixture' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000)
+        < (CASE source {cases} ELSE {dflt} END)
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs FROM docs
+UNION ALL SELECT 1, 'exact_dedup', count(*) FROM surv
+UNION ALL SELECT 2, 'train_split', count(*) FROM train
+UNION ALL SELECT 3, 'lang_quality', count(*) FROM kept
+UNION ALL SELECT 4, 'decontam', count(*) FROM final
+UNION ALL SELECT 5, 'mixture', count(*) FROM mix
+""",
+        cases=_DD_MIX_CASE,
+        dflt=int(round(_MIX_DEFAULT * 10000)),
+    )
+)
+# the sliced prefix ends inside the WITH list at "final AS (...)\n", so
+# the appended fragment must open with a sibling CTE:
+_DD_PREP_FUNNEL = _DD_PREP_FUNNEL.replace(
+    "final AS (SELECT k.* FROM kept k ANTI JOIN bad b USING (doc_id))\nmix AS (",
+    "final AS (SELECT k.* FROM kept k ANTI JOIN bad b USING (doc_id)),\nmix AS (",
+)
+
+_register("pipeline_prep_funnel", _prep_funnel, _DD_PREP_FUNNEL)
+
+
 # Round-5 extension: the same composed prep, then the r5 stages a real
 # training cut adds — per-source domain cap (≤8: bites on src0/src1 at
 # every fixture) and a 2k-token budget fill (~55-60% of the capped
