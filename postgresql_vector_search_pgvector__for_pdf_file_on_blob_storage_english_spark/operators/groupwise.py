@@ -199,3 +199,44 @@ def rebalance_classes(
         .filter(bucket < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def stratified_split_exact(
+    df: DataFrame,
+    train_frac: float = 0.8,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    split_col: str = "split",
+) -> DataFrame:
+    """EXACT stratified train/test split: exactly ``floor(n_c *
+    train_frac)`` training rows per class, selected by stable-hash rank
+    — where :func:`train_test_split_hash` gives per-class counts only in
+    expectation.  Use this when per-class budgets must be exact (small
+    eval classes, contractual splits).
+
+    One shuffle keyed on the class (the rank window) plus a broadcast
+    of per-class counts; membership is deterministic and independent of
+    partitioning, and lowering ``train_frac`` yields a subset of the
+    higher fraction's training set (rank-prefix monotonicity)."""
+    if not (0.0 <= train_frac <= 1.0):
+        raise ValueError(f"train_frac must be in [0, 1], got {train_frac}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("§", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    counts = df.groupBy(label_col).agg(F.count("*").alias("_cnt"))
+    w = Window.partitionBy(label_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(counts), label_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            split_col,
+            F.when(
+                F.col("_rk") <= F.floor(F.col("_cnt") * F.lit(train_frac)), "train"
+            ).otherwise("test"),
+        )
+        .drop("_rk", "_cnt")
+    )

@@ -6964,6 +6964,38 @@ WHERE (('0x' || substr(md5('rebalance' || '§' || doc_id::VARCHAR), 1, 8))::BIGI
 )
 
 
+def _stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified 80/20 split by language: per-class train counts
+    are exactly floor(0.8 * n_c) — verified by the (lang, split, n)
+    report this entry emits (operators/groupwise.py::
+    stratified_split_exact)."""
+    from .operators.groupwise import stratified_split_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_split_exact(docs, train_frac=0.8, label_col="lang")
+    return out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+_register(
+    "stratified_split_counts",
+    _stratified_split,
+    """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+r AS (
+  SELECT d.lang, d.doc_id, c.cnt,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY ('0x' || substr(md5('strat' || '§' || d.doc_id::VARCHAR), 1, 8))::BIGINT,
+                    d.doc_id) AS rk
+  FROM documents d JOIN c USING (lang)
+)
+SELECT lang, CASE WHEN rk <= floor(cnt * 0.8) THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n
+FROM r GROUP BY 1, 2
+""",
+)
+
+
 # --------------------------------------------------------------------------
 # Contrastive-pair mining (round 5): per-anchor nearest positives + hard
 # negatives for embedding training (operators/mining.py).

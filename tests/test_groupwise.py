@@ -145,3 +145,54 @@ class TestRebalanceClasses:
             for r in rebalance_classes(docs.repartition(13), label_col="lang").select("doc_id").collect()
         )
         assert a == b
+
+
+class TestStratifiedSplit:
+    def test_exact_per_class_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            stratified_split_exact,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = stratified_split_exact(docs, train_frac=0.8, label_col="lang")
+        per = {
+            (r["lang"], r["split"]): r["n"]
+            for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+        }
+        totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        for lang, n in totals.items():
+            assert per[(lang, "train")] == int(n * 0.8)
+            assert per.get((lang, "test"), 0) == n - int(n * 0.8)
+
+    def test_monotone_in_fraction(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            stratified_split_exact,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        t60 = {
+            r["doc_id"]
+            for r in stratified_split_exact(docs, 0.6, label_col="lang")
+            .filter(F.col("split") == "train").select("doc_id").collect()
+        }
+        t80 = {
+            r["doc_id"]
+            for r in stratified_split_exact(docs, 0.8, label_col="lang")
+            .filter(F.col("split") == "train").select("doc_id").collect()
+        }
+        assert t60 <= t80
+
+    def test_rejects_bad_fraction(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            stratified_split_exact,
+        )
+
+        import pytest
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with pytest.raises(ValueError):
+            stratified_split_exact(docs, 1.5)
