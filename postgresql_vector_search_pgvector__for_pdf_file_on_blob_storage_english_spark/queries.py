@@ -173,6 +173,36 @@ _register(
 )
 
 
+def _knn_sqlapi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship KNN through the pure SQL surface — ``spark.sql``
+    over a registered view, distance spelled with SQL higher-order
+    functions (``aggregate``/``zip_with``).  Same semantics, same
+    oracle, same TakeOrderedAndProject physical plan as the DataFrame
+    entry: proof the engine's vector search is reachable from plain SQL
+    text, not only the Python API."""
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("v_embeddings")
+    return spark.sql("""
+        WITH q AS (SELECT embedding AS qe FROM v_embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, e.label,
+                 sqrt(aggregate(
+                   zip_with(e.embedding, q.qe,
+                            (a, b) -> power(cast(a AS double) - cast(b AS double), 2.0d)),
+                   0.0d, (acc, v) -> acc + v)) AS d
+          FROM v_embeddings e CROSS JOIN q
+        )
+        SELECT vec_id, label, round(d, 4) AS distance
+        FROM scored ORDER BY d, vec_id LIMIT 5
+    """)
+
+
+_register(
+    "q2_knn_l2_top5_sqlapi",
+    _knn_sqlapi,
+    dd_sql(_DD_KNN_SINGLE, probe_id=0, k=5, dist=_dd_l2("e.embedding", "q.qe")),
+)
+
+
 def _knn_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q4: the reference drops the embedding (and the distance) from the
     # SELECT list; output is the bare top-k payload.
