@@ -2705,6 +2705,36 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+def _map_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: ``from_json`` into ``map<string,int>``,
+    ``explode`` of the map to key/value rows, per-key aggregates —
+    the map-column path the relational substrate hadn't exercised
+    (props is the events table's JSON payload)."""
+    ev = _events(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    ex = ev.select(F.explode(m).alias("k", "v"))
+    return ex.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+    )
+
+
+_register(
+    "map_function_breadth",
+    _map_function_breadth,
+    """
+SELECT 'k' AS k, count(*) AS n,
+       min(CAST(props::JSON ->> 'k' AS INT)) AS min_v,
+       max(CAST(props::JSON ->> 'k' AS INT)) AS max_v,
+       round(avg(CAST(props::JSON ->> 'k' AS INT)), 4) AS avg_v
+FROM events
+WHERE props::JSON ->> 'k' IS NOT NULL
+""",
+)
+
+
 def _winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization (outlier capping to exact [p1, p99]) — the standard
     numeric-feature cleaning stage before training: one exact-percentile
