@@ -200,3 +200,53 @@ class TestQuantPlans:
         df = q(spark, "text_pii_redaction")
         assert count_exchanges(df) == 0
         assert wholestage_codegen_spans(df) >= 1
+
+
+class TestRound5Plans:
+    def test_pca_keeps_quant_plan_shape(self, spark):
+        # the PCA coarse+rerank chain keeps the quant-family property:
+        # nested TakeOrderedAndProject, zero shuffle exchanges
+        df = q(spark, "quant_pca_knn_top5")
+        assert count_exchanges(df) == 0
+        assert has_take_ordered(df)
+
+    def test_sqlapi_knn_same_plan_as_dataframe(self, spark):
+        # plain-SQL flagship compiles to the same zero-exchange top-k
+        df = q(spark, "q2_knn_l2_top5_sqlapi")
+        assert count_exchanges(df) == 0
+        assert has_take_ordered(df)
+
+    def test_rebalance_no_data_row_shuffle(self, spark):
+        # the class-rebalance filter must not shuffle corpus rows: the
+        # only exchanges feed the tiny per-class rate aggregate
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        df = q(spark, "rebalance_lang_classes")
+        plan = explain_str(df, "formatted")
+        import re
+
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+            assert "text" not in m.group(1), "corpus text crossed an exchange"
+
+    def test_funnel_no_unpartitioned_window(self, spark):
+        # chained keyed aggregates, never a global window
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        df = q(spark, "events_funnel_conversion")
+        plan = explain_str(df, "simple")
+        assert "Window [" not in plan or "partitionBy" not in plan  # no window at all
+        assert "CartesianProduct" not in plan
+
+    def test_profile_single_scan(self, spark):
+        # one multi-distinct aggregation pass = exactly one parquet scan
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        df = q(spark, "profile_documents")
+        plan = explain_str(df, "simple")
+        assert plan.count("FileScan parquet") == 1
