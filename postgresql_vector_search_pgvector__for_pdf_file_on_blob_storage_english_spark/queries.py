@@ -5087,6 +5087,41 @@ def _pca_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_index_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-projection path (operators/pca.py::pca_index_write
+    /pca_index_search): projected table written once (out_dim/dim of the
+    corpus bytes), coarse scan over it alone, exact rerank via pushed
+    In filter.  Same probe and exact-top-k oracle as the inline entry."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.pca import pca_index_search, pca_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_pca_index_{tag}")
+    fitted = pca_index_write(emb, path, out_dim=_PCA_OUT_DIM, payload_cols=["label"])
+    qvec = list(emb.filter(F.col("vec_id") == 5).first()["embedding"])
+    out = pca_index_search(
+        spark, path, emb, qvec, fitted, k=5, oversample=_PCA_OVERSAMPLE,
+        payload_cols=["label"],
+    )
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+_register(
+    "quant_pca_index_search",
+    _pca_index_entry,
+    dd_sql("""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 5)
+SELECT e.vec_id, e.label, round({dist}, 4) AS distance
+FROM embeddings e, q
+ORDER BY {dist}, e.vec_id LIMIT 5
+""", dist=_dd_l2("e.embedding", "q.qe")),
+)
+
+
 _register(
     "quant_pca_knn_batch",
     _pca_batch,
