@@ -4666,6 +4666,96 @@ QUALIFY rank <= 10
 _register("bm25_topk_batch", _bm25_batch, _DD_BM25_BATCH)
 
 
+def _eval_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-retrieval evaluation (the BM25 twin of ``eval_knn_mrr``):
+    every ~97th document's own tokens (positions 2/4/6 of the
+    normalized split) form its query, and the document itself is THE
+    relevant result.  The query construction collects ~5 tiny rows to
+    the driver (bounded, the documented pattern) because
+    ``bm25_topk_join``'s query relation is a literal broadcast; the
+    oracle derives the identical qrel in SQL.  Misses count 0."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(normalize_whitespace_col("text")), " ")
+    sel = (
+        docs.select("doc_id", words.alias("_w"))
+        .filter((F.col("doc_id") % 97 == 3) & (F.size("_w") >= 6))
+        .select(
+            "doc_id",
+            F.lower(F.col("_w")[1]).alias("t1"),
+            F.lower(F.col("_w")[3]).alias("t2"),
+            F.lower(F.col("_w")[5]).alias("t3"),
+        )
+    )
+    qrows = sel.collect()  # bounded: ~|corpus|/97 rows
+    queries = {int(r["doc_id"]): [r["t1"], r["t2"], r["t3"]] for r in qrows}
+    from .operators.retrieval import bm25_topk_join
+
+    hits = bm25_topk_join(docs, queries, k=10)
+    found = hits.filter(F.col("doc_id") == F.col("query_id")).select("query_id", "rank")
+    qdf = sel.select(F.col("doc_id").alias("query_id"))
+    return qdf.join(found, "query_id", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("rank").isNotNull().cast("long")).alias("n_found_top10"),
+        F.round(F.avg(F.coalesce(1.0 / F.col("rank"), F.lit(0.0))), 4).alias("mrr"),
+        F.round(
+            F.avg(F.coalesce((F.col("rank") <= 5).cast("double"), F.lit(0.0))), 4
+        ).alias("recall_at_5"),
+    )
+
+
+_DD_EVAL_BM25 = dd_sql(
+    """
+WITH {tokens},
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_len),
+sel AS (
+  SELECT doc_id, string_split(trim(norm), ' ') AS words
+  FROM (SELECT doc_id, {normtext} AS norm FROM documents)
+  WHERE doc_id % 97 = 3 AND len(string_split(trim(norm), ' ')) >= 6
+),
+qrel AS (
+  SELECT doc_id AS query_id, lower(words[2]) AS term FROM sel
+  UNION SELECT doc_id, lower(words[4]) FROM sel
+  UNION SELECT doc_id, lower(words[6]) FROM sel
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM qrel) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({k1} + 1.0)
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS s
+  FROM tf
+  JOIN doc_len USING (doc_id)
+  CROSS JOIN corpus
+  JOIN dfreq USING (term)
+  JOIN qrel q USING (term)
+),
+bm AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM scored GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+  FROM bm QUALIFY rank <= 10
+),
+found AS (SELECT query_id, rank FROM ranked WHERE doc_id = query_id)
+SELECT count(*) AS n_queries,
+       sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_found_top10,
+       round(avg(coalesce(1.0 / f.rank, 0.0)), 4) AS mrr,
+       round(avg(CASE WHEN f.rank <= 5 THEN 1.0 ELSE 0.0 END), 4) AS recall_at_5
+FROM sel LEFT JOIN found f ON sel.doc_id = f.query_id
+""",
+    tokens=_DD_TOKENS,
+    normtext=dd_sql(_DD_NORMALIZE, col="text"),
+    k1=_BM25_K1,
+    b=_BM25_B,
+)
+
+_register("eval_bm25_mrr", _eval_bm25_mrr, _DD_EVAL_BM25)
+
+
 def _bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query/contract as ``bm25_topk_docs`` but served from a
     *persisted* inverted index (operators/retrieval.py::
