@@ -4756,6 +4756,153 @@ FROM sel LEFT JOIN found f ON sel.doc_id = f.query_id
 _register("eval_bm25_mrr", _eval_bm25_mrr, _DD_EVAL_BM25)
 
 
+_RRF_C = 60  # reciprocal-rank constant, shared by the hybrid entry below
+
+
+def _eval_hybrid_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval evaluation — the capstone of the retrieval
+    story: for every sampled document both a LEXICAL query (its own
+    tokens, as in ``eval_bm25_mrr``) and a VECTOR query (its perturbed
+    embedding, as in ``eval_knn_mrr``; doc_id == vec_id in the
+    fixtures), the two top-10 lists fused by reciprocal rank
+    (c={rrf_c}), and MRR / recall@5 of the document itself under the
+    FUSED ranking.  Shows the engine can measure whether fusion
+    actually helps before a deployment flips it on.""".format(rrf_c=_RRF_C)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    words = F.split(F.trim(normalize_whitespace_col("text")), " ")
+    sel = (
+        docs.select("doc_id", words.alias("_w"))
+        .filter((F.col("doc_id") % 97 == 3) & (F.size("_w") >= 6))
+        .select(
+            "doc_id",
+            F.lower(F.col("_w")[1]).alias("t1"),
+            F.lower(F.col("_w")[3]).alias("t2"),
+            F.lower(F.col("_w")[5]).alias("t3"),
+        )
+    )
+    qrows = sel.collect()  # bounded: ~|corpus|/97 rows
+    queries = {int(r["doc_id"]): [r["t1"], r["t2"], r["t3"]] for r in qrows}
+    from .operators.retrieval import bm25_topk_join
+
+    bm_hits = bm25_topk_join(docs, queries, k=10).select(
+        "query_id", "doc_id", F.col("rank").alias("_r_bm")
+    )
+    qvecs = (
+        emb.filter(F.col("vec_id").isin(list(queries)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(
+                F.col("embedding"), lambda x: (x.cast("double") * 1.01).cast("float")
+            ).alias("query_vec"),
+        )
+    )
+    knn_hits = knn_join(emb, qvecs, k=10, metric="l2", payload_cols=["vec_id"]).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("_r_knn")
+    )
+    fused = (
+        bm_hits.join(knn_hits, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "_rrf",
+            F.coalesce(1.0 / (F.lit(_RRF_C) + F.col("_r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_C) + F.col("_r_knn")), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rrf").desc(), "doc_id")
+    ranked = fused.withColumn("rank", F.row_number().over(w))
+    found = ranked.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", "rank"
+    )
+    qdf = sel.select(F.col("doc_id").alias("query_id"))
+    return qdf.join(found, "query_id", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("rank").isNotNull().cast("long")).alias("n_found"),
+        F.round(F.avg(F.coalesce(1.0 / F.col("rank"), F.lit(0.0))), 4).alias("mrr"),
+        F.round(
+            F.avg(F.coalesce((F.col("rank") <= 5).cast("double"), F.lit(0.0))), 4
+        ).alias("recall_at_5"),
+    )
+
+
+_DD_EVAL_HYBRID = dd_sql(
+    """
+WITH {tokens},
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_len),
+sel AS (
+  SELECT doc_id, string_split(trim(norm), ' ') AS words
+  FROM (SELECT doc_id, {normtext} AS norm FROM documents)
+  WHERE doc_id % 97 = 3 AND len(string_split(trim(norm), ' ')) >= 6
+),
+qrel AS (
+  SELECT doc_id AS query_id, lower(words[2]) AS term FROM sel
+  UNION SELECT doc_id, lower(words[4]) FROM sel
+  UNION SELECT doc_id, lower(words[6]) FROM sel
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM qrel) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({k1} + 1.0)
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS s
+  FROM tf
+  JOIN doc_len USING (doc_id)
+  CROSS JOIN corpus
+  JOIN dfreq USING (term)
+  JOIN qrel q USING (term)
+),
+bm AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM scored GROUP BY query_id, doc_id),
+bm_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r_bm
+  FROM bm QUALIFY r_bm <= 10
+),
+qv AS (
+  SELECT s.doc_id AS query_id,
+         list_transform(e.embedding, x -> (x::DOUBLE * 1.01)::FLOAT) AS qvec
+  FROM sel s JOIN embeddings e ON e.vec_id = s.doc_id
+),
+knn_ranked AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {dist}, e.vec_id) AS r_knn
+  FROM embeddings e, qv q
+  QUALIFY r_knn <= 10
+),
+fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / ({c} + a.r_bm), 0.0)
+           + coalesce(1.0 / ({c} + b.r_knn), 0.0) AS rrf
+  FROM bm_ranked a
+  FULL OUTER JOIN knn_ranked b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+),
+found AS (SELECT query_id, rank FROM ranked WHERE doc_id = query_id)
+SELECT count(*) AS n_queries,
+       sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+       round(avg(coalesce(1.0 / f.rank, 0.0)), 4) AS mrr,
+       round(avg(CASE WHEN f.rank <= 5 THEN 1.0 ELSE 0.0 END), 4) AS recall_at_5
+FROM sel LEFT JOIN found f ON sel.doc_id = f.query_id
+""",
+    tokens=_DD_TOKENS,
+    normtext=dd_sql(_DD_NORMALIZE, col="text"),
+    k1=_BM25_K1,
+    b=_BM25_B,
+    c=_RRF_C,
+    dist=_dd_l2("e.embedding", "q.qvec"),
+)
+
+_register("eval_hybrid_rrf_mrr", _eval_hybrid_mrr, _DD_EVAL_HYBRID)
+
+
 def _bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query/contract as ``bm25_topk_docs`` but served from a
     *persisted* inverted index (operators/retrieval.py::
@@ -4790,7 +4937,6 @@ ORDER BY bm25 DESC, doc_id LIMIT 10
 
 
 _HYBRID_POOL = 20  # per-list candidate depth before fusion
-_RRF_C = 60
 
 
 def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
