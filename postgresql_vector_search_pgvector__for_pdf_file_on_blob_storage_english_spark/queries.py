@@ -2455,6 +2455,52 @@ QUALIFY row_number() OVER (PARTITION BY id ORDER BY step DESC) = 1
 _register("s5_status_upsert", _s5_upsert, _DD_S5)
 
 
+def _status_transition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process mining over the reference's status state machine
+    (models/CosmosDBDocumentStatus.java:5-10): (from -> to) transition
+    counts from the event log via a lag window per chunk — the view
+    that catches a pipeline wedged mid-state (e.g. chunks stuck after
+    FINISH_OAI_INVOCATION).  One keyed window; '<start>' marks each
+    chunk's first event."""
+    log = _status_event_log(spark, sf_dir)
+    w = Window.partitionBy("id").orderBy("updated_at")
+    return (
+        log.withColumn(
+            "from_status", F.coalesce(F.lag("status").over(w), F.lit("<start>"))
+        )
+        .groupBy("from_status", F.col("status").alias("to_status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_register(
+    "status_transition_stats",
+    _status_transition_stats,
+    """
+WITH base AS (
+  SELECT sha256(doc_id::VARCHAR) AS id, doc_id FROM documents
+),
+log AS (
+  SELECT id, s.status, doc_id, s.step FROM base,
+  (VALUES ('PAGE_SEPARATE_FINISHED', 0), ('FINISH_OAI_INVOCATION', 1),
+          ('FINISH_DB_INSERTION', 2)) s(status, step)
+  UNION ALL
+  SELECT id,
+         CASE WHEN doc_id % 10 = 0 THEN 'FAILED_DB_INSERTION' ELSE 'COMPLETED' END,
+         doc_id, 3
+  FROM base
+),
+seq AS (
+  SELECT id, status,
+         coalesce(lag(status) OVER (PARTITION BY id ORDER BY step), '<start>') AS from_status
+  FROM log
+)
+SELECT from_status, status AS to_status, count(*) AS n
+FROM seq GROUP BY 1, 2
+""",
+)
+
+
 def _l3_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _derived_status(spark, sf_dir)
 
@@ -2701,6 +2747,49 @@ SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
 FROM orders GROUP BY o_orderpriority
+""",
+)
+
+
+def _events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness — the engagement headline over the events
+    table: distinct daily actives averaged per ISO week against that
+    week's distinct actives; stickiness = avg(DAU)/WAU."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        F.date_trunc("week", F.col("ts")).alias("_wk"),
+        F.to_date("ts").alias("_day"),
+        "user_id",
+    )
+    dau = days.groupBy("_wk", "_day").agg(
+        F.count_distinct("user_id").alias("_dau")
+    )
+    wau = days.groupBy("_wk").agg(F.count_distinct("user_id").alias("wau"))
+    avg_dau = dau.groupBy("_wk").agg(F.round(F.avg("_dau"), 4).alias("avg_dau"))
+    return (
+        avg_dau.join(wau, "_wk")
+        .select(
+            F.date_format("_wk", "yyyy-MM-dd").alias("week"),
+            "avg_dau",
+            "wau",
+            F.round(F.col("avg_dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+    )
+
+
+_register(
+    "events_dau_stickiness",
+    _events_dau_stickiness,
+    """
+WITH d AS (
+  SELECT date_trunc('week', ts) AS wk, CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (SELECT wk, day, count(DISTINCT user_id) AS dau FROM d GROUP BY wk, day),
+wau AS (SELECT wk, count(DISTINCT user_id) AS wau FROM d GROUP BY wk),
+a AS (SELECT wk, round(avg(dau), 4) AS avg_dau FROM dau GROUP BY wk)
+SELECT strftime(a.wk, '%Y-%m-%d') AS week, a.avg_dau, w.wau,
+       round(a.avg_dau / w.wau, 4) AS stickiness
+FROM a JOIN wau w ON a.wk = w.wk
 """,
 )
 
