@@ -2455,6 +2455,44 @@ QUALIFY row_number() OVER (PARTITION BY id ORDER BY step DESC) = 1
 _register("s5_status_upsert", _s5_upsert, _DD_S5)
 
 
+def _status_progress_by_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-file ingestion dashboard the reference's status listings
+    imply but never aggregate (PDF-Summarizer CosmosDBUtil.java:43-68
+    lists raw rows): resolved chunk counts per fileName by terminal
+    status, plus completion fraction — one upsert resolution + one
+    aggregate."""
+    resolved = status_upsert(_status_event_log(spark, sf_dir))
+    return resolved.groupBy("fileName").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("status") == "COMPLETED").cast("long")).alias("n_completed"),
+        F.sum((F.col("status") == "FAILED_DB_INSERTION").cast("long")).alias("n_failed"),
+        F.round(
+            F.avg((F.col("status") == "COMPLETED").cast("double")), 4
+        ).alias("frac_completed"),
+    )
+
+
+_register(
+    "status_progress_by_file",
+    _status_progress_by_file,
+    """
+WITH base AS (
+  SELECT sha256(doc_id::VARCHAR) AS id, source AS fileName, doc_id FROM documents
+),
+term AS (
+  SELECT id, fileName,
+         CASE WHEN doc_id % 10 = 0 THEN 'FAILED_DB_INSERTION' ELSE 'COMPLETED' END AS status
+  FROM base
+)
+SELECT fileName, count(*) AS n_chunks,
+       sum(CASE WHEN status = 'COMPLETED' THEN 1 ELSE 0 END) AS n_completed,
+       sum(CASE WHEN status = 'FAILED_DB_INSERTION' THEN 1 ELSE 0 END) AS n_failed,
+       round(avg(CASE WHEN status = 'COMPLETED' THEN 1.0 ELSE 0.0 END), 4) AS frac_completed
+FROM term GROUP BY fileName
+""",
+)
+
+
 def _status_transition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Process mining over the reference's status state machine
     (models/CosmosDBDocumentStatus.java:5-10): (from -> to) transition
@@ -2747,6 +2785,59 @@ SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
 FROM orders GROUP BY o_orderpriority
+""",
+)
+
+
+def _events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scores over the hourly event rate: each
+    hour's count z-scored against the previous 24 hours (exclusive).
+    The global ordered window runs over the AGGREGATED hourly relation
+    — cardinality = hours, not events — so the single-partition frame
+    is bounded at any corpus scale; std=0 windows yield NULL z
+    (nullif), not infinities."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.orderBy(F.col("h").cast("long"))
+        .rangeBetween(-24 * 3600, -3600)
+    )
+    scored = hourly.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_events",
+        F.round(F.avg("n_events").over(w), 4).alias("trail_avg"),
+        F.round(F.stddev("n_events").over(w), 4).alias("trail_std"),
+    )
+    return scored.withColumn(
+        "z",
+        F.round(
+            (F.col("n_events") - F.col("trail_avg"))
+            / F.nullif(F.col("trail_std"), F.lit(0.0)),
+            4,
+        ),
+    )
+
+
+_register(
+    "events_hourly_anomaly",
+    _events_hourly_anomaly,
+    """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n_events FROM events GROUP BY 1
+),
+scored AS (
+  SELECT h, n_events,
+         round(avg(n_events) OVER w, 4) AS trail_avg,
+         round(stddev(n_events) OVER w, 4) AS trail_std
+  FROM hourly
+  WINDOW w AS (ORDER BY h RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                                    AND INTERVAL 1 HOUR PRECEDING)
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_events, trail_avg, trail_std,
+       round((n_events - trail_avg) / nullif(trail_std, 0.0), 4) AS z
+FROM scored
 """,
 )
 
