@@ -102,6 +102,9 @@ def main() -> None:
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
+        # the headline set GROWS round-over-round as operators land; compare
+        # per-query times (or matching subsets), not raw totals, across rounds
+        "n_queries": len(timings),
         "queries": timings,
         "sf": sf,
     }))
