@@ -2789,6 +2789,66 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+def _rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing cube: per
+    customer recency (days since last order, against the corpus's max
+    date), frequency (order count), monetary (total spend), each cut
+    into ntile(3) scores with (metric, custkey) tiebreaks so the
+    equal-frequency buckets are deterministic cross-engine; output is
+    the segment cube with sizes and average spend.  Scale shape: one
+    per-customer aggregate, three windows over the CUSTOMER relation
+    (not orders), tiny output."""
+    orders = _t(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("_spend"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .withColumn("recency_days", F.datediff("_maxd", "_last"))
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("_spend").desc(), F.col("o_custkey").asc())
+    scored = (
+        per.withColumn("r_score", F.ntile(3).over(w_r))
+        .withColumn("f_score", F.ntile(3).over(w_f))
+        .withColumn("m_score", F.ntile(3).over(w_m))
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("_spend"), 2).alias("avg_spend"),
+    )
+
+
+_register(
+    "orders_rfm_segmentation",
+    _rfm_segmentation,
+    """
+WITH maxd AS (SELECT max(o_orderdate) AS md FROM orders),
+per AS (
+  SELECT o_custkey, date_diff('day', max(o_orderdate), (SELECT md FROM maxd)) AS recency_days,
+         count(*) AS frequency, sum(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+         ntile(3) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         ntile(3) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         ntile(3) OVER (ORDER BY spend DESC, o_custkey ASC) AS m_score,
+         spend
+  FROM per
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       round(avg(spend), 2) AS avg_spend
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+
+
 def _events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window anomaly scores over the hourly event rate: each
     hour's count z-scored against the previous 24 hours (exclusive).
