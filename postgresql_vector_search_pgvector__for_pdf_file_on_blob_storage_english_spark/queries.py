@@ -2789,6 +2789,74 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+def _basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: brand co-occurrence within
+    orders with support and lift — the top-10 brand pairs most
+    over-represented in the same basket.  The pair join is keyed on
+    l_orderkey (baskets are a handful of lines, so fan-out is bounded
+    per order, never corpus-quadratic); brand totals broadcast back for
+    the lift denominator."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()  # scalar for lift
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("_nb"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.p_brand") < F.col("b.p_brand")))
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("_nb").alias("_na"))
+    nb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("_nb").alias("_nb2"))
+    lift = (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .withColumn(
+            "lift",
+            (F.col("n_both") * F.lit(float(n_orders)))
+            / (F.col("_na") * F.col("_nb2")),
+        )
+    )
+    return (
+        lift.orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(10)
+        .select("brand_a", "brand_b", "n_both", F.round("lift", 4).alias("lift"))
+    )
+
+
+_register(
+    "basket_brand_lift",
+    _basket_brand_lift,
+    """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM ob),
+bn AS (SELECT p_brand, count(*) AS nb FROM ob GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_both
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_both,
+       round(n_both * n.n_orders / (na.nb * nb2.nb), 4) AS lift
+FROM pairs, n
+JOIN bn na ON na.p_brand = brand_a
+JOIN bn nb2 ON nb2.p_brand = brand_b
+ORDER BY n_both * n.n_orders / (na.nb * nb2.nb) DESC, brand_a, brand_b
+LIMIT 10
+""",
+)
+
+
 def _rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the classic marketing cube: per
     customer recency (days since last order, against the corpus's max
