@@ -2789,6 +2789,59 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+def _pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue-concentration analysis: customers ranked by
+    spend, classified A/B/C at cumulative-share breakpoints (80% / 95%)
+    computed with one running-sum window over the customer-sized
+    relation; output is the class report (sizes, revenue share) that
+    answers "how concentrated is revenue".  Class assignment uses the
+    EXCLUSIVE prefix (share before the customer), so the first customer
+    crossing a breakpoint still belongs to the class it completes."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_rev"))
+    total = per.agg(F.sum("_rev").alias("_tot"))
+    w = (
+        Window.orderBy(F.col("_rev").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    classed = (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("_before", F.coalesce(F.sum("_rev").over(w), F.lit(0.0)))
+        .withColumn(
+            "abc",
+            F.when(F.col("_before") / F.col("_tot") < 0.80, "A")
+            .when(F.col("_before") / F.col("_tot") < 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("_rev") / F.max("_tot"), 4).alias("revenue_share"),
+    )
+
+
+_register(
+    "pareto_abc_customers",
+    _pareto_abc_customers,
+    """
+WITH per AS (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey),
+t AS (SELECT sum(rev) AS tot FROM per),
+c AS (
+  SELECT o_custkey, rev,
+         coalesce(sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS before
+  FROM per
+)
+SELECT CASE WHEN before / t.tot < 0.80 THEN 'A'
+            WHEN before / t.tot < 0.95 THEN 'B'
+            ELSE 'C' END AS abc,
+       count(*) AS n_customers,
+       round(sum(rev) / max(t.tot), 4) AS revenue_share
+FROM c, t GROUP BY 1
+""",
+)
+
+
 def _basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining: brand co-occurrence within
     orders with support and lift — the top-10 brand pairs most
