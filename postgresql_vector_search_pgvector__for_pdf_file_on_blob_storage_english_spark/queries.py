@@ -2789,6 +2789,101 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+def _interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifecycle timing: the distribution of days between a
+    customer's consecutive orders — one lag window per customer, then
+    exact percentiles over the gap relation.  The metric behind
+    replenishment-cycle and churn-horizon decisions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("_prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.datediff("o_orderdate", "_prev").alias("gap_days"))
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias("p50_gap"),
+        F.round(F.expr("percentile(gap_days, 0.9)"), 4).alias("p90_gap"),
+        F.max("gap_days").alias("max_gap"),
+    )
+
+
+_register(
+    "orders_interpurchase_gaps",
+    _interpurchase_gaps,
+    """
+WITH g AS (
+  SELECT date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT count(*) AS n_gaps,
+       round(avg(gap_days), 4) AS avg_gap,
+       round(quantile_cont(gap_days, 0.5), 4) AS p50_gap,
+       round(quantile_cont(gap_days, 0.9), 4) AS p90_gap,
+       max(gap_days) AS max_gap
+FROM g WHERE gap_days IS NOT NULL
+""",
+)
+
+
+def _char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram Shannon entropy per document — the
+    compressibility signal some corpus filters use (gibberish and
+    boilerplate sit at the entropy extremes).  Explode each text's
+    bigrams via a sequence projection, count per (doc, bigram), entropy
+    from the count distribution — two keyed aggregates, no UDF; emitted
+    with a corpus summary ordering so the gate stays small (top-20
+    lowest-entropy docs)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 1),
+                lambda i: t.substr(i, F.lit(2)),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("_c"))
+    tot = Window.partitionBy("doc_id")
+    probs = counts.withColumn("_p", F.col("_c") / F.sum("_c").over(tot))
+    per_doc = probs.groupBy("doc_id").agg(
+        F.sum("_c").alias("_n"),
+        F.round(-F.sum(F.col("_p") * F.log2("_p")), 4).alias("entropy_bits"),
+    )
+    return (
+        per_doc.orderBy(F.col("entropy_bits").asc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.col("_n").alias("n_bigrams"), "entropy_bits")
+    )
+
+
+_register(
+    "text_char_bigram_entropy",
+    _char_bigram_entropy,
+    """
+WITH bg AS (
+  SELECT doc_id, substr(text, i, 2) AS bg
+  FROM documents, unnest(range(1, length(text))) AS t(i)
+),
+counts AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+probs AS (
+  SELECT doc_id, c, c::DOUBLE / sum(c) OVER (PARTITION BY doc_id) AS p FROM counts
+),
+per AS (
+  SELECT doc_id, sum(c) AS n, round(-sum(p * log2(p)), 4) AS entropy_bits
+  FROM probs GROUP BY doc_id
+)
+SELECT doc_id, n AS n_bigrams, entropy_bits
+FROM per ORDER BY entropy_bits, doc_id LIMIT 20
+""",
+)
+
+
 def _pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC revenue-concentration analysis: customers ranked by
     spend, classified A/B/C at cumulative-share breakpoints (80% / 95%)
