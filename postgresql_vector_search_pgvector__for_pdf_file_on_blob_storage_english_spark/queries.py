@@ -2789,6 +2789,83 @@ FROM orders GROUP BY o_orderpriority
 )
 
 
+def _monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series reporting shape: monthly revenue with month-over-month
+    percent change (lag window over the MONTH-sized relation) — the
+    first chart of any revenue dashboard."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("_m")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("_m")
+    return (
+        monthly.withColumn("_prev", F.lag("revenue").over(w))
+        .select(
+            F.date_format("_m", "yyyy-MM").alias("month"),
+            "revenue",
+            F.round((F.col("revenue") - F.col("_prev")) / F.col("_prev") * 100.0, 4).alias(
+                "mom_pct"
+            ),
+        )
+    )
+
+
+_register(
+    "orders_monthly_revenue_trend",
+    _monthly_revenue_trend,
+    """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mth, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT strftime(mth, '%Y-%m') AS month, revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY mth))
+             / lag(revenue) OVER (ORDER BY mth) * 100.0, 4) AS mom_pct
+FROM m
+""",
+)
+
+
+def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-source attribution: which sources contribute the
+    duplicate copies — per source, docs whose normalized text also
+    appears under a LOWER doc_id anywhere in the corpus (the non-
+    survivors of exact dedup), as count and rate.  The fixture weave
+    plants cross-source copies, so rates are non-vacuous."""
+    docs = _neardup_corpus(spark, sf_dir)
+    from .operators.dedup import exact_dedup
+
+    surv_ids = exact_dedup(docs).select("doc_id")
+    dup_flag = docs.join(
+        surv_ids.withColumn("_keep", F.lit(1)), "doc_id", "left"
+    ).withColumn("_is_dup", F.col("_keep").isNull().cast("double"))
+    return dup_flag.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_is_dup").cast("long")).alias("n_dup_copies"),
+        F.round(F.avg("_is_dup"), 4).alias("dup_rate"),
+    )
+
+
+_register(
+    "dedup_rate_by_lang",
+    _dup_rate_by_source,
+    dd_sql("""
+WITH corpus AS ({corpus}),
+surv AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+    FROM corpus
+  ) WHERE rn = 1
+)
+SELECT c.lang, count(*) AS n_docs,
+       sum(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END) AS n_dup_copies,
+       round(avg(CASE WHEN s.doc_id IS NULL THEN 1.0 ELSE 0.0 END), 4) AS dup_rate
+FROM corpus c LEFT JOIN surv s ON c.doc_id = s.doc_id
+GROUP BY c.lang
+""", corpus=_DD_NEARDUP_CORPUS, norm=dd_sql(_DD_NORMALIZE, col="text")),
+)
+
+
 def _interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-lifecycle timing: the distribution of days between a
     customer's consecutive orders — one lag window per customer, then
