@@ -2826,6 +2826,68 @@ FROM m
 )
 
 
+def _revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine forecasting, honestly scoped: OLS linear trend over the
+    monthly revenue series (closed form from sufficient statistics, the
+    ``stats_linreg`` machinery over month index) plus the next-month
+    projection — the "are we growing and by how much" one-liner.  Month
+    index = months since the first month, an exact integer both engines
+    derive identically."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("_m")
+    ).agg(F.sum("o_totalprice").alias("_rev"))
+    first = monthly.agg(F.min("_m").alias("_m0"))
+    idx = monthly.crossJoin(F.broadcast(first)).select(
+        (F.months_between(F.col("_m"), F.col("_m0"))).cast("long").alias("x"),
+        F.col("_rev").alias("y"),
+    )
+    s = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("double")).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(slope, 2).alias("monthly_slope"),
+        F.round(intercept, 2).alias("intercept"),
+        F.round(intercept + slope * F.col("n"), 2).alias("next_month_forecast"),
+    )
+
+
+_register(
+    "orders_revenue_trend_forecast",
+    _revenue_forecast,
+    """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mth, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+),
+f AS (SELECT min(mth) AS m0 FROM m),
+idx AS (
+  SELECT CAST(date_diff('month', f.m0, m.mth) AS BIGINT) AS x, m.rev AS y FROM m, f
+),
+s AS (
+  SELECT count(*)::DOUBLE AS n, sum(x::DOUBLE) AS sx, sum(y) AS sy,
+         sum(x::DOUBLE * y) AS sxy, sum(x::DOUBLE * x::DOUBLE) AS sxx
+  FROM idx
+)
+SELECT n::BIGINT AS n_months,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 2) AS monthly_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 2) AS intercept,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * n, 2) AS next_month_forecast
+FROM s
+""",
+)
+
+
 def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication-source attribution: which sources contribute the
     duplicate copies — per source, docs whose normalized text also
