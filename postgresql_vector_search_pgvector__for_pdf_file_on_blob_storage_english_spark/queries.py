@@ -2826,6 +2826,53 @@ FROM m
 )
 
 
+def _rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal cohort comparison: monetary-tier MIGRATION between the
+    first and second halves of the order history (split at the fixed
+    midpoint 1998-07-01) — how many customers moved up, held, or
+    dropped a spend tier, the report behind churn and upsell programs.
+    Tiers are deterministic ntile(3) cuts within each period; customers
+    absent from a period appear as tier 0."""
+    orders = _t(spark, sf_dir, "orders")
+    mid = F.lit("1998-07-01").cast("timestamp")
+
+    def tiers(df, alias):
+        per = df.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_s"))
+        w = Window.orderBy(F.col("_s").desc(), F.col("o_custkey").asc())
+        return per.withColumn(alias, F.ntile(3).over(w)).select("o_custkey", alias)
+
+    early = tiers(orders.filter(F.col("o_orderdate") < mid), "tier_before")
+    late = tiers(orders.filter(F.col("o_orderdate") >= mid), "tier_after")
+    joined = early.join(late, "o_custkey", "full_outer").select(
+        F.coalesce("tier_before", F.lit(0)).alias("tier_before"),
+        F.coalesce("tier_after", F.lit(0)).alias("tier_after"),
+    )
+    return joined.groupBy("tier_before", "tier_after").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_register(
+    "orders_rfm_tier_migration",
+    _rfm_migration,
+    """
+WITH early AS (
+  SELECT o_custkey, ntile(3) OVER (ORDER BY sum(o_totalprice) DESC, o_custkey ASC) AS tier_before
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01' GROUP BY o_custkey
+),
+late AS (
+  SELECT o_custkey, ntile(3) OVER (ORDER BY sum(o_totalprice) DESC, o_custkey ASC) AS tier_after
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01' GROUP BY o_custkey
+)
+SELECT coalesce(e.tier_before, 0) AS tier_before,
+       coalesce(l.tier_after, 0) AS tier_after,
+       count(*) AS n_customers
+FROM early e FULL OUTER JOIN late l ON e.o_custkey = l.o_custkey
+GROUP BY 1, 2
+""",
+)
+
+
 def _revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine forecasting, honestly scoped: OLS linear trend over the
     monthly revenue series (closed form from sufficient statistics, the
