@@ -89,7 +89,9 @@ def histogram(
     back as literals is avoided — the bounds join is a 1-row cross
     join).  Bucket = ``floor((x - lo) / width)`` with the top edge
     clamped into bucket ``n_buckets - 1``; empty buckets are absent
-    (outer-join a bucket spine if a dense axis is needed)."""
+    (outer-join a bucket spine if a dense axis is needed).  A constant
+    column (or explicit ``lo == hi``) degenerates to a single bucket 0
+    rather than dividing by a zero width (ANSI-mode safe)."""
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     x = F.col(col).cast("double")
@@ -104,7 +106,10 @@ def histogram(
         lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
     width = (hi_c - lo_c) / F.lit(float(n_buckets))
     bucket = F.least(
-        F.greatest(F.floor((x - lo_c) / width), F.lit(0)),
+        F.greatest(
+            F.floor(F.coalesce(F.try_divide(x - lo_c, width), F.lit(0.0))),
+            F.lit(0),
+        ),
         F.lit(n_buckets - 1),
     ).cast("int")
     nb = F.lit(float(n_buckets))
@@ -137,8 +142,10 @@ def completeness(col: str) -> Column:
 
 
 def uniqueness(col: str) -> Column:
-    """Exact distinct values / total rows (1.0 = a key)."""
-    return F.count_distinct(F.col(col)) / F.count(F.lit(1))
+    """Exact distinct values / total rows (1.0 = a key).  Empty input
+    yields NULL (``try_divide``), not an ANSI DIVIDE_BY_ZERO — a NULL
+    observation fails any ``>=`` threshold gracefully."""
+    return F.try_divide(F.count_distinct(F.col(col)), F.count(F.lit(1)))
 
 
 def fraction_in_range(col: str, lo: float, hi: float) -> Column:
@@ -180,7 +187,11 @@ def check_constraints(
         F.struct(
             F.lit(name).alias("constraint"),
             F.col(f"__obs_{i}").alias("observed"),
-            (F.col(f"__obs_{i}") >= F.lit(float(thr))).alias("passed"),
+            # NULL observation (e.g. uniqueness over an empty snapshot)
+            # is a FAILED constraint, not a NULL verdict
+            F.coalesce(
+                F.col(f"__obs_{i}") >= F.lit(float(thr)), F.lit(False)
+            ).alias("passed"),
         )
         for i, (name, _, thr) in enumerate(checks)
     ]
@@ -203,15 +214,15 @@ def profile_drift(before: DataFrame, after: DataFrame) -> DataFrame:
     b = before.select(
         "column",
         F.col("n_rows").alias("n_rows_before"),
-        (F.col("n_nulls") / F.col("n_rows")).alias("_b_null_frac"),
-        (F.col("n_distinct") / F.col("n_rows")).alias("_b_dist_ratio"),
+        F.try_divide(F.col("n_nulls"), F.col("n_rows")).alias("_b_null_frac"),
+        F.try_divide(F.col("n_distinct"), F.col("n_rows")).alias("_b_dist_ratio"),
         F.col("mean").alias("_b_mean"),
     )
     a = after.select(
         "column",
         F.col("n_rows").alias("n_rows_after"),
-        (F.col("n_nulls") / F.col("n_rows")).alias("_a_null_frac"),
-        (F.col("n_distinct") / F.col("n_rows")).alias("_a_dist_ratio"),
+        F.try_divide(F.col("n_nulls"), F.col("n_rows")).alias("_a_null_frac"),
+        F.try_divide(F.col("n_distinct"), F.col("n_rows")).alias("_a_dist_ratio"),
         F.col("mean").alias("_a_mean"),
     )
     return b.join(a, "column").select(

@@ -145,3 +145,47 @@ class TestDrift:
             assert r["null_frac_delta"] == 0.0
             assert r["distinct_ratio_delta"] == 0.0
             assert r["mean_delta"] == 0.0
+
+
+class TestDegenerateInputs:
+    """ADVICE r5: ANSI-mode DIVIDE_BY_ZERO guards — constant columns and
+    empty snapshots must degrade to sane reports, not crash."""
+
+    def test_constant_column_single_bucket(self, spark):
+        df = spark.createDataFrame([(5.0,)] * 7, "v double")
+        h = histogram(df, "v", n_buckets=4).collect()
+        assert len(h) == 1
+        assert h[0]["bucket"] == 0 and h[0]["n"] == 7
+        assert h[0]["bucket_lo"] == 5.0 and h[0]["bucket_hi"] == 5.0
+
+    def test_explicit_equal_bounds_single_bucket(self, spark):
+        df = spark.createDataFrame([(2.0,), (2.0,), (9.0,)], "v double")
+        h = histogram(df, "v", n_buckets=3, lo=2.0, hi=2.0).collect()
+        assert len(h) == 1 and h[0]["n"] == 2  # 9.0 outside [2, 2]
+
+    def test_empty_input_constraints_fail_not_crash(self, spark):
+        empty = spark.createDataFrame([], "id int, x double")
+        rep = {
+            r["constraint"]: r
+            for r in check_constraints(empty, [
+                ("id_unique", uniqueness("id"), 1.0),
+                ("id_complete", completeness("id"), 0.5),
+            ]).collect()
+        }
+        assert rep["id_unique"]["observed"] is None
+        assert rep["id_unique"]["passed"] is False  # NULL obs = failed gate
+        assert rep["id_complete"]["passed"] is False
+
+    def test_empty_snapshot_drift_no_crash(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            column_profile,
+            profile_drift,
+        )
+
+        full = spark.createDataFrame([(1, 1.0), (2, None)], "id int, x double")
+        empty = full.filter("id < 0")
+        rows = profile_drift(column_profile(full), column_profile(empty)).collect()
+        assert rows  # inner join keeps both columns
+        for r in rows:
+            assert r["n_rows_after"] == 0
+            assert r["null_frac_delta"] is None  # NULL ratios, not a crash
