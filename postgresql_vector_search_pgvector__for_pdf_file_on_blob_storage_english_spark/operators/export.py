@@ -102,25 +102,27 @@ def token_budget_select(
     This is the "cut a 1B-token training set from a 15T-token corpus"
     stage.  Hash order makes the cut a uniform corpus sample, and the
     selection is monotone in ``budget``: raising it only appends docs.
-    Cost: one global cumulative-sum window — an exact prefix sum needs a
-    range-partitioned sort; the cheaper scale variant estimates
-    tokens/doc from a sample and cuts by hash threshold (zero shuffle,
-    approximate budget) like mixture_sample.
+    Cost: the exact prefix sum runs on the two-pass
+    :func:`~.ranking.global_rank` (range repartition on the hash order
+    + partitioned running sum — never a single-partition window); the
+    cheaper scale variant estimates tokens/doc from a sample and cuts
+    by hash threshold (zero shuffle, approximate budget) like
+    mixture_sample.
     """
+    from .ranking import global_rank
+
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     h = _stable_hash(id_col, salt)
     staged = df.withColumn("_bh", h)
-    w = (
-        Window.partitionBy(F.lit(1))
-        .orderBy(F.col("_bh").asc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    ranked = global_rank(
+        staged,
+        [F.col("_bh").asc(), F.col(id_col).asc()],
+        prefix_col=tokens_col,
     )
-    before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
     return (
-        staged.withColumn("_before", before)
-        .filter(F.col("_before") < budget)
-        .drop("_bh", "_before")
+        ranked.filter(F.col("_before") < budget)
+        .drop("_bh", "_before", "_rank", "_n")
     )
 
 

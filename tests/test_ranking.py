@@ -1,0 +1,86 @@
+"""Two-pass global rank (operators/ranking.py): exact parity with the
+single-partition window it replaces, plan free of unpartitioned ordered
+windows, and the integer ntile reconstruction vs Spark's own ntile."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+    global_rank,
+    ntile_from_rank,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    # values with ties (tiebreak on id), enough rows to span partitions
+    rows = [(i, float((i * 37) % 50)) for i in range(1, 501)]
+    return spark.createDataFrame(rows, "id int, v double")
+
+
+class TestGlobalRank:
+    def test_rank_matches_single_partition_reference(self, people):
+        sort = [F.col("v").desc(), F.col("id").asc()]
+        got = {
+            r["id"]: r["_rank"]
+            for r in global_rank(people, sort, npart=7).collect()
+        }
+        ref = {
+            r["id"]: r["rk"]
+            for r in people.withColumn(
+                "rk", F.row_number().over(Window.orderBy(*sort))
+            ).collect()
+        }
+        assert got == ref
+
+    def test_n_and_rank_are_a_permutation(self, people):
+        out = global_rank(people, [F.col("id").asc()], npart=5).collect()
+        assert all(r["_n"] == 500 for r in out)
+        assert sorted(r["_rank"] for r in out) == list(range(1, 501))
+
+    def test_exclusive_prefix_sum(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 40)], "id int, c long"
+        )
+        out = {
+            r["id"]: r["_before"]
+            for r in global_rank(
+                df, [F.col("c").desc(), F.col("id").asc()], npart=3, prefix_col="c"
+            ).collect()
+        }
+        # rank order: 40, 30, 20, 10 -> exclusive prefixes 0, 40, 70, 90
+        assert out == {4: 0, 3: 40, 2: 70, 1: 90}
+
+    def test_single_row_and_empty(self, spark):
+        one = spark.createDataFrame([(1, 5)], "id int, c long")
+        r = global_rank(one, [F.col("c").asc()], npart=4, prefix_col="c").collect()
+        assert len(r) == 1 and r[0]["_rank"] == 1 and r[0]["_before"] == 0
+        empty = one.filter("id < 0")
+        assert global_rank(empty, [F.col("c").asc()], npart=4).count() == 0
+
+    def test_no_unpartitioned_ordered_window_in_plan(self, people):
+        df = global_rank(
+            people, [F.col("v").desc(), F.col("id").asc()], npart=7, prefix_col="v"
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            line = line.strip().lstrip("+-: ")
+            if line.startswith("Window "):
+                # partitioned windows print 3 bracket groups; a global
+                # ordered window prints 2 with ASC/DESC in the last
+                assert line.count("], [") >= 2, line
+
+
+class TestNtileFromRank:
+    @pytest.mark.parametrize("n,tiles", [(10, 3), (9, 3), (2, 3), (500, 4), (7, 7)])
+    def test_matches_spark_ntile(self, spark, n, tiles):
+        df = spark.range(1, n + 1).withColumnRenamed("id", "k")
+        ref = df.withColumn(
+            "t", F.ntile(tiles).over(Window.orderBy("k"))
+        )
+        got = ref.withColumn(
+            "t2", ntile_from_rank(F.col("k"), F.lit(n).cast("long"), tiles)
+        )
+        bad = got.filter(F.col("t") != F.col("t2")).count()
+        assert bad == 0
