@@ -103,7 +103,7 @@ def bm25_topk(
 
 def bm25_topk_join(
     docs: DataFrame,
-    queries: dict[int, Sequence[str]],
+    queries: dict[int, Sequence[str]] | DataFrame,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
@@ -111,37 +111,69 @@ def bm25_topk_join(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     score_col: str = "bm25",
+    terms_col: str = "terms",
 ) -> DataFrame:
     """Per-query BM25 top-k for a batch of term-bag queries — the
     lexical twin of ``knn.knn_join``.
 
+    ``queries`` is either a DataFrame — ``(query_id, terms
+    array<string>)`` or pre-exploded ``(query_id, term string)`` — or,
+    as a convenience for ad-hoc literals, a ``{query_id: [terms]}``
+    dict (converted to the same relation; VERDICT r5 #2: the DataFrame
+    form is the scale path, so callers deriving queries FROM data never
+    collect them to the driver).
+
     The expensive corpus statistics (tokenization, document lengths,
     N/avgdl, term frequencies, document frequencies) are computed ONCE
     over the union of all query terms; each query then reuses them
-    through a broadcast (query_id, term) relation.  Shuffles: the two
-    partial-aggregated stats shuffles (dl and tf — shared by all
-    queries) plus one narrow per-query window; N queries cost ~one
+    through a broadcast (query_id, term) relation.  The token→tf stage
+    keeps only query terms — a pushed literal ``In`` filter for the
+    dict form, a broadcast semi-join for the DataFrame form.  Shuffles:
+    the two partial-aggregated stats shuffles (dl and tf — shared by
+    all queries) plus one narrow per-query window; N queries cost ~one
     query's corpus work.  Ranks use the (score desc, id asc) tiebreak.
     """
-    qterms = [
-        (int(qid), t.lower())
-        for qid, terms in sorted(queries.items())
-        for t in sorted({x.lower() for x in terms})
-    ]
-    if not qterms:
-        raise ValueError("bm25_topk_join needs at least one query term")
-    spark = docs.sparkSession
-    qrel = spark.createDataFrame(qterms, f"{query_id_col} int, term string")
-    all_terms = sorted({t for _, t in qterms})
+    all_terms: list[str] | None = None
+    if isinstance(queries, DataFrame):
+        if terms_col in queries.columns:  # (query_id, terms array)
+            qrel = queries.select(
+                query_id_col, F.explode(terms_col).alias("term")
+            )
+        elif "term" in queries.columns:  # already exploded
+            qrel = queries.select(query_id_col, "term")
+        else:
+            raise ValueError(
+                f"queries DataFrame needs a '{terms_col}' array column "
+                f"or a 'term' string column; got {queries.columns}"
+            )
+        qrel = (
+            qrel.withColumn("term", F.lower("term"))
+            .filter(F.col("term") != "")
+            .distinct()
+        )
+    else:
+        qterms = [
+            (int(qid), t.lower())
+            for qid, terms in sorted(queries.items())
+            for t in sorted({x.lower() for x in terms})
+        ]
+        if not qterms:
+            raise ValueError("bm25_topk_join needs at least one query term")
+        qrel = docs.sparkSession.createDataFrame(
+            qterms, f"{query_id_col} int, term string"
+        )
+        all_terms = sorted({t for _, t in qterms})
 
     tokens = tokenize(docs, text_col=text_col, id_col=id_col)
     doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
     corpus = doc_len.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    tf = (
-        tokens.filter(F.col("term").isin(all_terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    if all_terms is not None:
+        wanted = tokens.filter(F.col("term").isin(all_terms))
+    else:
+        wanted = tokens.join(
+            F.broadcast(qrel.select("term").distinct()), "term", "left_semi"
+        )
+    tf = wanted.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
 
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)

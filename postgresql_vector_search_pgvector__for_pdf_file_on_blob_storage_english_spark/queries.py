@@ -5364,10 +5364,9 @@ def _eval_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-retrieval evaluation (the BM25 twin of ``eval_knn_mrr``):
     every ~97th document's own tokens (positions 2/4/6 of the
     normalized split) form its query, and the document itself is THE
-    relevant result.  The query construction collects ~5 tiny rows to
-    the driver (bounded, the documented pattern) because
-    ``bm25_topk_join``'s query relation is a literal broadcast; the
-    oracle derives the identical qrel in SQL.  Misses count 0."""
+    relevant result.  Fully relational (VERDICT r5 #2): the qrel is a
+    DataFrame handed straight to ``bm25_topk_join`` — nothing scales
+    with the corpus on the driver.  Misses count 0."""
     docs = _t(spark, sf_dir, "documents")
     words = F.split(F.trim(normalize_whitespace_col("text")), " ")
     sel = (
@@ -5380,11 +5379,13 @@ def _eval_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("_w")[5]).alias("t3"),
         )
     )
-    qrows = sel.collect()  # bounded: ~|corpus|/97 rows
-    queries = {int(r["doc_id"]): [r["t1"], r["t2"], r["t3"]] for r in qrows}
+    qrel = sel.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array("t1", "t2", "t3")).alias("term"),
+    )
     from .operators.retrieval import bm25_topk_join
 
-    hits = bm25_topk_join(docs, queries, k=10)
+    hits = bm25_topk_join(docs, qrel, k=10)
     found = hits.filter(F.col("doc_id") == F.col("query_id")).select("query_id", "rank")
     qdf = sel.select(F.col("doc_id").alias("query_id"))
     return qdf.join(found, "query_id", "left").agg(
@@ -5475,15 +5476,19 @@ def _eval_hybrid_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("_w")[5]).alias("t3"),
         )
     )
-    qrows = sel.collect()  # bounded: ~|corpus|/97 rows
-    queries = {int(r["doc_id"]): [r["t1"], r["t2"], r["t3"]] for r in qrows}
+    qrel = sel.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array("t1", "t2", "t3")).alias("term"),
+    )
     from .operators.retrieval import bm25_topk_join
 
-    bm_hits = bm25_topk_join(docs, queries, k=10).select(
+    bm_hits = bm25_topk_join(docs, qrel, k=10).select(
         "query_id", "doc_id", F.col("rank").alias("_r_bm")
     )
     qvecs = (
-        emb.filter(F.col("vec_id").isin(list(queries)))
+        emb.join(
+            sel.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.transform(

@@ -175,3 +175,57 @@ class TestBm25Batch:
             )
         ]
         assert s == b
+
+    def test_dataframe_queries_match_dict(self, spark):
+        """VERDICT r5 #2: the DataFrame query relation (both the terms-
+        array and pre-exploded term forms) must score identically to the
+        literal dict form — and never collect anything to the driver."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.retrieval import (
+            bm25_topk_join,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        qdict = {7: ["spark", "Vector", "join"], 8: ["data", "table"]}
+        want = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["bm25"], 6))
+            for r in bm25_topk_join(docs, qdict, k=10).collect()
+        )
+        arr_df = spark.createDataFrame(
+            [(7, ["spark", "Vector", "join"]), (8, ["data", "table"])],
+            "query_id int, terms array<string>",
+        )
+        term_df = spark.createDataFrame(
+            [(q, t) for q, ts in qdict.items() for t in ts],
+            "query_id int, term string",
+        )
+        for qdf in (arr_df, term_df):
+            got = sorted(
+                (r["query_id"], r["rank"], r["doc_id"], round(r["bm25"], 6))
+                for r in bm25_topk_join(docs, qdf, k=10).collect()
+            )
+            assert got == want
+
+    def test_dataframe_queries_bad_schema_rejected(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.retrieval import (
+            bm25_topk_join,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bad = spark.createDataFrame([(1, "x")], "query_id int, words string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="terms"):
+            bm25_topk_join(docs, bad, k=10)
+
+    def test_eval_queries_have_no_driver_collect(self):
+        """The two retrieval evals must stay fully relational — grep the
+        builder sources for collect() (the r5 regression shape)."""
+        import inspect
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark import (
+            queries,
+        )
+
+        for fn in (queries._eval_bm25_mrr, queries._eval_hybrid_mrr, queries._eval_knn_mrr):
+            src = inspect.getsource(fn)
+            assert ".collect()" not in src, fn.__name__
