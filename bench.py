@@ -77,6 +77,8 @@ REPEATS = {
     "ann_lsh_search": 3,  # r4: +26% drift, plan unchanged (VERDICT r4 item 3)
     "pipeline_llm_corpus_prep": 3,  # r5: 2.8-3.8 s run-to-run swing, plan unchanged
     "quant_pca_knn_top5": 3,  # r5: includes the driver-side fit; median the collect noise
+    "similarity_top_pairs_numpy": 3,  # r5: +27% drift, plan unchanged (VERDICT r5 item 6)
+    "topk_orders_by_price": 3,  # r5: +16% drift, plan unchanged (VERDICT r5 item 6)
 }
 
 

@@ -73,7 +73,7 @@ def bm25_topk(
         raise ValueError("bm25_topk needs at least one query term")
     tokens = tokenize(docs, text_col=text_col, id_col=id_col)
     doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
-    corpus = doc_len.agg(
+    stats = doc_len.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
@@ -89,7 +89,7 @@ def bm25_topk(
 
     scored = (
         tf.join(doc_len, id_col)
-        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(stats))
         .join(F.broadcast(dfreq), "term")
         .select(id_col, term_score.alias("_s"))
     )
@@ -166,7 +166,7 @@ def bm25_topk_join(
 
     tokens = tokenize(docs, text_col=text_col, id_col=id_col)
     doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
-    corpus = doc_len.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    stats = doc_len.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     if all_terms is not None:
         wanted = tokens.filter(F.col("term").isin(all_terms))
     else:
@@ -182,7 +182,7 @@ def bm25_topk_join(
 
     scored = (
         tf.join(doc_len, id_col)
-        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(stats))
         .join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qrel), "term")  # fan out per query AFTER stats
         .select(query_id_col, id_col, term_score.alias("_s"))
@@ -351,14 +351,14 @@ def bm25_index_search(
         .filter(F.col("term").isin(terms))
         .select("term", "df")
     )
-    corpus = spark.read.parquet(f"{path}/stats")
+    stats = spark.read.parquet(f"{path}/stats")
 
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     term_score = idf * F.col("tf") * (k1 + 1.0) / denom
 
     scored = (
-        postings.crossJoin(F.broadcast(corpus))
+        postings.crossJoin(F.broadcast(stats))
         .join(F.broadcast(dfreq), "term")
         .select(id_col, term_score.alias("_s"))
     )

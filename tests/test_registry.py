@@ -229,3 +229,7 @@ class TestBm25Batch:
         for fn in (queries._eval_bm25_mrr, queries._eval_hybrid_mrr, queries._eval_knn_mrr):
             src = inspect.getsource(fn)
             assert ".collect()" not in src, fn.__name__
+        # basket lift: the denominator is an in-plan broadcast aggregate,
+        # not an eager count() job (VERDICT r5 #5)
+        src = inspect.getsource(queries._basket_brand_lift)
+        assert ".count()" not in src and ".collect()" not in src
