@@ -129,6 +129,67 @@ def ivfpq_encode(
     return encoded.select(*keep, centroid_id_col, "pq_code")
 
 
+def _rank_probes(
+    centroids: DataFrame,
+    query_vec: list[float],
+    nprobe: int,
+    centroid_id_col: str,
+    centroid_vec_col: str,
+) -> list[tuple[float, int, list[float]]]:
+    """Rank coarse centroids against the query driver-side — a collect
+    bounded by the centroid count, the same small data movement a
+    broadcast of the centroid table performs."""
+    return sorted(
+        (
+            (
+                sum(
+                    (float(query_vec[i]) - float(r[centroid_vec_col][i])) ** 2
+                    for i in range(len(query_vec))
+                ),
+                r[centroid_id_col],
+                list(r[centroid_vec_col]),
+            )
+            for r in centroids.collect()
+        )
+    )[:nprobe]
+
+
+def _adc_case(
+    ranked: list[tuple[float, int, list[float]]],
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    code_col: str,
+    centroid_id_col: str,
+) -> Column:
+    """Per-list ADC distance: a CASE on ``centroid_id`` selecting that
+    list's residual LUT (the residual query differs per centroid) —
+    nprobe literal m x ksub tables, m ``element_at`` lookups per row,
+    all inside codegen."""
+    dsub = len(codebooks[0][0])
+    m = len(codebooks)
+
+    def lut_for(cvec: list[float]) -> list[list[float]]:
+        rq = [float(q) - float(c) for q, c in zip(query_vec, cvec)]
+        return [
+            [
+                sum((rq[j * dsub + i] - float(c[i])) ** 2 for i in range(dsub))
+                for c in book
+            ]
+            for j, book in enumerate(codebooks)
+        ]
+
+    dist = None
+    for _, cid, cvec in ranked:
+        lut = lut_for(cvec)
+        adc = F.lit(0.0)
+        for j in range(m):
+            lut_col = F.array(*[F.lit(v) for v in lut[j]])
+            adc = adc + F.element_at(lut_col, F.element_at(F.col(code_col), j + 1) + 1)
+        branch = (F.col(centroid_id_col) == F.lit(cid), adc)
+        dist = F.when(*branch) if dist is None else dist.when(*branch)
+    return dist
+
+
 def ivfpq_search(
     encoded: DataFrame,
     centroids: DataFrame,
@@ -155,42 +216,8 @@ def ivfpq_search(
     the top-k stays TakeOrderedAndProject: probed-bytes scan, m lookups
     per row, no shuffle.
     """
-    dsub = len(codebooks[0][0])
-    m = len(codebooks)
-    ranked = sorted(
-        (
-            (
-                sum(
-                    (float(query_vec[i]) - float(r[centroid_vec_col][i])) ** 2
-                    for i in range(len(query_vec))
-                ),
-                r[centroid_id_col],
-                list(r[centroid_vec_col]),
-            )
-            for r in centroids.collect()
-        )
-    )[:nprobe]
-
-    def lut_for(cvec: list[float]) -> list[list[float]]:
-        rq = [float(q) - float(c) for q, c in zip(query_vec, cvec)]
-        return [
-            [
-                sum((rq[j * dsub + i] - float(c[i])) ** 2 for i in range(dsub))
-                for c in book
-            ]
-            for j, book in enumerate(codebooks)
-        ]
-
-    dist = None
-    for _, cid, cvec in ranked:
-        lut = lut_for(cvec)
-        adc = F.lit(0.0)
-        for j in range(m):
-            lut_col = F.array(*[F.lit(v) for v in lut[j]])
-            adc = adc + F.element_at(lut_col, F.element_at(F.col(code_col), j + 1) + 1)
-        branch = (F.col(centroid_id_col) == F.lit(cid), adc)
-        dist = F.when(*branch) if dist is None else dist.when(*branch)
-
+    ranked = _rank_probes(centroids, query_vec, nprobe, centroid_id_col, centroid_vec_col)
+    dist = _adc_case(ranked, query_vec, codebooks, code_col, centroid_id_col)
     probe_ids = [cid for _, cid, _ in ranked]
     cols = list(payload_cols) if payload_cols is not None else [id_col]
     scored = (
@@ -240,3 +267,114 @@ def pq_search(
     scored = encoded.withColumn(distance_col, dist)
     out_cols = cols + ([distance_col] if distance_col not in cols else [])
     return scored.select(*out_cols).orderBy(distance_col, id_col).limit(k)
+
+
+def pq_index_write(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols=None,
+    centroid_id_col: str = "centroid_id",
+) -> None:
+    """Persist the IVFADC index: coarse-assign, PQ-encode the residual,
+    and write ONLY ``(id, payload, pq_code)`` hive-partitioned by
+    ``centroid_id`` — the codes-only artifact (VERDICT r5 #3).
+
+    This is the deployed billion-scale layout (FAISS ``IVFxx,PQm`` on
+    disk): m BYTES per vector instead of 4·d — a 100 TB float corpus
+    shrinks to ~1.5 TB of codes at d=64, m=4 — and one directory per
+    inverted list, so a probe opens ``nprobe`` directories via static
+    ``PartitionFilters`` and unprobed lists cost zero I/O.  The float
+    corpus is NOT duplicated into the index; the exact-rerank stage
+    re-reads only candidate rows from it via a pushed ``In`` filter.
+    Append-maintenance works like ``ann.ivf_index_append`` (centroids
+    and codebooks stay fixed; retrain is the offline rebuild path).
+    """
+    keep = [id_col, *(payload_cols or [])]
+    encoded = ivfpq_encode(
+        corpus, centroids, codebooks,
+        vec_col=vec_col, id_col=id_col, centroid_id_col=centroid_id_col,
+        payload_cols=keep,
+    )
+    encoded.write.mode("overwrite").partitionBy(centroid_id_col).parquet(path)
+
+
+def pq_index_search(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    corpus_df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    oversample: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols=None,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    code_col: str = "pq_code",
+    distance_col: str = "distance",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index, then exact-rerank.
+
+    1. Rank centroids driver-side (collect bounded by the centroid
+       count) and keep ``nprobe`` lists.
+    2. Read the codes artifact with a literal ``isin`` on the partition
+       column — *static* pruning: only probed directories are opened.
+    3. ADC-score each code row against its own list's LUT
+       (:func:`_adc_case` — per-list residual tables, pure codegen) and
+       TakeOrdered down to ``k * oversample`` candidate ids (a bounded
+       collect, the ``sq8_index_search`` contract).
+    4. Exact double-L2 rerank of the candidates against the float
+       corpus via a pushed ``In`` filter (row-group stats prune the
+       re-read), final top-k with the (distance, id) tiebreak.
+    """
+    ranked = _rank_probes(
+        centroids, query_vec, nprobe, centroid_id_col, centroid_vec_col
+    )
+    dist = _adc_case(ranked, query_vec, codebooks, code_col, centroid_id_col)
+    probe_ids = [cid for _, cid, _ in ranked]
+
+    codes = (
+        spark.read.parquet(path)
+        .filter(F.col(centroid_id_col).isin(probe_ids))
+        .withColumn("_adc", dist)
+    )
+    pool = (
+        codes.orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(k * oversample)
+        .select(id_col)
+        .collect()
+    )
+    cand_ids = [r[id_col] for r in pool]
+
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+    exact = (
+        corpus_df.filter(F.col(id_col).isin(cand_ids))
+        .withColumn("_qv", qarr)
+        .withColumn(
+            distance_col,
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.col("_qv"),
+                        lambda a, b: F.pow(a.cast("double") - b, F.lit(2.0)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+        )
+    )
+    cols = [id_col, *(payload_cols or []), distance_col]
+    return (
+        exact.orderBy(F.col(distance_col).asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(*cols)
+    )

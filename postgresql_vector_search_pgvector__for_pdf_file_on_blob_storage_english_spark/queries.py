@@ -4311,6 +4311,200 @@ FROM adc ORDER BY dist, vec_id LIMIT 5
 _register("ann_ivfpq_search", _ann_ivfpq_search, _DD_IVFPQ)
 
 
+# Persisted IVF-PQ (round 6, VERDICT r5 #3): the deployed IVFADC shape —
+# codes-only parquet partitioned by coarse list; probe = static partition
+# prune + per-list ADC LUT + exact rerank via pushed In filter.  Same
+# contract as quant_ivf_sq8_index_search.  The oracle replays the FULL
+# chain (assignment, residual codes, probe, ADC pool, exact rerank) at
+# the honest deployed config (nprobe=2, oversample=10) — recall < 1 at
+# the near-isotropic fixtures is expected and gated bit-exactly, rather
+# than forcing a near-exhaustive probe to make an exact-top-k gate valid.
+_IVFPQ_POOL = 50  # k * oversample
+
+
+def _pq_index_path(sf_dir: str, name: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
+
+
+def _ivfpq_fixture(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    return emb, centroids, books
+
+
+def _ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search the persisted IVF-PQ index: write the codes-only artifact
+    (operators/pq.py::pq_index_write — m bytes/vector, hive-partitioned
+    by coarse list), probe nprobe=2 lists via static PartitionFilters,
+    ADC-score their codes, exact-rerank the 50-candidate pool against
+    the float corpus through a pushed In filter."""
+    from .operators.pq import pq_index_search, pq_index_write
+
+    emb, centroids, books = _ivfpq_fixture(spark, sf_dir)
+    path = _pq_index_path(sf_dir, "ivfpq_index")
+    pq_index_write(emb, centroids, books, path, payload_cols=["label"])
+    q = list(emb.filter(F.col("vec_id") == _PQ_PROBE_ID).first()["embedding"])
+    out = pq_index_search(
+        spark, path, centroids, emb, q, books,
+        k=5, nprobe=_IVFPQ_NPROBE, oversample=10, payload_cols=["label"],
+    )
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+# Shared replay CTEs: coarse assignment -> residual PQ codes (identical
+# fragments to _DD_IVFPQ), then probe, per-list LUT, ADC POOL, exact
+# rerank.  The ADC sum is spelled as an ordered 4-term addition (one
+# pivoted term per subspace) so both engines accumulate in subspace
+# order — a grouped sum() would add in engine-dependent order.
+_DD_IVFPQ_IDX = f"""
+WITH coarse AS (
+  SELECT vec_id AS cc, embedding AS ccv FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+cent AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_PQ_KSUB}),
+cassign AS (
+  SELECT e.vec_id, e.label, e.embedding, co.cc, co.ccv
+  FROM embeddings e, coarse co
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "co.ccv")}, co.cc) = 1
+),
+resid AS (
+  SELECT vec_id, label, cc,
+         list_transform(range(1, {_PQ_M} * {_PQ_DSUB} + 1),
+                        i -> embedding[i]::DOUBLE - ccv[i]::DOUBLE) AS rv
+  FROM cassign
+),
+rpairs AS (
+  SELECT r.vec_id, r.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM resid r, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c
+),
+rcodes AS (
+  SELECT vec_id, cc, j, c AS code FROM rpairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_PQ_PROBE_ID}),
+probe AS (
+  SELECT cc, ccv FROM coarse, q
+  ORDER BY {_dd_l2sq("ccv", "q.qe")}, cc
+  LIMIT {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT p.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           ((q.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+            - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * ((q.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+              - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM probe p, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c, q
+),
+adc AS (
+  SELECT cd.vec_id,
+         max(CASE WHEN cd.j = 0 THEN l.d END)
+         + max(CASE WHEN cd.j = 1 THEN l.d END)
+         + max(CASE WHEN cd.j = 2 THEN l.d END)
+         + max(CASE WHEN cd.j = 3 THEN l.d END) AS dist
+  FROM rcodes cd JOIN lut l ON cd.cc = l.cc AND cd.j = l.j AND cd.code = l.c
+  GROUP BY cd.vec_id
+),
+pool AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT {_IVFPQ_POOL})
+SELECT e.vec_id, e.label, round({_dd_l2("e.embedding", "q.qe")}, 4) AS distance
+FROM embeddings e JOIN pool USING (vec_id), q
+ORDER BY {_dd_l2("e.embedding", "q.qe")}, e.vec_id
+LIMIT 5
+"""
+
+_register("ann_ivfpq_index_search", _ann_ivfpq_index_search, _DD_IVFPQ_IDX)
+
+
+def _ann_ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-size distribution of the persisted IVF-PQ index — same
+    maintenance dial as ann_ivf_index_stats (ivf_index_stats is layout-
+    generic: it reads only the partition column of the codes artifact).
+    The oracle replays the fixed-centroid coarse assignment."""
+    from .operators.ann import ivf_index_stats
+    from .operators.pq import pq_index_write
+
+    emb, centroids, books = _ivfpq_fixture(spark, sf_dir)
+    path = _pq_index_path(sf_dir, "ivfpq_index")
+    pq_index_write(emb, centroids, books, path, payload_cols=["label"])
+    return ivf_index_stats(spark, path).withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
+
+
+_register(
+    "ann_ivfpq_index_stats",
+    _ann_ivfpq_index_stats,
+    dd_sql("""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {nc}
+),
+assigned AS (
+  SELECT e.vec_id, c.centroid_id
+  FROM embeddings e, cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {adist}, c.centroid_id) = 1
+),
+per AS (SELECT centroid_id, count(*) AS n_vectors FROM assigned GROUP BY centroid_id)
+SELECT centroid_id, n_vectors,
+       round(n_vectors / (SELECT sum(n_vectors) FROM per), 4) AS frac
+FROM per
+""", nc=_N_CENTROIDS, adist=_dd_l2("e.embedding", "c.cvec")),
+)
+
+
+def _ann_ivfpq_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness report for the persisted IVF-PQ index: corpus rows not
+    yet encoded into the codes artifact, per target list (index built
+    on a 6/7 subset so staleness is non-vacuous — the ivf staleness
+    contract, on the codes-only layout)."""
+    from .operators.pq import pq_index_write
+
+    emb, centroids, books = _ivfpq_fixture(spark, sf_dir)
+    path = _pq_index_path(sf_dir, "ivfpq_stale")
+    pq_index_write(
+        emb.filter(F.col("vec_id") % 7 != 0), centroids, books, path,
+        payload_cols=["label"],
+    )
+    idx_ids = spark.read.parquet(path).select("vec_id")
+    missing = assign_ivf(emb, centroids).join(idx_ids, "vec_id", "left_anti")
+    return missing.groupBy(
+        F.col("centroid_id").cast("long").alias("centroid_id")
+    ).agg(F.count(F.lit(1)).alias("n_missing"), F.min("vec_id").alias("first_missing"))
+
+
+_register(
+    "ann_ivfpq_index_staleness",
+    _ann_ivfpq_index_staleness,
+    dd_sql("""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {nc}
+),
+assigned AS (
+  SELECT e.vec_id, c.centroid_id
+  FROM embeddings e, cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {adist}, c.centroid_id) = 1
+)
+SELECT centroid_id, count(*) AS n_missing, min(vec_id) AS first_missing
+FROM assigned WHERE vec_id % 7 = 0
+GROUP BY centroid_id
+""", nc=_N_CENTROIDS, adist=_dd_l2("e.embedding", "c.cvec")),
+)
+
+
 # ---- GEMM scale path for pair similarity, same oracle ---------------------
 
 from .operators.dedup import embedding_neardup_pairs_numpy  # noqa: E402

@@ -158,3 +158,117 @@ class TestIvfPq:
             payload_cols=["vec_id", "centroid_id"],
         ).collect()
         assert len({r["centroid_id"] for r in got}) == 1  # one probed list
+
+
+class TestPersistedIvfPq:
+    """Persisted IVF-PQ (VERDICT r5 #3): codes-only artifact, static
+    partition pruning, and exact-rerank search parity."""
+
+    @pytest.fixture(scope="class")
+    def index(self, spark, emb, books, tmp_path_factory):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            pq_index_write,
+        )
+
+        centroids = emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+        pq_index_write(emb, centroids, books, path, payload_cols=["label"])
+        q = list(emb.filter(F.col("vec_id") == 9).first()["embedding"])
+        return centroids, path, q
+
+    def test_codes_only_artifact(self, spark, index):
+        """The persisted table carries ids, payload and m-byte codes —
+        never the float vectors (the 100 TB size win)."""
+        import os
+
+        centroids, path, _ = index
+        dirs = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
+        assert dirs, "index must be hive-partitioned by centroid_id"
+        schema = spark.read.parquet(path).schema
+        assert "embedding" not in schema.fieldNames()
+        assert "pq_code" in schema.fieldNames()
+
+    def test_search_plan_prunes_statically(self, spark, emb, books, index):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            pq_index_search,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            partition_filters,
+        )
+
+        centroids, path, q = index
+        out = pq_index_search(
+            spark, path, centroids, emb, q, books, k=5, nprobe=2,
+            payload_cols=["label"],
+        )
+        # the returned plan is the rerank stage (the codes scan runs in
+        # the bounded pool stage) — assert pruning on the codes scan shape
+        codes = spark.read.parquet(path).filter(F.col("centroid_id").isin([1, 2]))
+        pf = [f for f in partition_filters(codes) if "centroid_id" in f]
+        assert pf, "probe isin must land in PartitionFilters"
+        assert out.count() == 5
+
+    def test_unprobed_partitions_never_opened(self, spark, emb, books, index):
+        """Physically delete every unprobed list directory and re-run:
+        with static pruning the plan never opens them."""
+        import os
+        import shutil as _sh
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            _rank_probes,
+            pq_index_search,
+        )
+
+        centroids, path, q = index
+        want = [
+            (r["vec_id"], round(r["distance"], 4))
+            for r in pq_index_search(
+                spark, path, centroids, emb, q, books, k=5, nprobe=1,
+                payload_cols=["label"],
+            ).collect()
+        ]
+        probed = {
+            f"centroid_id={cid}"
+            for _, cid, _ in _rank_probes(centroids, q, 1, "centroid_id", "centroid_vec")
+        }
+        for d in os.listdir(path):
+            if d.startswith("centroid_id=") and d not in probed:
+                _sh.rmtree(os.path.join(path, d))
+        got = [
+            (r["vec_id"], round(r["distance"], 4))
+            for r in pq_index_search(
+                spark, path, centroids, emb, q, books, k=5, nprobe=1,
+                payload_cols=["label"],
+            ).collect()
+        ]
+        assert got == want
+
+    def test_rerank_distances_are_exact(self, spark, emb, books, index):
+        """Output distances equal the true L2 of the returned ids —
+        the rerank stage reads the float corpus, not the codes."""
+        centroids, path, q = index
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            pq_index_search,
+        )
+
+        out = pq_index_search(
+            spark, path, centroids, emb, q, books, k=5, nprobe=2,
+            payload_cols=["label"],
+        ).collect()
+        lookup = {
+            r["vec_id"]: r["embedding"]
+            for r in emb.filter(
+                F.col("vec_id").isin([x["vec_id"] for x in out])
+            ).collect()
+        }
+        for r in out:
+            true = float(
+                np.linalg.norm(
+                    np.array(lookup[r["vec_id"]], dtype=np.float64)
+                    - np.array(q, dtype=np.float64)
+                )
+            )
+            assert abs(r["distance"] - true) < 1e-9
