@@ -1,0 +1,149 @@
+"""Distributed BPE merge-table training (VERDICT r5 #7).
+
+Byte-pair encoding (Sennrich et al. 2016, public algorithm) learns a
+tokenizer vocabulary by repeatedly merging the most frequent adjacent
+symbol pair.  The scale shape here is the standard one:
+
+* ONE corpus-scale pass builds the (word, freq) working set — a
+  partial-aggregated groupBy whose shuffle is ∝ distinct words, never
+  the token stream;
+* every merge iteration then runs over that distinct-word relation
+  only: count adjacent pairs weighted by word frequency (another
+  map-side-combined groupBy), take the 1-row argmax (a bounded driver
+  collect — the merge table IS driver state, bounded by ``n_merges``),
+  and broadcast the winning pair back as a literal replace;
+* the merge table the loop emits is the artifact a tokenizer ships.
+
+Symbol sequences are encoded as delimited STRINGS, each symbol wrapped
+``\\x1e sym \\x1f``: applying a merge is then one literal
+``replace("\\x1e L \\x1f \\x1e R \\x1f" -> "\\x1e LR \\x1f")``.
+Because every symbol is bracketed, a match can never split a symbol and
+adjacent matches share no characters, so leftmost non-overlapping
+replace == canonical greedy left-to-right BPE application — and both
+Spark's ``replace`` and DuckDB's ``replace`` implement exactly that
+scan, which is what makes the merge loop SQL-replayable for the oracle.
+
+Ties break (count desc, left asc, right asc) — fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SYM_OPEN = "\x1e"
+SYM_CLOSE = "\x1f"
+
+
+def bpe_word_freqs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus-scale pass: ``(term, freq)`` over the engine-wide
+    whitespace tokenization convention (``retrieval.tokenize``)."""
+    from .retrieval import tokenize
+
+    return (
+        tokenize(docs, text_col=text_col, id_col=id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _wrap_chars(term_col) -> F.Column:
+    """word -> delimited char-symbol string: ``\\x1ec1\\x1f\\x1ec2\\x1f...``"""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.split(term_col, ""),
+            lambda c: F.concat(F.lit(SYM_OPEN), c, F.lit(SYM_CLOSE)),
+        ),
+    )
+
+
+def _adjacent_pairs(seq_col_name: str) -> F.Column:
+    """All adjacent symbol pairs of a delimited sequence, as an
+    array<struct<left, right>> (empty for single-symbol words)."""
+    syms = F.split(
+        F.expr(f"substring({seq_col_name}, 2, length({seq_col_name}) - 2)"),
+        SYM_CLOSE + SYM_OPEN,
+    )
+    return F.transform(
+        F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+        lambda s, i: F.struct(
+            s.alias("left"), F.element_at(syms, i + 2).alias("right")
+        ),
+    )
+
+
+def merge_pattern(left: str, right: str) -> tuple[str, str]:
+    """The (search, replacement) literal pair applying one BPE merge to
+    a delimited sequence."""
+    pat = SYM_OPEN + left + SYM_CLOSE + SYM_OPEN + right + SYM_CLOSE
+    rep = SYM_OPEN + left + right + SYM_CLOSE
+    return pat, rep
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    ``(step, left, right, pair_count)`` in learning order.
+
+    Each iteration is two jobs over the DISTINCT-WORD relation (pair
+    count + 1-row argmax collect); the corpus itself is read once, by
+    :func:`bpe_word_freqs`.  At 100 TB: distinct words are the
+    tokenizer working set (millions, not the corpus), each iteration's
+    lineage grows by one literal ``replace`` — checkpoint every ~50
+    steps when training real vocabularies to keep plans flat.  Stops
+    early if no adjacent pair remains."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    cur = bpe_word_freqs(docs, text_col=text_col, id_col=id_col).select(
+        _wrap_chars(F.col("term")).alias("seq"), "freq"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = cur.select(
+            "freq", F.explode(_adjacent_pairs("seq")).alias("p")
+        ).select("freq", "p.left", "p.right")
+        best = (
+            pairs.groupBy("left", "right")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], int(best[0]["pair_count"])
+        merges.append((step, left, right, cnt))
+        pat, rep = merge_pattern(left, right)
+        cur = cur.select(
+            F.replace("seq", F.lit(pat), F.lit(rep)).alias("seq"), "freq"
+        )
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count long"
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    term_col: str = "term",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge list to words: adds ``out_col``
+    array<string> — the trained tokenizer's inference path, a pure
+    codegen chain of literal replaces (zero shuffle, streamable)."""
+    seq = _wrap_chars(F.col(term_col))
+    for left, right in merges:
+        pat, rep = merge_pattern(left, right)
+        seq = F.replace(seq, F.lit(pat), F.lit(rep))
+    syms = F.split(
+        F.substring(seq, 2, F.length(seq) - 2), SYM_CLOSE + SYM_OPEN
+    )
+    return df.withColumn(out_col, syms)

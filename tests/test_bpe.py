@@ -1,0 +1,111 @@
+"""BPE merge training: hand-computed merges on a tiny corpus, parity
+with a pure-Python reference implementation, segmentation round-trip,
+and the delimited-replace == greedy-fold equivalence on overlap-heavy
+words."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.bpe import (
+    bpe_learn_merges,
+    bpe_segment,
+    bpe_word_freqs,
+)
+
+
+def _py_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Reference implementation: greedy left-to-right merge application,
+    (count desc, left asc, right asc) tiebreak."""
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, freq in word_freqs.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, cnt))
+        for w in seqs:
+            s, out = seqs[w], []
+            for sym in s:
+                if out and out[-1] == left and sym == right:
+                    out[-1] = left + right
+                else:
+                    out.append(sym)
+            seqs[w] = out
+    return merges, seqs
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # classic BPE demo corpus: "low lower lowest new newer" with repeats
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+class TestBpeLearn:
+    def test_matches_python_reference(self, spark, tiny):
+        wf = {
+            r["term"]: r["freq"] for r in bpe_word_freqs(tiny).collect()
+        }
+        want, _ = _py_bpe(wf, 6)
+        got = [
+            (r["step"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_learn_merges(tiny, n_merges=6).orderBy("step").collect()
+        ]
+        assert got == want
+
+    def test_first_merge_hand_computed(self, tiny):
+        # pairs: "es" appears in newest(6) + widest(3) = 9 — the max
+        # ("st" ties at 9; 'e' < 's' so (e, s) wins the tiebreak)
+        row = bpe_learn_merges(tiny, n_merges=1).collect()[0]
+        assert (row["left"], row["right"], row["pair_count"]) == ("e", "s", 9)
+
+    def test_overlap_word_greedy_semantics(self, spark):
+        # "aaaa" with merge (a, a): greedy left-to-right -> [aa, aa],
+        # never [aa, a, a] — the delimited-replace encoding must agree
+        # with the reference fold
+        df = spark.createDataFrame([(1, "aaaa aaaa aa")], "doc_id long, text string")
+        merges = [
+            (r["left"], r["right"])
+            for r in bpe_learn_merges(df, n_merges=2).orderBy("step").collect()
+        ]
+        assert merges[0] == ("a", "a")
+        seg = {
+            r["term"]: list(r["bpe_tokens"])
+            for r in bpe_segment(
+                spark.createDataFrame([("aaaa",), ("aaa",)], "term string"),
+                merges[:1],
+            ).collect()
+        }
+        assert seg["aaaa"] == ["aa", "aa"]
+        assert seg["aaa"] == ["aa", "a"]
+
+    def test_early_stop_on_exhausted_pairs(self, spark):
+        # single-char words have no adjacent pairs: table is empty
+        df = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+        assert bpe_learn_merges(df, n_merges=4).count() == 0
+
+    def test_rejects_bad_n_merges(self, tiny):
+        with pytest.raises(ValueError):
+            bpe_learn_merges(tiny, n_merges=0)
+
+    def test_segment_round_trip(self, spark, tiny):
+        # concatenating the learned segmentation reproduces each word
+        merges = [
+            (r["left"], r["right"])
+            for r in bpe_learn_merges(tiny, n_merges=6).orderBy("step").collect()
+        ]
+        words = bpe_word_freqs(tiny).select("term")
+        seg = bpe_segment(words, merges)
+        bad = seg.filter(
+            F.concat_ws("", F.col("bpe_tokens")) != F.col("term")
+        ).count()
+        assert bad == 0
