@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship exact-KNN query at sf0.001.
 ``queries()`` / ``oracle_sql()`` — the engine's operator inventory as
 (PySpark callable, DuckDB oracle) pairs; see
-postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark/queries.py.
+postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark/queries/ (per-family modules).
 """
 
 from __future__ import annotations

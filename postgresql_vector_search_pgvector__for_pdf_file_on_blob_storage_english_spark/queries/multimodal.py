@@ -1,0 +1,230 @@
+# Auto-split from the monolithic queries.py (VERDICT r5 #9);
+# registration side effects run at import, in package order.
+from __future__ import annotations
+
+from ._base import DataFrame, F, SparkSession, _register, _t  # noqa: F401
+# Multimodal columns (operators/multimodal.py): binary media + typed
+# metadata; decode/feature/resize/frame-sample via mapInPandas.  Fixture
+# media is synthesized from `documents` doc_ids with LCG payloads, so
+# the oracle reconstructs every pixel/sample arithmetically.
+# ==========================================================================
+
+from ..operators.multimodal import (  # noqa: E402
+    A_AUD, A_PIX, B_AUD, B_PIX,
+    audio_features, image_features, image_jpeg_roundtrip_check, image_resize,
+    synth_media_df, video_frame_sample,
+)
+
+_DD_IMG_DIMS = """
+dims AS (
+  SELECT doc_id AS media_id,
+         (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h, 3::INT AS c
+  FROM documents
+)
+"""
+
+
+def _mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="image")
+    out = image_features(media)
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_brightness", 4).alias("mean_brightness"),
+        F.round("std_brightness", 4).alias("std_brightness"),
+        "n_pixels",
+    )
+
+
+_DD_MM_IMAGE = f"""
+WITH {_DD_IMG_DIMS},
+px AS (
+  SELECT media_id, w, h, c, i.i,
+         ((media_id * {A_PIX} + i.i * {B_PIX}) % 256)::DOUBLE AS p
+  FROM dims, unnest(range(0, (w * h * c)::BIGINT)) AS i(i)
+)
+SELECT media_id, w AS width, h AS height, c AS channels,
+       round(avg(p), 4) AS mean_brightness,
+       round(sqrt(avg(p * p) - avg(p) * avg(p)), 4) AS std_brightness,
+       count(*)::BIGINT AS n_pixels
+FROM px GROUP BY media_id, w, h, c
+"""
+
+_register("mm_image_features", _mm_image_features, _DD_MM_IMAGE)
+
+
+def _mm_image_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pixels, REAL PNG container: the decode stage runs the vendored
+    stdlib PNG reader (sources/mediacodec.py) instead of the RAW header
+    parse; the oracle is identical because it recomputes pixel stats from
+    the LCG synthesis params, never the bytes."""
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="image", container="real")
+    out = image_features(media)
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_brightness", 4).alias("mean_brightness"),
+        F.round("std_brightness", 4).alias("std_brightness"),
+        "n_pixels",
+    )
+
+
+_register("mm_image_features_png", _mm_image_features_png, _DD_MM_IMAGE)
+
+
+_RESIZE_W, _RESIZE_H = 4, 4
+
+
+def _mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="image")
+    resized = image_resize(media, _RESIZE_W, _RESIZE_H)
+    out = image_features(resized)
+    return out.select(
+        "media_id", "width", "height",
+        F.round("mean_brightness", 4).alias("mean_brightness"),
+        "n_pixels",
+    )
+
+
+# resized pixel (ty, tx, ch) = src pixel (floor(ty*h/H), floor(tx*w/W), ch);
+# flat src index = ((y*w) + x)*c + ch
+_DD_MM_RESIZE = f"""
+WITH {_DD_IMG_DIMS},
+tgt AS (
+  SELECT media_id, w, h, c, ty.ty, tx.tx, ch.ch,
+         ((((ty.ty * h) // {_RESIZE_H}) * w + ((tx.tx * w) // {_RESIZE_W})) * c + ch.ch) AS src_i
+  FROM dims,
+       unnest(range(0, {_RESIZE_H})) AS ty(ty),
+       unnest(range(0, {_RESIZE_W})) AS tx(tx),
+       unnest(range(0, 3)) AS ch(ch)
+)
+SELECT media_id, {_RESIZE_W} AS width, {_RESIZE_H} AS height,
+       round(avg(((media_id * {A_PIX} + src_i * {B_PIX}) % 256)::DOUBLE), 4) AS mean_brightness,
+       count(*)::BIGINT AS n_pixels
+FROM tgt GROUP BY media_id
+"""
+
+_register("mm_image_resize_stats", _mm_image_resize, _DD_MM_RESIZE)
+
+
+def _mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="audio")
+    out = audio_features(media)
+    return out.select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+    )
+
+
+_DD_MM_AUDIO = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id, 16000::INT AS rate, (256 + doc_id % 128)::INT AS n
+  FROM documents
+),
+smp AS (
+  SELECT media_id, rate, n, i.i,
+         (((media_id * {A_AUD} + i.i * {B_AUD}) % 65536) - 32768)::DOUBLE AS s,
+         (CASE WHEN i.i + 1 < n
+               THEN (((media_id * {A_AUD} + (i.i + 1) * {B_AUD}) % 65536) - 32768)::DOUBLE
+          END) AS s_next
+  FROM dims, unnest(range(0, n::BIGINT)) AS i(i)
+)
+SELECT media_id, rate AS sample_rate, n::BIGINT AS n_samples,
+       round(n::DOUBLE / rate, 6) AS duration_s,
+       round(sqrt(avg(s * s)), 4) AS rms,
+       (count(*) FILTER (s_next IS NOT NULL AND ((s >= 0) != (s_next >= 0))))::BIGINT
+         AS zero_crossings
+FROM smp GROUP BY media_id, rate, n
+"""
+
+_register("mm_audio_features", _mm_audio_features, _DD_MM_AUDIO)
+
+
+def _mm_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same samples, REAL WAV container (PCM16 RIFF decode via
+    sources/mediacodec.py); oracle identical — see _mm_image_features_png."""
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="audio", container="real")
+    out = audio_features(media)
+    return out.select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+    )
+
+
+_register("mm_audio_features_wav", _mm_audio_features_wav, _DD_MM_AUDIO)
+
+
+def _mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="video")
+    out = video_frame_sample(media, every=2)
+    return out.select(
+        "media_id", "frame_index", "width", "height",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+_DD_MM_VIDEO = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id, (4 + doc_id % 5)::INT AS f,
+         (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h
+  FROM documents
+),
+frames AS (
+  SELECT media_id, w, h, k.k::INT AS frame_index
+  FROM dims, unnest(range(0, f::BIGINT)) AS k(k)
+  WHERE k.k % 2 = 0
+),
+px AS (
+  SELECT media_id, frame_index, w, h, i.i,
+         (((media_id + frame_index) * {A_PIX} + i.i * {B_PIX}) % 256)::DOUBLE AS p
+  FROM frames, unnest(range(0, (w * h)::BIGINT)) AS i(i)
+)
+SELECT media_id, frame_index, w AS width, h AS height, round(avg(p), 4) AS frame_mean
+FROM px GROUP BY media_id, frame_index, w, h
+"""
+
+_register("mm_video_frame_sample", _mm_video_frames, _DD_MM_VIDEO)
+
+
+def _mm_video_frames_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same frames, REAL ISO-BMFF container: the decode stage runs the
+    vendored MP4 demuxer (sources/mediacodec.py box walk + stsc/stsz/stco
+    sample resolution) instead of the VID1 header parse; oracle identical
+    because it recomputes frame stats from the LCG synthesis params."""
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="video", container="real")
+    out = video_frame_sample(media, every=2)
+    return out.select(
+        "media_id", "frame_index", "width", "height",
+        F.round("frame_mean", 4).alias("frame_mean"),
+    )
+
+
+_register("mm_video_frame_sample_mp4", _mm_video_frames_mp4, _DD_MM_VIDEO)
+
+
+def _mm_image_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG encode->decode bound check over every synthetic
+    image.  JPEG is lossy, so the SQL-replayable contract is the bound,
+    not the pixels: geometry survives exactly and max |err| <= tol at
+    q=100 (all-ones quant tables leave only DCT/color rounding).  The
+    oracle asserts the dims and a literal TRUE — the row hash matches
+    iff the vendored codec (sources/mediacodec.py make_jpeg/read_jpeg)
+    honors the bound for every document."""
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="image")
+    return image_jpeg_roundtrip_check(media, quality=100, tol=5).select(
+        "media_id", "width", "height", "channels", "jpeg_ok"
+    )
+
+
+_DD_MM_JPEG = f"""
+WITH {_DD_IMG_DIMS}
+SELECT media_id, w AS width, h AS height, c AS channels, TRUE AS jpeg_ok
+FROM dims
+"""
+
+_register("mm_image_jpeg_roundtrip", _mm_image_jpeg_roundtrip, _DD_MM_JPEG)
+
+
+# ==========================================================================

@@ -1,0 +1,469 @@
+# Auto-split from the monolithic queries.py (VERDICT r5 #9);
+# registration side effects run at import, in package order.
+from __future__ import annotations
+
+from ._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    _dd_dot,
+    _dd_l2,
+    _dd_l2sq,
+    _register,
+    _t,
+    dd_sql,
+)
+from .ann_ivf_lsh import _N_CENTROIDS, assign_ivf  # noqa: F401
+from .dedup import _DD_NVEC  # noqa: F401
+# Product quantization (operators/pq.py): m=4 subspaces x 16 centroids
+# over the 64-dim fixtures; codebooks = subvectors of the 16 lowest-id
+# corpus vectors, so DuckDB reconstructs codebooks, codes and ADC
+# scores arithmetically.
+# ==========================================================================
+
+from ..operators.pq import fixed_codebooks, pq_encode, pq_search  # noqa: E402
+
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 4, 16, 16
+_PQ_PROBE_ID = 9
+
+_DD_PQ_CODES = f"""
+cent AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_PQ_KSUB}),
+pairs AS (
+  SELECT e.vec_id, e.label, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (e.embedding[j.j * {_PQ_DSUB} + i]::DOUBLE - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * (e.embedding[j.j * {_PQ_DSUB} + i]::DOUBLE - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM embeddings e, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c
+),
+codes AS (
+  SELECT vec_id, label, j, c AS code
+  FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+)
+"""
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    out = pq_encode(emb, books)
+    return out.select(
+        "vec_id", "label",
+        *[F.element_at("pq_code", j + 1).alias(f"code_{j}") for j in range(_PQ_M)],
+    )
+
+
+_register(
+    "pq_encode_codes",
+    _pq_codes,
+    f"""
+WITH {_DD_PQ_CODES}
+SELECT vec_id, any_value(label) AS label,
+       max(CASE WHEN j = 0 THEN code END)::INT AS code_0,
+       max(CASE WHEN j = 1 THEN code END)::INT AS code_1,
+       max(CASE WHEN j = 2 THEN code END)::INT AS code_2,
+       max(CASE WHEN j = 3 THEN code END)::INT AS code_3
+FROM codes GROUP BY vec_id
+""",
+)
+
+
+def _pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    encoded = pq_encode(emb, books).select("vec_id", "label", "pq_code")
+    qvec = emb.filter(F.col("vec_id") == _PQ_PROBE_ID).first()["embedding"]
+    out = pq_search(encoded, list(qvec), books, k=5, payload_cols=["vec_id", "label"])
+    return out.select("vec_id", "label", F.round("adc_dist_sq", 4).alias("adc_dist_sq"))
+
+
+_register(
+    "pq_adc_search_top5",
+    _pq_adc_search,
+    f"""
+WITH {_DD_PQ_CODES},
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_PQ_PROBE_ID}),
+lut AS (
+  SELECT c.c, j.j::INT AS j,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (q.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * (q.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM cent c, (SELECT unnest(range(0, {_PQ_M})) AS j) j, q
+),
+adc AS (
+  SELECT cd.vec_id, any_value(cd.label) AS label, sum(l.d) AS dist
+  FROM codes cd JOIN lut l ON cd.j = l.j AND cd.code = l.c
+  GROUP BY cd.vec_id
+)
+SELECT vec_id, label, round(dist, 4) AS adc_dist_sq
+FROM adc ORDER BY dist, vec_id LIMIT 5
+""",
+)
+
+
+# IVF-PQ: coarse quantizer + residual PQ codes + per-list ADC — the
+# composed billion-scale index.  Same deterministic stand-ins (coarse
+# centroids AND PQ codebooks from the lowest-id vectors), so the full
+# assign -> residual -> encode -> probe -> ADC chain replays in SQL.
+_IVFPQ_NPROBE = 2
+
+
+def _ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_encode, ivfpq_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    encoded = ivfpq_encode(emb, centroids, books, payload_cols=["vec_id", "label"])
+    qvec = list(emb.filter(F.col("vec_id") == _PQ_PROBE_ID).first()["embedding"])
+    out = ivfpq_search(
+        encoded, centroids, qvec, books, k=5, nprobe=_IVFPQ_NPROBE,
+        payload_cols=["vec_id", "label", "centroid_id"],
+    )
+    return out.select(
+        "vec_id", "label", "centroid_id", F.round("adc_dist_sq", 4).alias("adc_dist_sq")
+    )
+
+
+_DD_IVFPQ = f"""
+WITH coarse AS (
+  SELECT vec_id AS cc, embedding AS ccv FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+cent AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_PQ_KSUB}),
+cassign AS (
+  SELECT e.vec_id, e.label, e.embedding, co.cc, co.ccv
+  FROM embeddings e, coarse co
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "co.ccv")}, co.cc) = 1
+),
+resid AS (
+  SELECT vec_id, label, cc,
+         list_transform(range(1, {_PQ_M} * {_PQ_DSUB} + 1),
+                        i -> embedding[i]::DOUBLE - ccv[i]::DOUBLE) AS rv
+  FROM cassign
+),
+rpairs AS (
+  SELECT r.vec_id, r.label, r.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM resid r, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c
+),
+rcodes AS (
+  SELECT vec_id, label, cc, j, c AS code FROM rpairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_PQ_PROBE_ID}),
+probe AS (
+  SELECT cc, ccv FROM coarse, q
+  ORDER BY {_dd_l2sq("ccv", "q.qe")}, cc
+  LIMIT {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT p.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           ((q.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+            - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * ((q.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+              - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM probe p, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c, q
+),
+adc AS (
+  SELECT cd.vec_id, any_value(cd.label) AS label, any_value(cd.cc) AS centroid_id,
+         sum(l.d) AS dist
+  FROM rcodes cd JOIN lut l ON cd.cc = l.cc AND cd.j = l.j AND cd.code = l.c
+  GROUP BY cd.vec_id
+)
+SELECT vec_id, label, centroid_id, round(dist, 4) AS adc_dist_sq
+FROM adc ORDER BY dist, vec_id LIMIT 5
+"""
+
+_register("ann_ivfpq_search", _ann_ivfpq_search, _DD_IVFPQ)
+
+
+# Persisted IVF-PQ (round 6, VERDICT r5 #3): the deployed IVFADC shape —
+# codes-only parquet partitioned by coarse list; probe = static partition
+# prune + per-list ADC LUT + exact rerank via pushed In filter.  Same
+# contract as quant_ivf_sq8_index_search.  The oracle replays the FULL
+# chain (assignment, residual codes, probe, ADC pool, exact rerank) at
+# the honest deployed config (nprobe=2, oversample=10) — recall < 1 at
+# the near-isotropic fixtures is expected and gated bit-exactly, rather
+# than forcing a near-exhaustive probe to make an exact-top-k gate valid.
+_IVFPQ_POOL = 50  # k * oversample
+
+
+def _pq_index_path(sf_dir: str, name: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
+
+
+def _ivfpq_fixture(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    return emb, centroids, books
+
+
+def _ann_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search the persisted IVF-PQ index: write the codes-only artifact
+    (operators/pq.py::pq_index_write — m bytes/vector, hive-partitioned
+    by coarse list), probe nprobe=2 lists via static PartitionFilters,
+    ADC-score their codes, exact-rerank the 50-candidate pool against
+    the float corpus through a pushed In filter."""
+    from ..operators.pq import pq_index_search, pq_index_write
+
+    emb, centroids, books = _ivfpq_fixture(spark, sf_dir)
+    path = _pq_index_path(sf_dir, "ivfpq_index")
+    pq_index_write(emb, centroids, books, path, payload_cols=["label"])
+    q = list(emb.filter(F.col("vec_id") == _PQ_PROBE_ID).first()["embedding"])
+    out = pq_index_search(
+        spark, path, centroids, emb, q, books,
+        k=5, nprobe=_IVFPQ_NPROBE, oversample=10, payload_cols=["label"],
+    )
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+# Shared replay CTEs: coarse assignment -> residual PQ codes (identical
+# fragments to _DD_IVFPQ), then probe, per-list LUT, ADC POOL, exact
+# rerank.  The ADC sum is spelled as an ordered 4-term addition (one
+# pivoted term per subspace) so both engines accumulate in subspace
+# order — a grouped sum() would add in engine-dependent order.
+_DD_IVFPQ_IDX = f"""
+WITH coarse AS (
+  SELECT vec_id AS cc, embedding AS ccv FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+cent AS (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_PQ_KSUB}),
+cassign AS (
+  SELECT e.vec_id, e.label, e.embedding, co.cc, co.ccv
+  FROM embeddings e, coarse co
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "co.ccv")}, co.cc) = 1
+),
+resid AS (
+  SELECT vec_id, label, cc,
+         list_transform(range(1, {_PQ_M} * {_PQ_DSUB} + 1),
+                        i -> embedding[i]::DOUBLE - ccv[i]::DOUBLE) AS rv
+  FROM cassign
+),
+rpairs AS (
+  SELECT r.vec_id, r.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM resid r, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c
+),
+rcodes AS (
+  SELECT vec_id, cc, j, c AS code FROM rpairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_PQ_PROBE_ID}),
+probe AS (
+  SELECT cc, ccv FROM coarse, q
+  ORDER BY {_dd_l2sq("ccv", "q.qe")}, cc
+  LIMIT {_IVFPQ_NPROBE}
+),
+lut AS (
+  SELECT p.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           ((q.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+            - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * ((q.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+              - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM probe p, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c, q
+),
+adc AS (
+  SELECT cd.vec_id,
+         max(CASE WHEN cd.j = 0 THEN l.d END)
+         + max(CASE WHEN cd.j = 1 THEN l.d END)
+         + max(CASE WHEN cd.j = 2 THEN l.d END)
+         + max(CASE WHEN cd.j = 3 THEN l.d END) AS dist
+  FROM rcodes cd JOIN lut l ON cd.cc = l.cc AND cd.j = l.j AND cd.code = l.c
+  GROUP BY cd.vec_id
+),
+pool AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT {_IVFPQ_POOL})
+SELECT e.vec_id, e.label, round({_dd_l2("e.embedding", "q.qe")}, 4) AS distance
+FROM embeddings e JOIN pool USING (vec_id), q
+ORDER BY {_dd_l2("e.embedding", "q.qe")}, e.vec_id
+LIMIT 5
+"""
+
+_register("ann_ivfpq_index_search", _ann_ivfpq_index_search, _DD_IVFPQ_IDX)
+
+
+def _ann_ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-size distribution of the persisted IVF-PQ index — same
+    maintenance dial as ann_ivf_index_stats (ivf_index_stats is layout-
+    generic: it reads only the partition column of the codes artifact).
+    The oracle replays the fixed-centroid coarse assignment."""
+    from ..operators.ann import ivf_index_stats
+    from ..operators.pq import pq_index_write
+
+    emb, centroids, books = _ivfpq_fixture(spark, sf_dir)
+    path = _pq_index_path(sf_dir, "ivfpq_index")
+    pq_index_write(emb, centroids, books, path, payload_cols=["label"])
+    return ivf_index_stats(spark, path).withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
+
+
+_register(
+    "ann_ivfpq_index_stats",
+    _ann_ivfpq_index_stats,
+    dd_sql("""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {nc}
+),
+assigned AS (
+  SELECT e.vec_id, c.centroid_id
+  FROM embeddings e, cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {adist}, c.centroid_id) = 1
+),
+per AS (SELECT centroid_id, count(*) AS n_vectors FROM assigned GROUP BY centroid_id)
+SELECT centroid_id, n_vectors,
+       round(n_vectors / (SELECT sum(n_vectors) FROM per), 4) AS frac
+FROM per
+""", nc=_N_CENTROIDS, adist=_dd_l2("e.embedding", "c.cvec")),
+)
+
+
+def _ann_ivfpq_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness report for the persisted IVF-PQ index: corpus rows not
+    yet encoded into the codes artifact, per target list (index built
+    on a 6/7 subset so staleness is non-vacuous — the ivf staleness
+    contract, on the codes-only layout)."""
+    from ..operators.pq import pq_index_write
+
+    emb, centroids, books = _ivfpq_fixture(spark, sf_dir)
+    path = _pq_index_path(sf_dir, "ivfpq_stale")
+    pq_index_write(
+        emb.filter(F.col("vec_id") % 7 != 0), centroids, books, path,
+        payload_cols=["label"],
+    )
+    idx_ids = spark.read.parquet(path).select("vec_id")
+    missing = assign_ivf(emb, centroids).join(idx_ids, "vec_id", "left_anti")
+    return missing.groupBy(
+        F.col("centroid_id").cast("long").alias("centroid_id")
+    ).agg(F.count(F.lit(1)).alias("n_missing"), F.min("vec_id").alias("first_missing"))
+
+
+_register(
+    "ann_ivfpq_index_staleness",
+    _ann_ivfpq_index_staleness,
+    dd_sql("""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {nc}
+),
+assigned AS (
+  SELECT e.vec_id, c.centroid_id
+  FROM embeddings e, cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {adist}, c.centroid_id) = 1
+)
+SELECT centroid_id, count(*) AS n_missing, min(vec_id) AS first_missing
+FROM assigned WHERE vec_id % 7 = 0
+GROUP BY centroid_id
+""", nc=_N_CENTROIDS, adist=_dd_l2("e.embedding", "c.cvec")),
+)
+
+
+# ---- GEMM scale path for pair similarity, same oracle ---------------------
+
+from ..operators.dedup import embedding_neardup_pairs_numpy  # noqa: E402
+
+
+def _similar_pairs_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs_numpy(emb, block_col="label", threshold=-1.0)
+    return pairs.orderBy(F.col("cosine_sim").desc(), "id_a", "id_b").limit(20)
+
+
+_register(
+    "similarity_top_pairs_numpy",
+    _similar_pairs_topk_numpy,
+    f"""
+WITH sets AS (SELECT vec_id, label, {dd_sql(_DD_NVEC, v="embedding")} AS nvec FROM embeddings)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       round({_dd_dot("l.nvec", "r.nvec")}, 4) AS cosine_sim
+FROM sets l JOIN sets r ON l.label = r.label AND l.vec_id < r.vec_id
+ORDER BY {_dd_dot("l.nvec", "r.nvec")} DESC, id_a, id_b
+LIMIT 20
+""",
+)
+
+
+def _tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_register(
+    "tpch_q6_forecast_revenue",
+    _tpch_q6_forecast_revenue,
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+
+
+def _tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_register(
+    "tpch_q14_promo_revenue",
+    _tpch_q14_promo_revenue,
+    """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+
+
+# ==========================================================================

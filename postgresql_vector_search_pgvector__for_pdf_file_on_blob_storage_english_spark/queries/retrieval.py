@@ -1,0 +1,483 @@
+# Auto-split from the monolithic queries.py (VERDICT r5 #9);
+# registration side effects run at import, in package order.
+from __future__ import annotations
+
+from ._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    Window,
+    _DD_NORMALIZE,
+    _dd_l2,
+    _register,
+    _t,
+    dd_sql,
+    knn,
+    knn_join,
+    normalize_whitespace_col,
+)
+# Full-text retrieval: BM25 and hybrid lexical+vector fusion.
+# The reference searches by vector only (SSEOpenAIController.java:315-316);
+# BM25 + RRF is the standard lexical complement a switching user expects.
+# ==========================================================================
+
+from ..operators.retrieval import bm25_topk, rrf_fuse, with_rank  # noqa: E402
+
+_BM25_TERMS = ["spark", "vector", "join"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+# Tokenization twin of the Spark side: normalize whitespace, split, lower.
+_DD_TOKENS = f"""
+tokens AS (
+  SELECT doc_id, lower(w) AS term
+  FROM (SELECT doc_id, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+)
+"""
+
+_DD_BM25_SCORED = f"""
+WITH {_DD_TOKENS},
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_len),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN ({{terms}}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({_BM25_K1} + 1.0)
+           / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)) AS s
+  FROM tf
+  JOIN doc_len USING (doc_id)
+  CROSS JOIN corpus
+  JOIN dfreq USING (term)
+),
+bm25 AS (
+  SELECT doc_id, sum(s) AS bm25 FROM scored GROUP BY doc_id
+)
+"""
+
+_DD_TERMS_LIST = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+
+
+def _bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over `documents` for a fixed 3-term query —
+    all native expressions; df/corpus stats broadcast
+    (operators/retrieval.py)."""
+    out = bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+    return out.select("doc_id", F.round("bm25", 4).alias("bm25"))
+
+
+_register(
+    "bm25_topk_docs",
+    _bm25_topk_docs,
+    dd_sql(_DD_BM25_SCORED, terms=_DD_TERMS_LIST)
+    + """
+SELECT doc_id, round(bm25, 4) AS bm25 FROM bm25
+ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+)
+
+
+# Batched BM25 (r5): term sets chosen with nonzero df at every fixture.
+_BM25_QUERIES = {
+    0: ["spark", "vector", "join"],
+    1: ["data", "query", "table"],
+    2: ["stream", "batch"],
+}
+
+
+def _bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 (operators/retrieval.py::bm25_topk_join): corpus
+    stats computed once, shared by all queries through a broadcast
+    (query_id, term) relation."""
+    from ..operators.retrieval import bm25_topk_join
+
+    out = bm25_topk_join(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=10)
+    return out.select("query_id", "rank", "doc_id", F.round("bm25", 4).alias("bm25"))
+
+
+_DD_BM25_QREL = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, terms in sorted(_BM25_QUERIES.items())
+    for t in sorted(set(terms))
+)
+_DD_BM25_ALL_TERMS = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+)
+
+_DD_BM25_BATCH = dd_sql(
+    """
+WITH {tokens},
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_len),
+qrel(query_id, term) AS (VALUES {qrel}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({k1} + 1.0)
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS s
+  FROM tf
+  JOIN doc_len USING (doc_id)
+  CROSS JOIN corpus
+  JOIN dfreq USING (term)
+  JOIN qrel q USING (term)
+),
+bm AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM scored GROUP BY query_id, doc_id)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank,
+       doc_id, round(bm25, 4) AS bm25
+FROM bm
+QUALIFY rank <= 10
+""",
+    # NB: at this point in the module _DD_TOKENS is the tokens-CTE
+    # fragment (the earlier token-stats SQL of the same name was
+    # captured by its _register before this rebinding).
+    tokens=_DD_TOKENS,
+    qrel=_DD_BM25_QREL,
+    terms=_DD_BM25_ALL_TERMS,
+    k1=_BM25_K1,
+    b=_BM25_B,
+)
+
+_register("bm25_topk_batch", _bm25_batch, _DD_BM25_BATCH)
+
+
+def _eval_bm25_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-retrieval evaluation (the BM25 twin of ``eval_knn_mrr``):
+    every ~97th document's own tokens (positions 2/4/6 of the
+    normalized split) form its query, and the document itself is THE
+    relevant result.  Fully relational (VERDICT r5 #2): the qrel is a
+    DataFrame handed straight to ``bm25_topk_join`` — nothing scales
+    with the corpus on the driver.  Misses count 0."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(normalize_whitespace_col("text")), " ")
+    sel = (
+        docs.select("doc_id", words.alias("_w"))
+        .filter((F.col("doc_id") % 97 == 3) & (F.size("_w") >= 6))
+        .select(
+            "doc_id",
+            F.lower(F.col("_w")[1]).alias("t1"),
+            F.lower(F.col("_w")[3]).alias("t2"),
+            F.lower(F.col("_w")[5]).alias("t3"),
+        )
+    )
+    qrel = sel.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array("t1", "t2", "t3")).alias("term"),
+    )
+    from ..operators.retrieval import bm25_topk_join
+
+    hits = bm25_topk_join(docs, qrel, k=10)
+    found = hits.filter(F.col("doc_id") == F.col("query_id")).select("query_id", "rank")
+    qdf = sel.select(F.col("doc_id").alias("query_id"))
+    return qdf.join(found, "query_id", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("rank").isNotNull().cast("long")).alias("n_found_top10"),
+        F.round(F.avg(F.coalesce(1.0 / F.col("rank"), F.lit(0.0))), 4).alias("mrr"),
+        F.round(
+            F.avg(F.coalesce((F.col("rank") <= 5).cast("double"), F.lit(0.0))), 4
+        ).alias("recall_at_5"),
+    )
+
+
+_DD_EVAL_BM25 = dd_sql(
+    """
+WITH {tokens},
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_len),
+sel AS (
+  SELECT doc_id, string_split(trim(norm), ' ') AS words
+  FROM (SELECT doc_id, {normtext} AS norm FROM documents)
+  WHERE doc_id % 97 = 3 AND len(string_split(trim(norm), ' ')) >= 6
+),
+qrel AS (
+  SELECT doc_id AS query_id, lower(words[2]) AS term FROM sel
+  UNION SELECT doc_id, lower(words[4]) FROM sel
+  UNION SELECT doc_id, lower(words[6]) FROM sel
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM qrel) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({k1} + 1.0)
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS s
+  FROM tf
+  JOIN doc_len USING (doc_id)
+  CROSS JOIN corpus
+  JOIN dfreq USING (term)
+  JOIN qrel q USING (term)
+),
+bm AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM scored GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+  FROM bm QUALIFY rank <= 10
+),
+found AS (SELECT query_id, rank FROM ranked WHERE doc_id = query_id)
+SELECT count(*) AS n_queries,
+       sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_found_top10,
+       round(avg(coalesce(1.0 / f.rank, 0.0)), 4) AS mrr,
+       round(avg(CASE WHEN f.rank <= 5 THEN 1.0 ELSE 0.0 END), 4) AS recall_at_5
+FROM sel LEFT JOIN found f ON sel.doc_id = f.query_id
+""",
+    tokens=_DD_TOKENS,
+    normtext=dd_sql(_DD_NORMALIZE, col="text"),
+    k1=_BM25_K1,
+    b=_BM25_B,
+)
+
+_register("eval_bm25_mrr", _eval_bm25_mrr, _DD_EVAL_BM25)
+
+
+_RRF_C = 60  # reciprocal-rank constant, shared by the hybrid entry below
+
+
+def _eval_hybrid_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval evaluation — the capstone of the retrieval
+    story: for every sampled document both a LEXICAL query (its own
+    tokens, as in ``eval_bm25_mrr``) and a VECTOR query (its perturbed
+    embedding, as in ``eval_knn_mrr``; doc_id == vec_id in the
+    fixtures), the two top-10 lists fused by reciprocal rank
+    (c={rrf_c}), and MRR / recall@5 of the document itself under the
+    FUSED ranking.  Shows the engine can measure whether fusion
+    actually helps before a deployment flips it on.""".format(rrf_c=_RRF_C)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    words = F.split(F.trim(normalize_whitespace_col("text")), " ")
+    sel = (
+        docs.select("doc_id", words.alias("_w"))
+        .filter((F.col("doc_id") % 97 == 3) & (F.size("_w") >= 6))
+        .select(
+            "doc_id",
+            F.lower(F.col("_w")[1]).alias("t1"),
+            F.lower(F.col("_w")[3]).alias("t2"),
+            F.lower(F.col("_w")[5]).alias("t3"),
+        )
+    )
+    qrel = sel.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array("t1", "t2", "t3")).alias("term"),
+    )
+    from ..operators.retrieval import bm25_topk_join
+
+    bm_hits = bm25_topk_join(docs, qrel, k=10).select(
+        "query_id", "doc_id", F.col("rank").alias("_r_bm")
+    )
+    qvecs = (
+        emb.join(
+            sel.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(
+                F.col("embedding"), lambda x: (x.cast("double") * 1.01).cast("float")
+            ).alias("query_vec"),
+        )
+    )
+    knn_hits = knn_join(emb, qvecs, k=10, metric="l2", payload_cols=["vec_id"]).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("_r_knn")
+    )
+    fused = (
+        bm_hits.join(knn_hits, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "_rrf",
+            F.coalesce(1.0 / (F.lit(_RRF_C) + F.col("_r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_C) + F.col("_r_knn")), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rrf").desc(), "doc_id")
+    ranked = fused.withColumn("rank", F.row_number().over(w))
+    found = ranked.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", "rank"
+    )
+    qdf = sel.select(F.col("doc_id").alias("query_id"))
+    return qdf.join(found, "query_id", "left").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("rank").isNotNull().cast("long")).alias("n_found"),
+        F.round(F.avg(F.coalesce(1.0 / F.col("rank"), F.lit(0.0))), 4).alias("mrr"),
+        F.round(
+            F.avg(F.coalesce((F.col("rank") <= 5).cast("double"), F.lit(0.0))), 4
+        ).alias("recall_at_5"),
+    )
+
+
+_DD_EVAL_HYBRID = dd_sql(
+    """
+WITH {tokens},
+doc_len AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_len),
+sel AS (
+  SELECT doc_id, string_split(trim(norm), ' ') AS words
+  FROM (SELECT doc_id, {normtext} AS norm FROM documents)
+  WHERE doc_id % 97 = 3 AND len(string_split(trim(norm), ' ')) >= 6
+),
+qrel AS (
+  SELECT doc_id AS query_id, lower(words[2]) AS term FROM sel
+  UNION SELECT doc_id, lower(words[4]) FROM sel
+  UNION SELECT doc_id, lower(words[6]) FROM sel
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tokens
+  WHERE term IN (SELECT term FROM qrel) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({k1} + 1.0)
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) AS s
+  FROM tf
+  JOIN doc_len USING (doc_id)
+  CROSS JOIN corpus
+  JOIN dfreq USING (term)
+  JOIN qrel q USING (term)
+),
+bm AS (SELECT query_id, doc_id, sum(s) AS bm25 FROM scored GROUP BY query_id, doc_id),
+bm_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r_bm
+  FROM bm QUALIFY r_bm <= 10
+),
+qv AS (
+  SELECT s.doc_id AS query_id,
+         list_transform(e.embedding, x -> (x::DOUBLE * 1.01)::FLOAT) AS qvec
+  FROM sel s JOIN embeddings e ON e.vec_id = s.doc_id
+),
+knn_ranked AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY {dist}, e.vec_id) AS r_knn
+  FROM embeddings e, qv q
+  QUALIFY r_knn <= 10
+),
+fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / ({c} + a.r_bm), 0.0)
+           + coalesce(1.0 / ({c} + b.r_knn), 0.0) AS rrf
+  FROM bm_ranked a
+  FULL OUTER JOIN knn_ranked b ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+),
+found AS (SELECT query_id, rank FROM ranked WHERE doc_id = query_id)
+SELECT count(*) AS n_queries,
+       sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+       round(avg(coalesce(1.0 / f.rank, 0.0)), 4) AS mrr,
+       round(avg(CASE WHEN f.rank <= 5 THEN 1.0 ELSE 0.0 END), 4) AS recall_at_5
+FROM sel LEFT JOIN found f ON sel.doc_id = f.query_id
+""",
+    tokens=_DD_TOKENS,
+    normtext=dd_sql(_DD_NORMALIZE, col="text"),
+    k1=_BM25_K1,
+    b=_BM25_B,
+    c=_RRF_C,
+    dist=_dd_l2("e.embedding", "q.qvec"),
+)
+
+_register("eval_hybrid_rrf_mrr", _eval_hybrid_mrr, _DD_EVAL_HYBRID)
+
+
+def _bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query/contract as ``bm25_topk_docs`` but served from a
+    *persisted* inverted index (operators/retrieval.py::
+    bm25_index_write): postings hive-partitioned by a stable md5 term
+    bucket, probe buckets computed driver-side so the scan prunes
+    statically (PartitionFilters) — the Lucene-shaped offline/online
+    split the 100 TB lexical story needs.  Identical scoring math and
+    tiebreak as the scan path, so same oracle by construction."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.retrieval import bm25_index_search, bm25_index_write
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_index_{tag}")
+    bm25_index_write(docs, path, n_buckets=32)
+    out = bm25_index_search(spark, path, _BM25_TERMS, k=10, n_buckets=32)
+    return out.select("doc_id", F.round("bm25", 4).alias("bm25"))
+
+
+_register(
+    "bm25_index_search",
+    _bm25_index_search,
+    dd_sql(_DD_BM25_SCORED, terms=_DD_TERMS_LIST)
+    + """
+SELECT doc_id, round(bm25, 4) AS bm25 FROM bm25
+ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+)
+
+
+_HYBRID_POOL = 20  # per-list candidate depth before fusion
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: exact-KNN top-20 (probe vec_id=0, L2) fused
+    with BM25 top-20 by reciprocal rank, top-10 out.  doc_id and vec_id
+    are the same key in the fixtures (TESTDATA.md: one embedding per
+    document)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    knn_out = knn(emb, q, k=_HYBRID_POOL, metric="l2", payload_cols=["vec_id"])
+    ranked_knn = with_rank(knn_out, [F.col("distance"), F.col("vec_id")]).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    bm25_out = bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=_HYBRID_POOL)
+    ranked_bm25 = with_rank(bm25_out, [F.col("bm25").desc(), F.col("doc_id")]).select(
+        "doc_id", "rank"
+    )
+    fused = rrf_fuse(ranked_knn, ranked_bm25, k=10, c=_RRF_C)
+    return fused.select("doc_id", F.round("rrf", 6).alias("rrf"))
+
+
+_register(
+    "hybrid_rrf_knn_bm25",
+    _hybrid_rrf,
+    dd_sql(_DD_BM25_SCORED, terms=_DD_TERMS_LIST)
+    + f""",
+knn_pool AS (
+  SELECT e.vec_id AS doc_id, {_dd_l2("e.embedding", "q.qe")} AS dist
+  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+  ORDER BY dist, e.vec_id
+  LIMIT {_HYBRID_POOL}
+),
+knn_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS rank FROM knn_pool
+),
+bm25_pool AS (
+  SELECT doc_id, bm25 FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {_HYBRID_POOL}
+),
+bm25_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM bm25_pool
+),
+fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / ({_RRF_C} + a.rank), 0.0)
+           + coalesce(1.0 / ({_RRF_C} + b.rank), 0.0) AS rrf
+  FROM knn_ranked a FULL OUTER JOIN bm25_ranked b USING (doc_id)
+)
+SELECT doc_id, round(rrf, 6) AS rrf FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+)
+
+
+# ==========================================================================

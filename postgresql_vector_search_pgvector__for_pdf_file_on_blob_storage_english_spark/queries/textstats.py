@@ -1,0 +1,141 @@
+# Auto-split from the monolithic queries.py (VERDICT r5 #9);
+# registration side effects run at import, in package order.
+from __future__ import annotations
+
+from ._base import DataFrame, F, SparkSession, _DD_NORMALIZE, _register, _t, dd_sql  # noqa: F401
+from .dedup import (  # noqa: F401
+    BPE_REGEX,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+# Text analysis: language ID, quality, token stats, fingerprint
+# (operators/textstats.py)
+# ==========================================================================
+
+def _dd_marker_hits(padded: str, words: list[str]) -> str:
+    return " + ".join(f"(len(string_split({padded}, ' {w} ')) - 1)" for w in words)
+
+
+def _langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+_DD_PADDED = "(' ' || " + dd_sql(_DD_NORMALIZE, col="text") + " || ' ')"
+_LANGS_SORTED = sorted(LANG_MARKERS)
+_DD_LANG_SCORES = ", ".join(
+    f"({_dd_marker_hits('padded', LANG_MARKERS[lang])}) AS s_{lang}" for lang in _LANGS_SORTED
+)
+_DD_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = best THEN '{lang}'" for lang in _LANGS_SORTED
+    )
+    + " ELSE 'und' END"
+)
+
+_DD_LANGID = f"""
+WITH p AS (SELECT doc_id, {_DD_PADDED} AS padded FROM documents),
+s AS (SELECT doc_id, {_DD_LANG_SCORES} FROM p),
+b AS (SELECT *, greatest({", ".join("s_" + lang for lang in _LANGS_SORTED)}) AS best FROM s)
+SELECT doc_id, {_DD_LANG_CASE} AS pred_lang, best::BIGINT AS marker_hits FROM b
+"""
+
+_register("text_language_id", _langid, _DD_LANGID)
+
+
+def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a relation: the language-ID confusion
+    matrix against the fixture's ground-truth ``lang`` column —
+    (truth, prediction, count), the table a pipeline logs to decide
+    whether the heuristic is good enough for routing.  Pure composition:
+    ``language_id`` with the truth column passed through, one
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs, keep_cols=("lang",))
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+_register(
+    "text_langid_confusion",
+    _langid_confusion,
+    f"""
+WITH p AS (SELECT doc_id, lang, {_DD_PADDED} AS padded FROM documents),
+s AS (SELECT doc_id, lang, {_DD_LANG_SCORES} FROM p),
+b AS (SELECT *, greatest({", ".join("s_" + lang for lang in _LANGS_SORTED)}) AS best FROM s)
+SELECT lang, {_DD_LANG_CASE} AS pred_lang, count(*) AS n
+FROM b GROUP BY 1, 2
+""",
+)
+
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+_DD_QUALITY = f"""
+WITH n AS (
+  SELECT doc_id, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents
+),
+f AS (
+  SELECT doc_id,
+         length(norm) AS n_chars,
+         len(string_split(trim(norm), ' ')) AS n_words,
+         ({_dd_marker_hits("(' ' || norm || ' ')", STOPWORDS_EN)}) AS stop_hits,
+         length(regexp_replace(norm, '[A-Za-z0-9 ]', '', 'g')) AS n_sym
+  FROM n
+),
+r AS (
+  SELECT doc_id, n_chars, n_words,
+         (n_chars - (n_words - 1))::DOUBLE / n_words AS avg_word_len,
+         stop_hits::DOUBLE / n_words AS stopword_ratio,
+         n_sym::DOUBLE / n_chars AS symbol_ratio
+  FROM f
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+       round(avg_word_len, 4) AS avg_word_len,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(symbol_ratio, 4) AS symbol_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.4
+             + least(stopword_ratio * 5.0, 1.0) * 0.3
+             + (1.0 - least(symbol_ratio * 10.0, 1.0)) * 0.3, 4) AS quality
+FROM r
+"""
+
+_register("text_quality_score", _quality, _DD_QUALITY)
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+_DD_TOKENS = f"""
+WITH n AS (SELECT doc_id, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents)
+SELECT doc_id,
+       len(string_split(trim(norm), ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(norm, '{BPE_REGEX}'))::BIGINT AS bpe_tokens,
+       round(length(norm)::DOUBLE / len(regexp_extract_all(norm, '{BPE_REGEX}')), 4) AS chars_per_token
+FROM n
+"""
+
+_register("text_token_stats", _tokens, _DD_TOKENS)
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_DD_FINGERPRINT = f"""
+WITH n AS (SELECT doc_id, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fingerprint,
+       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fingerprint60
+FROM n
+"""
+
+_register("text_fingerprint", _fingerprint, _DD_FINGERPRINT)
+
+
+# ==========================================================================

@@ -1,0 +1,249 @@
+# Auto-split from the monolithic queries.py (VERDICT r5 #9);
+# registration side effects run at import, in package order.
+from __future__ import annotations
+
+from ._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    Window,
+    _DD_NORMALIZE,
+    _register,
+    _t,
+    dd_sql,
+    normalize_whitespace_col,
+)
+# Corpus statistics for tokenizer/vocab training and batch packing.
+# ==========================================================================
+
+def _vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: distinct words with document and total
+    frequencies, min-df filtered, top-200 — the wordpiece-precursor
+    scan.  explode -> two-level agg; the shuffle key is the word."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(normalize_whitespace_col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.groupBy("w")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy(F.col("tf").desc(), "w")
+        .limit(200)
+    )
+
+
+_register(
+    "vocab_top_words",
+    _vocab_top_words,
+    f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+)
+SELECT w, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM words GROUP BY w HAVING count(DISTINCT doc_id) >= 5
+ORDER BY tf DESC, w LIMIT 200
+""",
+)
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped TF-IDF: the 3 most characteristic terms per language —
+    term frequency within the language group times global inverse
+    document frequency (ln(N/df)).  The per-group keyword extraction a
+    corpus report runs.  Tokenization is the engine-wide normalize+split
+    convention; ranking uses the UNROUNDED score (bit-identical in both
+    engines: integer tf, one ln, one multiply) with a term tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(normalize_whitespace_col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        words.select("doc_id", "w").distinct().groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("_n") / F.col("df")))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(F.col("score").desc(), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "rank", "w", "tf", "df", F.round("score", 4).alias("tfidf"))
+    )
+
+
+_register(
+    "text_tfidf_top_terms_per_lang",
+    _tfidf_top_terms,
+    f"""
+WITH words AS (
+  SELECT doc_id, lang, w
+  FROM (SELECT doc_id, lang, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+),
+tf AS (SELECT lang, w, count(*) AS tf FROM words GROUP BY lang, w),
+df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM words) GROUP BY w),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.lang, tf.w, tf.tf, df.df, tf.tf * ln(n.n_docs / df.df) AS score
+  FROM tf JOIN df USING (w), n
+)
+SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY score DESC, w) AS rank,
+       w, tf, df, round(score, 4) AS tfidf
+FROM scored
+QUALIFY rank <= 3
+""",
+)
+
+
+def _bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram counts (language-model n-gram statistics)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(normalize_whitespace_col("text")), " ")
+    staged = docs.select("doc_id", words.alias("_w"))
+    k = F.size("_w") - 1
+    bigrams = staged.select(
+        F.explode(
+            F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.element_at("_w", i), F.element_at("_w", i + 1)),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram").limit(100)
+    )
+
+
+_register(
+    "bigram_counts_top100",
+    _bigram_counts,
+    f"""
+WITH w AS (
+  SELECT string_split(trim({dd_sql(_DD_NORMALIZE, col="text")}), ' ') AS ws FROM documents
+),
+bg AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+  FROM w, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+)
+SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 100
+""",
+)
+
+
+def _length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for padded-batch packing: docs binned
+    by token count into power-of-2 buckets, with per-bucket stats the
+    batch planner needs (count, token sum, padding waste)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(normalize_whitespace_col("text")), " "))
+    bucket = F.pow(F.lit(2.0), F.ceil(F.log2(n_tok.cast("double")))).cast("long")
+    staged = docs.select(n_tok.alias("n_tok"), bucket.alias("bucket"))
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            (F.sum(F.col("bucket") - F.col("n_tok"))).cast("long").alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_register(
+    "length_bucket_packing",
+    _length_buckets,
+    f"""
+WITH t AS (
+  SELECT len(string_split(trim({dd_sql(_DD_NORMALIZE, col="text")}), ' ')) AS n_tok
+  FROM documents
+),
+b AS (SELECT n_tok, (2 ** ceil(log2(n_tok)))::BIGINT AS bucket FROM t)
+SELECT bucket, count(*) AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
+       sum(bucket - n_tok)::BIGINT AS padding_waste
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+
+
+# ==========================================================================
+# Subquery shapes: scalar subquery + correlated EXISTS (Catalyst's
+# decorrelation exercised through the SQL surface).
+# ==========================================================================
+
+def _subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM _orders_sq
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM _orders_sq)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+        """
+    )
+
+
+_register(
+    "subquery_scalar_above_avg",
+    _subquery_scalar,
+    """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+)
+
+
+def _tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_q4")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM _orders_q4
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM _lineitem_q4
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_register(
+    "tpch_q4_order_priority",
+    _tpch_q4_order_priority,
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+
+
+# ==========================================================================
