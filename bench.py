@@ -61,6 +61,9 @@ HEADLINE = [
     "tpch_q8_market_share",  # r5: widest join tree in the suite (7 relations)
     "sessionize_events_30m",
     "pipeline_e2e_ingest_knn",
+    "ann_ivfpq_index_search",  # r6: persisted IVFADC (codes-only build + pruned probe)
+    "vocab_bpe_merges",  # r6: iterative BPE merge loop (6 rounds over distinct words)
+    "orders_rfm_segmentation",  # r6: three two-pass global-rank ntile cuts (no 1-partition window)
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%
