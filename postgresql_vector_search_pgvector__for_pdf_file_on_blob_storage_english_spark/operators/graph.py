@@ -1,0 +1,101 @@
+"""Iterative graph analytics: PageRank in fixed-point integer arithmetic.
+
+PageRank (Page et al. 1999, public algorithm) is the canonical
+iterative join+aggregate workload: each iteration is
+
+    contrib(u -> v) = rank(u) / outdeg(u)
+    rank'(v)        = (1 - d) / N + d * sum of incoming contribs
+
+Scale shape: ``edges`` join ``ranks`` on src (shuffle keyed by src),
+then a partial-aggregated groupBy dst — both map-side combinable, both
+linear in |E| per iteration; the rank relation is |V|-sized.  No
+driver-side state beyond the iteration counter.
+
+**Fixed-point arithmetic is the determinism contract**: ranks are
+BIGINT nano-units (UNIT = 1e9).  Every division is an exact integer
+floor ``(x - x % y) / y`` and every aggregation is a sum of longs —
+associative and order-free — so the result is bit-identical across
+partitionings, engines, and replays (a float PageRank would differ in
+ulps with summation order, poisoning a hash-compare oracle).  The mass
+lost to floors (and to dangling nodes, which are given no out-edges
+here — the standard simplification) only damps ranks uniformly; the
+RANKING is the product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 1_000_000_000  # 1.0 of rank, in nano-units
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer floor division for non-negative longs, written so
+    Spark and DuckDB evaluate it identically: the numerator is reduced
+    to an exact multiple, making the double division exact."""
+    return ((a - a % b) / b).cast("long")
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank; returns ``(node, rank_units)`` for every
+    node appearing in ``edges`` (either side), ``rank_units`` in
+    nano-units of probability mass.
+
+    ``damping_pct`` is an integer percentage (85 = the classic 0.85) so
+    the damping step stays in integer arithmetic.  Each iteration adds
+    one join + one aggregate to the lineage; for hundreds of iterations
+    checkpoint periodically (same note as BPE training).
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    if n_iters < 0:
+        raise ValueError(f"n_iters must be >= 0, got {n_iters}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("_outdeg")
+    )
+
+    # rank_0 = UNIT / N for every node; base = (100 - d) * UNIT / (100 N)
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "node", _idiv(F.lit(UNIT), F.col("_n")).alias("rank_units")
+    )
+    base = _idiv(F.lit((100 - damping_pct) * UNIT), F.lit(100) * F.col("_n"))
+
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(F.broadcast(outdeg.withColumnRenamed("node", "src")), "src")
+            .select(
+                F.col("dst").alias("node"),
+                _idiv(F.col("rank_units"), F.col("_outdeg")).alias("_c"),
+            )
+        )
+        incoming = contrib.groupBy("node").agg(F.sum("_c").alias("_in"))
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                (
+                    base
+                    + _idiv(
+                        F.lit(damping_pct) * F.coalesce(F.col("_in"), F.lit(0)),
+                        F.lit(100),
+                    )
+                ).alias("rank_units"),
+            )
+        )
+    return ranks

@@ -1,0 +1,95 @@
+# ==========================================================================
+# Iterative graph analytics (round 6) — fixed-point PageRank over the
+# customer<->supplier trade graph (operators/graph.py).  Edges = distinct
+# (custkey, suppkey) trading pairs from orders x lineitem, both
+# directions, nodes namespaced 2k / 2k+1.  Integer nano-unit arithmetic
+# makes every iteration's sums order-free, so the DuckDB oracle replays
+# the loop as unrolled MATERIALIZED CTE stages (the BPE-oracle pattern)
+# and the rank table is bit-identical.
+# ==========================================================================
+from __future__ import annotations
+
+from ._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    _register,
+    _t,
+)
+
+_PR_ITERS = 5
+_PR_UNIT = 1_000_000_000
+_PR_TOP = 20
+
+
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes of the trade graph by fixed-point PageRank — "which
+    customers and suppliers sit at the center of the order network".
+    Scale shape: one distinct-pair aggregate over lineitem x orders,
+    then 5 iterations of (edges join ranks) + partial-agg groupBy —
+    linear in |E| per iteration, no driver state, no floats."""
+    from ..operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, n_iters=_PR_ITERS)
+    return (
+        ranks.orderBy(F.col("rank_units").desc(), "node")
+        .limit(_PR_TOP)
+        .select("node", "rank_units")
+    )
+
+
+def _dd_pagerank_sql(n_iters: int) -> str:
+    u = _PR_UNIT
+    head = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS MATERIALIZED (
+  SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * s + 1, 2 * c FROM pairs
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+od AS MATERIALIZED (SELECT src AS node, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(({u} - {u} % nn.n) / nn.n AS BIGINT) AS r FROM nodes, nn
+),"""
+    steps = []
+    for i in range(1, n_iters + 1):
+        steps.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST((({15 * u}) - ({15 * u}) % (100 * nn.n)) / (100 * nn.n) AS BIGINT)
+         + CAST(((85 * coalesce(inc.s, 0)) - (85 * coalesce(inc.s, 0)) % 100) / 100 AS BIGINT) AS r
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST((p.r - p.r % od.outdeg) / od.outdeg AS BIGINT)) AS BIGINT) AS s
+    FROM e JOIN r{i - 1} p ON e.src = p.node JOIN od ON od.node = e.src
+    GROUP BY e.dst
+  ) inc ON inc.node = nodes.node
+  CROSS JOIN nn
+),""")
+    body = (head + "".join(steps)).rstrip(",")
+    return f"""{body}
+SELECT node, r AS rank_units
+FROM r{n_iters}
+ORDER BY r DESC, node
+LIMIT {_PR_TOP}
+"""
+
+
+_register("graph_pagerank_trade", _graph_pagerank, _dd_pagerank_sql(_PR_ITERS))
