@@ -378,3 +378,30 @@ def pq_index_search(
         .limit(k)
         .select(*cols)
     )
+
+
+def pq_index_append(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols=None,
+    centroid_id_col: str = "centroid_id",
+) -> None:
+    """Incrementally maintain a persisted IVF-PQ index: coarse-assign
+    the batch, PQ-encode its residuals, append into the matching list
+    directories.  Coarse centroids AND codebooks stay fixed (the
+    IVFADC contract — retrain + rebuild is the offline path), so the
+    appended codes are bit-identical to what a bulk rebuild over the
+    union would produce, maintenance cost tracks the batch, and this
+    is directly usable as a streaming ``foreachBatch`` body
+    (streaming/index_stream.py::stream_into_pq_index)."""
+    keep = [id_col, *(payload_cols or [])]
+    encoded = ivfpq_encode(
+        new_vectors, centroids, codebooks,
+        vec_col=vec_col, id_col=id_col, centroid_id_col=centroid_id_col,
+        payload_cols=keep,
+    )
+    encoded.write.mode("append").partitionBy(centroid_id_col).parquet(path)

@@ -467,3 +467,52 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-0
 
 
 # ==========================================================================
+
+
+def _stream_pq_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF-PQ index maintenance through the driver gate:
+    embeddings arrive as 2 micro-batched files, each batch coarse-
+    assigned + residual-encoded + appended into the codes-only index
+    (streaming/index_stream.py::stream_into_pq_index), then the drained
+    index is probed.  Centroids and codebooks are fixed, so
+    append-equals-rebuild holds exactly and the oracle is the SAME full
+    ADC-replay SQL as the bulk ann_ivfpq_index_search — the streaming
+    codepath is held to the batch answer, not a weaker rows-only check
+    (tests/test_streaming_index.py proves the invariant per-batch)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.pq import pq_index_search
+    from ..streaming.index_stream import stream_into_pq_index
+
+    emb, centroids, books = _ivfpq_fixture(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_pqidx_{tag}")
+    src = os.path.join(base, "src")
+    idx = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/f0")
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_into_pq_index(
+        stream, centroids, books, idx, checkpoint=ckpt, payload_cols=["label"]
+    )
+    q.awaitTermination(120)
+
+    qv = list(emb.filter(F.col("vec_id") == _PQ_PROBE_ID).first()["embedding"])
+    out = pq_index_search(
+        spark, idx, centroids, emb, qv, books,
+        k=5, nprobe=_IVFPQ_NPROBE, oversample=10, payload_cols=["label"],
+    )
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+_register("stream_pq_index_replay", _stream_pq_index_replay, _DD_IVFPQ_IDX)

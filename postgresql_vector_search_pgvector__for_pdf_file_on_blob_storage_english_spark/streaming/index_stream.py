@@ -76,3 +76,37 @@ def stream_into_bm25_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_pq_index(
+    stream: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    payload_cols=None,
+):
+    """readStream of (vec_id, embedding, ...) -> per-batch coarse
+    assignment + residual PQ encoding + append into the codes-only
+    IVF-PQ index (operators/pq.py::pq_index_append).  Centroids and
+    codebooks stay fixed across batches, so every appended code equals
+    what a bulk rebuild would produce — append-equals-rebuild holds
+    through the streaming codepath, and probes interleaved with
+    ingestion stay exact for the corpus seen so far."""
+    from ..operators.pq import pq_index_append
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pq_index_append(
+            batch_df, centroids, codebooks, path,
+            vec_col=vec_col, id_col=id_col, payload_cols=payload_cols,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -85,3 +85,49 @@ class TestStreamIntoBm25Index:
         assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
         for x, y in zip(a, b):
             assert x["bm25"] == pytest.approx(y["bm25"], rel=1e-12)
+
+
+class TestStreamIntoPqIndex:
+    def test_drained_stream_equals_bulk_build(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            fixed_codebooks,
+            pq_index_search,
+            pq_index_write,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.index_stream import (
+            stream_into_pq_index,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        books = fixed_codebooks(emb, m=4, ksub=16)
+        src = str(tmp_path / "src")
+        emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/f0")
+        emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        streamed = str(tmp_path / "streamed")
+        q = stream_into_pq_index(
+            stream, centroids, books, streamed,
+            checkpoint=str(tmp_path / "ckpt"), payload_cols=["label"],
+        )
+        q.awaitTermination(120)
+
+        bulk = str(tmp_path / "bulk")
+        pq_index_write(emb, centroids, books, bulk, payload_cols=["label"])
+        qv = list(emb.filter(F.col("vec_id") == PROBE_ID).first()["embedding"])
+        a = pq_index_search(
+            spark, streamed, centroids, emb, qv, books, k=5, nprobe=2
+        ).collect()
+        b = pq_index_search(
+            spark, bulk, centroids, emb, qv, books, k=5, nprobe=2
+        ).collect()
+        assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+        for x, y in zip(a, b):
+            assert x["distance"] == pytest.approx(y["distance"], rel=1e-12)
