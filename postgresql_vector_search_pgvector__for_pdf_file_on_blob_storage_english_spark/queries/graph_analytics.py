@@ -93,3 +93,66 @@ LIMIT {_PR_TOP}
 
 
 _register("graph_pagerank_trade", _graph_pagerank, _dd_pagerank_sql(_PR_ITERS))
+
+
+# ==========================================================================
+# Z-order layout skipping report (round 6) — the operators/layout.py
+# zorder_write machinery was tests-only (real-footer pruning gates in
+# test_layout.py); this entry puts the Morton arithmetic itself under
+# the CORRECTNESS gate with fully deterministic quantization (modulo /
+# day-offset instead of engine-specific approxQuantile), and the report
+# states the skipping property: every z-range bucket bounds BOTH
+# dimensions, so min/max file stats prune on either predicate.
+# ==========================================================================
+
+_Z_BITS = 8  # 256 x 256 grid -> 16-bit z
+_Z_BUCKETS = 16
+
+
+def _layout_zorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import _morton2
+
+    orders = _t(spark, sf_dir, "orders")
+    ck = (F.col("o_custkey") % (1 << _Z_BITS)).cast("long")
+    dd = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        % (1 << _Z_BITS)
+    ).cast("long")
+    z = _morton2(ck, dd, _Z_BITS)
+    step = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+    staged = orders.select(ck.alias("ck"), dd.alias("dd"), z.alias("z"))
+    return (
+        staged.groupBy(((F.col("z") - F.col("z") % step) / step).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("dd").alias("min_dd"),
+            F.max("dd").alias("max_dd"),
+        )
+    )
+
+
+def _dd_zorder_sql() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((ck >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"(((dd >> {i}) & 1) * {1 << (2 * i + 1)})")
+    zexpr = " + ".join(terms)
+    step = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+    return f"""
+WITH q AS (
+  SELECT (o_custkey % {1 << _Z_BITS})::BIGINT AS ck,
+         (date_diff('day', DATE '1992-01-01', o_orderdate) % {1 << _Z_BITS})::BIGINT AS dd
+  FROM orders
+),
+z AS (SELECT ck, dd, ({zexpr})::BIGINT AS z FROM q)
+SELECT CAST((z - z % {step}) / {step} AS BIGINT) AS zbucket,
+       count(*) AS n_rows,
+       min(ck) AS min_ck, max(ck) AS max_ck,
+       min(dd) AS min_dd, max(dd) AS max_dd
+FROM z GROUP BY 1
+"""
+
+
+_register("layout_zorder_report", _layout_zorder_report, _dd_zorder_sql())
