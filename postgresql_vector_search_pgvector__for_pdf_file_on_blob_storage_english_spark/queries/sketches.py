@@ -1,0 +1,72 @@
+# ==========================================================================
+# Sketch summaries (round 6) — count-min over the document token stream
+# (operators/sketch.py).  Fixed d x w integer state for an unbounded
+# term domain; estimates never underestimate.  Everything is stable-md5
+# hashing + long counts, so the DuckDB oracle replays the sketch AND
+# the estimates bit-exactly alongside the exact counts.
+# ==========================================================================
+from __future__ import annotations
+
+from ._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    _register,
+    _t,
+)
+from .retrieval import _DD_TOKENS
+
+_CM_DEPTH, _CM_WIDTH = 4, 256
+_CM_PROBES = ["spark", "vector", "join", "data", "query", "table", "stream", "batch"]
+
+
+def _sketch_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the sketch over every corpus token, then point-estimate 8
+    probe terms next to their exact counts — the (est >= exact) gap IS
+    the report.  Shuffle: d*w cells for the build (never the distinct
+    term domain), broadcast cells for the probe."""
+    from ..operators.retrieval import tokenize
+    from ..operators.sketch import countmin_build, countmin_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = tokenize(docs)
+    sk = countmin_build(tokens, "term", depth=_CM_DEPTH, width=_CM_WIDTH)
+    probes = spark.createDataFrame([(t,) for t in _CM_PROBES], "key string")
+    est = countmin_estimate(sk, probes, depth=_CM_DEPTH, width=_CM_WIDTH)
+    exact = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, est.key == exact.term, "left")
+        .select(
+            F.col("key").alias("term"),
+            "est",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+        )
+    )
+
+
+_DD_CM_HASH = "(('0x' || substr(md5('cm' || i.i || '§' || {key}), 1, 8))::BIGINT % {w})"
+
+_DD_COUNTMIN = f"""
+WITH {_DD_TOKENS},
+dims AS (SELECT unnest(range(0, {_CM_DEPTH})) AS i),
+cells AS MATERIALIZED (
+  SELECT i.i AS row, {_DD_CM_HASH.format(key="term", w=_CM_WIDTH)} AS col, count(*) AS cnt
+  FROM tokens, dims i
+  GROUP BY 1, 2
+),
+probes(key) AS (VALUES {", ".join(f"('{t}')" for t in _CM_PROBES)}),
+pcell AS (
+  SELECT key, i.i AS row, {_DD_CM_HASH.format(key="key", w=_CM_WIDTH)} AS col
+  FROM probes, dims i
+),
+est AS (
+  SELECT key, min(coalesce(cnt, 0)) AS est
+  FROM pcell LEFT JOIN cells USING (row, col)
+  GROUP BY key
+),
+exact AS (SELECT term, count(*) AS n FROM tokens GROUP BY term)
+SELECT key AS term, est, coalesce(n, 0) AS exact_count
+FROM est LEFT JOIN exact ON term = key
+"""
+
+_register("sketch_countmin_terms", _sketch_countmin_terms, _DD_COUNTMIN)

@@ -1,0 +1,73 @@
+"""Count-min sketch: never underestimates, exact at generous width,
+merge-by-addition property, determinism, and argument guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+    countmin_build,
+    countmin_estimate,
+)
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    # zipf-ish: term t_i appears (60 - i) times
+    rows = [(f"t{i}",) for i in range(50) for _ in range(60 - i)]
+    return spark.createDataFrame(rows, "term string")
+
+
+class TestCountMin:
+    def test_never_underestimates_and_bounded(self, spark, tokens):
+        sk = countmin_build(tokens, "term", depth=4, width=64)
+        exact = {r["term"]: r["n"] for r in tokens.groupBy("term").agg(F.count("*").alias("n")).collect()}
+        probes = spark.createDataFrame([(t,) for t in exact], "key string")
+        est = {r["key"]: r["est"] for r in countmin_estimate(sk, probes, depth=4, width=64).collect()}
+        n_total = sum(exact.values())
+        for t, e in exact.items():
+            assert est[t] >= e  # CMS overestimates, never under
+            assert est[t] <= e + 2 * n_total / 64 * 4  # loose sanity bound
+
+    def test_exact_at_generous_width(self, spark, tokens):
+        # width >> distinct keys: collisions vanish, estimate == exact
+        sk = countmin_build(tokens, "term", depth=4, width=4096)
+        exact = {r["term"]: r["n"] for r in tokens.groupBy("term").agg(F.count("*").alias("n")).collect()}
+        probes = spark.createDataFrame([(t,) for t in exact], "key string")
+        est = {r["key"]: r["est"] for r in countmin_estimate(sk, probes, depth=4, width=4096).collect()}
+        assert est == exact
+
+    def test_absent_key_small_estimate(self, spark, tokens):
+        sk = countmin_build(tokens, "term", depth=4, width=4096)
+        probes = spark.createDataFrame([("never-seen",)], "key string")
+        est = countmin_estimate(sk, probes, depth=4, width=4096).collect()[0]["est"]
+        assert est == 0  # no collisions at this width
+
+    def test_merge_is_cellwise_addition(self, spark, tokens):
+        # sketch(A union B) == cell-wise sum of sketch(A) and sketch(B)
+        a = tokens.filter(F.length("term") <= 2)   # t0..t9
+        b = tokens.filter(F.length("term") > 2)    # t10..t49
+        sa = countmin_build(a, "term", depth=3, width=32)
+        sb = countmin_build(b, "term", depth=3, width=32)
+        merged = (
+            sa.union(sb).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+        )
+        full = countmin_build(tokens, "term", depth=3, width=32)
+        got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+        want = {(r["row"], r["col"]): r["cnt"] for r in full.collect()}
+        assert got == want
+
+    def test_partitioning_invariant(self, spark, tokens):
+        want = {(r["row"], r["col"]): r["cnt"] for r in countmin_build(tokens, "term", depth=2, width=16).collect()}
+        got = {
+            (r["row"], r["col"]): r["cnt"]
+            for r in countmin_build(tokens.repartition(13), "term", depth=2, width=16).collect()
+        }
+        assert got == want
+
+    def test_rejects_bad_args(self, tokens):
+        with pytest.raises(ValueError):
+            countmin_build(tokens, "term", depth=0)
+        with pytest.raises(ValueError):
+            countmin_build(tokens, "term", width=0)
