@@ -405,3 +405,123 @@ def pq_index_append(
         payload_cols=keep,
     )
     encoded.write.mode("append").partitionBy(centroid_id_col).parquet(path)
+
+
+def ivfpq_search_join(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    code_col: str = "pq_code",
+    distance_col: str = "adc_dist_sq",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Batched IVF-PQ ADC search: N queries amortized over ONE pass of
+    the codes — the PQ twin of ``quant.sq8_knn_join``.
+
+    Unlike :func:`ivfpq_search` (single query, driver-side literal LUT),
+    the per-query/per-list lookup tables are computed IN-PLAN: probed
+    (query, list) pairs come from a partitioned rank window over the
+    broadcast centroid table, each pair explodes into its m x ksub LUT
+    rows against the literal codebook array, and codes join the LUT on
+    (list, subspace, code).  Everything stays relational — no collect,
+    no per-query recompilation — so the query side can be a DataFrame
+    of any size.  The ADC sum is an ordered per-subspace addition
+    (conditional aggregates), keeping scores bit-identical across
+    engines and partitionings.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    book = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in bookj])
+            for bookj in codebooks
+        ]
+    )
+
+    from pyspark.sql import Window
+
+    qv, cv = F.col(query_vec_col), F.col(centroid_vec_col)
+    cdist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m * dsub)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.pow(F.element_at(qv, i).cast("double") - F.element_at(cv, i).cast("double"), F.lit(2.0)),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("_cd").asc(), F.col(centroid_id_col).asc())
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_cd", cdist)
+        .withColumn("_rc", F.row_number().over(wq))
+        .filter(F.col("_rc") <= nprobe)
+        .select(query_id_col, centroid_id_col, query_vec_col, centroid_vec_col)
+    )
+
+    j_col, c_col = F.col("_j"), F.col("_c")
+    resid_d = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dsub)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.pow(
+            (
+                F.element_at(qv, (j_col * dsub + i).cast("int")).cast("double")
+                - F.element_at(cv, (j_col * dsub + i).cast("int")).cast("double")
+            )
+            - F.element_at(F.element_at(F.element_at(book, (j_col + 1).cast("int")), (c_col + 1).cast("int")), i.cast("int")),
+            F.lit(2.0),
+        ),
+    )
+    lut = (
+        probed.select(
+            query_id_col,
+            centroid_id_col,
+            query_vec_col,
+            centroid_vec_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_j"),
+        )
+        .select(
+            query_id_col,
+            centroid_id_col,
+            query_vec_col,
+            centroid_vec_col,
+            "_j",
+            F.explode(F.sequence(F.lit(0), F.lit(ksub - 1))).alias("_c"),
+        )
+        .select(
+            query_id_col, centroid_id_col, "_j", "_c", resid_d.alias("_d")
+        )
+    )
+
+    enc = encoded.select(
+        id_col,
+        centroid_id_col,
+        F.posexplode(code_col).alias("_j", "_code"),
+    )
+    joined = enc.join(
+        F.broadcast(lut),
+        (enc[centroid_id_col] == lut[centroid_id_col])
+        & (enc["_j"] == lut["_j"])
+        & (enc["_code"] == lut["_c"]),
+    ).select(F.col(query_id_col), enc[id_col].alias(id_col), enc["_j"].alias("_jj"), F.col("_d"))
+    # ordered per-subspace addition: deterministic regardless of group order
+    adc = joined.groupBy(query_id_col, id_col).agg(
+        sum(
+            (F.sum(F.when(F.col("_jj") == j, F.col("_d"))) for j in range(1, m)),
+            F.sum(F.when(F.col("_jj") == 0, F.col("_d"))),
+        ).alias(distance_col)
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.col(distance_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        adc.withColumn(rank_col, F.row_number().over(wk))
+        .filter(F.col(rank_col) <= k)
+    )

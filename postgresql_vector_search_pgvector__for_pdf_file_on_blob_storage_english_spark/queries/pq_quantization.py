@@ -516,3 +516,151 @@ def _stream_pq_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("stream_pq_index_replay", _stream_pq_index_replay, _DD_IVFPQ_IDX)
+
+
+# ==========================================================================
+# IVF-PQ recall sweep (round 6) — the quality dial for the new persisted
+# IVFADC family: batched RELATIONAL ADC search (operators/pq.py::
+# ivfpq_search_join — in-plan per-query LUTs, no driver literals, N
+# queries in one codes pass) measured against the exact top-5 at
+# nprobe 1/2/4.  Complements ann_recall_sweep (IVF + LSH) and turns
+# "how lossy is the compressed probe" into a gated relation.  On the
+# near-isotropic fixtures the measured recall is LOW and nprobe-flat
+# (~0.2: 4-byte residual codes carry little signal when variance is
+# spread evenly) — which is precisely the honest reading, and why
+# pq_index_search always exact-reranks an oversampled pool instead of
+# trusting raw ADC order; trained (k-means) codebooks on clustered
+# real data are the quality path.
+# ==========================================================================
+
+_PQR_QMOD, _PQR_QRES = 97, 9
+_PQR_NPROBES = (1, 2, 4)
+
+
+def _ann_ivfpq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_encode, ivfpq_search_join
+
+    emb, centroids, books = _ivfpq_fixture(spark, sf_dir)
+    enc = ivfpq_encode(emb, centroids, books, payload_cols=["vec_id"])
+    queries = emb.filter(F.col("vec_id") % _PQR_QMOD == _PQR_QRES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("_nq"))
+
+    from pyspark.sql import Window
+
+    qv = F.col("query_vec")
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), qv, lambda a, b: F.pow(a.cast("double") - b.cast("double"), F.lit(2.0))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    we = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+    exact5 = (
+        emb.crossJoin(F.broadcast(queries))
+        .withColumn("_d", l2)
+        .withColumn("_rk", F.row_number().over(we))
+        .filter(F.col("_rk") <= 5)
+        .select("query_id", "vec_id")
+    )
+
+    parts = []
+    for np_ in _PQR_NPROBES:
+        hits = ivfpq_search_join(
+            enc, centroids, queries, books, k=5, nprobe=np_
+        ).select("query_id", "vec_id")
+        matched = hits.join(exact5, ["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).alias("_m")
+        )
+        parts.append(
+            matched.crossJoin(F.broadcast(nq)).select(
+                F.lit(np_).alias("nprobe"),
+                F.col("_nq").alias("n_queries"),
+                F.round(F.col("_m") / (5.0 * F.col("_nq")), 4).alias("recall_at_5"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+_DD_IVFPQ_RECALL = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id % {_PQR_QMOD} = {_PQR_QRES}
+),
+nq AS (SELECT count(*)::BIGINT AS nq FROM q),
+exact5 AS MATERIALIZED (
+  SELECT q.qid, e.vec_id FROM embeddings e CROSS JOIN q
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid ORDER BY {_dd_l2("e.embedding", "q.qe")}, e.vec_id) <= 5
+),
+coarse AS MATERIALIZED (
+  SELECT vec_id AS cc, embedding AS ccv FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+cent AS MATERIALIZED (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_PQ_KSUB}),
+cassign AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, co.cc, co.ccv
+  FROM embeddings e, coarse co
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "co.ccv")}, co.cc) = 1
+),
+resid AS MATERIALIZED (
+  SELECT vec_id, cc,
+         list_transform(range(1, {_PQ_M} * {_PQ_DSUB} + 1),
+                        i -> embedding[i]::DOUBLE - ccv[i]::DOUBLE) AS rv
+  FROM cassign
+),
+rpairs AS MATERIALIZED (
+  SELECT r.vec_id, r.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM resid r, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c
+),
+rcodes AS MATERIALIZED (
+  SELECT vec_id, cc, j, c AS code FROM rpairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+),
+cranked AS MATERIALIZED (
+  SELECT q.qid, co.cc, co.ccv, q.qe,
+         row_number() OVER (
+           PARTITION BY q.qid ORDER BY {_dd_l2sq("co.ccv", "q.qe")}, co.cc) AS rc
+  FROM coarse co CROSS JOIN q
+  QUALIFY rc <= {max(_PQR_NPROBES)}
+),
+lutq AS MATERIALIZED (
+  SELECT p.qid, p.cc, p.rc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           ((p.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+            - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * ((p.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+              - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM cranked p, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c
+),
+adcq AS MATERIALIZED (
+  SELECT l.qid, cd.vec_id, max(l.rc) AS rc,
+         max(CASE WHEN cd.j = 0 THEN l.d END)
+         + max(CASE WHEN cd.j = 1 THEN l.d END)
+         + max(CASE WHEN cd.j = 2 THEN l.d END)
+         + max(CASE WHEN cd.j = 3 THEN l.d END) AS dist
+  FROM rcodes cd JOIN lutq l ON cd.cc = l.cc AND cd.j = l.j AND cd.code = l.c
+  GROUP BY l.qid, cd.vec_id
+),
+{", ".join(chr(10) + f'''sel{np} AS (
+  SELECT qid, vec_id FROM adcq WHERE rc <= {np}
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) <= 5
+)''' for np in _PQR_NPROBES)}
+{" UNION ALL ".join(f'''
+SELECT {np} AS nprobe, nq.nq AS n_queries,
+       round((SELECT count(*) FROM sel{np} s JOIN exact5 x
+              ON s.qid = x.qid AND s.vec_id = x.vec_id) / (5.0 * nq.nq), 4) AS recall_at_5
+FROM nq''' for np in _PQR_NPROBES)}
+"""
+
+_register("ann_ivfpq_recall_sweep", _ann_ivfpq_recall_sweep, _DD_IVFPQ_RECALL)

@@ -272,3 +272,41 @@ class TestPersistedIvfPq:
                 )
             )
             assert abs(r["distance"] - true) < 1e-9
+
+
+class TestIvfPqBatched:
+    def test_batched_matches_single_query(self, spark, emb, books):
+        """ivfpq_search_join's in-plan LUT path must score identically
+        to the single-query literal-LUT ivfpq_search."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            ivfpq_encode,
+            ivfpq_search,
+            ivfpq_search_join,
+        )
+
+        centroids = emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        enc = ivfpq_encode(emb, centroids, books, payload_cols=["vec_id"])
+        queries = emb.filter(F.col("vec_id").isin([9, 203])).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        batch = ivfpq_search_join(enc, centroids, queries, books, k=5, nprobe=2)
+        for qid in (9, 203):
+            q = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+            single = [
+                (r["vec_id"], round(r["adc_dist_sq"], 9))
+                for r in ivfpq_search(
+                    enc, centroids, q, books, k=5, nprobe=2, payload_cols=["vec_id"]
+                ).collect()
+            ]
+            got = [
+                (r["vec_id"], round(r["adc_dist_sq"], 9))
+                for r in sorted(
+                    batch.filter(F.col("query_id") == qid).collect(),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            assert got == single, qid
