@@ -70,3 +70,55 @@ FROM est LEFT JOIN exact ON term = key
 """
 
 _register("sketch_countmin_terms", _sketch_countmin_terms, _DD_COUNTMIN)
+
+
+def _stream_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance through the driver gate: the token
+    stream arrives as 2 micro-batched files, each batch's d x w cell
+    matrix appended to the sketch log (streaming/sketch_stream.py),
+    the drained log folded cell-wise and probed.  Cell-wise addition is
+    the sketch's exact merge law, so the oracle is the SAME batch SQL
+    as sketch_countmin_terms — streaming == one-shot, bit-for-bit."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import tokenize
+    from ..operators.sketch import countmin_estimate
+    from ..streaming.sketch_stream import countmin_read, stream_into_countmin
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_cm_{tag}")
+    src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+
+    toks = tokenize(docs)
+    toks.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/f0")
+    toks.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_into_countmin(
+        stream, log, ckpt, "term", depth=_CM_DEPTH, width=_CM_WIDTH
+    )
+    q.awaitTermination(120)
+
+    sk = countmin_read(spark, log)
+    probes = spark.createDataFrame([(t,) for t in _CM_PROBES], "key string")
+    est = countmin_estimate(sk, probes, depth=_CM_DEPTH, width=_CM_WIDTH)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, est.key == exact.term, "left")
+        .select(
+            F.col("key").alias("term"),
+            "est",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+        )
+    )
+
+
+_register("stream_countmin_replay", _stream_countmin_replay, _DD_COUNTMIN)

@@ -1,0 +1,64 @@
+"""Streaming maintenance of count-min sketches.
+
+The sketch's merge law (cell-wise addition — tested in
+tests/test_sketch.py) makes it the natural streaming summary: each
+micro-batch APPENDS its own d x w cell matrix to a log-structured
+parquet, and the materialized sketch is the cell-wise sum of the log.
+No state store, no watermark, no read-modify-write races — append-only
+batches + an associative read-side fold, so the drained stream equals
+the one-shot batch sketch exactly (gated by ``stream_countmin_replay``).
+
+At scale: each batch's append is d*w-bounded regardless of batch size,
+the log grows by one tiny file set per batch, and ``countmin_compact``
+is the periodic rewrite that folds the log back to one matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketch import countmin_build
+
+
+def stream_into_countmin(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    available_now: bool = True,
+):
+    """readStream of keyed rows -> per-batch cell matrix appended to the
+    sketch log at ``path``."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        countmin_build(batch_df, key_col, depth=depth, width=width).write.mode(
+            "append"
+        ).parquet(path)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def countmin_read(spark, path: str) -> DataFrame:
+    """Materialize the sketch from its log: cell-wise sum (the merge
+    law).  Output schema matches ``countmin_build``."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def countmin_compact(spark, path: str, dest: str) -> None:
+    """Fold the log to a single cell matrix at ``dest`` (periodic
+    maintenance; write to a NEW path and swap, never in-place)."""
+    if path == dest:
+        raise ValueError("compact writes to a new path; swap after validation")
+    countmin_read(spark, path).write.mode("overwrite").parquet(dest)

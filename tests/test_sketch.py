@@ -71,3 +71,43 @@ class TestCountMin:
             countmin_build(tokens, "term", depth=0)
         with pytest.raises(ValueError):
             countmin_build(tokens, "term", width=0)
+
+
+class TestStreamingCountMin:
+    def test_drained_log_equals_batch_sketch(self, spark, tokens, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.sketch_stream import (
+            countmin_compact,
+            countmin_read,
+            stream_into_countmin,
+        )
+
+        src = str(tmp_path / "src")
+        tokens.filter(F.length("term") <= 2).coalesce(1).write.parquet(f"{src}/f0")
+        tokens.filter(F.length("term") > 2).coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(tokens.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        log = str(tmp_path / "log")
+        q = stream_into_countmin(
+            stream, log, str(tmp_path / "ckpt"), "term", depth=3, width=32
+        )
+        q.awaitTermination(120)
+        got = {(r["row"], r["col"]): r["cnt"] for r in countmin_read(spark, log).collect()}
+        want = {
+            (r["row"], r["col"]): r["cnt"]
+            for r in countmin_build(tokens, "term", depth=3, width=32).collect()
+        }
+        assert got == want
+        # compaction folds the log without changing the sketch
+        dest = str(tmp_path / "compact")
+        countmin_compact(spark, log, dest)
+        compacted = {
+            (r["row"], r["col"]): r["cnt"] for r in spark.read.parquet(dest).collect()
+        }
+        assert compacted == want
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            countmin_compact(spark, log, log)
