@@ -148,3 +148,53 @@ GROUP BY 1, 2
 
 
 # ==========================================================================
+
+
+# ==========================================================================
+# SCD2 change history (round 6) — the warehouse "type-2 slowly changing
+# dimension" build: collapse an event log into per-key state-validity
+# intervals (change rows -> [valid_from, valid_to), open current row).
+# Pure partitioned lag/lead windows keyed by user — never a global sort.
+# ==========================================================================
+
+def _events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event_type state history for a deterministic user
+    subset (% 499 == 7, ~80 events at sf0.01): rows where the state
+    CHANGED, each with its validity interval and an is_current flag —
+    the output shape a downstream dimension table loads directly."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 499 == 7)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return changes.withColumn("_to", F.lead("ts").over(wc)).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format("_to", fmt).alias("valid_to"),
+        F.col("_to").isNull().alias("is_current"),
+    )
+
+
+_register(
+    "events_scd2_state_history",
+    _events_scd2_history,
+    """
+WITH ev AS (SELECT * FROM events WHERE user_id % 499 = 7),
+changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM ev
+  QUALIFY prev IS NULL OR prev != event_type
+)
+SELECT user_id, event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+""",
+)
