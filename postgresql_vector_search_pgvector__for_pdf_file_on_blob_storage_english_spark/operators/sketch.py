@@ -95,3 +95,68 @@ def countmin_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007, public algorithm) — the distinct-
+# count twin of the count-min sketch: m = 2^p integer registers, each
+# holding the max leading-zero rank seen; merge = element-wise max
+# (order-free), estimate = bias-corrected harmonic mean with the
+# standard linear-counting small-range correction.  Registers are
+# integers and the harmonic sum is computed as an EXACT power-of-two
+# long sum (sum of 2^(K - M_j) with K the max rank), so sketches and
+# estimates are bit-deterministic across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+HLL_P = 6                 # m = 64 registers (~13% rel. error)
+HLL_M = 1 << HLL_P
+HLL_WBITS = 32 - HLL_P    # rank bits per hash
+HLL_ALPHA = 0.709         # alpha_64 (standard constant)
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """Dense register table ``(reg, m_rank)`` — all ``HLL_M`` rows,
+    zero for never-hit registers.  One map-side-combined max-aggregate;
+    shuffle bounded by m, never by distinct keys."""
+    spark = df.sparkSession
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("§", F.lit("hll"), F.col(key_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    reg = (h % HLL_M).alias("reg")
+    w = F.floor(h / HLL_M).cast("long")
+    # rank = leading zeros in the (32-p)-bit suffix, + 1; bin() drops
+    # leading zeros so rank = WBITS - length(bin(w)) + 1 (w = 0 -> WBITS + 1)
+    rank = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    hits = df.select(reg, rank.alias("_r")).groupBy("reg").agg(
+        F.max("_r").alias("m_rank")
+    )
+    spine = spark.range(HLL_M).select(F.col("id").alias("reg"))
+    return spine.join(hits, "reg", "left").select(
+        "reg", F.coalesce("m_rank", F.lit(0)).cast("long").alias("m_rank")
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row ``(hll_estimate)`` from a register table.  The harmonic
+    sum is the exact long ``sum(2^(K - m_rank))`` (K = WBITS + 1), so
+    the raw estimate ``alpha * m^2 * 2^K / S`` is bit-deterministic;
+    linear counting applies below 2.5m when empty registers remain."""
+    k = HLL_WBITS + 1
+    agg = registers.agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(k) - F.col("m_rank")).cast("long")
+        ).alias("_s"),
+        F.sum((F.col("m_rank") == 0).cast("long")).alias("_v"),
+    )
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.pow(F.lit(2.0), F.lit(k)) / F.col("_s")
+    lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("_v"))
+    est = F.when((raw <= 2.5 * HLL_M) & (F.col("_v") > 0), lin).otherwise(raw)
+    return agg.select(est.alias("hll_estimate"))

@@ -122,3 +122,72 @@ def _stream_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("stream_countmin_replay", _stream_countmin_replay, _DD_COUNTMIN)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch over the corpus term domain:
+# register table + estimate next to the exact distinct count.  The
+# register max-aggregate is order-free and the harmonic sum is an exact
+# long, so the DuckDB oracle replays the sketch register-for-register.
+# ---------------------------------------------------------------------------
+
+
+def _sketch_hll_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import tokenize
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = tokenize(docs)
+    regs = hll_registers(tokens, "term")
+    est = hll_estimate(regs)
+    exact = tokens.select("term").distinct().agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct",
+        F.round("hll_estimate", 2).alias("hll_estimate"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+_DD_HLL = f"""
+WITH {_DD_TOKENS},
+h AS (
+  SELECT (('0x' || substr(md5('hll' || '§' || term), 1, 8))::BIGINT) AS hv
+  FROM tokens
+),
+ranked AS (
+  SELECT hv % 64 AS reg,
+         CASE WHEN CAST(floor(hv / 64) AS BIGINT) = 0 THEN 27
+              ELSE 27 - length(bin(CAST(floor(hv / 64) AS BIGINT))) END AS r
+  FROM h
+),
+spine AS (SELECT unnest(range(0, 64)) AS reg),
+regs AS (
+  SELECT spine.reg, coalesce(mx.m_rank, 0) AS m_rank
+  FROM spine LEFT JOIN (SELECT reg, max(r) AS m_rank FROM ranked GROUP BY reg) mx
+  USING (reg)
+),
+agg AS (
+  SELECT CAST(sum(CAST(power(2, 27 - m_rank) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN m_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM regs
+),
+est AS (
+  SELECT CASE WHEN (0.709 * 64 * 64) * power(2, 27) / s <= 2.5 * 64 AND v > 0
+              THEN 64.0 * ln(64.0 / v)
+              ELSE (0.709 * 64 * 64) * power(2, 27) / s END AS e
+  FROM agg
+),
+exact AS (SELECT count(DISTINCT term) AS exact_distinct FROM tokens)
+SELECT exact_distinct,
+       round(e, 2) AS hll_estimate,
+       round(abs(e - exact_distinct) / exact_distinct, 4) AS rel_error
+FROM est, exact
+"""
+
+_register("sketch_hll_distinct_terms", _sketch_hll_terms, _DD_HLL)

@@ -111,3 +111,58 @@ class TestStreamingCountMin:
 
         with _pytest.raises(ValueError):
             countmin_compact(spark, log, log)
+
+
+class TestHyperLogLog:
+    def test_accuracy_within_3_sigma(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            HLL_M,
+            hll_estimate,
+            hll_registers,
+        )
+
+        for n in (500, 5000, 20000):
+            df = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+            est = hll_estimate(hll_registers(df, "k")).first()[0]
+            sigma = 1.04 / (HLL_M ** 0.5)
+            assert abs(est - n) / n < 3 * sigma, (n, est)
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_registers,
+        )
+
+        base = spark.range(200).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        dup = base.union(base).union(base)
+        a = {r["reg"]: r["m_rank"] for r in hll_registers(base, "k").collect()}
+        b = {r["reg"]: r["m_rank"] for r in hll_registers(dup, "k").collect()}
+        assert a == b
+
+    def test_merge_is_elementwise_max(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_registers,
+        )
+
+        a = spark.range(0, 300).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        b = spark.range(300, 700).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        ra = hll_registers(a, "k").withColumnRenamed("m_rank", "ra")
+        rb = hll_registers(b, "k").withColumnRenamed("m_rank", "rb")
+        merged = {
+            r["reg"]: max(r["ra"], r["rb"])
+            for r in ra.join(rb, "reg").collect()
+        }
+        full = {
+            r["reg"]: r["m_rank"]
+            for r in hll_registers(a.union(b), "k").collect()
+        }
+        assert merged == full
+
+    def test_partitioning_invariant(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_registers,
+        )
+
+        df = spark.range(1000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        a = {r["reg"]: r["m_rank"] for r in hll_registers(df, "k").collect()}
+        b = {r["reg"]: r["m_rank"] for r in hll_registers(df.repartition(17), "k").collect()}
+        assert a == b
