@@ -291,3 +291,53 @@ class TestRegistryWindowSweep:
         assert not unexpected, f"single-partition ordered windows: {unexpected}"
         # the allowlist must not rot: every entry still exists
         assert self.ALLOWED <= set(REGISTRY)
+
+
+class TestRound6Plans:
+    def test_pagerank_iteration_plan_shape(self, spark):
+        # per-iteration: edges join ranks (shuffle) + partial-agg groupBy;
+        # outdeg broadcasts; never a cartesian product or a global window
+        df = q(spark, "graph_pagerank_trade")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # outdeg/centroid-sized sides
+
+    def test_countmin_shuffle_is_cells_not_keys(self, spark):
+        # the sketch aggregation must partial-aggregate: shuffle rows are
+        # (row, col, partial cnt) cells, never raw terms
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        df = q(spark, "sketch_countmin_terms")
+        plan = explain_str(df, "formatted")
+        assert "partial_count" in plan or "partial_" in plan
+        import re
+
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+            assert "text" not in m.group(1), "raw text crossed an exchange"
+
+    def test_nb_training_aggs_are_partial(self, spark):
+        # classifier training shuffles (class, term) partials, never tokens
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        df = q(spark, "ml_nb_langid_confusion")
+        plan = explain_str(df, "formatted")
+        assert "partial_" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_hll_register_agg_bounded(self, spark):
+        # the register table is a spine join over a max-aggregate; the
+        # estimate plan must not carry text through any exchange
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        df = q(spark, "sketch_hll_distinct_terms")
+        plan = explain_str(df, "formatted")
+        import re
+
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+            assert "text" not in m.group(1), "raw text crossed an exchange"
