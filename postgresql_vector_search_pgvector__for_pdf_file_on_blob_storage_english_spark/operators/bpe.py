@@ -88,6 +88,7 @@ def bpe_learn_merges(
     n_merges: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     ``(step, left, right, pair_count)`` in learning order.
@@ -98,13 +99,17 @@ def bpe_learn_merges(
     tokenizer working set (millions, not the corpus), each iteration's
     lineage grows by one literal ``replace`` — checkpoint every ~50
     steps when training real vocabularies to keep plans flat.  Stops
-    early if no adjacent pair remains."""
+    early if no adjacent pair remains.
+
+    ``word_freqs`` lets a caller that already built the ``(term, freq)``
+    relation (e.g. to also run the inference path over it) skip the
+    second corpus pass."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = docs.sparkSession
-    cur = bpe_word_freqs(docs, text_col=text_col, id_col=id_col).select(
-        _wrap_chars(F.col("term")).alias("seq"), "freq"
-    )
+    if word_freqs is None:
+        word_freqs = bpe_word_freqs(docs, text_col=text_col, id_col=id_col)
+    cur = word_freqs.select(_wrap_chars(F.col("term")).alias("seq"), "freq")
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         pairs = cur.select(

@@ -2,7 +2,7 @@
 # registration side effects run at import, in package order.
 from __future__ import annotations
 
-from ._base import DataFrame, SparkSession, _register, _t  # noqa: F401
+from ._base import DataFrame, F, SparkSession, _register, _t  # noqa: F401
 from .retrieval import _DD_TOKENS  # noqa: F401
 # Distributed BPE tokenizer-vocabulary training (round 6, VERDICT r5 #7)
 # — operators/bpe.py.  One corpus pass builds (word, freq); each merge
@@ -24,10 +24,12 @@ def _vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(docs, n_merges=_N_BPE_MERGES)
 
 
-def _dd_bpe_sql(n: int) -> str:
+def _dd_bpe_chain(n: int) -> str:
     # Every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
     # s{i}'s four b{i} scalar subqueries would otherwise re-expand the
-    # whole prefix chain — 4^n replays of the corpus scan.
+    # whole prefix chain — 4^n replays of the corpus scan.  Shared by
+    # the training oracle (reads b1..bn) and the encode oracle (reads
+    # the final segmented relation s{n}).
     parts = [
         f"WITH {_DD_TOKENS},",
         "wf AS (SELECT term, count(*) AS freq FROM tokens GROUP BY term),",
@@ -50,16 +52,72 @@ s{i} AS MATERIALIZED (
       freq
   FROM s{i - 1}
 ),""")
-    body = "\n".join(parts).rstrip(",\n") + "\n"
-    # the final s{n} CTE is written but unused; strip its trailing comma above
+    return "\n".join(parts).rstrip(",\n") + "\n"
+
+
+def _dd_bpe_sql(n: int) -> str:
     union = "\nUNION ALL\n".join(
         f'SELECT {i} AS step, l AS "left", r AS "right", cnt AS pair_count FROM b{i}'
         for i in range(1, n + 1)
     )
-    return f"{body}\n{union}\nORDER BY step"
+    return f"{_dd_bpe_chain(n)}\n{union}\nORDER BY step"
 
 
 _register("vocab_bpe_merges", _vocab_bpe_merges, _dd_bpe_sql(_N_BPE_MERGES))
+
+
+# --------------------------------------------------------------------------
+# The tokenizer INFERENCE path: apply the learned merge table back to the
+# corpus vocabulary (operators/bpe.py::bpe_segment — a pure codegen chain
+# of literal replaces, zero shuffle) and report the resulting token
+# distribution.  The merge-table collect is bounded by n_merges (driver
+# state by design: the merge table IS the tokenizer artifact); the
+# segmentation itself never leaves the executors.  Oracle = the same
+# unrolled chain, reading the FINAL segmented relation s{n}.
+# --------------------------------------------------------------------------
+
+_N_BPE_TOP = 20
+
+
+def _vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_learn_merges, bpe_segment, bpe_word_freqs
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = bpe_word_freqs(docs)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(docs, n_merges=_N_BPE_MERGES, word_freqs=wf)
+            .orderBy("step")
+            .collect()
+    ]
+    seg = bpe_segment(wf, merges)
+    return (
+        seg.select(F.explode("bpe_tokens").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "token")
+        .limit(_N_BPE_TOP)
+    )
+
+
+def _dd_bpe_encode_sql(n: int, top: int) -> str:
+    return f"""{_dd_bpe_chain(n)},
+final AS MATERIALIZED (
+  SELECT unnest(string_split(seq[2:length(seq)-1], chr(31) || chr(30))) AS token,
+         freq
+  FROM s{n}
+)
+SELECT token, CAST(sum(freq) AS BIGINT) AS occurrences
+FROM final
+GROUP BY token
+ORDER BY occurrences DESC, token
+LIMIT {top}
+"""
+
+
+_register(
+    "vocab_bpe_encode", _vocab_bpe_encode, _dd_bpe_encode_sql(_N_BPE_MERGES, _N_BPE_TOP)
+)
 
 
 # ==========================================================================

@@ -16,10 +16,19 @@ from ._base import Entry, REGISTRY  # noqa: F401
 #   2. one representative of every LLM-data-pipeline family the engine
 #      claims as first-class: exact dedup, MinHash-LSH, SimHash, Jaccard,
 #      embedding near-dup, SemDeDup, decontamination, PII (batch AND
-#      streaming-replay), language ID / quality / tokens / fingerprint,
-#      IVF (in-memory + persisted), LSH (in-memory + persisted), recall
-#      measurement, SQ8 quantization (single + batched), BM25 + RRF,
+#      streaming-replay), language ID / quality / tokens, persisted IVF
+#      and LSH indexes, recall measurement, SQ8 quantization, persisted
+#      IVF-PQ (round 6), BPE vocabulary training (round 6), fixed-point
+#      PageRank (round 6), HyperLogLog sketch (round 6), BM25 + RRF,
 #      and image/audio/video multimodal (-> 25 entries).
+#
+#      Round-6 window rotation: four slots whose family stays covered by
+#      a sibling entry (ann_ivf_search ~ ann_ivf_index_search,
+#      ann_lsh_search ~ ann_lsh_index_search, quant_sq8_knn_batch ~
+#      quant_sq8_knn_top5, text_fingerprint ~ text_token_stats) were
+#      swapped for the four new round-6 marquee operators so the
+#      driver's own snapshot — not just the committed local gate —
+#      evidences them.
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the
@@ -64,14 +73,14 @@ _WINDOW_50: list[str] = [
     "text_language_id",
     "text_quality_score",
     "text_token_stats",
-    "text_fingerprint",
-    "ann_ivf_search",
+    "sketch_hll_distinct_terms",   # r6: HLL distinct-count sketch
+    "ann_ivfpq_index_search",      # r6: persisted IVF-PQ (VERDICT r5 #3)
     "ann_ivf_index_search",
-    "ann_lsh_search",
+    "vocab_bpe_merges",            # r6: BPE vocab training (VERDICT r5 #7)
     "ann_lsh_index_search",
     "ann_recall_sweep",
     "quant_sq8_knn_top5",
-    "quant_sq8_knn_batch",
+    "graph_pagerank_trade",        # r6: fixed-point PageRank
     "bm25_topk_docs",
     "hybrid_rrf_knn_bm25",
     "mm_image_features",

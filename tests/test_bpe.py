@@ -109,3 +109,35 @@ class TestBpeLearn:
             F.concat_ws("", F.col("bpe_tokens")) != F.col("term")
         ).count()
         assert bad == 0
+
+
+class TestBpeEncode:
+    def test_precomputed_word_freqs_identical(self, spark, tiny):
+        # passing the (term, freq) relation in must not change the table
+        wf = bpe_word_freqs(tiny)
+        a = bpe_learn_merges(tiny, n_merges=4).orderBy("step").collect()
+        b = bpe_learn_merges(tiny, n_merges=4, word_freqs=wf).orderBy("step").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_token_distribution_matches_python(self, spark, tiny):
+        # the registry entry's shape: segment the vocabulary with the
+        # learned merges, weight by word freq — vs the pure-Python fold
+        wf = {r["term"]: r["freq"] for r in bpe_word_freqs(tiny).collect()}
+        _, seqs = _py_bpe(wf, 6)
+        want: dict[str, int] = {}
+        for w, freq in wf.items():
+            for tok in seqs[w]:
+                want[tok] = want.get(tok, 0) + freq
+        merges = [
+            (r["left"], r["right"])
+            for r in bpe_learn_merges(tiny, n_merges=6).orderBy("step").collect()
+        ]
+        seg = bpe_segment(bpe_word_freqs(tiny), merges)
+        got = {
+            r["token"]: r["occ"]
+            for r in seg.select(F.explode("bpe_tokens").alias("token"), "freq")
+            .groupBy("token")
+            .agg(F.sum("freq").alias("occ"))
+            .collect()
+        }
+        assert got == want
