@@ -16,6 +16,7 @@ from ._base import (  # noqa: F401
     DataFrame,
     F,
     SparkSession,
+    _dd_l2,
     _register,
     _t,
 )
@@ -94,3 +95,92 @@ GROUP BY 1, 2
 """
 
 _register("ml_nb_langid_confusion", _ml_nb_confusion, _DD_NB_CONFUSION)
+
+
+# --------------------------------------------------------------------------
+# k-NN classification over the embedding space: leave-one-out
+# majority vote on a FIXED-size evaluation sample (40 vectors — a
+# constant, not a corpus fraction, so the broadcast never scales with
+# the data; the ADVICE r5 eval-collect lesson).  One broadcast cross
+# join scores corpus x eval, the embedding is dropped before the
+# per-query top-5 window (partitioned by query — never global), and the
+# vote/argmax/confusion chain is pure integer aggregation.
+# --------------------------------------------------------------------------
+
+_N_KNN_EVAL = 40
+_KNN_CLS_K = 5
+
+
+def _ml_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import DISTANCE_FNS
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = (
+        emb.orderBy("vec_id")
+        .limit(_N_KNN_EVAL)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(ev))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "vec_id",
+            "label",
+            DISTANCE_FNS["l2"](F.col("embedding"), F.col("query_vec")).alias("d"),
+        )
+    )
+    w_top = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    top = scored.withColumn("_rk", F.row_number().over(w_top)).where(
+        F.col("_rk") <= _KNN_CLS_K
+    )
+    votes = top.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "label")
+    pred = votes.withColumn("_rk", F.row_number().over(w_vote)).where(
+        F.col("_rk") == 1
+    )
+    return (
+        pred.groupBy("true_label", F.col("label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+_DD_KNN_CONFUSION = f"""
+WITH ev AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+  FROM embeddings ORDER BY vec_id LIMIT {_N_KNN_EVAL}
+),
+scored AS (
+  SELECT e.query_id, e.true_label, c.vec_id, c.label,
+         {_dd_l2("c.embedding", "e.qv")} AS d
+  FROM embeddings c, ev e
+  WHERE c.vec_id <> e.query_id
+),
+top AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) <= {_KNN_CLS_K}
+),
+votes AS (
+  SELECT query_id, true_label, label, count(*) AS c
+  FROM top GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, true_label, label AS pred_label FROM votes
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY c DESC, label) = 1
+)
+SELECT true_label, pred_label, count(*)::BIGINT AS n_queries
+FROM pred GROUP BY 1, 2
+ORDER BY true_label, pred_label
+"""
+
+_register("ml_knn_label_confusion", _ml_knn_confusion, _DD_KNN_CONFUSION)

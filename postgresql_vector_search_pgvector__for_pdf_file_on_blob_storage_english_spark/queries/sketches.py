@@ -191,3 +191,55 @@ FROM est, exact
 """
 
 _register("sketch_hll_distinct_terms", _sketch_hll_terms, _DD_HLL)
+
+
+def _stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL maintenance through the driver gate: the token
+    stream arrives as 2 micro-batched files, each batch's m-row
+    register table appended to the HLL log
+    (streaming/sketch_stream.py), the drained log folded by
+    element-wise max and estimated.  Register max is the sketch's
+    exact merge law, so the oracle is the SAME batch SQL as
+    sketch_hll_distinct_terms — streaming == one-shot, bit-for-bit."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.retrieval import tokenize
+    from ..operators.sketch import hll_estimate
+    from ..streaming.sketch_stream import hll_read, stream_into_hll
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_hll_{tag}")
+    src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+
+    toks = tokenize(docs)
+    toks.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/f0")
+    toks.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(toks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_into_hll(stream, log, ckpt, "term")
+    q.awaitTermination(120)
+
+    est = hll_estimate(hll_read(spark, log))
+    exact = toks.select("term").distinct().agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct",
+        F.round("hll_estimate", 2).alias("hll_estimate"),
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+_register("stream_hll_replay", _stream_hll_replay, _DD_HLL)

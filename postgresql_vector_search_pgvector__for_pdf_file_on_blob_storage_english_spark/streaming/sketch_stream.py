@@ -1,16 +1,20 @@
-"""Streaming maintenance of count-min sketches.
+"""Streaming maintenance of count-min and HyperLogLog sketches.
 
-The sketch's merge law (cell-wise addition — tested in
-tests/test_sketch.py) makes it the natural streaming summary: each
-micro-batch APPENDS its own d x w cell matrix to a log-structured
-parquet, and the materialized sketch is the cell-wise sum of the log.
-No state store, no watermark, no read-modify-write races — append-only
-batches + an associative read-side fold, so the drained stream equals
-the one-shot batch sketch exactly (gated by ``stream_countmin_replay``).
+Both sketches' merge laws are associative and commutative (cell-wise
+addition for count-min, element-wise register max for HLL — tested in
+tests/test_sketch.py), which makes them natural streaming summaries:
+each micro-batch APPENDS its own bounded summary (d x w cell matrix /
+m-row register table) to a log-structured parquet, and the
+materialized sketch is the read-side fold of the log.  No state store,
+no watermark, no read-modify-write races — append-only batches + an
+associative fold, so the drained stream equals the one-shot batch
+sketch exactly (gated by ``stream_countmin_replay`` /
+``stream_hll_replay``).
 
-At scale: each batch's append is d*w-bounded regardless of batch size,
-the log grows by one tiny file set per batch, and ``countmin_compact``
-is the periodic rewrite that folds the log back to one matrix.
+At scale: each batch's append is d*w- (resp. m-) bounded regardless of
+batch size, the log grows by one tiny file set per batch, and the
+``*_compact`` helpers are the periodic rewrite that folds the log back
+to one summary.
 """
 
 from __future__ import annotations
@@ -18,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.sketch import countmin_build
+from ..operators.sketch import countmin_build, hll_registers
 
 
 def stream_into_countmin(
@@ -62,3 +66,40 @@ def countmin_compact(spark, path: str, dest: str) -> None:
     if path == dest:
         raise ValueError("compact writes to a new path; swap after validation")
     countmin_read(spark, path).write.mode("overwrite").parquet(dest)
+
+
+def stream_into_hll(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    available_now: bool = True,
+):
+    """readStream of keyed rows -> per-batch m-row register table
+    appended to the HLL log at ``path``."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hll_registers(batch_df, key_col).write.mode("append").parquet(path)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hll_read(spark, path: str) -> DataFrame:
+    """Materialize the register table from its log: element-wise max
+    (the merge law).  Output schema matches ``hll_registers``."""
+    return spark.read.parquet(path).groupBy("reg").agg(
+        F.max("m_rank").alias("m_rank")
+    )
+
+
+def hll_compact(spark, path: str, dest: str) -> None:
+    """Fold the HLL log to a single register table at ``dest`` (write
+    to a NEW path and swap, never in-place)."""
+    if path == dest:
+        raise ValueError("compact writes to a new path; swap after validation")
+    hll_read(spark, path).write.mode("overwrite").parquet(dest)

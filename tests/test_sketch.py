@@ -166,3 +166,38 @@ class TestHyperLogLog:
         a = {r["reg"]: r["m_rank"] for r in hll_registers(df, "k").collect()}
         b = {r["reg"]: r["m_rank"] for r in hll_registers(df.repartition(17), "k").collect()}
         assert a == b
+
+
+class TestStreamingHll:
+    def test_drained_log_equals_batch_registers(self, spark, tokens, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_registers,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.sketch_stream import (
+            hll_compact,
+            hll_read,
+            stream_into_hll,
+        )
+
+        src = str(tmp_path / "src")
+        tokens.filter(F.length("term") <= 2).coalesce(1).write.parquet(f"{src}/f0")
+        tokens.filter(F.length("term") > 2).coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(tokens.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        log = str(tmp_path / "log")
+        q = stream_into_hll(stream, log, str(tmp_path / "ckpt"), "term")
+        q.awaitTermination(120)
+        got = {r["reg"]: r["m_rank"] for r in hll_read(spark, log).collect()}
+        want = {r["reg"]: r["m_rank"] for r in hll_registers(tokens, "term").collect()}
+        assert got == want
+        dest = str(tmp_path / "compact")
+        hll_compact(spark, log, dest)
+        compacted = {
+            r["reg"]: r["m_rank"] for r in spark.read.parquet(dest).collect()
+        }
+        assert compacted == want
+        with pytest.raises(ValueError):
+            hll_compact(spark, log, log)
