@@ -66,6 +66,8 @@ HEADLINE = [
     "orders_rfm_segmentation",  # r6: three two-pass global-rank ntile cuts (no 1-partition window)
     "graph_pagerank_trade",  # r6: iterative join+agg workload class (5 fixed-point iterations)
     "ml_nb_langid_confusion",  # r6: in-engine classifier train + predict + confusion
+    "bloom_semi_join_revenue",  # r6: runtime bloom pre-filter + exact semi-join
+    "pack_concat_windows",  # r6: two-pass prefix-sum sequence packing
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%
