@@ -240,3 +240,48 @@ def stratified_split_exact(
         )
         .drop("_rk", "_cnt")
     )
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via
+    Efraimidis-Spirakis A-ES keys: rank every row by
+    ``u ** (1 / w)`` (equivalently ``-ln(u) / w`` ascending) where
+    ``u`` is the same stable md5-derived uniform the other samplers
+    use, and keep the global top ``n``.
+
+    Inclusion probability is proportional to weight, yet — unlike
+    ``df.sample`` — the selected set is identical across runs,
+    engines, partitionings and appends, so every worker/retry/audit
+    draws the same sample (the property a mixture-weighting stage
+    needs when "sample 10k docs by quality score" must be replayable).
+
+    Scale shape: the key is a per-row codegen expression; the global
+    cut is top-n by (key, id) — ``TakeOrderedAndProject``, no full
+    sort, no shuffle beyond the k-row partial winners.  Rows with
+    non-positive weight are excluded (zero mass).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    # u in (0, 1]: (h + 1) / 2^32 over the first 8 md5 hex chars
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("§", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn(key_col, key)
+        .orderBy(key_col, id_col)
+        .limit(n)
+    )

@@ -53,6 +53,22 @@ def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def tokenize_pos(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """:func:`tokenize` with the token's 0-based position — the input
+    relation for span-level operators (substring dedup, packing of
+    sub-document units)."""
+    return (
+        docs.select(
+            id_col,
+            F.posexplode(
+                F.split(F.trim(normalize_whitespace_col(text_col)), " ")
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+        .withColumn("term", F.lower("term"))
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: Sequence[str],

@@ -531,3 +531,57 @@ LIMIT 20
 
 
 # ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# Span-level substring dedup (round 6) — operators/dedup.py::
+# substring_dup_spans.  Per-document fraction of token positions
+# covered by an 8-gram that also occurs in another document (Lee et
+# al. 2021's signal at fixed granularity).  Same bounded shapes as
+# decontamination: gram hashes shuffle, text never does.
+# --------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import substring_dup_spans
+    from ..operators.retrieval import tokenize_pos
+
+    docs = _t(spark, sf_dir, "documents")
+    out = substring_dup_spans(tokenize_pos(docs), k=_SPAN_K)
+    return out.filter(F.col("dup_positions") > 0).orderBy("doc_id")
+
+
+_DD_SPANS = dd_sql(
+    """
+WITH n AS (SELECT doc_id, {norm} AS norm FROM documents),
+terms AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(trim(norm), ' '), x -> lower(x)),
+                     x -> x != '') AS ts
+  FROM n
+),
+grams AS (
+  SELECT doc_id, i.i AS pos, md5(array_to_string(ts[i.i+1 : i.i+{k}], ' ')) AS gram
+  FROM terms, unnest(range(0, greatest(len(ts) - {k} + 1, 0))) AS i(i)
+),
+shared AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, c.c AS cp
+  FROM grams JOIN shared USING (gram), unnest(range(pos, pos + {k})) AS c(c)
+),
+agg AS (SELECT doc_id, count(*) AS dup_positions FROM cov GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.ts)::BIGINT AS n_tokens,
+       a.dup_positions::BIGINT AS dup_positions,
+       round(a.dup_positions / len(t.ts), 4) AS dup_frac
+FROM terms t JOIN agg a USING (doc_id)
+WHERE a.dup_positions > 0
+ORDER BY t.doc_id
+""",
+    norm=dd_sql(_DD_NORMALIZE, col="text"),
+    k=_SPAN_K,
+)
+
+_register("dedup_substring_spans", _substring_spans, _DD_SPANS)

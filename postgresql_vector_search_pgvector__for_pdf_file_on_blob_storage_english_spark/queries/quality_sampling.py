@@ -401,3 +401,47 @@ LIMIT 50
 
 
 # ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling (round 6) — operators/groupwise.py::
+# weighted_sample_topn.  Efraimidis-Spirakis A-ES keys over the stable
+# md5 uniform: inclusion probability proportional to o_totalprice, yet
+# the selected set replays bit-identically across engines/partitionings
+# (unlike df.sample).  Plan: per-row codegen key + TakeOrderedAndProject
+# — no full sort, no shuffle beyond partial winners.
+# --------------------------------------------------------------------------
+
+_WS_N = 20
+
+
+def _sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.groupwise import weighted_sample_topn
+
+    orders = _t(spark, sf_dir, "orders")
+    sel = weighted_sample_topn(
+        orders, "o_totalprice", _WS_N, id_col="o_orderkey", salt="wsample"
+    )
+    return sel.select(
+        "o_orderkey", "o_totalprice", F.round("es_key", 8).alias("es_key")
+    )
+
+
+_DD_WSAMPLE = f"""
+WITH u AS (
+  SELECT o_orderkey, o_totalprice,
+         ((('0x' || substr(md5('wsample' || '§' || o_orderkey::VARCHAR), 1, 8))::BIGINT + 1)
+           / 4294967296.0) AS u
+  FROM orders
+  WHERE o_totalprice > 0
+),
+keyed AS (
+  SELECT o_orderkey, o_totalprice, -ln(u) / o_totalprice AS k FROM u
+)
+SELECT o_orderkey, o_totalprice, round(k, 8) AS es_key
+FROM keyed
+ORDER BY k, o_orderkey
+LIMIT {_WS_N}
+"""
+
+_register("sample_weighted_orders", _sample_weighted_orders, _DD_WSAMPLE)
