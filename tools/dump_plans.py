@@ -106,6 +106,23 @@ SECTIONS = [
      "(one duplicated stream per distinct column) feeding partial HashAggregates — "
      "N columns profiled for one read of the table, where naive per-column profiling "
      "would scan N times. The long-format explode of the 1-row wide result is free."),
+    ("bloom_semi_join_revenue", "Bloom runtime-filtered semi-join",
+     "The InjectRuntimeFilter shape made explicit: each of the two hash families "
+     "contributes a <= n_buckets-row distinct-bucket relation (partial+final "
+     "HashAggregate over the filtered build side) that reaches the fact scan as a "
+     "BroadcastHashJoin LeftSemi on the bucket expression — the fact side never "
+     "exchanges before the probes, so the bloom stage rides the scan's codegen. The "
+     "closing exact LeftSemi sees only pre-filter survivors; its shuffle (or "
+     "broadcast, as AQE decides here) is the only data movement that scales with "
+     "matches rather than with the fact table."),
+    ("pack_concat_windows", "Sequence packing (two-pass prefix sum)",
+     "The concat-and-chunk window layout needs a global exclusive prefix sum of "
+     "per-document token counts — the classic single-partition-window trap. Here it "
+     "is ONE Exchange rangepartitioning followed by a Window partitioned by "
+     "spark_partition_id plus a broadcast <= npart-row offset table (the triangular "
+     "self-join over the per-partition summary): every window in the plan has a "
+     "partition spec, and everything downstream of the range exchange is codegen "
+     "integer arithmetic."),
 ]
 
 
