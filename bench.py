@@ -68,6 +68,7 @@ HEADLINE = [
     "ml_nb_langid_confusion",  # r6: in-engine classifier train + predict + confusion
     "bloom_semi_join_revenue",  # r6: runtime bloom pre-filter + exact semi-join
     "pack_concat_windows",  # r6: two-pass prefix-sum sequence packing
+    "dedup_substring_spans",  # r6: span-level substring dedup (8-gram coverage)
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%
