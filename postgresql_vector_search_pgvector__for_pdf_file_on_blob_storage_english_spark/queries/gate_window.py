@@ -22,12 +22,16 @@ from ._base import Entry, REGISTRY  # noqa: F401
 #      PageRank (round 6), HyperLogLog sketch (round 6), BM25 + RRF,
 #      and image/audio/video multimodal (-> 25 entries).
 #
-#      Round-6 window rotation: four slots whose family stays covered by
+#      Round-6 window rotation: six slots whose family stays covered by
 #      a sibling entry (ann_ivf_search ~ ann_ivf_index_search,
 #      ann_lsh_search ~ ann_lsh_index_search, quant_sq8_knn_batch ~
-#      quant_sq8_knn_top5, text_fingerprint ~ text_token_stats) were
-#      swapped for the four new round-6 marquee operators so the
-#      driver's own snapshot — not just the committed local gate —
+#      quant_sq8_knn_top5, text_fingerprint ~ text_token_stats,
+#      dedup_ngram_jaccard_pairs ~ dedup_minhash_lsh_candidates — the
+#      verification stage of the same banded family —,
+#      dedup_embedding_cosine_pairs ~ dedup_semantic_clusters) were
+#      swapped for round-6 marquee operators, including the first
+#      driver slots for the sampling and classification families, so
+#      the driver's own snapshot — not just the committed local gate —
 #      evidences them.
 #
 # Everything NOT in the window is still verified by the full local gate
@@ -64,8 +68,8 @@ _WINDOW_50: list[str] = [
     "dedup_exact_survivors",
     "dedup_minhash_lsh_candidates",
     "dedup_simhash_neardup_pairs",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_cosine_pairs",
+    "sample_weighted_orders",      # r6: sampling family's first driver slot
+    "ml_nb_langid_confusion",      # r6: in-engine classification family
     "dedup_semantic_clusters",
     "decontam_ngram_overlap",
     "text_pii_redaction",
