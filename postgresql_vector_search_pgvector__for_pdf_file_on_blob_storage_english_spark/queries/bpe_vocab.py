@@ -28,12 +28,13 @@ def _dd_bpe_chain(n: int) -> str:
     # Every stage CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
     # s{i}'s four b{i} scalar subqueries would otherwise re-expand the
     # whole prefix chain — 4^n replays of the corpus scan.  Shared by
-    # the training oracle (reads b1..bn) and the encode oracle (reads
-    # the final segmented relation s{n}).
+    # the training oracle (reads b1..bn), the encode oracle (reads the
+    # final segmented relation s{n}), and the fertility oracle (which
+    # needs the carried-through ``term`` to join back to languages).
     parts = [
         f"WITH {_DD_TOKENS},",
         "wf AS (SELECT term, count(*) AS freq FROM tokens GROUP BY term),",
-        "s0 AS MATERIALIZED (SELECT array_to_string(list_transform(string_split(term, ''),"
+        "s0 AS MATERIALIZED (SELECT term, array_to_string(list_transform(string_split(term, ''),"
         " c -> chr(30) || c || chr(31)), '') AS seq, freq FROM wf),",
     ]
     for i in range(1, n + 1):
@@ -46,7 +47,7 @@ def _dd_bpe_chain(n: int) -> str:
 ),
 b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
 s{i} AS MATERIALIZED (
-  SELECT replace(seq,
+  SELECT term, replace(seq,
       chr(30) || (SELECT l FROM b{i}) || chr(31) || chr(30) || (SELECT r FROM b{i}) || chr(31),
       chr(30) || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || chr(31)) AS seq,
       freq
@@ -121,3 +122,80 @@ _register(
 
 
 # ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# Tokenizer FERTILITY audit: bpe-tokens-per-word by language — the
+# number a multilingual pipeline watches to see which languages the
+# trained vocabulary serves poorly (high fertility = more tokens per
+# word = more compute per byte of that language).  Segmentation runs
+# once over the DISTINCT-term working set (the tokenizer vocabulary,
+# not the corpus); the per-language weighting is one (lang, term)
+# aggregate joined back — shuffle is vocabulary-sized on both sides.
+# --------------------------------------------------------------------------
+
+
+def _vocab_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_learn_merges, bpe_segment, bpe_word_freqs
+    from ..operators.retrieval import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = bpe_word_freqs(docs)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(docs, n_merges=_N_BPE_MERGES, word_freqs=wf)
+            .orderBy("step")
+            .collect()
+    ]
+    seg = bpe_segment(wf.select("term"), merges).select(
+        "term", F.size("bpe_tokens").alias("n_bpe")
+    )
+    lt = (
+        tokenize(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        lt.join(seg, "term")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_bpe")).alias("bpe_tokens_total"),
+            F.round(
+                F.sum(F.col("freq") * F.col("n_bpe")).cast("double")
+                / F.sum("freq"),
+                4,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _dd_bpe_fertility_sql(n: int) -> str:
+    return f"""{_dd_bpe_chain(n)},
+fert AS (
+  SELECT term,
+         len(string_split(seq[2:length(seq)-1], chr(31) || chr(30))) AS n_bpe
+  FROM s{n}
+),
+lt AS (
+  SELECT d.lang, k.term, count(*) AS freq
+  FROM tokens k JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT lang,
+       sum(freq)::BIGINT AS n_words,
+       sum(freq * n_bpe)::BIGINT AS bpe_tokens_total,
+       round(sum(freq * n_bpe) / sum(freq), 4) AS fertility
+FROM lt JOIN fert USING (term)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+_register(
+    "vocab_bpe_fertility_by_lang",
+    _vocab_bpe_fertility,
+    _dd_bpe_fertility_sql(_N_BPE_MERGES),
+)

@@ -141,3 +141,20 @@ class TestBpeEncode:
             .collect()
         }
         assert got == want
+
+    def test_fertility_weighting_matches_python(self, spark, tiny):
+        # fertility = sum(freq * |segments|) / sum(freq) over the vocab
+        wf = {r["term"]: r["freq"] for r in bpe_word_freqs(tiny).collect()}
+        _, seqs = _py_bpe(wf, 6)
+        want_tokens = sum(f * len(seqs[w]) for w, f in wf.items())
+        want_words = sum(wf.values())
+        merges = [
+            (r["left"], r["right"])
+            for r in bpe_learn_merges(tiny, n_merges=6).orderBy("step").collect()
+        ]
+        seg = bpe_segment(bpe_word_freqs(tiny), merges)
+        got = seg.select(
+            F.sum(F.col("freq") * F.size("bpe_tokens")).alias("t"),
+            F.sum("freq").alias("w"),
+        ).collect()[0]
+        assert (got["t"], got["w"]) == (want_tokens, want_words)
