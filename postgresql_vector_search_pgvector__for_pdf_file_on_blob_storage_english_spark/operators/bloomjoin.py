@@ -35,10 +35,18 @@ matched a filter against their lineitems".
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_bucket_tables", "bloom_prefilter", "bloom_semi_join"]
+__all__ = [
+    "bloom_bucket_tables",
+    "bloom_bucket_rows",
+    "bloom_prefilter",
+    "bloom_prefilter_with",
+    "bloom_semi_join",
+]
 
 
 def _bucket(key: Column, seed: int, n_buckets: int) -> Column:
@@ -65,6 +73,53 @@ def bloom_bucket_tables(
         build.select(_bucket(F.col(key), seed, n_buckets).alias("_bloom_bucket")).distinct()
         for seed in range(n_hashes)
     ]
+
+
+def bloom_bucket_rows(
+    build: DataFrame,
+    key: str,
+    n_buckets: int = 1 << 13,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """The filter in long format ``(seed, bucket)`` — the persistable /
+    streamable form (at most ``n_hashes * n_buckets`` rows).  The merge
+    law is SET UNION (a bloom filter is an OR of bitsets), so folding
+    appended batches with ``distinct`` reproduces the one-shot filter
+    exactly — the same associative-merge contract the count-min and HLL
+    logs rely on (streaming/sketch_stream.py)."""
+    tables = bloom_bucket_tables(build, key, n_buckets, n_hashes)
+    return reduce(
+        DataFrame.unionAll,
+        [
+            t.select(F.lit(seed).alias("seed"), F.col("_bloom_bucket").alias("bucket"))
+            for seed, t in enumerate(tables)
+        ],
+    )
+
+
+def bloom_prefilter_with(
+    fact: DataFrame,
+    bucket_rows: DataFrame,
+    fact_key: str,
+    n_buckets: int = 1 << 13,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """:func:`bloom_prefilter` against a PREBUILT ``(seed, bucket)``
+    filter relation (from :func:`bloom_bucket_rows`, a persisted
+    artifact, or a drained streaming log) — the deployed probe path
+    where the filter is maintained incrementally rather than rebuilt
+    per query."""
+    out = fact
+    for seed in range(n_hashes):
+        buckets = bucket_rows.filter(F.col("seed") == seed).select(
+            F.col("bucket").alias("_bloom_bucket")
+        )
+        out = out.join(
+            F.broadcast(buckets),
+            _bucket(F.col(fact_key), seed, n_buckets) == F.col("_bloom_bucket"),
+            "left_semi",
+        )
+    return out
 
 
 def bloom_prefilter(

@@ -61,6 +61,65 @@ ORDER BY l_returnflag
 _register("bloom_semi_join_revenue", _bloom_semi_join_revenue, _DD_BLOOM_SEMI)
 
 
+def _stream_bloom_semi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bloom-filter maintenance through the driver gate: the
+    build-side keys arrive as 2 micro-batched files, each batch's
+    (seed, bucket) rows appended to the bloom log, the drained log
+    folded by set union (the filter's exact merge law) and probed
+    against the fact table, then closed with the exact semi-join.  The
+    final result is provably identical to the one-shot batch join —
+    same oracle as bloom_semi_join_revenue — so a streamed filter that
+    dropped a true key (the one failure a bloom must never have) fails
+    CORRECTNESS instead of hiding."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.bloomjoin import bloom_prefilter_with
+    from ..streaming.sketch_stream import bloom_read, stream_into_bloom
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == _BLOOM_PRIO)
+        & (F.col("o_totalprice") > _BLOOM_MIN_TOTAL)
+    )
+    keys = orders.select("o_orderkey")
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_bloom_{tag}")
+    src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+
+    keys.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(f"{src}/f0")
+    keys.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(keys.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_into_bloom(stream, log, ckpt, "o_orderkey")
+    q.awaitTermination(120)
+
+    pre = bloom_prefilter_with(li, bloom_read(spark, log), "l_orderkey")
+    hits = pre.join(
+        keys.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi"
+    )
+    return (
+        hits.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_register("stream_bloom_semi_replay", _stream_bloom_semi_replay, _DD_BLOOM_SEMI)
+
+
 # --------------------------------------------------------------------------
 # LLM sequence packing (concat-and-chunk): which context window each
 # document starts in when the whitespace-tokenized corpus is concatenated

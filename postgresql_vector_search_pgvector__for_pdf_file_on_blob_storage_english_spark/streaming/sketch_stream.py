@@ -103,3 +103,44 @@ def hll_compact(spark, path: str, dest: str) -> None:
     if path == dest:
         raise ValueError("compact writes to a new path; swap after validation")
     hll_read(spark, path).write.mode("overwrite").parquet(dest)
+
+
+def stream_into_bloom(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    n_buckets: int = 1 << 13,
+    n_hashes: int = 2,
+    available_now: bool = True,
+):
+    """readStream of keyed rows -> per-batch ``(seed, bucket)`` rows
+    appended to the bloom log at ``path`` (a bloom filter is an OR of
+    bitsets, so the merge law is set union — fold with ``distinct``)."""
+    from ..operators.bloomjoin import bloom_bucket_rows
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bloom_bucket_rows(batch_df, key_col, n_buckets, n_hashes).write.mode(
+            "append"
+        ).parquet(path)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bloom_read(spark, path: str) -> DataFrame:
+    """Materialize the ``(seed, bucket)`` filter from its log: set
+    union (the merge law).  Feed to ``bloom_prefilter_with``."""
+    return spark.read.parquet(path).select("seed", "bucket").distinct()
+
+
+def bloom_compact(spark, path: str, dest: str) -> None:
+    """Fold the bloom log to a single filter relation at ``dest``
+    (write to a NEW path and swap, never in-place)."""
+    if path == dest:
+        raise ValueError("compact writes to a new path; swap after validation")
+    bloom_read(spark, path).write.mode("overwrite").parquet(dest)

@@ -89,3 +89,66 @@ class TestValidation:
     def test_bad_hashes(self, build):
         with pytest.raises(ValueError, match="n_hashes"):
             bloom_bucket_tables(build, "bk", n_hashes=0)
+
+
+class TestStreamingBloom:
+    def test_drained_log_equals_batch_filter(self, spark, build, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.bloomjoin import (
+            bloom_bucket_rows,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.sketch_stream import (
+            bloom_compact,
+            bloom_read,
+            stream_into_bloom,
+        )
+
+        src = str(tmp_path / "src")
+        build.filter(F.col("bk") < 500).coalesce(1).write.parquet(f"{src}/f0")
+        build.filter(F.col("bk") >= 500).coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(build.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        log = str(tmp_path / "log")
+        q = stream_into_bloom(
+            stream, log, str(tmp_path / "ckpt"), "bk", n_buckets=64, n_hashes=3
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["seed"], r["bucket"]) for r in bloom_read(spark, log).collect()
+        }
+        want = {
+            (r["seed"], r["bucket"])
+            for r in bloom_bucket_rows(build, "bk", n_buckets=64, n_hashes=3).collect()
+        }
+        assert got == want
+        dest = str(tmp_path / "compact")
+        bloom_compact(spark, log, dest)
+        compacted = {
+            (r["seed"], r["bucket"]) for r in spark.read.parquet(dest).collect()
+        }
+        assert compacted == want
+        with pytest.raises(ValueError):
+            bloom_compact(spark, log, log)
+
+    def test_prefilter_with_matches_inline(self, spark, fact, build):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.bloomjoin import (
+            bloom_bucket_rows,
+            bloom_prefilter_with,
+        )
+
+        rows = bloom_bucket_rows(build, "bk", n_buckets=64, n_hashes=2)
+        via_rows = sorted(
+            tuple(r)
+            for r in bloom_prefilter_with(
+                fact, rows, "k", n_buckets=64, n_hashes=2
+            ).collect()
+        )
+        inline = sorted(
+            tuple(r)
+            for r in bloom_prefilter(
+                fact, build, "k", "bk", n_buckets=64, n_hashes=2
+            ).collect()
+        )
+        assert via_rows == inline
