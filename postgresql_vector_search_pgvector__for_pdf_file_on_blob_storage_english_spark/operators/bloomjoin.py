@@ -108,7 +108,24 @@ def bloom_prefilter_with(
     filter relation (from :func:`bloom_bucket_rows`, a persisted
     artifact, or a drained streaming log) — the deployed probe path
     where the filter is maintained incrementally rather than rebuilt
-    per query."""
+    per query.
+
+    Validates that the relation covers EXACTLY seeds ``0..n_hashes-1``
+    before probing (a bounded ``n_hashes``-row aggregate): a filter
+    built with fewer hashes — or a corrupted/partial log — would yield
+    an empty bucket set for some seed, and the semi-join conjunction
+    would silently drop EVERY fact row, breaking the no-false-negative
+    contract (ADVICE r6)."""
+    present = sorted(
+        r["seed"]
+        for r in bucket_rows.select("seed").distinct().collect()
+    )
+    if present != list(range(n_hashes)):
+        raise ValueError(
+            f"bloom filter relation covers seeds {present}, expected "
+            f"exactly 0..{n_hashes - 1}; refusing to probe (a missing "
+            "seed would silently drop all fact rows)"
+        )
     out = fact
     for seed in range(n_hashes):
         buckets = bucket_rows.filter(F.col("seed") == seed).select(

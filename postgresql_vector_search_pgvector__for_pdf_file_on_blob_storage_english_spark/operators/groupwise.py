@@ -266,6 +266,15 @@ def weighted_sample_topn(
     cut is top-n by (key, id) — ``TakeOrderedAndProject``, no full
     sort, no shuffle beyond the k-row partial winners.  Rows with
     non-positive weight are excluded (zero mass).
+
+    The ordering cut compares the key QUANTIZED to integer 1e-8 units
+    (``floor(key * 1e8 + 0.5)`` as a long, id tiebreak) rather than the
+    raw double: ``ln()`` is libm-dependent (JVM ``Math.log`` vs C
+    ``log`` can differ in the last ulp), so cutting on the raw key
+    could select different rows on different engines at near-ties —
+    the repo-wide quantize-before-ranking oracle rule (ADVICE r6).
+    ``key_col`` is emitted as the quantized key rescaled (kq / 1e8),
+    so output and selection compare identical bits everywhere.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -278,10 +287,12 @@ def weighted_sample_topn(
     ).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 32))
     w = F.col(weight_col).cast("double")
-    key = -F.log(u) / w
+    key_q = F.floor((-F.log(u) / w) * F.lit(1e8) + F.lit(0.5)).cast("long")
     return (
         df.filter(w > 0)
-        .withColumn(key_col, key)
-        .orderBy(key_col, id_col)
+        .withColumn("_es_q", key_q)
+        .orderBy("_es_q", id_col)
         .limit(n)
+        .withColumn(key_col, F.col("_es_q") / F.lit(1e8))
+        .drop("_es_q")
     )

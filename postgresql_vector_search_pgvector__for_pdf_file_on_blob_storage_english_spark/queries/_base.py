@@ -43,6 +43,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _drain(q, timeout: int) -> None:
+    """Await a replay query's drain and FAIL LOUDLY on timeout: a
+    silently partial log folds into a wrong-but-plausible result
+    (ADVICE r6 — awaitTermination's boolean was being ignored)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming drain exceeded {timeout}s; refusing to fold a partial log"
+        )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
     Spark 4 refuses to read natively — the legacy conf reads it as a

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from ._base import (  # noqa: F401
     DataFrame,
+    _drain,
     F,
     SparkSession,
     _DD_NORMALIZE,
@@ -87,7 +88,7 @@ def _stream_bloom_semi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = orders.select("o_orderkey")
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_bloom_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_bloom_{tag}_{os.getpid()}")
     src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
     shutil.rmtree(base, ignore_errors=True)
 
@@ -99,7 +100,7 @@ def _stream_bloom_semi_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{src}/*")
     )
     q = stream_into_bloom(stream, log, ckpt, "o_orderkey")
-    q.awaitTermination(120)
+    _drain(q, 120)
 
     pre = bloom_prefilter_with(li, bloom_read(spark, log), "l_orderkey")
     hits = pre.join(

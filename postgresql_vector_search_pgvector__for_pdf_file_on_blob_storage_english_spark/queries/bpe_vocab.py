@@ -31,16 +31,24 @@ def _dd_bpe_chain(n: int) -> str:
     # the training oracle (reads b1..bn), the encode oracle (reads the
     # final segmented relation s{n}), and the fertility oracle (which
     # needs the carried-through ``term`` to join back to languages).
+    #
+    # Round-7 cross-engine pinning (operators/bpe.py module docstring):
+    # the working set is printable-ASCII terms only, the per-char wrap
+    # is a version-stable RE2 regexp_replace (no string_split(term,'')
+    # grapheme-vs-codepoint ambiguity), and bracket slicing seq[2:..]
+    # is replaced by substring(), which matches Spark exactly.
     parts = [
         f"WITH {_DD_TOKENS},",
-        "wf AS (SELECT term, count(*) AS freq FROM tokens GROUP BY term),",
-        "s0 AS MATERIALIZED (SELECT term, array_to_string(list_transform(string_split(term, ''),"
-        " c -> chr(30) || c || chr(31)), '') AS seq, freq FROM wf),",
+        "wf AS (SELECT term, count(*) AS freq FROM tokens"
+        " WHERE regexp_matches(term, '^[!-~]+$') GROUP BY term),",
+        "s0 AS MATERIALIZED (SELECT term,"
+        " regexp_replace(term, '(.)', chr(30) || '\\1' || chr(31), 'g') AS seq,"
+        " freq FROM wf),",
     ]
     for i in range(1, n + 1):
         parts.append(f"""p{i} AS MATERIALIZED (
   SELECT sy[j.j] AS l, sy[j.j + 1] AS r, sum(freq) AS cnt
-  FROM (SELECT string_split(seq[2:length(seq)-1], chr(31) || chr(30)) AS sy, freq
+  FROM (SELECT string_split(substring(seq, 2, length(seq) - 2), chr(31) || chr(30)) AS sy, freq
         FROM s{i - 1}) t,
        unnest(range(1, len(sy))) AS j(j)
   GROUP BY 1, 2
@@ -57,8 +65,15 @@ s{i} AS MATERIALIZED (
 
 
 def _dd_bpe_sql(n: int) -> str:
+    # Final projection casts EVERY aggregate to BIGINT: the r6 driver
+    # flake was this entry's pair_count reaching the driver as DuckDB
+    # HUGEINT (arrow decimal128) — see operators/bpe.py docstring.
+    # syms_after is the per-step segmentation cross-check.
     union = "\nUNION ALL\n".join(
-        f'SELECT {i} AS step, l AS "left", r AS "right", cnt AS pair_count FROM b{i}'
+        f'SELECT {i} AS step, l AS "left", r AS "right",'
+        f" CAST(cnt AS BIGINT) AS pair_count,"
+        f" (SELECT CAST(sum(freq * len(string_split(substring(seq, 2, length(seq) - 2),"
+        f" chr(31) || chr(30)))) AS BIGINT) FROM s{i}) AS syms_after FROM b{i}"
         for i in range(1, n + 1)
     )
     return f"{_dd_bpe_chain(n)}\n{union}\nORDER BY step"
@@ -104,7 +119,7 @@ def _vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dd_bpe_encode_sql(n: int, top: int) -> str:
     return f"""{_dd_bpe_chain(n)},
 final AS MATERIALIZED (
-  SELECT unnest(string_split(seq[2:length(seq)-1], chr(31) || chr(30))) AS token,
+  SELECT unnest(string_split(substring(seq, 2, length(seq) - 2), chr(31) || chr(30))) AS token,
          freq
   FROM s{n}
 )
@@ -176,7 +191,7 @@ def _dd_bpe_fertility_sql(n: int) -> str:
     return f"""{_dd_bpe_chain(n)},
 fert AS (
   SELECT term,
-         len(string_split(seq[2:length(seq)-1], chr(31) || chr(30))) AS n_bpe
+         len(string_split(substring(seq, 2, length(seq) - 2), chr(31) || chr(30))) AS n_bpe
   FROM s{n}
 ),
 lt AS (

@@ -381,7 +381,7 @@ surv AS (
   ) WHERE rn = 1
 )
 SELECT c.lang, count(*) AS n_docs,
-       sum(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END) AS n_dup_copies,
+       CAST(sum(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_copies,
        round(avg(CASE WHEN s.doc_id IS NULL THEN 1.0 ELSE 0.0 END), 4) AS dup_rate
 FROM corpus c LEFT JOIN surv s ON c.doc_id = s.doc_id
 GROUP BY c.lang
@@ -475,7 +475,7 @@ probs AS (
   SELECT doc_id, c, c::DOUBLE / sum(c) OVER (PARTITION BY doc_id) AS p FROM counts
 ),
 per AS (
-  SELECT doc_id, sum(c) AS n, round(-sum(p * log2(p)), 4) AS entropy_bits
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, round(-sum(p * log2(p)), 4) AS entropy_bits
   FROM probs GROUP BY doc_id
 )
 SELECT doc_id, n AS n_bigrams, entropy_bits
@@ -861,7 +861,7 @@ SELECT count(*) AS n,
        round(max(least(greatest(value, p1), p99)), 4) AS clipped_max,
        round(avg(least(greatest(value, p1), p99)), 4) AS clipped_mean,
        round(avg(value), 4) AS raw_mean,
-       sum(CASE WHEN value < p1 OR value > p99 THEN 1 ELSE 0 END) AS n_clipped
+       CAST(sum(CASE WHEN value < p1 OR value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
 FROM events, b
 """,
 )
@@ -929,7 +929,7 @@ _register(
     _skew_report_orders,
     """
 WITH per_key AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
-SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_key_rows,
+SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_key_rows,
        round(max(n) / sum(n)::DOUBLE, 6) AS max_key_share,
        round(sum(n * n) / (sum(n)::DOUBLE * sum(n)), 6) AS herfindahl
 FROM per_key
@@ -1024,7 +1024,7 @@ sess AS (
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
 FROM sess GROUP BY user_id, session_id

@@ -117,7 +117,7 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
 cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
 tot AS (SELECT sum(c) AS n FROM cnt),
 scored AS (
-  SELECT doc_id, sum(tf) AS n_tokens,
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          sum(tf * ln(c::DOUBLE / n::DOUBLE)) / sum(tf) AS lp
   FROM tf JOIN cnt USING (term) CROSS JOIN tot
   GROUP BY doc_id

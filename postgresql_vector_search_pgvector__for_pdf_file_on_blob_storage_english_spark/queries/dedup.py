@@ -320,8 +320,8 @@ scored AS (
   FROM sets l JOIN sets r ON l.lang = r.lang AND l.doc_id < r.doc_id
 ),
 kept AS (SELECT * FROM scored WHERE jaccard >= 0.3)
-SELECT t.threshold, sum(CASE WHEN jaccard >= t.threshold THEN 1 ELSE 0 END) AS n_pairs
-FROM kept, (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS threshold) t
+SELECT t.threshold, CAST(sum(CASE WHEN jaccard >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+FROM kept, (SELECT CAST(unnest([0.3, 0.5, 0.7, 0.9]) AS DOUBLE) AS threshold) t
 GROUP BY t.threshold
 """,
 )
@@ -376,7 +376,7 @@ ranked AS (
 ),
 found AS (SELECT query_id, rank FROM ranked WHERE vec_id = query_id)
 SELECT count(*) AS n_queries,
-       sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_found_top10,
+       CAST(sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found_top10,
        round(avg(coalesce(1.0 / f.rank, 0.0)), 4) AS mrr,
        round(avg(CASE WHEN f.rank <= 5 THEN 1.0 ELSE 0.0 END), 4) AS recall_at_5
 FROM q LEFT JOIN found f USING (query_id)

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from ._base import (  # noqa: F401
     DataFrame,
+    _drain,
     F,
     SparkSession,
     _DD_NORMALIZE,
@@ -103,7 +104,7 @@ def _stream_pii_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_pii_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_pii_{tag}_{os.getpid()}")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
 
@@ -129,7 +130,7 @@ def _stream_pii_scrub_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.read.parquet(sink)
 
 
@@ -159,7 +160,7 @@ def _stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.dedup_stream import streaming_exact_dedup
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_dedup_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_dedup_{tag}_{os.getpid()}")
     src = os.path.join(base, "src")
     sink = os.path.join(base, "sink")
     ckpt = os.path.join(base, "ckpt")
@@ -193,7 +194,7 @@ def _stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
 
     return (
         spark.read.parquet(sink)
@@ -246,7 +247,7 @@ def _stream_knn_serve_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_knn_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_knn_{tag}_{os.getpid()}")
     src = os.path.join(base, "src")
     sink = os.path.join(base, "sink")
     ckpt = os.path.join(base, "ckpt")
@@ -276,7 +277,7 @@ def _stream_knn_serve_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.read.parquet(sink)
 
 
@@ -303,7 +304,7 @@ def _stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windowed import read_rollup, run_hourly_rollup_incremental
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_rollup_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_rollup_{tag}_{os.getpid()}")
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -316,7 +317,7 @@ def _stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_hourly_rollup_incremental(
         spark, src, out, ckpt, watermark="90 days", max_files_per_trigger=1
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return read_rollup(spark, out)
 
 
@@ -346,7 +347,7 @@ def _sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_sq8_index_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_sq8_index_{tag}_{os.getpid()}")
     sq8_index_write(emb, path, payload_cols=["label"])
     q = list(emb.filter(F.col("vec_id") == 5).first()["embedding"])
     out = sq8_index_search(
@@ -425,7 +426,7 @@ def _stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_decontam_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_decontam_{tag}_{os.getpid()}")
     src = os.path.join(base, "src")
     sink = os.path.join(base, "sink")
     ckpt = os.path.join(base, "ckpt")
@@ -452,7 +453,7 @@ def _stream_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.read.parquet(sink)
 
 

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from ._base import (  # noqa: F401
     DataFrame,
+    _drain,
     F,
     SparkSession,
     _dd_dot,
@@ -204,7 +205,7 @@ def _pq_index_path(sf_dir: str, name: str) -> str:
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}_{os.getpid()}")
 
 
 def _ivfpq_fixture(spark: SparkSession, sf_dir: str):
@@ -489,7 +490,7 @@ def _stream_pq_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, centroids, books = _ivfpq_fixture(spark, sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_pqidx_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_pqidx_{tag}_{os.getpid()}")
     src = os.path.join(base, "src")
     idx = os.path.join(base, "index")
     ckpt = os.path.join(base, "ckpt")
@@ -505,7 +506,7 @@ def _stream_pq_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_into_pq_index(
         stream, centroids, books, idx, checkpoint=ckpt, payload_cols=["label"]
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
 
     qv = list(emb.filter(F.col("vec_id") == _PQ_PROBE_ID).first()["embedding"])
     out = pq_index_search(

@@ -422,9 +422,9 @@ def _sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = weighted_sample_topn(
         orders, "o_totalprice", _WS_N, id_col="o_orderkey", salt="wsample"
     )
-    return sel.select(
-        "o_orderkey", "o_totalprice", F.round("es_key", 8).alias("es_key")
-    )
+    # es_key is already the quantized key rescaled (operator contract):
+    # selection and output compare identical bits on both engines.
+    return sel.select("o_orderkey", "o_totalprice", "es_key")
 
 
 _DD_WSAMPLE = f"""
@@ -436,11 +436,13 @@ WITH u AS (
   WHERE o_totalprice > 0
 ),
 keyed AS (
-  SELECT o_orderkey, o_totalprice, -ln(u) / o_totalprice AS k FROM u
+  SELECT o_orderkey, o_totalprice,
+         CAST(floor((-ln(u) / o_totalprice) * 1e8 + 0.5) AS BIGINT) AS kq
+  FROM u
 )
-SELECT o_orderkey, o_totalprice, round(k, 8) AS es_key
+SELECT o_orderkey, o_totalprice, kq / 100000000.0 AS es_key
 FROM keyed
-ORDER BY k, o_orderkey
+ORDER BY kq, o_orderkey
 LIMIT {_WS_N}
 """
 

@@ -228,7 +228,7 @@ ranked AS (
 ),
 found AS (SELECT query_id, rank FROM ranked WHERE doc_id = query_id)
 SELECT count(*) AS n_queries,
-       sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_found_top10,
+       CAST(sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found_top10,
        round(avg(coalesce(1.0 / f.rank, 0.0)), 4) AS mrr,
        round(avg(CASE WHEN f.rank <= 5 THEN 1.0 ELSE 0.0 END), 4) AS recall_at_5
 FROM sel LEFT JOIN found f ON sel.doc_id = f.query_id
@@ -377,7 +377,7 @@ ranked AS (
 ),
 found AS (SELECT query_id, rank FROM ranked WHERE doc_id = query_id)
 SELECT count(*) AS n_queries,
-       sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_found,
+       CAST(sum(CASE WHEN f.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
        round(avg(coalesce(1.0 / f.rank, 0.0)), 4) AS mrr,
        round(avg(CASE WHEN f.rank <= 5 THEN 1.0 ELSE 0.0 END), 4) AS recall_at_5
 FROM sel LEFT JOIN found f ON sel.doc_id = f.query_id

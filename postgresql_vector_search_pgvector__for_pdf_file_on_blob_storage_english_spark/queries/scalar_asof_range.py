@@ -2,7 +2,7 @@
 # registration side effects run at import, in package order.
 from __future__ import annotations
 
-from ._base import DataFrame, F, SparkSession, _events, _register, _t  # noqa: F401
+from ._base import _drain, DataFrame, F, SparkSession, _events, _register, _t  # noqa: F401
 # Scalar-function breadth: the string/math/date built-ins a user of the
 # reference's serving path reaches for, exercised in one projection.
 # ==========================================================================
@@ -151,7 +151,7 @@ def _stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.joins import stream_stream_interval_join
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_join_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_join_{tag}_{os.getpid()}")
     src_l = os.path.join(base, "clicks")
     src_r = os.path.join(base, "errors")
     sink = os.path.join(base, "sink")
@@ -194,7 +194,7 @@ def _stream_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.read.parquet(sink)
 
 

@@ -200,8 +200,8 @@ term AS (
   FROM base
 )
 SELECT fileName, count(*) AS n_chunks,
-       sum(CASE WHEN status = 'COMPLETED' THEN 1 ELSE 0 END) AS n_completed,
-       sum(CASE WHEN status = 'FAILED_DB_INSERTION' THEN 1 ELSE 0 END) AS n_failed,
+       CAST(sum(CASE WHEN status = 'COMPLETED' THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+       CAST(sum(CASE WHEN status = 'FAILED_DB_INSERTION' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
        round(avg(CASE WHEN status = 'COMPLETED' THEN 1.0 ELSE 0.0 END), 4) AS frac_completed
 FROM term GROUP BY fileName
 """,

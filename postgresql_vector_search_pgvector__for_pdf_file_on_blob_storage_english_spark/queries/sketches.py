@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from ._base import (  # noqa: F401
     DataFrame,
+    _drain,
     F,
     SparkSession,
     _register,
@@ -90,7 +91,7 @@ def _stream_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_cm_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_cm_{tag}_{os.getpid()}")
     src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
     shutil.rmtree(base, ignore_errors=True)
 
@@ -105,7 +106,7 @@ def _stream_countmin_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream_into_countmin(
         stream, log, ckpt, "term", depth=_CM_DEPTH, width=_CM_WIDTH
     )
-    q.awaitTermination(120)
+    _drain(q, 120)
 
     sk = countmin_read(spark, log)
     probes = spark.createDataFrame([(t,) for t in _CM_PROBES], "key string")
@@ -212,7 +213,7 @@ def _stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_hll_{tag}")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_hll_{tag}_{os.getpid()}")
     src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
     shutil.rmtree(base, ignore_errors=True)
 
@@ -225,7 +226,7 @@ def _stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{src}/*")
     )
     q = stream_into_hll(stream, log, ckpt, "term")
-    q.awaitTermination(120)
+    _drain(q, 120)
 
     est = hll_estimate(hll_read(spark, log))
     exact = toks.select("term").distinct().agg(

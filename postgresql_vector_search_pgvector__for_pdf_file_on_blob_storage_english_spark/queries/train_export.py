@@ -28,7 +28,7 @@ _DD_SHARD_HASH = "('0x' || substr(md5('shard' || '§' || doc_id::VARCHAR), 1, 8)
 _DD_SHARD_STATS = f"""
 WITH a AS (SELECT doc_id, {_DD_SHARD_HASH} AS h FROM documents)
 SELECT (h % {_N_SHARDS})::INT AS shard, count(*) AS n_docs,
-       sum(doc_id) AS sum_ids, min(h) AS min_key, max(h) AS max_key
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids, min(h) AS min_key, max(h) AS max_key
 FROM a GROUP BY 1
 """
 

@@ -945,8 +945,8 @@ _register(
     "source_format_matrix",
     _source_format_matrix,
     """
-SELECT fmt, count(*) AS n_rows, sum(doc_id) AS sum_ids,
-       count(DISTINCT md5(text)) AS n_distinct_texts, sum(n_chars) AS sum_chars
+SELECT fmt, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       count(DISTINCT md5(text)) AS n_distinct_texts, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents, (SELECT unnest(['csv', 'json', 'parquet']) AS fmt)
 GROUP BY fmt
 """,

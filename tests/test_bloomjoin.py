@@ -90,6 +90,19 @@ class TestValidation:
         with pytest.raises(ValueError, match="n_hashes"):
             bloom_bucket_tables(build, "bk", n_hashes=0)
 
+    def test_missing_seed_refused(self, spark, fact, build):
+        # a filter built with fewer hashes than the probe expects would
+        # semi-join against an empty bucket set and silently drop ALL
+        # fact rows — the probe must refuse instead (ADVICE r6)
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.bloomjoin import (
+            bloom_bucket_rows,
+            bloom_prefilter_with,
+        )
+
+        rows = bloom_bucket_rows(build, "bk", n_buckets=64, n_hashes=1)
+        with pytest.raises(ValueError, match="covers seeds"):
+            bloom_prefilter_with(fact, rows, "k", n_buckets=64, n_hashes=2)
+
 
 class TestStreamingBloom:
     def test_drained_log_equals_batch_filter(self, spark, build, tmp_path):

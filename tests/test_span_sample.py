@@ -85,10 +85,12 @@ class TestSubstringSpans:
             substring_dup_spans(_pos_tokens(spark, self.DOCS), k=1)
 
 
-def _es_key(salt: str, ident: int, w: float) -> float:
+def _es_key(salt: str, ident: int, w: float) -> int:
+    # quantized to integer 1e-8 units, matching the operator's
+    # cross-engine ordering contract (ADVICE r6: no raw-double cuts)
     h = int(hashlib.md5(f"{salt}§{ident}".encode()).hexdigest()[:8], 16)
     u = (h + 1) / 2**32
-    return -math.log(u) / w
+    return math.floor((-math.log(u) / w) * 1e8 + 0.5)
 
 
 class TestWeightedSample:

@@ -93,6 +93,22 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        # Structural gate (round 7): an oracle whose FINAL projection
+        # yields HUGEINT/DECIMAL (e.g. uncast DuckDB sum()) passes a
+        # fetchall() compare here but reaches an arrow/pandas-fetching
+        # driver as decimal/float — the r6 vocab_bpe_merges flake.
+        # DESCRIBE binds without executing, so this is ~free.
+        try:
+            dtypes = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            banned = [
+                f"{r[0]}:{r[1]}"
+                for r in dtypes
+                if "HUGEINT" in r[1].upper() or "DECIMAL" in r[1].upper()
+            ]
+            if banned:
+                problems.append(f"hugeint/decimal-final oracle column (cast it): {banned}")
+        except Exception:
+            pass  # DESCRIBE unsupported for this statement shape: skip
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
