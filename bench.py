@@ -89,6 +89,7 @@ REPEATS = {
     "topk_orders_by_price": 3,  # r5: +16% drift, plan unchanged (VERDICT r5 item 6)
     "graph_pagerank_trade": 3,  # r6: first run pays parquet/codegen warmup (~3x), median reflects steady state
     "orders_rfm_segmentation": 3,  # r6: 2.8-3.8 s run-to-run swing across bench runs, plan unchanged
+    "bm25_index_search": 3,  # r7: +10% drift in BENCH_r06 with plan unchanged (VERDICT r6 item 4)
 }
 
 

@@ -34,6 +34,16 @@ from ._base import Entry, REGISTRY  # noqa: F401
 #      the driver's own snapshot — not just the committed local gate —
 #      evidences them.
 #
+#      Round-7 rotation (VERDICT r6 item 7): five slots whose family
+#      was driver-evidenced in the r6 snapshot and keeps a sibling
+#      (ann_ivf_index_search ~ ann_ivfpq_index_search, ann_recall_sweep
+#      — recall measurement evidenced r6 —, quant_sq8_knn_top5 — sq8
+#      evidenced r6 —, dedup_simhash_neardup_pairs — dedup keeps
+#      exact + minhash + semantic —, hybrid_rrf_knn_bm25 ~
+#      bm25_topk_docs) rotate out for the five never-driver-evidenced
+#      families: SCD2 history, count-min sketch, z-order layout,
+#      bloom runtime semi-join, and sequence packing.
+#
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the
 # driver's 50-row snapshot.
@@ -67,7 +77,7 @@ _WINDOW_50: list[str] = [
     # -- LLM-data-pipeline families -------------------------------------
     "dedup_exact_survivors",
     "dedup_minhash_lsh_candidates",
-    "dedup_simhash_neardup_pairs",
+    "bloom_semi_join_revenue",    # r7: bloom semi-join's first driver slot
     "sample_weighted_orders",      # r6: sampling family's first driver slot
     "ml_nb_langid_confusion",      # r6: in-engine classification family
     "dedup_semantic_clusters",
@@ -79,14 +89,14 @@ _WINDOW_50: list[str] = [
     "text_token_stats",
     "sketch_hll_distinct_terms",   # r6: HLL distinct-count sketch
     "ann_ivfpq_index_search",      # r6: persisted IVF-PQ (VERDICT r5 #3)
-    "ann_ivf_index_search",
+    "events_scd2_state_history",  # r7: SCD2 family's first driver slot
     "vocab_bpe_merges",            # r6: BPE vocab training (VERDICT r5 #7)
     "ann_lsh_index_search",
-    "ann_recall_sweep",
-    "quant_sq8_knn_top5",
+    "sketch_countmin_terms",      # r7: count-min family's first driver slot
+    "layout_zorder_report",       # r7: layout family's first driver slot
     "graph_pagerank_trade",        # r6: fixed-point PageRank
     "bm25_topk_docs",
-    "hybrid_rrf_knn_bm25",
+    "pack_concat_windows",        # r7: packing family's first driver slot
     "mm_image_features",
     "mm_audio_features",
     "mm_video_frame_sample",
