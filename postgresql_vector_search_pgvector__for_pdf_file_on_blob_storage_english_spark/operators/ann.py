@@ -194,16 +194,22 @@ def ivf_index_write(
     path: str,
     centroid_id_col: str = "centroid_id",
 ) -> None:
-    """Materialize the IVF index: parquet partitioned by ``centroid_id``.
+    """Materialize the IVF index: parquet partitioned by
+    ``(batch_id=0, centroid_id)``.
 
     This is the physical layout the IVF docstring promises — one
     directory per inverted list.  At 100 TB the write is the offline
     index build (amortized over every query), and it is what turns the
     probe from "scan 100 TB, filter rows" into "read nprobe
     directories": the search filter lands in ``PartitionFilters``, so
-    unprobed lists are eliminated at planning time with zero I/O.
+    unprobed lists are eliminated at planning time with zero I/O.  The
+    leading ``batch_id`` level is the maintenance contract
+    (operators/index_maint.py): appends own their batch directory,
+    deletes are tombstones, compaction folds back to ``batch_id=0``.
     """
-    assigned_corpus.write.mode("overwrite").partitionBy(centroid_id_col).parquet(path)
+    from .index_maint import write_bulk
+
+    write_bulk(assigned_corpus, path, centroid_id_col)
 
 
 def ivf_index_append(
@@ -213,23 +219,30 @@ def ivf_index_append(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_id_col: str = "centroid_id",
+    batch_id: int | None = None,
 ) -> None:
     """Incrementally maintain a persisted IVF index: assign the new
-    batch to its centroids and append into the matching partitions.
+    batch to its centroids and append it as its own ``batch_id`` level
+    (operators/index_maint.py).
 
-    Dynamic partition overwrite is NOT needed — parquet append with
-    ``partitionBy`` only touches the directories the batch lands in, so
-    maintenance cost tracks the batch, not the index.  Centroids stay
-    fixed (the standard IVF contract; retrain + rebuild is the offline
-    path), so existing lists never need rewriting and searches see old
-    and new rows with identical semantics.  This is the foreachBatch
-    body for streaming ingest into a vector index.
+    Maintenance cost tracks the batch, not the index — only the
+    directories the batch lands in are written.  Centroids stay fixed
+    (the standard IVF contract; retrain + rebuild is the offline path),
+    so existing lists never need rewriting and searches see old and new
+    rows with identical semantics.  As the foreachBatch body for
+    streaming ingest, pass the foreachBatch ``batch_id``: the write
+    then uses dynamic partition overwrite, so a replayed batch rewrites
+    exactly itself instead of appending duplicates (ADVICE r6).
+    Re-appending an existing id in a later batch is an upsert — the
+    reconcile law in the search path keeps the latest version.
     """
+    from .index_maint import append_batch
+
     assigned = assign_ivf(
         new_vectors, centroids, vec_col=vec_col, id_col=id_col,
         centroid_id_col=centroid_id_col,
     )
-    assigned.write.mode("append").partitionBy(centroid_id_col).parquet(path)
+    append_batch(assigned, path, centroid_id_col, batch_id=batch_id)
 
 
 def ivf_index_search(
@@ -280,9 +293,18 @@ def ivf_index_search(
         .collect()
     )
     probe_ids = [r[centroid_id_col] for r in probe_rows]
+    from .index_maint import read_reconciled
+
+    # read_reconciled applies the maintenance law (latest batch wins,
+    # tombstones hide) ONLY when the directory listing says the tree
+    # has >1 batch or tombstones; a freshly bulk-built index keeps the
+    # zero-exchange probe plan (tests/test_plans.py).  The reconcile,
+    # when taken, runs over the PROBED lists only — cost ∝ probe width.
     index = (
-        spark.read.parquet(path)
-        .filter(F.col(centroid_id_col).isin(probe_ids))
+        read_reconciled(
+            spark, path, id_col,
+            prune=F.col(centroid_id_col).isin(probe_ids),
+        )
         # Partition-column values round-trip through directory names;
         # restore the pre-write integer type after the pruning filter.
         .withColumn(centroid_id_col, F.col(centroid_id_col).cast("long"))
@@ -318,6 +340,42 @@ def ivf_index_stats(
     )
 
 
+def ivf_index_delete(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    batch_id: int | None = None,
+) -> None:
+    """Delete vectors from a persisted IVF index by tombstone: marker
+    rows land under ``{path}/_tombstones`` (hidden from plain reads),
+    and the search path's reconcile hides every version of the id
+    written at or before the tombstone's batch — a later re-append
+    resurrects it (operators/index_maint.py).  No list directory is
+    rewritten: at 100 TB a delete is a bounded marker write, and the
+    physical rows are reclaimed by :func:`ivf_index_compact`."""
+    from .index_maint import write_tombstones
+
+    write_tombstones(ids, path, id_col, batch_id=batch_id)
+
+
+def ivf_index_compact(
+    spark,
+    src_path: str,
+    dest_path: str,
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> None:
+    """Fold an appended/deleted-upon IVF index back to one clean
+    ``batch_id=0`` level at a NEW path: latest version per id kept,
+    tombstoned ids physically dropped, one file set per inverted list
+    (the small-files payback of log-structured maintenance).  Searches
+    hash-match across the compaction because search and compaction
+    share the reconcile law (gated by ``ann_ivf_index_compact``)."""
+    from .index_maint import compact_index
+
+    compact_index(spark, src_path, dest_path, id_col, centroid_id_col)
+
+
 def ivf_index_rebuild(
     spark,
     src_path: str,
@@ -344,9 +402,13 @@ def ivf_index_rebuild(
     rewrite."""
     from .kmeans import kmeans_fit_sampled
 
+    from .index_maint import read_reconciled
+
     if src_path == dest_path:
         raise ValueError("rebuild writes to a new path; swap after validation")
-    contents = spark.read.parquet(src_path).drop(centroid_id_col)
+    # Rebuild from the LOGICAL contents: superseded versions and
+    # tombstoned ids must not train the new centroids or reappear.
+    contents = read_reconciled(spark, src_path, id_col).drop(centroid_id_col)
     centroids = kmeans_fit_sampled(
         contents, k=k, vec_col=vec_col, id_col=id_col, train_limit=train_limit
     )

@@ -96,6 +96,24 @@ def _local_topk_selector(k: int, query_id_col: str, distance_col: str, id_col: s
     return select
 
 
+# Fold -> GEMM dispatch (VERDICT r6 #8).  SCALE.md's parity table: the
+# interpreted HOF fold and the Arrow+BLAS GEMM path are even at dim 64
+# (0.45 s vs 0.40 s on 20k x 16) and 11x apart at the reference's
+# dim 1536 (6.12 s vs 0.54 s) — the fold's cost is linear in dim while
+# GEMM is near-flat.  Above this dimensionality the GEMM path IS the
+# plan; below it the codegen fold wins on constant factors and exact
+# bit-reproducibility.  Override per session with the conf key
+# (-1 disables GEMM dispatch entirely; 0 forces it).
+GEMM_DIM_THRESHOLD_CONF = "spark.sparkgraft.knnJoin.gemmDimThreshold"
+DEFAULT_GEMM_DIM_THRESHOLD = 128
+
+
+def _gemm_dim_threshold(spark) -> int:
+    return int(
+        spark.conf.get(GEMM_DIM_THRESHOLD_CONF, str(DEFAULT_GEMM_DIM_THRESHOLD))
+    )
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,6 +126,7 @@ def knn_join(
     payload_cols: Sequence[str] | None = None,
     distance_col: str = "distance",
     local_topk: bool = False,
+    dispatch: str = "auto",
 ) -> DataFrame:
     """Per-query exact top-k for a relation of query vectors.
 
@@ -115,7 +134,41 @@ def knn_join(
     of ``local_topk``; the prune only shrinks the exchange, never the
     result (each partition retains >= k candidates per query, and the
     global winner set is a subset of the union of partition winner sets).
+
+    ``dispatch`` picks the physical strategy: ``"fold"`` is the codegen
+    HOF scoring below, ``"gemm"`` is :func:`knn_join_numpy` (per-batch
+    BLAS distance matrices), and the default ``"auto"`` probes the
+    vector dimensionality from ONE query row (a 1-row job on the small
+    side) and takes GEMM at dim >= the configured threshold — so the
+    default plan at reference dimensionality (1536) is the scale plan,
+    without callers having to know the crossover.  Both paths return
+    the same columns and the same (distance, id)-tiebroken winner set;
+    distances agree to ~1e-12 relative (BLAS vs sequential summation
+    order), which survives the oracle rounding at fixture dims
+    (tests/test_knn.py gates hash parity across the dispatch).
     """
+    if dispatch not in ("auto", "fold", "gemm"):
+        raise ValueError(f"dispatch must be auto|fold|gemm, got {dispatch!r}")
+    if dispatch == "gemm":
+        return knn_join_numpy(
+            corpus, queries, k=k, metric=metric, vec_col=vec_col,
+            id_col=id_col, query_id_col=query_id_col,
+            query_vec_col=query_vec_col, payload_cols=payload_cols,
+            distance_col=distance_col,
+        )
+    if dispatch == "auto":
+        thr = _gemm_dim_threshold(corpus.sparkSession)
+        if thr >= 0:
+            probe = queries.select(
+                F.size(F.col(query_vec_col)).alias("_d")
+            ).first()
+            if probe is not None and probe["_d"] is not None and probe["_d"] >= thr:
+                return knn_join_numpy(
+                    corpus, queries, k=k, metric=metric, vec_col=vec_col,
+                    id_col=id_col, query_id_col=query_id_col,
+                    query_vec_col=query_vec_col, payload_cols=payload_cols,
+                    distance_col=distance_col,
+                )
     dist_fn = DISTANCE_FNS[metric]
     scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
         distance_col, dist_fn(F.col(vec_col), F.col(query_vec_col))
@@ -156,10 +209,12 @@ def knn_join_numpy(
     per row at high dim.  BLAS summation order differs from the
     sequential HOF fold, so distances agree only to float tolerance
     (~1e-12 relative): the winner *set* is identical whenever no two
-    candidates are within that tolerance, but this path is deliberately
-    NOT used in oracle-gated queries.  Queries (the small dimension
-    side) are collected to a closure matrix — the same data movement a
-    broadcast performs.
+    distinct candidates sit within that tolerance of each other.
+    :func:`knn_join` auto-dispatches here above the configured dim
+    threshold (VERDICT r6 #8); hash parity across the dispatch at
+    fixture dims is gated in tests/test_knn.py.  Queries (the small
+    dimension side) are collected to a closure matrix — the same data
+    movement a broadcast performs.
     """
     import numpy as np
     import pandas as pd

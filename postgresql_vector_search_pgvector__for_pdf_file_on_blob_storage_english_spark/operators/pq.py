@@ -293,13 +293,15 @@ def pq_index_write(
     Append-maintenance works like ``ann.ivf_index_append`` (centroids
     and codebooks stay fixed; retrain is the offline rebuild path).
     """
+    from .index_maint import write_bulk
+
     keep = [id_col, *(payload_cols or [])]
     encoded = ivfpq_encode(
         corpus, centroids, codebooks,
         vec_col=vec_col, id_col=id_col, centroid_id_col=centroid_id_col,
         payload_cols=keep,
     )
-    encoded.write.mode("overwrite").partitionBy(centroid_id_col).parquet(path)
+    write_bulk(encoded, path, centroid_id_col)
 
 
 def pq_index_search(
@@ -340,11 +342,16 @@ def pq_index_search(
     dist = _adc_case(ranked, query_vec, codebooks, code_col, centroid_id_col)
     probe_ids = [cid for _, cid, _ in ranked]
 
-    codes = (
-        spark.read.parquet(path)
-        .filter(F.col(centroid_id_col).isin(probe_ids))
-        .withColumn("_adc", dist)
-    )
+    from .index_maint import read_reconciled
+
+    # Maintenance-aware read: reconcile (latest batch wins, tombstones
+    # hide) engages only when the directory listing shows >1 batch or
+    # tombstones, and then only over the probed lists — a bulk-built
+    # index keeps its original pruned-scan plan (index_maint.py).
+    codes = read_reconciled(
+        spark, path, id_col,
+        prune=F.col(centroid_id_col).isin(probe_ids),
+    ).withColumn("_adc", dist)
     pool = (
         codes.orderBy(F.col("_adc").asc(), F.col(id_col).asc())
         .limit(k * oversample)
@@ -389,6 +396,7 @@ def pq_index_append(
     id_col: str = "vec_id",
     payload_cols=None,
     centroid_id_col: str = "centroid_id",
+    batch_id: int | None = None,
 ) -> None:
     """Incrementally maintain a persisted IVF-PQ index: coarse-assign
     the batch, PQ-encode its residuals, append into the matching list
@@ -398,13 +406,19 @@ def pq_index_append(
     union would produce, maintenance cost tracks the batch, and this
     is directly usable as a streaming ``foreachBatch`` body
     (streaming/index_stream.py::stream_into_pq_index)."""
+    from .index_maint import append_batch
+
     keep = [id_col, *(payload_cols or [])]
     encoded = ivfpq_encode(
         new_vectors, centroids, codebooks,
         vec_col=vec_col, id_col=id_col, centroid_id_col=centroid_id_col,
         payload_cols=keep,
     )
-    encoded.write.mode("append").partitionBy(centroid_id_col).parquet(path)
+    # With the foreachBatch batch_id, the write is a dynamic partition
+    # overwrite of exactly this batch's directories — replays are
+    # idempotent (ADVICE r6); without it, a plain append at the next
+    # free batch level (operators/index_maint.py).
+    append_batch(encoded, path, centroid_id_col, batch_id=batch_id)
 
 
 def ivfpq_search_join(

@@ -310,15 +310,15 @@ def bm25_index_write(
     stats/terms refreshed by the same aggregation over the delta — the
     ivf_index_append contract.
     """
+    from .index_maint import write_bulk
+
     tokens = tokenize(docs, text_col=text_col, id_col=id_col)
     doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
     tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     postings = tf.join(doc_len, id_col).withColumn(
         "term_bucket", term_bucket_col(F.col("term"), n_buckets)
     )
-    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        f"{path}/postings"
-    )
+    write_bulk(postings, f"{path}/postings", "term_bucket")
     dfreq = (
         tf.groupBy("term")
         .agg(F.countDistinct(id_col).alias("df"))
@@ -392,6 +392,7 @@ def bm25_index_append(
     n_buckets: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: int | None = None,
 ) -> None:
     """Incrementally maintain a persisted BM25 index: append the new
     batch's postings into the bucket layout, then refresh the
@@ -401,17 +402,23 @@ def bm25_index_append(
 
     Postings rows are doc-local (term, doc_id, tf, dl): appending new
     docs (ids disjoint from the indexed corpus — the append contract)
-    never touches existing rows, and parquet append only writes into the
-    buckets the batch lands in.  df/n_docs/avgdl are corpus-relative, so
-    they are REBUILT from the post-append postings: one aggregation pass
-    ∝ index size, shuffling only (term) and (doc) keys.  This keeps the
-    invariant tests pin — append(A); append(B) == write(A ∪ B) exactly,
-    old docs' scores included (BM25 idf/avgdl shift with the corpus; a
-    stale-stats index would silently diverge from the scan path).  A
-    merge-based refresh (old stats + delta) avoids the postings pass but
-    needs a staged swap to not read-and-overwrite the same directory;
-    recompute is the simple default at fixture scale.
+    never touches existing rows, and the batch lands as its own
+    ``batch_id`` level under the bucket layout (index_maint.py) — with
+    the foreachBatch ``batch_id``, a replayed batch dynamic-partition-
+    overwrites exactly itself, and the stats refresh that follows is a
+    full overwrite, so the whole append is idempotent (ADVICE r6).
+    df/n_docs/avgdl are corpus-relative, so they are REBUILT from the
+    post-append postings: one aggregation pass ∝ index size, shuffling
+    only (term) and (doc) keys.  This keeps the invariant tests pin —
+    append(A); append(B) == write(A ∪ B) exactly, old docs' scores
+    included (BM25 idf/avgdl shift with the corpus; a stale-stats index
+    would silently diverge from the scan path).  A merge-based refresh
+    (old stats + delta) avoids the postings pass but needs a staged
+    swap to not read-and-overwrite the same directory; recompute is the
+    simple default at fixture scale.
     """
+    from .index_maint import append_batch
+
     spark = new_docs.sparkSession
     tokens = tokenize(new_docs, text_col=text_col, id_col=id_col)
     doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
@@ -419,9 +426,7 @@ def bm25_index_append(
     postings = tf.join(doc_len, id_col).withColumn(
         "term_bucket", term_bucket_col(F.col("term"), n_buckets)
     )
-    postings.write.mode("append").partitionBy("term_bucket").parquet(
-        f"{path}/postings"
-    )
+    append_batch(postings, f"{path}/postings", "term_bucket", batch_id=batch_id)
 
     all_postings = spark.read.parquet(f"{path}/postings")
     dfreq = (

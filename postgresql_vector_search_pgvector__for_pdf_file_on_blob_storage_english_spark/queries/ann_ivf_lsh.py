@@ -527,4 +527,102 @@ ORDER BY method, nprobe
 _register("ann_recall_sweep", _ann_recall_sweep, _DD_RECALL_SWEEP)
 
 
+def _ann_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full index-maintenance lifecycle through the persisted IVF tree
+    (operators/index_maint.py, VERDICT r6 #6): bulk build, tombstone
+    two of the probe's top-5 neighbours, upsert a third with a mutated
+    label, search the messy tree, compact to a clean batch_id=0 tree,
+    search again.  BOTH searches are in the gated result (phase
+    'pre'/'post' over identical rows), so the driver gate itself proves
+    searches hash-match across compaction — the reconcile law (latest
+    batch wins, tombstones hide) is shared by the search and compact
+    paths.  The oracle replays the logical outcome: rank the probed
+    lists, drop ranks 2-3, relabel rank 4."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.ann import (
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_delete,
+        ivf_index_search,
+        ivf_index_write,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_maint_{tag}")
+    dest = path + "_compact"
+    for d in (path, dest):  # entries must be re-runnable in one session
+        shutil.rmtree(d, ignore_errors=True)
+
+    ivf_index_write(assign_ivf(emb, centroids), path)
+    q = list(emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"])
+
+    def search(p: str) -> DataFrame:
+        return ivf_index_search(
+            spark, p, centroids, q, k=5, nprobe=2, payload_cols=["vec_id", "label"]
+        )
+
+    base = search(path).collect()  # bounded: 5 rows
+    dead = [base[1]["vec_id"], base[2]["vec_id"]]
+    upserted = base[3]["vec_id"]
+    ivf_index_delete(
+        spark.createDataFrame([(int(i),) for i in dead], "vec_id long"), path
+    )
+    ivf_index_append(
+        emb.filter(F.col("vec_id") == upserted).withColumn(
+            "label", F.lit(777).cast("int")
+        ),
+        centroids,
+        path,
+    )
+    pre = search(path)  # reconcile path: tombstones + upsert batch
+    ivf_index_compact(spark, path, dest)
+    post = search(dest)  # clean tree: fast path again
+    out = pre.withColumn("phase", F.lit("pre")).unionByName(
+        post.withColumn("phase", F.lit("post"))
+    )
+    return out.select(
+        "phase", "vec_id", "label", F.round("distance", 4).alias("distance")
+    )
+
+
+_DD_IVF_INDEX_COMPACT = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+assigned AS (
+  SELECT e.vec_id, e.label, e.embedding, c.centroid_id
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "c.cvec")}, c.centroid_id) = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_PROBE_ID}),
+probe AS (
+  SELECT centroid_id FROM cent, q ORDER BY {_dd_l2("cvec", "q.qe")}, centroid_id LIMIT 2
+),
+ranked AS (
+  SELECT a.vec_id, a.label, {_dd_l2("a.embedding", "q.qe")} AS d,
+         row_number() OVER (ORDER BY {_dd_l2("a.embedding", "q.qe")}, a.vec_id) AS rk
+  FROM assigned a JOIN probe USING (centroid_id), q
+),
+final AS (
+  SELECT vec_id, CAST(CASE WHEN rk = 4 THEN 777 ELSE label END AS INTEGER) AS label, d
+  FROM ranked WHERE rk NOT IN (2, 3)
+  ORDER BY d, vec_id LIMIT 5
+)
+SELECT 'pre' AS phase, vec_id, label, round(d, 4) AS distance FROM final
+UNION ALL
+SELECT 'post' AS phase, vec_id, label, round(d, 4) AS distance FROM final
+"""
+
+_register("ann_ivf_index_compact", _ann_ivf_index_compact, _DD_IVF_INDEX_COMPACT)
+
+
 # ==========================================================================

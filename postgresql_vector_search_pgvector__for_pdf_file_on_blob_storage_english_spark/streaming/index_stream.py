@@ -10,8 +10,12 @@ the persisted-index append operators (``ann.ivf_index_append``,
 just binds them to a stream.  Stateless streaming — each batch's work
 depends only on the batch (plus, for BM25's corpus-relative stats, an
 index-sized refresh aggregation) — so there are no watermarks and no
-state store; exactly-once lands on the source checkpoint + idempotent
-directory layout.
+state store; exactly-once lands on the source checkpoint + the
+batch_id-keyed directory layout: every foreachBatch body passes its
+``batch_id`` to the append operator, which dynamic-partition-overwrites
+exactly that batch's directories — a batch replayed after a failure
+between write and checkpoint commit rewrites itself instead of
+appending duplicates (operators/index_maint.py; ADVICE r6).
 
 ``Trigger.AvailableNow`` drains the backlog then stops ("catch up and
 exit"); omit for continuous maintenance.
@@ -40,7 +44,10 @@ def stream_into_ivf_index(
     vectors with identical semantics at every point in time."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_index_append(batch_df, centroids, path, vec_col=vec_col, id_col=id_col)
+        ivf_index_append(
+            batch_df, centroids, path, vec_col=vec_col, id_col=id_col,
+            batch_id=batch_id + 1,  # foreachBatch ids start at 0; 0 is the bulk level
+        )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint
@@ -67,7 +74,8 @@ def stream_into_bm25_index(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bm25_index_append(
-            batch_df, path, n_buckets=n_buckets, text_col=text_col, id_col=id_col
+            batch_df, path, n_buckets=n_buckets, text_col=text_col, id_col=id_col,
+            batch_id=batch_id + 1,  # foreachBatch ids start at 0; 0 is the bulk level
         )
 
     writer = stream.writeStream.foreachBatch(process).option(
@@ -102,6 +110,7 @@ def stream_into_pq_index(
         pq_index_append(
             batch_df, centroids, codebooks, path,
             vec_col=vec_col, id_col=id_col, payload_cols=payload_cols,
+            batch_id=batch_id + 1,  # foreachBatch ids start at 0; 0 is the bulk level
         )
 
     writer = stream.writeStream.foreachBatch(process).option(

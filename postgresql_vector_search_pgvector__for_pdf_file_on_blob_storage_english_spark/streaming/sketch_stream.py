@@ -35,12 +35,21 @@ def stream_into_countmin(
     available_now: bool = True,
 ):
     """readStream of keyed rows -> per-batch cell matrix appended to the
-    sketch log at ``path``."""
+    sketch log at ``path``.
+
+    Count-min's merge law is ADDITION, so unlike the HLL/bloom logs a
+    replayed batch is NOT naturally harmless — appending the same cell
+    matrix twice would double-count (ADVICE r6).  Each appended matrix
+    is therefore stamped with its ``batch_id``, and the read-side fold
+    (:func:`countmin_read`) collapses duplicate ``(batch_id, row, col)``
+    rows with ``max`` before summing across batches — a retried batch
+    writes bit-identical cells (``countmin_build`` is deterministic),
+    so the fold is exactly-once regardless of replays."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        countmin_build(batch_df, key_col, depth=depth, width=width).write.mode(
-            "append"
-        ).parquet(path)
+        countmin_build(batch_df, key_col, depth=depth, width=width).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(path)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint
@@ -51,13 +60,16 @@ def stream_into_countmin(
 
 
 def countmin_read(spark, path: str) -> DataFrame:
-    """Materialize the sketch from its log: cell-wise sum (the merge
-    law).  Output schema matches ``countmin_build``."""
-    return (
-        spark.read.parquet(path)
-        .groupBy("row", "col")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    """Materialize the sketch from its log: per-batch dedup (``max`` —
+    a replayed batch's cells are bit-identical) then cell-wise sum (the
+    merge law).  Output schema matches ``countmin_build``.  Logs from
+    non-streaming appends (no ``batch_id`` column) fold by plain sum."""
+    df = spark.read.parquet(path)
+    if "batch_id" in df.columns:
+        df = df.groupBy("batch_id", "row", "col").agg(
+            F.max("cnt").alias("cnt")
+        )
+    return df.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
 
 
 def countmin_compact(spark, path: str, dest: str) -> None:
@@ -65,7 +77,12 @@ def countmin_compact(spark, path: str, dest: str) -> None:
     maintenance; write to a NEW path and swap, never in-place)."""
     if path == dest:
         raise ValueError("compact writes to a new path; swap after validation")
-    countmin_read(spark, path).write.mode("overwrite").parquet(dest)
+    # Stamp the folded matrix as batch -1 so the compacted log keeps a
+    # uniform schema: streaming appends into ``dest`` resume at batch 0+
+    # and the fold's per-batch dedup stays exact.
+    countmin_read(spark, path).withColumn(
+        "batch_id", F.lit(-1)
+    ).write.mode("overwrite").parquet(dest)
 
 
 def stream_into_hll(
@@ -76,7 +93,9 @@ def stream_into_hll(
     available_now: bool = True,
 ):
     """readStream of keyed rows -> per-batch m-row register table
-    appended to the HLL log at ``path``."""
+    appended to the HLL log at ``path``.  Replay-safe as-is: the fold
+    is element-wise ``max``, which is idempotent, so a batch appended
+    twice changes nothing."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         hll_registers(batch_df, key_col).write.mode("append").parquet(path)
@@ -116,7 +135,9 @@ def stream_into_bloom(
 ):
     """readStream of keyed rows -> per-batch ``(seed, bucket)`` rows
     appended to the bloom log at ``path`` (a bloom filter is an OR of
-    bitsets, so the merge law is set union — fold with ``distinct``)."""
+    bitsets, so the merge law is set union — fold with ``distinct``).
+    Replay-safe as-is: union is idempotent, so a batch appended twice
+    changes nothing."""
     from ..operators.bloomjoin import bloom_bucket_rows
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

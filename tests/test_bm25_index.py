@@ -46,7 +46,9 @@ class TestBm25Index:
 
         _, path = index
         dirs = sorted(
-            d for d in os.listdir(f"{path}/postings") if d.startswith("term_bucket=")
+            d
+            for d in os.listdir(f"{path}/postings/batch_id=0")
+            if d.startswith("term_bucket=")
         )
         assert dirs, "postings must be hive-partitioned by term_bucket"
         assert len(dirs) <= N_BUCKETS
@@ -89,7 +91,7 @@ class TestBm25Index:
         work = str(tmp_path / "pruned")
         shutil.copytree(path, work)
         removed = 0
-        for sub in ("postings", "terms"):
+        for sub in ("postings/batch_id=0", "terms"):
             for d in os.listdir(f"{work}/{sub}"):
                 if not d.startswith("term_bucket="):
                     continue

@@ -75,3 +75,85 @@ class TestPagerank:
             pagerank(df, damping_pct=120)
         with pytest.raises(ValueError):
             pagerank(df, n_iters=-1)
+
+
+def _py_pagerank_dangling(edges, n_iters=5, d_pct=85):
+    """Python reference for dangling='redistribute': each step adds
+    floor(d * D / (100 n)) where D = sum of dangling nodes' rank."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    r = {v: UNIT // n for v in nodes}
+    base = ((100 - d_pct) * UNIT) // (100 * n)
+    for _ in range(n_iters):
+        dm = sum(r[v] for v in nodes if v not in out)
+        extra = (d_pct * dm) // (100 * n)
+        incoming = {v: 0 for v in nodes}
+        for u, v in edges:
+            incoming[v] += r[u] // out[u]
+        r = {v: base + (d_pct * incoming[v]) // 100 + extra for v in nodes}
+    return r
+
+
+class TestPagerankDangling:
+    # 1 -> 2 -> 3, 1 -> 3: node 3 is dangling (no out-edges)
+    EDGES = [(1, 2), (2, 3), (1, 3)]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.EDGES, "src long, dst long")
+
+    def test_matches_python_reference(self, spark):
+        got = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(
+                self._df(spark), n_iters=5, dangling="redistribute"
+            ).collect()
+        }
+        assert got == _py_pagerank_dangling(self.EDGES, n_iters=5)
+
+    def test_conserves_more_mass_than_drop(self, spark):
+        df = self._df(spark)
+        drop = sum(
+            r["rank_units"] for r in pagerank(df, n_iters=5).collect()
+        )
+        redist = sum(
+            r["rank_units"]
+            for r in pagerank(df, n_iters=5, dangling="redistribute").collect()
+        )
+        # dropped dangling mass leaks ~d*D per step; redistribution keeps
+        # total mass within floor-loss of UNIT
+        assert redist > drop
+        assert UNIT - redist < 100  # only floor losses remain
+
+    def test_no_dangling_nodes_is_identical_to_drop(self, spark, chain_edges):
+        # every node in the cycle+feeder graph that LACKS out-edges? none
+        # (4->1, cycle 1-2-3): redistribute must be a no-op
+        rows = [(1, 2), (2, 3), (3, 1), (4, 1), (1, 4)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        a = {r["node"]: r["rank_units"] for r in pagerank(df, n_iters=4).collect()}
+        b = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(df, n_iters=4, dangling="redistribute").collect()
+        }
+        assert a == b
+
+    def test_partitioning_invariant(self, spark):
+        rows = sorted({((i * 37) % 40, (i * 53 + 11) % 40) for i in range(150)} - {(v, v) for v in range(40)})
+        df = spark.createDataFrame(rows, "src long, dst long")
+        want = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(df, n_iters=4, dangling="redistribute").collect()
+        }
+        got = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(
+                df.repartition(7, "dst"), n_iters=4, dangling="redistribute"
+            ).collect()
+        }
+        assert got == want
+
+    def test_rejects_bad_dangling(self, spark):
+        with pytest.raises(ValueError, match="dangling"):
+            pagerank(self._df(spark), dangling="teleport")

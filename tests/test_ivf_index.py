@@ -48,7 +48,16 @@ class TestIvfIndex:
         import os
 
         _, _, path, _ = index
-        dirs = sorted(d for d in os.listdir(path) if d.startswith("centroid_id="))
+        # bulk build lands under the batch_id=0 maintenance level
+        # (operators/index_maint.py), one directory per inverted list
+        assert sorted(
+            d for d in os.listdir(path) if d.startswith("batch_id=")
+        ) == ["batch_id=0"]
+        dirs = sorted(
+            d
+            for d in os.listdir(os.path.join(path, "batch_id=0"))
+            if d.startswith("centroid_id=")
+        )
         assert dirs, "index must be hive-partitioned by centroid_id"
         assert len(dirs) <= N_CENTROIDS
 
@@ -75,9 +84,12 @@ class TestIvfIndex:
         out2 = ivf_index_search(spark, path, centroids, q, k=5, nprobe=1,
                                 payload_cols=["vec_id", "centroid_id"])
         probed = {str(r["centroid_id"]) for r in out2.collect()}
-        for d in os.listdir(path):
-            if d.startswith("centroid_id=") and d.split("=", 1)[1] not in probed:
-                shutil.rmtree(os.path.join(path, d))
+        for b in os.listdir(path):
+            if not b.startswith("batch_id="):
+                continue
+            for d in os.listdir(os.path.join(path, b)):
+                if d.startswith("centroid_id=") and d.split("=", 1)[1] not in probed:
+                    shutil.rmtree(os.path.join(path, b, d))
         again = ivf_index_search(spark, path, centroids, q, k=5, nprobe=1)
         got = [(r["vec_id"], round(r["distance"], 4)) for r in again.collect()]
         assert got == expected
@@ -118,17 +130,19 @@ class TestIvfIndexAppend:
         path = str(tmp_path / "index")
         base = emb.filter(F.col("vec_id") % 2 == 0)
         ivf_index_write(assign_ivf(base, centroids), path)
+        root0 = os.path.join(path, "batch_id=0")
         files_before = {
-            d: set(os.listdir(os.path.join(path, d)))
-            for d in os.listdir(path) if d.startswith("centroid_id=")
+            d: set(os.listdir(os.path.join(root0, d)))
+            for d in os.listdir(root0) if d.startswith("centroid_id=")
         }
 
         batch = emb.filter(F.col("vec_id") % 2 == 1)
         ivf_index_append(batch, centroids, path)
 
-        # every pre-existing file still present (append never rewrites)
+        # every pre-existing file still present (append never rewrites
+        # the bulk level — it owns its own batch_id directory)
         for d, files in files_before.items():
-            assert files <= set(os.listdir(os.path.join(path, d)))
+            assert files <= set(os.listdir(os.path.join(root0, d)))
 
         # the merged index answers searches over old+new identically to a
         # from-scratch build

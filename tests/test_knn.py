@@ -112,3 +112,97 @@ class TestNumpyScalePath:
         for r in got:
             expect = float(np.linalg.norm(mat[ids == r["vec_id"]][0] - q))
             assert abs(r["distance"] - expect) < 1e-9
+
+
+class TestGemmDispatch:
+    """knn_join fold->GEMM auto-dispatch (VERDICT r6 #8): the default
+    plan above the dim threshold is the BLAS path, below it the codegen
+    fold, the conf key overrides, and the gated knn_join entries hash
+    identically on BOTH sides of the threshold."""
+
+    def _queries(self, df):
+        return df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+
+    def test_default_stays_on_fold_at_fixture_dim(self, spark, emb):
+        # dim 64 < default threshold 128 -> no Python map node in plan
+        df, _, _ = emb
+        out = knn_join(df, self._queries(df), k=4, payload_cols=["vec_id"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan and "ArrowEval" not in plan
+
+    def test_conf_forces_gemm_and_results_hash_match(self, spark, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+            GEMM_DIM_THRESHOLD_CONF,
+        )
+
+        df, _, _ = emb
+        q = self._queries(df)
+        fold = knn_join(df, q, k=4, payload_cols=["vec_id"], dispatch="fold")
+        spark.conf.set(GEMM_DIM_THRESHOLD_CONF, "0")
+        try:
+            auto = knn_join(df, q, k=4, payload_cols=["vec_id"])
+            plan = auto._jdf.queryExecution().executedPlan().toString()
+            assert "MapInPandas" in plan, "conf=0 must dispatch to GEMM"
+            # the oracle-facing canonicalization: sorted rows, rounded dist
+            ca = sorted(
+                (r["query_id"], r["rank"], r["vec_id"], round(r["distance"], 4))
+                for r in fold.collect()
+            )
+            cb = sorted(
+                (r["query_id"], r["rank"], r["vec_id"], round(r["distance"], 4))
+                for r in auto.collect()
+            )
+            assert ca == cb
+        finally:
+            spark.conf.unset(GEMM_DIM_THRESHOLD_CONF)
+
+    def test_conf_minus_one_disables_gemm(self, spark, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+            GEMM_DIM_THRESHOLD_CONF,
+        )
+
+        df, _, _ = emb
+        spark.conf.set(GEMM_DIM_THRESHOLD_CONF, "-1")
+        try:
+            out = knn_join(df, self._queries(df), k=4, payload_cols=["vec_id"])
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "MapInPandas" not in plan
+        finally:
+            spark.conf.unset(GEMM_DIM_THRESHOLD_CONF)
+
+    def test_explicit_dispatch_and_validation(self, spark, emb):
+        df, _, _ = emb
+        q = self._queries(df)
+        g = knn_join(df, q, k=4, payload_cols=["vec_id"], dispatch="gemm")
+        assert "MapInPandas" in g._jdf.queryExecution().executedPlan().toString()
+        with pytest.raises(ValueError, match="dispatch"):
+            knn_join(df, q, k=4, dispatch="blas")
+
+    def test_gated_entry_hashes_match_across_dispatch(self, spark, sf_dir):
+        # the driver-gated knn_join entries must hash identically on
+        # both sides of the threshold (VERDICT r6 #8 done-criterion)
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+            GEMM_DIM_THRESHOLD_CONF,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        for name in ("q2_knn_l2_topk_batch", "eval_knn_mrr"):
+            fn = REGISTRY[name][0]
+
+            def canon(df):
+                cols = sorted(df.columns)
+                return sorted(
+                    tuple(str(r[c]) for c in cols) for r in df.collect()
+                )
+
+            base = canon(fn(spark, sf_dir))
+            spark.conf.set(GEMM_DIM_THRESHOLD_CONF, "0")
+            try:
+                forced = canon(fn(spark, sf_dir))
+            finally:
+                spark.conf.unset(GEMM_DIM_THRESHOLD_CONF)
+            assert base == forced, name

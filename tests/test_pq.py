@@ -185,7 +185,11 @@ class TestPersistedIvfPq:
         import os
 
         centroids, path, _ = index
-        dirs = [d for d in os.listdir(path) if d.startswith("centroid_id=")]
+        dirs = [
+            d
+            for d in os.listdir(os.path.join(path, "batch_id=0"))
+            if d.startswith("centroid_id=")
+        ]
         assert dirs, "index must be hive-partitioned by centroid_id"
         schema = spark.read.parquet(path).schema
         assert "embedding" not in schema.fieldNames()
@@ -234,9 +238,12 @@ class TestPersistedIvfPq:
             f"centroid_id={cid}"
             for _, cid, _ in _rank_probes(centroids, q, 1, "centroid_id", "centroid_vec")
         }
-        for d in os.listdir(path):
-            if d.startswith("centroid_id=") and d not in probed:
-                _sh.rmtree(os.path.join(path, d))
+        for b in os.listdir(path):
+            if not b.startswith("batch_id="):
+                continue
+            for d in os.listdir(os.path.join(path, b)):
+                if d.startswith("centroid_id=") and d not in probed:
+                    _sh.rmtree(os.path.join(path, b, d))
         got = [
             (r["vec_id"], round(r["distance"], 4))
             for r in pq_index_search(
