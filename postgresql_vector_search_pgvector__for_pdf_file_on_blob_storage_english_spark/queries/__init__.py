@@ -29,6 +29,7 @@ from . import c4_ccnet_linededup
 from . import corpus_prep
 from . import url_profile_misc
 from . import bpe_vocab
+from . import unigram_vocab
 from . import graph_analytics
 from . import sketches
 from . import ml_classify
