@@ -69,6 +69,9 @@ HEADLINE = [
     "bloom_semi_join_revenue",  # r6: runtime bloom pre-filter + exact semi-join
     "pack_concat_windows",  # r6: two-pass prefix-sum sequence packing
     "dedup_substring_spans",  # r6: span-level substring dedup (8-gram coverage)
+    "vocab_unigram_pieces",  # r7: unigram-LM EM training (2 Viterbi rounds over distinct words)
+    "graph_pagerank_dangling",  # r7: PageRank + per-step dangling-mass aggregate
+    "ann_ivf_index_compact",  # r7: index lifecycle (build + delete + upsert + compact + 3 probes)
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

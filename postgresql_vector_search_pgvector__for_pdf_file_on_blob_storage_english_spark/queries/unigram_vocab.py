@@ -161,3 +161,75 @@ ORDER BY term
 
 _register("vocab_unigram_pieces", _vocab_unigram_pieces, _DD_UNI_PIECES)
 _register("vocab_unigram_segment", _vocab_unigram_segment, _DD_UNI_SEGMENT)
+
+
+# --------------------------------------------------------------------------
+# Unigram fertility audit: pieces-per-word by language — directly
+# comparable to vocab_bpe_fertility_by_lang, so the two trained
+# tokenizers can be ranked per language on the same number.  The
+# segmentation runs once over the DISTINCT-term working set; the
+# per-language weighting is one (lang, term) aggregate joined back.
+# --------------------------------------------------------------------------
+
+
+def _vocab_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    _, seg2, _ = _uni_train(spark, sf_dir)
+    seg = seg2.select(
+        "term",
+        F.size(
+            F.split(F.expr("substring(pieces, 2, length(pieces) - 1)"), "\x1e")
+        ).alias("n_pieces"),
+    )
+    lt = (
+        tokenize(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        lt.join(seg, "term")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_pieces")).alias("uni_tokens_total"),
+            F.round(
+                F.sum(F.col("freq") * F.col("n_pieces")).cast("double")
+                / F.sum("freq"),
+                4,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DD_UNI_FERTILITY = (
+    _dd_unigram_head()
+    + """
+fert AS MATERIALIZED (
+  SELECT term,
+         len(string_split(substring(pieces, 2, length(pieces) - 1), chr(30))) AS n_pieces
+  FROM best2
+),
+lt AS MATERIALIZED (
+  SELECT d.lang, k.term, count(*) AS freq
+  FROM tokens k JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT lang,
+       sum(freq)::BIGINT AS n_words,
+       sum(freq * n_pieces)::BIGINT AS uni_tokens_total,
+       round(sum(freq * n_pieces) / sum(freq), 4) AS fertility
+FROM lt JOIN fert USING (term)
+GROUP BY lang
+ORDER BY lang
+"""
+)
+
+_register(
+    "vocab_unigram_fertility",
+    _vocab_unigram_fertility,
+    _DD_UNI_FERTILITY,
+)

@@ -4,7 +4,12 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir, then compares row count, column names, and
 order-insensitive values (exact after the queries' own rounding).
 
-Usage: python tools/check_oracle.py [sf_dir] [name ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [name ...]
+
+``--json`` additionally writes the PER-ENTRY record (pass/rows/sec per
+entry plus the failure reason for red rows) — the committed round
+artifact CORRECTNESS_LOCAL_r{N}.json (VERDICT r6 #2: a summary note is
+not evidence; the row-level record is).
 """
 
 from __future__ import annotations
@@ -43,8 +48,15 @@ def _canon(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    record: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark import get_spark
@@ -78,10 +90,15 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            record[name] = {"pass": False, "reason": f"spark error: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"pass {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s) [no oracle]")
+            record[name] = {
+                "pass": True, "rows": len(s_rows), "rows_only": True,
+                "sec": round(time.time() - t0, 1),
+            }
             n_pass += 1
             continue
         try:
@@ -90,6 +107,7 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record[name] = {"pass": False, "reason": f"duckdb error: {e}"}
             n_fail += 1
             continue
         problems = []
@@ -120,11 +138,37 @@ def main() -> int:
                 problems.append(f"values differ at sorted row {diff[0]}: spark={diff[1]} duckdb={diff[2]}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            record[name] = {"pass": False, "reason": "; ".join(problems)}
             n_fail += 1
         else:
             print(f"pass {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
+            record[name] = {
+                "pass": True, "rows": len(s_rows),
+                "sec": round(time.time() - t0, 1),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "note": (
+                        "Full local replica of the driver's CORRECTNESS gate "
+                        "over the ENTIRE registry (the driver's own snapshot "
+                        "records only the first 50 entries). Generated by "
+                        "tools/check_oracle.py --json."
+                    ),
+                    "sf_dir": sf_dir,
+                    "n_entries": n_pass + n_fail,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "results": record,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if n_fail else 0
 
 

@@ -123,6 +123,25 @@ SECTIONS = [
      "self-join over the per-partition summary): every window in the plan has a "
      "partition spec, and everything downstream of the range exchange is codegen "
      "integer arithmetic."),
+    ("vocab_unigram_segment", "Unigram-LM Viterbi segmentation (final round)",
+     "The E-step/inference shape: MapInPandas (the Arrow-batched Viterbi DP) sits "
+     "directly over the distinct-word aggregate — the corpus-scale tokenize feeds one "
+     "partial+final HashAggregate whose output is the WORKING SET (distinct words), "
+     "and only that bounded relation ever crosses into Python. The trained piece "
+     "costs ride the UDF closure (vocab-sized, the same movement a broadcast "
+     "performs); everything after the DP is codegen string/aggregate work. At 100 TB "
+     "the DP cost tracks distinct words x max piece length, never the token stream."),
+    ("ann_ivf_index_compact", "IVF index lifecycle (reconcile + compact)",
+     "Three probes through the maintenance layer: the pre-compact search reads the "
+     "probed lists ONLY (PartitionFilters on centroid_id at every batch_id level), "
+     "then reconciles that bounded slice — one hash aggregate keyed on vec_id "
+     "(max_by batch_id: last write wins) and a broadcast anti-join against the "
+     "tombstone relation — before the usual TakeOrdered top-k. The post-compact "
+     "search hits a clean single-batch tree, so the reconcile vanishes from the "
+     "plan (the directory listing decides driver-side, no Spark job) and the "
+     "zero-exchange flagship probe shape returns. Compaction itself is one "
+     "reconciled scan repartitioned by centroid_id — one file set per inverted "
+     "list, the small-files payback."),
 ]
 
 
