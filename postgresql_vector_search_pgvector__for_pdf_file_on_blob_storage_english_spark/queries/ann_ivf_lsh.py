@@ -625,4 +625,95 @@ SELECT 'post' AS phase, vec_id, label, round(d, 4) AS distance FROM final
 _register("ann_ivf_index_compact", _ann_ivf_index_compact, _DD_IVF_INDEX_COMPACT)
 
 
+def _stream_ivf_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idempotent-maintenance contract under the driver gate
+    (ADVICE r6): odd-id embeddings stream into a bulk-seeded IVF index
+    as 2 micro-batches, then batch 1 is REPLAYED verbatim through the
+    same append (a foreachBatch retry after a lost checkpoint commit —
+    the dynamic partition overwrite must make it a no-op), one row is
+    tombstoned, and the probe must return exactly the logical answer.
+    A duplicate-appending replay or a leaking delete fails the hash.
+    Oracle = exact KNN over the probed lists minus the deleted ranks."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.ann import (
+        ivf_index_append,
+        ivf_index_delete,
+        ivf_index_search,
+        ivf_index_write,
+    )
+    from ..streaming.index_stream import stream_into_ivf_index
+    from ._base import _drain
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_ivfmaint_{tag}_{os.getpid()}"
+    )
+    src, idx, ckpt = f"{base}/src", f"{base}/index", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ivf_index_write(assign_ivf(emb.filter(F.col("vec_id") % 2 == 0), centroids), idx)
+    odd = emb.filter(F.col("vec_id") % 2 == 1)
+    odd.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.parquet(f"{src}/f0")
+    odd.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    _drain(stream_into_ivf_index(stream, centroids, idx, checkpoint=ckpt), 120)
+
+    # the replay: foreachBatch batch 0 ran as batch_id=1 — re-append the
+    # same file's rows at the same batch id (bit-identical retry)
+    b0 = spark.read.parquet(f"{src}/f0")
+    ivf_index_append(b0, centroids, idx, batch_id=1)
+
+    q = list(emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"])
+    base_rows = ivf_index_search(
+        spark, idx, centroids, q, k=5, nprobe=2, payload_cols=["vec_id", "label"]
+    ).collect()  # bounded: 5 rows
+    victim = int(base_rows[1]["vec_id"])  # rank 2 of the full probe
+    ivf_index_delete(spark.createDataFrame([(victim,)], "vec_id long"), idx)
+
+    out = ivf_index_search(
+        spark, idx, centroids, q, k=5, nprobe=2, payload_cols=["vec_id", "label"]
+    )
+    return out.select("vec_id", "label", F.round("distance", 4).alias("distance"))
+
+
+_DD_STREAM_IVF_MAINT = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+assigned AS (
+  SELECT e.vec_id, e.label, e.embedding, c.centroid_id
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "c.cvec")}, c.centroid_id) = 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_PROBE_ID}),
+probe AS (
+  SELECT centroid_id FROM cent, q ORDER BY {_dd_l2("cvec", "q.qe")}, centroid_id LIMIT 2
+),
+ranked AS (
+  SELECT a.vec_id, a.label, {_dd_l2("a.embedding", "q.qe")} AS d,
+         row_number() OVER (ORDER BY {_dd_l2("a.embedding", "q.qe")}, a.vec_id) AS rk
+  FROM assigned a JOIN probe USING (centroid_id), q
+)
+SELECT vec_id, label, round(d, 4) AS distance
+FROM ranked WHERE rk != 2
+ORDER BY d, vec_id
+LIMIT 5
+"""
+
+_register("stream_ivf_upsert_replay", _stream_ivf_upsert_replay, _DD_STREAM_IVF_MAINT)
+
+
 # ==========================================================================
