@@ -288,4 +288,48 @@ def _ann_nsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ann_nsw_search_exhaustive", _ann_nsw_exhaustive, _DD_NSW_EXHAUSTIVE)
 
 
+def _ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical NSW (HNSW-class, r7): deterministic geometric
+    levels from a stable id hash, per-layer NSW graphs, greedy
+    upper-layer descent to seed the layer-0 beam — the entry point
+    lands near the query instead of at min id, cutting layer-0 hops on
+    large shards.  Same exact-top-k oracle contract as ann_nsw_search:
+    the beam's RESULT is the exact top-5 on every shipped fixture, so
+    a walk-quality regression fails CORRECTNESS, not just recall."""
+    from ..operators.nsw import hnsw_build, hnsw_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = hnsw_build(emb, n_shards=4, m=8, ef_construction=32)
+    q = emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"]
+    out = hnsw_search(g, list(q), k=5, ef_search=32)
+    return out.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+_register("ann_hnsw_search", _ann_hnsw, _DD_NSW_EXHAUSTIVE)
+
+
+def _ann_hnsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted hierarchical graph: the nested per-layer adjacency and
+    the level column round-trip through the shard-partitioned artifact
+    (nsw_index_write — layout shared with the flat graph), then the
+    standard descend-and-beam walk.  Same exact-top-k oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.nsw import hnsw_build, hnsw_index_search, nsw_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = hnsw_build(emb, n_shards=4, m=8, ef_construction=32)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_index_{tag}")
+    nsw_index_write(g, path)
+    q = emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"]
+    out = hnsw_index_search(spark, path, list(q), k=5, ef_search=32)
+    return out.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+_register("ann_hnsw_index_search", _ann_hnsw_index, _DD_NSW_EXHAUSTIVE)
+
+
 # ==========================================================================

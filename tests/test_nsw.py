@@ -127,3 +127,100 @@ class TestNswIndex:
         assert [(r["vec_id"], round(r["distance"], 6)) for r in got] == [
             (r["vec_id"], round(r["distance"], 6)) for r in want
         ]
+
+
+class TestHnsw:
+    """Hierarchical layer (r7): level ladder, per-layer invariants,
+    descent correctness, determinism, persisted round-trip."""
+
+    @pytest.fixture(scope="class")
+    def hgraph(self, spark, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_build,
+        )
+
+        g = hnsw_build(emb, n_shards=4, m=M, ef_construction=EF).localCheckpoint()
+        g.count()
+        return g
+
+    def test_levels_are_geometric_and_deterministic(self, hgraph, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            _hnsw_level,
+        )
+
+        rows = hgraph.select("vec_id", "level").collect()
+        assert len(rows) == emb.count()
+        hist = {}
+        for r in rows:
+            hist[r["level"]] = hist.get(r["level"], 0) + 1
+            assert r["level"] == _hnsw_level(r["vec_id"], 3, 4)
+        # ladder: each level ~1/4 of the previous, strictly decreasing
+        assert hist[0] > hist.get(1, 0) > hist.get(2, -1)
+
+    def test_layer_adjacency_structure(self, hgraph):
+        rows = hgraph.collect()
+        by_id = {r["vec_id"]: r for r in rows}
+        for r in rows:
+            # one adjacency list per layer 0..level
+            assert len(r["neighbors"]) == r["level"] + 1
+            for layer, nbrs in enumerate(r["neighbors"]):
+                assert len(nbrs) <= M
+                for nb in nbrs:
+                    o = by_id[nb]
+                    # a layer-l edge can only point at a level>=l node,
+                    # and must be symmetric within the layer
+                    assert o["level"] >= layer
+                    assert r["vec_id"] in o["neighbors"][layer]
+
+    def test_search_matches_exact_topk(self, spark, hgraph, np_corpus):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_search,
+        )
+
+        ids, mat = np_corpus
+        for probe in (0, 5, 123):
+            q = mat[ids == probe][0]
+            d = np.linalg.norm(mat - q, axis=1)
+            order = np.lexsort((ids, d))[:5]
+            want = [(int(ids[i]), round(float(d[i]), 4)) for i in order]
+            got = [
+                (r["vec_id"], round(r["distance"], 4))
+                for r in hnsw_search(hgraph, list(q), k=5, ef_search=EF).collect()
+            ]
+            assert got == want, probe
+
+    def test_build_is_deterministic(self, spark, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_build,
+        )
+
+        def canon(g):
+            return sorted(
+                (r["vec_id"], r["level"], tuple(tuple(l) for l in r["neighbors"]))
+                for r in g.collect()
+            )
+
+        a = canon(hnsw_build(emb, n_shards=4, m=M, ef_construction=EF))
+        b = canon(hnsw_build(emb, n_shards=4, m=M, ef_construction=EF))
+        assert a == b
+
+    def test_persisted_round_trip(self, spark, hgraph, np_corpus, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_index_search,
+            hnsw_search,
+            nsw_index_write,
+        )
+
+        ids, mat = np_corpus
+        path = str(tmp_path / "hnsw")
+        nsw_index_write(hgraph, path)
+        q = mat[ids == 5][0]
+        live = [
+            (r["vec_id"], round(r["distance"], 4))
+            for r in hnsw_search(hgraph, list(q), k=5, ef_search=EF).collect()
+        ]
+        persisted = [
+            (r["vec_id"], round(r["distance"], 4))
+            for r in hnsw_index_search(spark, path, list(q), k=5, ef_search=EF).collect()
+        ]
+        assert persisted == live
