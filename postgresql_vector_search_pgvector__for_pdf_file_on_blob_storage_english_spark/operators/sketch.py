@@ -160,3 +160,114 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("_v"))
     est = F.when((raw <= 2.5 * HLL_M) & (F.col("_v") > 0), lin).otherwise(raw)
     return agg.select(est.alias("hll_estimate"))
+
+
+# --------------------------------------------------------------------------
+# Base-2 quantile sketch (round 7): mergeable rank/quantile summaries
+# for positive integer domains — the DDSketch idea (Masson et al. 2019,
+# public algorithm) with POWER-OF-TWO buckets subdivided by the top
+# ``sub_bits`` mantissa bits, so the bucket index is pure integer bit
+# arithmetic (length(bin(x)), shifts, masks): no log(), no libm, the
+# same expression replayable bit-identically in any SQL engine.
+#
+# Guarantee: a value lands in a bucket spanning [lower, lower + width)
+# with width/lower <= 2^-sub_bits, so any reported quantile (the
+# bucket's LOWER bound, deterministic) is an underestimate by at most
+# that relative error.  Values below 2^sub_bits are stored exactly
+# (their own bucket).  Merge law = bucket-count ADDITION — identical to
+# count-min, so the log-structured streaming maintenance and the
+# replay-dedup batch_id machinery are shared.
+#
+# Scale shape: building is one map-side-combined groupBy on the bucket
+# id — shuffle bounded by the bucket count (<= 64 * 2^sub_bits + 2^sub_bits
+# + 1 cells), never by rows or distinct values; quantile extraction
+# runs on the bounded summary (triangular cumulative join — no window,
+# no single-partition sort).
+# --------------------------------------------------------------------------
+
+
+def qsketch_bucket_col(x: Column, sub_bits: int = 4) -> Column:
+    """Bucket id of a positive long: exact for ``x < 2^sub_bits``, else
+    ``(e << sub_bits) | mantissa`` where ``e = floor(log2 x)`` (via
+    ``length(bin(x)) - 1`` — integer, engine-portable) and mantissa =
+    the ``sub_bits`` bits after the leading bit.  Non-positive values
+    map to -1 (tracked, excluded from quantiles)."""
+    k = sub_bits
+    xl = x.cast("long")
+    e = F.length(F.bin(xl)) - F.lit(1)
+    # shift amounts are COLUMNS here; the F.shiftright helper only takes
+    # int literals, so go through the SQL function directly
+    m = F.call_function(
+        "shiftright", xl, (e - F.lit(k)).cast("int")
+    ) - F.lit(1 << k)
+    big = F.shiftleft(e.cast("long"), k) + m
+    return (
+        F.when(xl <= 0, F.lit(-1))
+        .when(xl < (1 << k), xl)
+        .otherwise(big)
+        .cast("long")
+    )
+
+
+def qsketch_lower_col(bucket: Column, sub_bits: int = 4) -> Column:
+    """Deterministic representative (LOWER bound) of a bucket id —
+    the inverse of :func:`qsketch_bucket_col`'s rounding."""
+    k = sub_bits
+    e = F.shiftright(bucket, k)
+    m = bucket - F.shiftleft(e, k)
+    big = F.call_function(
+        "shiftleft", m + F.lit(1 << k), (e - F.lit(k)).cast("int")
+    )
+    return F.when(bucket < (1 << k), bucket).otherwise(big).cast("long")
+
+
+def qsketch_build(
+    df: DataFrame, value_col: str, sub_bits: int = 4
+) -> DataFrame:
+    """``(bucket, cnt)`` summary of a positive-long column.  One
+    map-side-combined groupBy; shuffle bounded by the bucket count."""
+    return (
+        df.select(qsketch_bucket_col(F.col(value_col), sub_bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qsketch_quantiles(
+    sketch: DataFrame, quantiles_bp: list[int], sub_bits: int = 4
+) -> DataFrame:
+    """Quantiles from the summary: for each q (basis points), the lower
+    bound of the smallest bucket whose cumulative count reaches rank
+    ``ceil(q * N / 10000)`` over the positive domain.  All integer; the
+    cumulative is a triangular self-join over the BOUNDED summary (no
+    window, no single-partition sort)."""
+    pos = sketch.filter(F.col("bucket") >= 0)
+    a = pos.select(F.col("bucket").alias("b"))
+    cum = (
+        a.join(
+            pos.select(F.col("bucket").alias("b2"), "cnt"),
+            F.col("b2") <= F.col("b"),
+        )
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("cum"))
+    )
+    total = pos.agg(F.sum("cnt").alias("n"))
+    qdf = pos.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles_bp], "q_bp long"
+    )
+    ranked = (
+        qdf.crossJoin(F.broadcast(total))
+        # exact integer ceil-division (SQL `div` — a double division
+        # would silently round once q_bp * N exceeds 2^53 at corpus
+        # scale; same exactness discipline as graph.py's _idiv)
+        .withColumn("rank", F.expr("(q_bp * n + 9999) div 10000"))
+        .crossJoin(cum)
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("q_bp", "n")
+        .agg(F.min("b").alias("bucket"))
+    )
+    return ranked.select(
+        "q_bp",
+        F.col("n").alias("n_values"),
+        qsketch_lower_col(F.col("bucket"), sub_bits).alias("quantile_lower"),
+    )

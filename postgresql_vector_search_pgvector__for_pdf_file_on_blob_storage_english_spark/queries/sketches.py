@@ -244,3 +244,112 @@ def _stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("stream_hll_replay", _stream_hll_replay, _DD_HLL)
+
+
+# ---------------------------------------------------------------------------
+# Base-2 quantile sketch (round 7, operators/sketch.py::qsketch_*):
+# DDSketch-class mergeable rank summaries with POWER-OF-TWO buckets
+# subdivided by 4 mantissa bits — the bucket index is pure integer bit
+# arithmetic (length(bin(x)), shifts), no log()/libm anywhere, so the
+# whole sketch AND the extracted quantiles replay bit-identically in
+# SQL.  Reported quantiles are bucket LOWER bounds: deterministic
+# underestimates within 2^-4 relative error (bound gated in
+# tests/test_sketch.py).  Merge law = bucket addition (the count-min
+# law), so the streaming replay entry reuses the same log + per-batch
+# dedup machinery.
+# ---------------------------------------------------------------------------
+
+_QS_BITS = 4
+_QS_QUANTILES = [2500, 5000, 7500, 9000, 9900, 10000]
+
+
+def _sketch_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import qsketch_build, qsketch_quantiles
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    sk = qsketch_build(cents, "cents", sub_bits=_QS_BITS)
+    return qsketch_quantiles(sk, _QS_QUANTILES, sub_bits=_QS_BITS).orderBy("q_bp")
+
+
+_DD_QSKETCH = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x FROM orders
+),
+b AS (
+  SELECT CASE
+    WHEN x <= 0 THEN -1
+    WHEN x < {1 << _QS_BITS} THEN x
+    ELSE ((length(bin(x)) - 1)::BIGINT << {_QS_BITS})
+         + ((x >> (length(bin(x)) - 1 - {_QS_BITS})) - {1 << _QS_BITS})
+  END AS bucket
+  FROM cents
+),
+s AS (SELECT bucket, count(*)::BIGINT AS cnt FROM b WHERE bucket >= 0 GROUP BY 1),
+n AS (SELECT sum(cnt)::BIGINT AS n FROM s),
+cum AS (
+  SELECT a.bucket AS bkt, sum(c.cnt)::BIGINT AS cum
+  FROM s a JOIN s c ON c.bucket <= a.bucket GROUP BY 1
+),
+qs AS (SELECT unnest({_QS_QUANTILES}) AS q_bp),
+r AS (SELECT q_bp, n.n, (q_bp * n.n + 9999) // 10000 AS rank FROM qs, n),
+sel AS (
+  SELECT r.q_bp, r.n, min(cum.bkt) AS bucket
+  FROM r JOIN cum ON cum.cum >= r.rank
+  GROUP BY 1, 2
+)
+SELECT CAST(q_bp AS BIGINT) AS q_bp, n AS n_values,
+       CAST(CASE WHEN bucket < {1 << _QS_BITS} THEN bucket
+            ELSE ((bucket & {(1 << _QS_BITS) - 1}) + {1 << _QS_BITS})
+                 << ((bucket >> {_QS_BITS}) - {_QS_BITS})
+       END AS BIGINT) AS quantile_lower
+FROM sel
+ORDER BY q_bp
+"""
+
+_register("sketch_quantiles_prices", _sketch_quantiles_prices, _DD_QSKETCH)
+
+
+def _stream_qsketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile-sketch maintenance through the driver gate:
+    order totals arrive as 2 micro-batched files, each batch's bucket
+    counts appended to the log (batch_id-stamped), the drained log
+    folded with per-batch dedup and the SAME quantiles extracted —
+    bucket addition is the exact merge law, so the oracle is identical
+    to the one-shot batch entry."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import qsketch_quantiles
+    from ..streaming.sketch_stream import qsketch_read, stream_into_qsketch
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_qs_{tag}_{os.getpid()}"
+    )
+    src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+
+    cents.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(f"{src}/f0")
+    cents.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(cents.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    _drain(stream_into_qsketch(stream, log, ckpt, "cents", sub_bits=_QS_BITS), 120)
+
+    sk = qsketch_read(spark, log)
+    return qsketch_quantiles(sk, _QS_QUANTILES, sub_bits=_QS_BITS).orderBy("q_bp")
+
+
+_register("stream_qsketch_replay", _stream_qsketch_replay, _DD_QSKETCH)

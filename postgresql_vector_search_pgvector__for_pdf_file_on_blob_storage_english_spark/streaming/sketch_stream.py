@@ -165,3 +165,54 @@ def bloom_compact(spark, path: str, dest: str) -> None:
     if path == dest:
         raise ValueError("compact writes to a new path; swap after validation")
     bloom_read(spark, path).write.mode("overwrite").parquet(dest)
+
+
+def stream_into_qsketch(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    sub_bits: int = 4,
+    available_now: bool = True,
+):
+    """readStream of valued rows -> per-batch quantile-sketch bucket
+    counts appended to the log at ``path``.  Same merge law as
+    count-min (bucket-count ADDITION), so the same replay discipline
+    applies: each appended summary is stamped with its ``batch_id`` and
+    the read-side fold dedupes per batch before summing — a retried
+    batch writes bit-identical buckets (``qsketch_build`` is
+    deterministic), making the fold exactly-once under replays."""
+    from ..operators.sketch import qsketch_build
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        qsketch_build(batch_df, value_col, sub_bits=sub_bits).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(path)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def qsketch_read(spark, path: str) -> DataFrame:
+    """Materialize the quantile sketch from its log: per-batch dedup
+    (max — replayed cells are bit-identical) then bucket-wise sum.
+    Output schema matches ``qsketch_build``."""
+    df = spark.read.parquet(path)
+    if "batch_id" in df.columns:
+        df = df.groupBy("batch_id", "bucket").agg(F.max("cnt").alias("cnt"))
+    return df.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def qsketch_compact(spark, path: str, dest: str) -> None:
+    """Fold the quantile-sketch log to one summary at ``dest`` (write
+    to a NEW path and swap; batch -1 stamp keeps the log schema
+    uniform, as in :func:`countmin_compact`)."""
+    if path == dest:
+        raise ValueError("compact writes to a new path; swap after validation")
+    qsketch_read(spark, path).withColumn(
+        "batch_id", F.lit(-1)
+    ).write.mode("overwrite").parquet(dest)

@@ -201,3 +201,130 @@ class TestStreamingHll:
         assert compacted == want
         with pytest.raises(ValueError):
             hll_compact(spark, log, log)
+
+
+class TestQuantileSketch:
+    """Base-2 quantile sketch (r7): bucket bit-math, relative-error
+    bound vs exact, merge law, streaming replay dedup."""
+
+    def _exact_quantile(self, values, q_bp):
+        s = sorted(values)
+        rank = (q_bp * len(s) + 9999) // 10000
+        return s[max(rank - 1, 0)]
+
+    def test_small_values_are_exact(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            qsketch_build,
+            qsketch_quantiles,
+        )
+
+        vals = [1, 2, 3, 5, 7, 11, 13, 15]  # all < 2^4
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        sk = qsketch_build(df, "x")
+        got = {
+            r["q_bp"]: r["quantile_lower"]
+            for r in qsketch_quantiles(sk, [2500, 5000, 10000]).collect()
+        }
+        assert got == {
+            q: self._exact_quantile(vals, q) for q in (2500, 5000, 10000)
+        }
+
+    def test_relative_error_bound(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            qsketch_build,
+            qsketch_quantiles,
+        )
+
+        # deterministic skewed values spanning several octaves
+        vals = [((i * 2654435761) % 1_000_000) + 1 for i in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = qsketch_quantiles(
+            qsketch_build(df, "x"), [1000, 2500, 5000, 7500, 9000, 9900]
+        ).collect()
+        for r in got:
+            exact = self._exact_quantile(vals, r["q_bp"])
+            est = r["quantile_lower"]
+            # lower-bound estimate within 2^-4 relative error
+            assert est <= exact
+            assert exact <= est * (1 + 2 ** -4) + 1, (r["q_bp"], est, exact)
+
+    def test_quantiles_monotone_and_extremes(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            qsketch_bucket_col,
+            qsketch_build,
+            qsketch_lower_col,
+            qsketch_quantiles,
+        )
+        from pyspark.sql import functions as F
+
+        vals = [10 ** (i % 6) + i for i in range(200)]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        rows = sorted(
+            qsketch_quantiles(
+                qsketch_build(df, "x"), [100, 5000, 9999, 10000]
+            ).collect(),
+            key=lambda r: r["q_bp"],
+        )
+        qs = [r["quantile_lower"] for r in rows]
+        assert qs == sorted(qs)
+        assert rows[0]["n_values"] == len(vals)
+        # bucket -> lower is the left inverse on representable values
+        probe = df.select(
+            "x",
+            qsketch_lower_col(qsketch_bucket_col(F.col("x"))).alias("lo"),
+        ).collect()
+        for r in probe:
+            assert r["lo"] <= r["x"] < r["lo"] + max(r["lo"] >> 4, 1) + 1
+
+    def test_merge_law_is_addition(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            qsketch_build,
+        )
+        from pyspark.sql import functions as F
+
+        vals = [(i % 977) + 1 for i in range(3000)]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        whole = {
+            r["bucket"]: r["cnt"] for r in qsketch_build(df, "x").collect()
+        }
+        a = qsketch_build(df.filter(F.col("x") % 2 == 0), "x")
+        b = qsketch_build(df.filter(F.col("x") % 2 == 1), "x")
+        merged = {}
+        for r in a.unionByName(b).groupBy("bucket").agg(
+            F.sum("cnt").alias("cnt")
+        ).collect():
+            merged[r["bucket"]] = r["cnt"]
+        assert merged == whole
+
+    def test_replayed_batch_does_not_double_count(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            qsketch_build,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.sketch_stream import (
+            qsketch_read,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(v + 1,) for v in range(500)], "x long")
+        path = str(tmp_path / "qs")
+        mat = qsketch_build(df, "x").withColumn("batch_id", F.lit(0))
+        mat.write.mode("append").parquet(path)
+        once = {(r["bucket"]): r["cnt"] for r in qsketch_read(spark, path).collect()}
+        mat.write.mode("append").parquet(path)  # the replay
+        again = {(r["bucket"]): r["cnt"] for r in qsketch_read(spark, path).collect()}
+        assert again == once
+
+    def test_nonpositive_tracked_not_counted(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            qsketch_build,
+            qsketch_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [(-5,), (0,), (1,), (2,), (3,), (4,)], "x long"
+        )
+        sk = qsketch_build(df, "x")
+        assert {r["bucket"] for r in sk.collect()} >= {-1}
+        rows = qsketch_quantiles(sk, [10000]).collect()
+        assert rows[0]["n_values"] == 4  # positives only
+        assert rows[0]["quantile_lower"] == 4
