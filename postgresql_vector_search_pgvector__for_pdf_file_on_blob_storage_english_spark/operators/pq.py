@@ -539,3 +539,34 @@ def ivfpq_search_join(
         adc.withColumn(rank_col, F.row_number().over(wk))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def pq_index_delete(
+    ids,
+    path: str,
+    id_col: str = "vec_id",
+    batch_id: int | None = None,
+) -> None:
+    """Tombstone vectors out of a persisted IVF-PQ index — identical
+    contract to ``ann.ivf_index_delete`` (the maintenance layer is
+    shared, operators/index_maint.py): a bounded marker write, hidden
+    from plain reads, applied by the search path's reconcile and
+    reclaimed physically by :func:`pq_index_compact`."""
+    from .index_maint import write_tombstones
+
+    write_tombstones(ids, path, id_col, batch_id=batch_id)
+
+
+def pq_index_compact(
+    spark,
+    src_path: str,
+    dest_path: str,
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> None:
+    """Fold an appended/deleted-upon IVF-PQ codes tree back to one
+    clean ``batch_id=0`` level at a NEW path (ann.ivf_index_compact's
+    twin on the codes-only layout)."""
+    from .index_maint import compact_index
+
+    compact_index(spark, src_path, dest_path, id_col, centroid_id_col)

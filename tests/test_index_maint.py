@@ -270,3 +270,49 @@ class TestMaintPrimitives:
         out = ivf_index_search(spark, path, centroids, q, k=5, nprobe=2)
         assert has_take_ordered(out)
         assert count_exchanges(out) == 0
+
+
+class TestPqMaintenance:
+    def test_pq_delete_compact_search_parity(self, spark, tmp_path):
+        import numpy as np
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            pq_index_compact,
+            pq_index_delete,
+            pq_index_search,
+            fixed_codebooks,
+            pq_index_write,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        centroids = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        books = fixed_codebooks(emb, m=4, ksub=16)
+        src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+        pq_index_write(emb, centroids, books, src, payload_cols=["label"])
+        q = list(emb.filter(F.col("vec_id") == PROBE_ID).first()["embedding"])
+
+        def search(p):
+            return [
+                (r["vec_id"], round(r["distance"], 4))
+                for r in pq_index_search(
+                    spark, p, centroids, emb, q, books,
+                    k=5, nprobe=8, oversample=20, payload_cols=["label"],
+                ).collect()
+            ]
+
+        base = search(src)
+        victim = base[0][0]
+        pq_index_delete(
+            spark.createDataFrame([(victim,)], "vec_id long"), src
+        )
+        after = search(src)
+        assert victim not in [v for v, _ in after] and len(after) == 5
+
+        pq_index_compact(spark, src, dest)
+        assert search(dest) == after
+        ids = {r["vec_id"] for r in spark.read.parquet(dest).collect()}
+        assert victim not in ids and len(ids) == emb.count() - 1
