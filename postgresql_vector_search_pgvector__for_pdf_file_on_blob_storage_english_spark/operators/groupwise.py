@@ -296,3 +296,64 @@ def weighted_sample_topn(
         .withColumn(key_col, F.col("_es_q") / F.lit(1e8))
         .drop("_es_q")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str = "lang",
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-flattened sampling rates (the UniMax/multilingual
+    mixture staple): keep-rate ``r_g = (c_min / c_g)^(1 - 1/T)``, which
+    makes the SAMPLED distribution's shares proportional to ``c^(1/T)``
+    while keeping the smallest group whole (its rate is exactly 1) —
+    T=1 keeps everything, T->inf converges to uniform shares.
+
+    Returns ``(group, n_docs, rate_bp)`` with the rate quantized to
+    basis points BEFORE any filtering (the engine's oracle rule).  The
+    computation stays in-plan: one partial-agg groupBy + a broadcast
+    1-row minimum — no collect.  At the gated T=2 the exponent is 1/2
+    and the whole expression is IEEE-correctly-rounded sqrt/division —
+    bit-identical across engines; other temperatures go through pow(),
+    which is not correctly rounded, so gate those rows-only."""
+    if temperature < 1.0:
+        raise ValueError(f"temperature must be >= 1, got {temperature}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    cmin = counts.agg(F.min("n_docs").alias("_cmin"))
+    ratio = F.col("_cmin").cast("double") / F.col("n_docs").cast("double")
+    if temperature == 2.0:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - 1.0 / temperature))
+    return counts.crossJoin(F.broadcast(cmin)).select(
+        group_col,
+        "n_docs",
+        F.floor(rate * 10000).cast("long").alias("rate_bp"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Apply :func:`temperature_rates` with the engine's stable-hash
+    basis-point bucket (the :func:`mixture_sample` contract): selection
+    is deterministic, partition-independent, and nested across
+    temperatures the way hash-threshold subsets nest.  The rate table
+    re-enters via a broadcast join keyed on the group — no data-row
+    shuffle."""
+    rates = temperature_rates(df, group_col, temperature)
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("§", F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16, 10,
+    ).cast("long") % 10000
+    return (
+        df.join(F.broadcast(rates.select(group_col, "rate_bp")), group_col)
+        .filter(bucket < F.col("rate_bp"))
+        .drop("rate_bp")
+    )

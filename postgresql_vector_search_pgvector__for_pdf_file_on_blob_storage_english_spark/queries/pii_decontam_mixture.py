@@ -498,6 +498,61 @@ WHERE (('0x' || substr(md5('mixture' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT
 
 
 # ==========================================================================
+# Temperature-scaled mixture (round 7) — the UniMax/multilingual rate
+# law r_g = (cmin/c_g)^(1-1/T) at the gated T=2, where the exponent is
+# 1/2 and the whole rate expression is IEEE-correctly-rounded sqrt +
+# division — bit-identical across engines; rates quantize to basis
+# points BEFORE the stable-hash filter (operators/groupwise.py::
+# temperature_mixture_sample).  Non-vacuous on the skewed lang column
+# (en dominates ~3:1).
+# ==========================================================================
+
+
+def _sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.groupwise import temperature_mixture_sample, temperature_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "lang", temperature=2.0)
+    kept = (
+        temperature_mixture_sample(docs, "lang", temperature=2.0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang", "n_docs", "rate_bp",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_register(
+    "sample_temperature_lang",
+    _sample_temperature_lang,
+    """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+m AS (SELECT min(n_docs)::BIGINT AS cmin FROM c),
+r AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(cmin AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 10000) AS BIGINT) AS rate_bp
+  FROM c, m
+),
+k AS (
+  SELECT d.lang, count(*)::BIGINT AS n_kept
+  FROM documents d JOIN r ON d.lang = r.lang
+  WHERE (('0x' || substr(md5('tmix' || '§' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000) < r.rate_bp
+  GROUP BY 1
+)
+SELECT r.lang, r.n_docs, r.rate_bp, coalesce(k.n_kept, 0) AS n_kept
+FROM r LEFT JOIN k USING (lang)
+ORDER BY lang
+""",
+)
+
+
+# ==========================================================================
 # Per-source quota cap (round 5) — the "domain cap" corpus stage:
 # at most N docs per source, selected by stable-hash rank so the
 # survivor set is deterministic and monotone in the cap

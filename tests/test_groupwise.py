@@ -196,3 +196,79 @@ class TestStratifiedSplit:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         with pytest.raises(ValueError):
             stratified_split_exact(docs, 1.5)
+
+
+class TestTemperatureMixture:
+    """Temperature-scaled mixture sampling (r7): rate law, smallest
+    group kept whole, determinism, temperature monotonicity."""
+
+    def _df(self, spark):
+        rows = []
+        for i in range(400):
+            rows.append((i, "en"))
+        for i in range(400, 500):
+            rows.append((i, "fr"))
+        for i in range(500, 525):
+            rows.append((i, "zh"))
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_rate_law_t2(self, spark):
+        import math
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            temperature_rates,
+        )
+
+        got = {
+            r["lang"]: (r["n_docs"], r["rate_bp"])
+            for r in temperature_rates(self._df(spark), "lang", 2.0).collect()
+        }
+        assert got["zh"] == (25, 10000)  # smallest group kept whole
+        assert got["fr"] == (100, int(math.floor(math.sqrt(25 / 100) * 10000)))
+        assert got["en"] == (400, int(math.floor(math.sqrt(25 / 400) * 10000)))
+
+    def test_sample_respects_rates_and_is_deterministic(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            temperature_mixture_sample,
+        )
+
+        df = self._df(spark)
+        a = sorted(r["doc_id"] for r in temperature_mixture_sample(df, "lang").collect())
+        b = sorted(
+            r["doc_id"]
+            for r in temperature_mixture_sample(df.repartition(7), "lang").collect()
+        )
+        assert a == b
+        from pyspark.sql import functions as F
+
+        kept = temperature_mixture_sample(df, "lang")
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_lang["zh"] == 25  # rate 1.0 keeps everything
+        # hash sampling tracks the rate (sqrt(25/400) = 0.25) loosely
+        assert 0.15 <= by_lang["en"] / 400 <= 0.35
+
+    def test_t1_keeps_everything_higher_t_flattens(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            temperature_mixture_sample,
+            temperature_rates,
+        )
+
+        df = self._df(spark)
+        assert temperature_mixture_sample(df, "lang", temperature=1.0).count() == df.count()
+        r2 = {r["lang"]: r["rate_bp"] for r in temperature_rates(df, "lang", 2.0).collect()}
+        r4 = {r["lang"]: r["rate_bp"] for r in temperature_rates(df, "lang", 4.0).collect()}
+        # higher temperature -> stronger flattening -> lower big-group rates
+        assert r4["en"] < r2["en"] and r4["zh"] == r2["zh"] == 10000
+
+    def test_rejects_bad_temperature(self, spark):
+        import pytest as _pytest
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.groupwise import (
+            temperature_rates,
+        )
+
+        with _pytest.raises(ValueError, match="temperature"):
+            temperature_rates(self._df(spark), "lang", 0.5)
