@@ -178,3 +178,94 @@ LIMIT 20
 
 
 # ==========================================================================
+
+
+# ==========================================================================
+# TPC-H Q21 analog (round 7) — "suppliers who kept orders waiting": the
+# hardest relational shape in the suite, EXISTS + NOT EXISTS correlated
+# over the same derived relation with different predicates.  The fixture
+# lacks l_commitdate/l_receiptdate, so "late" adapts to l_shipdate more
+# than 60 days after o_orderdate (pure timestamp+interval arithmetic —
+# no session-timezone dependence).  Spark-first: the per-(order,
+# supplier) late flag is ONE partial-agg groupBy; EXISTS becomes a
+# left-semi join and NOT EXISTS a left-anti join, both keyed on
+# orderkey with the supplier inequality as a residual condition, so
+# each correlated subquery is a single keyed shuffle, not a per-row
+# probe.  Counting only — no money columns, no float rounding anywhere.
+# ==========================================================================
+
+
+def _tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fo = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    spo = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_suppkey").alias("supp"),
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("int").alias("late_row"),
+        )
+        .groupBy("okey", "supp")
+        .agg(F.max("late_row").alias("late"))
+        # three consumers below (l1, the EXISTS side, the NOT EXISTS
+        # side) — materialize the per-(order, supplier) relation once
+        # instead of replaying the lineitem join per consumer (the CTE
+        # materialization a TPC-H engine would do)
+        .localCheckpoint(eager=True)
+    )
+    l1 = spo.filter(F.col("late") == 1)
+    others = spo.select(F.col("okey").alias("o2"), F.col("supp").alias("supp2"))
+    has_other = l1.join(
+        others,
+        (F.col("okey") == F.col("o2")) & (F.col("supp") != F.col("supp2")),
+        "left_semi",
+    )
+    other_late = spo.filter(F.col("late") == 1).select(
+        F.col("okey").alias("o3"), F.col("supp").alias("supp3")
+    )
+    waiters = has_other.join(
+        other_late,
+        (F.col("okey") == F.col("o3")) & (F.col("supp") != F.col("supp3")),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiters.groupBy("supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+_register(
+    "tpch_q21_waiting_suppliers",
+    _tpch_q21_waiting_suppliers,
+    """
+WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+spo AS (
+  SELECT l_orderkey AS okey, l_suppkey AS supp,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM spo l1
+JOIN supplier ON s_suppkey = l1.supp
+WHERE l1.late = 1
+  AND EXISTS (SELECT 1 FROM spo l2 WHERE l2.okey = l1.okey AND l2.supp <> l1.supp)
+  AND NOT EXISTS (
+    SELECT 1 FROM spo l3
+    WHERE l3.okey = l1.okey AND l3.supp <> l1.supp AND l3.late = 1)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
