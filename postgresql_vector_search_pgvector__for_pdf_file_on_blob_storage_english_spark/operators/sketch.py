@@ -271,3 +271,40 @@ def qsketch_quantiles(
         F.col("n").alias("n_values"),
         qsketch_lower_col(F.col("bucket"), sub_bits).alias("quantile_lower"),
     )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two HLL register tables: element-wise max — the sketch's
+    exact merge law, so est(merge(A, B)) estimates |A ∪ B| exactly as
+    if built over the union stream."""
+    return (
+        a.unionByName(b)
+        .groupBy("reg")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+
+
+def hll_set_estimates(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Distinct-set algebra from two register tables: one row
+    ``(est_a, est_b, est_union, est_intersect)`` with the intersection
+    by inclusion-exclusion — the standard (bias-prone but mergeable)
+    HLL set-operation estimate; the union is exact sketch semantics.
+    All three estimates reuse :func:`hll_estimate`'s deterministic
+    arithmetic, so the whole relation is SQL-replayable."""
+    ea = hll_estimate(a).select(F.col("hll_estimate").alias("est_a"))
+    eb = hll_estimate(b).select(F.col("hll_estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(a, b)).select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersect"
+            ),
+        )
+    )

@@ -353,3 +353,108 @@ def _stream_qsketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("stream_qsketch_replay", _stream_qsketch_replay, _DD_QSKETCH)
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra (round 7): union by element-wise register max (the
+# sketch's exact merge law) and intersection by inclusion-exclusion —
+# the cross-corpus overlap question ("how many terms do the English and
+# Chinese slices share?") answered from two mergeable 64-row summaries
+# instead of a distinct-set join, next to the exact answer for honesty.
+# ---------------------------------------------------------------------------
+
+
+def _sketch_hll_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import tokenize
+    from ..operators.sketch import hll_registers, hll_set_estimates
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    a = hll_registers(toks.filter(F.col("lang") == "en"), "term")
+    b = hll_registers(toks.filter(F.col("lang") == "zh"), "term")
+    est = hll_set_estimates(a, b)
+
+    en_terms = toks.filter(F.col("lang") == "en").select("term").distinct()
+    zh_terms = toks.filter(F.col("lang") == "zh").select("term").distinct()
+    exact = (
+        en_terms.intersect(zh_terms)
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+        .crossJoin(F.broadcast(en_terms.agg(F.count(F.lit(1)).alias("exact_a"))))
+        .crossJoin(F.broadcast(zh_terms.agg(F.count(F.lit(1)).alias("exact_b"))))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.round("est_a", 2).alias("est_a"),
+        F.round("est_b", 2).alias("est_b"),
+        F.round("est_union", 2).alias("est_union"),
+        F.round("est_intersect", 2).alias("est_intersect"),
+        "exact_a",
+        "exact_b",
+        "exact_intersect",
+    )
+
+
+def _dd_hll_regs(tag: str, lang: str) -> str:
+    """Register + estimate CTEs for one language slice — mirrors the
+    Spark expression order of hll_registers/hll_estimate exactly."""
+    return f"""
+h_{tag} AS (
+  SELECT (('0x' || substr(md5('hll' || '§' || term), 1, 8))::BIGINT) AS hv
+  FROM ltok WHERE lang = '{lang}'
+),
+regs_{tag} AS (
+  SELECT spine.reg, coalesce(mx.m_rank, 0) AS m_rank
+  FROM spine LEFT JOIN (
+    SELECT hv % 64 AS reg,
+           max(CASE WHEN CAST(floor(hv / 64) AS BIGINT) = 0 THEN 27
+                    ELSE 27 - length(bin(CAST(floor(hv / 64) AS BIGINT))) END) AS m_rank
+    FROM h_{tag} GROUP BY 1) mx
+  USING (reg)
+)"""
+
+
+def _dd_hll_est(tag: str) -> str:
+    return f"""
+agg_{tag} AS (
+  SELECT CAST(sum(CAST(power(2, 27 - m_rank) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN m_rank = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM regs_{tag}
+),
+est_{tag} AS (
+  SELECT CASE WHEN (0.709 * 64 * 64) * power(2, 27) / s <= 2.5 * 64 AND v > 0
+              THEN 64.0 * ln(64.0 / v)
+              ELSE (0.709 * 64 * 64) * power(2, 27) / s END AS e
+  FROM agg_{tag}
+)"""
+
+
+_DD_HLL_OVERLAP = f"""
+WITH {_DD_TOKENS},
+ltok AS (SELECT t.term, d.lang FROM tokens t JOIN documents d USING (doc_id)),
+spine AS (SELECT unnest(range(0, 64)) AS reg),
+{_dd_hll_regs("a", "en").lstrip()},
+{_dd_hll_regs("b", "zh").lstrip()},
+regs_u AS (
+  SELECT a.reg, CASE WHEN a.m_rank > b.m_rank THEN a.m_rank ELSE b.m_rank END AS m_rank
+  FROM regs_a a JOIN regs_b b USING (reg)
+),
+{_dd_hll_est("a").lstrip()},
+{_dd_hll_est("b").lstrip()},
+{_dd_hll_est("u").lstrip()},
+exact AS (
+  SELECT
+    (SELECT count(DISTINCT term) FROM ltok WHERE lang = 'en')::BIGINT AS exact_a,
+    (SELECT count(DISTINCT term) FROM ltok WHERE lang = 'zh')::BIGINT AS exact_b,
+    (SELECT count(*) FROM (
+       SELECT DISTINCT term FROM ltok WHERE lang = 'en'
+       INTERSECT
+       SELECT DISTINCT term FROM ltok WHERE lang = 'zh'))::BIGINT AS exact_intersect
+)
+SELECT round(est_a.e, 2) AS est_a,
+       round(est_b.e, 2) AS est_b,
+       round(est_u.e, 2) AS est_union,
+       round(est_a.e + est_b.e - est_u.e, 2) AS est_intersect,
+       exact_a, exact_b, exact_intersect
+FROM est_a, est_b, est_u, exact
+"""
+
+_register("sketch_hll_lang_overlap", _sketch_hll_lang_overlap, _DD_HLL_OVERLAP)

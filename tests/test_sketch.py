@@ -328,3 +328,60 @@ class TestQuantileSketch:
         rows = qsketch_quantiles(sk, [10000]).collect()
         assert rows[0]["n_values"] == 4  # positives only
         assert rows[0]["quantile_lower"] == 4
+
+
+class TestHllSetAlgebra:
+    """HLL merge + inclusion-exclusion set estimates (r7)."""
+
+    def _regs(self, spark, lo, hi):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_registers,
+        )
+
+        df = spark.createDataFrame([(f"k{i}",) for i in range(lo, hi)], "k string")
+        return hll_registers(df, "k")
+
+    def test_merge_equals_union_stream(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_merge,
+            hll_registers,
+        )
+
+        a = self._regs(spark, 0, 400)
+        b = self._regs(spark, 200, 700)
+        both = spark.createDataFrame(
+            [(f"k{i}",) for i in list(range(0, 400)) + list(range(200, 700))],
+            "k string",
+        )
+        merged = {r["reg"]: r["m_rank"] for r in hll_merge(a, b).collect()}
+        direct = {
+            r["reg"]: r["m_rank"] for r in hll_registers(both, "k").collect()
+        }
+        assert merged == direct
+
+    def test_inclusion_exclusion_tracks_truth(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_set_estimates,
+        )
+
+        # |A|=400, |B|=500, |A ∩ B|=200
+        a = self._regs(spark, 0, 400)
+        b = self._regs(spark, 200, 700)
+        r = hll_set_estimates(a, b).collect()[0]
+        assert abs(r["est_a"] - 400) / 400 < 0.35
+        assert abs(r["est_b"] - 500) / 500 < 0.35
+        assert abs(r["est_union"] - 700) / 700 < 0.35
+        # intersection inherits both errors; just demand the right order
+        assert 0 < r["est_intersect"] < r["est_union"]
+        assert r["est_intersect"] == r["est_a"] + r["est_b"] - r["est_union"]
+
+    def test_disjoint_sets_intersect_near_zero(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_set_estimates,
+        )
+
+        a = self._regs(spark, 0, 300)
+        b = self._regs(spark, 1000, 1300)
+        r = hll_set_estimates(a, b).collect()[0]
+        # inclusion-exclusion noise, but far below either set's size
+        assert abs(r["est_intersect"]) < 0.5 * min(r["est_a"], r["est_b"])
