@@ -72,6 +72,7 @@ HEADLINE = [
     "vocab_unigram_pieces",  # r7: unigram-LM EM training (2 Viterbi rounds over distinct words)
     "graph_pagerank_dangling",  # r7: PageRank + per-step dangling-mass aggregate
     "ann_ivf_index_compact",  # r7: index lifecycle (build + delete + upsert + compact + 3 probes)
+    "tpch_q21_waiting_suppliers",  # r7: correlated EXISTS/NOT-EXISTS as keyed semi/anti joins
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

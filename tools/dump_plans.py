@@ -131,6 +131,13 @@ SECTIONS = [
      "costs ride the UDF closure (vocab-sized, the same movement a broadcast "
      "performs); everything after the DP is codegen string/aggregate work. At 100 TB "
      "the DP cost tracks distinct words x max piece length, never the token stream."),
+    ("tpch_q21_waiting_suppliers", "TPC-H Q21 analog (EXISTS / NOT EXISTS)",
+     "The two correlated subqueries appear as one SortMergeJoin LeftSemi and one "
+     "LeftAnti, both keyed on the order with the supplier inequality as a residual "
+     "join condition — each EXISTS costs a single keyed shuffle, never a per-row "
+     "probe. The per-(order, supplier) late relation is partial-aggregated once and "
+     "localCheckpointed for its three consumers (the CTE materialization a TPC-H "
+     "engine performs); the orders filter and the supplier dimension broadcast."),
     ("ann_ivf_index_compact", "IVF index lifecycle (reconcile + compact)",
      "Three probes through the maintenance layer: the pre-compact search reads the "
      "probed lists ONLY (PartitionFilters on centroid_id at every batch_id level), "
