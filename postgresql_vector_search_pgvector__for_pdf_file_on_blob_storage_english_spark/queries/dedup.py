@@ -585,3 +585,60 @@ ORDER BY t.doc_id
 )
 
 _register("dedup_substring_spans", _substring_spans, _DD_SPANS)
+
+
+# ==========================================================================
+# Fuzzy record linkage (round 7) — FastSS deletion-neighborhood
+# edit-distance self-join (operators/fuzzy.py): complete candidate
+# generation for distance <= 1 via shared deletion signatures (md5'd
+# before the exchange — shuffles carry ids + 16-byte hashes, never the
+# strings), exact levenshtein verification on candidates only.  The
+# customer names are a realistic linkage fixture (near-identical
+# serial-numbered strings); n_pairs_total rides every output row so the
+# bounded top-50 still evidences the full join size.
+# ==========================================================================
+
+
+def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_self_join_d1
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = fuzzy_self_join_d1(cust, "c_name", "c_custkey")
+    total = pairs.agg(F.count(F.lit(1)).alias("n_pairs_total"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .orderBy("c_name_a", "c_name_b", "id_a", "id_b")
+        .limit(50)
+        .select("id_a", "id_b", "c_name_a", "c_name_b", "dist", "n_pairs_total")
+    )
+
+
+_DD_FUZZY = """
+WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+dels AS (
+  SELECT id, substring(name, 1, i.i - 1) || substring(name, i.i + 1, length(name)) AS sig
+  FROM c CROSS JOIN range(1, 64) i(i) WHERE i.i <= length(name)
+),
+sigs AS (
+  SELECT DISTINCT id, md5(sig) AS h FROM dels
+  UNION
+  SELECT id, md5(name) FROM c
+),
+cand AS (
+  SELECT DISTINCT a.id AS ia, b.id AS ib
+  FROM sigs a JOIN sigs b ON a.h = b.h AND a.id < b.id
+),
+ver AS (
+  SELECT ia AS id_a, ib AS id_b, ca.name AS c_name_a, cb.name AS c_name_b,
+         CAST(levenshtein(ca.name, cb.name) AS INTEGER) AS dist
+  FROM cand JOIN c ca ON ca.id = ia JOIN c cb ON cb.id = ib
+  WHERE levenshtein(ca.name, cb.name) <= 1
+),
+n AS (SELECT count(*)::BIGINT AS n_pairs_total FROM ver)
+SELECT id_a, id_b, c_name_a, c_name_b, dist, n_pairs_total
+FROM ver, n
+ORDER BY c_name_a, c_name_b, id_a, id_b
+LIMIT 50
+"""
+
+_register("dedup_fuzzy_name_pairs", _fuzzy_name_pairs, _DD_FUZZY)
