@@ -489,3 +489,101 @@ def hnsw_index_search(
     return hnsw_search(
         graph, query_vec, k=k, ef_search=ef_search, vec_col=vec_col, id_col=id_col
     )
+
+
+def hnsw_search_join(
+    graph: DataFrame,
+    queries,
+    k: int = 5,
+    ef_search: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batched hierarchical search: N queries against every shard in
+    ONE ``applyInPandas`` pass — the shard's vectors and adjacency are
+    deserialized once and all queries walk them, instead of N separate
+    jobs.  ``queries`` is a DataFrame (query_id, query_vec); it is
+    collected to the closure (bounded by the query batch — the same
+    data movement broadcasting the batch performs).  Output:
+    ``(query_id, rank, vec_id, distance)`` per query after the global
+    per-query merge (a partitioned window over n_shards * k rows per
+    query, never corpus-sized)."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qlist = [(r[query_id_col], [float(v) for v in r[query_vec_col]]) for r in qrows]
+    schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+
+    def search(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        order = pdf[id_col].argsort()
+        pdf = pdf.iloc[order]
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        levels = pdf["level"].to_numpy(dtype=np.int64)
+        nbr_layers = list(pdf["neighbors"])
+        pos = {int(v): i for i, v in enumerate(ids)}
+        top = int(levels.max())
+        entry0 = int(np.flatnonzero(levels == top)[0])
+
+        out_q, out_i, out_d = [], [], []
+        for qid, q in qlist:
+            qv = np.array(q, dtype=np.float64)
+
+            def dist(i):
+                d = mat[i] - qv
+                return float(np.sqrt(np.dot(d, d)))
+
+            cur = entry0
+            for layer in range(top, 0, -1):
+                improved = True
+                while improved:
+                    improved = False
+                    here = (dist(cur), int(ids[cur]))
+                    for nb_id in nbr_layers[cur][layer]:
+                        nb = pos[int(nb_id)]
+                        cand = (dist(nb), int(ids[nb]))
+                        if cand < here:
+                            here, cur, improved = cand, nb, True
+            visited = {cur}
+            frontier = [(dist(cur), int(ids[cur]), cur)]
+            best = list(frontier)
+            while frontier:
+                frontier.sort()
+                d0, _, c = frontier.pop(0)
+                best.sort()
+                if len(best) >= ef_search and d0 > best[ef_search - 1][0]:
+                    break
+                for nb_id in nbr_layers[c][0]:
+                    nb = pos[int(nb_id)]
+                    if nb not in visited:
+                        visited.add(nb)
+                        cand = (dist(nb), int(ids[nb]), nb)
+                        frontier.append(cand)
+                        best.append(cand)
+            best.sort()
+            for d, i, _ in best[: max(k, 1)]:
+                out_q.append(qid)
+                out_i.append(i)
+                out_d.append(d)
+        return pd.DataFrame(
+            {query_id_col: out_q, id_col: out_i, "distance": out_d}
+        )
+
+    per_shard = graph.groupBy("shard").applyInPandas(search, schema)
+    w = Window.partitionBy(query_id_col).orderBy("distance", id_col)
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "distance")
+    )

@@ -332,4 +332,38 @@ def _ann_hnsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ann_hnsw_index_search", _ann_hnsw_index, _DD_NSW_EXHAUSTIVE)
 
 
+def _ann_hnsw_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hierarchical search: 8 queries walk every shard in ONE
+    applyInPandas pass (vectors + adjacency deserialized once per
+    shard, amortized over the batch), then a per-query partitioned
+    window merges n_shards*k candidate rows.  Exact top-5 for every
+    query at every fixture — same oracle contract as the single-query
+    entries, batched."""
+    from ..operators.nsw import hnsw_build, hnsw_search_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = hnsw_build(emb, n_shards=4, m=8, ef_construction=32)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = hnsw_search_join(g, queries, k=5, ef_search=32)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("distance", 4).alias("distance")
+    )
+
+
+_DD_HNSW_BATCH = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8)
+SELECT q.query_id,
+       row_number() OVER (
+         PARTITION BY q.query_id ORDER BY {_dd_l2("e.embedding", "q.qe")}, e.vec_id) AS rank,
+       e.vec_id,
+       round({_dd_l2("e.embedding", "q.qe")}, 4) AS distance
+FROM embeddings e, q
+QUALIFY rank <= 5
+"""
+
+_register("ann_hnsw_search_batch", _ann_hnsw_search_batch, _DD_HNSW_BATCH)
+
+
 # ==========================================================================

@@ -224,3 +224,32 @@ class TestHnsw:
             for r in hnsw_index_search(spark, path, list(q), k=5, ef_search=EF).collect()
         ]
         assert persisted == live
+
+
+class TestHnswBatch:
+    def test_batch_matches_single_query_walks(self, spark, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_build,
+            hnsw_search,
+            hnsw_search_join,
+        )
+
+        g = hnsw_build(emb, n_shards=4, m=M, ef_construction=EF).localCheckpoint()
+        g.count()
+        queries = emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        batch = {
+            (r["query_id"], r["rank"]): (r["vec_id"], round(r["distance"], 4))
+            for r in hnsw_search_join(g, queries, k=5, ef_search=EF).collect()
+        }
+        for r in queries.collect():
+            single = hnsw_search(
+                g, list(r["query_vec"]), k=5, ef_search=EF
+            ).collect()
+            for rank, row in enumerate(single, 1):
+                assert batch[(r["query_id"], rank)] == (
+                    row["vec_id"],
+                    round(row["distance"], 4),
+                ), (r["query_id"], rank)
