@@ -318,3 +318,43 @@ def synth_media_df(docs: DataFrame, kind: str = "image", container: str = "raw")
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content", "meta"])
 
     return docs.select("doc_id").mapInPandas(run, schema)
+
+
+def image_ahash(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image — the classic
+    image-dedup fingerprint: decode, sum channels to an integer
+    luminance proxy, nearest-neighbor downsample to 8x8 (the
+    ``image_resize`` index law), threshold each cell against the mean
+    of the 64 cells, emit the 64 bits as a '0'/'1' string in row-major
+    order.
+
+    All-integer by construction: the threshold compare is
+    ``cell * 64 > total`` (no division), so the hash is bit-identical
+    across engines and the SQL oracle replays it from the synthesis
+    arithmetic.  Identical images hash identically regardless of
+    container (RAW vs PNG — the decode path is exercised, the hash is
+    content-defined); near-identical images differ in few bits and are
+    grouped/paired downstream exactly like SimHash fingerprints.
+    """
+    import pandas as pd
+
+    schema = T.StructType.fromDDL(f"{id_col} long, ahash_bits string")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                px = decode_image(bytes(blob)).astype(np.int64)
+                h, w, _c = px.shape
+                s3 = px.sum(axis=2)  # integer luminance proxy, 0..765
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                sample = s3[np.ix_(ys, xs)]
+                total = int(sample.sum())
+                bits = (sample.reshape(-1) * 64 > total)
+                rows.append((mid, "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)

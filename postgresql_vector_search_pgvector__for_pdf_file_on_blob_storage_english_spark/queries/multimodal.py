@@ -228,3 +228,83 @@ _register("mm_image_jpeg_roundtrip", _mm_image_jpeg_roundtrip, _DD_MM_JPEG)
 
 
 # ==========================================================================
+
+
+# ==========================================================================
+# Perceptual image dedup (round 7) — aHash fingerprints through the
+# REAL PNG decode path (operators/multimodal.py::image_ahash), grouped
+# into duplicate clusters.  Duplicates are woven deterministically: the
+# media content synthesizes from doc_id % 97, so every seed's ~5 docs
+# carry byte-identical images while the decode still runs per row.  The
+# oracle replays the hash from the LCG synthesis arithmetic — integer
+# sums, floor-index downsampling, a division-free cell*64 > total
+# threshold — never touching the bytes.
+# ==========================================================================
+
+_AHASH_MOD = 97
+
+
+def _mm_image_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_ahash
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.select((F.col("doc_id") % _AHASH_MOD).alias("doc_id")).distinct()
+    media = synth_media_df(seeds, kind="image", container="real").select(
+        F.col("media_id").alias("seed"), "content"
+    )
+    keyed = docs.select(
+        "doc_id", (F.col("doc_id") % _AHASH_MOD).alias("seed")
+    ).join(media, "seed")
+    hashed = image_ahash(
+        keyed.select(F.col("doc_id").alias("media_id"), "content")
+    )
+    return (
+        hashed.groupBy("ahash_bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("min_media_id"),
+        )
+        .filter(F.col("n_images") > 1)
+        .orderBy("ahash_bits")
+    )
+
+
+_DD_MM_AHASH = f"""
+WITH seeds AS (SELECT DISTINCT (doc_id % {_AHASH_MOD}) AS seed FROM documents),
+dims AS (
+  SELECT seed, (8 + seed % 9)::BIGINT AS w, (8 + seed % 7)::BIGINT AS h
+  FROM seeds
+),
+cells AS (
+  SELECT seed, ty.ty, tx.tx,
+         (((ty.ty * h) // 8) * w + ((tx.tx * w) // 8)) * 3 AS base
+  FROM dims, unnest(range(0, 8)) AS ty(ty), unnest(range(0, 8)) AS tx(tx)
+),
+lum AS (
+  SELECT seed, ty, tx,
+         ((seed * {A_PIX} + (base + 0) * {B_PIX}) % 256)
+         + ((seed * {A_PIX} + (base + 1) * {B_PIX}) % 256)
+         + ((seed * {A_PIX} + (base + 2) * {B_PIX}) % 256) AS v
+  FROM cells
+),
+tot AS (SELECT seed, CAST(sum(v) AS BIGINT) AS total FROM lum GROUP BY seed),
+bits AS (
+  SELECT l.seed,
+         string_agg(CASE WHEN l.v * 64 > t.total THEN '1' ELSE '0' END, ''
+                    ORDER BY l.ty, l.tx) AS ahash_bits
+  FROM lum l JOIN tot t USING (seed)
+  GROUP BY l.seed
+),
+members AS (
+  SELECT d.doc_id, b.ahash_bits
+  FROM documents d JOIN bits b ON b.seed = d.doc_id % {_AHASH_MOD}
+)
+SELECT ahash_bits, count(*)::BIGINT AS n_images,
+       min(doc_id) AS min_media_id
+FROM members
+GROUP BY ahash_bits
+HAVING count(*) > 1
+ORDER BY ahash_bits
+"""
+
+_register("mm_image_ahash_dupes", _mm_image_ahash_dupes, _DD_MM_AHASH)

@@ -117,3 +117,79 @@ class TestStages:
     def test_blob_dropped_after_decode(self, spark, docs):
         media = synth_media_df(docs, kind="image")
         assert "content" not in image_features(media).columns
+
+
+class TestImageAhash:
+    """Perceptual average-hash (r7): python reference parity, container
+    independence, duplicate detection, bit-flip locality."""
+
+    def _py_ahash(self, px):
+        import numpy as np
+
+        px = px.astype(np.int64)
+        h, w, _ = px.shape
+        s3 = px.sum(axis=2)
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        sample = s3[np.ix_(ys, xs)]
+        total = int(sample.sum())
+        return "".join(
+            "1" if v * 64 > total else "0" for v in sample.reshape(-1)
+        )
+
+    def test_matches_python_reference(self, spark):
+        import pandas as pd  # noqa: F401
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            encode_image,
+            image_ahash,
+            synth_image_pixels,
+        )
+
+        rows = []
+        want = {}
+        for mid in (0, 3, 17):
+            px = synth_image_pixels(mid, 8 + mid % 9, 8 + mid % 7, 3)
+            rows.append((mid, bytearray(encode_image(px))))
+            want[mid] = self._py_ahash(px)
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        got = {r["media_id"]: r["ahash_bits"] for r in image_ahash(df).collect()}
+        assert got == want
+        assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in got.values())
+
+    def test_container_independent(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            encode_image,
+            image_ahash,
+            make_png,
+            synth_image_pixels,
+        )
+
+        px = synth_image_pixels(5, 12, 10, 3)
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_image(px))), (1, bytearray(make_png(px)))],
+            "media_id long, content binary",
+        )
+        got = [r["ahash_bits"] for r in image_ahash(df).orderBy("media_id").collect()]
+        assert got[0] == got[1]
+
+    def test_identical_images_collide_distinct_differ(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            encode_image,
+            image_ahash,
+            synth_image_pixels,
+        )
+
+        a = synth_image_pixels(7, 10, 9, 3)
+        b = synth_image_pixels(8, 10, 9, 3)
+        df = spark.createDataFrame(
+            [
+                (0, bytearray(encode_image(a))),
+                (1, bytearray(encode_image(a))),
+                (2, bytearray(encode_image(b))),
+            ],
+            "media_id long, content binary",
+        )
+        got = {r["media_id"]: r["ahash_bits"] for r in image_ahash(df).collect()}
+        assert got[0] == got[1]
+        assert got[0] != got[2]
