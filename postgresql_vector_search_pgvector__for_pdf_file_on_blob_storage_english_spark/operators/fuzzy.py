@@ -87,3 +87,76 @@ def fuzzy_self_join_d1(
             dist_col,
         )
     )
+
+
+def fuzzy_value_pairs_d1(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """The scale form of the d<=1 join: run FastSS over the DISTINCT
+    key values (the same working-set discipline as the tokenizer
+    trainers), carrying each value's multiplicity and min id.  Returns
+    value-level pairs ``(<key>_a, <key>_b, n_a, n_b, min_id_a,
+    min_id_b, dist)`` with ``<key>_a < <key>_b`` (so dist is exactly 1
+    — equal values are a GROUP, not n^2/2 pairs).
+
+    Why this is the deployed shape: signature-blocked self-joins cost
+    the sum of squared block sizes, and duplicated values multiply
+    every block — :func:`fuzzy_self_join_d1` over a corpus where each
+    name repeats k times does k^2 times the work for no new
+    information.  Here duplicates collapse into multiplicities first
+    (one partial-agg groupBy), the quadratic stage runs on distinct
+    values only, and the id-level pair count is recovered
+    ARITHMETICALLY: a value pair contributes ``n_a * n_b`` id pairs, a
+    duplicated value contributes ``n * (n-1) / 2``."""
+    vals = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_ids"), F.min(id_col).alias("min_id")
+    )
+    pairs = fuzzy_self_join_d1(vals, key_col, "min_id", dist_col=dist_col)
+    left = vals.select(
+        F.col("min_id").alias("id_a"),
+        F.col("n_ids").alias("n_a"),
+    )
+    right = vals.select(
+        F.col("min_id").alias("id_b"),
+        F.col("n_ids").alias("n_b"),
+    )
+    return (
+        pairs.join(left, "id_a")
+        .join(right, "id_b")
+        .select(
+            f"{key_col}_a",
+            f"{key_col}_b",
+            "n_a",
+            "n_b",
+            F.col("id_a").alias("min_id_a"),
+            F.col("id_b").alias("min_id_b"),
+            dist_col,
+        )
+    )
+
+
+def fuzzy_pair_count_d1(
+    df: DataFrame, key_col: str, id_col: str
+) -> DataFrame:
+    """One row ``(n_id_pairs)``: the total number of id-level pairs at
+    edit distance <= 1, computed from the distinct-value join plus the
+    duplicate-group arithmetic — never materializing the quadratic
+    pair set."""
+    vals = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_ids"))
+    # exact integer arithmetic (n*(n-1) is even; a double division
+    # would round past 2^53 at corpus scale)
+    dup_pairs = vals.agg(
+        F.coalesce(
+            F.sum(F.expr("(n_ids * (n_ids - 1)) div 2")), F.lit(0)
+        ).alias("_dups")
+    )
+    vp = fuzzy_value_pairs_d1(df, key_col, id_col)
+    cross = vp.agg(
+        F.coalesce(F.sum(F.col("n_a") * F.col("n_b")), F.lit(0)).alias("_cross")
+    )
+    return dup_pairs.crossJoin(cross).select(
+        (F.col("_dups") + F.col("_cross")).alias("n_id_pairs")
+    )

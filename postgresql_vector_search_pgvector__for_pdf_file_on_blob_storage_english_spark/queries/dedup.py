@@ -589,56 +589,69 @@ _register("dedup_substring_spans", _substring_spans, _DD_SPANS)
 
 # ==========================================================================
 # Fuzzy record linkage (round 7) — FastSS deletion-neighborhood
-# edit-distance self-join (operators/fuzzy.py): complete candidate
-# generation for distance <= 1 via shared deletion signatures (md5'd
-# before the exchange — shuffles carry ids + 16-byte hashes, never the
-# strings), exact levenshtein verification on candidates only.  The
-# customer names are a realistic linkage fixture (near-identical
-# serial-numbered strings); n_pairs_total rides every output row so the
-# bounded top-50 still evidences the full join size.
+# edit-distance join (operators/fuzzy.py) in its SCALE form: the
+# quadratic signature-blocked stage runs over DISTINCT name values
+# (duplicates collapse into multiplicities first — a corpus where every
+# name repeats k times would otherwise pay k^2 the work for no new
+# information), signatures are md5'd before the exchange, exact
+# levenshtein verifies candidates only, and the id-level pair total is
+# recovered arithmetically (value pair -> n_a*n_b, duplicate value ->
+# n*(n-1)/2) without materializing the quadratic pair set.
 # ==========================================================================
 
 
 def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.fuzzy import fuzzy_self_join_d1
+    from ..operators.fuzzy import fuzzy_pair_count_d1, fuzzy_value_pairs_d1
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    pairs = fuzzy_self_join_d1(cust, "c_name", "c_custkey")
-    total = pairs.agg(F.count(F.lit(1)).alias("n_pairs_total"))
+    pairs = fuzzy_value_pairs_d1(cust, "c_name", "c_custkey")
+    total = fuzzy_pair_count_d1(cust, "c_name", "c_custkey")
     return (
         pairs.crossJoin(F.broadcast(total))
-        .orderBy("c_name_a", "c_name_b", "id_a", "id_b")
+        .orderBy("c_name_a", "c_name_b")
         .limit(50)
-        .select("id_a", "id_b", "c_name_a", "c_name_b", "dist", "n_pairs_total")
+        .select(
+            "c_name_a", "c_name_b", "n_a", "n_b",
+            "min_id_a", "min_id_b", "dist", "n_id_pairs",
+        )
     )
 
 
 _DD_FUZZY = """
-WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+WITH vals AS (
+  SELECT c_name AS name, count(*)::BIGINT AS n_ids, min(c_custkey) AS min_id
+  FROM customer GROUP BY 1
+),
 dels AS (
-  SELECT id, substring(name, 1, i.i - 1) || substring(name, i.i + 1, length(name)) AS sig
-  FROM c CROSS JOIN range(1, 64) i(i) WHERE i.i <= length(name)
+  SELECT min_id AS id, substring(name, 1, i.i - 1) || substring(name, i.i + 1, length(name)) AS sig
+  FROM vals CROSS JOIN range(1, 64) i(i) WHERE i.i <= length(name)
 ),
 sigs AS (
   SELECT DISTINCT id, md5(sig) AS h FROM dels
   UNION
-  SELECT id, md5(name) FROM c
+  SELECT min_id, md5(name) FROM vals
 ),
 cand AS (
   SELECT DISTINCT a.id AS ia, b.id AS ib
   FROM sigs a JOIN sigs b ON a.h = b.h AND a.id < b.id
 ),
 ver AS (
-  SELECT ia AS id_a, ib AS id_b, ca.name AS c_name_a, cb.name AS c_name_b,
-         CAST(levenshtein(ca.name, cb.name) AS INTEGER) AS dist
-  FROM cand JOIN c ca ON ca.id = ia JOIN c cb ON cb.id = ib
-  WHERE levenshtein(ca.name, cb.name) <= 1
+  SELECT va.name AS c_name_a, vb.name AS c_name_b,
+         va.n_ids AS n_a, vb.n_ids AS n_b,
+         va.min_id AS min_id_a, vb.min_id AS min_id_b,
+         CAST(levenshtein(va.name, vb.name) AS INTEGER) AS dist
+  FROM cand JOIN vals va ON va.min_id = ia JOIN vals vb ON vb.min_id = ib
+  WHERE levenshtein(va.name, vb.name) <= 1
 ),
-n AS (SELECT count(*)::BIGINT AS n_pairs_total FROM ver)
-SELECT id_a, id_b, c_name_a, c_name_b, dist, n_pairs_total
-FROM ver, n
-ORDER BY c_name_a, c_name_b, id_a, id_b
+total AS (
+  SELECT (SELECT coalesce(sum((n_ids * (n_ids - 1)) // 2), 0) FROM vals)::BIGINT
+         + (SELECT coalesce(sum(n_a * n_b), 0) FROM ver)::BIGINT AS n_id_pairs
+)
+SELECT c_name_a, c_name_b, n_a, n_b, min_id_a, min_id_b, dist, n_id_pairs
+FROM ver, total
+ORDER BY c_name_a, c_name_b
 LIMIT 50
 """
 
 _register("dedup_fuzzy_name_pairs", _fuzzy_name_pairs, _DD_FUZZY)
+

@@ -85,3 +85,40 @@ class TestFuzzyJoin:
         plan = out._jdf.queryExecution().executedPlan().toString()
         for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
             assert "_h#" in m.group(1) or "_id" in m.group(1) or "w#" not in m.group(1)
+
+
+class TestFuzzyValueForm:
+    """The distinct-value scale form: duplicates collapse before the
+    quadratic stage; id-level totals recovered arithmetically."""
+
+    def test_value_pairs_and_count(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.fuzzy import (
+            fuzzy_pair_count_d1,
+            fuzzy_value_pairs_d1,
+        )
+
+        # 'abc' x3, 'abd' x2, 'xyz' x1: value pair (abc, abd) -> 6 id
+        # pairs; dup group abc -> 3, abd -> 1; total 10
+        rows = [(0, "abc"), (1, "abc"), (2, "abc"), (3, "abd"), (4, "abd"), (5, "xyz")]
+        df = spark.createDataFrame(rows, "id long, w string")
+        vp = fuzzy_value_pairs_d1(df, "w", "id").collect()
+        assert len(vp) == 1
+        r = vp[0]
+        assert (r["w_a"], r["w_b"], r["n_a"], r["n_b"], r["dist"]) == ("abc", "abd", 3, 2, 1)
+        assert (r["min_id_a"], r["min_id_b"]) == (0, 3)
+        total = fuzzy_pair_count_d1(df, "w", "id").collect()[0]["n_id_pairs"]
+        assert total == 6 + 3 + 1
+
+    def test_duplicates_do_not_blow_up_candidates(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.fuzzy import (
+            fuzzy_value_pairs_d1,
+        )
+
+        base = [(i, w) for i, w in enumerate(["node", "code", "mode", "rode"])]
+        dup = [(100 + i * 10 + j, w) for i, (_, w) in enumerate(base) for j in range(9)]
+        df = spark.createDataFrame(base + dup, "id long, w string")
+        vp = fuzzy_value_pairs_d1(df, "w", "id").collect()
+        # 4 distinct values, all pairwise distance 1 -> C(4,2) value pairs
+        assert len(vp) == 6
+        for r in vp:
+            assert r["n_a"] == 10 and r["n_b"] == 10
