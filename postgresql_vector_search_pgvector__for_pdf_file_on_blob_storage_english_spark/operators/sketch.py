@@ -308,3 +308,61 @@ def hll_set_estimates(a: DataFrame, b: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def qsketch_build_grouped(
+    df: DataFrame, group_col: str, value_col: str, sub_bits: int = 4
+) -> DataFrame:
+    """Per-group quantile summaries in ONE pass: ``(group, bucket,
+    cnt)`` — the grouped profiling staple ("p50/p99 order value per
+    nation/segment/day").  Shuffle is bounded by groups x buckets,
+    never by rows; each group's summary merges independently (bucket
+    addition), so cross-day folds stay per-group."""
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            qsketch_bucket_col(F.col(value_col), sub_bits).alias("bucket"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def qsketch_quantiles_grouped(
+    sketch: DataFrame, quantiles_bp: list[int], sub_bits: int = 4
+) -> DataFrame:
+    """Per-group quantiles from a grouped summary: the same rank rule
+    as :func:`qsketch_quantiles`, with every stage keyed by group — the
+    triangular cumulative join and the min-bucket cut both run within
+    groups, so no global sort or single-partition window appears at any
+    group count."""
+    pos = sketch.filter(F.col("bucket") >= 0)
+    cum = (
+        pos.select(F.col("grp"), F.col("bucket").alias("b"))
+        .join(
+            pos.select(
+                F.col("grp").alias("g2"), F.col("bucket").alias("b2"), "cnt"
+            ),
+            (F.col("grp") == F.col("g2")) & (F.col("b2") <= F.col("b")),
+        )
+        .groupBy("grp", "b")
+        .agg(F.sum("cnt").alias("cum"))
+    )
+    totals = pos.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles_bp], "q_bp long"
+    )
+    ranked = (
+        totals.crossJoin(F.broadcast(qdf))
+        .withColumn("rank", F.expr("(q_bp * n + 9999) div 10000"))
+        .join(cum, "grp")
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("grp", "q_bp", "n")
+        .agg(F.min("b").alias("bucket"))
+    )
+    return ranked.select(
+        F.col("grp"),
+        "q_bp",
+        F.col("n").alias("n_values"),
+        qsketch_lower_col(F.col("bucket"), sub_bits).alias("quantile_lower"),
+    )

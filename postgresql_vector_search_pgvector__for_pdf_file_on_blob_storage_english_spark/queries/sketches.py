@@ -458,3 +458,78 @@ FROM est_a, est_b, est_u, exact
 """
 
 _register("sketch_hll_lang_overlap", _sketch_hll_lang_overlap, _DD_HLL_OVERLAP)
+
+
+# ---------------------------------------------------------------------------
+# Grouped quantile sketch (round 7): p50/p90/p99 order value per
+# customer market segment from ONE pass of (group, bucket) summaries —
+# the grouped profiling staple, all stages keyed by group so no global
+# sort exists at any group count.  Same integer bucket arithmetic and
+# rank rule as sketch_quantiles_prices.
+# ---------------------------------------------------------------------------
+
+_QSG_QUANTILES = [5000, 9000, 9900]
+
+
+def _sketch_quantiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import qsketch_build_grouped, qsketch_quantiles_grouped
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    keyed = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    sk = qsketch_build_grouped(keyed, "nationkey", "cents", sub_bits=_QS_BITS)
+    return (
+        qsketch_quantiles_grouped(sk, _QSG_QUANTILES, sub_bits=_QS_BITS)
+        .select(
+            F.col("grp").alias("nationkey"), "q_bp", "n_values", "quantile_lower"
+        )
+        .orderBy("nationkey", "q_bp")
+    )
+
+
+_DD_QSKETCH_GROUPED = f"""
+WITH keyed AS (
+  SELECT c_nationkey AS grp,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+b AS (
+  SELECT grp, CASE
+    WHEN x <= 0 THEN -1
+    WHEN x < {1 << _QS_BITS} THEN x
+    ELSE ((length(bin(x)) - 1)::BIGINT << {_QS_BITS})
+         + ((x >> (length(bin(x)) - 1 - {_QS_BITS})) - {1 << _QS_BITS})
+  END AS bucket
+  FROM keyed
+),
+s AS (SELECT grp, bucket, count(*)::BIGINT AS cnt FROM b WHERE bucket >= 0 GROUP BY 1, 2),
+n AS (SELECT grp, sum(cnt)::BIGINT AS n FROM s GROUP BY 1),
+cum AS (
+  SELECT a.grp, a.bucket AS bkt, sum(c.cnt)::BIGINT AS cum
+  FROM s a JOIN s c ON c.grp = a.grp AND c.bucket <= a.bucket
+  GROUP BY 1, 2
+),
+qs AS (SELECT unnest({_QSG_QUANTILES}) AS q_bp),
+r AS (SELECT n.grp, q_bp, n.n, (q_bp * n.n + 9999) // 10000 AS rank FROM n, qs),
+sel AS (
+  SELECT r.grp, r.q_bp, r.n, min(cum.bkt) AS bucket
+  FROM r JOIN cum ON cum.grp = r.grp AND cum.cum >= r.rank
+  GROUP BY 1, 2, 3
+)
+SELECT grp AS nationkey, CAST(q_bp AS BIGINT) AS q_bp, n AS n_values,
+       CAST(CASE WHEN bucket < {1 << _QS_BITS} THEN bucket
+            ELSE ((bucket & {(1 << _QS_BITS) - 1}) + {1 << _QS_BITS})
+                 << ((bucket >> {_QS_BITS}) - {_QS_BITS})
+       END AS BIGINT) AS quantile_lower
+FROM sel
+ORDER BY nationkey, q_bp
+"""
+
+_register(
+    "sketch_quantiles_by_nation",
+    _sketch_quantiles_by_nation,
+    _DD_QSKETCH_GROUPED,
+)

@@ -385,3 +385,54 @@ class TestHllSetAlgebra:
         r = hll_set_estimates(a, b).collect()[0]
         # inclusion-exclusion noise, but far below either set's size
         assert abs(r["est_intersect"]) < 0.5 * min(r["est_a"], r["est_b"])
+
+
+class TestGroupedQuantileSketch:
+    def test_groups_match_independent_sketches(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            qsketch_build,
+            qsketch_build_grouped,
+            qsketch_quantiles,
+            qsketch_quantiles_grouped,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [("a", (i % 500) + 1) for i in range(2000)] + [
+            ("b", (i % 37) * 100 + 1) for i in range(700)
+        ]
+        df = spark.createDataFrame(rows, "g string, x long")
+        grouped = {
+            (r["grp"], r["q_bp"]): (r["n_values"], r["quantile_lower"])
+            for r in qsketch_quantiles_grouped(
+                qsketch_build_grouped(df, "g", "x"), [2500, 5000, 9900]
+            ).collect()
+        }
+        for g in ("a", "b"):
+            solo = qsketch_quantiles(
+                qsketch_build(df.filter(F.col("g") == g), "x"),
+                [2500, 5000, 9900],
+            ).collect()
+            for r in solo:
+                assert grouped[(g, r["q_bp"])] == (
+                    r["n_values"],
+                    r["quantile_lower"],
+                ), (g, r["q_bp"])
+
+    def test_no_cross_group_leakage(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            qsketch_build_grouped,
+            qsketch_quantiles_grouped,
+        )
+
+        df = spark.createDataFrame(
+            [("lo", v) for v in (1, 2, 3, 4)] + [("hi", v) for v in (1000, 2000)],
+            "g string, x long",
+        )
+        got = {
+            (r["grp"], r["q_bp"]): r["quantile_lower"]
+            for r in qsketch_quantiles_grouped(
+                qsketch_build_grouped(df, "g", "x"), [10000]
+            ).collect()
+        }
+        assert got[("lo", 10000)] == 4
+        assert got[("hi", 10000)] >= 1024  # hi's max bucket lower bound
