@@ -73,6 +73,8 @@ HEADLINE = [
     "graph_pagerank_dangling",  # r7: PageRank + per-step dangling-mass aggregate
     "ann_ivf_index_compact",  # r7: index lifecycle (build + delete + upsert + compact + 3 probes)
     "tpch_q21_waiting_suppliers",  # r7: correlated EXISTS/NOT-EXISTS as keyed semi/anti joins
+    "dedup_fuzzy_name_pairs",  # r7: FastSS edit-distance linkage, distinct-value scale form
+    "sketch_quantiles_by_nation",  # r7: one-pass grouped quantile summaries
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%
