@@ -44,6 +44,30 @@ from ._base import Entry, REGISTRY  # noqa: F401
 #      families: SCD2 history, count-min sketch, z-order layout,
 #      bloom runtime semi-join, and sequence packing.
 #
+#      Round-8 rotation (VERDICT r7 item 1): nine slots driver-green in
+#      the r7 snapshot rotate out for the nine never-driver-evidenced
+#      r7 families the judge named.  Out → in, with the family cover:
+#        vocab_bpe_merges        → vocab_unigram_pieces   (vocab family)
+#        ann_lsh_index_search    → ann_hnsw_index_search  (ANN keeps
+#                                   ivfpq + hnsw + compact)
+#        layout_zorder_report    → ann_ivf_index_compact  (index-maint
+#                                   family's first slot; layout was
+#                                   evidenced r7)
+#        dedup_semantic_clusters → dedup_fuzzy_name_pairs (dedup keeps
+#                                   exact + minhash + fuzzy)
+#        sketch_countmin_terms   → sketch_quantiles_by_nation (sketch
+#                                   keeps HLL + quantile; countmin
+#                                   evidenced r7)
+#        sketch_hll_distinct_terms → sketch_hll_lang_overlap (HLL set
+#                                   algebra; plain HLL evidenced r6+r7)
+#        events_scd2_state_history → tpch_q21_waiting_suppliers (SCD2
+#                                   evidenced r7; Q21 analog's first slot)
+#        mm_video_frame_sample   → mm_image_ahash_dupes   (mm keeps
+#                                   image + audio + ahash)
+#        pack_concat_windows     → stream_ivf_upsert_replay (packing
+#                                   evidenced r7; streaming-index
+#                                   replay's first slot)
+#
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the
 # driver's 50-row snapshot.
@@ -80,26 +104,26 @@ _WINDOW_50: list[str] = [
     "bloom_semi_join_revenue",    # r7: bloom semi-join's first driver slot
     "sample_weighted_orders",      # r6: sampling family's first driver slot
     "ml_nb_langid_confusion",      # r6: in-engine classification family
-    "dedup_semantic_clusters",
+    "dedup_fuzzy_name_pairs",      # r8: FastSS fuzzy join (value form)
     "decontam_ngram_overlap",
     "text_pii_redaction",
     "stream_pii_scrub_replay",
     "text_language_id",
     "text_quality_score",
     "text_token_stats",
-    "sketch_hll_distinct_terms",   # r6: HLL distinct-count sketch
+    "sketch_hll_lang_overlap",     # r8: HLL set algebra (merge + incl-excl)
     "ann_ivfpq_index_search",      # r6: persisted IVF-PQ (VERDICT r5 #3)
-    "events_scd2_state_history",  # r7: SCD2 family's first driver slot
-    "vocab_bpe_merges",            # r6: BPE vocab training (VERDICT r5 #7)
-    "ann_lsh_index_search",
-    "sketch_countmin_terms",      # r7: count-min family's first driver slot
-    "layout_zorder_report",       # r7: layout family's first driver slot
+    "tpch_q21_waiting_suppliers",  # r8: Q21 analog (semi/anti joins)
+    "vocab_unigram_pieces",        # r8: unigram-LM tokenizer family
+    "ann_hnsw_index_search",       # r8: persisted HNSW probe path
+    "sketch_quantiles_by_nation",  # r8: grouped base-2 quantile sketch
+    "ann_ivf_index_compact",       # r8: index-maintenance family's first slot
     "graph_pagerank_trade",        # r6: fixed-point PageRank
     "bm25_topk_docs",
-    "pack_concat_windows",        # r7: packing family's first driver slot
+    "stream_ivf_upsert_replay",    # r8: streaming-index replay family
     "mm_image_features",
     "mm_audio_features",
-    "mm_video_frame_sample",
+    "mm_image_ahash_dupes",        # r8: aHash perceptual image dedup
 ]
 
 
