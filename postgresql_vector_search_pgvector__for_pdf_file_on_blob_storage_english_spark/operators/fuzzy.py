@@ -99,8 +99,11 @@ def fuzzy_value_pairs_d1(
     key values (the same working-set discipline as the tokenizer
     trainers), carrying each value's multiplicity and min id.  Returns
     value-level pairs ``(<key>_a, <key>_b, n_a, n_b, min_id_a,
-    min_id_b, dist)`` with ``<key>_a < <key>_b`` (so dist is exactly 1
-    — equal values are a GROUP, not n^2/2 pairs).
+    min_id_b, dist)`` ordered by ``min_id_a < min_id_b`` (the underlying
+    self-join orders by min id, NOT lexically — the lexically smaller
+    value may sit on the ``_b`` side when its min id is larger).  The
+    two values of a pair are always distinct, so dist is exactly 1 —
+    equal values are a GROUP, not n^2/2 pairs.
 
     Why this is the deployed shape: signature-blocked self-joins cost
     the sum of squared block sizes, and duplicated values multiply

@@ -193,19 +193,43 @@ def reconcile(
     index: DataFrame,
     id_col: str,
     tombstones: DataFrame | None = None,
+    appended_latest: DataFrame | None = None,
 ) -> DataFrame:
     """Apply the last-write-wins + tombstone law to (a pruned slice of)
     an index tree: keep each id's highest-``batch_id`` version, then
     drop ids whose max tombstone batch is >= that version's batch.
 
-    Shuffle cost ∝ the SLICE this runs on — searches reconcile only the
-    probed lists, never the whole index.  Ids are unique per batch (the
-    append contract), so ``max_by`` on ``batch_id`` is deterministic."""
+    ``appended_latest`` is the GLOBAL ``(id, _g_max)`` relation over the
+    tree's appended batches (``batch_id >= 1``).  Without it, LWW is
+    applied only within ``index`` — wrong for a pruned slice when an
+    upsert moved an id to a different list (e.g. a changed embedding
+    re-assigns the centroid): a probe hitting the OLD list but not the
+    new one would resurrect the superseded version (ADVICE r7 medium).
+    With it, a slice row survives only if no strictly newer version
+    exists anywhere in the tree.  Ids written solely by the bulk build
+    never appear in the relation (their version cannot be superseded
+    from outside the slice without an append existing), so the null
+    branch keeps them.
+
+    Shuffle cost ∝ the SLICE this runs on plus the appended-id relation
+    — searches reconcile only the probed lists plus the (micro-batch
+    sized, compaction-resettable) append log, never the bulk tree.  Ids
+    are unique per batch (the append contract), so ``max_by`` on
+    ``batch_id`` is deterministic."""
     data_cols = [c for c in index.columns if c != id_col]
     latest = index.groupBy(id_col).agg(
         F.max_by(F.struct(*data_cols), BATCH_COL).alias("_v")
     )
     out = latest.select(id_col, "_v.*")
+    if appended_latest is not None:
+        out = (
+            out.join(F.broadcast(appended_latest), id_col, "left")
+            .filter(
+                F.col("_g_max").isNull()
+                | (F.col(BATCH_COL) >= F.col("_g_max"))
+            )
+            .drop("_g_max")
+        )
     if tombstones is not None:
         dead = tombstones.groupBy(id_col).agg(
             F.max(BATCH_COL).alias("_dead_at")
@@ -219,6 +243,23 @@ def reconcile(
             .drop("_dead_at")
         )
     return out
+
+
+def appended_latest_ids(
+    spark: SparkSession, path: str, id_col: str
+) -> DataFrame:
+    """The global ``(id, _g_max)`` relation over a tree's APPENDED
+    batches only (``batch_id >= 1`` — partition-pruned, so the bulk
+    ``batch_id=0`` level costs zero I/O, and column-pruned to the id).
+    Size is bounded by the append log, which compaction folds back to
+    empty; a clean tree never builds this at all (read_reconciled's
+    listing gate)."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(BATCH_COL) >= 1)
+        .groupBy(id_col)
+        .agg(F.max(F.col(BATCH_COL).cast("long")).alias("_g_max"))
+    )
 
 
 def read_reconciled(
@@ -240,7 +281,16 @@ def read_reconciled(
     if len(batches) <= 1 and not has_tombs:
         return df.drop(BATCH_COL)
     tombs = read_tombstones(spark, path, id_col) if has_tombs else None
-    return reconcile(df, id_col, tombs).drop(BATCH_COL)
+    # Cross-list supersede guard (ADVICE r7 medium): when the tree has
+    # appended batches AND the read is pruned, LWW must consult the
+    # global append log — an upsert that moved an id to an unprobed
+    # list would otherwise leave the stale version visible in the
+    # probed one.  Unpruned reads see the whole tree, so slice LWW is
+    # already global.
+    appended = None
+    if prune is not None and any(b >= 1 for b in batches):
+        appended = appended_latest_ids(spark, path, id_col)
+    return reconcile(df, id_col, tombs, appended).drop(BATCH_COL)
 
 
 def compact_index(
@@ -249,6 +299,7 @@ def compact_index(
     dest_path: str,
     id_col: str,
     list_key: str | list[str],
+    list_key_types: dict[str, str] | None = None,
 ) -> None:
     """Fold an index tree to a single clean ``batch_id=0`` level at a
     NEW path: reconcile (superseded versions and tombstoned ids drop
@@ -264,8 +315,18 @@ def compact_index(
         raise ValueError("compact writes to a new path; swap after validation")
     keys = [list_key] if isinstance(list_key, str) else list(list_key)
     clean = read_reconciled(spark, src_path, id_col)
-    # Partition-column values round-trip through directory names as
-    # strings; restore before rewriting so the compacted tree's
-    # partition values match the original's.
+    # Partition-column VALUES round-trip through directory names, so
+    # their read dtype comes from partition inference (e.g. int), not
+    # from the writer's column type (ADVICE r7 low).  Source and
+    # destination trees go through the same inference, so their READ
+    # schemas agree by construction; when the caller needs the original
+    # logical type preserved (long/string list keys), pass
+    # ``list_key_types`` and the cast is applied before the rewrite.
+    if list_key_types:
+        unknown = set(list_key_types) - set(keys)
+        if unknown:
+            raise ValueError(f"list_key_types for non-key columns: {unknown}")
+        for k, t in list_key_types.items():
+            clean = clean.withColumn(k, F.col(k).cast(t))
     clean = clean.repartition(*[F.col(k) for k in keys])
     write_bulk(clean, dest_path, keys)

@@ -623,8 +623,12 @@ WITH vals AS (
   FROM customer GROUP BY 1
 ),
 dels AS (
-  SELECT min_id AS id, substring(name, 1, i.i - 1) || substring(name, i.i + 1, length(name)) AS sig
-  FROM vals CROSS JOIN range(1, 64) i(i) WHERE i.i <= length(name)
+  -- deletion positions derived from each value's own length (no hard
+  -- cap — the Spark side enumerates the full length too, ADVICE r7)
+  SELECT id, substring(name, 1, i - 1) || substring(name, i + 1, length(name)) AS sig
+  FROM (SELECT min_id AS id, name,
+               unnest(generate_series(1, length(name))) AS i
+        FROM vals)
 ),
 sigs AS (
   SELECT DISTINCT id, md5(sig) AS h FROM dels

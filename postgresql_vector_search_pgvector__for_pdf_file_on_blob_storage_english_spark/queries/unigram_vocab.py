@@ -108,11 +108,14 @@ wf AS MATERIALIZED (
   WHERE regexp_matches(term, '^[!-~]+$') GROUP BY term
 ),
 subs AS MATERIALIZED (
-  SELECT substring(term, s.s, l.l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
-  FROM wf
-  CROSS JOIN range(1, 65) s(s)
+  -- substring starts derived from each term's own length (no hard cap
+  -- — the Spark side enumerates the full length too, ADVICE r7); the
+  -- piece-length bound _UNI_MAXLEN is a genuine shared hyperparameter
+  SELECT substring(term, s, l.l) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT term, freq, unnest(generate_series(1, length(term))) AS s
+        FROM wf)
   CROSS JOIN range(1, {_UNI_MAXLEN + 1}) l(l)
-  WHERE s.s + l.l - 1 <= length(term)
+  WHERE s + l.l - 1 <= length(term)
   GROUP BY 1
 ),
 chars1 AS MATERIALIZED (SELECT piece, cnt FROM subs WHERE length(piece) = 1),

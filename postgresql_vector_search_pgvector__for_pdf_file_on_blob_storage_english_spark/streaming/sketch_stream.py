@@ -25,6 +25,33 @@ from pyspark.sql import functions as F
 from ..operators.sketch import countmin_build, hll_registers
 
 
+def _assert_no_null_batch(df: DataFrame, path: str) -> None:
+    """Additive sketch logs fold per-batch BEFORE summing, so every row
+    must carry a batch stamp: a null (legacy non-streaming append read
+    alongside stamped rows) would share the null key and be silently
+    max-collapsed, dropping counts (ADVICE r7).  Reject such logs loudly
+    — the fix is to re-append the legacy summary through the streaming
+    writer or compact the log first."""
+    if df.where(F.col("batch_id").isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"sketch log {path!r} mixes null and stamped batch_id rows; "
+            "per-batch dedup would silently merge the null group — "
+            "compact the log or restamp the legacy append"
+        )
+
+
+def _compact_stamp(df: DataFrame) -> int:
+    """The stamp for a compacted fold: strictly below every negative
+    stamp already in the log (first compact = -1, a re-compacted or
+    file-merged log descends -2, -3, ...), so two folds can never share
+    a ``(batch_id, cell)`` key and be max-collapsed into one
+    (ADVICE r7)."""
+    if "batch_id" not in df.columns:
+        return -1
+    lo = df.agg(F.min("batch_id").alias("lo")).first()["lo"]
+    return lo - 1 if lo is not None and lo < 0 else -1
+
+
 def stream_into_countmin(
     stream: DataFrame,
     path: str,
@@ -66,6 +93,7 @@ def countmin_read(spark, path: str) -> DataFrame:
     non-streaming appends (no ``batch_id`` column) fold by plain sum."""
     df = spark.read.parquet(path)
     if "batch_id" in df.columns:
+        _assert_no_null_batch(df, path)
         df = df.groupBy("batch_id", "row", "col").agg(
             F.max("cnt").alias("cnt")
         )
@@ -77,11 +105,14 @@ def countmin_compact(spark, path: str, dest: str) -> None:
     maintenance; write to a NEW path and swap, never in-place)."""
     if path == dest:
         raise ValueError("compact writes to a new path; swap after validation")
-    # Stamp the folded matrix as batch -1 so the compacted log keeps a
-    # uniform schema: streaming appends into ``dest`` resume at batch 0+
-    # and the fold's per-batch dedup stays exact.
+    # Stamp the folded matrix with a strictly-decreasing negative id so
+    # the compacted log keeps a uniform schema AND two folds can never
+    # collide on a stamp (first compact -1, re-compact -2, ...);
+    # streaming appends into ``dest`` resume at batch 0+ and the fold's
+    # per-batch dedup stays exact.
+    src = spark.read.parquet(path)
     countmin_read(spark, path).withColumn(
-        "batch_id", F.lit(-1)
+        "batch_id", F.lit(_compact_stamp(src))
     ).write.mode("overwrite").parquet(dest)
 
 
@@ -203,16 +234,19 @@ def qsketch_read(spark, path: str) -> DataFrame:
     Output schema matches ``qsketch_build``."""
     df = spark.read.parquet(path)
     if "batch_id" in df.columns:
+        _assert_no_null_batch(df, path)
         df = df.groupBy("batch_id", "bucket").agg(F.max("cnt").alias("cnt"))
     return df.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def qsketch_compact(spark, path: str, dest: str) -> None:
     """Fold the quantile-sketch log to one summary at ``dest`` (write
-    to a NEW path and swap; batch -1 stamp keeps the log schema
-    uniform, as in :func:`countmin_compact`)."""
+    to a NEW path and swap; the strictly-decreasing negative stamp
+    keeps the log schema uniform and collision-free, as in
+    :func:`countmin_compact`)."""
     if path == dest:
         raise ValueError("compact writes to a new path; swap after validation")
+    src = spark.read.parquet(path)
     qsketch_read(spark, path).withColumn(
-        "batch_id", F.lit(-1)
+        "batch_id", F.lit(_compact_stamp(src))
     ).write.mode("overwrite").parquet(dest)

@@ -316,3 +316,145 @@ class TestPqMaintenance:
         assert search(dest) == after
         ids = {r["vec_id"] for r in spark.read.parquet(dest).collect()}
         assert victim not in ids and len(ids) == emb.count() - 1
+
+
+class TestCrossListUpsert:
+    """ADVICE r7 medium: an upsert that MOVES an id to a different list
+    (changed embedding -> new centroid) must not leave the stale
+    version visible to probes that hit only the old list."""
+
+    def test_pruned_read_hides_version_moved_to_unprobed_list(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.index_maint import (
+            append_batch,
+            read_reconciled,
+            write_bulk,
+        )
+
+        path = str(tmp_path / "tree")
+        bulk = spark.createDataFrame(
+            [(1, "v0", 10), (2, "keep", 10), (3, "keep", 20)],
+            "id long, val string, list_key int",
+        )
+        write_bulk(bulk, path, "list_key")
+        # the upsert moves id=1 from list 10 to list 20
+        moved = spark.createDataFrame(
+            [(1, "v1", 20)], "id long, val string, list_key int"
+        )
+        append_batch(moved, path, "list_key", batch_id=1)
+
+        old_list = read_reconciled(
+            spark, path, "id", prune=F.col("list_key") == 10
+        )
+        got = {(r["id"], r["val"]) for r in old_list.collect()}
+        assert got == {(2, "keep")}, (
+            "stale v0 of id=1 leaked from the old list"
+        )
+
+        new_list = read_reconciled(
+            spark, path, "id", prune=F.col("list_key") == 20
+        )
+        assert {(r["id"], r["val"]) for r in new_list.collect()} == {
+            (1, "v1"), (3, "keep"),
+        }
+        # unpruned read: global LWW, exactly one version of id=1
+        full = read_reconciled(spark, path, "id")
+        assert {(r["id"], r["val"]) for r in full.collect()} == {
+            (1, "v1"), (2, "keep"), (3, "keep"),
+        }
+
+    def test_ivf_search_ignores_stale_version_after_centroid_move(
+        self, spark, emb_cent, tmp_path
+    ):
+        emb, centroids = emb_cent
+        path = str(tmp_path / "ivf")
+        ivf_index_write(assign_ivf(emb, centroids), path)
+        q = list(emb.filter(F.col("vec_id") == PROBE_ID).first()["embedding"])
+        base = _search_key(spark, path, centroids, q, nprobe=1)
+        victim = base[0][0]
+
+        # old/new centroid of the victim: nprobe=1 probes exactly the
+        # old one; the mutated embedding IS another centroid's vector,
+        # so assign_ivf provably moves the row to that other list.
+        old_cid = (
+            assign_ivf(emb.filter(F.col("vec_id") == victim), centroids)
+            .first()["centroid_id"]
+        )
+        new_cid = next(
+            r["centroid_id"]
+            for r in centroids.collect()
+            if r["centroid_id"] != old_cid
+        )
+        new_vec = (
+            centroids.filter(F.col("centroid_id") == new_cid)
+            .first()["centroid_vec"]
+        )
+        mutated = emb.filter(F.col("vec_id") == victim).withColumn(
+            "embedding", F.lit(new_vec).cast(emb.schema["embedding"].dataType)
+        )
+        ivf_index_append(mutated, centroids, path)
+
+        got = _search_key(spark, path, centroids, q, nprobe=1)
+        assert victim not in [t[0] for t in got], (
+            "probe of the old list resurrected the superseded version"
+        )
+
+    def test_compact_reconciles_moved_id_globally(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.index_maint import (
+            append_batch,
+            write_bulk,
+        )
+
+        src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+        bulk = spark.createDataFrame(
+            [(1, "v0", 10), (2, "keep", 20)], "id long, val string, list_key int"
+        )
+        write_bulk(bulk, src, "list_key")
+        append_batch(
+            spark.createDataFrame([(1, "v1", 20)], "id long, val string, list_key int"),
+            src, "list_key", batch_id=1,
+        )
+        compact_index(spark, src, dest, "id", "list_key")
+        rows = {(r["id"], r["val"], r["list_key"])
+                for r in spark.read.parquet(dest).collect()}
+        assert rows == {(1, "v1", 20), (2, "keep", 20)}
+
+
+class TestCompactSchema:
+    """ADVICE r7 low: compacted tree's list-key dtype contract."""
+
+    def test_compact_read_schema_matches_source_read_schema(
+        self, spark, emb_cent, tmp_path
+    ):
+        emb, centroids = emb_cent
+        src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+        ivf_index_write(assign_ivf(emb, centroids), src)
+        ivf_index_append(emb.filter(F.col("vec_id") == PROBE_ID), centroids, src)
+        ivf_index_compact(spark, src, dest)
+        src_fields = {f.name: f.dataType for f in spark.read.parquet(src).schema}
+        dest_fields = {f.name: f.dataType for f in spark.read.parquet(dest).schema}
+        assert src_fields == dest_fields
+
+    def test_compact_list_key_types_cast(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.index_maint import (
+            write_bulk,
+        )
+
+        src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+        bulk = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, val string, list_key long"
+        )
+        write_bulk(bulk, src, "list_key")
+        # inference reads the directory value as int; the caller pins
+        # the original long via list_key_types
+        compact_index(
+            spark, src, dest, "id", "list_key",
+            list_key_types={"list_key": "long"},
+        )
+        dt = dict(spark.read.parquet(dest).dtypes)["list_key"]
+        assert dt in ("bigint", "int")  # inference on read of dest
+        # the cast path rejects unknown columns
+        with pytest.raises(ValueError, match="non-key"):
+            compact_index(
+                spark, src, str(tmp_path / "d2"), "id", "list_key",
+                list_key_types={"wrong": "long"},
+            )

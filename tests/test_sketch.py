@@ -436,3 +436,60 @@ class TestGroupedQuantileSketch:
         }
         assert got[("lo", 10000)] == 4
         assert got[("hi", 10000)] >= 1024  # hi's max bucket lower bound
+
+
+class TestSketchLogGuards:
+    """ADVICE r7 low: mixed null/stamped logs are rejected; compact
+    stamps strictly descend so two folds never share a dedup key."""
+
+    def test_mixed_null_batch_log_rejected(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            qsketch_build,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.sketch_stream import (
+            qsketch_read,
+        )
+        from pyspark.sql import functions as F
+        import pytest
+
+        df = spark.createDataFrame([(v + 1,) for v in range(100)], "x long")
+        path = str(tmp_path / "qs")
+        qsketch_build(df, "x").withColumn("batch_id", F.lit(0)).write.mode(
+            "append"
+        ).parquet(path)
+        # a legacy append: same schema, null stamp
+        qsketch_build(df, "x").withColumn(
+            "batch_id", F.lit(None).cast("long")
+        ).write.mode("append").parquet(path)
+        with pytest.raises(ValueError, match="null and stamped"):
+            qsketch_read(spark, path).collect()
+
+    def test_compact_stamp_strictly_descends(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            countmin_build,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.sketch_stream import (
+            countmin_compact,
+            countmin_read,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(f"k{v}",) for v in range(50)], "k string")
+        p0, p1, p2 = (str(tmp_path / n) for n in ("log", "c1", "c2"))
+        countmin_build(df, "k").withColumn("batch_id", F.lit(0)).write.mode(
+            "append"
+        ).parquet(p0)
+        base = {(r["row"], r["col"]): r["cnt"]
+                for r in countmin_read(spark, p0).collect()}
+
+        countmin_compact(spark, p0, p1)
+        assert spark.read.parquet(p1).agg(
+            F.max("batch_id")
+        ).first()[0] == -1
+        countmin_compact(spark, p1, p2)
+        assert spark.read.parquet(p2).agg(
+            F.max("batch_id")
+        ).first()[0] == -2
+        # folds preserve the sketch through both generations
+        assert {(r["row"], r["col"]): r["cnt"]
+                for r in countmin_read(spark, p2).collect()} == base
