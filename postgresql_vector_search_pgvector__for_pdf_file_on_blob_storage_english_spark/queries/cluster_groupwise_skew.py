@@ -332,6 +332,36 @@ def _ann_hnsw_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ann_hnsw_index_search", _ann_hnsw_index, _DD_NSW_EXHAUSTIVE)
 
 
+def _ann_hnsw_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING-path shape (VERDICT r7 #3): build the persisted
+    hierarchical graph ONCE (only if the artifact is absent — the
+    deployed index is built by the ingest side, not per query) and
+    measure the probe alone.  The bench times only the returned plan's
+    execution, so this entry's number is pure descend-and-beam over the
+    shard-partitioned artifact.  Same exact-top-k oracle as the other
+    HNSW entries; the artifact path is keyed by fixture AND build
+    params so a parameter change can never reuse a stale graph."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.nsw import hnsw_build, hnsw_index_search, nsw_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    params = "shards4_m8_efc32_v1"
+    tag = hashlib.md5(f"{sf_dir}|{params}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_probe_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        g = hnsw_build(emb, n_shards=4, m=8, ef_construction=32)
+        nsw_index_write(g, path)
+    q = emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"]
+    out = hnsw_index_search(spark, path, list(q), k=5, ef_search=32)
+    return out.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+_register("ann_hnsw_probe", _ann_hnsw_probe, _DD_NSW_EXHAUSTIVE)
+
+
 def _ann_hnsw_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched hierarchical search: 8 queries walk every shard in ONE
     applyInPandas pass (vectors + adjacency deserialized once per
