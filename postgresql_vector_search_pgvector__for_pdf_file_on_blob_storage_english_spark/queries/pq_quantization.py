@@ -665,3 +665,297 @@ FROM nq''' for np in _PQR_NPROBES)}
 """
 
 _register("ann_ivfpq_recall_sweep", _ann_ivfpq_recall_sweep, _DD_IVFPQ_RECALL)
+
+
+# ==========================================================================
+# Trained-codebook recall (round 8, VERDICT r7 #4) — the quality levers
+# at EQUAL m/nprobe, measured against exact top-5 on ~n/10 queries:
+#   fixed_raw     the status-quo codebooks (raw-vector subvectors);
+#   trained_resid codebooks TRAINED on the coarse residuals by
+#                 quantized-integer Lloyd (operators/pq.py::
+#                 trained_residual_codebooks — integer sums are
+#                 order-independent, so training is bit-identical
+#                 across engines; the float-mean obstacle that forced
+#                 fixed codebooks is removed, not avoided);
+#   rerank_fixed  the DEPLOYED path: ADC-ordered oversampled pool
+#                 (k*10) exact-reranked against the float corpus —
+#                 what pq_index_search actually serves.
+# Honest expectations on the near-isotropic fixtures (measured in the
+# round-8 prototype, ~50 queries at sf0.01): the 16-bit code budget is
+# information-limited, so trained ~= fixed (float k-means at 20
+# iterations also lands ~0.24); the probe ceiling at nprobe=2 (exact
+# distances within probed lists) is ~0.48, and the reranked pool
+# reaches it.  On clustered real data the trained books are the
+# standard lift; here the gate proves the machinery is exact, and the
+# rerank line shows where the deployed recall actually comes from.
+# ==========================================================================
+
+_PQT_QMOD, _PQT_QRES = 10, 3
+_PQT_NPROBE = 2
+_PQT_POOL = 50
+_PQT_SCALE_BITS = 20
+
+
+def _ann_ivfpq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.pq import (
+        ivfpq_encode,
+        ivfpq_search_join,
+        trained_residual_codebooks,
+    )
+
+    emb, centroids, books_raw = _ivfpq_fixture(spark, sf_dir)
+    books_tr = trained_residual_codebooks(
+        emb, centroids, m=_PQ_M, ksub=_PQ_KSUB, iters=2,
+        scale_bits=_PQT_SCALE_BITS,
+    )
+    queries = emb.filter(F.col("vec_id") % _PQT_QMOD == _PQT_QRES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("_nq"))
+
+    qv = F.col("query_vec")
+    l2sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), qv,
+            lambda a, b: F.pow(a.cast("double") - b.cast("double"), F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    we = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+    exact5 = (
+        emb.crossJoin(F.broadcast(queries))
+        .withColumn("_d", l2sq)
+        .withColumn("_rk", F.row_number().over(we))
+        .filter(F.col("_rk") <= 5)
+        .select("query_id", "vec_id")
+    )
+
+    def recall_row(config: str, hits: DataFrame) -> DataFrame:
+        matched = hits.join(exact5, ["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).alias("_m")
+        )
+        return matched.crossJoin(F.broadcast(nq)).select(
+            F.lit(config).alias("config"),
+            F.lit(_PQT_NPROBE).alias("nprobe"),
+            F.col("_nq").alias("n_queries"),
+            F.round(F.col("_m") / (5.0 * F.col("_nq")), 4).alias("recall_at_5"),
+        )
+
+    enc_raw = ivfpq_encode(emb, centroids, books_raw, payload_cols=["vec_id"])
+    enc_tr = ivfpq_encode(emb, centroids, books_tr, payload_cols=["vec_id"])
+
+    parts = []
+    for config, enc, books in (
+        ("fixed_raw", enc_raw, books_raw),
+        ("trained_resid", enc_tr, books_tr),
+    ):
+        hits = ivfpq_search_join(
+            enc, centroids, queries, books, k=5, nprobe=_PQT_NPROBE
+        ).select("query_id", "vec_id")
+        parts.append(recall_row(config, hits))
+
+    pool = ivfpq_search_join(
+        enc_raw, centroids, queries, books_raw, k=_PQT_POOL, nprobe=_PQT_NPROBE
+    ).select("query_id", "vec_id")
+    wr = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+    reranked = (
+        pool.join(emb, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("_d", l2sq)
+        .withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= 5)
+        .select("query_id", "vec_id")
+    )
+    parts.append(recall_row("rerank_fixed", reranked))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.orderBy("config")
+
+
+_PQT_S = 1 << _PQT_SCALE_BITS
+
+
+def _dd_lloyd_iter(n: int, prev: str) -> str:
+    """One quantized-Lloyd round: integer argmin assignment against
+    ``{prev}`` then trunc-div centroid update with empty-cluster
+    carryover (DuckDB ``//`` == Spark ``div`` == the trainer's
+    sign-aware Python div: all truncate toward zero)."""
+    return f"""
+la{n} AS MATERIALIZED (
+  SELECT r.vid, r.j, b.c, CAST(sum((r.v - b.v) * (r.v - b.v)) AS BIGINT) AS d
+  FROM rqs r JOIN {prev} b ON r.j = b.j AND r.si = b.si
+  GROUP BY r.vid, r.j, b.c
+),
+lasg{n} AS MATERIALIZED (
+  SELECT vid, j, c AS code FROM la{n}
+  QUALIFY row_number() OVER (PARTITION BY vid, j ORDER BY d, c) = 1
+),
+lnew{n} AS MATERIALIZED (
+  SELECT a.j, a.code AS c, r.si,
+         CAST(sum(r.v) AS BIGINT) // CAST(count(*) AS BIGINT) AS v
+  FROM lasg{n} a JOIN rqs r ON r.vid = a.vid AND r.j = a.j
+  GROUP BY a.j, a.code, r.si
+),
+lb{n} AS MATERIALIZED (
+  SELECT p.j, p.c, p.si, coalesce(n.v, p.v) AS v
+  FROM {prev} p LEFT JOIN lnew{n} n ON n.j = p.j AND n.c = p.c AND n.si = p.si
+),"""
+
+
+_DD_IVFPQ_TRAINED = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id % {_PQT_QMOD} = {_PQT_QRES}
+),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
+exact5 AS MATERIALIZED (
+  SELECT q.qid, e.vec_id FROM embeddings e CROSS JOIN q
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid ORDER BY {_dd_l2sq("e.embedding", "q.qe")}, e.vec_id) <= 5
+),
+coarse AS MATERIALIZED (
+  SELECT vec_id AS cc, embedding AS ccv FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+cent AS MATERIALIZED (SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < {_PQ_KSUB}),
+cassign AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, co.cc, co.ccv
+  FROM embeddings e, coarse co
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {_dd_l2("e.embedding", "co.ccv")}, co.cc) = 1
+),
+resid AS MATERIALIZED (
+  SELECT vec_id, cc,
+         list_transform(range(1, {_PQ_M} * {_PQ_DSUB} + 1),
+                        i -> embedding[i]::DOUBLE - ccv[i]::DOUBLE) AS rv
+  FROM cassign
+),
+rqs AS MATERIALIZED (
+  -- quantized residual components: (vid, subspace j, in-subspace si, BIGINT v)
+  SELECT vec_id AS vid, ((i - 1) // {_PQ_DSUB})::INT AS j,
+         ((i - 1) % {_PQ_DSUB}) + 1 AS si,
+         CAST(floor(rv[i] * {float(_PQT_S)} + 0.5) AS BIGINT) AS v
+  FROM (SELECT vec_id, rv, unnest(generate_series(1, {_PQ_M} * {_PQ_DSUB})) AS i
+        FROM resid)
+),
+lb0 AS MATERIALIZED (
+  -- init: the ksub lowest-id residual subvectors, c = rank by vid
+  SELECT CAST(dense_rank() OVER (ORDER BY vid) - 1 AS INT) AS c, j, si, v
+  FROM rqs
+  WHERE vid IN (SELECT vid FROM (SELECT DISTINCT vid FROM rqs ORDER BY vid LIMIT {_PQ_KSUB}))
+),{_dd_lloyd_iter(1, "lb0")}{_dd_lloyd_iter(2, "lb1")}
+tbook AS MATERIALIZED (
+  SELECT j, c, list(v::DOUBLE / {float(_PQT_S)} ORDER BY si) AS bl
+  FROM lb2 GROUP BY j, c
+),
+cranked AS MATERIALIZED (
+  SELECT q.qid, co.cc, co.ccv, q.qe,
+         row_number() OVER (
+           PARTITION BY q.qid ORDER BY {_dd_l2sq("co.ccv", "q.qe")}, co.cc) AS rc
+  FROM coarse co CROSS JOIN q
+  QUALIFY rc <= {_PQT_NPROBE}
+),
+rpairs AS MATERIALIZED (
+  SELECT r.vec_id, r.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * (r.rv[j.j * {_PQ_DSUB} + i] - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM resid r, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c
+),
+rcodes AS MATERIALIZED (
+  SELECT vec_id, cc, j, c AS code FROM rpairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+),
+tpairs AS MATERIALIZED (
+  SELECT r.vec_id, r.cc, t.j, t.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           (r.rv[t.j * {_PQ_DSUB} + i] - t.bl[i])
+           * (r.rv[t.j * {_PQ_DSUB} + i] - t.bl[i])
+         )) AS d
+  FROM resid r, tbook t
+),
+tcodes AS MATERIALIZED (
+  SELECT vec_id, cc, j, c AS code FROM tpairs
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1
+),
+lutq AS MATERIALIZED (
+  SELECT p.qid, p.cc, j.j::INT AS j, c.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           ((p.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+            - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+           * ((p.qe[j.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+              - c.cv[j.j * {_PQ_DSUB} + i]::DOUBLE)
+         )) AS d
+  FROM cranked p, (SELECT unnest(range(0, {_PQ_M})) AS j) j, cent c
+),
+tlutq AS MATERIALIZED (
+  SELECT p.qid, p.cc, t.j, t.c,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1), i ->
+           ((p.qe[t.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[t.j * {_PQ_DSUB} + i]::DOUBLE)
+            - t.bl[i])
+           * ((p.qe[t.j * {_PQ_DSUB} + i]::DOUBLE - p.ccv[t.j * {_PQ_DSUB} + i]::DOUBLE)
+              - t.bl[i])
+         )) AS d
+  FROM cranked p, tbook t
+),
+adcq AS MATERIALIZED (
+  SELECT l.qid, cd.vec_id,
+         max(CASE WHEN cd.j = 0 THEN l.d END)
+         + max(CASE WHEN cd.j = 1 THEN l.d END)
+         + max(CASE WHEN cd.j = 2 THEN l.d END)
+         + max(CASE WHEN cd.j = 3 THEN l.d END) AS dist
+  FROM rcodes cd JOIN lutq l ON cd.cc = l.cc AND cd.j = l.j AND cd.code = l.c
+  GROUP BY l.qid, cd.vec_id
+),
+tadcq AS MATERIALIZED (
+  SELECT l.qid, cd.vec_id,
+         max(CASE WHEN cd.j = 0 THEN l.d END)
+         + max(CASE WHEN cd.j = 1 THEN l.d END)
+         + max(CASE WHEN cd.j = 2 THEN l.d END)
+         + max(CASE WHEN cd.j = 3 THEN l.d END) AS dist
+  FROM tcodes cd JOIN tlutq l ON cd.cc = l.cc AND cd.j = l.j AND cd.code = l.c
+  GROUP BY l.qid, cd.vec_id
+),
+sel_raw AS (
+  SELECT qid, vec_id FROM adcq
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) <= 5
+),
+sel_tr AS (
+  SELECT qid, vec_id FROM tadcq
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) <= 5
+),
+pool AS (
+  SELECT qid, vec_id FROM adcq
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) <= {_PQT_POOL}
+),
+sel_rr AS (
+  SELECT p.qid, p.vec_id
+  FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id JOIN q ON q.qid = p.qid
+  QUALIFY row_number() OVER (
+    PARTITION BY p.qid ORDER BY {_dd_l2sq("e.embedding", "q.qe")}, p.vec_id) <= 5
+)
+SELECT config, nprobe, n_queries, recall_at_5 FROM (
+  SELECT 'fixed_raw' AS config, {_PQT_NPROBE} AS nprobe, nq.nq AS n_queries,
+         round((SELECT count(*) FROM sel_raw s JOIN exact5 x
+                ON s.qid = x.qid AND s.vec_id = x.vec_id) / (5.0 * nq.nq), 4) AS recall_at_5
+  FROM nq
+  UNION ALL
+  SELECT 'trained_resid', {_PQT_NPROBE}, nq.nq,
+         round((SELECT count(*) FROM sel_tr s JOIN exact5 x
+                ON s.qid = x.qid AND s.vec_id = x.vec_id) / (5.0 * nq.nq), 4)
+  FROM nq
+  UNION ALL
+  SELECT 'rerank_fixed', {_PQT_NPROBE}, nq.nq,
+         round((SELECT count(*) FROM sel_rr s JOIN exact5 x
+                ON s.qid = x.qid AND s.vec_id = x.vec_id) / (5.0 * nq.nq), 4)
+  FROM nq
+)
+ORDER BY config
+"""
+
+_register("ann_ivfpq_recall_trained", _ann_ivfpq_recall_trained, _DD_IVFPQ_TRAINED)

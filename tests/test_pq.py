@@ -317,3 +317,74 @@ class TestIvfPqBatched:
                 )
             ]
             assert got == single, qid
+
+
+class TestTrainedResidualCodebooks:
+    """Quantized-integer Lloyd trainer (VERDICT r7 #4): bit-exact
+    against a pure-python replay, deterministic across runs, and the
+    codebook floats are exact multiples of 2^-scale_bits."""
+
+    @pytest.fixture(scope="class")
+    def cents(self, spark, emb):
+        return emb.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+
+    @pytest.fixture(scope="class")
+    def trained(self, emb, cents):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            trained_residual_codebooks,
+        )
+
+        return trained_residual_codebooks(emb, cents, m=M, ksub=KSUB, iters=2)
+
+    def test_matches_python_replay(self, emb, cents, trained):
+        rows = sorted(
+            emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"]
+        )
+        X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+        n, d = X.shape
+        dsub, S = d // M, 1 << 20
+        C = X[:16]
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        RQ = np.floor((X - C[assign]) * S + 0.5).astype(np.int64)
+
+        def idiv(s, c):
+            q = abs(s) // c
+            return q if s >= 0 else -q
+
+        books = [
+            [[int(RQ[r][j * dsub + i]) for i in range(dsub)] for r in range(KSUB)]
+            for j in range(M)
+        ]
+        for _ in range(2):
+            nb = [[list(c) for c in b] for b in books]
+            for j in range(M):
+                sub = RQ[:, j * dsub:(j + 1) * dsub]
+                B = np.array(books[j])
+                a = ((sub[:, None, :] - B[None, :, :]) ** 2).sum(-1).argmin(1)
+                for c in range(KSUB):
+                    sel = sub[a == c]
+                    if len(sel):
+                        for i in range(dsub):
+                            nb[j][c][i] = idiv(int(sel[:, i].sum()), len(sel))
+            books = nb
+        ref = [[[v / S for v in c] for c in b] for b in books]
+        assert trained == ref
+
+    def test_deterministic_rerun(self, emb, cents, trained):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.pq import (
+            trained_residual_codebooks,
+        )
+
+        again = trained_residual_codebooks(emb, cents, m=M, ksub=KSUB, iters=2)
+        assert again == trained
+
+    def test_values_exact_dyadic(self, trained):
+        S = 1 << 20
+        for book in trained:
+            assert len(book) == KSUB
+            for c in book:
+                for v in c:
+                    assert v * S == int(v * S)  # exact multiple of 2^-20
