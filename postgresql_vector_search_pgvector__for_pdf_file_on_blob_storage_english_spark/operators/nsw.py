@@ -587,3 +587,294 @@ def hnsw_search_join(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "distance")
     )
+
+
+# --------------------------------------------------------------------------
+# Graph maintenance (round 8 — VERDICT r7 #5).  The IVF/IVF-PQ/BM25
+# trees get batch-keyed appends, tombstones and compaction from
+# operators/index_maint.py; a graph index needs its own discipline
+# because deleting a node breaks adjacency (it may be a navigation
+# waypoint) and inserting one out of id order changes the deterministic
+# build.  The classic LSM-for-ANN shape fits both constraints:
+#
+# * deletes   -> tombstone markers (shared _tombstones layout).  The
+#   walk still TRAVERSES dead nodes (connectivity preserved) but they
+#   are excluded from the beam's result accounting — mark-delete, as in
+#   FAISS/hnswlib.
+# * appends   -> a FLAT delta buffer under batch_id>=1 (no adjacency).
+#   Searches exact-scan the buffer (it is micro-batch sized) and merge
+#   with the graph walk; an id re-appended supersedes its graph version
+#   (the index_maint LWW law, global because every shard walks).
+# * compact   -> rebuild ONLY the dirty shards (shards with dead,
+#   superseded, or buffered rows) from their surviving members; clean
+#   shards copy through untouched.  Because shard membership is a pure
+#   id hash and the per-shard build inserts in id order with pinned
+#   tie-breaks, the compacted tree is BIT-IDENTICAL to a fresh build
+#   over the surviving corpus — the hash-match contract
+#   (`ann_hnsw_index_compact`) holds by construction, and compaction
+#   cost tracks the dirty shards, not the index.
+# --------------------------------------------------------------------------
+
+
+def hnsw_index_write_maint(graph: DataFrame, path: str) -> None:
+    """Persist a (H)NSW graph into the maintenance layout:
+    ``batch_id=0/shard=N/`` — same tree law as the IVF family, so the
+    shared tombstone/append/batch primitives apply."""
+    from .index_maint import write_bulk
+
+    write_bulk(graph, path, "shard")
+
+
+def hnsw_index_delete(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    batch_id: int | None = None,
+) -> None:
+    """Tombstone nodes out of a persisted graph (shared marker layout;
+    bounded write).  The graph keeps traversing through them until
+    :func:`hnsw_index_compact` reclaims the shard."""
+    from .index_maint import write_tombstones
+
+    write_tombstones(ids, path, id_col, batch_id=batch_id)
+
+
+def hnsw_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    n_shards: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_id: int | None = None,
+) -> None:
+    """Append vectors as FLAT delta rows (shard assigned by the same id
+    hash as the build; ``level``/``neighbors`` null — no adjacency is
+    built online).  Searches exact-scan the buffer; compaction folds it
+    into the graph.  With a foreachBatch ``batch_id`` the write is the
+    idempotent dynamic-partition overwrite of the shared layer."""
+    from .index_maint import append_batch
+
+    delta = (
+        new_vectors.select(id_col, vec_col)
+        .withColumn("shard", _shard_col(id_col, n_shards))
+        .withColumn("level", F.lit(None).cast("int"))
+        .withColumn(
+            "neighbors", F.lit(None).cast(T.ArrayType(T.ArrayType(T.LongType())))
+        )
+        .select("shard", id_col, vec_col, "level", "neighbors")
+    )
+    append_batch(delta, path, "shard", batch_id=batch_id)
+
+
+def _hnsw_maint_relation(spark, path: str, id_col: str):
+    """The annotated per-row relation of a maintained graph tree:
+    ``(shard, id, vec, level, neighbors, _kind, _dead)`` where ``_kind``
+    0 = graph row (walk it), 1 = visible delta row (exact-scan it), and
+    ``_dead`` marks graph rows excluded from results (tombstoned or
+    superseded) but still traversable.  Clean trees return the plain
+    batch-0 relation with constant flags — no extra scan, no shuffle."""
+    from .index_maint import BATCH_COL, index_state, read_tombstones
+
+    batches, has_tombs = index_state(spark, path)
+    df = spark.read.parquet(path)
+    if len(batches) <= 1 and not has_tombs:
+        return (
+            df.drop(BATCH_COL)
+            .withColumn("_kind", F.lit(0))
+            .withColumn("_dead", F.lit(False))
+        )
+
+    tombs = read_tombstones(spark, path, id_col) if has_tombs else None
+    dead_at = (
+        tombs.groupBy(id_col).agg(F.max(BATCH_COL).alias("_dead_at"))
+        if tombs is not None
+        else None
+    )
+    sup = (
+        df.filter(F.col(BATCH_COL) >= 1)
+        .groupBy(id_col)
+        .agg(F.max(F.col(BATCH_COL).cast("long")).alias("_g_max"))
+    )
+
+    base = df.filter(F.col(BATCH_COL) == 0)
+    # graph rows: dead when tombstoned (any marker hides batch 0) or
+    # superseded by a delta append — still walked, never returned
+    base = base.join(F.broadcast(sup), id_col, "left")
+    if dead_at is not None:
+        base = base.join(F.broadcast(dead_at), id_col, "left")
+    else:
+        base = base.withColumn("_dead_at", F.lit(None).cast("long"))
+    base = base.select(
+        "shard", id_col, *[c for c in ("embedding", "level", "neighbors") if c in df.columns],
+        F.lit(0).alias("_kind"),
+        (F.col("_g_max").isNotNull() | F.col("_dead_at").isNotNull()).alias("_dead"),
+    )
+
+    # delta rows: LWW within the buffer, tombstone law against their
+    # own batch (a marker at T >= b hides the version at b)
+    delta = df.filter(F.col(BATCH_COL) >= 1).join(F.broadcast(sup), id_col)
+    delta = delta.filter(F.col(BATCH_COL) == F.col("_g_max"))
+    if dead_at is not None:
+        delta = delta.join(F.broadcast(dead_at), id_col, "left").filter(
+            F.col("_dead_at").isNull() | (F.col(BATCH_COL) > F.col("_dead_at"))
+        )
+    delta = delta.select(
+        "shard", id_col, *[c for c in ("embedding", "level", "neighbors") if c in df.columns],
+        F.lit(1).alias("_kind"),
+        F.lit(False).alias("_dead"),
+    )
+    return base.unionByName(delta)
+
+
+def hnsw_maint_search(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 5,
+    ef_search: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a maintained graph tree: hierarchical walk of the graph
+    rows (traversing through dead nodes, excluding them from results)
+    merged with an exact scan of the visible delta buffer, all inside
+    the same per-shard pandas pass so every distance comes from the
+    identical numpy expression.  On a clean tree this degenerates to
+    exactly :func:`hnsw_search`'s walk."""
+    import pandas as pd
+
+    q = [float(v) for v in query_vec]
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+
+    def search(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        qv = np.array(q, dtype=np.float64)
+
+        def d_of(vec) -> float:
+            d = np.asarray(vec, dtype=np.float64) - qv
+            return float(np.sqrt(np.dot(d, d)))
+
+        cand: list[tuple[float, int]] = []
+
+        graph = pdf[pdf["_kind"] == 0]
+        if len(graph):
+            order = graph[id_col].argsort()
+            graph = graph.iloc[order]
+            ids = graph[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(graph[vec_col]), dtype=np.float64)
+            levels = graph["level"].to_numpy(dtype=np.int64)
+            dead = graph["_dead"].to_numpy(dtype=bool)
+            nbr_layers = list(graph["neighbors"])
+            pos = {int(v): i for i, v in enumerate(ids)}
+
+            def dist(i):
+                d = mat[i] - qv
+                return float(np.sqrt(np.dot(d, d)))
+
+            top = int(levels.max())
+            cur = int(np.flatnonzero(levels == top)[0])
+            for layer in range(top, 0, -1):
+                improved = True
+                while improved:
+                    improved = False
+                    here = (dist(cur), int(ids[cur]))
+                    for nb_id in nbr_layers[cur][layer]:
+                        nb = pos[int(nb_id)]
+                        c = (dist(nb), int(ids[nb]))
+                        if c < here:
+                            here, cur, improved = c, nb, True
+            visited = {cur}
+            frontier = [(dist(cur), int(ids[cur]), cur)]
+            best = [t for t in frontier if not dead[t[2]]]
+            while frontier:
+                frontier.sort()
+                d0, _, c = frontier.pop(0)
+                best.sort()
+                if len(best) >= ef_search and d0 > best[ef_search - 1][0]:
+                    break
+                for nb_id in nbr_layers[c][0]:
+                    nb = pos[int(nb_id)]
+                    if nb not in visited:
+                        visited.add(nb)
+                        t = (dist(nb), int(ids[nb]), nb)
+                        frontier.append(t)
+                        if not dead[nb]:
+                            best.append(t)
+            best.sort()
+            cand.extend((d, i) for d, i, _ in best[: max(k, 1)])
+
+        delta = pdf[pdf["_kind"] == 1]
+        for _, row in delta.iterrows():
+            cand.append((d_of(row[vec_col]), int(row[id_col])))
+
+        cand.sort()
+        top = cand[: max(k, 1)]
+        return pd.DataFrame(
+            {id_col: [i for _, i in top], "distance": [d for d, _ in top]}
+        )
+
+    rel = _hnsw_maint_relation(spark, path, id_col)
+    per_shard = rel.groupBy("shard").applyInPandas(search, schema)
+    return (
+        per_shard.orderBy(F.col("distance"), F.col(id_col))
+        .limit(k)
+        .select(id_col, "distance")
+    )
+
+
+def hnsw_index_compact(
+    spark,
+    src_path: str,
+    dest_path: str,
+    n_shards: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ef_construction: int = 32,
+    max_level: int = 3,
+    m_level: int = 4,
+) -> None:
+    """Fold a maintained graph tree to a clean ``batch_id=0`` level at a
+    NEW path, rebuilding ONLY the dirty shards.
+
+    A shard is dirty when it holds a dead graph row (tombstoned or
+    superseded) or any delta row; its surviving members rebuild through
+    the same deterministic per-shard insert as :func:`hnsw_build`, so
+    the result is bit-identical to a fresh build over the surviving
+    corpus — clean shards copy through without touching their adjacency
+    (their membership is a pure id hash, unchanged by other shards'
+    edits).  Build params MUST match the original build's."""
+    from .index_maint import write_bulk
+
+    if src_path == dest_path:
+        raise ValueError("compact writes to a new path; swap after validation")
+
+    rel = _hnsw_maint_relation(spark, src_path, id_col)
+    dirty = rel.filter(F.col("_dead") | (F.col("_kind") == 1)).select(
+        "shard"
+    ).distinct()
+    dirty_ids = [r["shard"] for r in dirty.collect()]  # bounded by n_shards
+
+    clean_rows = rel.filter(
+        ~F.col("shard").isin(dirty_ids) if dirty_ids else F.lit(True)
+    ).select("shard", id_col, vec_col, "level", "neighbors")
+
+    if dirty_ids:
+        survivors = rel.filter(
+            F.col("shard").isin(dirty_ids) & ~F.col("_dead")
+        ).select(id_col, vec_col)
+        rebuilt = hnsw_build(
+            survivors, vec_col=vec_col, id_col=id_col, n_shards=n_shards,
+            m=m, ef_construction=ef_construction,
+            max_level=max_level, m_level=m_level,
+        )
+        out = clean_rows.unionByName(rebuilt)
+    else:
+        out = clean_rows
+    write_bulk(out, dest_path, "shard")

@@ -397,3 +397,204 @@ _register("ann_hnsw_search_batch", _ann_hnsw_search_batch, _DD_HNSW_BATCH)
 
 
 # ==========================================================================
+
+
+# ==========================================================================
+# HNSW graph maintenance (round 8 — VERDICT r7 #5): the index-
+# maintenance layer extended to the graph index.  Deletes are
+# mark-delete tombstones (walked through, never returned), appends land
+# in a flat per-shard delta buffer (exact-scanned at search, merged
+# in-pass), and compaction rebuilds ONLY the dirty shards from their
+# surviving members — because shard membership is a pure id hash and
+# the per-shard build is deterministic, the compacted tree is
+# bit-identical to a fresh build over the surviving corpus.  The gated
+# result carries all three phases (messy-tree search, post-compact
+# search, fresh-build search) so the driver gate itself proves the
+# hash-match contract; the oracle replays the logical outcome (exact
+# top-5 of the survivor corpus — the standing HNSW beam-exactness
+# contract on the fixtures).
+# ==========================================================================
+
+
+def _ann_hnsw_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..operators.nsw import (
+        hnsw_build,
+        hnsw_index_append,
+        hnsw_index_compact,
+        hnsw_index_delete,
+        hnsw_index_write_maint,
+        hnsw_maint_search,
+        hnsw_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    params = dict(n_shards=4, m=8, ef_construction=32)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_hnsw_maint_{tag}")
+    dest = path + "_compact"
+    for d in (path, dest):  # entries must be re-runnable in one session
+        shutil.rmtree(d, ignore_errors=True)
+
+    hnsw_index_write_maint(hnsw_build(emb, **params), path)
+    q = list(emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"])
+
+    base5 = hnsw_maint_search(spark, path, q, k=5, ef_search=32).collect()
+    dead = [int(base5[1]["vec_id"]), int(base5[2]["vec_id"])]
+    upserted = int(base5[3]["vec_id"])
+    donor_id = int(base5[4]["vec_id"])
+    donor_vec = list(
+        emb.filter(F.col("vec_id") == donor_id).first()["embedding"]
+    )
+    new_id = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+
+    hnsw_index_delete(
+        spark.createDataFrame([(i,) for i in dead], "vec_id long"), path
+    )
+    vec_t = T.ArrayType(T.FloatType())
+    upsert_rows = spark.createDataFrame(
+        [(upserted, donor_vec), (new_id, q)],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", vec_t),
+        ]),
+    )
+    hnsw_index_append(upsert_rows, path, n_shards=params["n_shards"])
+
+    pre = hnsw_maint_search(spark, path, q, k=5, ef_search=32)
+    hnsw_index_compact(spark, path, dest, **params)
+    post = hnsw_maint_search(spark, dest, q, k=5, ef_search=32)
+
+    survivors = (
+        emb.filter(~F.col("vec_id").isin(dead))
+        .select(
+            "vec_id",
+            F.when(F.col("vec_id") == upserted, F.lit(donor_vec).cast(vec_t))
+            .otherwise(F.col("embedding").cast(vec_t))
+            .alias("embedding"),
+        )
+        .unionByName(upsert_rows.filter(F.col("vec_id") == new_id))
+    )
+    fresh = hnsw_search(hnsw_build(survivors, **params), q, k=5, ef_search=32)
+
+    out = (
+        pre.withColumn("phase", F.lit("pre"))
+        .unionByName(post.withColumn("phase", F.lit("post")))
+        .unionByName(fresh.withColumn("phase", F.lit("fresh")))
+    )
+    return out.select("phase", "vec_id", F.round("distance", 4).alias("distance"))
+
+
+_DD_HNSW_COMPACT = f"""
+WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_PROBE_ID}),
+ranked AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         row_number() OVER (ORDER BY {_dd_l2("e.embedding", "q.qe")}, e.vec_id) AS rk
+  FROM embeddings e, q
+  QUALIFY rk <= 5
+),
+survivors AS MATERIALIZED (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id = (SELECT vec_id FROM ranked WHERE rk = 4)
+              THEN (SELECT embedding FROM ranked WHERE rk = 5)
+              ELSE e.embedding END AS emb
+  FROM embeddings e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM ranked WHERE rk IN (2, 3))
+  UNION ALL
+  SELECT (SELECT max(vec_id) + 1 FROM embeddings), qe FROM q
+),
+top5 AS MATERIALIZED (
+  SELECT vec_id, round({_dd_l2("s.emb", "q.qe")}, 4) AS distance
+  FROM survivors s, q
+  QUALIFY row_number() OVER (ORDER BY {_dd_l2("s.emb", "q.qe")}, vec_id) <= 5
+)
+SELECT p.phase, t.vec_id, t.distance
+FROM (VALUES ('pre'), ('post'), ('fresh')) p(phase), top5 t
+"""
+
+_register("ann_hnsw_index_compact", _ann_hnsw_index_compact, _DD_HNSW_COMPACT)
+
+
+def _stream_hnsw_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the HNSW tree (round 8): even-id
+    vectors bulk-build the graph, odd ids stream into the FLAT delta
+    buffer as 2 micro-batches (streaming/index_stream.py::
+    stream_into_hnsw_index), batch 0's file is REPLAYED verbatim at its
+    batch id (the foreachBatch retry — dynamic partition overwrite must
+    make it a no-op), one row is tombstoned, and the maintained search
+    must return exactly the logical answer: exact top-5 of the full
+    corpus minus the deleted rank (graph beam is exact on the fixtures,
+    delta rows are exact-scanned, so the oracle is pure SQL)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.nsw import (
+        hnsw_build,
+        hnsw_index_append,
+        hnsw_index_delete,
+        hnsw_index_write_maint,
+        hnsw_maint_search,
+    )
+    from ..streaming.index_stream import stream_into_hnsw_index
+    from ._base import _drain
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_hnswmaint_{tag}_{os.getpid()}"
+    )
+    src, idx, ckpt = f"{base}/src", f"{base}/index", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    n_shards = 4
+    hnsw_index_write_maint(
+        hnsw_build(emb.filter(F.col("vec_id") % 2 == 0), n_shards=n_shards,
+                   m=8, ef_construction=32),
+        idx,
+    )
+    odd = emb.select("vec_id", "embedding").filter(F.col("vec_id") % 2 == 1)
+    odd.filter(F.col("vec_id") % 4 == 1).coalesce(1).write.parquet(f"{src}/f0")
+    odd.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    _drain(stream_into_hnsw_index(stream, idx, n_shards, checkpoint=ckpt), 120)
+
+    # the replay: batch 0 ran as batch_id=1 — re-append bit-identically
+    hnsw_index_append(
+        spark.read.parquet(f"{src}/f0"), idx, n_shards=n_shards, batch_id=1
+    )
+
+    q = list(emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"])
+    base_rows = hnsw_maint_search(spark, idx, q, k=5, ef_search=32).collect()
+    victim = int(base_rows[1]["vec_id"])  # rank 2 of the merged search
+    hnsw_index_delete(spark.createDataFrame([(victim,)], "vec_id long"), idx)
+
+    out = hnsw_maint_search(spark, idx, q, k=5, ef_search=32)
+    return out.select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+_DD_STREAM_HNSW_MAINT = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_IVF_PROBE_ID}),
+ranked AS (
+  SELECT e.vec_id, {_dd_l2("e.embedding", "q.qe")} AS d,
+         row_number() OVER (ORDER BY {_dd_l2("e.embedding", "q.qe")}, e.vec_id) AS rk
+  FROM embeddings e, q
+)
+SELECT vec_id, round(d, 4) AS distance
+FROM ranked WHERE rk != 2
+ORDER BY d, vec_id
+LIMIT 5
+"""
+
+_register("stream_hnsw_upsert_replay", _stream_hnsw_upsert_replay, _DD_STREAM_HNSW_MAINT)

@@ -119,3 +119,35 @@ def stream_into_pq_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_hnsw_index(
+    stream: DataFrame,
+    path: str,
+    n_shards: int,
+    checkpoint: str,
+    available_now: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """readStream of (vec_id, embedding, ...) -> per-batch append into a
+    maintained HNSW tree's FLAT delta buffer (operators/nsw.py::
+    hnsw_index_append — no online graph mutation; searches exact-scan
+    the buffer and compaction folds it into the graph).  The batch_id
+    lands in the shared dynamic-partition-overwrite layout, so a
+    replayed batch rewrites itself — idempotent like the IVF/BM25/PQ
+    streams."""
+    from ..operators.nsw import hnsw_index_append
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hnsw_index_append(
+            batch_df, path, n_shards=n_shards, vec_col=vec_col, id_col=id_col,
+            batch_id=batch_id + 1,  # foreachBatch ids start at 0; 0 is the bulk level
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -253,3 +253,164 @@ class TestHnswBatch:
                     row["vec_id"],
                     round(row["distance"], 4),
                 ), (r["query_id"], rank)
+
+
+class TestHnswMaintenance:
+    """Graph maintenance (round 8): tombstones are walked through but
+    never returned, delta rows surface in results, and compaction of
+    only the dirty shards is bit-identical to a fresh build over the
+    surviving corpus."""
+
+    PARAMS = dict(n_shards=4, m=8, ef_construction=32)
+
+    @pytest.fixture()
+    def maint_tree(self, spark, emb, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_build,
+            hnsw_index_write_maint,
+        )
+
+        path = str(tmp_path / "hnsw")
+        hnsw_index_write_maint(hnsw_build(emb, **self.PARAMS), path)
+        return path
+
+    def _q(self, emb, vid=5):
+        return list(emb.filter(F.col("vec_id") == vid).first()["embedding"])
+
+    def test_clean_tree_matches_plain_search(self, spark, emb, maint_tree):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_build,
+            hnsw_maint_search,
+            hnsw_search,
+        )
+
+        q = self._q(emb)
+        got = hnsw_maint_search(spark, maint_tree, q, k=5).collect()
+        want = hnsw_search(hnsw_build(emb, **self.PARAMS), q, k=5).collect()
+        assert [(r["vec_id"], r["distance"]) for r in got] == [
+            (r["vec_id"], r["distance"]) for r in want
+        ]
+
+    def test_tombstoned_node_excluded_but_walked(self, spark, emb, maint_tree):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_index_delete,
+            hnsw_maint_search,
+        )
+
+        q = self._q(emb)
+        base = hnsw_maint_search(spark, maint_tree, q, k=5).collect()
+        victim = int(base[0]["vec_id"])  # the probe itself (distance 0)
+        hnsw_index_delete(
+            spark.createDataFrame([(victim,)], "vec_id long"), maint_tree
+        )
+        after = hnsw_maint_search(spark, maint_tree, q, k=5).collect()
+        ids = [int(r["vec_id"]) for r in after]
+        assert victim not in ids and len(ids) == 5
+        # the rest of the base top-5 survives (graph still navigable
+        # through the dead entry node)
+        assert ids[:4] == [int(r["vec_id"]) for r in base[1:5]]
+
+    def test_delta_append_surfaces_in_results(self, spark, emb, maint_tree):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_index_append,
+            hnsw_maint_search,
+        )
+        from pyspark.sql import types as T
+
+        q = self._q(emb)
+        new_id = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+        rows = spark.createDataFrame(
+            [(new_id, q)],
+            T.StructType([
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]),
+        )
+        hnsw_index_append(rows, maint_tree, n_shards=self.PARAMS["n_shards"])
+        got = hnsw_maint_search(spark, maint_tree, q, k=5).collect()
+        # distance-0 tie with the probe vector, id-ordered: probe first
+        assert int(got[1]["vec_id"]) == new_id
+        assert got[1]["distance"] == got[0]["distance"]
+
+    def test_upsert_supersedes_graph_version(self, spark, emb, maint_tree):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_index_append,
+            hnsw_maint_search,
+        )
+        from pyspark.sql import types as T
+
+        q = self._q(emb)
+        base = hnsw_maint_search(spark, maint_tree, q, k=5).collect()
+        moved = int(base[1]["vec_id"])
+        # re-append `moved` with a FAR embedding: its graph version must
+        # vanish from the top-5 even though the graph row still exists
+        far = [v + 100.0 for v in q]
+        rows = spark.createDataFrame(
+            [(moved, far)],
+            T.StructType([
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]),
+        )
+        hnsw_index_append(rows, maint_tree, n_shards=self.PARAMS["n_shards"])
+        after = hnsw_maint_search(spark, maint_tree, q, k=5).collect()
+        assert moved not in [int(r["vec_id"]) for r in after]
+
+    def test_compact_bit_identical_to_fresh_build(self, spark, emb, maint_tree, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_build,
+            hnsw_index_compact,
+            hnsw_index_delete,
+            hnsw_maint_search,
+        )
+
+        q = self._q(emb)
+        base = hnsw_maint_search(spark, maint_tree, q, k=5).collect()
+        dead = [int(base[1]["vec_id"]), int(base[2]["vec_id"])]
+        hnsw_index_delete(
+            spark.createDataFrame([(i,) for i in dead], "vec_id long"), maint_tree
+        )
+        dest = str(tmp_path / "compacted")
+        hnsw_index_compact(spark, maint_tree, dest, **self.PARAMS)
+
+        survivors = emb.filter(~F.col("vec_id").isin(dead))
+        fresh = hnsw_build(survivors, **self.PARAMS)
+
+        def rows_of(df):
+            return sorted(
+                (
+                    int(r["shard"]), int(r["vec_id"]), int(r["level"]),
+                    tuple(tuple(l) for l in r["neighbors"]),
+                    tuple(r["embedding"]),
+                )
+                for r in df.collect()
+            )
+
+        got = spark.read.parquet(dest).withColumn("shard", F.col("shard").cast("int"))
+        assert rows_of(got.drop("batch_id")) == rows_of(fresh)
+
+    def test_compact_rebuilds_only_dirty_shards(self, spark, emb, maint_tree, tmp_path):
+        """Clean shards' files copy through; the contract is observable
+        as: only shards containing dead ids change membership rows."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_index_compact,
+            hnsw_index_delete,
+        )
+
+        pre = spark.read.parquet(maint_tree)
+        victim = int(pre.select("vec_id").orderBy("vec_id").first()[0])
+        victim_shard = int(
+            pre.filter(F.col("vec_id") == victim).select("shard").first()[0]
+        )
+        hnsw_index_delete(
+            spark.createDataFrame([(victim,)], "vec_id long"), maint_tree
+        )
+        dest = str(tmp_path / "compacted")
+        hnsw_index_compact(spark, maint_tree, dest, **self.PARAMS)
+        post = spark.read.parquet(dest)
+        # the victim's shard shrank by one; every other shard kept its rows
+        pre_counts = {r["shard"]: r["n"] for r in pre.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+        post_counts = {r["shard"]: r["n"] for r in post.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+        for s, n in pre_counts.items():
+            expect = n - 1 if int(s) == victim_shard else n
+            assert post_counts[int(s)] == expect
