@@ -439,3 +439,81 @@ def bm25_index_append(
     doc_lens.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
         "overwrite"
     ).parquet(f"{path}/stats")
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_vec,
+    k: int = 5,
+    pool_size: int = 20,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sim_scale: int = 1_000_000,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (round 8) — the
+    standard RAG rerank that trades relevance against redundancy:
+    greedily select ``argmax_c lam*sim(c, q) − (1−lam)*max_{s∈S}
+    sim(c, s)`` from an exact top-``pool_size`` cosine pool.
+
+    Engineering shape: the pool selection and every similarity are
+    computed IN-PLAN (the codegen cosine folds of functions/vector.py)
+    and quantized to exact micro-units (``floor(sim*1e6+0.5)`` BIGINT)
+    before any ranking — so the greedy argmax chain is pure integer
+    arithmetic, bit-identical across engines (the money-quantization
+    discipline; λ is the rational ``lam_num/lam_den`` so the score
+    ``lam_num*q_sim − (lam_den−lam_num)*max_sim`` stays integral).
+    Only the bounded pool (ids + integer sims: pool_size + pool_size²
+    rows) reaches the driver — the ``_rank_probes``/pq-pool collect
+    contract; the corpus-sized work is one pruned scan + TakeOrdered.
+    First pick is pure relevance (empty-set penalty = 0, the standard
+    MMR convention)."""
+    from ..functions.vector import cosine_similarity
+
+    spark = corpus.sparkSession
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+
+    def micro(c):
+        return F.floor(c * F.lit(float(sim_scale)) + F.lit(0.5)).cast("long")
+
+    pool = (
+        corpus.withColumn("_qs", micro(cosine_similarity(F.col(vec_col), qarr)))
+        .orderBy(F.col("_qs").desc(), F.col(id_col).asc())
+        .limit(pool_size)
+        .select(id_col, vec_col, "_qs")
+    )
+    a = pool.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
+    b = pool.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select(
+            "_ia", "_ib",
+            micro(cosine_similarity(F.col("_va"), F.col("_vb"))).alias("_ps"),
+        )
+    )
+    qs = {int(r[id_col]): int(r["_qs"]) for r in pool.select(id_col, "_qs").collect()}
+    ps = {
+        (int(r["_ia"]), int(r["_ib"])): int(r["_ps"]) for r in pairs.collect()
+    }
+
+    penalty = lam_den - lam_num
+    remaining = sorted(qs)
+    selected: list[int] = []
+    out = []
+    for rank in range(1, min(k, len(qs)) + 1):
+        best = None
+        for cid in remaining:
+            msim = max((ps[(cid, s)] for s in selected), default=0)
+            score = lam_num * qs[cid] - penalty * msim
+            cand = (-score, cid)
+            if best is None or cand < best:
+                best = cand
+        cid = best[1]
+        selected.append(cid)
+        remaining.remove(cid)
+        out.append((rank, cid, qs[cid], -best[0]))
+    return spark.createDataFrame(
+        out, f"rank int, {id_col} long, q_sim_micro long, mmr_score_micro long"
+    )

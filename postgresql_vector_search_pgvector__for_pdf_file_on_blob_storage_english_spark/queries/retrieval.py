@@ -481,3 +481,83 @@ ORDER BY rrf DESC, doc_id LIMIT 10
 
 
 # ==========================================================================
+
+
+# ==========================================================================
+# MMR diversified rerank (round 8): the standard RAG redundancy/
+# relevance trade-off over an exact cosine pool, in exact integer
+# micro-units end to end (operators/retrieval.py::mmr_rerank).  The
+# oracle unrolls the greedy chain: stage n picks argmax of
+# lam_num*q_sim − (lam_den−lam_num)*max-sim-to-selected over the
+# remaining pool, all BIGINT.
+# ==========================================================================
+
+_MMR_POOL, _MMR_K = 20, 5
+_MMR_LNUM, _MMR_LDEN = 1, 2
+_MMR_PROBE = 9
+
+
+def _serve_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == _MMR_PROBE).first()["embedding"])
+    return mmr_rerank(
+        emb, q, k=_MMR_K, pool_size=_MMR_POOL,
+        lam_num=_MMR_LNUM, lam_den=_MMR_LDEN,
+    )
+
+
+def _dd_cos_sim(a: str, b: str) -> str:
+    from ._base import _dd_dot, _dd_norm
+
+    return f"({_dd_dot(a, b)} / ({_dd_norm(a)} * {_dd_norm(b)}))"
+
+
+def _dd_mmr() -> str:
+    pen = _MMR_LDEN - _MMR_LNUM
+    head = f"""
+WITH q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_MMR_PROBE}),
+pool AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         CAST(floor({_dd_cos_sim("e.embedding", "q.qe")} * 1000000.0 + 0.5) AS BIGINT) AS qsm
+  FROM embeddings e, q
+  QUALIFY row_number() OVER (ORDER BY qsm DESC, e.vec_id) <= {_MMR_POOL}
+),
+psim AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(floor({_dd_cos_sim("a.embedding", "b.embedding")} * 1000000.0 + 0.5) AS BIGINT) AS ps
+  FROM pool a, pool b WHERE a.vec_id != b.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, qsm, CAST(1 AS INT) AS rank,
+         CAST({_MMR_LNUM} * qsm AS BIGINT) AS score
+  FROM pool
+  QUALIFY row_number() OVER (ORDER BY {_MMR_LNUM} * qsm DESC, vec_id) = 1
+),
+acc1 AS (SELECT vec_id, rank, qsm, score FROM sel1)"""
+    stages = []
+    for n in range(2, _MMR_K + 1):
+        stages.append(f""",
+cand{n} AS MATERIALIZED (
+  SELECT p.vec_id, p.qsm,
+         CAST({_MMR_LNUM} * p.qsm - {pen} * max(s.ps) AS BIGINT) AS score
+  FROM pool p JOIN psim s ON s.ia = p.vec_id
+                         AND s.ib IN (SELECT vec_id FROM acc{n - 1})
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM acc{n - 1})
+  GROUP BY p.vec_id, p.qsm
+),
+sel{n} AS MATERIALIZED (
+  SELECT vec_id, qsm, CAST({n} AS INT) AS rank, score FROM cand{n}
+  QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) = 1
+),
+acc{n} AS (SELECT * FROM acc{n - 1} UNION ALL SELECT vec_id, rank, qsm, score FROM sel{n})""")
+    tail = f"""
+SELECT rank, vec_id, qsm AS q_sim_micro, score AS mmr_score_micro
+FROM acc{_MMR_K}
+ORDER BY rank
+"""
+    return head + "".join(stages) + tail
+
+
+_register("serve_mmr_rerank", _serve_mmr_rerank, _dd_mmr())
