@@ -76,6 +76,8 @@ HEADLINE = [
     "dedup_fuzzy_name_pairs",  # r7: FastSS edit-distance linkage, distinct-value scale form
     "sketch_quantiles_by_nation",  # r7: one-pass grouped quantile summaries
     "ann_hnsw_probe",  # r8: HNSW serving path — persisted artifact, probe-only timing (VERDICT r7 #3)
+    "tpch_q9_product_profit",  # r8: widest of the six new TPC-H analogs (5-relation join + cents-quantized agg)
+    "serve_mmr_rerank",  # r8: MMR diversification — exact cosine pool + integer greedy chain
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%
