@@ -31,6 +31,7 @@ from . import url_profile_misc
 from . import bpe_vocab
 from . import unigram_vocab
 from . import wordpiece_vocab
+from . import lm_perplexity
 from . import graph_analytics
 from . import sketches
 from . import ml_classify
