@@ -140,7 +140,12 @@ def bpe_learn_merges(
     spark = docs.sparkSession
     if word_freqs is None:
         word_freqs = bpe_word_freqs(docs, text_col=text_col, id_col=id_col)
-    cur = word_freqs.select(_wrap_chars(F.col("term")).alias("seq"), "freq")
+    # Materialize the bounded working set once: without the checkpoint
+    # each step's two jobs re-execute the corpus tokenize + group-by
+    # lineage, making "the corpus is read once" false in practice.
+    cur = word_freqs.select(
+        _wrap_chars(F.col("term")).alias("seq"), "freq"
+    ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int, int]] = []
     n_syms = F.size(
         F.split(

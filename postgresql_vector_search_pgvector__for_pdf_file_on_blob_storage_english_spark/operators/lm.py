@@ -115,7 +115,18 @@ def bigram_lm_costs(bigrams: DataFrame, min_count: int = 2) -> DataFrame:
     All three marginals aggregate the already-reduced count table, not
     the raw stream; ``total`` rides in as a broadcast 1-row cross join.
     """
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # Materialize the reduced count relation once: c1 / cu / total are
+    # all its re-aggregations, and without the checkpoint each one
+    # re-executes the corpus tokenize + explode + group-by lineage
+    # (the physical plan showed five parquet scans).  With it the
+    # corpus is read exactly twice end-to-end: once here, once by the
+    # scoring join.  The checkpoint is distributed (executor-local
+    # blocks) — distinct-bigram cardinality never funnels anywhere.
+    c2 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     cu = c2.groupBy("w2").agg(F.sum("c2").alias("cu"))
     total = c2.agg(F.sum("c2").alias("total"))
@@ -208,7 +219,11 @@ def quality_tiers(
     per-doc average cost — the relation a pipeline filters against
     (``tier = 1`` = head).
     """
-    s = scored.join(langs, id_col)
+    # Per-doc relation, materialized: global_rank consumes its input
+    # twice (partition summary + final rank pass) and the per-language
+    # counts a third time — without the checkpoint the whole scoring
+    # pipeline above would re-execute for each.
+    s = scored.join(langs, id_col).localCheckpoint(eager=True)
     ranked = global_rank(
         s, [F.col("lang"), F.col("avg_cost_micro"), F.col(id_col)]
     )

@@ -209,7 +209,10 @@ def unigram_train(
 
     if word_freqs is None:
         word_freqs = bpe_word_freqs(docs, text_col=text_col, id_col=id_col)
-    word_freqs = word_freqs.select("term", "freq")
+    # Materialize the bounded distinct-term working set once — it feeds
+    # three downstream jobs (seed stats, round-1 E-step, round-2 E-step)
+    # that would each re-execute the corpus tokenize + group-by lineage.
+    word_freqs = word_freqs.select("term", "freq").localCheckpoint(eager=True)
 
     seed = select_seed_vocab(
         substring_stats(word_freqs, max_piece_len), top_multi

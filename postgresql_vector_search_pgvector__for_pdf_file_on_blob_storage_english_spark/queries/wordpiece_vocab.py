@@ -158,7 +158,9 @@ def _wp_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    wf = bpe_word_freqs(docs)
+    # one corpus pass, materialized: merges + alphabet + segment input
+    # all consume this bounded distinct-term relation
+    wf = bpe_word_freqs(docs).localCheckpoint(eager=True)
     merges = wordpiece_learn_merges(
         docs, n_merges=_N_WP_MERGES, word_freqs=wf
     )
