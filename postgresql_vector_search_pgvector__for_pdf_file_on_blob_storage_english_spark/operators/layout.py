@@ -12,6 +12,16 @@ At 100 TB the file layout is a first-class query-performance input:
   min/max; a sorted layout makes those ranges disjoint, so selective
   filters skip whole files/row groups (the poor man's Z-order — exact
   for 1-D clustering keys, still effective for a leading composite).
+* ``bucketed_write`` / ``cobucketed_join`` — hash-bucketed persisted
+  layout: both sides of a recurring equi-join are written
+  ``bucketBy(n, key)`` into catalog tables, so the join key's hash
+  partitioning is baked into the FILES.  Reading them back, Catalyst
+  sees matching output partitionings on both sides and plans the join
+  with ZERO Exchange — the shuffle that dominates a 100 TB fact-fact
+  join is paid once at write time and amortized over every subsequent
+  join.  With one file per bucket (``bucketed_write`` repartitions on
+  the key first) the ``sortBy`` metadata also satisfies the SMJ's
+  ordering requirement, eliminating the per-query Sort.
 * ``zorder_write`` — true multi-column clustering: each clustering
   column is quantile-bucketed (approxQuantile boundaries, skew-robust
   unlike linear min/max scaling), the bucket ids are Morton
@@ -24,6 +34,9 @@ At 100 TB the file layout is a first-class query-performance input:
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,6 +72,76 @@ def sorted_write(
         else df.repartitionByRange(*sort_cols)
     )
     parted.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a hash-bucketed (and bucket-sorted) catalog
+    table — the pay-the-shuffle-once layout for recurring equi-joins.
+
+    The repartition on the bucket columns makes each write task own
+    exactly the rows of the buckets it writes, so every bucket lands in
+    ONE file.  That single-file-per-bucket property is what lets the
+    scan report the ``sortBy`` ordering to the optimizer (multi-file
+    buckets would need a merge), turning downstream sort-merge joins
+    into exchange-free AND sort-free plans.
+    """
+    sort_cols = sort_cols or bucket_cols
+    # Drop any prior registration AND its files: a stale warehouse dir
+    # from a dead session (table absent from this session's in-memory
+    # catalog) fails managed-table creation with LOCATION_ALREADY_EXISTS.
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if path is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        path = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+        .mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def cobucketed_join(
+    spark, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed catalog tables on their bucket key.
+
+    Both scans expose ``HashPartitioning(on, n)``, so the join requires
+    no Exchange on either side (asserted from the executed plan in
+    tests/test_layout.py).  At 100 TB this is the difference between
+    shuffling two fact tables per query and a scan-local merge.
+
+    The MERGE hint pins the sort-merge strategy: on small fixtures the
+    planner would otherwise pick a broadcast join, and the bucketed
+    scan is then "disabled by query planner" — at fact-fact scale SMJ
+    is what it would choose anyway, so the hint makes the demonstrated
+    plan the scale plan.
+    """
+    return spark.table(left_table).hint("merge").join(
+        spark.table(right_table), on, how
+    )
+
+
+def n_exchanges(df: DataFrame) -> int:
+    """Count shuffle Exchange operators in the executed plan (plan-shape
+    gate for the co-located-join property)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line
+    )
 
 
 def _bucket_col(col: str, boundaries: list[float], bits: int) -> F.Column:

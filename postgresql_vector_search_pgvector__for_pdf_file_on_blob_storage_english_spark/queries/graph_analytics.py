@@ -244,3 +244,61 @@ FROM z GROUP BY 1
 
 
 _register("layout_zorder_report", _layout_zorder_report, _dd_zorder_sql())
+
+
+# ==========================================================================
+# Bucketed co-located join (round 8) — the pay-the-shuffle-once layout.
+# Both fact tables are persisted bucketBy(orderkey) catalog tables; the
+# recurring orders x lineitem equi-join then plans with ZERO Exchange
+# (asserted from the executed plan in tests/test_layout.py) — at 100 TB
+# the per-query fact-fact shuffle is the bottleneck this layout deletes.
+# The gate checks the VALUES against the plain-parquet oracle join, so
+# the layout is proven side-effect-free on results.  Revenue is
+# quantized to integer cents before summing (module convention).
+# ==========================================================================
+
+_BKT_N = 8
+
+
+def _layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.layout import bucketed_write, cobucketed_join
+
+    pid = os.getpid()
+    ot, lt = f"graft_bkt_orders_{pid}", f"graft_bkt_lineitem_{pid}"
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    bucketed_write(orders, ot, ["o_orderkey"], _BKT_N)
+    bucketed_write(li, lt, ["o_orderkey"], _BKT_N)
+    return (
+        cobucketed_join(spark, ot, lt, ["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+_register(
+    "layout_bucketed_join",
+    _layout_bucketed_join,
+    """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+)

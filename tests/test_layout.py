@@ -151,3 +151,77 @@ class TestZorder:
         orders = spark.read.parquet(f"{SF}/orders.parquet")
         with pytest.raises(ValueError):
             zorder_write(orders, str(tmp_path / "z3"), ["o_custkey"])
+
+
+class TestBucketedJoin:
+    """Co-bucketed catalog tables: the equi-join must plan with ZERO
+    Exchange (the shuffle is paid once at write), and one file per
+    bucket so the sortBy metadata holds."""
+
+    def _tables(self, spark, tmp_path_factory):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            bucketed_write,
+        )
+
+        ot, lt = "t_bkt_orders", "t_bkt_lineitem"
+        orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
+        bucketed_write(orders, ot, ["o_orderkey"], 4)
+        bucketed_write(li, lt, ["o_orderkey"], 4)
+        return ot, lt
+
+    def test_join_has_zero_exchange_and_matches_plain_join(
+        self, spark, tmp_path_factory
+    ):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            cobucketed_join,
+            n_exchanges,
+        )
+
+        ot, lt = self._tables(spark, tmp_path_factory)
+        j = cobucketed_join(spark, ot, lt, ["o_orderkey"])
+        assert n_exchanges(j) == 0, j._jdf.queryExecution().executedPlan().toString()
+
+        plain = spark.read.parquet(f"{SF}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        ).join(
+            spark.read.parquet(f"{SF}/lineitem.parquet").select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+            ),
+            "o_orderkey",
+        )
+        got = sorted(map(tuple, j.collect()))
+        want = sorted(map(tuple, plain.collect()))
+        assert got == want and len(got) > 0
+
+    def test_one_file_per_bucket(self, spark, tmp_path_factory):
+        import glob
+        import os
+
+        ot, _ = self._tables(spark, tmp_path_factory)
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {ot}")
+            .filter(F.col("col_name") == "Location")
+            .first()[1]
+        )
+        files = glob.glob(os.path.join(loc.replace("file:", ""), "*.parquet"))
+        assert len(files) == 4, files
+
+    def test_aggregate_after_join_single_exchange(self, spark, tmp_path_factory):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            cobucketed_join,
+            n_exchanges,
+        )
+
+        ot, lt = self._tables(spark, tmp_path_factory)
+        agg = (
+            cobucketed_join(spark, ot, lt, ["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        # only the post-join groupBy may shuffle
+        assert n_exchanges(agg) <= 1
