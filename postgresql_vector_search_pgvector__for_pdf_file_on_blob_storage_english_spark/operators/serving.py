@@ -134,3 +134,68 @@ def sse_events(
     return hits.select(
         F.col(id_col), F.explode(events).alias("_e")
     ).select(id_col, F.col("_e.seq").alias("seq"), F.col("_e.event_json").alias("event_json"))
+
+
+def expand_context(
+    hits: DataFrame,
+    corpus: DataFrame,
+    window: int = 1,
+    file_col: str = "fileName",
+    page_col: str = "pageNumber",
+    text_col: str = "origntext",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Small-to-big retrieval: stitch each KNN hit's +/-``window``
+    neighboring pages (same file) into one ``context`` string.
+
+    The reference serves the matched chunk text alone as the LLM
+    context (SSEOpenAIController.java:151-155 builds the prompt from
+    the single hit row).  The standard RAG refinement retrieves SMALL
+    units (precise vector match) but feeds the LLM BIG units (the hit
+    plus its physical neighbors) — chunk boundaries routinely split a
+    sentence's evidence across pages, and the expansion recovers it
+    without blurring the search signal.
+
+    Scale shape: ``hits`` is k rows; its exploded wanted-page relation
+    (k * (2*window+1) rows) is broadcast, so the corpus side — the
+    100 TB relation — is scanned once with NO shuffle, pruned to
+    ``(file, page, text)``, and only matching neighbor rows survive to
+    the (tiny) grouped stitch.  With the corpus bucketed by fileName
+    (``ingest.write_corpus``) the broadcast hash join touches only the
+    hit files' buckets.
+
+    Output: one row per hit — ``(fileName, pageNumber, distance,
+    n_parts, context)`` where ``n_parts`` counts the pages actually
+    found (edge pages have fewer neighbors) and ``context`` is the
+    found pages' text joined by ``sep`` in page order.
+    """
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    wanted = hits.select(
+        F.col(file_col).alias("_hf"),
+        F.col(page_col).alias("_hp"),
+        "distance",
+        F.explode(
+            F.sequence(F.col(page_col) - window, F.col(page_col) + window)
+        ).alias("_want"),
+    )
+    parts = F.broadcast(wanted).join(
+        corpus.select(
+            F.col(file_col).alias("_cf"),
+            F.col(page_col).alias("_cp"),
+            F.col(text_col).alias("_ct"),
+        ),
+        on=[F.col("_hf") == F.col("_cf"), F.col("_want") == F.col("_cp")],
+        how="inner",
+    )
+    return (
+        parts.groupBy("_hf", "_hp", "distance")
+        .agg(F.array_sort(F.collect_list(F.struct("_cp", "_ct"))).alias("_ps"))
+        .select(
+            F.col("_hf").alias(file_col),
+            F.col("_hp").alias(page_col),
+            "distance",
+            F.size("_ps").alias("n_parts"),
+            F.array_join(F.transform("_ps", lambda s: s["_ct"]), sep).alias("context"),
+        )
+    )

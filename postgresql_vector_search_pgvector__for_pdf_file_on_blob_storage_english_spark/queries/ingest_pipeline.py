@@ -238,3 +238,53 @@ _register("pipeline_e2e_ingest_knn", _pipeline_e2e_knn, _DD_E2E_KNN)
 
 
 # ==========================================================================
+
+
+# ---- small-to-big retrieval: context expansion around each hit -------------
+# The reference prompts the LLM with the single matched chunk's text
+# (SSEOpenAIController.java:151-155).  The standard RAG refinement keeps
+# the SMALL retrieval unit but serves the hit stitched with its physical
+# neighbors; operators/serving.py::expand_context is the set-oriented
+# form (broadcast wanted-page join -> grouped ordered stitch).
+
+def _serve_context_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.serving import expand_context
+
+    corpus, _status = ingest_pages(_synth_pages(spark, sf_dir), dim=_EMBED_DIM)
+    hits = knn(
+        corpus, _E2E_QVEC, k=5, metric="l2", id_col="id",
+        payload_cols=["id", "fileName", "pageNumber"],
+    ).select("fileName", "pageNumber", F.round("distance", 4).alias("distance"))
+    return expand_context(hits, corpus, window=1)
+
+
+_DD_CONTEXT_EXPANSION = f"""
+WITH {_dd_embed_cte(_EMBED_DIM)},
+dists AS (
+  SELECT fileName, pageNumber,
+         sqrt(sum((e - ({_DD_QVEC_LIT})[i + 1]) * (e - ({_DD_QVEC_LIT})[i + 1]))) AS dist
+  FROM emb
+  GROUP BY fileName, pageNumber
+),
+hits AS (
+  SELECT fileName, pageNumber, round(dist, 4) AS distance
+  FROM dists
+  ORDER BY dist, sha256(fileName || '§' || pageNumber || '§' || 0)
+  LIMIT 5
+),
+parts AS (
+  SELECT h.fileName, h.pageNumber, h.distance,
+         p.pageNumber AS cp, p.norm_text AS ct
+  FROM hits h
+  JOIN norm_pages p
+    ON p.fileName = h.fileName
+   AND p.pageNumber BETWEEN h.pageNumber - 1 AND h.pageNumber + 1
+)
+SELECT fileName, pageNumber, distance,
+       count(*)::INT AS n_parts,
+       string_agg(ct, chr(10) || chr(10) ORDER BY cp) AS context
+FROM parts
+GROUP BY fileName, pageNumber, distance
+"""
+
+_register("serve_context_expansion", _serve_context_expansion, _DD_CONTEXT_EXPANSION)

@@ -88,3 +88,86 @@ def test_sse_events_json_escaping(spark):
     assert by_seq[2]["fileName"] == 'we"ird\\.pdf'
     assert by_seq[2]["link"] == f'{ACCOUNT}we"ird\\.pdf#page=3'
     assert by_seq[3]["content"].replace(SSE_SPACE_SENTINEL, " ") == 'he said "hi" \\ bye'
+
+
+class TestExpandContext:
+    """Small-to-big retrieval: operators/serving.py::expand_context."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            ("a.pdf", p, f"a-page-{p}") for p in range(1, 6)
+        ] + [
+            ("b.pdf", p, f"b-page-{p}") for p in range(1, 3)
+        ]
+        return spark.createDataFrame(
+            rows, "fileName string, pageNumber int, origntext string"
+        )
+
+    def _hits(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "fileName string, pageNumber int, distance double"
+        )
+
+    def test_interior_hit_stitches_three_pages_in_order(self, spark, corpus):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.serving import expand_context
+
+        out = expand_context(
+            self._hits(spark, [("a.pdf", 3, 0.5)]), corpus, window=1
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_parts"] == 3
+        assert r["context"] == "a-page-2\n\na-page-3\n\na-page-4"
+        assert (r["fileName"], r["pageNumber"], r["distance"]) == ("a.pdf", 3, 0.5)
+
+    def test_edge_hit_keeps_only_existing_neighbors(self, spark, corpus):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.serving import expand_context
+
+        out = {
+            (r["fileName"], r["pageNumber"]): r
+            for r in expand_context(
+                self._hits(spark, [("a.pdf", 1, 0.1), ("b.pdf", 2, 0.2)]),
+                corpus,
+                window=1,
+            ).collect()
+        }
+        first = out[("a.pdf", 1)]
+        assert first["n_parts"] == 2
+        assert first["context"] == "a-page-1\n\na-page-2"
+        last = out[("b.pdf", 2)]
+        assert last["n_parts"] == 2
+        assert last["context"] == "b-page-1\n\nb-page-2"
+
+    def test_window_zero_is_identity_text(self, spark, corpus):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.serving import expand_context
+
+        out = expand_context(
+            self._hits(spark, [("a.pdf", 2, 0.3)]), corpus, window=0
+        ).collect()
+        assert out[0]["n_parts"] == 1
+        assert out[0]["context"] == "a-page-2"
+
+    def test_no_cross_file_bleed(self, spark, corpus):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.serving import expand_context
+
+        # b.pdf page 1's window covers pages 0..2; a.pdf has those pages
+        # too but must not contribute.
+        out = expand_context(
+            self._hits(spark, [("b.pdf", 1, 0.4)]), corpus, window=1
+        ).collect()
+        assert out[0]["context"] == "b-page-1\n\nb-page-2"
+
+    def test_negative_window_rejected(self, spark, corpus):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.serving import expand_context
+
+        with pytest.raises(ValueError):
+            expand_context(self._hits(spark, []), corpus, window=-1)
+
+    def test_hits_side_is_broadcast(self, spark, corpus):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.serving import expand_context
+
+        plan = expand_context(
+            self._hits(spark, [("a.pdf", 3, 0.5)]), corpus, window=1
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
