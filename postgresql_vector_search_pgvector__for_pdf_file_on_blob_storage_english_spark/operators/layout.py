@@ -211,3 +211,102 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def hilbert2_frame(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int,
+    out: str = "__h",
+) -> DataFrame:
+    """Append the Hilbert-curve index of integer grid coords
+    ``(x_col, y_col)`` in ``[0, 2**bits)`` as column ``out``.
+
+    The standard xy→d walk (Hilbert 1891; the iterative bit form is
+    the classic public-domain formulation): at each scale ``s = 2**i``
+    the quadrant bit pair ``(rx, ry)`` contributes ``s*s*((3*rx)^ry)``
+    to ``d``, then the frame is rotated/reflected so the sub-square's
+    curve orientation lines up.  Unlike Morton interleave
+    (:func:`_morton2`), CONSECUTIVE Hilbert indexes are always
+    grid-adjacent — no 2^k "seam jumps" — so range-partitioning on
+    ``d`` gives each output file a tighter bounding box over the key
+    space (better min/max skipping for the same file count).
+
+    Built as ``bits`` chained simultaneous projections (``withColumns``
+    reads all three carried columns from the SAME input row), each a
+    few codegen bit-ops — no UDF, no shuffle, and no expression-tree
+    blowup from nesting the rotation into one Column.
+    """
+    X, Y = "__hil_x", "__hil_y"
+    stage = df.withColumns(
+        {
+            X: F.col(x_col).cast("long"),
+            Y: F.col(y_col).cast("long"),
+            out: F.lit(0).cast("long"),
+        }
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(F.col(X), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col(Y), i).bitwiseAND(F.lit(1))
+        stage = stage.withColumns(
+            {
+                out: F.col(out)
+                + F.lit(s * s).cast("long") * (rx * F.lit(3)).bitwiseXOR(ry),
+                # ry==1: frame unchanged; ry==0 & rx==1: reflect both then
+                # swap; ry==0 & rx==0: plain swap.
+                X: F.when(ry == F.lit(1), F.col(X))
+                .when(rx == F.lit(1), F.lit(s - 1) - F.col(Y))
+                .otherwise(F.col(Y)),
+                Y: F.when(ry == F.lit(1), F.col(Y))
+                .when(rx == F.lit(1), F.lit(s - 1) - F.col(X))
+                .otherwise(F.col(X)),
+            }
+        )
+    return stage.drop(X, Y)
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Hilbert-clustered write on exactly two numeric columns —
+    :func:`zorder_write` with the Morton interleave swapped for the
+    Hilbert index.  Same scale shape (one quantile-sketch pass, one
+    range shuffle); strictly better worst-case locality: a Morton
+    curve jumps across the whole key space at power-of-two seams, so
+    the files straddling a seam get a bounding box covering most of
+    one axis, while every Hilbert step is grid-adjacent and each
+    file's box stays compact (gated from real footers in
+    tests/test_layout.py::TestHilbert)."""
+    if len(cols) != 2:
+        raise ValueError(f"hilbert_write clusters exactly 2 columns, got {len(cols)}")
+    n_bounds = 2**bits - 1
+    probs = [(i + 1) / (n_bounds + 1) for i in range(n_bounds)]
+    cast_df = df.select(
+        *df.columns, *[F.col(c).cast("double").alias(f"__hq_{c}") for c in cols]
+    )
+    bounds = {
+        c: cast_df.stat.approxQuantile(f"__hq_{c}", probs, 0.001) for c in cols
+    }
+    bucketed = df.withColumns(
+        {
+            "__bx": _bucket_col(cols[0], bounds[cols[0]], bits).cast("long"),
+            "__by": _bucket_col(cols[1], bounds[cols[1]], bits).cast("long"),
+        }
+    )
+    hed = hilbert2_frame(bucketed, "__bx", "__by", bits, out="__h").drop(
+        "__bx", "__by"
+    )
+    (
+        hed.repartitionByRange(num_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode(mode)
+        .parquet(path)
+    )

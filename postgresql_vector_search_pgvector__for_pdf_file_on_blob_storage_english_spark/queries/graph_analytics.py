@@ -302,3 +302,83 @@ FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY 1
 """,
 )
+
+
+# ==========================================================================
+# Hilbert-clustered layout report (round 8) — layout.py::hilbert2_frame.
+# Same grid and bucket protocol as layout_zorder_report so the two are
+# directly comparable; the Hilbert index has no Morton seam jumps, so
+# equal-count d-ranges cover tighter (ck, dd) boxes — visible in the
+# per-bucket min/max spans this entry gates.  The oracle unrolls the
+# same xy->d walk as a chain of CTEs (one per bit level, DuckDB reads
+# the INPUT column when an alias reuses its name — verified, so each
+# level's simultaneous (x, y, d) update is literal).
+# ==========================================================================
+
+
+def _layout_hilbert_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import hilbert2_frame
+
+    orders = _t(spark, sf_dir, "orders")
+    ck = (F.col("o_custkey") % (1 << _Z_BITS)).cast("long")
+    dd = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        % (1 << _Z_BITS)
+    ).cast("long")
+    staged = orders.select(ck.alias("ck"), dd.alias("dd"))
+    hed = hilbert2_frame(staged, "ck", "dd", _Z_BITS, out="h")
+    step = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+    return (
+        hed.groupBy(
+            ((F.col("h") - F.col("h") % step) / step).cast("long").alias("hbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("min_ck"),
+            F.max("ck").alias("max_ck"),
+            F.min("dd").alias("min_dd"),
+            F.max("dd").alias("max_dd"),
+        )
+    )
+
+
+def _dd_hilbert_sql() -> str:
+    levels = []
+    prev = "q0"
+    for i in range(_Z_BITS - 1, -1, -1):
+        s = 1 << i
+        rx = f"((x >> {i}) & 1)"
+        ry = f"((y >> {i}) & 1)"
+        levels.append(
+            f"""h{i} AS (
+  SELECT ck, dd,
+         CASE WHEN {ry} = 1 THEN x
+              WHEN {rx} = 1 THEN {s - 1} - y
+              ELSE y END AS x,
+         CASE WHEN {ry} = 1 THEN y
+              WHEN {rx} = 1 THEN {s - 1} - x
+              ELSE x END AS y,
+         d + {s * s}::BIGINT * xor(3 * {rx}, {ry}) AS d
+  FROM {prev}
+)"""
+        )
+        prev = f"h{i}"
+    step = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+    chain = ",\n".join(levels)
+    return f"""
+WITH q AS (
+  SELECT (o_custkey % {1 << _Z_BITS})::BIGINT AS ck,
+         (date_diff('day', DATE '1992-01-01', o_orderdate) % {1 << _Z_BITS})::BIGINT AS dd
+  FROM orders
+),
+q0 AS (SELECT ck, dd, ck AS x, dd AS y, 0::BIGINT AS d FROM q),
+{chain}
+SELECT CAST((d - d % {step}) / {step} AS BIGINT) AS hbucket,
+       count(*) AS n_rows,
+       min(ck) AS min_ck, max(ck) AS max_ck,
+       min(dd) AS min_dd, max(dd) AS max_dd
+FROM {prev} GROUP BY 1
+"""
+
+
+_register("layout_hilbert_report", _layout_hilbert_report, _dd_hilbert_sql())

@@ -225,3 +225,132 @@ class TestBucketedJoin:
         )
         # only the post-join groupBy may shuffle
         assert n_exchanges(agg) <= 1
+
+
+def _xy2d_ref(bits: int, x: int, y: int) -> int:
+    """Reference Hilbert xy->d (the classic iterative bit form)."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+class TestHilbert:
+    def test_full_grid_parity_and_bijectivity(self, spark):
+        """hilbert2_frame == the python reference on the ENTIRE 16x16
+        grid, and the mapping is a bijection onto [0, 256)."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            hilbert2_frame,
+        )
+
+        bits = 4
+        n = 1 << bits
+        df = spark.createDataFrame(
+            [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+        )
+        got = {
+            (r["x"], r["y"]): r["__h"]
+            for r in hilbert2_frame(df, "x", "y", bits).collect()
+        }
+        assert all(got[k] == _xy2d_ref(bits, *k) for k in got)
+        assert sorted(got.values()) == list(range(n * n))
+
+    def test_consecutive_indexes_are_grid_adjacent(self, spark):
+        """The locality property Morton lacks: every +1 step of the
+        Hilbert index moves exactly one grid cell, while the Morton
+        order jumps across the key space at power-of-two seams."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            _morton2,
+            hilbert2_frame,
+        )
+        from pyspark.sql import functions as F2
+
+        bits = 4
+        n = 1 << bits
+        df = spark.createDataFrame(
+            [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+        )
+        by_h = {
+            r["__h"]: (r["x"], r["y"])
+            for r in hilbert2_frame(df, "x", "y", bits).collect()
+        }
+        h_steps = [
+            abs(by_h[d][0] - by_h[d + 1][0]) + abs(by_h[d][1] - by_h[d + 1][1])
+            for d in range(n * n - 1)
+        ]
+        assert max(h_steps) == 1
+
+        by_z = {
+            r["z"]: (r["x"], r["y"])
+            for r in df.withColumn(
+                "z", _morton2(F2.col("x"), F2.col("y"), bits)
+            ).collect()
+        }
+        z_steps = [
+            abs(by_z[d][0] - by_z[d + 1][0]) + abs(by_z[d][1] - by_z[d + 1][1])
+            for d in range(n * n - 1)
+        ]
+        assert max(z_steps) > 1  # the Morton seam jump Hilbert removes
+
+    def test_write_both_columns_skippable(self, spark, tmp_path):
+        """Same footer-measured gate as TestZorder: per-file min/max
+        boxes stay narrow on BOTH clustering columns."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            hilbert_write,
+        )
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        hpath = str(tmp_path / "hilberted")
+        cols = ["l_partkey", "l_suppkey"]
+        hilbert_write(li, hpath, cols, bits=8, num_files=16)
+
+        def skip_fraction(path, col, probes):
+            ranges = _file_ranges(path, col)
+            skipped = sum(
+                sum(1 for lo, hi in ranges if probe < lo or probe > hi)
+                for probe in probes
+            )
+            return skipped / (len(probes) * len(ranges))
+
+        lo_p, hi_p = li.select(F.min("l_partkey"), F.max("l_partkey")).first()
+        lo_s, hi_s = li.select(F.min("l_suppkey"), F.max("l_suppkey")).first()
+        probes_p = [lo_p + (hi_p - lo_p) * i // 8 for i in range(1, 8)]
+        probes_s = [lo_s + (hi_s - lo_s) * i // 8 for i in range(1, 8)]
+        assert skip_fraction(hpath, "l_partkey", probes_p) >= 0.5
+        assert skip_fraction(hpath, "l_suppkey", probes_s) >= 0.5
+
+    def test_roundtrip_and_schema(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            hilbert_write,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        out = str(tmp_path / "h2")
+        hilbert_write(orders, out, ["o_custkey", "o_totalprice"], num_files=4)
+        back = spark.read.parquet(out)
+        assert back.columns == orders.columns
+        assert back.count() == orders.count()
+        key = orders.select(F.min("o_custkey")).first()[0]
+        assert (
+            back.filter(F.col("o_custkey") == key).count()
+            == orders.filter(F.col("o_custkey") == key).count()
+            > 0
+        )
+
+    def test_two_columns_required(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.layout import (
+            hilbert_write,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        with pytest.raises(ValueError):
+            hilbert_write(orders, str(tmp_path / "h3"), ["o_custkey"])
