@@ -256,3 +256,82 @@ def quality_tiers(
         )
         .orderBy("lang", "tier")
     )
+
+
+# Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999) — the
+# smoothing KenLM itself ships, i.e. the actual CCNet scoring model
+# class.  Absolute discount d = 3/4 (exactly representable in binary64,
+# so `c2 - 0.75` is an exact float op):
+#
+#     P_KN(w2|w1) = (c(w1,w2) - d) / c(w1)
+#                 + (d * N1+(w1,*) / c(w1)) * (N1+(*,w2) / N1+(*,*))
+#
+# where the N1+ terms are bigram TYPE counts (how many distinct
+# continuations / contexts), the continuation distribution that makes
+# KN the strongest fixed-order n-gram smoother: "York" is frequent but
+# only ever follows "New", so its continuation probability is tiny.
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_costs(bigrams: DataFrame) -> DataFrame:
+    """Bigram stream -> (w1, w2, c2, cost_micro, backed_off) under
+    interpolated Kneser-Ney — a drop-in alternative to
+    :func:`bigram_lm_costs` for :func:`score_documents`.
+
+    Every marginal (context total ``c1``, context type count ``n1p``,
+    continuation type count ``cut``, total type count ``tott``) is a
+    re-aggregation of the ONE reduced count relation; ``c1`` and
+    ``n1p`` share a single groupBy pass.  The probability is a sum of
+    two terms so it cannot be quantized per-branch like stupid
+    backoff; instead the full double expression is written in the
+    IDENTICAL operation order on both engines (IEEE binary64 ops are
+    deterministic given the same order) and quantized once —
+    ``floor(-ln(p) * 1e6 + 0.5)`` — with the same floor-margin guard
+    the other micro-nat models ship (tests/test_lm.py).
+
+    ``backed_off`` flags hapax transitions (``c2 == 1``), where the
+    continuation term carries most of the probability mass — the KN
+    analog of the stupid-backoff branch indicator.
+    """
+    c2 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cut = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("cut"))
+    tott = c2.agg(F.count(F.lit(1)).alias("tott"))
+    # The exact expression shape is the cross-engine contract — the
+    # oracle writes the same parenthesization (queries/lm_perplexity.py).
+    cost = F.expr(
+        f"CAST(floor(-ln("
+        f"((CAST(c2 AS DOUBLE) - {KN_DISCOUNT}) / CAST(c1 AS DOUBLE))"
+        f" + ((({KN_DISCOUNT} * CAST(n1p AS DOUBLE)) / CAST(c1 AS DOUBLE))"
+        f" * (CAST(cut AS DOUBLE) / CAST(tott AS DOUBLE)))"
+        f") * {SCALE}.0 + 0.5) AS BIGINT)"
+    )
+    return (
+        c2.join(c1, "w1")
+        .join(cut, "w2")
+        .crossJoin(F.broadcast(tott))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            cost.alias("cost_micro"),
+            (F.col("c2") == F.lit(1)).alias("backed_off"),
+        )
+    )
+
+
+def perplexity_scores_kn(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-scored corpus under interpolated Kneser-Ney (the KenLM
+    model class CCNet deploys); same output schema as
+    :func:`perplexity_scores` with ``n_backoff`` counting hapax
+    transitions."""
+    bg = doc_bigrams(docs, text_col=text_col, id_col=id_col)
+    return score_documents(bg, kneser_ney_costs(bg), id_col)

@@ -120,3 +120,70 @@ ORDER BY lang, tier
 """
 
 _register("text_lm_quality_tiers", _lm_tiers, _DD_LM_TIERS)
+
+
+# ---- interpolated Kneser-Ney twin (operators/lm.py::kneser_ney_costs) ----
+# The model class KenLM ships (so the closest analog to CCNet's actual
+# scorer).  The probability is a two-term sum, so it is quantized ONCE
+# from a double expression written in the identical operation order on
+# both engines; the floor-margin guard in tests/test_lm.py covers the
+# cross-libm ln risk exactly as for the other micro-nat models.
+
+def _lm_scores_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import perplexity_scores_kn
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        perplexity_scores_kn(docs)
+        .withColumnRenamed("n_backoff", "n_hapax")
+        .orderBy("doc_id")
+    )
+
+
+def _dd_lm_kn() -> str:
+    from ..operators.lm import KN_DISCOUNT
+
+    norm = dd_sql(_DD_NORMALIZE, col="text")
+    return f"""n AS (SELECT doc_id, {norm} AS norm FROM documents),
+terms AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(trim(norm), ' '), x -> lower(x)),
+                     x -> x != '') AS ts
+  FROM n
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, ts[i.i] AS w1, ts[i.i + 1] AS w2
+  FROM terms, unnest(range(1, len(ts))) AS i(i)
+),
+c2 AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2),
+c1m AS MATERIALIZED (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*)::BIGINT AS n1p
+  FROM c2 GROUP BY 1
+),
+cutm AS MATERIALIZED (SELECT w2, count(*)::BIGINT AS cut FROM c2 GROUP BY 1),
+tottm AS MATERIALIZED (SELECT count(*)::BIGINT AS tott FROM c2),
+kcosts AS MATERIALIZED (
+  SELECT c2.w1, c2.w2,
+         CAST(floor(-ln(
+           ((CAST(c2.c2 AS DOUBLE) - {KN_DISCOUNT}) / CAST(c1m.c1 AS DOUBLE))
+           + ((({KN_DISCOUNT} * CAST(c1m.n1p AS DOUBLE)) / CAST(c1m.c1 AS DOUBLE))
+           * (CAST(cutm.cut AS DOUBLE) / CAST(tottm.tott AS DOUBLE)))
+         ) * 1000000.0 + 0.5) AS BIGINT) AS cost_micro,
+         (c2.c2 = 1) AS backed_off
+  FROM c2 JOIN c1m USING (w1) JOIN cutm USING (w2) CROSS JOIN tottm
+)"""
+
+
+_DD_LM_KN_SCORES = f"""
+WITH {_dd_lm_kn()}
+SELECT bg.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       CAST(sum(cost_micro) AS BIGINT) AS total_cost_micro,
+       CAST(sum(cost_micro) AS BIGINT) // count(*)::BIGINT AS avg_cost_micro,
+       CAST(sum(CASE WHEN backed_off THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM bg JOIN kcosts USING (w1, w2)
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+"""
+
+_register("text_lm_perplexity_kn", _lm_scores_kn, _DD_LM_KN_SCORES)

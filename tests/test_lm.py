@@ -156,3 +156,85 @@ class TestNonVacuity:
         ).collect()[0]
         assert agg.docs > 0 and agg.n > 0
         assert 0 < agg.nb < agg.n  # both MLE and backoff branches live
+
+
+class TestKneserNey:
+    def test_hand_computed_costs(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.lm import (
+            KN_DISCOUNT,
+            kneser_ney_costs,
+        )
+
+        # corpus bigrams: (a,b)x2 from d1+d2, (b,a)x1 from d1
+        df = _docs(spark, [("d1", "a b a"), ("d2", "a b")])
+        costs = {
+            (r.w1, r.w2): (r.c2, r.cost_micro, r.backed_off)
+            for r in kneser_ney_costs(doc_bigrams(df)).collect()
+        }
+        d = KN_DISCOUNT
+        # marginals over the type table {(a,b): 2, (b,a): 1}:
+        #   c1(a)=2, n1p(a)=1; c1(b)=1, n1p(b)=1; cut(a)=1, cut(b)=1; tott=2
+        p_ab = ((2 - d) / 2) + ((d * 1 / 2) * (1 / 2))
+        p_ba = ((1 - d) / 1) + ((d * 1 / 1) * (1 / 2))
+        assert costs[("a", "b")] == (2, _cost(p_ab), False)
+        assert costs[("b", "a")] == (1, _cost(p_ba), True)
+
+    def test_probability_mass_under_one(self, spark):
+        """Sanity: every KN cost is positive (p < 1) on the smoke
+        fixture, and hapax flags match c2 == 1."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.lm import (
+            kneser_ney_costs,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        t = kneser_ney_costs(doc_bigrams(docs))
+        bad = t.filter(
+            (F.col("cost_micro") <= 0)
+            | (F.col("backed_off") != (F.col("c2") == 1))
+        ).count()
+        assert bad == 0
+
+    def test_floor_margin_on_fixture(self, spark):
+        """The two-term KN probability is quantized ONCE, so the guard
+        runs on the composed p, mirroring the exact expression shape."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.lm import (
+            KN_DISCOUNT,
+            kneser_ney_costs,  # noqa: F401 (shape under test)
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        bg = doc_bigrams(docs)
+        c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+        c1 = c2.groupBy("w1").agg(
+            F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p")
+        )
+        cut = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("cut"))
+        tott = c2.count()
+        rows = (
+            c2.join(c1, "w1")
+            .join(cut, "w2")
+            .select("c2", "c1", "n1p", "cut")
+            .distinct()
+            .collect()
+        )
+        worst = 0.5
+        for r in rows:
+            p = ((r.c2 - KN_DISCOUNT) / r.c1) + (
+                ((KN_DISCOUNT * r.n1p) / r.c1) * (r.cut / tott)
+            )
+            x = -math.log(p) * SCALE + 0.5
+            frac = x - math.floor(x)
+            worst = min(worst, min(frac, 1.0 - frac))
+        assert worst > 1e-6, f"floor margin too tight: {worst}"
+
+    def test_scores_schema_and_determinism(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.lm import (
+            perplexity_scores_kn,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        a = sorted(map(tuple, perplexity_scores_kn(docs).collect()))
+        b = sorted(
+            map(tuple, perplexity_scores_kn(docs.repartition(7)).collect())
+        )
+        assert a == b and len(a) > 0
