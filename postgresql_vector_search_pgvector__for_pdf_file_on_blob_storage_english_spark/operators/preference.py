@@ -45,6 +45,31 @@ from .graph import _idiv
 UNIT = 1_000_000  # 1.0 of strength, in micro-units
 
 
+def match_matrix(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """Match log -> the bounded unordered pair matrix
+    ``(lo, hi, n, w_lo)``: ``n`` comparisons between the pair, ``w_lo``
+    won by the lexically smaller player.  This is the MERGEABLE summary
+    (counts add cell-wise), so partial matrices from shards or
+    micro-batches fold by plain summation — the streaming maintenance
+    law ``streaming/preference_stream.py`` relies on."""
+    w = F.col(winner_col)
+    l = F.col(loser_col)  # noqa: E741
+    lo, hi = F.least(w, l), F.greatest(w, l)
+    return (
+        matches.select(
+            lo.alias("lo"),
+            hi.alias("hi"),
+            (w == lo).cast("long").alias("_wlo"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_wlo").alias("w_lo"))
+    )
+
+
 def bt_strengths(
     matches: DataFrame,
     n_iters: int = 5,
@@ -64,20 +89,23 @@ def bt_strengths(
     re-aggregating the full match log per iteration (the
     iterative-lineage truncation every fixed-point operator here uses).
     """
+    return bt_strengths_from_matrix(
+        match_matrix(matches, winner_col, loser_col),
+        n_iters=n_iters,
+        materialize=materialize,
+    )
+
+
+def bt_strengths_from_matrix(
+    mat: DataFrame,
+    n_iters: int = 5,
+    materialize: bool = True,
+) -> DataFrame:
+    """The MM iterations over a prebuilt ``(lo, hi, n, w_lo)`` matrix —
+    the entry point for matrices folded from a streaming log
+    (:func:`..streaming.preference_stream.bt_matrix_read`)."""
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
-    w = F.col(winner_col)
-    l = F.col(loser_col)  # noqa: E741
-    lo, hi = F.least(w, l), F.greatest(w, l)
-    mat = (
-        matches.select(
-            lo.alias("lo"),
-            hi.alias("hi"),
-            (w == lo).cast("long").alias("_wlo"),
-        )
-        .groupBy("lo", "hi")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("_wlo").alias("w_lo"))
-    )
     if materialize:
         mat = mat.localCheckpoint(eager=True)
     players = (

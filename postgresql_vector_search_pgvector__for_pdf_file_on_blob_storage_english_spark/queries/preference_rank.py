@@ -107,3 +107,48 @@ FROM players pl JOIN p{n_iters} p ON p.player = pl.player
 _register(
     "pref_bt_source_strength", _pref_bt_source_strength, _dd_bt_sql(_BT_ITERS)
 )
+
+
+def _stream_bt_matrix_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BT maintenance through the gate: the match log arrives
+    as 2 micro-batched files, each batch's bounded pair matrix appended
+    batch_id-stamped, the drained log folded with per-batch dedup and
+    the SAME MM iterations run on the folded matrix — cell-wise count
+    addition is the exact merge law, so the oracle is identical to the
+    one-shot batch entry."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ._base import _drain
+    from ..operators.preference import bt_strengths_from_matrix
+    from ..streaming.preference_stream import bt_matrix_read, stream_into_bt_matrix
+
+    matches = _synth_matches(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_bt_{tag}_{os.getpid()}"
+    )
+    src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+
+    split = F.crc32(F.concat_ws("|", "winner", "loser")) % 2
+    matches.filter(split == 0).coalesce(1).write.parquet(f"{src}/f0")
+    matches.filter(split == 1).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(matches.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    _drain(stream_into_bt_matrix(stream, log, ckpt), 120)
+
+    mat = bt_matrix_read(spark, log)
+    return bt_strengths_from_matrix(mat, n_iters=_BT_ITERS).select(
+        F.col("player").alias("source"), "strength_units", "n_wins", "n_matches"
+    )
+
+
+_register(
+    "stream_bt_matrix_replay", _stream_bt_matrix_replay, _dd_bt_sql(_BT_ITERS)
+)

@@ -107,3 +107,99 @@ def test_partitioning_invariance(spark, matches_df):
 def test_rejects_zero_iters(spark, matches_df):
     with pytest.raises(ValueError):
         bt_strengths(matches_df, n_iters=0)
+
+
+class TestStreamingBtMatrix:
+    """Log-structured pair-matrix maintenance
+    (streaming/preference_stream.py): drained stream == one-shot batch,
+    exactly-once under replay, and the mixed-log guard."""
+
+    def _run_stream(self, spark, matches_df, base):
+        import os
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.preference_stream import (
+            stream_into_bt_matrix,
+        )
+        from pyspark.sql import functions as F
+
+        src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
+        split = F.crc32(F.concat_ws("|", "winner", "loser")) % 2
+        matches_df.filter(split == 0).coalesce(1).write.parquet(f"{src}/f0")
+        matches_df.filter(split == 1).coalesce(1).write.parquet(f"{src}/f1")
+        stream = (
+            spark.readStream.schema(matches_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = stream_into_bt_matrix(stream, log, ckpt)
+        assert q.awaitTermination(120)
+        return log
+
+    def test_drained_fold_equals_batch_matrix(self, spark, matches_df, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.preference import (
+            match_matrix,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.preference_stream import (
+            bt_matrix_read,
+        )
+
+        log = self._run_stream(spark, matches_df, str(tmp_path / "bt"))
+        folded = sorted(map(tuple, bt_matrix_read(spark, log).collect()))
+        batch = sorted(map(tuple, match_matrix(matches_df).collect()))
+        assert folded == batch
+
+    def test_replayed_batch_is_deduped(self, spark, matches_df, tmp_path):
+        """A duplicated (batch_id, lo, hi) append — the foreachBatch
+        retry shape — must not double-count."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.preference import (
+            match_matrix,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.preference_stream import (
+            bt_matrix_read,
+        )
+        from pyspark.sql import functions as F
+
+        log = self._run_stream(spark, matches_df, str(tmp_path / "bt2"))
+        first = spark.read.parquet(log).filter(F.col("batch_id") == 0)
+        first.write.mode("append").parquet(log)  # simulate the retry
+        folded = sorted(map(tuple, bt_matrix_read(spark, log).collect()))
+        batch = sorted(map(tuple, match_matrix(matches_df).collect()))
+        assert folded == batch
+
+    def test_mixed_log_rejected(self, spark, matches_df, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.preference import (
+            match_matrix,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.preference_stream import (
+            bt_matrix_read,
+        )
+        from pyspark.sql import functions as F
+
+        log = self._run_stream(spark, matches_df, str(tmp_path / "bt3"))
+        match_matrix(matches_df).withColumn(
+            "batch_id", F.lit(None).cast("long")
+        ).write.mode("append").parquet(log)  # legacy unstamped append
+        with pytest.raises(ValueError, match="batch_id"):
+            bt_matrix_read(spark, log)
+
+    def test_strengths_from_folded_matrix_match_batch(
+        self, spark, matches_df, tmp_path
+    ):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.preference import (
+            bt_strengths_from_matrix,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.preference_stream import (
+            bt_matrix_read,
+        )
+
+        log = self._run_stream(spark, matches_df, str(tmp_path / "bt4"))
+        streamed = sorted(
+            map(
+                tuple,
+                bt_strengths_from_matrix(
+                    bt_matrix_read(spark, log), n_iters=3
+                ).collect(),
+            )
+        )
+        batch = sorted(map(tuple, bt_strengths(matches_df, n_iters=3).collect()))
+        assert streamed == batch
