@@ -366,3 +366,63 @@ def qsketch_quantiles_grouped(
         F.col("n").alias("n_values"),
         qsketch_lower_col(F.col("bucket"), sub_bits).alias("quantile_lower"),
     )
+
+
+def hll_registers_grouped(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """SPARSE per-group register table ``(group, reg, m_rank)`` — only
+    registers a group actually hit (every hit has rank >= 1, so
+    sparsity is unambiguous: a missing row means rank 0).
+
+    One map-side-combined max-aggregate keyed by (group, reg); the
+    shuffle is bounded by groups x m, never by distinct keys.  This is
+    the calendar-rollup building block: per-group sketches merge by
+    register max, so any window/total over groups folds WITHOUT
+    re-reading the raw data — the estimate reconstructs the dense sum
+    arithmetically (zero registers contribute exactly 2^(WBITS+1) each
+    and count toward the linear-counting term), no m-row spine join
+    needed.
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("§", F.lit("hll"), F.col(key_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    reg = (h % HLL_M).alias("reg")
+    w = F.floor(h / HLL_M).cast("long")
+    rank = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), reg, rank.alias("_r"))
+        .groupBy("grp", "reg")
+        .agg(F.max("_r").alias("m_rank"))
+        .select(F.col("grp").alias(group_col), "reg", "m_rank")
+    )
+
+
+def hll_estimate_grouped(sparse: DataFrame, group_col: str) -> DataFrame:
+    """Per-group ``(group, hll_estimate)`` from a sparse register table
+    (:func:`hll_registers_grouped` output or any register-max merge of
+    it).  The dense harmonic sum is reconstructed from the sparse rows:
+    each of the ``HLL_M - n_present`` zero registers contributes
+    exactly ``2^(WBITS+1)`` to the sum and 1 to the linear-counting
+    empty count — so the arithmetic is identical to the dense
+    :func:`hll_estimate`, without materializing a spine per group."""
+    k = HLL_WBITS + 1
+    agg = sparse.groupBy(group_col).agg(
+        (
+            F.sum(F.pow(F.lit(2.0), F.lit(k) - F.col("m_rank")).cast("long"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << k)
+        ).alias("_s"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("_v"),
+    )
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * F.pow(F.lit(2.0), F.lit(k)) / F.col("_s")
+    lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("_v"))
+    est = F.when((raw <= 2.5 * HLL_M) & (F.col("_v") > 0), lin).otherwise(raw)
+    return agg.select(group_col, est.alias("hll_estimate"))

@@ -10,6 +10,7 @@ from __future__ import annotations
 from ._base import (  # noqa: F401
     DataFrame,
     _drain,
+    _events,
     F,
     SparkSession,
     _register,
@@ -533,3 +534,149 @@ _register(
     _sketch_quantiles_by_nation,
     _DD_QSKETCH_GROUPED,
 )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window HLL rollup (round 8): the production calendar pattern —
+# per-day user sketches merged by register max into a trailing-7-day
+# distinct estimate, next to the exact answers for honesty.  The raw
+# data is read ONCE (one groups x m bounded aggregate); every window is
+# a fold of the bounded sparse register relation, and the dense
+# harmonic sum is reconstructed arithmetically (zero registers
+# contribute exactly 2^27 each), so no per-group spine join exists to
+# funnel through.  At 100 TB the exact twins are the expensive columns;
+# the sketch columns cost one bounded shuffle regardless of window
+# count.
+# ---------------------------------------------------------------------------
+
+_HLL_WIN_DAYS = 7
+
+
+def _sketch_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate_grouped, hll_registers_grouped
+
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    sparse = hll_registers_grouped(ev, "user_id", "day")
+    days = sparse.select("day").distinct()
+    offs = days.select(
+        "day",
+        F.explode(F.sequence(F.lit(0), F.lit(_HLL_WIN_DAYS - 1))).alias("_k"),
+    ).select("day", F.date_sub(F.col("day"), F.col("_k")).alias("src_day"))
+    win = (
+        offs.join(
+            sparse.select(
+                F.col("day").alias("src_day"), "reg", "m_rank"
+            ),
+            "src_day",
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    est1 = hll_estimate_grouped(sparse, "day").select(
+        "day", F.round("hll_estimate", 2).alias("users_1d_est")
+    )
+    est7 = hll_estimate_grouped(win, "day").select(
+        "day", F.round("hll_estimate", 2).alias("users_7d_est")
+    )
+    nd = (
+        offs.join(days.select(F.col("day").alias("src_day")), "src_day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    ex1 = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("users_1d_exact")
+    )
+    ex7 = (
+        offs.join(ev.select(F.col("day").alias("src_day"), "user_id"), "src_day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("users_7d_exact"))
+    )
+    return (
+        est1.join(est7, "day")
+        .join(nd, "day")
+        .join(ex1, "day")
+        .join(ex7, "day")
+        .select(
+            "day", "n_days",
+            "users_1d_exact", "users_1d_est",
+            "users_7d_exact", "users_7d_est",
+        )
+        .orderBy("day")
+    )
+
+
+_DD_HLL_SLIDING = f"""
+WITH ev AS MATERIALIZED (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+h AS (
+  SELECT day, (('0x' || substr(md5('hll' || '§' || user_id), 1, 8))::BIGINT) AS hv
+  FROM ev
+),
+ranked AS (
+  SELECT day, hv % 64 AS reg,
+         CASE WHEN CAST(floor(hv / 64) AS BIGINT) = 0 THEN 27
+              ELSE 27 - length(bin(CAST(floor(hv / 64) AS BIGINT))) END AS r
+  FROM h
+),
+sparse AS MATERIALIZED (
+  SELECT day, reg, max(r) AS m_rank FROM ranked GROUP BY 1, 2
+),
+days AS MATERIALIZED (SELECT DISTINCT day FROM sparse),
+offs AS MATERIALIZED (
+  SELECT d.day, d.day - CAST(k.k AS INTEGER) AS src_day
+  FROM days d, unnest(range(0, {_HLL_WIN_DAYS})) AS k(k)
+),
+win AS (
+  SELECT o.day, s.reg, max(s.m_rank) AS m_rank
+  FROM offs o JOIN sparse s ON s.day = o.src_day
+  GROUP BY 1, 2
+),
+agg1 AS (
+  SELECT day,
+         CAST(sum(CAST(power(2, 27 - m_rank) AS BIGINT)) AS BIGINT)
+           + (64 - count(*)) * 134217728 AS s,
+         (64 - count(*))::BIGINT AS v
+  FROM sparse GROUP BY day
+),
+agg7 AS (
+  SELECT day,
+         CAST(sum(CAST(power(2, 27 - m_rank) AS BIGINT)) AS BIGINT)
+           + (64 - count(*)) * 134217728 AS s,
+         (64 - count(*))::BIGINT AS v
+  FROM win GROUP BY day
+),
+est1 AS (
+  SELECT day,
+         round(CASE WHEN (0.709 * 64 * 64) * power(2, 27) / s <= 2.5 * 64 AND v > 0
+                    THEN 64.0 * ln(64.0 / v)
+                    ELSE (0.709 * 64 * 64) * power(2, 27) / s END, 2) AS users_1d_est
+  FROM agg1
+),
+est7 AS (
+  SELECT day,
+         round(CASE WHEN (0.709 * 64 * 64) * power(2, 27) / s <= 2.5 * 64 AND v > 0
+                    THEN 64.0 * ln(64.0 / v)
+                    ELSE (0.709 * 64 * 64) * power(2, 27) / s END, 2) AS users_7d_est
+  FROM agg7
+),
+nd AS (
+  SELECT o.day, count(*)::BIGINT AS n_days
+  FROM offs o JOIN days d2 ON d2.day = o.src_day
+  GROUP BY 1
+),
+ex1 AS (
+  SELECT day, count(DISTINCT user_id)::BIGINT AS users_1d_exact FROM ev GROUP BY 1
+),
+ex7 AS (
+  SELECT o.day, count(DISTINCT e.user_id)::BIGINT AS users_7d_exact
+  FROM offs o JOIN ev e ON e.day = o.src_day
+  GROUP BY 1
+)
+SELECT day, n_days, users_1d_exact, users_1d_est, users_7d_exact, users_7d_est
+FROM est1 JOIN est7 USING (day) JOIN nd USING (day)
+     JOIN ex1 USING (day) JOIN ex7 USING (day)
+ORDER BY day
+"""
+
+_register("sketch_hll_sliding_users", _sketch_hll_sliding_users, _DD_HLL_SLIDING)

@@ -493,3 +493,60 @@ class TestSketchLogGuards:
         # folds preserve the sketch through both generations
         assert {(r["row"], r["col"]): r["cnt"]
                 for r in countmin_read(spark, p2).collect()} == base
+
+
+class TestGroupedHll:
+    """Sparse per-group HLL (operators/sketch.py::hll_registers_grouped /
+    hll_estimate_grouped): sparse == dense arithmetic, merge law."""
+
+    def test_sparse_estimate_matches_dense(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_estimate,
+            hll_estimate_grouped,
+            hll_registers,
+            hll_registers_grouped,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(f"k{i % 97}", "g") for i in range(500)], "key string, grp string"
+        )
+        dense = hll_estimate(hll_registers(df, "key")).first()["hll_estimate"]
+        sparse = hll_estimate_grouped(
+            hll_registers_grouped(df, "key", "grp"), "grp"
+        ).first()["hll_estimate"]
+        assert sparse == dense
+
+    def test_register_max_merge_equals_union_sketch(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_estimate_grouped,
+            hll_registers_grouped,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [(f"k{i}", "a" if i % 2 == 0 else "b") for i in range(300)]
+        df = spark.createDataFrame(rows, "key string, grp string")
+        sparse = hll_registers_grouped(df, "key", "grp")
+        merged = (
+            sparse.groupBy("reg")
+            .agg(F.max("m_rank").alias("m_rank"))
+            .withColumn("grp", F.lit("u"))
+        )
+        est_merged = hll_estimate_grouped(merged, "grp").first()["hll_estimate"]
+        union = df.withColumn("grp", F.lit("u"))
+        est_union = hll_estimate_grouped(
+            hll_registers_grouped(union, "key", "grp"), "grp"
+        ).first()["hll_estimate"]
+        assert est_merged == est_union
+
+    def test_sparse_rows_all_positive_rank(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            hll_registers_grouped,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(f"k{i}", f"g{i % 3}") for i in range(100)], "key string, grp string"
+        )
+        sparse = hll_registers_grouped(df, "key", "grp")
+        assert sparse.filter(F.col("m_rank") < 1).count() == 0
