@@ -354,3 +354,46 @@ class TestHilbert:
         orders = spark.read.parquet(f"{SF}/orders.parquet")
         with pytest.raises(ValueError):
             hilbert_write(orders, str(tmp_path / "h3"), ["o_custkey"])
+
+
+class TestDynamicPartitionPruning:
+    """Runtime partition pruning: a date-partitioned fact joined to a
+    selectively-filtered dim must plan a ``dynamicpruningexpression``
+    in the fact scan's PartitionFilters — at 100 TB this is the
+    difference between scanning a week and scanning the table.  (The
+    STATIC twin — literal `isin` PartitionFilters on persisted
+    ANN/BM25 indexes — is gated in test_ivf_index/test_bm25_index;
+    this covers the runtime-subquery form Catalyst inserts itself.)"""
+
+    def test_dpp_fires_and_values_match(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            _events,
+        )
+
+        ev = _events(spark, SF)
+        fact = ev.withColumn("event_date", F.to_date("ts"))
+        fact.write.partitionBy("event_date").parquet(str(tmp_path / "fact"))
+        dim = (
+            fact.select("event_date")
+            .distinct()
+            .withColumn("wk", F.weekofyear("event_date"))
+        )
+        dim.write.parquet(str(tmp_path / "dim"))
+
+        f2 = spark.read.parquet(str(tmp_path / "fact"))
+        d2 = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("wk") == 2)
+        j = f2.join(d2, "event_date").groupBy("event_date").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+        # pruning is a scan optimization, never a semantics change
+        got = {(str(r["event_date"]), r["count"]) for r in j.collect()}
+        want = {
+            (str(r["event_date"]), r["count"])
+            for r in fact.withColumn("wk", F.weekofyear("event_date"))
+            .filter(F.col("wk") == 2)
+            .groupBy("event_date")
+            .count()
+            .collect()
+        }
+        assert got == want and len(got) > 0
