@@ -435,6 +435,12 @@ _register("ann_lsh_multiprobe_search", _ann_lsh_multiprobe, _DD_ANN_LSH_MULTI)
 # every top-k ties on (distance, id), making the winner sets — and
 # therefore the recall ratios — exactly SQL-replayable.
 _RECALL_QMOD = 53
+# Same scale fix as ann_ivfpq_recall_trained (round 8): the modulo draw
+# alone grows Q with the corpus and the exact ground truth is N x Q.
+# Capping the query ids pins Q from sf0.01 up and is a no-op at both
+# gated fixtures (all their ids are < 2000); the oracle carries the
+# same predicate.
+_RECALL_QCAP = 2000
 _RECALL_QRES = 11
 _RECALL_NPROBES = (1, 2, 4)
 
@@ -446,7 +452,10 @@ def _ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
-    queries = emb.filter(F.col("vec_id") % _RECALL_QMOD == _RECALL_QRES).select(
+    queries = emb.filter(
+        (F.col("vec_id") % _RECALL_QMOD == _RECALL_QRES)
+        & (F.col("vec_id") < _RECALL_QCAP)
+    ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return recall_sweep(
@@ -457,7 +466,7 @@ def _ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DD_RECALL_SWEEP = f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qvec FROM embeddings
-  WHERE vec_id % {_RECALL_QMOD} = {_RECALL_QRES}
+  WHERE vec_id % {_RECALL_QMOD} = {_RECALL_QRES} AND vec_id < {_RECALL_QCAP}
 ),
 cent AS (
   SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENTROIDS}

@@ -535,6 +535,7 @@ _register("stream_pq_index_replay", _stream_pq_index_replay, _DD_IVFPQ_IDX)
 # ==========================================================================
 
 _PQR_QMOD, _PQR_QRES = 97, 9
+_PQR_QCAP = 2000  # same Q-cap scale fix as _PQT_QCAP below
 _PQR_NPROBES = (1, 2, 4)
 
 
@@ -543,7 +544,9 @@ def _ann_ivfpq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, centroids, books = _ivfpq_fixture(spark, sf_dir)
     enc = ivfpq_encode(emb, centroids, books, payload_cols=["vec_id"])
-    queries = emb.filter(F.col("vec_id") % _PQR_QMOD == _PQR_QRES).select(
+    queries = emb.filter(
+        (F.col("vec_id") % _PQR_QMOD == _PQR_QRES) & (F.col("vec_id") < _PQR_QCAP)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     nq = queries.agg(F.count(F.lit(1)).alias("_nq"))
@@ -591,7 +594,7 @@ def _ann_ivfpq_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DD_IVFPQ_RECALL = f"""
 WITH q AS MATERIALIZED (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings
-  WHERE vec_id % {_PQR_QMOD} = {_PQR_QRES}
+  WHERE vec_id % {_PQR_QMOD} = {_PQR_QRES} AND vec_id < {_PQR_QCAP}
 ),
 nq AS (SELECT count(*)::BIGINT AS nq FROM q),
 exact5 AS MATERIALIZED (
