@@ -78,6 +78,9 @@ HEADLINE = [
     "ann_hnsw_probe",  # r8: HNSW serving path — persisted artifact, probe-only timing (VERDICT r7 #3)
     "tpch_q9_product_profit",  # r8: widest of the six new TPC-H analogs (5-relation join + cents-quantized agg)
     "serve_mmr_rerank",  # r8: MMR diversification — exact cosine pool + integer greedy chain
+    "pref_bt_source_strength",  # r8: Bradley-Terry MM fixed point over the bounded pair matrix
+    "serve_context_expansion",  # r8: small-to-big retrieval (broadcast neighbor stitch on the e2e ingest path)
+    "layout_hilbert_report",  # r8: Hilbert-curve clustering index, pure codegen bit walk
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%
