@@ -151,3 +151,86 @@ def shard_export_jsonl(
         .partitionBy("shard")
         .json(path)
     )
+
+
+def hrw_shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "hrw",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment:
+    ``shard(id) = argmax_s md5(salt § s § id)`` (Thaler & Ravishankar
+    1998 — the consistent-hashing scheme with NO ring state).
+
+    Why it exists next to :func:`shard_assign`: modulo sharding
+    reshuffles (n-1)/n of every row's placement when ``n_shards``
+    changes, so growing a 100 TB training-shard layout from 512 to 513
+    shards rewrites essentially all of it.  Under HRW a row moves ONLY
+    if the new shard wins its argmax — an expected 1/(n+1) of rows —
+    so elastic re-sharding rewrites ~1/(n+1) of the bytes.  The
+    assignment is a pure codegen projection over a literal shard array
+    (n_shards md5 terms per row, no shuffle, no state); the argmax
+    tie-break is (weight, shard_id) and every term is the same
+    portable md5 the rest of the engine hashes with, so the oracle
+    replays it cell-for-cell.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    id_str = F.col(id_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws("§", F.lit(salt), F.lit(str(s)), id_str)
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long").alias("w"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).cast("long").alias("w"), F.lit(-1).alias("s")),
+        lambda acc, x: F.when(
+            (x["w"] > acc["w"]) | ((x["w"] == acc["w"]) & (x["s"] < acc["s"])), x
+        ).otherwise(acc),
+    )
+    return df.withColumn(shard_col, best["s"])
+
+
+def hrw_resize_churn(
+    df: DataFrame,
+    n_before: int,
+    n_after: int,
+    id_col: str = "doc_id",
+    salt: str = "hrw",
+) -> DataFrame:
+    """The elastic-resharding report: per-(before, after) shard-pair
+    row counts plus the moved flag — ``sum(moved)/count`` is the churn
+    fraction, expected ``1 - min(n)/max(n)`` for nested HRW resizes
+    (exactly the rows whose argmax lands in the added/removed shards).
+    Modulo sharding's churn on the same resize is reported alongside
+    for contrast."""
+    both = hrw_shard_assign(
+        hrw_shard_assign(df, n_before, id_col, salt, shard_col="shard_before"),
+        n_after, id_col, salt, shard_col="shard_after",
+    )
+    h = _stable_hash(id_col, "shard")
+    return both.select(
+        "shard_before",
+        "shard_after",
+        (F.col("shard_before") != F.col("shard_after")).alias("moved_hrw"),
+        ((h % n_before) != (h % n_after)).alias("moved_mod"),
+    ).groupBy("shard_before", "shard_after").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("moved_hrw").cast("long")).alias("n_moved_hrw"),
+        F.sum(F.col("moved_mod").cast("long")).alias("n_moved_mod"),
+    )

@@ -118,3 +118,50 @@ SELECT doc_id, n_tokens FROM (
 
 
 # ==========================================================================
+
+
+# ---- rendezvous (HRW) sharding + elastic-resize churn (round 8) -----------
+# operators/export.py::hrw_shard_assign / hrw_resize_churn.  Modulo
+# sharding moves ~(1 - 1/n) of all rows on any resize; HRW moves only
+# the rows whose argmax lands in the added shards — expected
+# 1 - n_before/n_after for a nested grow.  The entry gates BOTH
+# counters on the same relation so the contrast is in the record.
+
+_HRW_BEFORE, _HRW_AFTER = 8, 10
+
+
+def _train_shard_hrw_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.export import hrw_resize_churn
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hrw_resize_churn(docs, _HRW_BEFORE, _HRW_AFTER, id_col="doc_id")
+
+
+def _dd_hrw(n: int, alias: str) -> str:
+    return f"""{alias} AS (
+  SELECT doc_id, s AS {alias}_s
+  FROM (
+    SELECT d.doc_id, s.s,
+           ('0x' || substr(md5('hrw' || '§' || s.s::VARCHAR || '§' || d.doc_id::VARCHAR), 1, 8))::BIGINT AS w
+    FROM documents d, (SELECT unnest(range(0, {n})) AS s) s
+  )
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) = 1
+)"""
+
+
+_DD_HRW_CHURN = f"""
+WITH {_dd_hrw(_HRW_BEFORE, "hb")},
+{_dd_hrw(_HRW_AFTER, "ha").lstrip()},
+modh AS (
+  SELECT doc_id, {_DD_SHARD_HASH} AS h FROM documents
+)
+SELECT hb.hb_s AS shard_before,
+       ha.ha_s AS shard_after,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN hb.hb_s != ha.ha_s THEN 1 ELSE 0 END)::BIGINT AS n_moved_hrw,
+       sum(CASE WHEN (m.h % {_HRW_BEFORE}) != (m.h % {_HRW_AFTER}) THEN 1 ELSE 0 END)::BIGINT AS n_moved_mod
+FROM hb JOIN ha USING (doc_id) JOIN modh m USING (doc_id)
+GROUP BY 1, 2
+"""
+
+_register("train_shard_hrw_churn", _train_shard_hrw_churn, _DD_HRW_CHURN)

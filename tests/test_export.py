@@ -170,3 +170,75 @@ class TestJsonlExport:
                         for line in fh if line.strip()
                     ]
             assert keys == sorted(keys), f"unsorted lines in {shard_dir}"
+
+
+class TestHrwSharding:
+    """Rendezvous sharding (operators/export.py::hrw_shard_assign):
+    the minimal-churn property that modulo sharding lacks."""
+
+    @pytest.fixture(scope="class")
+    def ids(self, spark):
+        return spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+
+    def test_assignment_in_range_and_deterministic(self, spark, ids):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.export import (
+            hrw_shard_assign,
+        )
+
+        a = hrw_shard_assign(ids, 8).collect()
+        assert all(0 <= r["shard"] < 8 for r in a)
+        b = {r["doc_id"]: r["shard"] for r in hrw_shard_assign(ids.repartition(7), 8).collect()}
+        assert all(b[r["doc_id"]] == r["shard"] for r in a)
+
+    def test_grow_moves_only_to_new_shards(self, spark, ids):
+        """The rendezvous invariant: on a nested grow, a row either
+        keeps its shard or moves to one of the ADDED shards — never
+        between surviving shards."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.export import (
+            hrw_shard_assign,
+        )
+
+        before = {r["doc_id"]: r["shard"] for r in hrw_shard_assign(ids, 8).collect()}
+        after = {r["doc_id"]: r["shard"] for r in hrw_shard_assign(ids, 10).collect()}
+        moved = {k for k in before if before[k] != after[k]}
+        assert all(after[k] >= 8 for k in moved)
+
+    def test_churn_fraction_beats_modulo(self, spark, ids):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.export import (
+            hrw_resize_churn,
+        )
+
+        agg = (
+            hrw_resize_churn(ids, 8, 10, id_col="doc_id")
+            .agg(
+                F.sum("n_rows").alias("n"),
+                F.sum("n_moved_hrw").alias("hrw"),
+                F.sum("n_moved_mod").alias("mod"),
+            )
+            .first()
+        )
+        hrw_frac = agg["hrw"] / agg["n"]
+        mod_frac = agg["mod"] / agg["n"]
+        # expected 1 - 8/10 = 0.2 for HRW; ~0.9 for modulo
+        assert 0.12 < hrw_frac < 0.28, hrw_frac
+        assert mod_frac > 0.7, mod_frac
+
+    def test_balance_roughly_uniform(self, spark, ids):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.export import (
+            hrw_shard_assign,
+        )
+
+        counts = [
+            r["count"]
+            for r in hrw_shard_assign(ids, 8).groupBy("shard").count().collect()
+        ]
+        assert len(counts) == 8
+        assert max(counts) < 2 * min(counts)
+
+    def test_rejects_bad_n(self, spark, ids):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.export import (
+            hrw_shard_assign,
+        )
+
+        with pytest.raises(ValueError):
+            hrw_shard_assign(ids, 0)
