@@ -382,3 +382,58 @@ FROM {prev} GROUP BY 1
 
 
 _register("layout_hilbert_report", _layout_hilbert_report, _dd_hilbert_sql())
+
+
+# ==========================================================================
+# Exact triangle counting (round 8) — operators/graph.py::triangle_stats
+# over the co-purchase graph (parts sharing an order).  Degree
+# orientation (Suri & Vassilvitskii 2011) generates each wedge at its
+# lowest-(degree, id) vertex, capping wedge fan-out at O(sqrt(|E|)) per
+# vertex regardless of skew; each triangle is produced exactly once.
+# All counters integers; the clustering coefficient is the one rounded
+# float.  The oracle replays orientation, wedge join, and closing
+# semi-join literally.
+# ==========================================================================
+
+
+def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return triangle_stats(copurchase_edges(li))
+
+
+_DD_TRIANGLES = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+deg AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN dv.deg ELSE du.deg END AS ddeg
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e2.src = e1.src
+   AND ((e1.ddeg < e2.ddeg) OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+  WHERE EXISTS (
+    SELECT 1 FROM oriented e3 WHERE e3.src = e1.dst AND e3.dst = e2.dst
+  )
+),
+ne AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+nw AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT n_edges, n_wedges, n_triangles,
+       round(3.0 * n_triangles / n_wedges, 4) AS global_clustering
+FROM ne, nw, tri
+"""
+
+_register("graph_triangles_copurchase", _graph_triangles, _DD_TRIANGLES)

@@ -157,3 +157,80 @@ class TestPagerankDangling:
     def test_rejects_bad_dangling(self, spark):
         with pytest.raises(ValueError, match="dangling"):
             pagerank(self._df(spark), dangling="teleport")
+
+
+class TestTriangles:
+    """Exact triangle counting (operators/graph.py::triangle_stats):
+    hand-built graphs with known counts, skew-orientation invariant."""
+
+    def _stats(self, spark, edge_list):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            triangle_stats,
+        )
+
+        e = spark.createDataFrame(edge_list, "u long, v long")
+        return triangle_stats(e).first()
+
+    def test_single_triangle(self, spark):
+        r = self._stats(spark, [(1, 2), (1, 3), (2, 3)])
+        assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (3, 3, 1)
+        assert r["global_clustering"] == 1.0
+
+    def test_k4_has_four_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        r = self._stats(spark, k4)
+        assert r["n_triangles"] == 4
+        assert r["n_wedges"] == 12  # 4 vertices * C(3,2)
+        assert r["global_clustering"] == 1.0
+
+    def test_star_has_no_triangles(self, spark):
+        """The 'curse of the last reducer' shape: a hub with many
+        spokes.  Degree orientation points every edge INTO the hub, so
+        no wedge is ever generated there."""
+        star = [(0, i) for i in range(1, 40)]
+        r = self._stats(spark, star)
+        assert r["n_triangles"] == 0
+        assert r["n_wedges"] == 39 * 38 // 2
+
+    def test_square_with_diagonal(self, spark):
+        # C4 + one diagonal: exactly 2 triangles
+        r = self._stats(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)])
+        assert r["n_triangles"] == 2
+
+    def test_matches_numpy_reference_on_random_graph(self, spark):
+        import itertools
+
+        # deterministic pseudo-random graph via a fixed LCG
+        seed, edges = 12345, set()
+        for _ in range(260):
+            seed = (seed * 1103515245 + 12345) % (1 << 31)
+            a = seed % 25
+            seed = (seed * 1103515245 + 12345) % (1 << 31)
+            b = seed % 25
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        adj = {n: set() for n in range(25)}
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(range(25), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        r = self._stats(spark, sorted(edges))
+        assert r["n_triangles"] == want > 0
+
+    def test_copurchase_edges_distinct_and_ordered(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            copurchase_edges,
+        )
+        from pyspark.sql import functions as F2
+
+        li = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 10), (2, 20), (2, 10), (3, 30)],
+            "l_orderkey long, l_partkey long",
+        )
+        got = {(r["u"], r["v"]) for r in copurchase_edges(li).collect()}
+        assert got == {(10, 20)}  # dup rows + both orders collapse
+        assert copurchase_edges(li).filter(F2.col("u") >= F2.col("v")).count() == 0
