@@ -233,3 +233,54 @@ def profile_drift(before: DataFrame, after: DataFrame) -> DataFrame:
         F.round(F.col("_a_dist_ratio") - F.col("_b_dist_ratio"), 6).alias("distinct_ratio_delta"),
         F.round(F.col("_a_mean") - F.col("_b_mean"), 6).alias("mean_delta"),
     )
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    id_col: str = "doc_id",
+    hash_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level dataset diff — the data-version-control primitive
+    (what a Delta/lakeFS-style diff shows between two corpus
+    snapshots): every id classified ``added`` / ``removed`` /
+    ``changed`` / ``unchanged``.
+
+    ``changed`` is decided by a portable md5 content hash over
+    ``hash_cols`` (default: every shared non-id column, in column-name
+    order), with nulls pinned to a sentinel so null vs '' differ.  One
+    full-outer join keyed on the id — both sides shuffle once on the
+    key and only (id, 16-byte hash) cross the exchange, never the
+    payload, so a 100 TB-vs-100 TB diff moves ids and hashes only.
+
+    Returns ``(id, status, hash_before, hash_after)``; aggregate for
+    the summary, filter for the change-feed.
+    """
+    if hash_cols is None:
+        shared = [c for c in before.columns if c in set(after.columns) and c != id_col]
+        hash_cols = sorted(shared)
+    if not hash_cols:
+        raise ValueError("snapshot_diff needs at least one hash column")
+
+    def content_hash(df: DataFrame) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "§",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                    for c in hash_cols
+                ],
+            )
+        )
+        return df.select(F.col(id_col), h.alias("_h"))
+
+    b = content_hash(before).withColumnRenamed("_h", "hash_before")
+    a = content_hash(after).withColumnRenamed("_h", "hash_after")
+    joined = b.join(a, id_col, "full_outer")
+    status = (
+        F.when(F.col("hash_before").isNull(), F.lit("added"))
+        .when(F.col("hash_after").isNull(), F.lit("removed"))
+        .when(F.col("hash_before") != F.col("hash_after"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(id_col, status.alias("status"), "hash_before", "hash_after")

@@ -1148,3 +1148,76 @@ WITH s AS (
 
 
 # ==========================================================================
+
+
+# ---- row-level snapshot diff (round 8) — operators/profile.py ------------
+# The data-version-control primitive next to the statistical
+# profile_drift: every id classified added/removed/changed/unchanged by
+# a portable md5 content hash; only (id, hash) pairs cross the
+# full-outer join's exchange.  The "after" snapshot is synthesized
+# deterministically from documents on both engines: ids % 7 == 0
+# dropped, ids % 5 == 0 text-uppercased, ids % 11 == 0 re-keyed above
+# max(doc_id) as additions.
+
+def _corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "lang", "source")
+    mx = base.agg((F.max("doc_id") + 1).alias("_m"))
+    kept = base.filter(F.col("doc_id") % 7 != 0)
+    changed = F.when(F.col("doc_id") % 5 == 0, F.upper(F.col("text"))).otherwise(
+        F.col("text")
+    )
+    after = kept.select("doc_id", changed.alias("text"), "lang", "source")
+    additions = (
+        base.filter(F.col("doc_id") % 11 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("doc_id") + F.col("_m")).alias("doc_id"),
+            "text", "lang", "source",
+        )
+    )
+    diff = snapshot_diff(base, after.unionAll(additions), id_col="doc_id")
+    return (
+        diff.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+_DD_SNAPSHOT_DIFF = """
+WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+mx AS (SELECT max(doc_id) + 1 AS m FROM base),
+after AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text,
+         lang, source
+  FROM base WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + mx.m, text, lang, source FROM base, mx WHERE doc_id % 11 = 0
+),
+hb AS (
+  SELECT doc_id,
+         md5(coalesce(lang, '<NULL>') || '§' || coalesce(source, '<NULL>')
+             || '§' || coalesce(text, '<NULL>')) AS h
+  FROM base
+),
+ha AS (
+  SELECT doc_id,
+         md5(coalesce(lang, '<NULL>') || '§' || coalesce(source, '<NULL>')
+             || '§' || coalesce(text, '<NULL>')) AS h
+  FROM after
+),
+diff AS (
+  SELECT CASE WHEN hb.h IS NULL THEN 'added'
+              WHEN ha.h IS NULL THEN 'removed'
+              WHEN hb.h != ha.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM hb FULL OUTER JOIN ha USING (doc_id)
+)
+SELECT status, count(*)::BIGINT AS n_docs
+FROM diff GROUP BY status ORDER BY status
+"""
+
+_register("corpus_snapshot_diff", _corpus_snapshot_diff, _DD_SNAPSHOT_DIFF)

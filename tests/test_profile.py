@@ -189,3 +189,97 @@ class TestDegenerateInputs:
         for r in rows:
             assert r["n_rows_after"] == 0
             assert r["null_frac_delta"] is None  # NULL ratios, not a crash
+
+
+class TestSnapshotDiff:
+    """Row-level dataset diff (operators/profile.py::snapshot_diff)."""
+
+    def _frames(self, spark):
+        before = spark.createDataFrame(
+            [(1, "a", "en"), (2, "b", "en"), (3, "c", "zh"), (4, None, "en")],
+            "doc_id long, text string, lang string",
+        )
+        after = spark.createDataFrame(
+            [(1, "a", "en"), (2, "B", "en"), (4, "", "en"), (5, "new", "de")],
+            "doc_id long, text string, lang string",
+        )
+        return before, after
+
+    def test_statuses(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            snapshot_diff,
+        )
+
+        before, after = self._frames(spark)
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(before, after, id_col="doc_id").collect()
+        }
+        assert got == {
+            1: "unchanged",
+            2: "changed",
+            3: "removed",
+            4: "changed",  # null -> '' must count as a change
+            5: "added",
+        }
+
+    def test_null_vs_empty_distinct(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            snapshot_diff,
+        )
+
+        before, after = self._frames(spark)
+        r = {
+            x["doc_id"]: x
+            for x in snapshot_diff(before, after, id_col="doc_id").collect()
+        }
+        assert r[4]["hash_before"] != r[4]["hash_after"]
+
+    def test_explicit_hash_cols_narrow_the_diff(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            snapshot_diff,
+        )
+
+        before, after = self._frames(spark)
+        # hashing only lang: row 2's text change becomes invisible
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(
+                before, after, id_col="doc_id", hash_cols=["lang"]
+            ).collect()
+        }
+        assert got[2] == "unchanged"
+
+    def test_requires_hash_columns(self, spark):
+        import pytest as _pytest
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            snapshot_diff,
+        )
+
+        ids_only = spark.createDataFrame([(1,)], "doc_id long")
+        with _pytest.raises(ValueError):
+            snapshot_diff(ids_only, ids_only, id_col="doc_id")
+
+    def test_only_id_and_hash_cross_the_exchange(self, spark):
+        """The payload must not shuffle: every Exchange input carries
+        only the id and the 16-byte hash."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            snapshot_diff,
+        )
+
+        before, after = self._frames(spark)
+        plan = (
+            snapshot_diff(before, after, id_col="doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # every exchange partitions on the id alone, and both join
+        # inputs are md5 projections — the payload is hashed before it
+        # could ever reach a shuffle
+        import re
+
+        exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+        assert exchanges and all(c == "doc_id" for c in exchanges), exchanges
+        assert plan.count("md5") >= 2
