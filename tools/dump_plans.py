@@ -149,6 +149,25 @@ SECTIONS = [
      "zero-exchange flagship probe shape returns. Compaction itself is one "
      "reconciled scan repartitioned by centroid_id — one file set per inverted "
      "list, the small-files payback."),
+    ("tpch_q9_product_profit", "TPC-H Q9 analog (5-relation join, synthesized PARTSUPP)",
+     "The widest of the r8 partsupp analogs: part/supplier/nation broadcast, the "
+     "synthesized partsupp and lineitem hash-join on (partkey, suppkey), and every "
+     "money product quantizes to integer cents BEFORE the groupBy's partial "
+     "aggregate — the shuffle carries one (nation, year) cell per task."),
+    ("graph_triangles_copurchase", "Triangle counting (degree-oriented wedge join)",
+     "Degree orientation bounds each vertex's wedge fan-out at O(sqrt(E)) — the "
+     "Exchange feeding the wedge self-join is keyed on the apex vertex, the closing "
+     "edge check is a LeftSemi hash join on (b, c), and every counter is a long; "
+     "no window, no driver-side graph state."),
+    ("serve_context_expansion", "Small-to-big retrieval (broadcast neighbor stitch)",
+     "The k-hit relation explodes to wanted pages and broadcasts "
+     "(BroadcastHashJoin, build side = hits): the corpus side is scanned once with "
+     "no shuffle and only matching neighbor rows reach the grouped ordered stitch."),
+    ("pref_bt_source_strength", "Bradley-Terry fixed point (bounded pair matrix)",
+     "The match log aggregates once into the players^2 pair matrix; each MM "
+     "iteration joins the checkpointed strength relation twice and re-aggregates — "
+     "every exchange in the loop is bounded by the player count, never the corpus, "
+     "and every arithmetic op is an exact integer floor."),
 ]
 
 
