@@ -1,0 +1,348 @@
+# ==========================================================================
+# Analytics breadth (round 8, session 2) — four relational/text shapes
+# that round out the SQL surface a reference user would expect:
+#
+#   * window_function_breadth     — ntile / percent_rank / cume_dist /
+#                                   lag / lead / first_value / nth_value
+#                                   in one pass (single sort, one window
+#                                   spec — Catalyst collapses all seven
+#                                   into one Window exec).
+#   * join_not_in_vs_not_exists   — NOT IN's three-valued-logic vs NOT
+#                                   EXISTS on a NULLable key: Spark plans
+#                                   the NOT IN form as a null-aware anti
+#                                   join (NAAJ), the NOT EXISTS form as a
+#                                   plain left-anti; the entry gates both
+#                                   counts so the semantic gap (NULL keys
+#                                   kept by NOT EXISTS, dropped by NOT
+#                                   IN) is pinned cross-engine.
+#   * text_pmi_collocations       — pointwise mutual information over
+#                                   corpus bigrams: the classic
+#                                   collocation detector (Church & Hanks
+#                                   1990).  Ranking uses the exact
+#                                   rational (c_ab·NU²)/(NB·c_a·c_b) so
+#                                   the winner set is libm-independent;
+#                                   ln() appears only in the rounded
+#                                   display column.
+#   * events_attribution_last_touch — last-touch revenue attribution
+#                                   with a 7-day lookback, computed
+#                                   shuffle-once per user via
+#                                   last(ignorenulls) carry windows —
+#                                   no purchase×touch range join.
+#
+# Scale notes: all four are single-shuffle shapes.  The window entry
+# shuffles once on the partition key; NOT IN's NAAJ broadcasts the
+# 15-nation subquery; PMI's three count aggregates are map-side partial
+# over the token explode; attribution shuffles events once on user_id
+# and every window reuses that ordering.
+# ==========================================================================
+from __future__ import annotations
+
+from ._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    Window,
+    _DD_NORMALIZE,
+    _events,
+    _register,
+    _t,
+    dd_sql,
+)
+from ..functions.text import normalize_whitespace_col
+
+
+# --------------------------------------------------------------------------
+# 1. Window-function breadth: one Window spec, seven functions.
+# --------------------------------------------------------------------------
+
+
+def _window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline annotated with every rank/offset
+    window family in one pass: row_number, ntile(4), percent_rank,
+    cume_dist, lag/lead(o_totalprice), first_value and nth_value(2).
+    One shuffle (partitionBy o_custkey), one sort — all seven functions
+    share the frame, so Catalyst emits a single Window operator."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
+
+
+_register(
+    "window_function_breadth",
+    _window_breadth,
+    """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS rn,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_totalprice, 1) OVER w AS next_price,
+       first_value(o_totalprice) OVER wf AS first_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# 2. NOT IN vs NOT EXISTS on a NULLable key (null-aware anti join).
+#
+# Left key: c_nationkey masked to NULL for customers in arrears
+# (c_acctbal < 0 — 122 of 1500 rows at sf0.01).  Subquery: nations with
+# a well-capitalized supplier (s_acctbal > 7000 — 15 of 25 nations, so
+# the anti joins are non-vacuous).  NOT IN drops NULL-keyed rows
+# (NULL <> x is UNKNOWN); NOT EXISTS keeps them (no row satisfies the
+# correlation, so the anti condition holds) — the two counts differ by
+# exactly the masked-row population that has no nation match.
+# Spark plans the NOT IN form as a BroadcastNestedLoopJoin-backed
+# null-aware anti join; the NOT EXISTS form is a plain broadcast
+# left-anti.
+# --------------------------------------------------------------------------
+
+_NIN_MASK = "CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END"
+_NIN_SUB = "SELECT s_nationkey FROM supplier WHERE s_acctbal > 7000"
+
+
+def _not_in_vs_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    cust.createOrReplaceTempView("_nin_customer")
+    supp.createOrReplaceTempView("_nin_supplier")
+    return spark.sql(
+        f"""
+        WITH masked AS (
+          SELECT {_NIN_MASK} AS key FROM _nin_customer
+        ),
+        sub AS ({_NIN_SUB.replace("supplier", "_nin_supplier")})
+        SELECT 'not_in' AS semantics, CAST(count(*) AS BIGINT) AS n_rows
+        FROM masked WHERE key NOT IN (SELECT s_nationkey FROM sub)
+        UNION ALL
+        SELECT 'not_exists' AS semantics, CAST(count(*) AS BIGINT) AS n_rows
+        FROM masked m
+        WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.s_nationkey = m.key)
+        """
+    )
+
+
+_register(
+    "join_not_in_vs_not_exists",
+    _not_in_vs_not_exists,
+    f"""
+WITH masked AS (SELECT {_NIN_MASK} AS key FROM customer),
+sub AS ({_NIN_SUB})
+SELECT 'not_in' AS semantics, count(*)::BIGINT AS n_rows
+FROM masked WHERE key NOT IN (SELECT s_nationkey FROM sub)
+UNION ALL
+SELECT 'not_exists' AS semantics, count(*)::BIGINT AS n_rows
+FROM masked m
+WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.s_nationkey = m.key)
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# 3. PMI collocations.  pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with
+# p(a,b) = c_ab/NB over bigrams and p(a) = c_a/NU over unigrams, i.e.
+# ln( (c_ab·NU·NU) / (NB·c_a·c_b) ).  The ratio is computed as one
+# division of two identically-parenthesized double products of BIGINTs,
+# so it is bit-identical cross-engine and safe to ORDER BY; ln() is
+# display-only (rounded 4).  min-count floor keeps the rare-pair noise
+# (c_ab = 1 maximizes PMI) out of the ranking, as in the original paper.
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+
+
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus collocations by PMI.  Three map-side-partial count
+    aggregates over one token explode; the unigram join is a broadcast
+    (vocab-sized); the final top-k is TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(normalize_whitespace_col("text")), " ")
+    # No checkpoint: the tokenized corpus is re-derived per branch — at
+    # scale a double parquet scan is cheaper than pinning tokens in memory.
+    staged = docs.select(words.alias("_w"))
+    uni = (
+        staged.select(F.explode("_w").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    k = F.size("_w") - 1
+    big = (
+        staged.select(
+            F.explode(
+                F.when(
+                    k >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), k),
+                        lambda i: F.struct(
+                            F.element_at("_w", i).alias("wa"),
+                            F.element_at("_w", i + 1).alias("wb"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("bg")
+        )
+        .select("bg.wa", "bg.wb")
+        .filter((F.col("wa") != "") & (F.col("wb") != ""))
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    nu = uni.agg(F.sum("c").cast("long").alias("nu"))
+    nb = big.agg(F.sum("c_ab").cast("long").alias("nb_hits"))
+    ua = uni.select(F.col("w").alias("wa"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c").alias("c_b"))
+    scored = (
+        big.join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "_ratio",
+            (F.col("c_ab").cast("double") * F.col("nu") * F.col("nu"))
+            / (F.col("nb_hits").cast("double") * F.col("c_a") * F.col("c_b")),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_ratio").desc(), "wa", "wb")
+        .limit(_PMI_TOP)
+        .select(
+            "wa", "wb", "c_ab", "c_a", "c_b",
+            F.round(F.log("_ratio"), 4).alias("pmi"),
+        )
+    )
+
+
+_register(
+    "text_pmi_collocations",
+    _pmi_collocations,
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim({dd_sql(_DD_NORMALIZE, col="text")}), ' ') AS w
+  FROM documents
+),
+uni AS (
+  SELECT u.w AS w, count(*)::BIGINT AS c
+  FROM toks, unnest(w) AS u(w) WHERE u.w != '' GROUP BY 1
+),
+big AS (
+  SELECT w[i] AS wa, w[i + 1] AS wb, count(*)::BIGINT AS c_ab
+  FROM toks, unnest(range(1, len(w))) AS t(i)
+  WHERE w[i] != '' AND w[i + 1] != ''
+  GROUP BY 1, 2
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+),
+nu AS (SELECT sum(c)::BIGINT AS nu FROM uni),
+nb AS (SELECT sum(c_ab)::BIGINT AS nb_hits FROM big),
+scored AS (
+  SELECT big.wa, big.wb, big.c_ab, ua.c AS c_a, ub.c AS c_b,
+         (big.c_ab::DOUBLE * nu.nu * nu.nu)
+           / (nb.nb_hits::DOUBLE * ua.c * ub.c) AS _ratio
+  FROM big JOIN uni ua ON ua.w = big.wa JOIN uni ub ON ub.w = big.wb, nu, nb
+)
+SELECT wa, wb, c_ab, c_a, c_b, round(ln(_ratio), 4) AS pmi
+FROM scored
+ORDER BY _ratio DESC, wa, wb
+LIMIT {_PMI_TOP}
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# 4. Last-touch attribution with a 7-day lookback.  The naive form is a
+# purchase×touch range join; the shuffle-once form unions nothing — it
+# annotates the ONE per-user event timeline with last(touch_ms
+# ignorenulls) / last(touch_type ignorenulls) carry windows (both read
+# the same deterministic (ts, event_id) order, so they pick the same
+# carrying row), then filters purchases by the millisecond gap.  Gap
+# math is BIGINT epoch-millis on both engines.
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_MS = 7 * 24 * 3600 * 1000
+
+
+def _attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_millis("ts").alias("ms"),
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    staged = ev.select(
+        "*",
+        F.when(is_touch, F.col("ms")).alias("_touch_ms"),
+        F.when(is_touch, F.col("event_type")).alias("_touch_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = staged.select(
+        "*",
+        F.last("_touch_ms", ignorenulls=True).over(w).alias("last_ms"),
+        F.last("_touch_type", ignorenulls=True).over(w).alias("last_type"),
+    ).filter(F.col("event_type") == "purchase")
+    attributed = carried.select(
+        F.when(
+            F.col("last_ms").isNotNull()
+            & (F.col("ms") - F.col("last_ms") <= _ATTR_WINDOW_MS),
+            F.col("last_type"),
+        )
+        .otherwise(F.lit("unattributed"))
+        .alias("touch"),
+        "value",
+    )
+    return attributed.groupBy("touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("revenue"),
+    )
+
+
+_register(
+    "events_attribution_last_touch",
+    _attribution_last_touch,
+    f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_ms(ts)::BIGINT AS ms,
+         CASE WHEN event_type IN ('click', 'view') THEN epoch_ms(ts)::BIGINT END AS _touch_ms,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END AS _touch_type
+  FROM events
+),
+carried AS (
+  SELECT *,
+         last_value(_touch_ms IGNORE NULLS) OVER w AS last_ms,
+         last_value(_touch_type IGNORE NULLS) OVER w AS last_type
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+attributed AS (
+  SELECT CASE WHEN last_ms IS NOT NULL AND ms - last_ms <= {_ATTR_WINDOW_MS}
+              THEN last_type ELSE 'unattributed' END AS touch,
+         value
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT touch, count(*)::BIGINT AS n_purchases, round(sum(value), 2) AS revenue
+FROM attributed GROUP BY touch
+""",
+)
