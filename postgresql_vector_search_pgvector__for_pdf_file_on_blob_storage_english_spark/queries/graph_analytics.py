@@ -437,3 +437,79 @@ FROM ne, nw, tri
 """
 
 _register("graph_triangles_copurchase", _graph_triangles, _DD_TRIANGLES)
+
+
+# ==========================================================================
+# Connected components (round 8, session 2) — operators/graph.py::
+# connected_components, alternating large-star/small-star contraction
+# (Kiveris et al. 2014).  Workload: "order episodes" — consecutive
+# orders of the same customer at most 30 days apart form a chain; the
+# components are the episodes, and the entry gates the episode-size
+# histogram (singleton orders included as size-1 components).
+#
+# Oracle strength: NOT a round replay.  The engine asserts the final
+# edge set is a star forest (which proves its labels are the true
+# component minima), so the oracle can compute ground truth
+# independently — a recursive-CTE label propagation to fixpoint.  The
+# two implementations share nothing but the edge definition.
+# ==========================================================================
+
+_CC_GAP_DAYS = 30
+_CC_ROUNDS = 5
+
+
+def _cc_order_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("_pk"),
+        F.lag("o_orderdate").over(w).alias("_pd"),
+    )
+    edges = seq.filter(
+        F.col("_pk").isNotNull()
+        & (F.datediff("o_orderdate", "_pd") <= _CC_GAP_DAYS)
+    ).select(F.col("_pk").alias("u"), F.col("o_orderkey").alias("v"))
+    labeled = connected_components(edges, rounds=_CC_ROUNDS)
+    nodes = orders.select(F.col("o_orderkey").alias("node"))
+    full = nodes.join(labeled, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+    sizes = full.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(F.col("size").cast("long").alias("size"), "n_components")
+    )
+
+
+_DD_CC_EPISODES = f"""
+WITH RECURSIVE seq AS (
+  SELECT o_orderkey, o_orderdate,
+         lag(o_orderkey) OVER w AS pk, lag(o_orderdate) OVER w AS pd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+e AS (
+  SELECT pk AS u, o_orderkey AS v FROM seq
+  WHERE pk IS NOT NULL AND date_diff('day', pd, o_orderdate) <= {_CC_GAP_DAYS}
+),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+reach(node, lab) AS (
+  SELECT o_orderkey, o_orderkey FROM orders
+  UNION
+  SELECT sym.v, reach.lab FROM reach JOIN sym ON sym.u = reach.node
+),
+labels AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, count(*)::BIGINT AS size FROM labels GROUP BY component)
+SELECT size, count(*)::BIGINT AS n_components FROM sizes GROUP BY size
+"""
+
+_register("graph_order_episodes", _cc_order_episodes, _DD_CC_EPISODES)

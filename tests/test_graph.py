@@ -234,3 +234,71 @@ class TestTriangles:
         got = {(r["u"], r["v"]) for r in copurchase_edges(li).collect()}
         assert got == {(10, 20)}  # dup rows + both orders collapse
         assert copurchase_edges(li).filter(F2.col("u") >= F2.col("v")).count() == 0
+
+
+def _py_components(edges):
+    """Union-find ground truth: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+class TestConnectedComponents:
+    def test_paths_and_isolated_clusters(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)]
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        assert got == _py_components(edges)
+
+    def test_random_graph_matches_union_find(self, spark):
+        import random
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            connected_components,
+        )
+
+        rng = random.Random(42)
+        edges = list({(rng.randrange(200), rng.randrange(200)) for _ in range(150)})
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {r["node"]: r["component"] for r in connected_components(df, rounds=6).collect()}
+        assert got == _py_components(edges)
+
+    def test_orientation_and_duplicates_irrelevant(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(
+            [(2, 1), (1, 2), (2, 3), (3, 3)], "u long, v long"
+        )
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_non_convergence_raises(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            connected_components,
+        )
+
+        # A 64-node path cannot collapse in one round; the star assert
+        # must refuse the partial labeling rather than return it.
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "u long, v long"
+        )
+        with pytest.raises(RuntimeError, match="not converged"):
+            connected_components(df, rounds=1)
