@@ -163,3 +163,146 @@ def fuzzy_pair_count_d1(
     return dup_pairs.crossJoin(cross).select(
         (F.col("_dups") + F.col("_cross")).alias("n_id_pairs")
     )
+
+
+# ==========================================================================
+# Ed-Join (Xiao, Wang, Lin 2008, VLDB — public algorithm): edit-distance
+# self-join for thresholds k >= 1 via positional q-gram PREFIX filtering,
+# complementing FastSS (which is d = 1 only and fans out length+1
+# signatures per row).  Candidate generation here is CONTENT-adaptive:
+# each string contributes only its q*k + 1 globally-rarest grams, so
+# blocks form on the distinguishing substrings, not the shared
+# boilerplate prefix every name carries.
+#
+# Completeness: if ed(a, b) <= k, then a and b share at least one
+# positional q-gram whose occurrences sit within k positions of each
+# other AND which lies in the (q*k + 1)-prefix of both strings' gram
+# lists under any fixed global order (mismatching more than q*k grams
+# forces ed > k — the count-filter bound of Gravano et al. 2001 applied
+# to the prefix).  Strings too short to carry q*k + 1 grams contribute
+# every gram; strings with fewer than q characters carry no grams at
+# all and are routed through a short-string block whose size is bounded
+# by the alphabet (|distinct strings| < |sigma|^(q + k)) — quadratic on
+# a CONSTANT, not on the corpus.
+# ==========================================================================
+
+
+def qgram_prefix_rows(
+    vals: DataFrame, key_col: str, id_col: str, q: int = 2, k: int = 2
+) -> DataFrame:
+    """``(id, gram_hash, pos, len)`` rows for the q*k + 1 rarest
+    positional q-grams of each string, under the global
+    (document-frequency, gram, position) order.  Two linear passes: a
+    gram-frequency aggregate (map-side partial), then a per-string
+    window rank bounded at q*k + 1 (one shuffle keyed on the string id,
+    partitions bounded by string length)."""
+    from pyspark.sql import Window
+
+    c = f"`{key_col}`"
+    grams = F.expr(
+        f"""transform(sequence(1, greatest(length({c}) - {q - 1}, 0)),
+                      i -> struct(substring({c}, i, {q}) AS g, i AS pos))"""
+    )
+    rows = vals.select(
+        F.col(id_col).alias("_eid"),
+        F.length(key_col).alias("_len"),
+        F.explode(grams).alias("_gp"),
+    ).select("_eid", "_len", F.col("_gp.g").alias("_g"), F.col("_gp.pos").alias("_pos"))
+    dfreq = rows.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_eid").orderBy("_df", "_g", "_pos")
+    return (
+        rows.join(dfreq, "_g")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= q * k + 1)
+        .select("_eid", F.md5("_g").alias("_h"), "_pos", "_len")
+    )
+
+
+def edjoin_value_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    q: int = 2,
+    k: int = 2,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """All DISTINCT-value pairs at edit distance 1..k, exactly:
+    Ed-Join prefix-filtered candidates + levenshtein verification, in
+    the multiplicity-carrying working-set form the FastSS join ships
+    (the 43x sf1 lesson: collapse duplicates BEFORE the quadratic
+    stage).  Returns ``(<key>_a, <key>_b, n_a, n_b, min_id_a, min_id_b,
+    dist)`` ordered by ``min_id_a < min_id_b``."""
+    vals = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_ids"), F.min(id_col).alias("min_id")
+    )
+    longs = vals.filter(F.length(key_col) >= q)
+    pre = qgram_prefix_rows(longs, key_col, "min_id", q=q, k=k)
+    a = pre.select(
+        F.col("_eid").alias("_ida"), "_h",
+        F.col("_pos").alias("_pa"), F.col("_len").alias("_la"),
+    )
+    b = pre.select(
+        F.col("_eid").alias("_idb"), "_h",
+        F.col("_pos").alias("_pb"), F.col("_len").alias("_lb"),
+    )
+    cand_long = (
+        a.join(b, "_h")
+        .filter(
+            (F.col("_ida") < F.col("_idb"))
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= k)
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+        )
+        .select("_ida", "_idb")
+    )
+    # Short-string block.  The q-gram count bound
+    # max(|a|,|b|) - q + 1 - q*k >= 1 is VACUOUS when both strings are
+    # shorter than q*(k+1): such a pair can sit at ed <= k while
+    # sharing zero grams (e.g. q=2, k=2: 'aa' vs 'abba'), so gram
+    # blocking cannot see it.  Route every string with len < q*(k+1)
+    # (gram-less len < q included) through an explicit block; any
+    # partner OUTSIDE the block is long enough to force a shared
+    # prefix gram, so the gram join covers those.  The block is
+    # bounded by the alphabet (< |sigma|^(q*(k+1)) DISTINCT values) —
+    # quadratic on a constant, not on the corpus.
+    smalls = vals.filter(F.length(key_col) < q * (k + 1)).select(
+        F.col("min_id").alias("_sid"), F.length(key_col).alias("_sl")
+    )
+    sa = smalls.select(F.col("_sid").alias("_ida"), F.col("_sl").alias("_la"))
+    sb = smalls.select(F.col("_sid").alias("_idb"), F.col("_sl").alias("_lb"))
+    cand_small = (
+        sa.crossJoin(F.broadcast(sb))
+        .filter(
+            (F.col("_ida") < F.col("_idb"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+        )
+        .select("_ida", "_idb")
+    )
+    cand = cand_long.unionAll(cand_small).distinct()
+    left = vals.select(
+        F.col("min_id").alias("_ida"),
+        F.col(key_col).alias(f"{key_col}_a"),
+        F.col("n_ids").alias("n_a"),
+    )
+    right = vals.select(
+        F.col("min_id").alias("_idb"),
+        F.col(key_col).alias(f"{key_col}_b"),
+        F.col("n_ids").alias("n_b"),
+    )
+    return (
+        cand.join(left, "_ida")
+        .join(right, "_idb")
+        .withColumn(
+            dist_col,
+            F.levenshtein(F.col(f"{key_col}_a"), F.col(f"{key_col}_b")).cast("int"),
+        )
+        .filter((F.col(dist_col) >= 1) & (F.col(dist_col) <= k))
+        .select(
+            f"{key_col}_a",
+            f"{key_col}_b",
+            "n_a",
+            "n_b",
+            F.col("_ida").alias("min_id_a"),
+            F.col("_idb").alias("min_id_b"),
+            dist_col,
+        )
+    )

@@ -659,3 +659,56 @@ LIMIT 50
 
 _register("dedup_fuzzy_name_pairs", _fuzzy_name_pairs, _DD_FUZZY)
 
+
+
+# --------------------------------------------------------------------------
+# Ed-Join edit-distance join, k = 2 (round 8, session 2) — the content-
+# adaptive complement to FastSS (d = 1 only): candidates block on each
+# value's q*k + 1 globally-RAREST positional q-grams (operators/
+# fuzzy.py::edjoin_value_pairs), verified with one levenshtein per
+# candidate.  Domain: part names, where the distinct-value discipline
+# is maximally visible — the p_name vocabulary SATURATES (64 distinct
+# values at sf0.001 and at sf0.1 alike), so the quadratic candidate
+# stage runs on a bounded set at every scale and only the multiplicity
+# groupBy sees the corpus; id-pair totals are recovered arithmetically
+# (n_a * n_b), never materialized.  (A c_name variant was measured and
+# rejected: zero-padded serial ids have too few rare grams, so
+# prefixes flood with the shared "Customer#" boilerplate and the
+# candidate set goes quadratic — structured-id domains belong to
+# FastSS's position-keyed signatures, diverse-text domains to Ed-Join.)
+# Oracle: brute-force quadratic with the length filter over the
+# distinct values.
+# --------------------------------------------------------------------------
+
+
+def _edjoin_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import edjoin_value_pairs
+
+    part = _t(spark, sf_dir, "part")
+    pairs = edjoin_value_pairs(part, "p_name", "p_partkey", q=2, k=2)
+    return pairs.select(
+        "p_name_a", "p_name_b", "n_a", "n_b", "dist",
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("n_id_pairs"),
+    )
+
+
+_DD_EDJOIN_PAIRS = """
+WITH vals AS (
+  SELECT p_name AS s, count(*)::BIGINT AS n_ids, min(p_partkey) AS min_id
+  FROM part GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN a.min_id < b.min_id THEN a.s ELSE b.s END AS p_name_a,
+         CASE WHEN a.min_id < b.min_id THEN b.s ELSE a.s END AS p_name_b,
+         CASE WHEN a.min_id < b.min_id THEN a.n_ids ELSE b.n_ids END AS n_a,
+         CASE WHEN a.min_id < b.min_id THEN b.n_ids ELSE a.n_ids END AS n_b,
+         CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+  FROM vals a JOIN vals b
+    ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+  WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
+)
+SELECT p_name_a, p_name_b, n_a, n_b, dist, (n_a * n_b)::BIGINT AS n_id_pairs
+FROM pairs
+"""
+
+_register("dedup_edjoin_part_pairs", _edjoin_part_pairs, _DD_EDJOIN_PAIRS)

@@ -122,3 +122,82 @@ class TestFuzzyValueForm:
         assert len(vp) == 6
         for r in vp:
             assert r["n_a"] == 10 and r["n_b"] == 10
+
+
+def _py_lev(a, b):
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+    return d[n]
+
+
+class TestEdJoin:
+    """Ed-Join (q-gram prefix filter, k >= 2) vs brute force."""
+
+    def _brute(self, strs, k):
+        want = {}
+        ss = sorted(strs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                d = _py_lev(ss[i], ss[j])
+                if 1 <= d <= k:
+                    want[frozenset((ss[i], ss[j]))] = d
+        return want
+
+    def _got(self, spark, strs, k, q=2):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.fuzzy import (
+            edjoin_value_pairs,
+        )
+
+        rows = [(i, s) for i, s in enumerate(sorted(strs))]
+        df = spark.createDataFrame(rows, "rid long, s string")
+        return {
+            frozenset((r["s_a"], r["s_b"])): r["dist"]
+            for r in edjoin_value_pairs(df, "s", "rid", q=q, k=k).collect()
+        }
+
+    def test_adversarial_short_strings_binary_alphabet(self, spark):
+        # Small alphabet + lengths 0..8 maximizes gram-vacuous pairs
+        # (the len < q*(k+1) hole the short-string block exists for).
+        import random
+
+        rng = random.Random(7)
+        strs = {"".join(rng.choice("ab") for _ in range(rng.randrange(0, 9))) for _ in range(80)}
+        assert self._got(spark, strs, 2) == self._brute(strs, 2)
+
+    def test_long_strings_exercise_prefix_selection(self, spark):
+        # Lengths 8..14 over 'abc': every string carries more grams
+        # than the q*k + 1 prefix, so the rarest-gram ranking is load-
+        # bearing, not just a pass-through.
+        import random
+
+        rng = random.Random(11)
+        strs = {"".join(rng.choice("abc") for _ in range(rng.randrange(8, 15))) for _ in range(120)}
+        assert self._got(spark, strs, 2) == self._brute(strs, 2)
+
+    def test_multiplicities_carried(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.fuzzy import (
+            edjoin_value_pairs,
+        )
+
+        rows = [(0, "market"), (1, "market"), (2, "marked"), (3, "casket")]
+        df = spark.createDataFrame(rows, "rid long, s string")
+        got = {
+            (r["s_a"], r["s_b"]): (r["n_a"], r["n_b"], r["dist"])
+            for r in edjoin_value_pairs(df, "s", "rid", q=2, k=2).collect()
+        }
+        assert got[("market", "marked")] == (2, 1, 1)
+        assert got[("market", "casket")] == (2, 1, 2)
+        assert ("marked", "casket") not in got  # ed 3, above threshold
+        assert all(1 <= v[2] <= 2 for v in got.values())
+
+
+    def test_q3_grams_complete_too(self, spark):
+        import random
+
+        rng = random.Random(13)
+        strs = {"".join(rng.choice("abc") for _ in range(rng.randrange(0, 13))) for _ in range(100)}
+        assert self._got(spark, strs, 2, q=3) == self._brute(strs, 2)
