@@ -167,3 +167,59 @@ def prototype_confusion(
         .select(F.col(f"_best.{label_col}").alias(label_col), F.col("_best._proto_label").alias("pred_label"))
     )
     return pred.groupBy(label_col, "pred_label").agg(F.count(F.lit(1)).alias("n"))
+
+
+def prototypicality_prune(
+    corpus: DataFrame,
+    pct_prune: int = 40,
+    keep: str = "hard",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws" — public method; with SemDeDup upstream this is the
+    D4 pipeline of Abbas et al. 2023): rank each example by squared L2
+    distance to its class prototype and drop the ``pct_prune`` percent
+    EASIEST (most prototypical, ``keep='hard'`` — the abundant-data
+    regime) or HARDEST (``keep='easy'`` — the scarce-data regime).
+
+    Returns the KEPT rows ``(id, label, proto_dist2)``.
+
+    Scale shape: prototypes are a labels x dims aggregate (map-side
+    partial) broadcast back; the rank is one window shuffle keyed on
+    the label — salting is unnecessary because the per-label work is a
+    single ordered pass, and the per-class cut floor(n * pct / 100)
+    uses exact integer arithmetic.  Distances are computed from the
+    ROUNDED prototypes (the label_prototypes contract), so ranking and
+    replay are bit-deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    if not 0 <= pct_prune <= 100:
+        raise ValueError(f"pct_prune must be in [0, 100], got {pct_prune}")
+    protos = label_prototypes(corpus, vec_col=vec_col, label_col=label_col)
+    joined = corpus.join(F.broadcast(protos), label_col)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("prototype"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    asc = d2.asc() if keep == "hard" else d2.desc()
+    w = Window.partitionBy(label_col).orderBy(asc, F.col(id_col))
+    ranked = joined.select(
+        F.col(id_col),
+        F.col(label_col),
+        d2.alias("proto_dist2"),
+        F.row_number().over(w).alias("_rn"),
+        F.col("n_members"),
+    )
+    cut = F.expr(f"(n_members * {pct_prune}) div 100")
+    return ranked.filter(F.col("_rn") > cut).select(
+        id_col, label_col, F.round("proto_dist2", 4).alias("proto_dist2")
+    )

@@ -1221,3 +1221,50 @@ FROM diff GROUP BY status ORDER BY status
 """
 
 _register("corpus_snapshot_diff", _corpus_snapshot_diff, _DD_SNAPSHOT_DIFF)
+
+
+# --------------------------------------------------------------------------
+# SSL-prototypes data pruning (round 8, session 2 — operators/mining.py::
+# prototypicality_prune): with dedup_semantic_clusters upstream this
+# completes the D4 pipeline (SemDeDup -> prototypicality prune).  Drops
+# the 40% most prototypical (easiest) examples per class, keeping the
+# hard set; distances rank against the ROUNDED class prototypes, so the
+# oracle replays the ranking bit-exactly.
+# --------------------------------------------------------------------------
+
+
+def _prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mining import prototypicality_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return prototypicality_prune(emb, pct_prune=40, keep="hard")
+
+
+_register(
+    "train_prune_prototypes",
+    _prune_prototypes,
+    """
+WITH ex AS (
+  SELECT label, vec_id, unnest(range(1, len(embedding) + 1)) AS pos, unnest(embedding) AS val
+  FROM embeddings
+),
+per AS (
+  SELECT label, pos, round(sum(val::DOUBLE) / count(*), 4) + 0.0 AS v, count(*) AS c
+  FROM ex GROUP BY 1, 2
+),
+proto AS (SELECT label, max(c) AS n_members, list(v ORDER BY pos) AS p FROM per GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label, pr.n_members,
+         list_sum(list_transform(range(1, len(pr.p) + 1),
+           i -> (e.embedding[i]::DOUBLE - pr.p[i]) * (e.embedding[i]::DOUBLE - pr.p[i]))) AS d
+  FROM embeddings e JOIN proto pr ON pr.label = e.label
+),
+ranked AS (
+  SELECT vec_id, label, d, n_members,
+         row_number() OVER (PARTITION BY label ORDER BY d, vec_id) AS rn
+  FROM scored
+)
+SELECT vec_id, label, round(d, 4) AS proto_dist2
+FROM ranked WHERE rn > (n_members * 40) // 100
+""",
+)

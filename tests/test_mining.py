@@ -119,3 +119,53 @@ class TestPrototypes:
         conf = {(r["label"], r["pred_label"]): r["n"]
                 for r in prototype_confusion(df, label_prototypes(df)).collect()}
         assert conf == {(0, 0): 2, (1, 1): 2}
+
+
+class TestPrototypicalityPrune:
+    def _df(self, spark):
+        # two labels; label 0 has an obvious outlier (hard example)
+        rows = [
+            (0, 0, [0.0, 0.0]),
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.0, 1.0]),
+            (3, 0, [9.0, 9.0]),   # far from the class mean -> hardest
+            (10, 1, [5.0, 5.0]),
+            (11, 1, [5.0, 6.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+    def test_keep_hard_drops_most_prototypical(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+            prototypicality_prune,
+        )
+
+        kept = prototypicality_prune(self._df(spark), pct_prune=50, keep="hard").collect()
+        by_label = {}
+        for r in kept:
+            by_label.setdefault(r["label"], set()).add(r["vec_id"])
+        # label 0: mean (2.5, 2.5); dist2: id0=12.5, id1=8.5, id2=8.5, id3=84.5
+        # 50% of 4 -> drop 2 easiest (ids 1, 2; tie by id), keep {0, 3}
+        assert by_label[0] == {0, 3}
+        # label 1: mean (5.0, 5.5); 50% of 2 -> drop 1 easiest (tie d2=0.25 -> id 10)
+        assert by_label[1] == {11}
+
+    def test_keep_easy_flips_the_cut(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+            prototypicality_prune,
+        )
+
+        kept = prototypicality_prune(self._df(spark), pct_prune=50, keep="easy").collect()
+        ids0 = {r["vec_id"] for r in kept if r["label"] == 0}
+        assert 3 not in ids0 and len(ids0) == 2
+
+    def test_guards(self, spark):
+        import pytest as _pt
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+            prototypicality_prune,
+        )
+
+        with _pt.raises(ValueError, match="keep"):
+            prototypicality_prune(self._df(spark), keep="best")
+        with _pt.raises(ValueError, match="pct_prune"):
+            prototypicality_prune(self._df(spark), pct_prune=101)
