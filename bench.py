@@ -81,6 +81,10 @@ HEADLINE = [
     "pref_bt_source_strength",  # r8: Bradley-Terry MM fixed point over the bounded pair matrix
     "serve_context_expansion",  # r8: small-to-big retrieval (broadcast neighbor stitch on the e2e ingest path)
     "layout_hilbert_report",  # r8: Hilbert-curve clustering index, pure codegen bit walk
+    "graph_order_episodes",  # r8s2: large-star/small-star connected components (5 rounds, star-assert)
+    "dedup_edjoin_part_pairs",  # r8s2: Ed-Join k=2 prefix-filtered edit-distance join, measured flat at sf1
+    "train_prune_prototypes",  # r8s2: SSL-prototypes pruning (D4 second stage)
+    "text_pmi_collocations",  # r8s2: PMI collocations, ratio-ranked cross-engine
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%
