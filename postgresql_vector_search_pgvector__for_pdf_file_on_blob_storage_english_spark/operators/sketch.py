@@ -426,3 +426,89 @@ def hll_estimate_grouped(sparse: DataFrame, group_col: str) -> DataFrame:
     lin = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("_v"))
     est = F.when((raw <= 2.5 * HLL_M) & (F.col("_v") > 0), lin).otherwise(raw)
     return agg.select(group_col, est.alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Beyer et al. 2007, "On synopses for distinct-value
+# estimation under multiset operations" — public algorithm).  Keeps the
+# k MINIMUM distinct hash values of a set; kth minimum m_k estimates the
+# distinct count as (k-1) * SPACE / m_k.  Unlike HLL's register max,
+# the k-minset supports UNBIASED intersection via the merged sketch's
+# observed Jaccard — the theta-sketch set-algebra trick — which is why
+# both families exist in real sketch libraries (and now here).
+# ---------------------------------------------------------------------------
+
+KMV_SPACE = 1 << 60  # hash domain [0, 2^60): 15 md5 hex digits
+
+
+def kmv_hash(key: Column) -> Column:
+    """60-bit positive hash, bit-identical cross-engine: md5 hex prefix
+    parsed as an integer (the engine-wide salted-md5 discipline)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("§", F.lit("kmv"), key.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def kmv_minset(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """The k smallest DISTINCT hash values of ``df[key_col]`` as an
+    ``(hv)`` relation.  Sort + limit compiles to TakeOrderedAndProject
+    (partial top-k on every partition, k rows to one reducer) — no
+    global window, no single-partition exchange; the sketch is
+    mergeable, so a 1000-executor union is k rows per slice."""
+    return (
+        df.select(kmv_hash(F.col(key_col)).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def _kmv_point(sketch: DataFrame, k: int, tag: str) -> DataFrame:
+    """1-row ``(cnt_<tag>, mk_<tag>)``: sketch size and kth minimum."""
+    return sketch.agg(
+        F.count(F.lit(1)).alias(f"cnt_{tag}"),
+        F.max("hv").alias(f"mk_{tag}"),
+    )
+
+
+def _kmv_est(tag: str, k: int) -> Column:
+    """Distinct estimate: exact count while the sketch is unsaturated
+    (it then holds EVERY distinct hash), (k-1) * SPACE / m_k once full.
+    One double division of exact integers — deterministic cross-engine."""
+    return F.when(F.col(f"cnt_{tag}") < k, F.col(f"cnt_{tag}").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(KMV_SPACE)) / F.col(f"mk_{tag}").cast("double")
+    )
+
+
+def kmv_set_estimates(
+    sa: DataFrame, sb: DataFrame, k: int = 64
+) -> DataFrame:
+    """Set algebra over two k-minsets: distinct estimates for each side,
+    the union (merge law: k smallest of the two sketches' union), the
+    merged sketch's observed Jaccard (|M ∩ A ∩ B| / |M|), and the
+    intersection estimate J * est_union.  Every relation here is <= k
+    rows; all joins broadcast."""
+    m = sa.unionAll(sb).distinct().orderBy("hv").limit(k)
+    in_a = m.join(F.broadcast(sa), "hv", "left_semi")
+    in_both = in_a.join(F.broadcast(sb), "hv", "left_semi")
+    pts = (
+        _kmv_point(sa, k, "a")
+        .crossJoin(F.broadcast(_kmv_point(sb, k, "b")))
+        .crossJoin(F.broadcast(_kmv_point(m, k, "u")))
+        .crossJoin(
+            F.broadcast(in_both.agg(F.count(F.lit(1)).alias("cnt_shared")))
+        )
+    )
+    est_u = _kmv_est("u", k)
+    jac = F.when(
+        F.col("cnt_u") > 0,
+        F.col("cnt_shared").cast("double") / F.col("cnt_u").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return pts.select(
+        _kmv_est("a", k).alias("est_a"),
+        _kmv_est("b", k).alias("est_b"),
+        est_u.alias("est_union"),
+        jac.alias("jaccard"),
+        (jac * est_u).alias("est_intersect"),
+    )

@@ -680,3 +680,102 @@ ORDER BY day
 """
 
 _register("sketch_hll_sliding_users", _sketch_hll_sliding_users, _DD_HLL_SLIDING)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch set algebra (round 8, session 2 — operators/
+# sketch.py::kmv_minset/kmv_set_estimates): "how many customers place
+# both URGENT and LOW orders?" answered from two 64-row k-minsets —
+# HLL's inclusion-exclusion twin, but with the theta-sketch UNBIASED
+# intersection (merged-sketch Jaccard), which HLL cannot provide.
+# Exact twins alongside for honesty, like sketch_hll_lang_overlap.
+# The sketches are TakeOrderedAndProject top-ks (no global window, no
+# single-partition exchange); every post-sketch relation is <= k rows.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_minset, kmv_set_estimates
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    a_rows = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    b_rows = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    est = kmv_set_estimates(
+        kmv_minset(a_rows, "o_custkey", k=_KMV_K),
+        kmv_minset(b_rows, "o_custkey", k=_KMV_K),
+        k=_KMV_K,
+    )
+    ca = a_rows.select("o_custkey").distinct()
+    cb = b_rows.select("o_custkey").distinct()
+    exact = (
+        ca.intersect(cb)
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+        .crossJoin(F.broadcast(ca.agg(F.count(F.lit(1)).alias("exact_a"))))
+        .crossJoin(F.broadcast(cb.agg(F.count(F.lit(1)).alias("exact_b"))))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.round("est_a", 2).alias("est_a"),
+        F.round("est_b", 2).alias("est_b"),
+        F.round("est_union", 2).alias("est_union"),
+        F.round("jaccard", 4).alias("jaccard"),
+        F.round("est_intersect", 2).alias("est_intersect"),
+        "exact_a",
+        "exact_b",
+        "exact_intersect",
+    )
+
+
+def _dd_kmv_set(tag: str, prio: str) -> str:
+    return f"""
+s_{tag} AS (
+  SELECT hv FROM (
+    SELECT DISTINCT ('0x' || substr(md5('kmv' || '§' || o_custkey::VARCHAR), 1, 15))::BIGINT AS hv
+    FROM orders WHERE o_orderpriority = '{prio}'
+  ) ORDER BY hv LIMIT {_KMV_K}
+),
+pt_{tag} AS (SELECT count(*)::BIGINT AS cnt_{tag}, max(hv) AS mk_{tag} FROM s_{tag})"""
+
+
+def _dd_kmv_est(tag: str) -> str:
+    k = _KMV_K
+    space = float(1 << 60)
+    return (
+        f"CASE WHEN cnt_{tag} < {k} THEN cnt_{tag}::DOUBLE "
+        f"ELSE {float(k - 1)} * {space} / mk_{tag}::DOUBLE END"
+    )
+
+
+_DD_KMV_OVERLAP = f"""
+WITH {_dd_kmv_set("a", "1-URGENT").lstrip()},
+{_dd_kmv_set("b", "5-LOW").lstrip()},
+m AS (
+  SELECT hv FROM (SELECT hv FROM s_a UNION SELECT hv FROM s_b)
+  ORDER BY hv LIMIT {_KMV_K}
+),
+pt_u AS (SELECT count(*)::BIGINT AS cnt_u, max(hv) AS mk_u FROM m),
+shared AS (
+  SELECT count(*)::BIGINT AS cnt_shared FROM m
+  WHERE hv IN (SELECT hv FROM s_a) AND hv IN (SELECT hv FROM s_b)
+),
+exact AS (
+  SELECT
+    (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderpriority = '1-URGENT')::BIGINT AS exact_a,
+    (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_orderpriority = '5-LOW')::BIGINT AS exact_b,
+    (SELECT count(*) FROM (
+       SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       INTERSECT
+       SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))::BIGINT AS exact_intersect
+)
+SELECT round({_dd_kmv_est("a")}, 2) AS est_a,
+       round({_dd_kmv_est("b")}, 2) AS est_b,
+       round({_dd_kmv_est("u")}, 2) AS est_union,
+       round(CASE WHEN cnt_u > 0 THEN cnt_shared::DOUBLE / cnt_u::DOUBLE ELSE 0.0 END, 4) AS jaccard,
+       round((CASE WHEN cnt_u > 0 THEN cnt_shared::DOUBLE / cnt_u::DOUBLE ELSE 0.0 END)
+             * ({_dd_kmv_est("u")}), 2) AS est_intersect,
+       exact_a, exact_b, exact_intersect
+FROM pt_a, pt_b, pt_u, shared, exact
+"""
+
+_register("sketch_kmv_priority_overlap", _sketch_kmv_overlap, _DD_KMV_OVERLAP)

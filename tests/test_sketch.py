@@ -550,3 +550,64 @@ class TestGroupedHll:
         )
         sparse = hll_registers_grouped(df, "key", "grp")
         assert sparse.filter(F.col("m_rank") < 1).count() == 0
+
+
+class TestKmvSketch:
+    """KMV / theta sketch: unsaturated exactness, estimator error,
+    merge law, set algebra, partitioning invariance."""
+
+    def _rows(self, spark, n, start=0):
+        return spark.range(start, start + n).select(F.col("id").alias("k"))
+
+    def test_unsaturated_sketch_is_exact(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            kmv_minset,
+            kmv_set_estimates,
+        )
+
+        a = kmv_minset(self._rows(spark, 40), "k", k=64)
+        b = kmv_minset(self._rows(spark, 30, start=20), "k", k=64)
+        r = kmv_set_estimates(a, b, k=64).collect()[0]
+        # both sides unsaturated -> every estimate is exact
+        assert r["est_a"] == 40.0 and r["est_b"] == 30.0
+        assert r["est_union"] == 50.0
+        assert abs(r["est_intersect"] - 20.0) < 1e-9  # ids 20..39 shared
+
+    def test_estimator_relative_error(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            kmv_minset,
+            kmv_set_estimates,
+        )
+
+        a = kmv_minset(self._rows(spark, 2000), "k", k=64)
+        b = kmv_minset(self._rows(spark, 2000, start=1000), "k", k=64)
+        r = kmv_set_estimates(a, b, k=64).collect()[0]
+        # sigma ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma
+        for est, true in [(r["est_a"], 2000), (r["est_b"], 2000), (r["est_union"], 3000)]:
+            assert abs(est - true) / true < 0.5, (est, true)
+        assert 0.0 < r["jaccard"] < 1.0
+        assert abs(r["est_intersect"] - 1000) / 1000 < 0.75
+
+    def test_merge_law(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            kmv_minset,
+        )
+
+        k = 32
+        whole = kmv_minset(self._rows(spark, 500), "k", k=k)
+        pa = kmv_minset(self._rows(spark, 250), "k", k=k)
+        pb = kmv_minset(self._rows(spark, 250, start=250), "k", k=k)
+        merged = pa.unionAll(pb).distinct().orderBy("hv").limit(k)
+        assert sorted(r["hv"] for r in merged.collect()) == sorted(
+            r["hv"] for r in whole.collect()
+        )
+
+    def test_partitioning_invariant(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            kmv_minset,
+        )
+
+        base = self._rows(spark, 300)
+        a = sorted(r["hv"] for r in kmv_minset(base, "k", k=16).collect())
+        b = sorted(r["hv"] for r in kmv_minset(base.repartition(13), "k", k=16).collect())
+        assert a == b
