@@ -346,3 +346,108 @@ SELECT touch, count(*)::BIGINT AS n_purchases, round(sum(value), 2) AS revenue
 FROM attributed GROUP BY touch
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# 5. Event-sequence pattern mining (MATCH_RECOGNIZE-class, regex form):
+# each user's timeline compresses to a string of event initials in
+# deterministic (ts, event_id) order, and funnel shapes become regular
+# expressions — 'cv*p' = click, any views, purchase.  One groupBy
+# shuffle keyed on user_id; the per-user sequence is bounded by that
+# user's event count, and the regex run is codegen map work.  The
+# histogram (matches-per-user -> users) is the gated output.
+# --------------------------------------------------------------------------
+
+_SEQ_PATTERN = "cv*p"
+
+
+def _sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ms", "event_id", "ini"))),
+                lambda s: s["ini"],
+            ),
+        ).alias("seq")
+    )
+    matched = seqs.select(
+        F.size(F.expr(f"regexp_extract_all(seq, '{_SEQ_PATTERN}', 0)")).alias("n_matches")
+    )
+    return matched.groupBy("n_matches").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+_register(
+    "events_sequence_patterns",
+    _sequence_patterns,
+    f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_ms(ts)::BIGINT, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+matched AS (
+  SELECT len(regexp_extract_all(seq, '{_SEQ_PATTERN}'))::INT AS n_matches FROM seqs
+)
+SELECT n_matches, count(*)::BIGINT AS n_users FROM matched GROUP BY n_matches
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# 6. Chi-square independence profile for (lang x source): per-cell
+# observed vs expected counts and the cell's chi-square contribution —
+# the categorical-drift check a corpus-intake pipeline runs to catch a
+# source whose language mix shifted.  Expected counts are one division
+# of exact integer products, so every cell is bit-deterministic; no
+# cross-cell float accumulation is gated (per-cell rows, not the
+# statistic's sum — summation order is engine-dependent).
+# --------------------------------------------------------------------------
+
+
+def _chi2_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("rt"))
+    ct = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "o",
+            F.round(e, 4).alias("expected"),
+            F.round(contrib, 4).alias("chi2_contrib"),
+        )
+    )
+
+
+_register(
+    "stats_chi2_lang_source",
+    _chi2_profile,
+    """
+WITH obs AS (SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, count(*)::BIGINT AS rt FROM documents GROUP BY 1),
+ct AS (SELECT source, count(*)::BIGINT AS ct FROM documents GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT obs.lang, obs.source, obs.o,
+       round((rt * ct)::DOUBLE / n::DOUBLE, 4) AS expected,
+       round((obs.o::DOUBLE - (rt * ct)::DOUBLE / n::DOUBLE)
+             * (obs.o::DOUBLE - (rt * ct)::DOUBLE / n::DOUBLE)
+             / ((rt * ct)::DOUBLE / n::DOUBLE), 4) AS chi2_contrib
+FROM obs JOIN rt USING (lang) JOIN ct USING (source), n
+""",
+)

@@ -1079,3 +1079,93 @@ FROM sess GROUP BY user_id, sid
 
 
 # ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering (round 8, session 2): cosine
+# similarity over order co-occurrence — the classic Amazon-style
+# "customers who bought X also bought Y" recommender (Linden et al.
+# 2003, public method), next to basket_brand_lift's category-level
+# association.  cos(u,v) = c_uv / sqrt(c_u * c_v) on EXACT integer
+# counts: sqrt and one division of identical integers are correctly-
+# rounded IEEE ops, so the ranking is bit-deterministic cross-engine
+# with no quantization tricks.  Scale shape: the co-count self-join is
+# keyed on the order id (fan-out quadratic only in per-order item
+# count), counts are map-side-partial groupBys, and the final rank is
+# one window keyed on the item — never a global sort.
+# --------------------------------------------------------------------------
+
+_II_TOP = 3
+_II_MIN_CO = 2
+_II_ITEM_CAP = 200  # report slice: items with partkey < cap
+
+
+def _item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    a = baskets.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
+    b = baskets.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
+    co = (
+        a.join(b, "_o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c_uv"))
+        .filter(F.col("c_uv") >= _II_MIN_CO)
+    )
+    sym = co.unionAll(
+        co.select(F.col("v").alias("u"), F.col("u").alias("v"), "c_uv")
+    )
+    deg = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    du = deg.select(F.col("l_partkey").alias("u"), F.col("c").alias("c_u"))
+    dv = deg.select(F.col("l_partkey").alias("v"), F.col("c").alias("c_v"))
+    scored = (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .withColumn(
+            "_cos",
+            F.col("c_uv").cast("double")
+            / F.sqrt((F.col("c_u") * F.col("c_v")).cast("double")),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.col("_cos").desc(), "v")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= _II_TOP) & (F.col("u") < _II_ITEM_CAP))
+        .select(
+            F.col("u").alias("item"),
+            "rank",
+            F.col("v").alias("neighbor"),
+            "c_uv",
+            "c_u",
+            "c_v",
+            F.round("_cos", 4).alias("cosine"),
+        )
+    )
+
+
+_register(
+    "recsys_item_item_cosine",
+    _item_item_cosine,
+    f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+co AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*)::BIGINT AS c_uv
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_II_MIN_CO}
+),
+sym AS (SELECT u, v, c_uv FROM co UNION ALL SELECT v, u, c_uv FROM co),
+deg AS (SELECT l_partkey, count(*)::BIGINT AS c FROM baskets GROUP BY 1),
+scored AS (
+  SELECT sym.u, sym.v, sym.c_uv, du.c AS c_u, dv.c AS c_v,
+         sym.c_uv::DOUBLE / sqrt((du.c * dv.c)::DOUBLE) AS _cos
+  FROM sym JOIN deg du ON du.l_partkey = sym.u JOIN deg dv ON dv.l_partkey = sym.v
+)
+SELECT u AS item,
+       row_number() OVER (PARTITION BY u ORDER BY _cos DESC, v) AS rank,
+       v AS neighbor, c_uv, c_u, c_v, round(_cos, 4) AS cosine
+FROM scored
+QUALIFY rank <= {_II_TOP} AND u < {_II_ITEM_CAP}
+""",
+)
