@@ -321,3 +321,37 @@ def connected_components(
     )
     leaves = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     return leaves.unionAll(roots)
+
+
+def bfs_levels(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Breadth-first reachability: ``(node, hop)`` with the MINIMUM hop
+    count from any seed, up to ``max_hops``.  ``edges`` is a directed
+    ``(src, dst)`` relation (symmetrize for undirected graphs);
+    ``seeds`` a ``(node)`` relation.
+
+    The distributed-BFS shape: each level is one keyed join (frontier
+    x edges), a distinct, and an anti join against the visited set —
+    per-level cost tracks frontier-edge fan-out, never |V|^2; the
+    visited relation grows monotonically and is localCheckpointed so
+    level L+1's plan does not re-derive levels 1..L.  Level count is
+    FIXED (replayable, oracle-unrollable), the standard bounded-hop
+    form of reachability reporting ("accounts within 3 hops of a
+    flagged entity")."""
+    visited = seeds.select(F.col("node").cast("long").alias("node")).distinct().select(
+        "node", F.lit(0).alias("hop")
+    ).localCheckpoint(eager=False)
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited

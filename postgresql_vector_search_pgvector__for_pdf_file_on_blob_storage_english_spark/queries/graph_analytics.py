@@ -513,3 +513,74 @@ SELECT size, count(*)::BIGINT AS n_components FROM sizes GROUP BY size
 """
 
 _register("graph_order_episodes", _cc_order_episodes, _DD_CC_EPISODES)
+
+
+# ==========================================================================
+# Bounded-hop BFS reachability (round 8, session 2 — operators/graph.py::
+# bfs_levels): "how much of the trade network sits within 3 hops of
+# customer 1?"  Same namespaced bipartite graph as PageRank (customers
+# 2k, suppliers 2k+1).  Each level is frontier x edges + distinct +
+# anti-join-visited; the oracle unrolls the three levels as CTEs.
+# Gated output: newly-reached node count per hop.
+# ==========================================================================
+
+_BFS_HOPS = 3
+_BFS_SEED_CUST = 1
+
+
+def _graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_levels
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.range(1).select(F.lit(2 * _BFS_SEED_CUST).cast("long").alias("node"))
+    levels = bfs_levels(edges, seeds, max_hops=_BFS_HOPS)
+    return (
+        levels.groupBy("hop")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.col("hop").cast("int").alias("hop"), "n_nodes")
+    )
+
+
+_DD_KHOP = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS MATERIALIZED (
+  SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+  UNION ALL
+  SELECT 2 * s + 1, 2 * c FROM pairs
+),
+l0 AS (SELECT {2 * _BFS_SEED_CUST}::BIGINT AS node),
+l1 AS (
+  SELECT DISTINCT e.dst AS node FROM l0 JOIN e ON e.src = l0.node
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+),
+l2 AS (
+  SELECT DISTINCT e.dst AS node FROM l1 JOIN e ON e.src = l1.node
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+    AND e.dst NOT IN (SELECT node FROM l1)
+),
+l3 AS (
+  SELECT DISTINCT e.dst AS node FROM l2 JOIN e ON e.src = l2.node
+  WHERE e.dst NOT IN (SELECT node FROM l0)
+    AND e.dst NOT IN (SELECT node FROM l1)
+    AND e.dst NOT IN (SELECT node FROM l2)
+)
+SELECT 0 AS hop, count(*)::BIGINT AS n_nodes FROM l0
+UNION ALL SELECT 1, count(*)::BIGINT FROM l1
+UNION ALL SELECT 2, count(*)::BIGINT FROM l2
+UNION ALL SELECT 3, count(*)::BIGINT FROM l3
+"""
+
+_register("graph_khop_reach", _graph_khop, _DD_KHOP)

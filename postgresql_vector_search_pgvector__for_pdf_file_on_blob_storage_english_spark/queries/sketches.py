@@ -779,3 +779,74 @@ FROM pt_a, pt_b, pt_u, shared, exact
 """
 
 _register("sketch_kmv_priority_overlap", _sketch_kmv_overlap, _DD_KMV_OVERLAP)
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV maintenance (round 8, session 2): the customer-id
+# k-minset kept live over a micro-batched order stream.  Union-then-
+# truncate is the sketch's exact merge law AND is idempotent (no batch
+# stamping needed, unlike the additive count-min/qsketch logs); the
+# entry re-appends batch 0's minset deliberately to exercise replay
+# absorption inside the gated result.  Oracle: the one-shot batch SQL —
+# streaming == batch, bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _stream_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import kmv_minset
+    from ..streaming.sketch_stream import kmv_read, stream_into_kmv
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_kmv_{tag}_{os.getpid()}")
+    src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(f"{src}/f0")
+    orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(f"{src}/f1")
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    _drain(stream_into_kmv(stream, log, ckpt, "o_custkey", k=_KMV_K), 120)
+    # deliberate replay: batch 0's minset appended a second time — the
+    # distinct fold must absorb it (idempotent merge law)
+    kmv_minset(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey", k=_KMV_K
+    ).write.mode("append").parquet(log)
+
+    sk = kmv_read(spark, log, k=_KMV_K)
+    pt = sk.agg(F.count(F.lit(1)).alias("cnt_s"), F.max("hv").alias("mk_s"))
+    est = F.when(F.col("cnt_s") < _KMV_K, F.col("cnt_s").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(float(1 << 60)) / F.col("mk_s").cast("double")
+    )
+    exact = orders.select("o_custkey").distinct().agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return pt.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct", F.round(est, 2).alias("kmv_estimate")
+    )
+
+
+_DD_KMV_REPLAY = f"""
+WITH s AS (
+  SELECT hv FROM (
+    SELECT DISTINCT ('0x' || substr(md5('kmv' || '§' || o_custkey::VARCHAR), 1, 15))::BIGINT AS hv
+    FROM orders
+  ) ORDER BY hv LIMIT {_KMV_K}
+),
+pt AS (SELECT count(*)::BIGINT AS cnt_s, max(hv) AS mk_s FROM s),
+exact AS (SELECT count(DISTINCT o_custkey)::BIGINT AS exact_distinct FROM orders)
+SELECT exact_distinct,
+       round(CASE WHEN cnt_s < {_KMV_K} THEN cnt_s::DOUBLE
+                  ELSE {float(_KMV_K - 1)} * {float(1 << 60)} / mk_s::DOUBLE END, 2) AS kmv_estimate
+FROM pt, exact
+"""
+
+_register("stream_kmv_replay", _stream_kmv_replay, _DD_KMV_REPLAY)

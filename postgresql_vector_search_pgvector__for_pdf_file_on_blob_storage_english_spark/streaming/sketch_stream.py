@@ -250,3 +250,45 @@ def qsketch_compact(spark, path: str, dest: str) -> None:
     qsketch_read(spark, path).withColumn(
         "batch_id", F.lit(_compact_stamp(src))
     ).write.mode("overwrite").parquet(dest)
+
+
+def stream_into_kmv(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    k: int = 64,
+    available_now: bool = True,
+):
+    """readStream of keyed rows -> per-batch k-minset appended to the
+    KMV log at ``path``.  The merge law is union-then-truncate (k
+    smallest of the union IS the union's k-minset — the merge-law test
+    in tests/test_sketch.py), which is idempotent like HLL's register
+    max: a replayed batch re-appends the same hash values and the
+    distinct fold absorbs them, so no batch stamping is needed."""
+    from ..operators.sketch import kmv_minset
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        kmv_minset(batch_df, key_col, k=k).write.mode("append").parquet(path)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def kmv_read(spark, path: str, k: int = 64) -> DataFrame:
+    """Materialize the k-minset from its log: distinct union then the
+    k smallest (the merge law).  Output schema matches
+    ``kmv_minset``."""
+    return spark.read.parquet(path).select("hv").distinct().orderBy("hv").limit(k)
+
+
+def kmv_compact(spark, path: str, dest: str, k: int = 64) -> None:
+    """Fold the KMV log to one k-minset at ``dest`` (write to a NEW
+    path and swap, never in-place)."""
+    if path == dest:
+        raise ValueError("compact writes to a new path; swap after validation")
+    kmv_read(spark, path, k=k).write.mode("overwrite").parquet(dest)

@@ -302,3 +302,32 @@ class TestConnectedComponents:
         )
         with pytest.raises(RuntimeError, match="not converged"):
             connected_components(df, rounds=1)
+
+
+class TestBfsLevels:
+    def _run(self, spark, edges, seeds, hops=3):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            bfs_levels,
+        )
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {r["node"]: r["hop"] for r in bfs_levels(e, s, max_hops=hops).collect()}
+
+    def test_min_hop_on_diamond(self, spark):
+        # 1->2->4 and 1->3->4 plus a long way 1->5->6->4: node 4 is hop 2
+        edges = [(1, 2), (2, 4), (1, 3), (3, 4), (1, 5), (5, 6), (6, 4)]
+        got = self._run(spark, edges, [1])
+        assert got == {1: 0, 2: 1, 3: 1, 5: 1, 4: 2, 6: 2}
+
+    def test_directed_and_bounded(self, spark):
+        # edges point INTO the seed: nothing reachable; and hop cap trims
+        got = self._run(spark, [(2, 1), (3, 2)], [1], hops=2)
+        assert got == {1: 0}
+        chain = [(i, i + 1) for i in range(6)]
+        got2 = self._run(spark, chain, [0], hops=2)
+        assert got2 == {0: 0, 1: 1, 2: 2}
+
+    def test_multi_seed_min(self, spark):
+        got = self._run(spark, [(1, 2), (2, 3), (9, 3)], [1, 9], hops=3)
+        assert got[3] == 1  # via seed 9, not hop 2 via seed 1
