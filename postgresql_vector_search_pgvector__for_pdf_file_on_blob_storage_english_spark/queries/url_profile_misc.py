@@ -1268,3 +1268,59 @@ SELECT vec_id, label, round(d, 4) AS proto_dist2
 FROM ranked WHERE rn > (n_members * 40) // 100
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution read (round 8, session 2): two parquet batches with
+# DIFFERENT schemas in one table directory — batch 0 writes
+# (o_orderkey, o_totalprice), batch 1 adds o_orderpriority — read back
+# with mergeSchema: the unified scan must null-fill the pre-evolution
+# rows, keep types, and still allow column pruning.  The lakehouse
+# append-a-column migration, gated end to end: the entry writes the
+# batches (pid-keyed temp dir, derived deterministically from orders),
+# reads the evolved table, and aggregates per batch; the oracle
+# replays the same arithmetic from the source rows.
+# --------------------------------------------------------------------------
+
+
+def _schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_schema_evo_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.parquet(f"{base}/b0")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.parquet(f"{base}/b1")
+    evolved = spark.read.option("mergeSchema", "true").parquet(f"{base}/b0", f"{base}/b1")
+    return (
+        evolved.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("o_orderpriority")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_register(
+    "source_schema_evolution",
+    _schema_evolution,
+    """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+            ELSE '<pre-evolution>' END AS o_orderpriority,
+       count(*)::BIGINT AS n_rows,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+""",
+)
