@@ -6,6 +6,7 @@ from ._base import (  # noqa: F401
     DataFrame,
     F,
     SparkSession,
+    Window,
     _DD_NORMALIZE,
     _register,
     _t,
@@ -165,3 +166,145 @@ GROUP BY 1, 2
 """
 
 _register("train_shard_hrw_churn", _train_shard_hrw_churn, _DD_HRW_CHURN)
+
+
+# --------------------------------------------------------------------------
+# Hash-ranked negative sampling (round 8, session 2): per user, the N
+# catalog items they did NOT buy, drawn by deterministic hash rank —
+# the implicit-feedback recommender-training staple (BPR/ALS negative
+# draws), in the engine-wide salted-md5 discipline so resamples are
+# reproducible and the oracle replays exactly.  Scale shape: the item
+# CATALOG is the broadcast side (catalogs are bounded; corpora are
+# not), candidate generation is users x catalog with the positive set
+# removed by a keyed anti join, and the per-user top-N is a window over
+# the user key.  The entry caps the report slice to custkey < 20;
+# the negative pool per user is the full catalog.
+# --------------------------------------------------------------------------
+
+_NEG_PER_USER = 5
+_NEG_USER_CAP = 20
+
+
+def _train_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import stable_hash60
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    users = orders.filter(F.col("o_custkey") < _NEG_USER_CAP).select(
+        F.col("o_custkey").alias("user_id")
+    ).distinct()
+    items = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("item_id"))
+    positives = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+    cand = users.join(F.broadcast(items), how="cross").join(
+        positives, ["user_id", "item_id"], "left_anti"
+    )
+    hv = stable_hash60(
+        F.concat_ws("§", F.lit("negsample"), F.col("user_id"), F.col("item_id"))
+    )
+    w = Window.partitionBy("user_id").orderBy(hv, "item_id")
+    return (
+        cand.withColumn("draw", F.row_number().over(w))
+        .filter(F.col("draw") <= _NEG_PER_USER)
+        .select("user_id", "draw", "item_id")
+    )
+
+
+_register(
+    "train_negative_samples",
+    _train_negative_samples,
+    f"""
+WITH users AS (
+  SELECT DISTINCT o_custkey AS user_id FROM orders WHERE o_custkey < {_NEG_USER_CAP}
+),
+positives AS (
+  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cand AS (
+  SELECT u.user_id, p.p_partkey AS item_id
+  FROM users u CROSS JOIN part p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM positives x
+    WHERE x.user_id = u.user_id AND x.item_id = p.p_partkey)
+),
+ranked AS (
+  SELECT user_id, item_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ('0x' || substr(md5('negsample' || '§' || user_id::VARCHAR
+                       || '§' || item_id::VARCHAR), 1, 15))::BIGINT,
+                    item_id) AS draw
+  FROM cand
+)
+SELECT user_id, draw, item_id FROM ranked WHERE draw <= {_NEG_PER_USER}
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# Feature hashing (round 8, session 2): the hashing trick (Weinberger
+# et al. 2009) — each document's tokens fold into a fixed-width count
+# vector by hash bucket, no vocabulary table, no fit step: the
+# representation a streaming classifier uses when the vocab is unbounded.
+# Pure relational: explode -> bucket = hash % width -> count groupBy ->
+# dense reassembly via an ordered collect over the BOUNDED width.  The
+# gated output keeps the sparse (doc, bucket, cnt) form plus the doc's
+# l2 norm over exact integer counts.
+# --------------------------------------------------------------------------
+
+_FH_WIDTH = 32
+_FH_DOC_CAP = 40
+
+
+def _feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import stable_hash60
+    from ..operators.retrieval import tokenize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _FH_DOC_CAP)
+    toks = tokenize(docs)
+    bucketed = toks.select(
+        "doc_id",
+        (stable_hash60(F.concat_ws("§", F.lit("feathash"), F.col("term"))) % _FH_WIDTH)
+        .cast("int")
+        .alias("bucket"),
+    )
+    counts = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_norm = Window.partitionBy("doc_id")
+    return counts.select(
+        "doc_id",
+        "bucket",
+        "cnt",
+        F.round(F.sqrt(F.sum(F.col("cnt") * F.col("cnt")).over(w_norm).cast("double")), 4).alias("l2_norm"),
+    )
+
+
+_register(
+    "ml_feature_hashing",
+    _feature_hashing,
+    dd_sql(
+        f"""
+WITH toks AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, {{norm}} AS norm FROM documents WHERE doc_id < {_FH_DOC_CAP}),
+       unnest(string_split(trim(norm), ' ')) AS u(term)
+  WHERE u.term != ''
+),
+counts AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('feathash' || '§' || term), 1, 15))::BIGINT % {_FH_WIDTH})::INT AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM toks GROUP BY 1, 2
+)
+SELECT doc_id, bucket, cnt,
+       round(sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id)::DOUBLE), 4) AS l2_norm
+FROM counts
+""",
+        norm=dd_sql(_DD_NORMALIZE, col="text"),
+    ),
+)
