@@ -451,3 +451,64 @@ SELECT obs.lang, obs.source, obs.o,
 FROM obs JOIN rt USING (lang) JOIN ct USING (source), n
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# 7. Robust outlier counts by MAD (median absolute deviation): the
+# median-based twin of the z-score — immune to the outliers it hunts.
+# Two exact-percentile passes per event type (median, then median of
+# absolute deviations), then a count of |x - med| > 3 * MAD.  Exact
+# interpolated percentiles agree cross-engine (agg_exact_percentiles
+# precedent); the comparison uses the ROUNDED med/mad so the outlier
+# threshold is bit-pinned on both sides.
+# --------------------------------------------------------------------------
+
+
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("_ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(_ad, 0.5)"), 6).alias("mad"),
+        F.max("med").alias("med"),
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+
+
+_register(
+    "events_value_mad_outliers",
+    _mad_outliers,
+    """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS _ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(_ad, 0.5), 6) AS mad, max(med) AS med
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, max(m.med) AS med, max(m.mad) AS mad,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN abs(d.value - m.med) > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM (SELECT event_type, value FROM dev) d JOIN mad m USING (event_type)
+GROUP BY 1
+""",
+)

@@ -850,3 +850,80 @@ FROM pt, exact
 """
 
 _register("stream_kmv_replay", _stream_kmv_replay, _DD_KMV_REPLAY)
+
+
+# ---------------------------------------------------------------------------
+# Grouped KMV sketches (round 8, session 2): distinct customers per
+# nation from one pass of per-group k-minsets — the grouped twin of
+# sketch_kmv_priority_overlap, mirroring sketch_quantiles_by_nation's
+# shape: the window is PARTITIONED by the group key (never a global
+# sort), the summary is groups x k rows, and exact twins ride along.
+# ---------------------------------------------------------------------------
+
+_KMVG_K = 32
+
+
+def _sketch_kmv_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from ..operators.sketch import kmv_hash
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    keyed = orders.join(F.broadcast(cust), "o_custkey").select(
+        "c_nationkey", kmv_hash(F.col("o_custkey")).alias("hv")
+    ).distinct()
+    w = _W.partitionBy("c_nationkey").orderBy("hv")
+    sk = keyed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= _KMVG_K
+    )
+    pt = sk.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("hv").alias("mk")
+    )
+    est = F.when(F.col("cnt") < _KMVG_K, F.col("cnt").cast("double")).otherwise(
+        F.lit(float(_KMVG_K - 1)) * F.lit(float(1 << 60)) / F.col("mk").cast("double")
+    )
+    exact = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    )
+    return (
+        pt.join(exact, "c_nationkey")
+        .select(
+            "c_nationkey",
+            F.round(est, 2).alias("kmv_estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        )
+    )
+
+
+_DD_KMV_NATION = f"""
+WITH keyed AS (
+  SELECT DISTINCT c.c_nationkey,
+         ('0x' || substr(md5('kmv' || '§' || o.o_custkey::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+sk AS (
+  SELECT c_nationkey, hv,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY hv) AS rn
+  FROM keyed
+),
+pt AS (
+  SELECT c_nationkey, count(*)::BIGINT AS cnt, max(hv) AS mk
+  FROM sk WHERE rn <= {_KMVG_K} GROUP BY 1
+),
+exact AS (
+  SELECT c.c_nationkey, count(DISTINCT o.o_custkey)::BIGINT AS exact_distinct
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1
+)
+SELECT pt.c_nationkey,
+       round(CASE WHEN cnt < {_KMVG_K} THEN cnt::DOUBLE
+                  ELSE {float(_KMVG_K - 1)} * {float(1 << 60)} / mk::DOUBLE END, 2) AS kmv_estimate,
+       exact_distinct
+FROM pt JOIN exact ON exact.c_nationkey = pt.c_nationkey
+"""
+
+_register("sketch_kmv_by_nation", _sketch_kmv_by_nation, _DD_KMV_NATION)
