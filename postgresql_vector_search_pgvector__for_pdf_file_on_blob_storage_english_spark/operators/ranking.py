@@ -124,3 +124,55 @@ def ntile_from_rank(rank: Column, n: Column, tiles: int) -> Column:
     return F.when(rank <= cut, _ceil_div(rank, base + F.lit(1))).otherwise(
         r + _ceil_div(rank - cut, base)
     )
+
+
+def kth_smallest_histogram(
+    df: DataFrame,
+    col: str,
+    k: int,
+    fanout: int = 256,
+    max_levels: int = 8,
+) -> int:
+    """Exact k-th smallest (1-indexed) of an INTEGER column by histogram
+    descent — distributed selection with NO shuffle of the data at all:
+    every pass is one map-side-partial ``groupBy(bucket).count()`` over
+    the scan, and the only driver traffic is the <= ``fanout``-row
+    histogram (the engine's bounded-collect discipline).  Contrast with
+    ``global_rank``'s repartitionByRange (which moves the relation
+    once): selection needs only counts, so at 100 TB the median costs
+    ceil(log_fanout(range)) scans and zero exchanges.
+
+    The loop narrows [lo, hi] by the bucket containing rank ``k`` until
+    the range fits one bucket span (then buckets ARE values).  Levels
+    are bounded by the 64-bit domain: log_256 covers any long in 8.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    c = F.col(col).cast("long")
+    bounds = df.agg(
+        F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if bounds.n is None or bounds.n < k:
+        raise ValueError(f"k={k} exceeds row count {bounds.n}")
+    lo, hi = bounds.lo, bounds.hi
+    remaining = k
+    for _ in range(max_levels):
+        if lo == hi:
+            return lo
+        span = (hi - lo) // fanout + 1
+        hist = (
+            df.filter((c >= lo) & (c <= hi))
+            .groupBy(((c - F.lit(lo)) / F.lit(span)).cast("long").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        counts = {r["b"]: r["n"] for r in hist}
+        for b in range(fanout):
+            nb = counts.get(b, 0)
+            if remaining <= nb:
+                lo, hi = lo + b * span, min(hi, lo + (b + 1) * span - 1)
+                break
+            remaining -= nb
+        if span == 1:
+            return lo
+    raise RuntimeError("kth_smallest_histogram: did not converge (raise max_levels)")

@@ -512,3 +512,42 @@ FROM (SELECT event_type, value FROM dev) d JOIN mad m USING (event_type)
 GROUP BY 1
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# 8. Exact median by histogram descent (operators/ranking.py::
+# kth_smallest_histogram): distributed SELECTION — the data never
+# shuffles; each of the <= 3 passes here is a map-side-partial bucket
+# count and the driver sees only <= fanout rows per pass.  The scalable
+# alternative to both the single-partition percentile() and
+# global_rank's repartitionByRange when all you need is an order
+# statistic.  Lower median of the order-price cents, with the row count
+# for context.
+# --------------------------------------------------------------------------
+
+
+def _median_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import kth_smallest_histogram
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+    )
+    n = orders.count()
+    med = kth_smallest_histogram(orders, "cents", (n + 1) // 2)
+    return spark.range(1).select(
+        F.lit(med).cast("long").alias("median_cents"),
+        F.lit(n).cast("long").alias("n_rows"),
+    )
+
+
+_register(
+    "agg_median_histogram_select",
+    _median_histogram,
+    """
+WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+n AS (SELECT count(*)::BIGINT AS n_rows FROM o)
+SELECT (SELECT cents FROM o ORDER BY cents
+        LIMIT 1 OFFSET ((SELECT n_rows FROM n) + 1) // 2 - 1) AS median_cents,
+       (SELECT n_rows FROM n) AS n_rows
+""",
+)

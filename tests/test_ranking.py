@@ -84,3 +84,41 @@ class TestNtileFromRank:
         )
         bad = got.filter(F.col("t") != F.col("t2")).count()
         assert bad == 0
+
+
+class TestKthSmallestHistogram:
+    def test_matches_sorted_reference(self, spark):
+        import random
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+            kth_smallest_histogram,
+        )
+
+        rng = random.Random(5)
+        vals = [rng.randrange(-10_000, 10_000_000) for _ in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        s = sorted(vals)
+        for k in (1, 2, 2500, 4999, 5000):
+            assert kth_smallest_histogram(df, "v", k, fanout=16) == s[k - 1]
+
+    def test_duplicates_and_tiny_ranges(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+            kth_smallest_histogram,
+        )
+
+        df = spark.createDataFrame([(7,)] * 10 + [(3,)] * 5, "v long")
+        assert kth_smallest_histogram(df, "v", 5) == 3
+        assert kth_smallest_histogram(df, "v", 6) == 7
+
+    def test_guards(self, spark):
+        import pytest as _pt
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+            kth_smallest_histogram,
+        )
+
+        df = spark.createDataFrame([(1,), (2,)], "v long")
+        with _pt.raises(ValueError, match="k must be"):
+            kth_smallest_histogram(df, "v", 0)
+        with _pt.raises(ValueError, match="exceeds"):
+            kth_smallest_histogram(df, "v", 3)

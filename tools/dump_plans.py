@@ -168,6 +168,30 @@ SECTIONS = [
      "iteration joins the checkpointed strength relation twice and re-aggregates — "
      "every exchange in the loop is bounded by the player count, never the corpus, "
      "and every arithmetic op is an exact integer floor."),
+    ("graph_order_episodes", "Connected components (large-star/small-star)",
+     "Each contraction round is two groupBy+join stages keyed on the node id — "
+     "map-side-partial min aggregates, shuffles linear in |E|, localCheckpointed "
+     "between rounds so round r+1's plan never re-derives rounds 1..r. The star "
+     "assertion at the end is two bounded aggregates; no driver-side graph state."),
+    ("dedup_edjoin_part_pairs", "Ed-Join prefix-filtered edit-distance join (k=2)",
+     "Duplicates collapse to multiplicities BEFORE the quadratic stage (one "
+     "partial-agg groupBy); prefix grams rank per value under the global "
+     "document-frequency order (window keyed on the value id, partitions bounded by "
+     "string length); the candidate self-join shuffles (id, gram-hash, pos, len) — "
+     "never the strings — and one levenshtein per candidate verifies."),
+    ("recsys_item_item_cosine", "Item-item cosine recommender",
+     "The co-count self-join is keyed on the order id (fan-out quadratic only in "
+     "per-order item count), degree counts are map-side-partial groupBys joined "
+     "back by item key, and the top-3 per item is a window keyed on the item — "
+     "never a global sort. Cosine is one sqrt + one divide of exact integers."),
+    ("sketch_kmv_priority_overlap", "KMV/theta sketch set algebra",
+     "Each k-minset compiles to TakeOrderedAndProject (partition-local top-k heaps, "
+     "k rows out) over a distinct hash projection; every post-sketch relation is "
+     "<= k rows, all joins broadcast, no global window anywhere."),
+    ("train_prune_prototypes", "SSL-prototypes data pruning",
+     "Prototypes are a labels x dims partial aggregate broadcast back onto the "
+     "corpus; the only full-data exchange is the per-label rank window; the "
+     "per-class cut is exact integer arithmetic inside the same projection."),
 ]
 
 
