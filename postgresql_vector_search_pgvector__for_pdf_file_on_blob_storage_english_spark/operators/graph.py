@@ -355,3 +355,47 @@ def bfs_levels(
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, public
+    method) over an undirected graph: seeds are CLAMPED, every other
+    node takes the majority label of its labeled neighbors each round
+    (ties: lexicographically smallest label — a total order, so the
+    fixpoint is partitioning-independent).  Returns ``(node, label)``
+    for every node labeled after ``iters`` rounds.
+
+    ``edges``: ``(u, v)`` undirected pairs; ``seeds``: ``(node,
+    label)``.  Each round is one keyed join (labels x symmetric edges)
+    + a count groupBy + a per-node argmax window — all linear in |E|,
+    map-side-combinable, localCheckpointed between rounds.
+    """
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col("u").cast("long").alias("src"), F.col("v").cast("long").alias("dst")
+    )
+    sym = sym.unionAll(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    clamped = seeds.select(
+        F.col("node").cast("long").alias("node"), F.col("label").cast("string").alias("label")
+    ).localCheckpoint(eager=False)
+    labels = clamped
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+    for _ in range(iters):
+        votes = (
+            labels.join(sym, labels.node == sym.src)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        inferred = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .join(clamped.select("node"), "node", "left_anti")
+        )
+        labels = clamped.unionAll(inferred).localCheckpoint(eager=False)
+    return labels

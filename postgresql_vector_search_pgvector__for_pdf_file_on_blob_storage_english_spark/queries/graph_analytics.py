@@ -584,3 +584,92 @@ UNION ALL SELECT 3, count(*)::BIGINT FROM l3
 """
 
 _register("graph_khop_reach", _graph_khop, _DD_KHOP)
+
+
+# ==========================================================================
+# Semi-supervised label propagation (round 8, session 2 — operators/
+# graph.py::label_propagation): brand inference over the co-purchase
+# graph.  20% of parts keep their true p_brand (seeds, clamped); two
+# rounds of clamped majority vote label the rest; the entry grades
+# itself — the gated output is the (is_seed, correct) confusion with
+# counts, so a propagation-quality regression fails CORRECTNESS.
+# Ties break on the lexicographically smallest label (total order =>
+# partitioning-independent).  Oracle: both rounds unrolled as CTEs.
+# ==========================================================================
+
+_LP_ITERS = 2
+
+
+def _graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    edges = copurchase_edges(li)
+    seeds = part.filter(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    labels = label_propagation(edges, seeds, iters=_LP_ITERS)
+    truth = part.select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_brand").alias("true_brand"),
+        (F.col("p_partkey") % 5 == 0).alias("is_seed"),
+    )
+    return (
+        truth.join(labels, "node", "left")
+        .select(
+            "is_seed",
+            F.when(F.col("label").isNull(), F.lit("unlabeled"))
+            .when(F.col("label") == F.col("true_brand"), F.lit("correct"))
+            .otherwise(F.lit("wrong"))
+            .alias("outcome"),
+        )
+        .groupBy("is_seed", "outcome")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _dd_lp_sql(iters: int) -> str:
+    head = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+seeds AS MATERIALIZED (
+  SELECT p_partkey AS node, p_brand AS label FROM part WHERE p_partkey % 5 = 0
+),
+l0 AS (SELECT node, label FROM seeds),"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+v{i} AS (
+  SELECT sym.dst AS node, l.label, count(*)::BIGINT AS cnt
+  FROM l{i - 1} l JOIN sym ON sym.src = l.node
+  GROUP BY 1, 2
+),
+i{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM v{i}) WHERE rn = 1
+),
+l{i} AS (
+  SELECT node, label FROM seeds
+  UNION ALL
+  SELECT node, label FROM i{i} WHERE node NOT IN (SELECT node FROM seeds)
+),""")
+    body = (head + "".join(steps)).rstrip(",")
+    return f"""{body}
+SELECT (p.p_partkey % 5 = 0) AS is_seed,
+       CASE WHEN l.label IS NULL THEN 'unlabeled'
+            WHEN l.label = p.p_brand THEN 'correct'
+            ELSE 'wrong' END AS outcome,
+       count(*)::BIGINT AS n
+FROM part p LEFT JOIN l{iters} l ON l.node = p.p_partkey
+GROUP BY 1, 2
+"""
+
+
+_register("graph_label_propagation", _graph_label_prop, _dd_lp_sql(_LP_ITERS))

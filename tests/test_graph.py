@@ -331,3 +331,35 @@ class TestBfsLevels:
     def test_multi_seed_min(self, spark):
         got = self._run(spark, [(1, 2), (2, 3), (9, 3)], [1, 9], hops=3)
         assert got[3] == 1  # via seed 9, not hop 2 via seed 1
+
+
+class TestLabelPropagation:
+    def _run(self, spark, edges, seeds, iters=2):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            label_propagation,
+        )
+
+        e = spark.createDataFrame(edges, "u long, v long")
+        s = spark.createDataFrame(seeds, "node long, label string")
+        return {r["node"]: r["label"] for r in label_propagation(e, s, iters=iters).collect()}
+
+    def test_two_camp_path(self, spark):
+        # A(1) - 2 - 3 - 4 - B(5): one round labels 2 and 4; two rounds
+        # reach 3, which sees both camps -> lexicographic tiebreak 'A'
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        seeds = [(1, "A"), (5, "B")]
+        got = self._run(spark, edges, seeds)
+        assert got[2] == "A" and got[4] == "B" and got[3] == "A"
+
+    def test_seeds_clamped_and_majority(self, spark):
+        # seed 1 is surrounded by B-labeled majority but must stay A;
+        # node 10 has two B neighbors and one A -> B
+        edges = [(1, 2), (1, 3), (10, 2), (10, 3), (10, 1)]
+        seeds = [(1, "A"), (2, "B"), (3, "B")]
+        got = self._run(spark, edges, seeds, iters=1)
+        assert got[1] == "A"
+        assert got[10] == "B"
+
+    def test_unreached_stay_unlabeled(self, spark):
+        got = self._run(spark, [(1, 2), (8, 9)], [(1, "A")], iters=2)
+        assert 8 not in got and 9 not in got and got[2] == "A"
