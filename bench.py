@@ -85,6 +85,10 @@ HEADLINE = [
     "dedup_edjoin_part_pairs",  # r8s2: Ed-Join k=2 prefix-filtered edit-distance join, measured flat at sf1
     "train_prune_prototypes",  # r8s2: SSL-prototypes pruning (D4 second stage)
     "text_pmi_collocations",  # r8s2: PMI collocations, ratio-ranked cross-engine
+    "recsys_item_item_cosine",  # r8s2: co-occurrence recommender, integer-exact cosine ranking
+    "sketch_kmv_priority_overlap",  # r8s2: KMV/theta set algebra, TakeOrdered sketches
+    "agg_median_histogram_select",  # r8s2: exact median by histogram descent - zero-shuffle selection
+    "graph_khop_reach",  # r8s2: bounded-hop BFS, frontier joins linear in |E|
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%
