@@ -261,21 +261,42 @@ def edjoin_value_pairs(
     # blocking cannot see it.  Route every string with len < q*(k+1)
     # (gram-less len < q included) through an explicit block; any
     # partner OUTSIDE the block is long enough to force a shared
-    # prefix gram, so the gram join covers those.  The block is
-    # bounded by the alphabet (< |sigma|^(q*(k+1)) DISTINCT values) —
-    # quadratic on a constant, not on the corpus.
+    # prefix gram, so the gram join covers those.  For bounded
+    # alphabets the block holds < |sigma|^(q*(k+1)) distinct values —
+    # but sigma is NOT always small (CJK corpora), so the pairing is a
+    # length-keyed hash join, not a broadcast cross: side a fans out to
+    # keys len..len+k, side b joins on its own length — every unordered
+    # pair within k length lands in exactly the buckets it must, and an
+    # adversarial pile of short strings shuffles instead of OOMing the
+    # driver.
     smalls = vals.filter(F.length(key_col) < q * (k + 1)).select(
         F.col("min_id").alias("_sid"), F.length(key_col).alias("_sl")
     )
-    sa = smalls.select(F.col("_sid").alias("_ida"), F.col("_sl").alias("_la"))
-    sb = smalls.select(F.col("_sid").alias("_idb"), F.col("_sl").alias("_lb"))
+    sa = smalls.select(
+        F.col("_sid").alias("_ida"),
+        F.col("_sl").alias("_la"),
+        F.explode(
+            F.sequence(F.col("_sl"), F.col("_sl") + F.lit(k))
+        ).alias("_lk"),
+    )
+    sb = smalls.select(
+        F.col("_sid").alias("_idb"), F.col("_sl").alias("_lb"),
+        F.col("_sl").alias("_lk"),
+    )
+    # The fan-out reaches only shorter -> longer, so a pair surfaces in
+    # ONE role order; canonicalize ids with least/greatest rather than
+    # filtering on _ida < _idb (which would drop pairs whose shorter
+    # string carries the larger id).
     cand_small = (
-        sa.crossJoin(F.broadcast(sb))
+        sa.join(sb, "_lk")
         .filter(
-            (F.col("_ida") < F.col("_idb"))
+            (F.col("_ida") != F.col("_idb"))
             & (F.abs(F.col("_la") - F.col("_lb")) <= k)
         )
-        .select("_ida", "_idb")
+        .select(
+            F.least("_ida", "_idb").alias("_ida"),
+            F.greatest("_ida", "_idb").alias("_idb"),
+        )
     )
     cand = cand_long.unionAll(cand_small).distinct()
     left = vals.select(

@@ -380,9 +380,18 @@ def label_propagation(
         F.col("u").cast("long").alias("src"), F.col("v").cast("long").alias("dst")
     )
     sym = sym.unionAll(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    clamped = seeds.select(
-        F.col("node").cast("long").alias("node"), F.col("label").cast("string").alias("label")
-    ).localCheckpoint(eager=False)
+    # A node seeded twice with different labels would propagate BOTH and
+    # emit two rows in the result; collapse to the lexicographically
+    # smallest (the same total order the vote tiebreak uses).
+    clamped = (
+        seeds.select(
+            F.col("node").cast("long").alias("node"),
+            F.col("label").cast("string").alias("label"),
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=False)
+    )
     labels = clamped
     w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
     for _ in range(iters):

@@ -149,6 +149,10 @@ def kth_smallest_histogram(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     c = F.col(col).cast("long")
+    # NULLs carry no rank: count(*) would admit a k that the bucket
+    # counts (which drop nulls) can never reach — mirror SQL's
+    # null-excluding ORDER BY ... OFFSET semantics explicitly.
+    df = df.filter(c.isNotNull())
     bounds = df.agg(
         F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(F.lit(1)).alias("n")
     ).collect()[0]

@@ -455,9 +455,15 @@ def kmv_minset(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
     ``(hv)`` relation.  Sort + limit compiles to TakeOrderedAndProject
     (partial top-k on every partition, k rows to one reducer) — no
     global window, no single-partition exchange; the sketch is
-    mergeable, so a 1000-executor union is k rows per slice."""
+    mergeable, so a 1000-executor union is k rows per slice.
+
+    NULL keys are dropped BEFORE hashing: ``count(DISTINCT x)`` ignores
+    nulls, and hashing them (concat_ws silently skips nulls, yielding
+    the salt's own hash) would make the sketch count one phantom value
+    the exact twin never sees."""
     return (
-        df.select(kmv_hash(F.col(key_col)).alias("hv"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(kmv_hash(F.col(key_col)).alias("hv"))
         .distinct()
         .orderBy("hv")
         .limit(k)

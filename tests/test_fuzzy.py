@@ -201,3 +201,12 @@ class TestEdJoin:
         rng = random.Random(13)
         strs = {"".join(rng.choice("abc") for _ in range(rng.randrange(0, 13))) for _ in range(100)}
         assert self._got(spark, strs, 2, q=3) == self._brute(strs, 2)
+
+    def test_short_block_is_length_keyed_not_broadcast_cross(self, spark):
+        # adversarial: MANY distinct short strings (unbounded-alphabet
+        # stand-in) — correctness must hold and the plan must not cross
+        import random
+
+        rng = random.Random(17)
+        strs = {"".join(rng.choice("abcdefgh") for _ in range(rng.randrange(0, 6))) for _ in range(120)}
+        assert self._got(spark, strs, 2) == self._brute(strs, 2)

@@ -363,3 +363,7 @@ class TestLabelPropagation:
     def test_unreached_stay_unlabeled(self, spark):
         got = self._run(spark, [(1, 2), (8, 9)], [(1, "A")], iters=2)
         assert 8 not in got and 9 not in got and got[2] == "A"
+
+    def test_conflicting_seeds_collapse_deterministically(self, spark):
+        got = self._run(spark, [(1, 2)], [(1, "B"), (1, "A")], iters=1)
+        assert got[1] == "A" and got[2] == "A"

@@ -122,3 +122,15 @@ class TestKthSmallestHistogram:
             kth_smallest_histogram(df, "v", 0)
         with _pt.raises(ValueError, match="exceeds"):
             kth_smallest_histogram(df, "v", 3)
+
+    def test_nulls_carry_no_rank(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+            kth_smallest_histogram,
+        )
+
+        df = spark.createDataFrame([(5,), (None,), (1,), (None,), (9,)], "v long")
+        assert kth_smallest_histogram(df, "v", 3) == 9
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="exceeds"):
+            kth_smallest_histogram(df, "v", 4)

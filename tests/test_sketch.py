@@ -611,3 +611,11 @@ class TestKmvSketch:
         a = sorted(r["hv"] for r in kmv_minset(base, "k", k=16).collect())
         b = sorted(r["hv"] for r in kmv_minset(base.repartition(13), "k", k=16).collect())
         assert a == b
+
+    def test_null_keys_dropped(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            kmv_minset,
+        )
+
+        df = spark.createDataFrame([(1,), (None,), (2,), (None,)], "k long")
+        assert kmv_minset(df, "k", k=8).count() == 2
