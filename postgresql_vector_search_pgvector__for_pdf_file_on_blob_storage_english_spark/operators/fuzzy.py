@@ -232,9 +232,14 @@ def edjoin_value_pairs(
     (the 43x sf1 lesson: collapse duplicates BEFORE the quadratic
     stage).  Returns ``(<key>_a, <key>_b, n_a, n_b, min_id_a, min_id_b,
     dist)`` ordered by ``min_id_a < min_id_b``."""
+    # One value-collapse pass, shared by every branch: without the
+    # checkpoint the logical subtree is COPIED into longs/smalls/left/
+    # right and column pruning specializes each copy past exchange
+    # reuse — the corpus would be scanned and grouped per branch
+    # (found by the plan gate counting 8 string-keyed exchanges).
     vals = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_ids"), F.min(id_col).alias("min_id")
-    )
+    ).localCheckpoint(eager=False)
     longs = vals.filter(F.length(key_col) >= q)
     pre = qgram_prefix_rows(longs, key_col, "min_id", q=q, k=k)
     a = pre.select(

@@ -341,3 +341,74 @@ class TestRound6Plans:
 
         for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
             assert "text" not in m.group(1), "raw text crossed an exchange"
+
+
+class TestRound8Session2Plans:
+    def test_not_in_plans_as_null_aware_anti_join(self, spark):
+        # NOT IN over a nullable key must compile to the null-aware anti
+        # join (the isNullAwareAntiJoin flag prints as the trailing
+        # 'true'); NOT EXISTS stays a plain left-anti ('false').
+        df = q(spark, "join_not_in_vs_not_exists")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        naaj = [
+            ln for ln in plan.splitlines()
+            if "LeftAnti" in ln and ln.rstrip().endswith("true")
+        ]
+        plain = [
+            ln for ln in plan.splitlines()
+            if "LeftAnti" in ln and ln.rstrip().endswith("false")
+        ]
+        assert naaj, "NOT IN branch lost its null-aware anti join"
+        assert plain, "NOT EXISTS branch should stay a plain left-anti"
+
+    def test_edjoin_candidate_exchanges_are_hash_keyed(self, spark):
+        # the dedup discipline, scoped precisely: each distinct value
+        # crosses the wire ONCE (the multiplicity groupBy is keyed on
+        # the string — unavoidable and linear); every OTHER exchange in
+        # candidate generation is keyed on gram-hash / id / length,
+        # never the string.
+        import re
+
+        df = q(spark, "dedup_edjoin_part_pairs")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        string_keyed = 0
+        hash_keyed = 0
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            keys = m.group(1)
+            if "p_name#" in keys:
+                string_keyed += 1
+            if "_h#" in keys:
+                hash_keyed += 1
+        # the value collapse sits behind a checkpoint, so the FINAL plan
+        # carries no string-keyed exchange at all; candidate generation
+        # joins on the gram hash (shuffled at scale, broadcast at the
+        # tiny test fixture — either way keyed on _h, never the string)
+        assert string_keyed == 0, f"{string_keyed} string-keyed exchanges (value collapse leaked)"
+        hash_join = any(
+            "Join" in ln and "_h#" in ln for ln in plan.splitlines()
+        )
+        assert hash_keyed >= 1 or hash_join, "candidate join lost its gram-hash keying"
+
+    def test_kmv_sketch_is_takeordered_no_window(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            kmv_minset,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        sk = kmv_minset(orders, "o_custkey", k=64)
+        assert has_take_ordered(sk)
+        plan = sk._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+    def test_cc_rounds_have_no_unpartitioned_window(self, spark):
+        # covered registry-wide by the sweep, but pin the operator form
+        # directly too (rounds build on checkpointed RDD lineage the
+        # sweep's optimizedPlan pass may not traverse)
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame([(i, i + 1) for i in range(20)], "u long, v long")
+        out = connected_components(edges, rounds=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
