@@ -218,28 +218,14 @@ def qgram_prefix_rows(
     )
 
 
-def edjoin_value_pairs(
-    df: DataFrame,
-    key_col: str,
-    id_col: str,
-    q: int = 2,
-    k: int = 2,
-    dist_col: str = "dist",
+def edjoin_candidates(
+    vals: DataFrame, key_col: str, q: int = 2, k: int = 2
 ) -> DataFrame:
-    """All DISTINCT-value pairs at edit distance 1..k, exactly:
-    Ed-Join prefix-filtered candidates + levenshtein verification, in
-    the multiplicity-carrying working-set form the FastSS join ships
-    (the 43x sf1 lesson: collapse duplicates BEFORE the quadratic
-    stage).  Returns ``(<key>_a, <key>_b, n_a, n_b, min_id_a, min_id_b,
-    dist)`` ordered by ``min_id_a < min_id_b``."""
-    # One value-collapse pass, shared by every branch: without the
-    # checkpoint the logical subtree is COPIED into longs/smalls/left/
-    # right and column pruning specializes each copy past exchange
-    # reuse — the corpus would be scanned and grouped per branch
-    # (found by the plan gate counting 8 string-keyed exchanges).
-    vals = df.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_ids"), F.min(id_col).alias("min_id")
-    ).localCheckpoint(eager=False)
+    """The Ed-Join candidate set over a DISTINCT-value relation
+    carrying ``min_id``: prefix-gram join plus the short-string block,
+    as distinct ``(_ida, _idb), _ida < _idb`` pairs.  Shared by the
+    verified join and the blocking-quality audit, so the audited
+    candidate generator IS the deployed one."""
     longs = vals.filter(F.length(key_col) >= q)
     pre = qgram_prefix_rows(longs, key_col, "min_id", q=q, k=k)
     a = pre.select(
@@ -303,7 +289,32 @@ def edjoin_value_pairs(
             F.greatest("_ida", "_idb").alias("_idb"),
         )
     )
-    cand = cand_long.unionAll(cand_small).distinct()
+    return cand_long.unionAll(cand_small).distinct()
+
+
+def edjoin_value_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    q: int = 2,
+    k: int = 2,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """All DISTINCT-value pairs at edit distance 1..k, exactly:
+    Ed-Join prefix-filtered candidates + levenshtein verification, in
+    the multiplicity-carrying working-set form the FastSS join ships
+    (the 43x sf1 lesson: collapse duplicates BEFORE the quadratic
+    stage).  Returns ``(<key>_a, <key>_b, n_a, n_b, min_id_a, min_id_b,
+    dist)`` ordered by ``min_id_a < min_id_b``."""
+    # One value-collapse pass, shared by every branch: without the
+    # checkpoint the logical subtree is COPIED into longs/smalls/left/
+    # right and column pruning specializes each copy past exchange
+    # reuse — the corpus would be scanned and grouped per branch
+    # (found by the plan gate counting 8 string-keyed exchanges).
+    vals = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_ids"), F.min(id_col).alias("min_id")
+    ).localCheckpoint(eager=False)
+    cand = edjoin_candidates(vals, key_col, q=q, k=k)
     left = vals.select(
         F.col("min_id").alias("_ida"),
         F.col(key_col).alias(f"{key_col}_a"),

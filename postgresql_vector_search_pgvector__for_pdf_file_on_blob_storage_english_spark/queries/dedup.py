@@ -712,3 +712,114 @@ FROM pairs
 """
 
 _register("dedup_edjoin_part_pairs", _edjoin_part_pairs, _DD_EDJOIN_PAIRS)
+
+
+# --------------------------------------------------------------------------
+# Ed-Join blocking-quality audit (round 8, session 2): the fuzzy
+# family's recall sweep.  Measures the DEPLOYED candidate generator
+# (operators/fuzzy.py::edjoin_candidates — shared code, not a copy)
+# against brute-force ground truth and gates BOTH quality metrics:
+# pairs_completeness (fraction of true ed<=k pairs surviving blocking —
+# the prefix-filter theorem says exactly 1.0, and a blocking regression
+# now FAILS CORRECTNESS instead of silently dropping matches) and the
+# reduction ratio (fraction of the n^2 comparison space eliminated).
+# The oracle replays prefix selection literally — same (df, gram, pos)
+# global order, same position/length tolerances, same short block.
+# --------------------------------------------------------------------------
+
+
+def _edjoin_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import edjoin_candidates
+
+    part = _t(spark, sf_dir, "part")
+    vals = (
+        part.groupBy("p_name")
+        .agg(F.min("p_partkey").alias("min_id"))
+        .localCheckpoint(eager=False)
+    )
+    cand = edjoin_candidates(vals, "p_name", q=2, k=2)
+    a = vals.select(F.col("min_id").alias("_ida"), F.col("p_name").alias("_sa"))
+    b = vals.select(F.col("min_id").alias("_idb"), F.col("p_name").alias("_sb"))
+    truth = (
+        a.join(F.broadcast(b), F.col("_ida") < F.col("_idb"))
+        .filter(F.abs(F.length("_sa") - F.length("_sb")) <= 2)
+        .withColumn("_d", F.levenshtein("_sa", "_sb"))
+        .filter((F.col("_d") >= 1) & (F.col("_d") <= 2))
+        .select("_ida", "_idb")
+    )
+    n_vals = vals.agg(F.count(F.lit(1)).alias("n_values"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_hit = truth.join(cand, ["_ida", "_idb"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_vals.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_values",
+            F.expr("n_values * (n_values - 1) div 2").alias("n_possible_pairs"),
+            "n_candidates",
+            "n_true_pairs",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true_pairs").cast("double"), 4
+            ).alias("pairs_completeness"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double")
+                / F.expr("n_values * (n_values - 1) div 2").cast("double"),
+                4,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+_DD_EDJOIN_QUALITY = """
+WITH vals AS (SELECT p_name AS s, min(p_partkey) AS mid FROM part GROUP BY 1),
+grams AS (
+  SELECT mid, length(s)::INT AS len, substr(s, i::INT, 2) AS g, i::INT AS pos
+  FROM vals, unnest(range(1, length(s))) AS t(i)
+),
+gdf AS (SELECT g, count(*)::BIGINT AS df FROM grams GROUP BY 1),
+pre AS (
+  SELECT mid, len, g, pos FROM (
+    SELECT grams.*, row_number() OVER (PARTITION BY mid ORDER BY gdf.df, grams.g, grams.pos) AS rn
+    FROM grams JOIN gdf USING (g))
+  WHERE rn <= 5
+),
+cand_long AS (
+  SELECT DISTINCT a.mid AS ia, b.mid AS ib
+  FROM pre a JOIN pre b
+    ON a.g = b.g AND a.mid < b.mid
+   AND abs(a.pos - b.pos) <= 2 AND abs(a.len - b.len) <= 2
+),
+cand_small AS (
+  SELECT DISTINCT least(a.mid, b.mid) AS ia, greatest(a.mid, b.mid) AS ib
+  FROM vals a JOIN vals b
+    ON length(a.s) < 6 AND length(b.s) < 6 AND a.mid != b.mid
+   AND abs(length(a.s) - length(b.s)) <= 2
+),
+cand AS (SELECT DISTINCT ia, ib FROM (SELECT * FROM cand_long UNION ALL SELECT * FROM cand_small)),
+truth AS (
+  SELECT a.mid AS ia, b.mid AS ib
+  FROM vals a JOIN vals b
+    ON a.mid < b.mid AND abs(length(a.s) - length(b.s)) <= 2
+  WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
+),
+m AS (
+  SELECT (SELECT count(*)::BIGINT FROM vals) AS n_values,
+         (SELECT count(*)::BIGINT FROM cand) AS n_candidates,
+         (SELECT count(*)::BIGINT FROM truth) AS n_true_pairs,
+         (SELECT count(*)::BIGINT FROM truth t
+           WHERE EXISTS (SELECT 1 FROM cand c WHERE c.ia = t.ia AND c.ib = t.ib)) AS n_hit
+)
+SELECT n_values,
+       (n_values * (n_values - 1)) // 2 AS n_possible_pairs,
+       n_candidates, n_true_pairs,
+       round(n_hit::DOUBLE / n_true_pairs::DOUBLE, 4) AS pairs_completeness,
+       round(1.0 - n_candidates::DOUBLE / ((n_values * (n_values - 1)) // 2)::DOUBLE, 4) AS reduction_ratio
+FROM m
+"""
+
+_register("dedup_edjoin_blocking_quality", _edjoin_blocking_quality, _DD_EDJOIN_QUALITY)
