@@ -68,6 +68,16 @@ from ._base import Entry, REGISTRY  # noqa: F401
 #                                   evidenced r7; streaming-index
 #                                   replay's first slot)
 #
+# Round-9 rotation candidates (added after the r8 window froze; none
+# driver-evidenced yet): graph_order_episodes (large-star/small-star
+# CC, independent ground-truth oracle), dedup_edjoin_part_pairs or
+# dedup_edjoin_blocking_quality (Ed-Join; the audit row gates
+# pairs_completeness == 1.0), train_prune_prototypes (D4 second
+# stage), sketch_kmv_priority_overlap / stream_kmv_replay (theta
+# sketch family), recsys_item_item_cosine, graph_khop_reach,
+# graph_label_propagation, agg_median_histogram_select,
+# events_attribution_last_touch, join_not_in_vs_not_exists (NAAJ).
+#
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the
 # driver's 50-row snapshot.
