@@ -927,3 +927,64 @@ FROM pt JOIN exact ON exact.c_nationkey = pt.c_nationkey
 """
 
 _register("sketch_kmv_by_nation", _sketch_kmv_by_nation, _DD_KMV_NATION)
+
+
+# ---------------------------------------------------------------------------
+# Count-min join-size estimation (round 8, session 2): the sketch
+# inner product (Alon-Matias-Szegedy / Cormode-Muthukrishnan) — the
+# query-planning question "how big is lineitem self-joined on
+# l_partkey?" answered from one d x w summary: est = min over rows of
+# sum_col cnt^2, a provable OVERestimate of sum_key f^2.  Everything
+# is integer (hash counts, squares, mins), so both the sketch and the
+# estimate replay bit-exactly; the exact join size rides along and the
+# gated overestimate factor documents the sketch's honesty.
+# ---------------------------------------------------------------------------
+
+
+def _sketch_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import countmin_build
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    sk = countmin_build(li, "l_partkey", depth=_CM_DEPTH, width=_CM_WIDTH)
+    est = (
+        sk.groupBy("row")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("_ip"))
+        .agg(F.min("_ip").cast("long").alias("est_join_size"))
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        F.round(
+            F.col("est_join_size").cast("double") / F.col("exact_join_size").cast("double"),
+            4,
+        ).alias("overestimate_factor"),
+    )
+
+
+_DD_CM_JOIN_SIZE = f"""
+WITH dims AS (SELECT unnest(range(0, {_CM_DEPTH})) AS i),
+cells AS (
+  SELECT i.i AS row, {_DD_CM_HASH.format(key="l_partkey::VARCHAR", w=_CM_WIDTH)} AS col,
+         count(*)::BIGINT AS cnt
+  FROM lineitem, dims i
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT min(ip)::BIGINT AS est_join_size
+  FROM (SELECT row, sum(cnt * cnt) AS ip FROM cells GROUP BY row)
+),
+exact AS (
+  SELECT sum(f * f)::BIGINT AS exact_join_size
+  FROM (SELECT l_partkey, count(*)::BIGINT AS f FROM lineitem GROUP BY 1)
+)
+SELECT est_join_size, exact_join_size,
+       round(est_join_size::DOUBLE / exact_join_size::DOUBLE, 4) AS overestimate_factor
+FROM est, exact
+"""
+
+_register("sketch_countmin_join_size", _sketch_cm_join_size, _DD_CM_JOIN_SIZE)
