@@ -40,7 +40,7 @@ def stream_into_bt_matrix(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         match_matrix(batch_df, winner_col, loser_col).withColumn(
-            "batch_id", F.lit(batch_id)
+            "batch_id", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(path)
 
     writer = stream.writeStream.foreachBatch(process).option(

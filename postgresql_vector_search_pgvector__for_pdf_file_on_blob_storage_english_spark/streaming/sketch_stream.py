@@ -75,7 +75,7 @@ def stream_into_countmin(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         countmin_build(batch_df, key_col, depth=depth, width=width).withColumn(
-            "batch_id", F.lit(batch_id)
+            "batch_id", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(path)
 
     writer = stream.writeStream.foreachBatch(process).option(
@@ -112,7 +112,7 @@ def countmin_compact(spark, path: str, dest: str) -> None:
     # per-batch dedup stays exact.
     src = spark.read.parquet(path)
     countmin_read(spark, path).withColumn(
-        "batch_id", F.lit(_compact_stamp(src))
+        "batch_id", F.lit(_compact_stamp(src)).cast("long")
     ).write.mode("overwrite").parquet(dest)
 
 
@@ -217,7 +217,7 @@ def stream_into_qsketch(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         qsketch_build(batch_df, value_col, sub_bits=sub_bits).withColumn(
-            "batch_id", F.lit(batch_id)
+            "batch_id", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(path)
 
     writer = stream.writeStream.foreachBatch(process).option(
@@ -248,7 +248,7 @@ def qsketch_compact(spark, path: str, dest: str) -> None:
         raise ValueError("compact writes to a new path; swap after validation")
     src = spark.read.parquet(path)
     qsketch_read(spark, path).withColumn(
-        "batch_id", F.lit(_compact_stamp(src))
+        "batch_id", F.lit(_compact_stamp(src)).cast("long")
     ).write.mode("overwrite").parquet(dest)
 
 

@@ -105,7 +105,7 @@ def run_hourly_rollup_incremental(
     rollup = hourly_rollup_stream(reader.parquet(events_dir), watermark)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(out_path)
+        batch_df.withColumn("_batch_id", F.lit(batch_id).cast("long")).write.mode("append").parquet(out_path)
 
     return (
         rollup.writeStream.outputMode("update")
