@@ -408,3 +408,79 @@ def label_propagation(
         )
         labels = clamped.unionAll(inferred).localCheckpoint(eager=False)
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 4,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): teleport mass
+    returns to the SEED set instead of spreading uniformly — the
+    classic graph-based recommender ("parts related to this part by
+    co-purchase walk", Haveliwala 2002, public method).  Same
+    fixed-point integer contract as :func:`pagerank`: BIGINT nano-unit
+    ranks, exact floors, order-free sums — bit-identical across
+    partitionings and replayable as unrolled SQL.
+
+    ``edges``: directed ``(src, dst)``; ``seeds``: ``(node)``.  Rank
+    starts as UNIT/|S| on seeds and 0 elsewhere; each iteration is
+
+        rank'(v) = [v in S] * (100 - d) * UNIT / (100 |S|)
+                 + d * sum_incoming floor(rank(u) / outdeg(u)) / 100
+
+    Per-iteration cost: one |E|-keyed join + a partial-agg groupBy —
+    identical shape to the uniform walk; the seed indicator joins as a
+    broadcast."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    if n_iters < 0:
+        raise ValueError(f"n_iters must be >= 0, got {n_iters}")
+    e = edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    s = seeds.select(F.col("node").cast("long").alias("node")).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(s.select("node"))
+        .distinct()
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("_ns"))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("_outdeg")
+    )
+    seeded = nodes.join(s.withColumn("_is_seed", F.lit(1)), "node", "left").select(
+        "node", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed")
+    ).crossJoin(F.broadcast(ns)).localCheckpoint(eager=True)
+    base = F.col("_is_seed") * _idiv(
+        F.lit((100 - damping_pct) * UNIT), F.lit(100) * F.col("_ns")
+    )
+    ranks = seeded.select(
+        "node", (F.col("_is_seed") * _idiv(F.lit(UNIT), F.col("_ns"))).alias("rank_units")
+    )
+    for _ in range(n_iters):
+        contrib = (
+            ranks.join(outdeg, "node")
+            .join(e, ranks.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                _idiv(F.col("rank_units"), F.col("_outdeg")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            seeded.join(contrib, "node", "left")
+            .select(
+                "node",
+                "_is_seed",
+                "_ns",
+                F.coalesce("_in", F.lit(0)).alias("_in"),
+            )
+            .select(
+                "node",
+                (base + _idiv(F.lit(damping_pct) * F.col("_in"), F.lit(100))).alias("rank_units"),
+            )
+        )
+    return ranks

@@ -673,3 +673,85 @@ GROUP BY 1, 2
 
 
 _register("graph_label_propagation", _graph_label_prop, _dd_lp_sql(_LP_ITERS))
+
+
+# ==========================================================================
+# Personalized PageRank (round 8, session 2 — operators/graph.py::
+# personalized_pagerank): random walk with restart from one seed part
+# over the co-purchase graph — "parts related to part 7 by purchase
+# structure", the graph-based recommender complementing the item-item
+# cosine entry (walks see transitive structure; cosine sees direct
+# co-counts only).  Same fixed-point integer contract as PageRank, so
+# the oracle unrolls the 4 iterations as exact CTEs.
+# ==========================================================================
+
+_PPR_ITERS = 4
+_PPR_SEED = 7
+_PPR_TOP = 20
+
+
+def _graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    und = copurchase_edges(li)
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = spark.range(1).select(F.lit(_PPR_SEED).cast("long").alias("node"))
+    ranks = personalized_pagerank(edges, seeds, n_iters=_PPR_ITERS)
+    return (
+        ranks.filter(F.col("rank_units") > 0)
+        .orderBy(F.col("rank_units").desc(), "node")
+        .limit(_PPR_TOP)
+        .select("node", "rank_units")
+    )
+
+
+def _dd_ppr_sql(n_iters: int) -> str:
+    from ..operators.graph import UNIT
+
+    seed = _PPR_SEED
+    base = (15 * UNIT) // 100
+    head = f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e UNION SELECT {seed}
+),
+od AS MATERIALIZED (SELECT src AS node, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node, CASE WHEN node = {seed} THEN {UNIT}::BIGINT ELSE 0::BIGINT END AS r
+  FROM nodes
+),"""
+    steps = []
+    for i in range(1, n_iters + 1):
+        steps.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN nodes.node = {seed} THEN {base}::BIGINT ELSE 0::BIGINT END
+         + CAST(((85 * coalesce(inc.s, 0)) - (85 * coalesce(inc.s, 0)) % 100) / 100 AS BIGINT) AS r
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST((p.r - p.r % od.outdeg) / od.outdeg AS BIGINT)) AS BIGINT) AS s
+    FROM e JOIN r{i - 1} p ON e.src = p.node JOIN od ON od.node = e.src
+    GROUP BY e.dst
+  ) inc ON inc.node = nodes.node
+),""")
+    body = (head + "".join(steps)).rstrip(",")
+    return f"""{body}
+SELECT node, r AS rank_units
+FROM r{n_iters} WHERE r > 0
+ORDER BY r DESC, node
+LIMIT {_PPR_TOP}
+"""
+
+
+_register("graph_ppr_copurchase", _graph_ppr, _dd_ppr_sql(_PPR_ITERS))

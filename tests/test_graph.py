@@ -367,3 +367,50 @@ class TestLabelPropagation:
     def test_conflicting_seeds_collapse_deterministically(self, spark):
         got = self._run(spark, [(1, 2)], [(1, "B"), (1, "A")], iters=1)
         assert got[1] == "A" and got[2] == "A"
+
+
+def _py_ppr(edges, seeds, n_iters=4, d_pct=85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges} | set(seeds))
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    ns = len(set(seeds))
+    r = {v: (UNIT // ns if v in seeds else 0) for v in nodes}
+    base = ((100 - d_pct) * UNIT) // (100 * ns)
+    for _ in range(n_iters):
+        incoming = {v: 0 for v in nodes}
+        for u, v in edges:
+            incoming[v] += r[u] // out[u]
+        r = {
+            v: (base if v in seeds else 0) + (d_pct * incoming[v]) // 100
+            for v in nodes
+        }
+    return r
+
+
+class TestPersonalizedPagerank:
+    def test_matches_python_reference(self, spark, chain_edges):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        rows, df = chain_edges
+        seeds = spark.createDataFrame([(4,)], "node long")
+        got = {
+            r["node"]: r["rank_units"]
+            for r in personalized_pagerank(df.selectExpr("src", "dst"), seeds, n_iters=4).collect()
+        }
+        assert got == _py_ppr(rows, {4}, n_iters=4)
+
+    def test_mass_concentrates_near_seed(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            personalized_pagerank,
+        )
+
+        # two disconnected cliques; seed in one -> other stays at 0
+        edges = [(1, 2), (2, 1), (10, 11), (11, 10)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r["node"]: r["rank_units"] for r in personalized_pagerank(e, seeds, n_iters=3).collect()}
+        assert got[10] == 0 and got[11] == 0
+        assert got[1] > 0 and got[2] > 0
