@@ -1,6 +1,9 @@
 # ==========================================================================
-# Analytics breadth (round 8, session 2) — four relational/text shapes
-# that round out the SQL surface a reference user would expect:
+# Analytics breadth (round 8, session 2) — relational/text shapes that
+# round out the SQL surface a reference user would expect.  Sections
+# 1-4 below; the module later grew 5. event-sequence regex mining,
+# 6. the chi-square independence profile, 7. MAD robust outliers, and
+# 8. exact-median-by-histogram-descent (each documented at its entry):
 #
 #   * window_function_breadth     — ntile / percent_rank / cume_dist /
 #                                   lag / lead / first_value / nth_value
