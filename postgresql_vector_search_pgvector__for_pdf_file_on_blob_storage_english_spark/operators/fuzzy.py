@@ -114,9 +114,14 @@ def fuzzy_value_pairs_d1(
     values only, and the id-level pair count is recovered
     ARITHMETICALLY: a value pair contributes ``n_a * n_b`` id pairs, a
     duplicated value contributes ``n * (n-1) / 2``."""
+    # The value collapse feeds the signature join AND both re-attachment
+    # sides; as a plain DataFrame each branch re-derives the corpus
+    # groupBy (13 string-keyed exchanges measured at sf0.1 — the same
+    # branch-copy pathology the Ed-Join plan gate caught).  The
+    # checkpoint pins it to one computation.
     vals = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_ids"), F.min(id_col).alias("min_id")
-    )
+    ).localCheckpoint(eager=False)
     pairs = fuzzy_self_join_d1(vals, key_col, "min_id", dist_col=dist_col)
     left = vals.select(
         F.col("min_id").alias("id_a"),
