@@ -141,6 +141,13 @@ def pagerank(
                 F.lit(damping_pct) * F.col("_dm"), F.lit(100) * F.col("_n")
             )
         ranks = nxt.select("node", rank_expr.alias("rank_units"))
+        if materialize:
+            # Per-iteration lineage cut: iteration i's rank relation is
+            # read TWICE by iteration i+1 (contrib join + the dangling
+            # mass aggregate), so without this the plan tree doubles
+            # per step — measured as 92 node-keyed exchanges for 4
+            # dangling iterations before the cut, 1 per step after.
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
