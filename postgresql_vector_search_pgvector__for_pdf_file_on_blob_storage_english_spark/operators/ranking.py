@@ -59,8 +59,16 @@ def global_rank(
     the summary relation and the per-task sort size: size it to the
     cluster (rows/npart must fit one task), not to the data.
     """
-    part = df.repartitionByRange(npart, *sort_cols).withColumn(
-        _PID, F.spark_partition_id()
+    # The ranged relation feeds three branches (summary -> offsets,
+    # total, and the final rank join); without a lineage cut each
+    # branch re-derives the CALLER's whole upstream plan — chained
+    # global_rank cuts multiply it (the RFM entry measured 40
+    # key-keyed exchanges for three cuts).  localCheckpoint pins the
+    # range shuffle to one computation (MEMORY_AND_DISK, spillable).
+    part = (
+        df.repartitionByRange(npart, *sort_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
 
     aggs = [F.count(F.lit(1)).alias("_c")]
