@@ -495,7 +495,12 @@ def kmv_set_estimates(
     merged sketch's observed Jaccard (|M ∩ A ∩ B| / |M|), and the
     intersection estimate J * est_union.  Every relation here is <= k
     rows; all joins broadcast."""
-    m = sa.unionAll(sb).distinct().orderBy("hv").limit(k)
+    # Each sketch is read by its point stats, the merge, and the
+    # membership semi-joins — checkpoint the <= k-row relations so the
+    # corpus-sized distinct underneath runs once per side, not per use.
+    sa = sa.localCheckpoint(eager=False)
+    sb = sb.localCheckpoint(eager=False)
+    m = sa.unionAll(sb).distinct().orderBy("hv").limit(k).localCheckpoint(eager=False)
     in_a = m.join(F.broadcast(sa), "hv", "left_semi")
     in_both = in_a.join(F.broadcast(sb), "hv", "left_semi")
     pts = (

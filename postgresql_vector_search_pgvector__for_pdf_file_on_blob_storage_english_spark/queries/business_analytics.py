@@ -1102,7 +1102,9 @@ _II_ITEM_CAP = 200  # report slice: items with partkey < cap
 
 def _item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.distinct()
+    # baskets feed the co-count self-join (twice) and the degree count;
+    # checkpoint so the distinct runs once (the branch-copy lesson).
+    baskets = li.distinct().localCheckpoint(eager=False)
     a = baskets.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
     b = baskets.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
     co = (
