@@ -126,8 +126,16 @@ def main() -> None:
         n = REPEATS.get(name, 1)
         runs = []
         for _ in range(n):
-            df = fn(spark, sf_dir)  # plan construction (cheap)
+            # r8 basis change: the timer starts BEFORE plan construction.
+            # Under AQE, localCheckpoint (lazy or eager) materializes its
+            # query stages inside fn() — the old "construction is cheap"
+            # assumption silently excluded that work (pagerank's eager
+            # edge checkpoint since r6; the r8 branch-copy checkpoints
+            # made it egregious: the noop write timed 0.09 s for a query
+            # whose construction ran 4.7 s).  One honest basis: end-to-end
+            # latency = construction + execution.
             t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
@@ -137,6 +145,12 @@ def main() -> None:
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
+        # r8 basis change — timings are construction + execution; rounds
+        # r1-r7 timed the noop write only, which under AQE excluded any
+        # work localCheckpoint materializes at plan-construction time.
+        # Compare r8+ numbers with each other, or add ~0.2-0.5 s/query
+        # of construction overhead when comparing against r1-r7 lines.
+        "basis": "construct+execute (r1-r7: execute-only; see bench.py)",
         # the headline set GROWS round-over-round as operators land; compare
         # per-query times (or matching subsets), not raw totals, across rounds
         "n_queries": len(timings),
