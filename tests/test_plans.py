@@ -296,11 +296,25 @@ class TestRegistryWindowSweep:
 class TestRound6Plans:
     def test_pagerank_iteration_plan_shape(self, spark):
         # per-iteration: edges join ranks (shuffle) + partial-agg groupBy;
-        # outdeg broadcasts; never a cartesian product or a global window
-        df = q(spark, "graph_pagerank_trade")
+        # outdeg broadcasts; never a cartesian product or a global window.
+        # Since the r8 per-iteration checkpoints, the REGISTRY entry's
+        # final plan is a projection over a checkpointed RDD (the
+        # iteration internals execute at construction), so the shape is
+        # asserted on the unmaterialized operator form instead.
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            pagerank,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+        )
+        df = pagerank(edges, n_iters=2, materialize=False)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan  # outdeg/centroid-sized sides
+        # and the gated entry still carries no cartesian product
+        entry_plan = q(spark, "graph_pagerank_trade")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in entry_plan
 
     def test_countmin_shuffle_is_cells_not_keys(self, spark):
         # the sketch aggregation must partial-aggregate: shuffle rows are
