@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.preference import match_matrix
-from .sketch_stream import _assert_no_null_batch
+from .sketch_stream import _stamped_batch_id
 
 
 def stream_into_bt_matrix(
@@ -57,9 +57,8 @@ def bt_matrix_read(spark, path: str) -> DataFrame:
     across batches.  Rejects logs mixing stamped and unstamped rows
     (the silent-merge hazard the sketch logs guard against)."""
     log = spark.read.parquet(path)
-    _assert_no_null_batch(log, path)
     return (
-        log.groupBy("batch_id", "lo", "hi")
+        log.groupBy(_stamped_batch_id(path).alias("batch_id"), "lo", "hi")
         .agg(F.max("n").alias("n"), F.max("w_lo").alias("w_lo"))
         .groupBy("lo", "hi")
         .agg(F.sum("n").alias("n"), F.sum("w_lo").alias("w_lo"))

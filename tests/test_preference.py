@@ -179,8 +179,9 @@ class TestStreamingBtMatrix:
         match_matrix(matches_df).withColumn(
             "batch_id", F.lit(None).cast("long")
         ).write.mode("append").parquet(log)  # legacy unstamped append
-        with pytest.raises(ValueError, match="batch_id"):
-            bt_matrix_read(spark, log)
+        # in-plan guard: fires at the first action over the mixed log
+        with pytest.raises(Exception, match="null and stamped"):
+            bt_matrix_read(spark, log).collect()
 
     def test_strengths_from_folded_matrix_match_batch(
         self, spark, matches_df, tmp_path
