@@ -89,6 +89,15 @@ HEADLINE = [
     "sketch_kmv_priority_overlap",  # r8s2: KMV/theta set algebra, TakeOrdered sketches
     "agg_median_histogram_select",  # r8s2: exact median by histogram descent - zero-shuffle selection
     "graph_khop_reach",  # r8s2: bounded-hop BFS, frontier joins linear in |E|
+    # r9 (VERDICT r8 #3): probe-only serving twins — artifact built once
+    # outside the timed region (first repeat pays it; the median is the
+    # pure probe), so the per-query latency a 100x user sees is visible
+    # next to the build-inclusive *_index_search lines.
+    "ann_ivf_probe",
+    "ann_lsh_probe",
+    "ann_ivfpq_probe",
+    "bm25_probe",
+    "quant_sq8_probe",
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%
@@ -112,6 +121,13 @@ REPEATS = {
     "bm25_index_search": 3,  # r7: +10% drift in BENCH_r06 with plan unchanged (VERDICT r6 item 4)
     "decontam_ngram_overlap": 3,  # r8: +61% drift r6->r7 with code unchanged (VERDICT r7 item 2)
     "ann_hnsw_probe": 3,  # r8: probe-only serving number; median over the warmed artifact
+    # r9 probe-only twins: first repeat builds the artifact if absent;
+    # the median is the warmed serving-path latency
+    "ann_ivf_probe": 3,
+    "ann_lsh_probe": 3,
+    "ann_ivfpq_probe": 3,
+    "bm25_probe": 3,
+    "quant_sq8_probe": 3,
 }
 
 

@@ -327,7 +327,19 @@ def connected_components(
         "node", F.col("node").alias("component")
     )
     leaves = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    return leaves.unionAll(roots)
+    labeled = leaves.unionAll(roots)
+    # Nodes whose ONLY edges are self-loops vanish at the u != v filter
+    # but are still "incident to an edge" (ADVICE r8): weave them back
+    # as size-1 components.  One anti-join bounded by the distinct
+    # self-loop nodes — empty (and the filter free) on simple graphs.
+    self_only = (
+        edges.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").cast("long").alias("node"))
+        .distinct()
+        .join(labeled.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return labeled.unionAll(self_only)
 
 
 def bfs_levels(

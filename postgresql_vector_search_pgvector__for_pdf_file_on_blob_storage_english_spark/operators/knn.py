@@ -114,6 +114,40 @@ def _gemm_dim_threshold(spark) -> int:
     )
 
 
+# Bounded-query-batch contract (VERDICT r8 #7).  The GEMM and batched
+# graph-walk paths collect the QUERY relation to a driver closure — the
+# same data movement broadcasting it performs, valid only while the
+# batch is genuinely small (serving batches: 10s-1000s of rows).  The
+# docstring assumption is now enforced: collecting more than this many
+# query rows raises instead of silently materializing an unbounded
+# relation on the driver.  Override per session with the conf key
+# (-1 disables the cap).
+QUERY_BATCH_MAX_ROWS_CONF = "spark.sparkgraft.queryBatch.maxRows"
+DEFAULT_QUERY_BATCH_MAX_ROWS = 100_000
+
+
+def collect_query_batch(queries: DataFrame, cols: Sequence[str]) -> list:
+    """Collect the query relation under the configured row cap — one
+    ``limit(cap + 1)`` job (the limit bounds the transfer itself, not
+    just a post-hoc check), raising when the cap is exceeded."""
+    spark = queries.sparkSession
+    cap = int(
+        spark.conf.get(QUERY_BATCH_MAX_ROWS_CONF, str(DEFAULT_QUERY_BATCH_MAX_ROWS))
+    )
+    sel = queries.select(*cols)
+    if cap < 0:
+        return sel.collect()
+    rows = sel.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"query batch exceeds {cap} rows; the GEMM/graph-walk paths "
+            "collect queries to a driver closure, which is only "
+            "broadcast-equivalent for bounded serving batches — split the "
+            f"batch, or raise {QUERY_BATCH_MAX_ROWS_CONF} deliberately"
+        )
+    return rows
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -222,7 +256,7 @@ def knn_join_numpy(
     if metric not in ("l2", "l2sq", "cosine", "dot"):
         raise ValueError(f"unsupported metric {metric!r}")
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = collect_query_batch(queries, [query_id_col, query_vec_col])
     qids = np.array([r[query_id_col] for r in qrows])
     qmat = np.array([r[query_vec_col] for r in qrows], dtype=np.float64)  # (Q, d)
     if metric == "cosine":

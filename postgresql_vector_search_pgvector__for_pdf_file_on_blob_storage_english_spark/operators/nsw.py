@@ -513,7 +513,9 @@ def hnsw_search_join(
     import pandas as pd
     from pyspark.sql import Window
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    from .knn import collect_query_batch
+
+    qrows = collect_query_batch(queries, [query_id_col, query_vec_col])
     qlist = [(r[query_id_col], [float(v) for v in r[query_vec_col]]) for r in qrows]
     schema = T.StructType(
         [

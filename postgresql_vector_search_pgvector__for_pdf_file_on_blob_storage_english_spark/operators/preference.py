@@ -55,10 +55,27 @@ def match_matrix(
     won by the lexically smaller player.  This is the MERGEABLE summary
     (counts add cell-wise), so partial matrices from shards or
     micro-batches fold by plain summation — the streaming maintenance
-    law ``streaming/preference_stream.py`` relies on."""
+    law ``streaming/preference_stream.py`` relies on.
+
+    A ``winner == loser`` (or null-player) row is rejected IN-PLAN
+    (ADVICE r8): a degenerate (x, x) pair would double-count x's
+    matches in :func:`bt_strengths_from_matrix` (the sym union emits
+    the pair twice) and silently skew every strength — mirror
+    ``connected_components``' u != v guard, but loudly, since a match
+    log with self-matches is corrupt input, not filterable noise."""
     w = F.col(winner_col)
     l = F.col(loser_col)  # noqa: E741
-    lo, hi = F.least(w, l), F.greatest(w, l)
+    ok = w.isNotNull() & l.isNotNull() & (w != l)
+    lo = F.when(ok, F.least(w, l)).otherwise(
+        F.raise_error(
+            F.lit(
+                "match_matrix: degenerate match row (winner == loser, or a "
+                "null player) — a self-match would double-count in the MM "
+                "denominator; clean the match log"
+            )
+        )
+    )
+    hi = F.greatest(w, l)
     return (
         matches.select(
             lo.alias("lo"),

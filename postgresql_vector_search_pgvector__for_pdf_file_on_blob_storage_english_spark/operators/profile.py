@@ -248,10 +248,15 @@ def snapshot_diff(
 
     ``changed`` is decided by a portable md5 content hash over
     ``hash_cols`` (default: every shared non-id column, in column-name
-    order), with nulls pinned to a sentinel so null vs '' differ.  One
-    full-outer join keyed on the id — both sides shuffle once on the
-    key and only (id, 16-byte hash) cross the exchange, never the
-    payload, so a 100 TB-vs-100 TB diff moves ids and hashes only.
+    order).  Each column is digested INDEPENDENTLY first (null → the
+    literal token ``null``, which can never collide with a 32-char hex
+    digest, and [0-9a-f]-only digests can never contain it) and the row
+    hash is the md5 of the fixed-width digest concatenation — so no
+    separator-in-value or sentinel-in-value string can make two
+    different rows hash equal (ADVICE r8).  One full-outer join keyed
+    on the id — both sides shuffle once on the key and only (id,
+    16-byte hash) cross the exchange, never the payload, so a
+    100 TB-vs-100 TB diff moves ids and hashes only.
 
     Returns ``(id, status, hash_before, hash_after)``; aggregate for
     the summary, filter for the change-feed.
@@ -263,15 +268,13 @@ def snapshot_diff(
         raise ValueError("snapshot_diff needs at least one hash column")
 
     def content_hash(df: DataFrame) -> DataFrame:
-        h = F.md5(
-            F.concat_ws(
-                "§",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
-                    for c in hash_cols
-                ],
+        tokens = [
+            F.when(F.col(c).isNull(), F.lit("null")).otherwise(
+                F.md5(F.col(c).cast("string"))
             )
-        )
+            for c in hash_cols
+        ]
+        h = F.md5(F.concat(*tokens))
         return df.select(F.col(id_col), h.alias("_h"))
 
     b = content_hash(before).withColumnRenamed("_h", "hash_before")

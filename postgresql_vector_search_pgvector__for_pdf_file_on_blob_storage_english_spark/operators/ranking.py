@@ -172,9 +172,19 @@ def kth_smallest_histogram(
         if lo == hi:
             return lo
         span = (hi - lo) // fanout + 1
+        # Bucket index by INTEGRAL division in DECIMAL(20,0): double
+        # division is only exact below 2^53, and a raw int64 ``c - lo``
+        # overflows when lo and c sit at opposite extremes of the long
+        # domain (ADVICE r8).  DECIMAL(20,0) holds the full 2^64-wide
+        # difference exactly and ``div`` (IntegralDivide) returns BIGINT,
+        # so the 8-level log_256 claim genuinely covers any long.
+        bucket = F.expr(
+            f"CAST((CAST({col} AS DECIMAL(20,0)) - CAST({lo} AS DECIMAL(20,0)))"
+            f" DIV CAST({span} AS DECIMAL(20,0)) AS BIGINT)"
+        )
         hist = (
             df.filter((c >= lo) & (c <= hi))
-            .groupBy(((c - F.lit(lo)) / F.lit(span)).cast("long").alias("b"))
+            .groupBy(bucket.alias("b"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )

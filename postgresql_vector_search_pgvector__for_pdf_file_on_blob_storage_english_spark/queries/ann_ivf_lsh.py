@@ -146,6 +146,41 @@ def _ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("ann_ivf_index_search", _ann_ivf_index, _DD_ANN_IVF)
 
 
+def _ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING-path twin of ``ann_ivf_index_search`` (VERDICT r8 #3):
+    the persisted list-partitioned artifact is built ONCE if absent —
+    the deployed index is the ingest side's product, not per query —
+    so the benched latency is the pruned probe alone (centroid pick +
+    one-list scan + exact rerank), the number a 100x user sees per
+    query.  Same exact-top-k oracle as the build-inclusive entry."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.ann import ivf_index_search, ivf_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    params = f"cent{_N_CENTROIDS}_v1"
+    tag = hashlib.md5(f"{sf_dir}|{params}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_probe_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ivf_index_write(assign_ivf(emb, centroids), path)
+    q = list(emb.filter(F.col("vec_id") == _IVF_PROBE_ID).first()["embedding"])
+    out = ivf_index_search(
+        spark, path, centroids, q, k=5, nprobe=1,
+        payload_cols=["vec_id", "label", "centroid_id"],
+    )
+    return out.select(
+        "vec_id", "label", "centroid_id", F.round("distance", 4).alias("distance")
+    )
+
+
+_register("ann_ivf_probe", _ann_ivf_probe, _DD_ANN_IVF)
+
+
 def _ann_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List-size distribution of the persisted IVF index — the
     maintenance dial for append-drift (operators/ann.py::
@@ -388,6 +423,36 @@ def _ann_lsh_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("ann_lsh_index_search", _ann_lsh_index_search, _DD_ANN_LSH)
+
+
+def _ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING-path twin of ``ann_lsh_index_search`` (VERDICT r8 #3):
+    bucket-partitioned artifact built once if absent; the benched
+    latency is the one-bucket pruned scan + rerank alone.  Same oracle
+    as the build-inclusive entry."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.ann import lsh_index_search, lsh_index_write
+
+    emb = _t(spark, sf_dir, "embeddings")
+    params = f"planes{len(_LSH_PLANES)}_v1"
+    tag = hashlib.md5(f"{sf_dir}|{params}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lsh_probe_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        lsh_index_write(emb, path, _LSH_PLANES)
+    q = list(emb.filter(F.col("vec_id") == _LSH_PROBE_ID).first()["embedding"])
+    out = lsh_index_search(
+        spark, path, q, _LSH_PLANES, k=5, metric="cosine",
+        payload_cols=["vec_id", "label", "bucket"],
+    )
+    return out.select(
+        "vec_id", "label", "bucket", F.round("distance", 4).alias("distance")
+    )
+
+
+_register("ann_lsh_probe", _ann_lsh_probe, _DD_ANN_LSH)
 
 
 def _ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,15 +68,45 @@ from ._base import Entry, REGISTRY  # noqa: F401
 #                                   evidenced r7; streaming-index
 #                                   replay's first slot)
 #
-# Round-9 rotation candidates (added after the r8 window froze; none
-# driver-evidenced yet): graph_order_episodes (large-star/small-star
-# CC, independent ground-truth oracle), dedup_edjoin_part_pairs or
-# dedup_edjoin_blocking_quality (Ed-Join; the audit row gates
-# pairs_completeness == 1.0), train_prune_prototypes (D4 second
-# stage), sketch_kmv_priority_overlap / stream_kmv_replay (theta
-# sketch family), recsys_item_item_cosine, graph_khop_reach,
-# graph_label_propagation, agg_median_histogram_select,
-# events_attribution_last_touch, join_not_in_vs_not_exists (NAAJ).
+#      Round-9 rotation (VERDICT r8 item 2 + 6): eleven slots
+#      driver-green in BOTH the r7 and r8 snapshots rotate out for the
+#      never-driver-evidenced r8 families the judge named.  Out → in,
+#      with the family cover for every out slot:
+#        dedup_minhash_lsh_candidates → dedup_edjoin_blocking_quality
+#                     (dedup keeps exact; MinHash evidenced r6-r8; the
+#                      audit row gates pairs_completeness == 1.0)
+#        dedup_fuzzy_name_pairs  → graph_order_episodes    (fuzzy-join
+#                      family stays covered by the Ed-Join audit row)
+#        text_language_id        → text_lm_perplexity_kn   (text keeps
+#                      tokens + PII; langid evidenced r6-r8)
+#        text_quality_score      → vocab_wordpiece_merges  (quality
+#                      evidenced r6-r8; completes the tokenizer trio's
+#                      driver evidence: BPE r7, unigram r8, WP r9)
+#        sketch_hll_lang_overlap → sketch_kmv_priority_overlap (sketch
+#                      keeps quantiles; HLL evidenced r6-r8; KMV is the
+#                      unbiased-intersection theta family)
+#        vocab_unigram_pieces    → pref_bt_source_strength (unigram
+#                      evidenced r8; Bradley-Terry's first slot)
+#        ann_hnsw_index_search   → stream_hnsw_upsert_replay (same
+#                      HNSW artifact, now exercised through the
+#                      streaming upsert + replay path — VERDICT r8 #6)
+#        graph_pagerank_trade    → graph_label_propagation (PageRank
+#                      evidenced r6-r8; graph family widens)
+#        ml_nb_langid_confusion  → recsys_item_item_cosine (NB
+#                      evidenced r6-r8; item-item CF's first slot)
+#        sample_weighted_orders  → agg_median_histogram_select
+#                      (sampling evidenced r6-r8; histogram-descent
+#                      order statistic's first slot)
+#        mm_image_features       → train_prune_prototypes  (mm keeps
+#                      audio + aHash; D4 SSL-prototypes second stage)
+#
+# Round-10 rotation candidates (none driver-evidenced yet):
+# dedup_edjoin_part_pairs (Ed-Join value form), stream_bt_matrix_replay
+# / stream_kmv_replay (streaming breadth), join_not_in_vs_not_exists
+# (NAAJ), graph_khop_reach, events_attribution_last_touch,
+# graph_ppr_personalized, corpus_snapshot_diff, train_shard_hrw_churn,
+# layout_hilbert_report, serve_mmr_rerank, serve_context_expansion,
+# ann_ivfpq_recall_trained.
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the
@@ -110,28 +140,28 @@ _WINDOW_50: list[str] = [
     "pipeline_e2e_ingest_knn",   # S3 + end-to-end ingest
     # -- LLM-data-pipeline families -------------------------------------
     "dedup_exact_survivors",
-    "dedup_minhash_lsh_candidates",
+    "dedup_edjoin_blocking_quality",  # r9: Ed-Join audit, completeness == 1.0
     "bloom_semi_join_revenue",    # r7: bloom semi-join's first driver slot
-    "sample_weighted_orders",      # r6: sampling family's first driver slot
-    "ml_nb_langid_confusion",      # r6: in-engine classification family
-    "dedup_fuzzy_name_pairs",      # r8: FastSS fuzzy join (value form)
+    "agg_median_histogram_select",  # r9: histogram-descent order statistic
+    "recsys_item_item_cosine",     # r9: item-item CF's first driver slot
+    "graph_order_episodes",        # r9: large/small-star connected components
     "decontam_ngram_overlap",
     "text_pii_redaction",
     "stream_pii_scrub_replay",
-    "text_language_id",
-    "text_quality_score",
+    "text_lm_perplexity_kn",       # r9: Kneser-Ney LM train + score
+    "vocab_wordpiece_merges",      # r9: WordPiece (tokenizer trio complete)
     "text_token_stats",
-    "sketch_hll_lang_overlap",     # r8: HLL set algebra (merge + incl-excl)
+    "sketch_kmv_priority_overlap", # r9: KMV/theta unbiased intersection
     "ann_ivfpq_index_search",      # r6: persisted IVF-PQ (VERDICT r5 #3)
     "tpch_q21_waiting_suppliers",  # r8: Q21 analog (semi/anti joins)
-    "vocab_unigram_pieces",        # r8: unigram-LM tokenizer family
-    "ann_hnsw_index_search",       # r8: persisted HNSW probe path
+    "pref_bt_source_strength",     # r9: Bradley-Terry MM fixed point
+    "stream_hnsw_upsert_replay",   # r9: HNSW streaming upsert + replay
     "sketch_quantiles_by_nation",  # r8: grouped base-2 quantile sketch
     "ann_ivf_index_compact",       # r8: index-maintenance family's first slot
-    "graph_pagerank_trade",        # r6: fixed-point PageRank
+    "graph_label_propagation",     # r9: label propagation fixed point
     "bm25_topk_docs",
     "stream_ivf_upsert_replay",    # r8: streaming-index replay family
-    "mm_image_features",
+    "train_prune_prototypes",      # r9: SSL-prototypes pruning (D4 stage 2)
     "mm_audio_features",
     "mm_image_ahash_dupes",        # r8: aHash perceptual image dedup
 ]

@@ -426,6 +426,39 @@ ORDER BY bm25 DESC, doc_id LIMIT 10
 )
 
 
+def _bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING-path twin of ``bm25_index_search`` (VERDICT r8 #3): the
+    term-bucket-partitioned postings are built once if absent, so the
+    benched latency is the online half alone — driver-side bucket
+    computation, statically pruned postings scan, score + top-k.  Same
+    oracle as the build-inclusive entry."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.retrieval import bm25_index_search, bm25_index_write
+
+    docs = _t(spark, sf_dir, "documents")
+    params = "buckets32_v1"
+    tag = hashlib.md5(f"{sf_dir}|{params}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_probe_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        bm25_index_write(docs, path, n_buckets=32)
+    out = bm25_index_search(spark, path, _BM25_TERMS, k=10, n_buckets=32)
+    return out.select("doc_id", F.round("bm25", 4).alias("bm25"))
+
+
+_register(
+    "bm25_probe",
+    _bm25_probe,
+    dd_sql(_DD_BM25_SCORED, terms=_DD_TERMS_LIST)
+    + """
+SELECT doc_id, round(bm25, 4) AS bm25 FROM bm25
+ORDER BY bm25 DESC, doc_id LIMIT 10
+""",
+)
+
+
 _HYBRID_POOL = 20  # per-list candidate depth before fusion
 
 

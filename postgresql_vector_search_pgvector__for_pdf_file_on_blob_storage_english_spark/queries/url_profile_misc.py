@@ -1198,15 +1198,19 @@ after AS (
   SELECT doc_id + mx.m, text, lang, source FROM base, mx WHERE doc_id % 11 = 0
 ),
 hb AS (
+  -- per-column digests (null -> literal 'null', disjoint from hex) then
+  -- a hash of the digest concatenation: separator-proof, like the engine
   SELECT doc_id,
-         md5(coalesce(lang, '<NULL>') || '§' || coalesce(source, '<NULL>')
-             || '§' || coalesce(text, '<NULL>')) AS h
+         md5(CASE WHEN lang IS NULL THEN 'null' ELSE md5(lang) END
+             || CASE WHEN source IS NULL THEN 'null' ELSE md5(source) END
+             || CASE WHEN text IS NULL THEN 'null' ELSE md5(text) END) AS h
   FROM base
 ),
 ha AS (
   SELECT doc_id,
-         md5(coalesce(lang, '<NULL>') || '§' || coalesce(source, '<NULL>')
-             || '§' || coalesce(text, '<NULL>')) AS h
+         md5(CASE WHEN lang IS NULL THEN 'null' ELSE md5(lang) END
+             || CASE WHEN source IS NULL THEN 'null' ELSE md5(source) END
+             || CASE WHEN text IS NULL THEN 'null' ELSE md5(text) END) AS h
   FROM after
 ),
 diff AS (

@@ -290,6 +290,21 @@ class TestConnectedComponents:
         got = {r["node"]: r["component"] for r in connected_components(df).collect()}
         assert got == {1: 1, 2: 1, 3: 1}
 
+    def test_self_loop_only_nodes_get_size_one_components(self, spark):
+        """ADVICE r8: a node whose ONLY edges are self-loops is still
+        'incident to an edge' and must be labeled (its own size-1
+        component), not silently dropped at the u != v filter."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            connected_components,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2), (7, 7), (2, 2)], "u long, v long"
+        )
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        # 7 is self-loop-only -> size-1 component; 2 also has a real edge
+        assert got == {1: 1, 2: 1, 7: 7}
+
     def test_non_convergence_raises(self, spark):
         from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
             connected_components,

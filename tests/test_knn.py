@@ -114,6 +114,68 @@ class TestNumpyScalePath:
             assert abs(r["distance"] - expect) < 1e-9
 
 
+class TestQueryBatchCap:
+    """VERDICT r8 #7: the bounded-query-batch docstring contract is now a
+    conf-enforced cap — an oversized query relation raises instead of
+    silently materializing on the driver."""
+
+    def test_oversized_batch_raises(self, spark, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+            QUERY_BATCH_MAX_ROWS_CONF,
+            knn_join_numpy,
+        )
+
+        df, _, _ = emb
+        queries = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        spark.conf.set(QUERY_BATCH_MAX_ROWS_CONF, "3")
+        try:
+            with pytest.raises(ValueError, match="query batch exceeds 3 rows"):
+                knn_join_numpy(df, queries, k=2, payload_cols=["vec_id"])
+        finally:
+            spark.conf.unset(QUERY_BATCH_MAX_ROWS_CONF)
+
+    def test_cap_boundary_and_disable(self, spark, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+            QUERY_BATCH_MAX_ROWS_CONF,
+            knn_join_numpy,
+        )
+
+        df, _, _ = emb
+        queries = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        spark.conf.set(QUERY_BATCH_MAX_ROWS_CONF, "5")  # exactly at the cap
+        try:
+            assert knn_join_numpy(df, queries, k=1, payload_cols=["vec_id"]).count() == 5
+            spark.conf.set(QUERY_BATCH_MAX_ROWS_CONF, "-1")  # disabled
+            assert knn_join_numpy(df, queries, k=1, payload_cols=["vec_id"]).count() == 5
+        finally:
+            spark.conf.unset(QUERY_BATCH_MAX_ROWS_CONF)
+
+    def test_hnsw_batch_respects_cap(self, spark, emb):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.knn import (
+            QUERY_BATCH_MAX_ROWS_CONF,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nsw import (
+            hnsw_build,
+            hnsw_search_join,
+        )
+
+        df, _, _ = emb
+        g = hnsw_build(df, n_shards=2, m=4, ef_construction=8)
+        queries = df.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        spark.conf.set(QUERY_BATCH_MAX_ROWS_CONF, "2")
+        try:
+            with pytest.raises(ValueError, match="query batch exceeds 2 rows"):
+                hnsw_search_join(g, queries, k=2, ef_search=8)
+        finally:
+            spark.conf.unset(QUERY_BATCH_MAX_ROWS_CONF)
+
+
 class TestGemmDispatch:
     """knn_join fold->GEMM auto-dispatch (VERDICT r6 #8): the default
     plan above the dim threshold is the BLAS path, below it the codegen

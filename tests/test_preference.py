@@ -104,6 +104,29 @@ def test_partitioning_invariance(spark, matches_df):
     assert a == b
 
 
+def test_self_match_rows_rejected(spark):
+    """ADVICE r8: a winner == loser row would double-count in the MM
+    denominator (the sym union emits the (x, x) pair twice) — reject
+    the corrupt log in-plan instead of skewing every strength."""
+    import pytest
+
+    from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.preference import (
+        match_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("c", "c")], "winner string, loser string"
+    )
+    with pytest.raises(Exception, match="winner == loser"):
+        match_matrix(df).collect()
+
+    dfn = spark.createDataFrame(
+        [("a", "b"), (None, "b")], "winner string, loser string"
+    )
+    with pytest.raises(Exception, match="null player"):
+        match_matrix(dfn).collect()
+
+
 def test_rejects_zero_iters(spark, matches_df):
     with pytest.raises(ValueError):
         bt_strengths(matches_df, n_iters=0)

@@ -261,6 +261,28 @@ class TestSnapshotDiff:
         with _pytest.raises(ValueError):
             snapshot_diff(ids_only, ids_only, id_col="doc_id")
 
+    def test_separator_and_sentinel_values_do_not_collide(self, spark):
+        """ADVICE r8: rows whose VALUES contain the old separator or the
+        null sentinel must not hash equal — per-column digests make the
+        row hash injective on the column tuple (up to md5 collisions)."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            snapshot_diff,
+        )
+
+        # ('a§', 'b') vs ('a', '§b') concat identically under a '§' join;
+        # (None, x) vs ('<NULL>', x) collide under a sentinel coalesce
+        before = spark.createDataFrame(
+            [(1, "a§", "b"), (2, None, "x")], "doc_id long, c1 string, c2 string"
+        )
+        after = spark.createDataFrame(
+            [(1, "a", "§b"), (2, "<NULL>", "x")], "doc_id long, c1 string, c2 string"
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_diff(before, after, id_col="doc_id").collect()
+        }
+        assert got == {1: "changed", 2: "changed"}
+
     def test_only_id_and_hash_cross_the_exchange(self, spark):
         """The payload must not shuffle: every Exchange input carries
         only the id and the 16-byte hash."""

@@ -110,6 +110,27 @@ class TestKthSmallestHistogram:
         assert kth_smallest_histogram(df, "v", 5) == 3
         assert kth_smallest_histogram(df, "v", 6) == 7
 
+    def test_full_long_domain_exact(self, spark):
+        """ADVICE r8: bucketing must be exact over the FULL int64 domain —
+        double division misrounds past 2^53 and a raw int64 ``c - lo``
+        overflows at opposite extremes; the DECIMAL(20,0) integral
+        division handles both."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+            kth_smallest_histogram,
+        )
+
+        lo, hi = -(2**63), 2**63 - 1
+        # adjacent values past 2^53 (indistinguishable in double) plus
+        # the domain extremes (int64-overflowing difference)
+        vals = [lo, lo + 1, -(2**53) - 1, -(2**53), 0,
+                2**53, 2**53 + 1, hi - 1, hi]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        s = sorted(vals)
+        # default fanout=256 / max_levels=8: the log_256 claim on a
+        # full-width domain only holds with exact bucket arithmetic
+        for k in (1, 2, 3, 4, 5, 6, 7, 8, 9):
+            assert kth_smallest_histogram(df, "v", k) == s[k - 1]
+
     def test_guards(self, spark):
         import pytest as _pt
 
