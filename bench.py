@@ -98,6 +98,9 @@ HEADLINE = [
     "ann_ivfpq_probe",
     "bm25_probe",
     "quant_sq8_probe",
+    "train_dsir_select",  # r9: DSIR importance resampling (two token passes, broadcast weights)
+    "retrieval_phrase_match",  # r9: positional-postings phrase intersection
+    "dedup_incremental_new_batch",  # r9: new-batch admission dedup (hash semi-join)
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

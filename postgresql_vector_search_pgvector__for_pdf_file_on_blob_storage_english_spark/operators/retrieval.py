@@ -267,6 +267,57 @@ def rrf_fuse(
 # persisted-index family (operators/ann.py::ivf_index_write).
 # --------------------------------------------------------------------------
 
+def phrase_match(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over positional postings: ``(doc_id,
+    n_matches)`` for documents containing the consecutive token
+    sequence ``phrase`` at least once.
+
+    The positional-postings shape (Lucene phrase queries): one
+    ``tokenize_pos`` pass, then one keyed join per phrase word — word i
+    filtered from the postings, aligned to the anchor position
+    ``pos - i``, joined on ``(doc, anchor)``.  Each join input is
+    pre-filtered to ONE term's postings right at the explode, so join
+    volume tracks the phrase words' document frequency, never the
+    corpus token count.  (Here the postings are derived on the fly, so
+    the filter runs post-explode; against a PERSISTED positional
+    postings table the same term equality becomes a pushed scan filter
+    and a term-bucket partition prune, exactly like
+    :func:`bm25_index_search`.)  Overlapping occurrences count
+    separately (position semantics, not substring replace)."""
+    pos = tokenize_pos(docs, text_col=text_col, id_col=id_col)
+    return phrase_match_postings(pos, phrase, id_col=id_col)
+
+
+def phrase_match_postings(
+    postings: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`phrase_match` against a PREBUILT positional postings
+    relation ``(id, pos, term)`` — the persisted-index serving form:
+    when the postings are a parquet table, each word's term equality is
+    a pushed scan filter (``PushedFilters: [EqualTo(term, ...)]``,
+    gated in tests/test_bm25.py), so the scan reads only the phrase
+    words' rows."""
+    words = [w.lower() for w in phrase]
+    if len(words) < 2:
+        raise ValueError("phrase_match needs at least two words")
+    anchored = None
+    for i, w in enumerate(words):
+        part = postings.filter(F.col("term") == w).select(
+            id_col, (F.col("pos") - F.lit(i)).alias("_anchor")
+        )
+        anchored = part if anchored is None else anchored.join(
+            part, [id_col, "_anchor"]
+        )
+    return anchored.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
 def term_bucket_py(term: str, n_buckets: int) -> int:
     """Driver-side twin of :func:`term_bucket_col` — same md5-prefix
     bucket, so a search can enumerate its partitions without a job."""

@@ -74,3 +74,71 @@ def url_blocklist_filter(
     return staged.filter(
         (F.col(host_col) != "") & ~F.col(host_col).isin(blocked)
     )
+
+
+# tracking parameters stripped by canonicalization: the ubiquitous
+# click/campaign identifiers that make one page spell a thousand URLs
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def url_canonicalize(url: Column | str) -> Column:
+    """Canonical URL form — the dedup key for URL-level corpus triage
+    (two crawls of one page differ only in case, default port, tracking
+    params, fragment, or a trailing slash; canonicalization collapses
+    them BEFORE any text is fetched or compared):
+
+    * scheme and host lowercased;
+    * default port stripped (``:80`` for http, ``:443`` for https);
+    * path with its trailing slash removed ('' and '/' both -> '');
+    * query params: tracking ids dropped (``utm_*``/``fbclid``/
+      ``gclid``/``msclkid``/``ref``), the rest SORTED so param order
+      never distinguishes two URLs;
+    * fragment dropped (never sent to the server).
+
+    One codegen projection (regexp extracts + array sort/join) — zero
+    shuffle, streamable, portable to the oracle's list functions.
+    Malformed URLs (no scheme://host) canonicalize to ''."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1))
+    host = url_host(u)
+    port_stripped = F.when(
+        scheme == "http", F.regexp_replace(host, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_replace(url_path(u), "/$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        port_stripped,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    return F.when(port_stripped == "", F.lit("")).otherwise(canon)
+
+
+def url_canonical_dupes(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group rows by canonical URL and report every group that collapses
+    more than one RAW variant: ``(canon_url, n_rows, n_variants,
+    first_id)``.  The groupBy ships (canonical string, id) — the dedup
+    signal costs one projection and one key exchange."""
+    staged = df.select(
+        F.col(id_col), F.col(url_col), url_canonicalize(F.col(url_col)).alias("canon_url")
+    ).filter(F.col("canon_url") != "")
+    return (
+        staged.groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(url_col).alias("n_variants"),
+            F.min(id_col).alias("first_id"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )

@@ -442,7 +442,9 @@ def _bm25_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = "buckets32_v1"
     tag = hashlib.md5(f"{sf_dir}|{params}".encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_bm25_probe_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # the bm25 artifact is three sub-tables; stats is written LAST, so
+    # its _SUCCESS is the build-complete sentinel (the root has none)
+    if not os.path.exists(os.path.join(path, "stats", "_SUCCESS")):
         bm25_index_write(docs, path, n_buckets=32)
     out = bm25_index_search(spark, path, _BM25_TERMS, k=10, n_buckets=32)
     return out.select("doc_id", F.round("bm25", 4).alias("bm25"))

@@ -1,0 +1,419 @@
+# ==========================================================================
+# Round 9 — data-selection, privacy, retrieval and dedup breadth:
+#
+#   * train_dsir_select            — DSIR importance resampling (hashed
+#                                    n-gram features, integer micro-nat
+#                                    log ratios, deterministic top-k).
+#   * retrieval_phrase_match       — exact phrase search over positional
+#                                    postings (per-word pushed filters,
+#                                    (doc, anchor)-keyed joins).
+#   * dedup_incremental_new_batch  — new-batch admission dedup against an
+#                                    existing corpus (the daily-drop
+#                                    primitive; hashes only cross the
+#                                    exchange).
+#   * dedup_ngram_containment_pairs — asymmetric doc-inside-doc detection
+#                                    (Broder containment vs resemblance).
+#   * privacy_k_anonymity_audit    — QI group-size audit per k.
+#   * privacy_l_diversity_audit    — sensitive-value diversity per l.
+#
+# Scale notes: DSIR's two passes exchange (bucket) partials and
+# (doc, bucket) counts — never text; phrase match's join inputs are
+# single-term postings; the incremental dedup semi-join ships 16-byte
+# hashes; the privacy audits aggregate the GROUP relation, bounded by
+# distinct QI combinations.
+# ==========================================================================
+from __future__ import annotations
+
+from ._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    _DD_NORMALIZE,
+    _register,
+    _t,
+    dd_sql,
+)
+from .dedup import _DD_NEARDUP_CORPUS, _dd_shingles, _neardup_corpus
+
+# --------------------------------------------------------------------------
+# 1. DSIR importance resampling (operators/dsir.py)
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_K = 20
+
+
+def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the 20 documents whose hashed-unigram importance ratio
+    toward the English-language target domain is highest — the DSIR
+    selection a mixture builder feeds to training."""
+    from ..operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, F.col("lang") == "en", k=_DSIR_K, n_buckets=_DSIR_BUCKETS
+    )
+
+
+_DD_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS tgt, lower(w) AS term
+  FROM (SELECT doc_id, lang, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+),
+bucketed AS (
+  SELECT doc_id, tgt,
+         (('0x' || substr(md5(term), 1, 8))::BIGINT) % {_DSIR_BUCKETS} AS bucket
+  FROM toks
+),
+counts AS (
+  SELECT bucket,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_cnt,
+         count(*) AS r_cnt
+  FROM bucketed GROUP BY 1
+),
+tot AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM counts),
+wts AS (
+  SELECT bucket,
+         CAST(floor((ln((t_cnt + 1)::DOUBLE / (t_tot + {_DSIR_BUCKETS})::DOUBLE)
+                   - ln((r_cnt + 1)::DOUBLE / (r_tot + {_DSIR_BUCKETS})::DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS weight_micro
+  FROM counts, tot
+),
+per_doc AS (SELECT doc_id, bucket, count(*) AS cnt FROM bucketed GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(cnt * weight_micro) AS BIGINT) AS score_micro
+FROM per_doc JOIN wts USING (bucket)
+GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT {_DSIR_K}
+"""
+
+_register("train_dsir_select", _dsir_select, _DD_DSIR)
+
+
+# --------------------------------------------------------------------------
+# 2. Phrase search over positional postings (operators/retrieval.py)
+# --------------------------------------------------------------------------
+
+_PHRASE = ["hash", "value"]
+
+
+def _phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top documents by exact occurrences of the consecutive phrase
+    "hash value" — positional-postings intersection, ranked
+    (n_matches desc, doc_id), top 20."""
+    from ..operators.retrieval import phrase_match
+
+    docs = _t(spark, sf_dir, "documents")
+    out = phrase_match(docs, _PHRASE)
+    return out.orderBy(F.col("n_matches").desc(), "doc_id").limit(20)
+
+
+# The oracle counts occurrences by the doubled-space trick: doubling
+# every separator gives each adjacent-token boundary its own pair of
+# spaces, so non-overlapping replace() counts every occurrence (a
+# 2-word phrase of DISTINCT words cannot overlap itself).
+_DD_PHRASE = f"""
+WITH padded AS (
+  SELECT doc_id,
+         ' ' || replace(lower(trim({dd_sql(_DD_NORMALIZE, col="text")})), ' ', '  ') || ' ' AS p
+  FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         CAST((length(p) - length(replace(p, ' {_PHRASE[0]}  {_PHRASE[1]} ', '')))
+              / length(' {_PHRASE[0]}  {_PHRASE[1]} ') AS BIGINT) AS n_matches
+  FROM padded
+)
+SELECT doc_id, n_matches FROM counted
+WHERE n_matches > 0
+ORDER BY n_matches DESC, doc_id
+LIMIT 20
+"""
+
+_register("retrieval_phrase_match", _phrase_match, _DD_PHRASE)
+
+
+# --------------------------------------------------------------------------
+# 3. Incremental new-batch dedup (operators/dedup.py)
+# --------------------------------------------------------------------------
+
+
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit today's drop: docs with doc_id % 4 == 0 arrive as the new
+    batch against the rest of the corpus; every batch row classified
+    dup_of_base / dup_in_batch / new.  The fixture's planted exact
+    duplicates make all three classes non-empty."""
+    from ..operators.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return incremental_exact_dedup(base, batch).select("doc_id", "status")
+
+
+_DD_INCR_DEDUP = f"""
+WITH fp AS (
+  SELECT doc_id, md5({dd_sql(_DD_NORMALIZE, col="text")}) AS f FROM documents
+),
+base AS (SELECT DISTINCT f FROM fp WHERE doc_id % 4 != 0),
+batch AS (SELECT doc_id, f FROM fp WHERE doc_id % 4 = 0)
+SELECT b.doc_id,
+       CASE WHEN base.f IS NOT NULL THEN 'dup_of_base'
+            WHEN row_number() OVER (PARTITION BY b.f ORDER BY b.doc_id) > 1
+              THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM batch b LEFT JOIN base ON b.f = base.f
+"""
+
+_register("dedup_incremental_new_batch", _incremental_dedup, _DD_INCR_DEDUP)
+
+
+# --------------------------------------------------------------------------
+# 4. n-gram containment (operators/dedup.py)
+# --------------------------------------------------------------------------
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-inside-doc pairs over the near-dup corpus (each perturbed
+    copy CONTAINS its original verbatim, so containment is 1.0 where
+    Jaccard is already diluted by the appended tail), lang-blocked."""
+    from ..operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _neardup_corpus(spark, sf_dir), block_col="lang", shingle_n=3, threshold=0.8
+    )
+
+
+_DD_CONTAINMENT = f"""
+WITH corpus AS ({_DD_NEARDUP_CORPUS}),
+w AS (
+  SELECT doc_id, lang, trim({dd_sql(_DD_NORMALIZE, col="text")}) AS norm_text,
+         string_split(trim({dd_sql(_DD_NORMALIZE, col="text")}), ' ') AS words
+  FROM corpus
+),
+sets AS (
+  SELECT doc_id, lang, {_dd_shingles("norm_text", words="words")} AS shingles
+  FROM w
+)
+SELECT id_contained, id_container, containment FROM (
+  SELECT CASE WHEN len(l.shingles) <= len(r.shingles) THEN l.doc_id ELSE r.doc_id END AS id_contained,
+         CASE WHEN len(l.shingles) <= len(r.shingles) THEN r.doc_id ELSE l.doc_id END AS id_container,
+         round(len(list_intersect(l.shingles, r.shingles))::DOUBLE /
+               least(len(l.shingles), len(r.shingles))::DOUBLE, 4) AS containment
+  FROM sets l JOIN sets r ON l.lang = r.lang AND l.doc_id < r.doc_id
+)
+WHERE containment >= 0.8
+"""
+
+_register("dedup_ngram_containment_pairs", _containment_pairs, _DD_CONTAINMENT)
+
+
+# --------------------------------------------------------------------------
+# 5. Privacy audits (operators/privacy.py)
+# --------------------------------------------------------------------------
+
+_KS = (2, 5, 10, 25)
+
+
+def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity of the customer table under the quasi-identifier
+    (nation, market segment) — the release audit a training-data export
+    carrying user attributes runs first."""
+    from ..operators.privacy import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], ks=_KS)
+
+
+_DD_K_ANON = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+  FROM customer GROUP BY 1, 2
+),
+per_k AS (
+  SELECT sz, k FROM groups, unnest([{", ".join(str(k) for k in _KS)}]) AS t(k)
+)
+SELECT k,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       min(sz) AS min_group_size
+FROM per_k GROUP BY k ORDER BY k
+"""
+
+_register("privacy_k_anonymity_audit", _k_anonymity, _DD_K_ANON)
+
+_LS = (2, 3, 5)
+
+
+def _l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity of the market segment (sensitive) within
+    each nation (QI): k-anonymity's companion — a large group whose
+    rows all share one sensitive value still leaks it."""
+    from ..operators.privacy import l_diversity_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    return l_diversity_audit(cust, ["c_nationkey"], "c_mktsegment", ls=_LS)
+
+
+_DD_L_DIV = f"""
+WITH groups AS (
+  SELECT c_nationkey, count(*) AS sz, count(DISTINCT c_mktsegment) AS ndist
+  FROM customer GROUP BY 1
+),
+per_l AS (
+  SELECT sz, ndist, l FROM groups, unnest([{", ".join(str(v) for v in _LS)}]) AS t(l)
+)
+SELECT l,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN ndist < l THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(sum(CASE WHEN ndist < l THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       min(ndist) AS min_distinct
+FROM per_l GROUP BY l ORDER BY l
+"""
+
+_register("privacy_l_diversity_audit", _l_diversity, _DD_L_DIV)
+
+
+# --------------------------------------------------------------------------
+# 6. URL canonicalization dedup (operators/urls.py)
+# --------------------------------------------------------------------------
+
+
+def _url_canonical_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: every page arrives as TWO crawls — a clean
+    spelling and a messy one (uppercase host, default port, tracking
+    params, unsorted query, trailing slash, fragment, rotated by
+    doc_id % 3) — and canonicalization must collapse each pair."""
+    from ..operators.urls import url_canonical_dupes
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    page = F.col("doc_id").cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    clean = F.concat(
+        F.lit("https://"), host, F.lit("/page/"), page, F.lit("?a=1&b=2")
+    )
+    messy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://"), F.upper(host), F.lit("/page/"), page,
+                     F.lit("/?b=2&a=1&utm_source=x")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://"), host, F.lit(":443/page/"), page,
+                     F.lit("?b=2&a=1")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), host, F.lit("/page/"), page,
+                     F.lit("?utm_campaign=z&a=1&b=2#frag")),
+        )
+    )
+    crawls = docs.withColumn("url", clean).unionAll(
+        docs.withColumn("url", messy)
+    )
+    return url_canonical_dupes(crawls)
+
+
+_DD_URL_CANON = """
+WITH pages AS (SELECT doc_id, source || '.example.com' AS host FROM documents),
+u AS (
+  SELECT doc_id,
+         'https://' || host || '/page/' || doc_id::VARCHAR || '?a=1&b=2' AS url
+  FROM pages
+  UNION ALL
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'https://' || upper(host) || '/page/' || doc_id::VARCHAR
+                       || '/?b=2&a=1&utm_source=x'
+           WHEN 1 THEN 'https://' || host || ':443/page/' || doc_id::VARCHAR
+                       || '?b=2&a=1'
+           ELSE 'https://' || host || '/page/' || doc_id::VARCHAR
+                       || '?utm_campaign=z&a=1&b=2#frag'
+         END AS url
+  FROM pages
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         regexp_replace(regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+                        '/$', '') AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+),
+canon AS (
+  SELECT doc_id, url,
+         CASE WHEN host = '' THEN '' ELSE
+           scheme || '://' ||
+           CASE WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+                ELSE host END
+           || path ||
+           CASE WHEN sq = '' THEN '' ELSE '?' || sq END
+         END AS canon_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+              p -> p != '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))),
+              '&') AS sq
+    FROM parts
+  )
+)
+SELECT canon_url,
+       count(*) AS n_rows,
+       count(DISTINCT url) AS n_variants,
+       min(doc_id) AS first_id
+FROM canon
+WHERE canon_url != ''
+GROUP BY canon_url
+HAVING count(DISTINCT url) > 1
+"""
+
+_register("url_canonical_dupes", _url_canonical_dupes, _DD_URL_CANON)
+
+
+# --------------------------------------------------------------------------
+# 7. Unicode NFC normalization (functions/unicode.py)
+# --------------------------------------------------------------------------
+
+
+def _nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC impact report over a corpus with woven DECOMPOSED spellings:
+    docs with doc_id % 5 == 0 carry every 'e' as 'e' + combining acute
+    (U+0301) — the NFD form NFC composes back to 'é'.  Per-lang counts
+    of rows changed and total code-point delta; the fixture's ASCII
+    rows must report untouched (n_changed contribution 0)."""
+    from ..functions.unicode import nfc_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    decorated = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.regexp_replace(F.col("text"), "e", "é"),
+        ).otherwise(F.col("text")),
+    )
+    return nfc_stats(decorated, group_col="lang")
+
+
+_DD_NFC = """
+WITH decorated AS (
+  SELECT lang,
+         CASE WHEN doc_id % 5 = 0
+              THEN regexp_replace(text, 'e', 'e' || chr(769), 'g')
+              ELSE text END AS text
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN nfc_normalize(text) != text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(sum(length(text) - length(nfc_normalize(text))) AS BIGINT) AS len_delta
+FROM decorated GROUP BY lang
+"""
+
+_register("text_unicode_nfc_stats", _nfc_stats, _DD_NFC)

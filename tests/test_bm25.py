@@ -77,3 +77,70 @@ class TestMmrRerank:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         got = [int(r["vec_id"]) for r in mmr_rerank(df, [0.9, 0.3, 0.0], k=3, pool_size=4).collect()]
         assert got[0] == 2 and 3 in got and 1 not in got
+
+
+class TestPhraseMatch:
+    """Positional-postings phrase search (operators/retrieval.py::
+    phrase_match, round 9)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "data column data column end"),      # 2 matches
+                (2, "the data column appears once"),     # 1 match
+                (3, "column data reversed never counts"),  # 0
+                (4, "Data COLUMN case folded"),          # 1 (lowercased)
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_counts_and_case_folding(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.retrieval import (
+            phrase_match,
+        )
+
+        got = {r["doc_id"]: r["n_matches"]
+               for r in phrase_match(self._docs(spark), ["data", "column"]).collect()}
+        assert got == {1: 2, 2: 1, 4: 1}
+
+    def test_three_word_phrase_and_overlap_semantics(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.retrieval import (
+            phrase_match,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "a b c")], "doc_id long, text string"
+        )
+        # overlapping occurrences of 'a b a' at positions 0 and 2 BOTH count
+        got = {r["doc_id"]: r["n_matches"]
+               for r in phrase_match(df, ["a", "b", "a"]).collect()}
+        assert got == {1: 2}
+
+    def test_rejects_single_word(self, spark):
+        import pytest
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.retrieval import (
+            phrase_match,
+        )
+
+        with pytest.raises(ValueError, match="two words"):
+            phrase_match(self._docs(spark), ["data"])
+
+    def test_postings_form_matches_and_pushes_term_filters(self, spark, tmp_path):
+        """The persisted-postings serving form: same counts, and each
+        word's term equality reaches the parquet scan as a pushed
+        filter (EqualTo on term), so the scan reads only the phrase
+        words' rows."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.retrieval import (
+            phrase_match_postings,
+            tokenize_pos,
+        )
+
+        p = str(tmp_path / "postings")
+        tokenize_pos(self._docs(spark)).write.parquet(p)
+        postings = spark.read.parquet(p)
+        out = phrase_match_postings(postings, ["data", "column"])
+        got = {r["doc_id"]: r["n_matches"] for r in out.collect()}
+        assert got == {1: 2, 2: 1, 4: 1}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EqualTo(term,data)" in plan and "EqualTo(term,column)" in plan

@@ -277,3 +277,104 @@ class TestInterdocLineDedup:
         )
         out = interdoc_line_dedup(df).filter("doc_id = 0").first()
         assert out["n_kept"] == 3 and out["text"] == "echo\necho\necho"
+
+
+class TestIncrementalExactDedup:
+    """New-batch admission dedup (operators/dedup.py::
+    incremental_exact_dedup, round 9)."""
+
+    def _frames(self, spark):
+        base = spark.createDataFrame(
+            [(1, "shared text"), (2, "base only text")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "shared text"),        # dup_of_base
+                (11, "fresh batch text"),   # new (first of its hash)
+                (12, "fresh batch text"),   # dup_in_batch
+                (13, "another new one"),    # new
+            ],
+            "doc_id long, text string",
+        )
+        return base, batch
+
+    def test_three_way_classification(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            incremental_exact_dedup,
+        )
+
+        base, batch = self._frames(spark)
+        got = {r["doc_id"]: r["status"]
+               for r in incremental_exact_dedup(base, batch).collect()}
+        assert got == {10: "dup_of_base", 11: "new",
+                       12: "dup_in_batch", 13: "new"}
+
+    def test_normalization_shared_with_exact_dedup(self, spark):
+        """Whitespace-variant copies must match the base fingerprint —
+        the same normalize-then-md5 contract exact_dedup uses."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            incremental_exact_dedup,
+        )
+
+        base = spark.createDataFrame([(1, "a  b\nc")], "doc_id long, text string")
+        batch = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+        assert incremental_exact_dedup(base, batch).first()["status"] == "dup_of_base"
+
+    def test_only_hashes_cross_the_exchange(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            incremental_exact_dedup,
+        )
+
+        base, batch = self._frames(spark)
+        plan = (
+            incremental_exact_dedup(base, batch)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        for m in re.finditer(r"Exchange [^\n]*", plan):
+            assert "text#" not in m.group(0), m.group(0)
+
+
+class TestNgramContainment:
+    """Asymmetric containment pairs (round 9): doc-inside-doc that
+    Jaccard dilutes below threshold."""
+
+    def _docs(self, spark):
+        inner = "one two three four five six seven eight"
+        outer = inner + " " + " ".join(f"pad{i}" for i in range(40))
+        return spark.createDataFrame(
+            [(1, inner, "en"), (2, outer, "en"),
+             (3, "totally different words entirely here now", "en")],
+            "doc_id long, text string, lang string",
+        )
+
+    def test_contained_doc_found_where_jaccard_misses(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        docs = self._docs(spark)
+        cont = ngram_containment_pairs(
+            docs, block_col="lang", shingle_n=3, threshold=0.9
+        ).collect()
+        assert [(r["id_contained"], r["id_container"], r["containment"])
+                for r in cont] == [(1, 2, 1.0)]
+        # the same pair is invisible to Jaccard at any comparable bar
+        jac = ngram_jaccard_pairs(
+            docs, block_col="lang", shingle_n=3, threshold=0.5
+        ).collect()
+        assert jac == []
+
+    def test_direction_is_smaller_into_larger(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        docs = self._docs(spark)
+        r = ngram_containment_pairs(
+            docs, block_col="lang", shingle_n=3, threshold=0.9
+        ).first()
+        assert r["id_contained"] == 1 and r["id_container"] == 2

@@ -80,3 +80,83 @@ class TestBlocklistFilter:
         df = _df(spark, ["https://a.example.com/x"])
         out = url_blocklist_filter(df, ["b.example.com"])
         assert count_exchanges(out) == 0  # pure codegen filter, streamable
+
+
+class TestUrlCanonicalize:
+    """Canonical URL form (operators/urls.py::url_canonicalize, r9)."""
+
+    def test_each_messiness_class_collapses(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.urls import (
+            url_canonicalize,
+        )
+        from pyspark.sql import functions as F
+
+        want = "https://a.example.com/page/1?a=1&b=2"
+        variants = [
+            "https://a.example.com/page/1?a=1&b=2",      # already canonical
+            "https://A.EXAMPLE.COM/page/1?a=1&b=2",      # host case
+            "https://a.example.com:443/page/1?a=1&b=2",  # default port
+            "https://a.example.com/page/1?b=2&a=1",      # param order
+            "https://a.example.com/page/1?a=1&utm_source=x&b=2",  # tracking
+            "https://a.example.com/page/1?a=1&b=2#frag",  # fragment
+        ]
+        got = {
+            r["c"]
+            for r in _df(spark, variants)
+            .select(url_canonicalize(F.col("url")).alias("c"))
+            .collect()
+        }
+        assert got == {want}
+        # trailing slash and bare path normalize together
+        got2 = [
+            r["c"]
+            for r in _df(spark, ["https://h.example.com/x/", "https://h.example.com/x"])
+            .select(url_canonicalize(F.col("url")).alias("c"))
+            .collect()
+        ]
+        assert got2[0] == got2[1] == "https://h.example.com/x"
+
+    def test_http_80_stripped_https_80_kept(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.urls import (
+            url_canonicalize,
+        )
+        from pyspark.sql import functions as F
+
+        got = [
+            r["c"]
+            for r in _df(
+                spark, ["http://h.example.com:80/x", "https://h.example.com:80/x"]
+            ).select(url_canonicalize(F.col("url")).alias("c")).collect()
+        ]
+        assert got[0] == "http://h.example.com/x"
+        assert got[1] == "https://h.example.com:80/x"  # NOT the default port
+
+    def test_malformed_canonicalizes_empty(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.urls import (
+            url_canonicalize,
+        )
+        from pyspark.sql import functions as F
+
+        got = _df(spark, ["not a url"]).select(
+            url_canonicalize(F.col("url")).alias("c")
+        ).first()["c"]
+        assert got == ""
+
+    def test_dupes_report(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.urls import (
+            url_canonical_dupes,
+        )
+
+        df = _df(
+            spark,
+            [
+                "https://a.example.com/x?p=1",
+                "https://A.example.com/x/?p=1&utm_source=z",
+                "https://b.example.com/solo",
+            ],
+        )
+        rows = url_canonical_dupes(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["canon_url"] == "https://a.example.com/x?p=1"
+        assert (r["n_rows"], r["n_variants"], r["first_id"]) == (2, 2, 0)
