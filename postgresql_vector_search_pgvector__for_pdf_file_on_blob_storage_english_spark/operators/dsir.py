@@ -95,6 +95,13 @@ def dsir_bucket_weights(
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("t_cnt"),
         F.count(F.lit(1)).alias("r_cnt"),
     )
+    # counts feeds BOTH the totals aggregate and the weight projection:
+    # without truncation each branch re-runs the corpus token pass (the
+    # r8 branch-copy pathology — plan showed 3 corpus scans).  The
+    # relation is <= n_buckets rows, so the eager checkpoint is a tiny
+    # job and the corpus is tokenized exactly twice end-to-end (weights
+    # + scoring), like the LM family.
+    counts = counts.localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("t_cnt").alias("_T"), F.sum("r_cnt").alias("_R")
     )

@@ -417,3 +417,137 @@ FROM decorated GROUP BY lang
 """
 
 _register("text_unicode_nfc_stats", _nfc_stats, _DD_NFC)
+
+
+# --------------------------------------------------------------------------
+# 8. Fellegi-Sunter probabilistic record linkage (operators/linkage.py)
+# --------------------------------------------------------------------------
+
+_FS_OFFSET = 10_000_000
+
+
+def _fs_frames(spark: SparkSession, sf_dir: str):
+    """Deterministic linkage fixture: the customer table as the clean
+    file, plus a 'dirty' re-registration of every customer — name
+    truncated for id % 3 == 0, segment lost for id % 5 == 0, account
+    balance drifted one bucket for id % 7 == 0; nation never corrupted
+    (it is the block key).  Truth = (id, id + offset)."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div 100000").alias(
+            "bucket"
+        ),
+    )
+    k = F.col("id")
+    dirty = base.select(
+        (k + F.lit(_FS_OFFSET)).alias("id"),
+        F.when(k % 3 == 0, F.expr("substring(name, 1, length(name) - 1)"))
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.col("nation"),
+        F.when(k % 5 == 0, F.lit("UNKNOWN")).otherwise(F.col("segment")).alias(
+            "segment"
+        ),
+        F.when(k % 7 == 0, F.col("bucket") + 1).otherwise(F.col("bucket")).alias(
+            "bucket"
+        ),
+    )
+    truth = base.select(
+        F.col("id").alias("clean_id"), (k + F.lit(_FS_OFFSET)).alias("dirty_id")
+    )
+    return base, dirty, truth
+
+
+def _fs_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage confusion matrix: supervised m from the
+    woven truth, frequency-identity u from the clean side, nation-
+    blocked candidates scored by integer micro-nat log-likelihood
+    ratios, decision = score > 0.  Output one row per (is_true,
+    decision) cell with pair counts and score extrema — the honest
+    exhibit: three weak fields DO produce off-diagonal cells."""
+    from ..operators.linkage import fs_score_pairs, fs_weights
+
+    clean, dirty, truth = _fs_frames(spark, sf_dir)
+    fields = ["name", "segment", "bucket"]
+    w = fs_weights(clean, dirty, truth, fields)
+    scored = fs_score_pairs(clean, dirty, w, fields, block_col="nation")
+    return (
+        scored.select(
+            (F.col("dirty_id") - F.col("clean_id") == _FS_OFFSET).alias("is_true"),
+            (F.col("score_micro") > 0).alias("decision"),
+            "score_micro",
+        )
+        .groupBy("is_true", "decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("score_micro").alias("min_score_micro"),
+            F.max("score_micro").alias("max_score_micro"),
+        )
+        .orderBy("is_true", "decision")
+    )
+
+
+_DD_FS = f"""
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+         c_mktsegment AS segment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bucket
+  FROM customer
+),
+dirty AS (
+  SELECT id + {_FS_OFFSET} AS id,
+         CASE WHEN id % 3 = 0 THEN substring(name, 1, length(name) - 1)
+              ELSE name END AS name,
+         nation,
+         CASE WHEN id % 5 = 0 THEN 'UNKNOWN' ELSE segment END AS segment,
+         CASE WHEN id % 7 = 0 THEN bucket + 1 ELSE bucket END AS bucket
+  FROM base
+),
+n_tot AS (SELECT count(*) AS n FROM base),
+m AS (
+  SELECT count(*) AS m_den,
+         sum(CASE WHEN b.name = d.name THEN 1 ELSE 0 END) AS m_name,
+         sum(CASE WHEN b.segment = d.segment THEN 1 ELSE 0 END) AS m_segment,
+         sum(CASE WHEN b.bucket = d.bucket THEN 1 ELSE 0 END) AS m_bucket
+  FROM base b JOIN dirty d ON d.id = b.id + {_FS_OFFSET}
+),
+u AS (
+  SELECT
+    (SELECT sum(c * c) FROM (SELECT count(*) AS c FROM base GROUP BY name)) AS u_name,
+    (SELECT sum(c * c) FROM (SELECT count(*) AS c FROM base GROUP BY segment)) AS u_segment,
+    (SELECT sum(c * c) FROM (SELECT count(*) AS c FROM base GROUP BY bucket)) AS u_bucket
+),
+w AS (
+  SELECT
+    CAST(floor((ln(m_name::DOUBLE / m_den::DOUBLE) - ln(u_name::DOUBLE / (n * n)::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wa_name,
+    CAST(floor((ln((m_den - m_name)::DOUBLE / m_den::DOUBLE) - ln((n * n - u_name)::DOUBLE / (n * n)::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wd_name,
+    CAST(floor((ln(m_segment::DOUBLE / m_den::DOUBLE) - ln(u_segment::DOUBLE / (n * n)::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wa_segment,
+    CAST(floor((ln((m_den - m_segment)::DOUBLE / m_den::DOUBLE) - ln((n * n - u_segment)::DOUBLE / (n * n)::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wd_segment,
+    CAST(floor((ln(m_bucket::DOUBLE / m_den::DOUBLE) - ln(u_bucket::DOUBLE / (n * n)::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wa_bucket,
+    CAST(floor((ln((m_den - m_bucket)::DOUBLE / m_den::DOUBLE) - ln((n * n - u_bucket)::DOUBLE / (n * n)::DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS wd_bucket
+  FROM m, u, n_tot
+),
+scored AS (
+  SELECT b.id AS clean_id, d.id AS dirty_id,
+         (CASE WHEN b.name = d.name THEN w.wa_name ELSE w.wd_name END
+          + CASE WHEN b.segment = d.segment THEN w.wa_segment ELSE w.wd_segment END
+          + CASE WHEN b.bucket = d.bucket THEN w.wa_bucket ELSE w.wd_bucket END)
+           AS score_micro
+  FROM base b JOIN dirty d ON b.nation = d.nation, w
+)
+SELECT (dirty_id - clean_id = {_FS_OFFSET}) AS is_true,
+       (score_micro > 0) AS decision,
+       count(*) AS n_pairs,
+       min(score_micro) AS min_score_micro,
+       max(score_micro) AS max_score_micro
+FROM scored
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+_register("linkage_fs_confusion", _fs_confusion, _DD_FS)
