@@ -551,3 +551,102 @@ ORDER BY 1, 2
 """
 
 _register("linkage_fs_confusion", _fs_confusion, _DD_FS)
+
+
+# --------------------------------------------------------------------------
+# 9. Streaming corpus admission (streaming/incremental_dedup_stream.py)
+# --------------------------------------------------------------------------
+
+
+def _stream_incremental_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup admission loop executed through Structured
+    Streaming: the base corpus's fingerprints seed a PERSISTED state
+    table, the new-doc drop streams in 4 micro-batches
+    (maxFilesPerTrigger=1), each batch is classified against the
+    current state and its admitted fingerprints appended — so later
+    batches see earlier admissions as corpus.
+
+    The gated output is per-fingerprint and BATCH-ORDER-INDEPENDENT
+    (micro-batch composition is Spark's choice): across all batches a
+    fingerprint already in the base must be admitted 0 times, an unseen
+    fingerprint EXACTLY once, everything else rejected.  A broken state
+    loop (admissions not visible to later batches) double-admits and
+    fails the hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.text import normalize_whitespace_col
+    from ..streaming.incremental_dedup_stream import (
+        seed_state,
+        stream_admit_documents,
+    )
+    from ._base import _drain
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_incr_{tag}_{os.getpid()}"
+    )
+    src, sink = os.path.join(root, "src"), os.path.join(root, "sink")
+    state, ckpt = os.path.join(root, "state"), os.path.join(root, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    seed_state(base, state)
+    batch.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_admit_documents(stream, state, sink, ckpt)
+    _drain(q, 300)
+
+    base_fps = base.select(
+        F.md5(normalize_whitespace_col("text")).alias("fingerprint")
+    ).distinct().withColumn("_in_base", F.lit(True))
+    return (
+        spark.read.parquet(sink)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+            F.sum((F.col("status") != "new").cast("long")).alias("n_rejected"),
+        )
+        .join(base_fps, "fingerprint", "left")
+        .select(
+            "fingerprint",
+            "n_docs",
+            "n_new",
+            "n_rejected",
+            F.coalesce(F.col("_in_base"), F.lit(False)).alias("in_base"),
+        )
+    )
+
+
+_DD_STREAM_INCR = dd_sql(
+    """
+WITH fp AS (SELECT doc_id, md5({norm}) AS f FROM documents),
+base AS (SELECT DISTINCT f FROM fp WHERE doc_id % 4 != 0),
+batch AS (SELECT doc_id, f FROM fp WHERE doc_id % 4 = 0)
+SELECT b.f AS fingerprint,
+       count(*) AS n_docs,
+       CAST(CASE WHEN base.f IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS n_new,
+       CAST(count(*) - CASE WHEN base.f IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS n_rejected,
+       (base.f IS NOT NULL) AS in_base
+FROM batch b LEFT JOIN base ON b.f = base.f
+GROUP BY b.f, base.f
+""",
+    norm=dd_sql(_DD_NORMALIZE, col="text"),
+)
+
+_register(
+    "stream_incremental_dedup_replay",
+    _stream_incremental_dedup_replay,
+    _DD_STREAM_INCR,
+)

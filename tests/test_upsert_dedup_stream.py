@@ -91,3 +91,68 @@ class TestStreamingDedup:
         assert dup[0]["first_doc_id"] == 1
         # three distinct fingerprints were new exactly once
         assert sum(1 for r in rows if r["is_new"]) == 3
+
+
+class TestStreamingIncrementalDedup:
+    """Persisted-state corpus admission (streaming/
+    incremental_dedup_stream.py, r9): later micro-batches must see
+    earlier batches' admissions as corpus."""
+
+    def test_cross_batch_admission_is_exactly_once(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.incremental_dedup_stream import (
+            seed_state,
+            stream_admit_documents,
+        )
+
+        src = str(tmp_path / "src")
+        state = str(tmp_path / "state")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+
+        base = spark.createDataFrame(
+            [(1, "corpus text one"), (2, "corpus text two")],
+            "doc_id long, text string",
+        )
+        seed_state(base, state)
+
+        # two files -> two micro-batches; 'fresh text' appears in BOTH,
+        # 'corpus text one' arrives again, and an in-batch dup too
+        spark.createDataFrame(
+            [(10, "fresh text"), (11, "fresh text"), (12, "corpus text one")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(20, "fresh text"), (21, "brand new text")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_admit_documents(stream, state, sink, ckpt)
+        q.awaitTermination(120)
+
+        out = spark.read.parquet(sink)
+        per_fp = {
+            r["fingerprint"]: (r["n"], r["n_new"])
+            for r in out.groupBy("fingerprint").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("status") == "new").cast("long")).alias("n_new"),
+            ).collect()
+        }
+        # every fingerprint admitted at most once, 'fresh text' exactly
+        # once across its 3 occurrences, the base dup never
+        assert sorted(per_fp.values()) == sorted([(3, 1), (1, 0), (1, 1)])
+        # the state table ends with base + the two admissions
+        n_state = spark.read.parquet(state).select("fingerprint").distinct().count()
+        assert n_state == 4
+        # and doc 12 (base dup) was classified dup_of_base
+        st = {r["doc_id"]: r["status"] for r in out.collect()}
+        assert st[12] == "dup_of_base"
+        assert os.path.exists(os.path.join(state, "_SUCCESS"))
