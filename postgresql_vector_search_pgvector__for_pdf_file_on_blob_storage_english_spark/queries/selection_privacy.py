@@ -650,3 +650,87 @@ _register(
     _stream_incremental_dedup_replay,
     _DD_STREAM_INCR,
 )
+
+
+# --------------------------------------------------------------------------
+# 10. LSH candidates -> exact verification (operators/dedup.py::
+#     verify_candidate_pairs) — the linear-at-scale near-dup pipeline
+# --------------------------------------------------------------------------
+
+
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidates -> verify split end to end: MinHash-LSH banding
+    produces the collision-bounded candidate relation, then exact
+    Jaccard verification runs as two id-keyed joins over ONLY those
+    pairs — never a blocked cross join.  Same threshold as the blocked
+    `dedup_ngram_jaccard_pairs`, so the two entries bracket the same
+    semantics from the quadratic and the linear side."""
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_candidate_pairs,
+    )
+    from .dedup import _LSH_BANDS
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_perm=16, shingle_n=3, seed=42)
+    cands = lsh_candidate_pairs(sigs, bands=_LSH_BANDS)
+    return verify_candidate_pairs(
+        cands, corpus, shingle_n=3, metric="jaccard", threshold=0.5
+    )
+
+
+def _dd_lsh_verified() -> str:
+    from .dedup import (
+        _DD_HASH32,
+        _LSH_BANDS,
+        _MINHASH_PERMS,
+        _ROWS_PER_BAND,
+    )
+    from ..operators.dedup import LSH_P
+
+    return f"""
+WITH corpus AS ({_DD_NEARDUP_CORPUS}),
+w AS (
+  SELECT doc_id, trim({dd_sql(_DD_NORMALIZE, col="text")}) AS norm_text,
+         string_split(trim({dd_sql(_DD_NORMALIZE, col="text")}), ' ') AS words
+  FROM corpus
+),
+sets AS (
+  SELECT doc_id, {_dd_shingles("norm_text", words="words")} AS shingles
+  FROM w
+),
+bases AS (
+  SELECT doc_id, list_transform(shingles, s -> {dd_sql(_DD_HASH32, s="s")}) AS base_hashes
+  FROM sets
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(1, 17), j ->
+           list_min(list_transform(base_hashes,
+             h -> ([{", ".join(str(a) for a, _ in _MINHASH_PERMS)}][j]::BIGINT * h
+                   + [{", ".join(str(b) for _, b in _MINHASH_PERMS)}][j]) % {LSH_P}))) AS sig
+  FROM bases
+),
+banded AS (
+  SELECT doc_id, b AS band_id,
+         md5(array_to_string(sig[b*{_ROWS_PER_BAND}+1 : b*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}], ',')) AS band_hash
+  FROM sigs CROSS JOIN unnest([{", ".join(str(b) for b in range(_LSH_BANDS))}]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+               len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE, 4)
+           AS jaccard
+  FROM cand c JOIN sets sa ON sa.doc_id = c.id_a JOIN sets sb ON sb.doc_id = c.id_b
+)
+WHERE jaccard >= 0.5
+"""
+
+
+_register("dedup_lsh_verified_pairs", _lsh_verified_pairs, _dd_lsh_verified())

@@ -378,3 +378,85 @@ class TestNgramContainment:
             docs, block_col="lang", shingle_n=3, threshold=0.9
         ).first()
         assert r["id_contained"] == 1 and r["id_container"] == 2
+
+
+class TestVerifyCandidatePairs:
+    """Candidate-driven exact verification (round 9): the linear-at-
+    scale half of the candidates -> verify split."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "one two three four five six seven"),
+                (2, "one two three four five six seven"),     # exact dup of 1
+                (3, "one two three four five six DIFFERENT"), # near-dup
+                (4, "wholly unrelated content right here now"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_verifies_only_given_candidates(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            verify_candidate_pairs,
+        )
+
+        docs = self._docs(spark)
+        cands = spark.createDataFrame(
+            [(1, 2), (1, 4)], "id_a long, id_b long"
+        )
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in verify_candidate_pairs(cands, docs, threshold=0.5).collect()}
+        # (1,2) verifies at 1.0; (1,4) fails the bar; (1,3) was NEVER a
+        # candidate so it must not appear even though it would pass
+        assert got == {(1, 2): 1.0}
+
+    def test_matches_blocked_jaccard_on_full_pairs(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+            verify_candidate_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark).withColumn("lang", F.lit("en"))
+        all_pairs = spark.createDataFrame(
+            [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+            "id_a long, id_b long",
+        )
+        via_cand = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in verify_candidate_pairs(all_pairs, docs, threshold=0.3).collect()
+        )
+        via_block = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, block_col="lang", threshold=0.3).collect()
+        )
+        assert via_cand == via_block
+
+    def test_containment_metric_directed(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            verify_candidate_pairs,
+        )
+
+        inner = "a b c d e f g h"
+        outer = inner + " " + " ".join(f"x{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, outer), (2, inner)], "doc_id long, text string"
+        )
+        cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        r = verify_candidate_pairs(
+            cands, docs, metric="containment", threshold=0.9
+        ).first()
+        assert (r["id_contained"], r["id_container"], r["containment"]) == (2, 1, 1.0)
+
+    def test_bad_metric_raises(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            verify_candidate_pairs,
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="unsupported metric"):
+            verify_candidate_pairs(
+                spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+                self._docs(spark),
+                metric="dice",
+            )

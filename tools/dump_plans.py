@@ -192,6 +192,26 @@ SECTIONS = [
      "Prototypes are a labels x dims partial aggregate broadcast back onto the "
      "corpus; the only full-data exchange is the per-label rank window; the "
      "per-class cut is exact integer arithmetic inside the same projection."),
+    ("train_dsir_select", "DSIR importance resampling (r9)",
+     "The 64-row bucket-weight table is checkpointed (its totals and weight "
+     "branches would otherwise each re-run the corpus token pass) and broadcast "
+     "into the scoring join; the corpus is tokenized exactly twice end-to-end, "
+     "exchanges carry (bucket) partials and (doc, bucket) counts — never text — "
+     "and the top-k is TakeOrderedAndProject."),
+    ("retrieval_phrase_match", "Positional-postings phrase search (r9)",
+     "Each phrase word's postings are filtered at the explode and joined on the "
+     "(doc, anchor) key, so join volume is the words' document frequency, not "
+     "the token stream; against a persisted postings table the same term "
+     "equalities become pushed scan filters (gated in tests/test_bm25.py)."),
+    ("ann_ivf_probe", "Probe-only IVF serving path (r9)",
+     "The deployed shape the probe twins measure: the artifact exists, so the "
+     "plan is a centroid pick plus a scan whose PartitionFilters prune to the "
+     "probed list directory — probed volume tracks one list, not the corpus, "
+     "which is why the sf1 row is near-flat."),
+    ("dedup_incremental_new_batch", "Incremental new-batch dedup (r9)",
+     "The base side is reduced to DISTINCT fingerprints before anything moves; "
+     "the semi-join and the within-batch window exchange only (16-byte hash, id) "
+     "pairs — the corpus text never shuffles (plan-gated in tests/test_dedup.py)."),
 ]
 
 
