@@ -734,3 +734,46 @@ WHERE jaccard >= 0.5
 
 
 _register("dedup_lsh_verified_pairs", _lsh_verified_pairs, _dd_lsh_verified())
+
+
+# --------------------------------------------------------------------------
+# 11. Misra-Gries heavy hitters (operators/heavyhitters.py)
+# --------------------------------------------------------------------------
+
+
+def _heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified frequent keys over a woven skewed stream (two hot keys
+    at ~1/6 of the rows each, every other key a singleton — the head
+    a Zipfian event log has and the TPC-H-ish fixtures lack): MG
+    candidate summaries per partition, key-summed, exactly re-counted,
+    filtered to true frequency > N/(k+1).  The MG guarantee makes the
+    report complete whatever the partitioning."""
+    from ..operators.heavyhitters import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    keyed = ev.select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("hot-"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold-"), F.col("event_id").cast("string")))
+        .alias("k")
+    )
+    return heavy_hitters(keyed, "k", k=8).orderBy("k")
+
+
+_DD_HEAVY = """
+WITH keyed AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot-' || (event_id % 2)::VARCHAR
+              ELSE 'cold-' || event_id::VARCHAR END AS k
+  FROM events
+),
+tot AS (SELECT count(*) AS n FROM keyed)
+SELECT k, count(*) AS n_true
+FROM keyed, tot
+GROUP BY k, tot.n
+HAVING count(*) * 9 > tot.n
+ORDER BY k
+"""
+
+_register("agg_heavy_hitters_events", _heavy_hitters_events, _DD_HEAVY)

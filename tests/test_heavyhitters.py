@@ -1,0 +1,85 @@
+"""Misra-Gries heavy hitters (operators/heavyhitters.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.heavyhitters import (
+    heavy_hitters,
+    mg_partials,
+)
+
+
+def _skewed(spark, n=2000, partitions=7):
+    # key 'A' ~ n/3, 'B' ~ n/5, everything else singletons
+    df = spark.range(n).select(
+        F.when(F.col("id") % 3 == 0, F.lit("A"))
+        .when(F.col("id") % 5 == 0, F.lit("B"))
+        .otherwise(F.concat(F.lit("z"), F.col("id").cast("string")))
+        .alias("k")
+    )
+    return df.repartition(partitions)
+
+
+class TestMgGuarantee:
+    def test_true_heavy_hitters_always_candidates(self, spark):
+        """The MG containment guarantee must hold for several k and
+        partitionings: every key with freq > N/(k+1) appears in the
+        merged candidate set."""
+        for parts in (1, 7, 32):
+            df = _skewed(spark, partitions=parts)
+            n = df.count()
+            exact = {r["k"]: r["c"] for r in
+                     df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+            for k in (2, 4, 16):
+                cands = {
+                    r["k"]
+                    for r in mg_partials(df, "k", k)
+                    .groupBy("k").agg(F.sum("cnt"))
+                    .collect()
+                }
+                true_hh = {key for key, c in exact.items() if c * (k + 1) > n}
+                assert true_hh <= cands, (parts, k, true_hh - cands)
+
+    def test_counters_never_exceed_truth(self, spark):
+        df = _skewed(spark)
+        exact = {r["k"]: r["c"] for r in
+                 df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+        merged = {
+            r["k"]: r["est"]
+            for r in mg_partials(df, "k", 8)
+            .groupBy("k").agg(F.sum("cnt").alias("est"))
+            .collect()
+        }
+        for key, est in merged.items():
+            assert est <= exact[key]
+
+    def test_at_most_k_counters_per_partition(self, spark):
+        df = _skewed(spark, partitions=4)
+        per_part = (
+            mg_partials(df, "k", 5)
+            .select(F.spark_partition_id().alias("p"))
+            .groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert all(r["n"] <= 5 for r in per_part)
+
+
+class TestHeavyHittersReport:
+    def test_report_equals_exact_answer(self, spark):
+        df = _skewed(spark)
+        n = df.count()
+        for k in (2, 8):
+            got = {(r["k"], r["n_true"])
+                   for r in heavy_hitters(df, "k", k).collect()}
+            exact = {
+                (r["k"], r["c"])
+                for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+                if r["c"] * (k + 1) > n
+            }
+            assert got == exact
+
+    def test_rejects_bad_k(self, spark):
+        with pytest.raises(ValueError, match="k must be"):
+            mg_partials(_skewed(spark), "k", 0)
