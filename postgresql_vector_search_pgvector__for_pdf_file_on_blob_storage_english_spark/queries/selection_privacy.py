@@ -777,3 +777,66 @@ ORDER BY k
 """
 
 _register("agg_heavy_hitters_events", _heavy_hitters_events, _DD_HEAVY)
+
+
+# --------------------------------------------------------------------------
+# 12. Streaming heavy hitters (streaming/heavyhitters_stream.py)
+# --------------------------------------------------------------------------
+
+
+def _stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MG summary maintained as a log-structured stream: the woven
+    skewed key stream arrives in 4 micro-batches, each appending its
+    bounded summary; batch 0's summary is then deliberately re-appended
+    (a replay) and must be absorbed by the stamp dedup.  The gated
+    output is the verified report — identical to the batch
+    `agg_heavy_hitters_events` oracle, proving the streamed state loses
+    no true heavy hitter."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.heavyhitters_stream import (
+        stream_into_mg,
+        verified_heavy_hitters_from_log,
+    )
+    from ._base import _drain
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_mg_{tag}_{os.getpid()}"
+    )
+    src, log = os.path.join(root, "src"), os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    keyed = ev.select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("hot-"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold-"), F.col("event_id").cast("string")))
+        .alias("k")
+    )
+    keyed.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_mg(stream, log, ckpt, "k", k=8)
+    _drain(q, 300)
+
+    # deliberate replay: re-append batch 0's summary rows verbatim
+    first = spark.read.parquet(log).filter(F.col("batch_id") == 0)
+    first.write.mode("append").parquet(log)
+
+    return verified_heavy_hitters_from_log(
+        spark, log, keyed, "k", k=8
+    ).orderBy("k")
+
+
+_register("stream_heavy_hitters_replay", _stream_heavy_hitters_replay, _DD_HEAVY)

@@ -83,3 +83,65 @@ class TestHeavyHittersReport:
     def test_rejects_bad_k(self, spark):
         with pytest.raises(ValueError, match="k must be"):
             mg_partials(_skewed(spark), "k", 0)
+
+
+class TestStreamingMg:
+    """Log-structured MG maintenance (streaming/heavyhitters_stream.py)."""
+
+    def test_streamed_report_complete_and_replay_absorbed(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.heavyhitters_stream import (
+            mg_read,
+            stream_into_mg,
+            verified_heavy_hitters_from_log,
+        )
+
+        src, log, ckpt = (str(tmp_path / n) for n in ("src", "log", "ckpt"))
+        df = _skewed(spark, n=1000, partitions=3)
+        df.write.parquet(src)
+
+        stream = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_into_mg(stream, log, ckpt, "k", k=4)
+        q.awaitTermination(120)
+
+        before = sorted(map(tuple, mg_read(spark, log, "k").collect()))
+        # replay batch 0's summary verbatim: stamp dedup must absorb it
+        first = spark.read.parquet(log).filter(F.col("batch_id") == 0)
+        first.write.mode("append").parquet(log)
+        after = sorted(map(tuple, mg_read(spark, log, "k").collect()))
+        assert after == before
+
+        n = df.count()
+        got = {(r["k"], r["n_true"])
+               for r in verified_heavy_hitters_from_log(spark, log, df, "k", 4).collect()}
+        exact = {
+            (r["k"], r["c"])
+            for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+            if r["c"] * 5 > n
+        }
+        assert got == exact
+
+    def test_mixed_null_stamp_log_rejected(self, spark, tmp_path):
+        import pytest
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.heavyhitters import (
+            mg_partials,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.heavyhitters_stream import (
+            mg_read,
+        )
+
+        log = str(tmp_path / "log")
+        df = _skewed(spark, n=200, partitions=2)
+        summary = mg_partials(df, "k", 4).groupBy("k").agg(F.sum("cnt").alias("cnt"))
+        summary.withColumn("batch_id", F.lit(0).cast("long")).write.mode(
+            "append"
+        ).parquet(log)
+        summary.withColumn("batch_id", F.lit(None).cast("long")).write.mode(
+            "append"
+        ).parquet(log)
+        with pytest.raises(Exception, match="null and stamped"):
+            mg_read(spark, log, "k").collect()
