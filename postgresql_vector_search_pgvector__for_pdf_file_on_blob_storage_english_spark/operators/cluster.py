@@ -119,6 +119,45 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def cluster_survivors(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """:func:`duplicate_clusters` with a QUALITY survivorship rule:
+    the kept row per near-dup cluster is the highest-``score_col``
+    member (ties by min id), not the min id — the policy real cleanup
+    pipelines want (keep the longest / best-formatted / least-boiler-
+    plate version of a page, not whichever crawl got the smaller id).
+
+    Returns ``(id, cluster_id, cluster_size, score, is_survivor)``.
+    Shape: the CC labeling plus one cluster-keyed window — the cluster
+    relation is corpus-sized but narrow (id, cluster, score)."""
+    comp = connected_components(pairs, id_a, id_b)
+    labeled = (
+        corpus.select(F.col(id_col).alias("id"), F.col(score_col).alias("score"))
+        .join(comp, "id", "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col("id")))
+        .drop("component")
+    )
+    w = Window.partitionBy("cluster_id")
+    best = F.max(
+        F.struct(F.col("score").alias("s"), (-F.col("id")).alias("negid"))
+    ).over(w)
+    return labeled.select(
+        "id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        "score",
+        ((best["s"] == F.col("score")) & (best["negid"] == -F.col("id"))).alias(
+            "is_survivor"
+        ),
+    )
+
+
 def duplicate_clusters(
     corpus: DataFrame,
     pairs: DataFrame,

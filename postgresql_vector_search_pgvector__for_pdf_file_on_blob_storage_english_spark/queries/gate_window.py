@@ -100,11 +100,21 @@ from ._base import Entry, REGISTRY  # noqa: F401
 #        mm_image_features       → train_prune_prototypes  (mm keeps
 #                      audio + aHash; D4 SSL-prototypes second stage)
 #
-# Round-10 rotation candidates (none driver-evidenced yet):
-# dedup_edjoin_part_pairs (Ed-Join value form), stream_bt_matrix_replay
-# / stream_kmv_replay (streaming breadth), join_not_in_vs_not_exists
-# (NAAJ), graph_khop_reach, events_attribution_last_touch,
-# graph_ppr_personalized, corpus_snapshot_diff, train_shard_hrw_churn,
+# Round-10 rotation candidates (none driver-evidenced yet).  The r9
+# additions first — each is its family's only entry or first slot:
+# train_dsir_select (DSIR data selection), linkage_fs_confusion
+# (probabilistic record linkage), privacy_k_anonymity_audit (privacy
+# family), agg_heavy_hitters_events or stream_heavy_hitters_replay
+# (Misra-Gries; the streaming row also widens streaming evidence),
+# dedup_lsh_verified_pairs (candidates->verify split),
+# retrieval_phrase_match, dedup_incremental_new_batch or
+# stream_incremental_dedup_replay (persisted-state admission),
+# url_canonical_dupes, text_unicode_nfc_stats, plus the five probe
+# twins (ann_ivf_probe etc. — serving-path rows).  Carried from r9's
+# list: dedup_edjoin_part_pairs, stream_bt_matrix_replay /
+# stream_kmv_replay, join_not_in_vs_not_exists (NAAJ),
+# graph_khop_reach, events_attribution_last_touch,
+# graph_ppr_copurchase, corpus_snapshot_diff, train_shard_hrw_churn,
 # layout_hilbert_report, serve_mmr_rerank, serve_context_expansion,
 # ann_ivfpq_recall_trained.
 #

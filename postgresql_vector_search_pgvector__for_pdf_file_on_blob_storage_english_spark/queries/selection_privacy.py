@@ -81,17 +81,61 @@ wts AS (
                     * 1000000.0 + 0.5) AS BIGINT) AS weight_micro
   FROM counts, tot
 ),
-per_doc AS (SELECT doc_id, bucket, count(*) AS cnt FROM bucketed GROUP BY 1, 2)
-SELECT doc_id,
-       CAST(sum(cnt) AS BIGINT) AS n_tokens,
-       CAST(sum(cnt * weight_micro) AS BIGINT) AS score_micro
-FROM per_doc JOIN wts USING (bucket)
-GROUP BY doc_id
+per_doc AS (SELECT doc_id, bucket, count(*) AS cnt FROM bucketed GROUP BY 1, 2),
+scores AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(cnt * weight_micro) AS BIGINT) AS score_micro
+  FROM per_doc JOIN wts USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, score_micro FROM scores
 ORDER BY score_micro DESC, doc_id
 LIMIT {_DSIR_K}
 """
 
 _register("train_dsir_select", _dsir_select, _DD_DSIR)
+
+_DSIR_BUDGET = 5_000  # tokens
+
+
+def _dsir_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection composed with the token-budget cut: walk
+    documents in importance order (score desc, id) and keep each doc
+    whose inclusion STARTS below the budget — 'cut the best N tokens
+    for the target domain', the step after scoring in a DSIR pipeline.
+    The prefix sum is the two-pass global_rank (range repartition +
+    partitioned running sum), never a single-partition window."""
+    from ..operators.dsir import dsir_bucket_weights, dsir_scores
+    from ..operators.ranking import global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = dsir_bucket_weights(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+    scores = dsir_scores(docs, weights, n_buckets=_DSIR_BUCKETS)
+    ranked = global_rank(
+        scores,
+        [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        prefix_col="n_tokens",
+    )
+    return ranked.filter(F.col("_before") < _DSIR_BUDGET).select(
+        "doc_id", "n_tokens", "score_micro"
+    )
+
+
+_DD_DSIR_BUDGET = _DD_DSIR[: _DD_DSIR.rindex("SELECT doc_id, n_tokens")] + f"""
+SELECT doc_id, n_tokens, score_micro FROM (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY score_micro DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _before
+  FROM scores
+)
+WHERE _before < {_DSIR_BUDGET}
+"""
+
+_register("train_dsir_token_budget", _dsir_token_budget, _DD_DSIR_BUDGET)
 
 
 # --------------------------------------------------------------------------
@@ -840,3 +884,97 @@ def _stream_heavy_hitters_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("stream_heavy_hitters_replay", _stream_heavy_hitters_replay, _DD_HEAVY)
+
+
+# --------------------------------------------------------------------------
+# 13. Recursive CTE (Spark 4 WITH RECURSIVE) — SQL-surface parity
+# --------------------------------------------------------------------------
+
+_RCTE_SQL = """
+WITH RECURSIVE reach(node, depth) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT c.c_custkey, r.depth + 1
+  FROM customer c JOIN reach r
+    ON CAST(c.c_custkey / 2 AS BIGINT) = r.node
+  WHERE c.c_custkey > 1 AND c.c_custkey < 64
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS depth
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+def _recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's WITH RECURSIVE, exercised end to end: BFS depths over
+    an implicit binary tree on customer keys (parent = floor(k / 2)),
+    identical SQL text on both engines.  The iterative operators
+    (graph.bfs_levels etc.) remain the 100 TB path — per-level joins
+    with checkpointed frontiers — but the declarative form is part of
+    the SQL surface a reference user expects, and this pins Spark's
+    recursion semantics (UNION ALL accumulation, join-per-step) against
+    the oracle's."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RCTE_SQL)
+
+
+_DD_RCTE = _RCTE_SQL.replace("CAST(c.c_custkey / 2 AS BIGINT)", "(c.c_custkey // 2)")
+
+_register("sql_recursive_bfs_depth", _recursive_bfs, _DD_RCTE)
+
+
+# --------------------------------------------------------------------------
+# 14. Quality-survivorship dedup clusters (operators/cluster.py)
+# --------------------------------------------------------------------------
+
+
+def _cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with the QUALITY survivorship rule: keep the
+    LONGEST member per cluster (ties by min id) instead of the min id.
+    On the near-dup corpus the perturbed copy is strictly longer than
+    its original, so every dup cluster's survivor is the non-min-id
+    member — the policy difference this entry pins."""
+    from ..operators.cluster import cluster_survivors
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from .dedup import _LSH_BANDS
+
+    corpus = _neardup_corpus(spark, sf_dir).withColumn("score", F.length("text"))
+    sigs = minhash_signatures(corpus, num_perm=16, shingle_n=3, seed=42)
+    pairs = lsh_candidate_pairs(sigs, bands=_LSH_BANDS)
+    return cluster_survivors(corpus, pairs, "score")
+
+
+def _dd_cluster_best_quality() -> str:
+    from .dedup import _DD_MINHASH_LSH
+
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_DD_MINHASH_LSH}),
+sym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+minreach AS (SELECT src AS id, min(dst) AS mr FROM reach GROUP BY src),
+corpus AS ({_DD_NEARDUP_CORPUS}),
+labeled AS (
+  SELECT c.doc_id AS id,
+         least(c.doc_id, coalesce(m.mr, c.doc_id)) AS cluster_id,
+         CAST(length(c.text) AS BIGINT) AS score
+  FROM corpus c LEFT JOIN minreach m ON c.doc_id = m.id
+)
+SELECT id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       score,
+       row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, id) = 1
+         AS is_survivor
+FROM labeled
+"""
+
+
+_register(
+    "dedup_cluster_best_quality", _cluster_best_quality, _dd_cluster_best_quality()
+)

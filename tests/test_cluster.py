@@ -93,3 +93,27 @@ def test_zscore_constant_group_is_zero(spark):
     )
     out = groupwise_zscore_pandas(df, "event_type", "value", "event_id").collect()
     assert all(r["zscore"] == 0.0 for r in out)
+
+
+class TestClusterSurvivors:
+    """Quality survivorship (operators/cluster.py::cluster_survivors, r9)."""
+
+    def test_longest_member_survives(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.cluster import (
+            cluster_survivors,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 7)],  # cluster {1,2,3}: 2 and 3 tie on score
+            "doc_id long, score long",
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        got = {r["id"]: (r["cluster_id"], r["cluster_size"], r["is_survivor"])
+               for r in cluster_survivors(corpus, pairs, "score").collect()}
+        # survivor = max score, tie -> min id => doc 2 (not min-id doc 1)
+        assert got[1] == (1, 3, False)
+        assert got[2] == (1, 3, True)
+        assert got[3] == (1, 3, False)
+        assert got[4] == (4, 1, True)  # singleton survives itself
