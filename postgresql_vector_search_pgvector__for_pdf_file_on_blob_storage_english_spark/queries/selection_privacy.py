@@ -978,3 +978,48 @@ FROM labeled
 _register(
     "dedup_cluster_best_quality", _cluster_best_quality, _dd_cluster_best_quality()
 )
+
+
+# --------------------------------------------------------------------------
+# 15. Curriculum interleave (training-order construction)
+# --------------------------------------------------------------------------
+
+
+def _curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order construction: rank documents WITHIN
+    each source by quality (length proxy here; any score plugs in),
+    then emit the global order as a strict round-robin across sources
+    at equal rank — every epoch slice sees every source, best examples
+    first, with no RNG to replay.  The global position comes from the
+    two-pass global_rank (range repartition + partitioned running
+    count), never a single-partition window."""
+    from ..operators.ranking import global_rank
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+    ordered = global_rank(
+        ranked,
+        [F.col("rank_in_source").asc(), F.col("source").asc(), F.col("doc_id").asc()],
+    )
+    return ordered.select(
+        F.col("_rank").alias("position"), "doc_id", "source", "rank_in_source"
+    )
+
+
+_DD_CURRICULUM = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY r, source, doc_id) AS BIGINT) AS position,
+       doc_id, source, CAST(r AS BIGINT) AS rank_in_source
+FROM ranked
+"""
+
+_register("train_curriculum_interleave", _curriculum_interleave, _DD_CURRICULUM)
