@@ -318,6 +318,46 @@ def phrase_match_postings(
     return anchored.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
 
 
+def postings_index_write(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist POSITIONAL postings ``(id, pos, term)`` partitioned by
+    the stable md5 term bucket — the artifact phrase queries serve
+    from.  One tokenize pass, map-only plus the partitioned write; the
+    same bucket layout as the BM25 index, so the two can share
+    maintenance."""
+    tokenize_pos(docs, text_col=text_col, id_col=id_col).withColumn(
+        "term_bucket", term_bucket_col(F.col("term"), n_buckets)
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+
+
+def phrase_index_search(
+    spark,
+    path: str,
+    phrase: Sequence[str],
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a phrase query from the persisted positional postings:
+    the phrase words' buckets are computed DRIVER-SIDE (no job), so the
+    scan prunes statically to those directories AND pushes each word's
+    term equality — the probed volume is the phrase words' postings,
+    never the corpus.  Same semantics as :func:`phrase_match`."""
+    words = sorted({w.lower() for w in phrase})
+    buckets = sorted({term_bucket_py(w, n_buckets) for w in words})
+    postings = (
+        spark.read.parquet(path)
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(words))
+        .select(id_col, "pos", "term")
+    )
+    return phrase_match_postings(postings, phrase, id_col=id_col)
+
+
 def term_bucket_py(term: str, n_buckets: int) -> int:
     """Driver-side twin of :func:`term_bucket_col` — same md5-prefix
     bucket, so a search can enumerate its partitions without a job."""

@@ -1023,3 +1023,109 @@ FROM ranked
 """
 
 _register("train_curriculum_interleave", _curriculum_interleave, _DD_CURRICULUM)
+
+
+# --------------------------------------------------------------------------
+# 16. Persisted phrase index probe (operators/retrieval.py)
+# --------------------------------------------------------------------------
+
+
+def _phrase_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING-path form of `retrieval_phrase_match`: positional
+    postings persisted once (term-bucket partitioned, the BM25 index
+    layout), phrase served through driver-side bucket pruning + pushed
+    term filters.  Same oracle as the tokenize-on-the-fly entry by
+    construction."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.retrieval import phrase_index_search, postings_index_write
+
+    docs = _t(spark, sf_dir, "documents")
+    params = "buckets32_v1"
+    tag = hashlib.md5(f"{sf_dir}|{params}".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_phrase_probe_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        postings_index_write(docs, path, n_buckets=32)
+    out = phrase_index_search(spark, path, _PHRASE, n_buckets=32)
+    return out.orderBy(F.col("n_matches").desc(), "doc_id").limit(20)
+
+
+_register("retrieval_phrase_probe", _phrase_probe, _DD_PHRASE)
+
+
+# --------------------------------------------------------------------------
+# 17. PSI drift (operators/profile.py::psi_drift)
+# --------------------------------------------------------------------------
+
+
+def _psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Population Stability Index between the even- and
+    odd-id halves of the event log (same generator, so PSI lands in the
+    'stable' band — the number a deployment gate thresholds)."""
+    from ..operators.profile import psi_drift
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return psi_drift(base, cur, "value", group_col="event_type").orderBy(
+        "event_type"
+    )
+
+
+_DD_PSI = """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_id % 2 = 0
+),
+cur AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_id % 2 = 1
+),
+bounds AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM base GROUP BY 1),
+bb AS (
+  SELECT b.event_type,
+         CAST(((greatest(least(b.v, bd.hi), bd.lo) - bd.lo) * 10)
+              // (bd.hi - bd.lo + 1) AS INT) AS bkt
+  FROM base b JOIN bounds bd USING (event_type)
+),
+cc AS (
+  SELECT c.event_type,
+         CAST(((greatest(least(c.v, bd.hi), bd.lo) - bd.lo) * 10)
+              // (bd.hi - bd.lo + 1) AS INT) AS bkt
+  FROM cur c JOIN bounds bd USING (event_type)
+),
+pb AS (SELECT event_type, bkt, count(*) AS n FROM bb GROUP BY 1, 2),
+pc AS (SELECT event_type, bkt, count(*) AS n FROM cc GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, CAST(t.b AS INT) AS bkt
+  FROM bounds, unnest(range(0, 10)) AS t(b)
+),
+counts AS (
+  SELECT s.event_type, s.bkt,
+         coalesce(pb.n, 0) AS cb_, coalesce(pc.n, 0) AS cc_
+  FROM spine s
+  LEFT JOIN pb ON pb.event_type = s.event_type AND pb.bkt = s.bkt
+  LEFT JOIN pc ON pc.event_type = s.event_type AND pc.bkt = s.bkt
+),
+tot AS (
+  SELECT event_type, sum(cb_) AS nb, sum(cc_) AS nc FROM counts GROUP BY 1
+),
+terms AS (
+  SELECT c.event_type, t.nb, t.nc,
+         CAST(floor(((cb_ + 1)::DOUBLE / (nb + 10)::DOUBLE
+                     - (cc_ + 1)::DOUBLE / (nc + 10)::DOUBLE)
+                    * ln(((cb_ + 1)::DOUBLE / (nb + 10)::DOUBLE)
+                         / ((cc_ + 1)::DOUBLE / (nc + 10)::DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS term
+  FROM counts c JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(sum(term) AS BIGINT) AS psi_micro,
+       CAST(max(nb) AS BIGINT) AS n_base,
+       CAST(max(nc) AS BIGINT) AS n_current
+FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+_register("profile_psi_value_drift", _psi_value_drift, _DD_PSI)

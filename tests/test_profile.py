@@ -305,3 +305,77 @@ class TestSnapshotDiff:
         exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
         assert exchanges and all(c == "doc_id" for c in exchanges), exchanges
         assert plan.count("md5") >= 2
+
+
+class TestPsiDrift:
+    """Population Stability Index (operators/profile.py::psi_drift, r9)."""
+
+    def test_identical_snapshots_are_stable(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            psi_drift,
+        )
+
+        df = spark.createDataFrame(
+            [(float(i % 50),) for i in range(1000)], "value double"
+        )
+        r = psi_drift(df, df, "value").first()
+        # identical distributions: only Laplace smoothing noise, well
+        # under the 0.1 'stable' bar (psi_micro < 100_000)
+        assert r["psi_micro"] < 100_000
+        assert r["n_base"] == r["n_current"] == 1000
+
+    def test_shifted_distribution_flags_drift(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            psi_drift,
+        )
+
+        base = spark.createDataFrame(
+            [(float(i % 50),) for i in range(1000)], "value double"
+        )
+        shifted = spark.createDataFrame(
+            [(float(i % 50) + 40.0,) for i in range(1000)], "value double"
+        )
+        r = psi_drift(base, shifted, "value").first()
+        # mass piles into the top clamp bucket: PSI far above 0.25
+        assert r["psi_micro"] > 250_000
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            psi_drift,
+        )
+
+        bvals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+        cvals = [1.0, 1.0, 2.0, 8.0, 8.0, 8.0]
+        base = spark.createDataFrame([(v,) for v in bvals], "value double")
+        cur = spark.createDataFrame([(v,) for v in cvals], "value double")
+        n = 10
+        qb = [int(math.floor(v * 100 + 0.5)) for v in bvals]
+        qc = [int(math.floor(v * 100 + 0.5)) for v in cvals]
+        lo, hi = min(qb), max(qb)
+        def bucket(v):
+            vc = max(min(v, hi), lo)
+            return ((vc - lo) * n) // (hi - lo + 1)
+        from collections import Counter
+        cb, cc = Counter(map(bucket, qb)), Counter(map(bucket, qc))
+        nb, nc = len(qb), len(qc)
+        expect = sum(
+            math.floor(((cb.get(b, 0) + 1) / (nb + n) - (cc.get(b, 0) + 1) / (nc + n))
+                       * math.log(((cb.get(b, 0) + 1) / (nb + n))
+                                  / ((cc.get(b, 0) + 1) / (nc + n))) * 1e6 + 0.5)
+            for b in range(n)
+        )
+        r = psi_drift(base, cur, "value").first()
+        assert r["psi_micro"] == expect
+
+    def test_rejects_bad_buckets(self, spark):
+        import pytest as _pt
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            psi_drift,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "value double")
+        with _pt.raises(ValueError, match="n_buckets"):
+            psi_drift(df, df, "value", n_buckets=1)
