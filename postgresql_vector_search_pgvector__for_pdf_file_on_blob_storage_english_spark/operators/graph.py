@@ -503,3 +503,161 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999, public method) over a directed
+    graph; returns ``(node, hub_units, auth_units)`` for every node, in
+    integer nano-units of L1-normalized score mass.
+
+    Uses L1 normalization instead of the classic L2 so every step stays
+    in exact integer arithmetic (the ranking it induces is identical —
+    normalization only rescales): each half-step is
+
+        auth_raw(v) = sum_{u->v} hub(u)          (order-free BIGINT sum)
+        auth(v)     = floor(auth_raw * UNIT / sum_w auth_raw(w))
+
+    then symmetrically for hubs from the NEW auth scores.  The
+    normalizing division runs through DECIMAL(38,0) (:func:`_idiv_unit`)
+    so ``raw * UNIT`` cannot overflow; raw totals themselves are bounded
+    by ``|E| * UNIT`` — document limit ``|E| < 9e9`` per shard, far past
+    the fixture and bench scales (shard the graph above that).
+
+    Bit-identical across partitionings, so a DuckDB oracle replays the
+    loop as unrolled CTE stages with HUGEINT arithmetic.  Per
+    iteration: two |E|-keyed join+partial-agg passes and two 1-row
+    total aggregates (broadcast back in-plan — no collect).
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    if materialize:
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if materialize:
+        nodes = nodes.localCheckpoint(eager=True)
+
+    def _l1_normalize(scored: DataFrame, col: str) -> DataFrame:
+        tot = scored.agg(F.sum(col).alias("_tot"))
+        return (
+            scored.crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((CAST({col} AS DECIMAL(38,0)) * {UNIT}) div "
+                    f"CAST(_tot AS DECIMAL(38,0)) AS LONG)"
+                ).alias(col),
+            )
+        )
+
+    hub = nodes.select("node", F.lit(UNIT).cast("long").alias("hub_units"))
+    auth = None
+    for _ in range(n_iters):
+        auth_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_units").alias("auth_units"))
+        )
+        auth_all = nodes.join(auth_raw, "node", "left").select(
+            "node", F.coalesce("auth_units", F.lit(0)).alias("auth_units")
+        )
+        auth = _l1_normalize(auth_all, "auth_units")
+        if materialize:
+            auth = auth.localCheckpoint(eager=False)
+        hub_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_units").alias("hub_units"))
+        )
+        hub_all = nodes.join(hub_raw, "node", "left").select(
+            "node", F.coalesce("hub_units", F.lit(0)).alias("hub_units")
+        )
+        hub = _l1_normalize(hub_all, "hub_units")
+        if materialize:
+            hub = hub.localCheckpoint(eager=False)
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_units", F.lit(0)).alias("hub_units"),
+            F.coalesce("auth_units", F.lit(0)).alias("auth_units"),
+        )
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int = 8,
+    u_col: str = "u",
+    v_col: str = "v",
+    assert_fixpoint: bool = True,
+) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983, public method) by
+    the standard peel: repeatedly delete nodes of degree < k from the
+    undirected simple graph until none remain.  Returns ``(node,
+    degree)`` — the surviving nodes with their degree *inside* the
+    core.
+
+    ``edges``: ``(u, v)`` undirected pairs (self-loops dropped — a
+    self-loop cannot contribute to coreness).  The peel runs a FIXED
+    ``n_rounds`` so a SQL oracle can replay it as unrolled CTE stages;
+    with ``assert_fixpoint`` (default) one extra degree pass then
+    PROVES convergence — if any surviving node still has degree < k the
+    operator raises instead of returning a non-core — the same
+    fixpoint-proof pattern as connected_components' star-forest check.
+
+    Each round: one groupBy degree count + two semi-joins (both ends
+    must survive) — linear in |E|, localCheckpointed so the lineage
+    stays one round deep.  Peeling is monotone (nodes only leave), so
+    round count is bounded by the graph's degeneracy ordering depth;
+    real corpora converge in a handful of rounds.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    base = edges.select(
+        F.col(u_col).cast("long").alias("u"), F.col(v_col).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    sym = (
+        base.select("u", "v")
+        .union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = sym
+    for _ in range(n_rounds):
+        deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    final_deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    if assert_fixpoint:
+        n_below = final_deg.filter(F.col("degree") < k).count()
+        if n_below:
+            raise RuntimeError(
+                f"kcore(k={k}) did not converge in {n_rounds} rounds: "
+                f"{n_below} surviving nodes still below degree {k}; raise n_rounds"
+            )
+    return final_deg

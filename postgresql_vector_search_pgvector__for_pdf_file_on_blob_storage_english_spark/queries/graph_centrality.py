@@ -1,0 +1,227 @@
+# ==========================================================================
+# Graph centrality & cohesion (round 9, wave 3) — HITS hubs/authorities
+# and k-core decomposition (operators/graph.py::hits / kcore).  Both are
+# integer fixed points: every iteration's sums are order-free BIGINTs
+# and every normalization is an exact floor (HUGEINT on the DuckDB
+# side, DECIMAL(38,0) on the Spark side), so the oracle replays the
+# loops as unrolled MATERIALIZED CTE stages and the score tables are
+# bit-identical — the PageRank/BPE oracle pattern.
+# ==========================================================================
+from __future__ import annotations
+
+from ._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    _register,
+    _t,
+)
+
+_HITS_ITERS = 3
+_HITS_UNIT = 1_000_000_000
+_HITS_TOP = 20
+_KCORE_ROUNDS = 12
+_KCORE_TOP = 20
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed customer->supplier trade edges, nodes namespaced
+    2k (customers) / 2k+1 (suppliers) — the PageRank fixture graph,
+    kept directed so hubs (buyers) and authorities (sellers) are
+    distinct roles."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+
+
+def _graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hub customers and top-20 authority suppliers of the trade
+    graph by fixed-point HITS — "which buyers aggregate the most
+    authoritative sellers, and vice versa".  Scale shape: one
+    distinct-pair aggregate, then 3 iterations of two |E|-keyed
+    join+partial-agg passes; normalization totals are in-plan 1-row
+    aggregates, no driver state, no floats."""
+    from ..operators.graph import hits
+
+    scores = hits(_trade_edges(spark, sf_dir), n_iters=_HITS_ITERS)
+    hubs = (
+        scores.orderBy(F.col("hub_units").desc(), "node")
+        .limit(_HITS_TOP)
+        .select(F.lit("hub").alias("role"), "node", F.col("hub_units").alias("score_units"))
+    )
+    auths = (
+        scores.orderBy(F.col("auth_units").desc(), "node")
+        .limit(_HITS_TOP)
+        .select(F.lit("authority").alias("role"), "node", F.col("auth_units").alias("score_units"))
+    )
+    return hubs.unionAll(auths).orderBy("role", F.col("score_units").desc(), "node")
+
+
+def _dd_hits_sql(n_iters: int) -> str:
+    u = _HITS_UNIT
+    head = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS MATERIALIZED (SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT node, {u}::BIGINT AS hub FROM nodes),"""
+    steps = []
+    for i in range(1, n_iters + 1):
+        steps.append(f"""
+ar{i} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(x.s, 0)::BIGINT AS raw
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(h.hub)::BIGINT AS s
+    FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+  ) x ON x.node = nodes.node
+),
+at{i} AS MATERIALIZED (SELECT sum(raw)::BIGINT AS t FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT node, CAST((raw::HUGEINT * {u}) // t::HUGEINT AS BIGINT) AS auth
+  FROM ar{i}, at{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(x.s, 0)::BIGINT AS raw
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS node, sum(a.auth)::BIGINT AS s
+    FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+  ) x ON x.node = nodes.node
+),
+ht{i} AS MATERIALIZED (SELECT sum(raw)::BIGINT AS t FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT node, CAST((raw::HUGEINT * {u}) // t::HUGEINT AS BIGINT) AS hub
+  FROM hr{i}, ht{i}
+),""")
+    body = (head + "".join(steps)).rstrip(",")
+    return f"""{body}
+, hubs AS (
+  SELECT 'hub' AS role, node, hub AS score_units
+  FROM h{n_iters} ORDER BY hub DESC, node LIMIT {_HITS_TOP}
+),
+auths AS (
+  SELECT 'authority' AS role, node, auth AS score_units
+  FROM a{n_iters} ORDER BY auth DESC, node LIMIT {_HITS_TOP}
+)
+SELECT * FROM hubs UNION ALL SELECT * FROM auths
+ORDER BY role, score_units DESC, node
+"""
+
+
+_register("graph_hits_trade", _graph_hits, _dd_hits_sql(_HITS_ITERS))
+
+
+# ==========================================================================
+# k-core (half-mean-degree core) over the REPEAT co-purchase graph —
+# parts bought together in >= 2 distinct orders, the signal-bearing
+# subgraph (single co-occurrence is mostly noise at basket scale).  k
+# is derived from the graph itself — max(2, floor(|E| / |V|)), half the
+# mean symmetric degree — so the entry is meaningful at every scale
+# factor without a hand-tuned constant; the peel runs a fixed round
+# count and the operator PROVES the fixpoint (one extra degree pass)
+# before returning.  Measured: fixpoint in <= 4 rounds at both gated
+# fixtures (12 replayed rounds are idempotent past the fixpoint, so
+# the unrolled oracle stays exact).
+# ==========================================================================
+
+
+def _repeat_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "_o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("_o").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+
+
+def _graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 members of the repeat-co-purchase graph's half-mean-degree
+    core by in-core degree — "the cohesive center of the basket graph
+    after peeling off weakly attached parts".  k = max(2, floor(|E| /
+    |V|)) comes from two 1-row counts (bounded driver actions); each
+    peel round is one degree aggregate + two semi-joins, linear in
+    |E|."""
+    from ..operators.graph import kcore
+
+    e = _repeat_copurchase(spark, sf_dir).localCheckpoint(eager=True)
+    n_edges = e.count()
+    n_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .count()
+    )
+    k = max(2, n_edges // n_nodes)
+    core = kcore(e, k=k, n_rounds=_KCORE_ROUNDS)
+    total = core.agg(
+        F.count(F.lit(1)).alias("core_size"),
+        F.sum("degree").alias("sym_degree_sum"),
+    )
+    return (
+        core.crossJoin(F.broadcast(total))
+        .orderBy(F.col("degree").desc(), "node")
+        .limit(_KCORE_TOP)
+        .select(
+            "node",
+            "degree",
+            F.lit(k).cast("long").alias("k_used"),
+            F.col("core_size").cast("long").alias("core_size"),
+            F.col("sym_degree_sum").cast("long").alias("sym_degree_sum"),
+        )
+    )
+
+
+def _dd_kcore_sql(n_rounds: int) -> str:
+    head = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+base AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2
+),
+e0 AS MATERIALIZED (
+  SELECT u, v FROM base UNION ALL SELECT v, u FROM base
+),
+kk AS MATERIALIZED (
+  SELECT greatest(2, (SELECT count(*) FROM base)
+          // (SELECT count(*) FROM (SELECT u FROM base UNION SELECT v FROM base)))::BIGINT AS k
+),"""
+    steps = []
+    for i in range(1, n_rounds + 1):
+        steps.append(f"""
+k{i} AS MATERIALIZED (
+  SELECT u AS node FROM e{i - 1} GROUP BY u
+  HAVING count(*) >= (SELECT k FROM kk)
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN k{i} a ON e.u = a.node JOIN k{i} b ON e.v = b.node
+),""")
+    body = (head + "".join(steps)).rstrip(",")
+    return f"""{body}
+, core AS MATERIALIZED (
+  SELECT u AS node, count(*)::BIGINT AS degree FROM e{n_rounds} GROUP BY u
+),
+tot AS (SELECT count(*)::BIGINT AS core_size, sum(degree)::BIGINT AS sym_degree_sum FROM core)
+SELECT node, degree, (SELECT k FROM kk) AS k_used, core_size, sym_degree_sum
+FROM core, tot
+ORDER BY degree DESC, node
+LIMIT {_KCORE_TOP}
+"""
+
+
+_register("graph_kcore_copurchase", _graph_kcore, _dd_kcore_sql(_KCORE_ROUNDS))
