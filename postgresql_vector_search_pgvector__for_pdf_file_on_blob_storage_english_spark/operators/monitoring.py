@@ -1,0 +1,97 @@
+"""Series-monitoring operators: exact CUSUM changepoint scores and the
+Kaplan-Meier survival table.
+
+Both operate on AGGREGATED series (a time bucket per row, a distinct
+duration per row), so their unpartitioned ordered windows see bounded
+row counts at any corpus scale — the heavy fact-table reduction happens
+upstream as a partial-agg groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cusum_scores(
+    series: DataFrame,
+    value_col: str,
+    order_col: str,
+    target: Column | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM scores for an integer series (Page 1954, public
+    method), EXACT via the prefix-min identity: the textbook recurrence
+
+        S_t = max(0, S_{t-1} + x_t - mu)
+
+    is not a window function, but it equals ``P_t - min(0, min_{i<=t}
+    P_i)`` for the plain prefix sum ``P_t = sum_{i<=t}(x_i - mu)`` (the
+    0 is the virtual empty-prefix origin S_0 = 0) — two running
+    windows, all BIGINT, bit-replayable in SQL.  ``cusum_neg`` is the
+    mirrored downward score.
+
+    ``target``: the reference level mu as a Column evaluated per row
+    (defaults to the floored global mean, computed in-plan and
+    broadcast).  Adds columns ``cusum_pos``/``cusum_neg``; input
+    columns pass through.
+    """
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    d = series
+    if target is None:
+        tot = series.agg(
+            F.sum(value_col).alias("_tot"), F.count(F.lit(1)).alias("_nh")
+        )
+        d = series.crossJoin(F.broadcast(tot))
+        target = (
+            (F.col("_tot") - F.col("_tot") % F.col("_nh")) / F.col("_nh")
+        ).cast("long")
+    return (
+        d.withColumn("_p", F.sum(F.col(value_col) - target).over(w))
+        .withColumn("cusum_pos", F.col("_p") - F.least(F.min("_p").over(w), F.lit(0)))
+        .withColumn("cusum_neg", F.greatest(F.max("_p").over(w), F.lit(0)) - F.col("_p"))
+        .drop("_p", "_tot", "_nh")
+    )
+
+
+def km_curve(durations: DataFrame, dur_col: str = "dur", observed_col: str = "observed") -> DataFrame:
+    """Kaplan-Meier survival table (Kaplan & Meier 1958, public method)
+    from a relation of ``(duration, observed)`` rows — observed = 1 for
+    an event, 0 for a right-censored duration.
+
+    Returns one row per distinct EVENT time: ``(dur, n_risk, d_events,
+    survival)``.  Risk sets and event counts are exact integers over
+    the bounded distinct-duration series; ``survival`` is the one
+    rounded float — a sequential cumulative ln-sum whose evaluation
+    order is identical across engines (running-frame windows evaluate
+    in order), with the ln argument NULLed (not ln(0)) when the risk
+    set is exhausted and those rows forced to exactly 0.0.
+    """
+    per_t = durations.groupBy(F.col(dur_col).alias("dur")).agg(
+        F.count(F.lit(1)).alias("_n_at"), F.sum(observed_col).alias("d_events")
+    )
+    tot = per_t.agg(F.sum("_n_at").alias("_n"))
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        per_t.crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", F.col("_n") - F.sum("_n_at").over(w) + F.col("_n_at"))
+        .filter(F.col("d_events") > 0)
+    )
+    return (
+        risk.withColumn(
+            "_lnratio",
+            F.log(
+                F.when(
+                    F.col("n_risk") > F.col("d_events"),
+                    (F.col("n_risk") - F.col("d_events")) / F.col("n_risk"),
+                )
+            ),
+        )
+        .withColumn("_minleft", F.min(F.col("n_risk") - F.col("d_events")).over(w))
+        .withColumn(
+            "survival",
+            F.when(F.col("_minleft") == 0, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum("_lnratio").over(w)), 4)
+            ),
+        )
+        .select("dur", "n_risk", "d_events", "survival")
+    )

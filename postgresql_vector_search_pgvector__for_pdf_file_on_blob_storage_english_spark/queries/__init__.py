@@ -41,12 +41,13 @@ from . import preference_rank
 from . import analytics_breadth
 from . import selection_privacy
 from . import graph_centrality
+from . import drift_survival
 from . import gate_window
 
 # Re-export every module-level name (underscored included — tests and
 # tooling reach helpers like _events/_eval_* directly), later modules
 # winning, mirroring the single-file rebinding order.
-for _m in (_base, flagship_knn, relational_core, dedup, textstats, ann_ivf_lsh, ingest_pipeline, multimodal, serving, token_usage, business_analytics, cluster_groupwise_skew, tpch_shapes, pq_quantization, scalar_asof_range, quality_sampling, vocab_subquery, retrieval, quant_search, pii_decontam_mixture, train_export, tpch_q7_q13_ivfsq8, c4_ccnet_linededup, corpus_prep, url_profile_misc, bpe_vocab, graph_analytics, sketches, ml_classify, bloom_packing, tpch_partsupp, preference_rank, analytics_breadth, selection_privacy, graph_centrality, gate_window):
+for _m in (_base, flagship_knn, relational_core, dedup, textstats, ann_ivf_lsh, ingest_pipeline, multimodal, serving, token_usage, business_analytics, cluster_groupwise_skew, tpch_shapes, pq_quantization, scalar_asof_range, quality_sampling, vocab_subquery, retrieval, quant_search, pii_decontam_mixture, train_export, tpch_q7_q13_ivfsq8, c4_ccnet_linededup, corpus_prep, url_profile_misc, bpe_vocab, graph_analytics, sketches, ml_classify, bloom_packing, tpch_partsupp, preference_rank, analytics_breadth, selection_privacy, graph_centrality, drift_survival, gate_window):
     globals().update(
         {k: v for k, v in vars(_m).items() if not k.startswith('__')}
     )

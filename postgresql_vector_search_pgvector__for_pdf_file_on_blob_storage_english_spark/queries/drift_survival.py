@@ -1,0 +1,442 @@
+# ==========================================================================
+# Changepoint / drift / survival / concentration analytics (round 9,
+# wave 3) — the monitoring layer a 100 TB corpus pipeline runs next to
+# ingestion: CUSUM changepoint scores (exact, via the origin-clamped
+# prefix-min identity), truncated-EWMA trend smoothing (exact integer weights),
+# two-sample Kolmogorov-Smirnov drift (cross-multiplied, no division),
+# a Benford first-digit audit (literal expected table, no runtime
+# logs), Kaplan-Meier survival of interpurchase gaps, and per-nation
+# Gini revenue concentration (exact ppm).
+#
+# Everything runs on AGGREGATED series (hours, months, distinct price
+# values, distinct gap lengths, nations) — the unpartitioned windows
+# below therefore see bounded row counts at ANY corpus scale; the raw
+# fact tables are only touched by partial-agg groupBys.
+# ==========================================================================
+from __future__ import annotations
+
+from ._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    Window,
+    _events,
+    _register,
+    _t,
+)
+
+_CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+def _cents(col: str = "o_totalprice"):
+    return F.floor(F.col(col) * 100 + 0.5).cast("long")
+
+
+# ==========================================================================
+# CUSUM changepoint scores over the hourly event series.  The classic
+# one-sided CUSUM recurrence S_t = max(0, S_{t-1} + x_t - mu) is NOT a
+# window function — but it equals P_t - min_{i<=t} P_i for the plain
+# prefix sum P_t = sum(x_i - mu), which IS (two running windows).  All
+# integer: mu is the floored mean hourly count, so scores are exact and
+# the oracle replays the identity verbatim.
+# ==========================================================================
+
+
+def _events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 hours by positive CUSUM score — "where did event volume
+    sustain a shift above its long-run mean".  Scale shape: one
+    partial-agg groupBy to hours, then ordered windows over the
+    bounded hourly series (~10^4 rows per year regardless of corpus
+    size)."""
+    from ..operators.monitoring import cusum_scores
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    scored = cusum_scores(hourly, "cnt", "hour")
+    return (
+        scored.orderBy(F.col("cusum_pos").desc(), "hour")
+        .limit(30)
+        .select("hour", "cnt", "cusum_pos", "cusum_neg")
+    )
+
+
+_DD_CUSUM = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS nh FROM hourly),
+p AS (
+  SELECT hour, cnt,
+         sum(cnt - (t - t % nh) // nh) OVER (ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pf
+  FROM hourly, tot
+)
+SELECT hour, cnt,
+       (pf - least(min(pf) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0))::BIGINT AS cusum_pos,
+       (greatest(max(pf) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - pf)::BIGINT AS cusum_neg
+FROM p
+ORDER BY cusum_pos DESC, hour
+LIMIT 30
+"""
+
+_register("events_cusum_changepoint", _events_cusum, _DD_CUSUM)
+
+
+# ==========================================================================
+# Truncated EWMA (alpha = 0.2, window 8) over monthly revenue.  The
+# geometric weights 0.8^j are EXACT integers once scaled by 10^7
+# (w_j = 8^j * 10^(7-j)), so the smoother is floor(sum(w_j x_{t-j}) /
+# sum(w_j over present lags)) — integer in, integer out, truncation at
+# the series head handled by normalizing over the lags that exist.
+# The divide runs through DECIMAL(38,0) / HUGEINT so the weighted sum
+# never overflows at any revenue scale.
+# ==========================================================================
+
+_EWMA_W = [8**j * 10 ** (7 - j) for j in range(8)]
+
+
+def _orders_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with its truncated-EWMA smooth — the trend line
+    a drift monitor alerts against.  One groupBy to months, then lag
+    windows over the bounded month series."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(_cents()).alias("revenue_cents"))
+    w = Window.orderBy("month")
+    d = monthly
+    num_terms, den_terms = [], []
+    for j, wt in enumerate(_EWMA_W):
+        d = d.withColumn(f"_l{j}", F.lag("revenue_cents", j).over(w))
+        num_terms.append(f"coalesce(CAST(_l{j} AS DECIMAL(38,0)) * {wt}, 0)")
+        den_terms.append(f"CASE WHEN _l{j} IS NOT NULL THEN {wt} ELSE 0 END")
+    return d.selectExpr(
+        "month",
+        "revenue_cents",
+        f"CAST(({' + '.join(num_terms)}) div CAST(({' + '.join(den_terms)}) AS DECIMAL(38,0)) AS BIGINT) AS ewma_cents",
+    ).orderBy("month")
+
+
+def _dd_ewma_sql() -> str:
+    num = " + ".join(
+        f"coalesce(lag(revenue_cents, {j}) OVER (ORDER BY month)::HUGEINT * {wt}, 0)"
+        for j, wt in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(revenue_cents, {j}) OVER (ORDER BY month) IS NOT NULL THEN {wt} ELSE 0 END"
+        for j, wt in enumerate(_EWMA_W)
+    )
+    return f"""
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         sum({_CENTS})::BIGINT AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue_cents,
+       CAST(({num}) // ({den})::HUGEINT AS BIGINT) AS ewma_cents
+FROM monthly
+ORDER BY month
+"""
+
+
+_register("orders_ewma_revenue_trend", _orders_ewma, _dd_ewma_sql())
+
+
+# ==========================================================================
+# Two-sample Kolmogorov-Smirnov drift between the order-price
+# distributions of two market segments.  D = sup |F1 - F2| is computed
+# CROSS-MULTIPLIED — max |c1(v) n2 - c2(v) n1| over pooled distinct
+# values — so the statistic is an exact integer and no float CDF ever
+# forms; the ppm-scaled quotient goes through DECIMAL/HUGEINT.
+# ==========================================================================
+
+_KS_SEG_A = "BUILDING"
+_KS_SEG_B = "MACHINERY"
+
+
+def _stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row KS drift report between two segments' price
+    distributions.  Scale shape: fact scan -> per-value counts
+    (partial-agg groupBy on price cents), then ordered windows over the
+    bounded distinct-value series."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
+        .select(
+            _cents().alias("v"),
+            (F.col("c_mktsegment") == _KS_SEG_A).cast("long").alias("is_a"),
+        )
+    )
+    per_v = seg.groupBy("v").agg(
+        F.sum("is_a").alias("a"), F.sum(1 - F.col("is_a")).alias("b")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_v.agg(F.sum("a").alias("_n1"), F.sum("b").alias("_n2"))
+    scored = (
+        per_v.crossJoin(F.broadcast(tot))
+        .withColumn("_c1", F.sum("a").over(w))
+        .withColumn("_c2", F.sum("b").over(w))
+        .selectExpr(
+            "v",
+            "_n1",
+            "_n2",
+            "abs(CAST(_c1 AS DECIMAL(38,0)) * _n2 - CAST(_c2 AS DECIMAL(38,0)) * _n1) AS _dnum",
+        )
+    )
+    return (
+        scored.orderBy(F.col("_dnum").desc(), "v")
+        .limit(1)
+        .selectExpr(
+            "v AS ks_at_cents",
+            "CAST(_dnum AS BIGINT) AS d_num",
+            "_n1 AS n_building",
+            "_n2 AS n_machinery",
+            "CAST((CAST(_dnum AS DECIMAL(38,0)) * 1000000) div (CAST(_n1 AS DECIMAL(38,0)) * _n2) AS BIGINT) AS ks_ppm",
+        )
+    )
+
+
+_DD_KS = f"""
+WITH seg AS (
+  SELECT {_CENTS} AS v,
+         (c_mktsegment = '{_KS_SEG_A}')::BIGINT AS is_a
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
+),
+per_v AS (SELECT v, sum(is_a)::BIGINT AS a, sum(1 - is_a)::BIGINT AS b FROM seg GROUP BY v),
+tot AS (SELECT sum(a)::BIGINT AS n1, sum(b)::BIGINT AS n2 FROM per_v),
+cum AS (
+  SELECT v, n1, n2,
+         abs(sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::HUGEINT * n2
+           - sum(b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::HUGEINT * n1) AS dnum
+  FROM per_v, tot
+)
+SELECT v AS ks_at_cents, CAST(dnum AS BIGINT) AS d_num,
+       n1 AS n_building, n2 AS n_machinery,
+       CAST((dnum * 1000000) // (n1::HUGEINT * n2) AS BIGINT) AS ks_ppm
+FROM cum
+ORDER BY dnum DESC, v
+LIMIT 1
+"""
+
+_register("stats_ks_price_drift", _stats_ks, _DD_KS)
+
+
+# ==========================================================================
+# Benford first-digit audit of order prices.  Expected ppm shares are
+# LITERAL floor(10^6 log10(1 + 1/d)) constants baked into both sides —
+# no runtime logarithm, so every output column is an exact integer.
+# The classic fraud/synthetic-data smoke test for a financial fact
+# table.
+# ==========================================================================
+
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def _stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-digit observed vs Benford-expected distribution of the
+    leading price digit, deviation in ppm.  One partial-agg groupBy on
+    a 9-value key — trivially flat at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(_cents().cast("string"), 1, 1).cast("long")
+    counts = orders.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("_tot"))
+    exp_col = F.lit(None).cast("long")
+    for d, ppm in _BENFORD_PPM.items():
+        exp_col = F.when(F.col("digit") == d, F.lit(ppm)).otherwise(exp_col)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "obs_ppm",
+            ((F.col("n_obs") * 1_000_000 - (F.col("n_obs") * 1_000_000) % F.col("_tot")) / F.col("_tot")).cast("long"),
+        )
+        .withColumn("exp_ppm", exp_col)
+        .select(
+            "digit",
+            "n_obs",
+            "obs_ppm",
+            "exp_ppm",
+            (F.col("obs_ppm") - F.col("exp_ppm")).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _dd_benford_sql() -> str:
+    exp_case = " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST({_CENTS} AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*)::BIGINT AS n_obs
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n_obs)::BIGINT AS t FROM counts)
+SELECT digit, n_obs,
+       (n_obs * 1000000 - (n_obs * 1000000) % t) // t AS obs_ppm,
+       (CASE digit {exp_case} END)::BIGINT AS exp_ppm,
+       ((n_obs * 1000000 - (n_obs * 1000000) % t) // t - CASE digit {exp_case} END)::BIGINT AS dev_ppm
+FROM counts, tot
+ORDER BY digit
+"""
+
+
+_register("stats_benford_price_audit", _stats_benford, _dd_benford_sql())
+
+
+# ==========================================================================
+# Kaplan-Meier survival of interpurchase gaps: how long until a
+# customer orders again, with the open interval after each customer's
+# LAST order right-censored at the dataset horizon (the standard KM
+# treatment).  Risk sets and event counts are exact integers computed
+# on the bounded distinct-gap-length series; the survival curve is the
+# one rounded float (sequential cumulative ln-sum, identical evaluation
+# order both sides).  Kaplan & Meier 1958, public method.
+# ==========================================================================
+
+
+def _customer_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM survival table over interpurchase gap days.  Scale shape:
+    per-customer lead() window on the orders scan (partitioned by
+    customer — never global), one partial-agg groupBy to distinct gap
+    lengths, then ordered windows over that bounded series."""
+    from ..operators.monitoring import km_curve
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    horizon = orders.agg(F.max("o_orderdate").alias("_h"))
+    # lead() ties on equal dates are tie-order-safe: the multiset of
+    # consecutive differences of a sorted date sequence is invariant
+    # under any ordering of equal elements.
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    durs = (
+        orders.withColumn("_next", F.lead("o_orderdate").over(wc))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("_next").isNotNull(), F.datediff("_next", "o_orderdate")
+            )
+            .otherwise(F.datediff("_h", "o_orderdate"))
+            .alias("dur"),
+            F.col("_next").isNotNull().cast("long").alias("observed"),
+        )
+    )
+    return (
+        km_curve(durs)
+        .select(F.col("dur").alias("gap_days"), "n_risk", "d_events", "survival")
+        .orderBy("gap_days")
+    )
+
+
+_DD_KM = """
+WITH durs AS (
+  SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', o_orderdate, nxt)
+              ELSE date_diff('day', o_orderdate, h) END AS dur,
+         (nxt IS NOT NULL)::BIGINT AS observed
+  FROM (
+    SELECT o_custkey, o_orderdate,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS nxt,
+           (SELECT max(o_orderdate) FROM orders) AS h
+    FROM orders
+  )
+),
+per_t AS (
+  SELECT dur, count(*)::BIGINT AS n_at, sum(observed)::BIGINT AS d_events
+  FROM durs GROUP BY dur
+),
+tot AS (SELECT sum(n_at)::BIGINT AS n FROM per_t),
+risk AS (
+  SELECT dur, d_events,
+         (n - sum(n_at) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_at)::BIGINT AS n_risk
+  FROM per_t, tot
+),
+ev AS (SELECT * FROM risk WHERE d_events > 0)
+SELECT dur AS gap_days, n_risk, d_events,
+       CASE WHEN min(n_risk - d_events) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+            THEN 0.0
+            ELSE round(exp(sum(ln(CASE WHEN n_risk > d_events
+                                       THEN (n_risk - d_events)::DOUBLE / n_risk END))
+                 OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+       END AS survival
+FROM ev
+ORDER BY gap_days
+"""
+
+_register("customer_survival_km", _customer_km, _DD_KM)
+
+
+# ==========================================================================
+# Per-nation Gini concentration of customer revenue — "how unequal is
+# the revenue base in each market".  The closed form over sorted values
+# G = (2 sum(i x_i) - (n+1) sum(x)) / (n sum(x)) is tie-invariant
+# (equal x contribute identically under any tie order), so row_number
+# is safe; the rank-weighted sums accumulate in DECIMAL/HUGEINT and the
+# result is an exact ppm integer.  Gini 1912 / Lorenz 1905, public.
+# ==========================================================================
+
+
+def _stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer-revenue Gini in ppm.  Scale shape: fact scan
+    -> per-customer partial-agg groupBy, per-nation rank window
+    (partitioned by nation — never global), one per-nation aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(_cents()).alias("x"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("x", "c_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    per_nation = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").alias("revenue_cents"),
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * x")).alias("_sumix"),
+    )
+    return (
+        per_nation.join(F.broadcast(nation), per_nation.c_nationkey == nation.n_nationkey)
+        .selectExpr(
+            "n_name AS nation",
+            "n_customers",
+            "revenue_cents",
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (2 * _sumix - CAST(n_customers + 1 AS DECIMAL(38,0)) * revenue_cents)) "
+            "div (CAST(n_customers AS DECIMAL(38,0)) * revenue_cents) AS BIGINT) AS gini_ppm",
+        )
+        .orderBy("nation")
+    )
+
+
+_DD_GINI = f"""
+WITH per_cust AS (
+  SELECT c_nationkey, c_custkey, sum({_CENTS})::BIGINT AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_nationkey, x,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY x, c_custkey) AS i
+  FROM per_cust
+),
+per_nation AS (
+  SELECT c_nationkey,
+         count(*)::BIGINT AS n_customers,
+         sum(x)::BIGINT AS revenue_cents,
+         sum(i::HUGEINT * x) AS sumix
+  FROM ranked GROUP BY 1
+)
+SELECT n_name AS nation, n_customers, revenue_cents,
+       CAST((1000000::HUGEINT * (2 * sumix - (n_customers + 1)::HUGEINT * revenue_cents))
+            // (n_customers::HUGEINT * revenue_cents) AS BIGINT) AS gini_ppm
+FROM per_nation JOIN nation ON c_nationkey = n_nationkey
+ORDER BY nation
+"""
+
+_register("stats_gini_revenue", _stats_gini, _DD_GINI)

@@ -1,0 +1,222 @@
+"""Monitoring operators and the drift/survival/concentration entries:
+CUSUM prefix-min identity vs the textbook recurrence, Kaplan-Meier vs a
+hand-computed curve, and end-to-end fixture checks for the Gini / KS /
+Benford / EWMA entries on tiny hand-built tables."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.monitoring import (
+    cusum_scores,
+    km_curve,
+)
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+    REGISTRY,
+)
+
+
+def _py_cusum(xs):
+    n = len(xs)
+    mu = sum(xs) // n
+    sp = sn = 0
+    out = []
+    for x in xs:
+        sp = max(0, sp + x - mu)
+        sn = max(0, sn + mu - x)
+        out.append((sp, sn))
+    return mu, out
+
+
+class TestCusum:
+    def test_identity_matches_recurrence(self, spark):
+        xs = [5, 9, 2, 14, 14, 15, 3, 1, 8, 8, 30, 2, 7]
+        df = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(xs)], "t long, x long"
+        )
+        got = {
+            r["t"]: (r["cusum_pos"], r["cusum_neg"])
+            for r in cusum_scores(df, "x", "t").collect()
+        }
+        _, exp = _py_cusum(xs)
+        assert got == dict(enumerate(exp))
+
+    def test_flat_series_scores_zero(self, spark):
+        df = spark.createDataFrame([(i, 7) for i in range(10)], "t long, x long")
+        rows = cusum_scores(df, "x", "t").collect()
+        assert all(r["cusum_pos"] == 0 and r["cusum_neg"] == 0 for r in rows)
+
+    def test_level_shift_is_detected_at_shift(self, spark):
+        xs = [10] * 10 + [20] * 10
+        df = spark.createDataFrame(list(enumerate(xs)), "t long, x long")
+        rows = sorted(cusum_scores(df, "x", "t").collect(), key=lambda r: r["t"])
+        # mean = 15: positive score grows only in the shifted regime
+        assert rows[9]["cusum_pos"] == 0
+        assert rows[19]["cusum_pos"] == 50
+        assert rows[9]["cusum_neg"] == 50
+
+    def test_explicit_target(self, spark):
+        df = spark.createDataFrame([(1, 10), (2, 12), (3, 9)], "t long, x long")
+        rows = sorted(
+            cusum_scores(df, "x", "t", target=F.lit(10)).collect(),
+            key=lambda r: r["t"],
+        )
+        assert [r["cusum_pos"] for r in rows] == [0, 2, 1]
+
+
+def _py_km(durs):
+    """(dur, observed) rows -> {event_time: (n_risk, d, survival)}."""
+    times = sorted({d for d, o in durs if o})
+    out, s = {}, 1.0
+    for t in times:
+        n = sum(1 for d, _ in durs if d >= t)
+        d = sum(1 for dd, o in durs if dd == t and o)
+        s *= (n - d) / n
+        out[t] = (n, d, round(s, 4))
+    return out
+
+
+class TestKmCurve:
+    def test_matches_hand_computation(self, spark):
+        # the classic 6-MP arm of Freireich et al. 1963 (public data)
+        durs = [
+            (6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1), (10, 0),
+            (11, 0), (13, 1), (16, 1), (17, 0), (19, 0), (20, 0), (22, 1),
+            (23, 1), (25, 0), (32, 0), (32, 0), (34, 0), (35, 0),
+        ]
+        df = spark.createDataFrame(durs, "dur long, observed long")
+        got = {
+            r["dur"]: (r["n_risk"], r["d_events"], r["survival"])
+            for r in km_curve(df).collect()
+        }
+        assert got == _py_km(durs)
+        # spot-check the published values
+        assert got[6] == (21, 3, 0.8571)
+        assert got[23][2] == pytest.approx(0.4482, abs=1e-4)
+
+    def test_exhausted_risk_set_is_exact_zero(self, spark):
+        durs = [(1, 1), (2, 1), (3, 1)]
+        df = spark.createDataFrame(durs, "dur long, observed long")
+        got = {r["dur"]: r["survival"] for r in km_curve(df).collect()}
+        assert got[3] == 0.0
+
+    def test_censored_only_times_are_not_rows(self, spark):
+        durs = [(1, 1), (2, 0), (3, 1)]
+        df = spark.createDataFrame(durs, "dur long, observed long")
+        assert {r["dur"] for r in km_curve(df).collect()} == {1, 3}
+
+    def test_partitioning_independent(self, spark):
+        durs = [(d % 17 + 1, d % 3 != 0) for d in range(200)]
+        df = spark.createDataFrame(
+            [(d, int(o)) for d, o in durs], "dur long, observed long"
+        )
+        one = sorted(km_curve(df.repartition(1)).collect())
+        many = sorted(km_curve(df.repartition(13)).collect())
+        assert one == many
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(spark, tmp_path_factory):
+    """A miniature sf dir with orders/customer/nation shaped like the
+    driver fixtures — enough for the drift/concentration entries."""
+    root = tmp_path_factory.mktemp("tiny_sf")
+    d0 = datetime.datetime(2024, 1, 1)
+    orders = [
+        (
+            i,
+            i % 10 + 1,
+            "O",
+            float(10 + 137 * i % 9000) + 0.25,
+            d0 + datetime.timedelta(days=(i * 13) % 400),
+            "1-URGENT",
+        )
+        for i in range(1, 301)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(root / "orders.parquet"))
+    cust = [
+        (c, f"Customer#{c}", c % 5, 100.0, ["BUILDING", "MACHINERY", "AUTOMOBILE"][c % 3])
+        for c in range(1, 11)
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(root / "customer.parquet"))
+    spark.createDataFrame(
+        [(n, f"NATION_{n}", n % 2) for n in range(5)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.mode("overwrite").parquet(str(root / "nation.parquet"))
+    return str(root)
+
+
+class TestEntriesOnTinyFixture:
+    def test_gini_bounds_and_equal_distribution(self, spark, tiny_sf):
+        rows = REGISTRY["stats_gini_revenue"][0](spark, tiny_sf).collect()
+        assert rows, "gini produced no nations"
+        for r in rows:
+            assert 0 <= r["gini_ppm"] < 1_000_000
+
+    def test_ks_self_drift_is_zero(self, spark, tiny_sf, tmp_path):
+        # duplicate BUILDING as MACHINERY: identical distributions -> D = 0
+        import shutil
+
+        root = tmp_path / "sf_ks"
+        shutil.copytree(tiny_sf, root)
+        cust = spark.read.parquet(f"{tiny_sf}/customer.parquet")
+        (
+            cust.filter(F.col("c_mktsegment") == "BUILDING")
+            .withColumn("c_mktsegment", F.lit("MACHINERY"))
+            .withColumn("c_custkey", F.col("c_custkey") + 1000)
+            .unionByName(cust.filter(F.col("c_mktsegment") == "BUILDING"))
+            .write.mode("overwrite")
+            .parquet(str(root / "customer.parquet"))
+        )
+        # same customers order the same prices under both labels
+        orders = spark.read.parquet(f"{tiny_sf}/orders.parquet")
+        twin = orders.withColumn("o_custkey", F.col("o_custkey") + 1000).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 100000
+        )
+        orders.unionByName(twin).write.mode("overwrite").parquet(
+            str(root / "orders.parquet")
+        )
+        row = REGISTRY["stats_ks_price_drift"][0](spark, str(root)).collect()[0]
+        assert row["d_num"] == 0 and row["ks_ppm"] == 0
+
+    def test_benford_expected_table_is_floor_log10(self, spark, tiny_sf):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries.drift_survival import (
+            _BENFORD_PPM,
+        )
+
+        for d, ppm in _BENFORD_PPM.items():
+            assert ppm == math.floor(1_000_000 * math.log10(1 + 1 / d))
+        rows = REGISTRY["stats_benford_price_audit"][0](spark, tiny_sf).collect()
+        assert sum(r["n_obs"] for r in rows) == 300
+        for r in rows:
+            assert 0 <= r["obs_ppm"] <= 1_000_000
+
+    def test_ewma_constant_series_is_identity(self, spark, tmp_path):
+        # constant monthly revenue -> EWMA equals the series everywhere
+        d0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (m * 100 + k, 1, "O", 500.00, d0.replace(month=m), "x")
+            for m in range(1, 13)
+            for k in range(3)
+        ]
+        root = tmp_path / "sf_ewma"
+        root.mkdir()
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(str(root / "orders.parquet"))
+        out = REGISTRY["orders_ewma_revenue_trend"][0](spark, str(root)).collect()
+        assert len(out) == 12
+        for r in out:
+            assert r["ewma_cents"] == r["revenue_cents"] == 150000
