@@ -823,3 +823,166 @@ FROM m
 """
 
 _register("dedup_edjoin_blocking_quality", _edjoin_blocking_quality, _DD_EDJOIN_QUALITY)
+
+
+# ==========================================================================
+# Winnowing fingerprints (round 9, wave 3) — operators/dedup.py::
+# winnow_fingerprints, the MOSS sketch (Schleimer et al. 2003): min
+# hash per sliding window of k-gram hashes, rightmost tie, via ONE
+# window min over a packed (hash, -pos) key.  The pair report drops
+# fingerprints shared by > 10 documents first (the MOSS common-code
+# filter — at corpus scale a boilerplate gram would otherwise fan a
+# quadratic bucket), so the self-join is bounded per fingerprint.
+# ==========================================================================
+
+_WIN_K = 8
+_WIN_W = 4
+_WIN_MAXDOCS = 10
+_WIN_MINSHARED = 2
+
+
+def _winnow_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 2 winnowed fingerprints — the MOSS
+    overlap report.  Scale shape: linear gram hashing (codegen), one
+    bounded per-doc window, fingerprint-bucketed pair join with a
+    frequency cap — never all-pairs; only (doc_id, fp) longs cross the
+    exchange."""
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter((F.col("_nd") >= 2) & (F.col("_nd") <= _WIN_MAXDOCS))
+        .select("fp")
+    )
+    bucketed = fps.join(keep, "fp")
+    a = bucketed.select("fp", F.col("doc_id").alias("doc_a"))
+    b = bucketed.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MINSHARED)
+        .orderBy(F.col("n_shared").desc(), "doc_a", "doc_b")
+    )
+
+
+_DD_WINNOW = dd_sql(
+    """
+WITH n AS (
+  SELECT doc_id, trim({norm}) AS t FROM documents WHERE length(trim({norm})) > 0
+),
+g AS (
+  SELECT doc_id,
+         greatest(length(t) - {k} + 1, 1) AS np,
+         i.i + 1 AS pos,
+         {h32} * 1073741824 + (1073741823 - (i.i + 1)) AS key
+  FROM n, unnest(range(0, greatest(length(t) - {k} + 1, 1))) AS i(i)
+),
+wm AS (
+  SELECT doc_id, pos, np,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {wm1} FOLLOWING) AS wmin
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, wmin // 1073741824 AS fp
+  FROM wm WHERE pos = 1 OR pos <= np - {wm1}
+),
+keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND {maxdocs})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM fp a JOIN keep USING (fp) JOIN fp b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {minshared}
+ORDER BY n_shared DESC, doc_a, doc_b
+""",
+    norm=dd_sql(_DD_NORMALIZE, col="text"),
+    h32=dd_sql(_DD_HASH32, s=f"substr(t, CAST(i.i + 1 AS INTEGER), {_WIN_K})"),
+    k=_WIN_K,
+    wm1=_WIN_W - 1,
+    maxdocs=_WIN_MAXDOCS,
+    minshared=_WIN_MINSHARED,
+)
+
+_register("dedup_winnow_shared_fp", _winnow_shared, _DD_WINNOW)
+
+
+# ==========================================================================
+# Content-defined chunk dedup (round 9, wave 3) — operators/dedup.py::
+# cdc_chunks: Rabin-style rolling boundaries (hash of the trailing
+# 16-gram = 0 mod 64), so shared spans between near-identical documents
+# chunk identically regardless of where edits shifted the text.  The
+# report is the cross-document duplicate-chunk table — what a
+# chunk-store dedup layer would actually persist.
+# ==========================================================================
+
+_CDC_W = 16
+_CDC_MOD = 64
+
+
+def _cdc_chunk_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 chunks (by document reach) appearing in >= 2 documents
+    after content-defined chunking.  Scale shape: one hash per
+    character (codegen, linear in corpus bytes), a per-doc lag window,
+    then a partial-agg groupBy on the 16-byte chunk hash — text never
+    crosses an exchange."""
+    from ..operators.dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = cdc_chunks(docs, w=_CDC_W, modulus=_CDC_MOD)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").alias("chunk_len"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occurrences").desc(), "chunk_hash")
+        .limit(50)
+    )
+
+
+_DD_CDC = dd_sql(
+    """
+WITH n AS (
+  SELECT doc_id, trim({norm}) AS t FROM documents WHERE length(trim({norm})) > 0
+),
+ends AS (
+  SELECT doc_id, t,
+         list_sort(list_distinct(list_append(
+           list_filter(range({w}, length(t) + 1),
+                       p -> {h32} % {mod} = 0),
+           length(t)::BIGINT))) AS es
+  FROM n
+),
+ex AS (SELECT doc_id, t, e.e AS endp FROM ends, unnest(es) AS e(e)),
+chunks AS (
+  SELECT doc_id, t, endp,
+         coalesce(lag(endp) OVER (PARTITION BY doc_id ORDER BY endp), 0) + 1 AS chunk_pos
+  FROM ex
+),
+hashed AS (
+  SELECT doc_id,
+         (endp - chunk_pos + 1)::BIGINT AS chunk_len,
+         md5(substr(t, CAST(chunk_pos AS INTEGER), CAST(endp - chunk_pos + 1 AS INTEGER))) AS chunk_hash
+  FROM chunks
+)
+SELECT chunk_hash, min(chunk_len)::BIGINT AS chunk_len,
+       count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occurrences
+FROM hashed GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+LIMIT 50
+""",
+    norm=dd_sql(_DD_NORMALIZE, col="text"),
+    h32=dd_sql(_DD_HASH32, s=f"substr(t, CAST(p - {_CDC_W - 1} AS INTEGER), {_CDC_W})"),
+    w=_CDC_W,
+    mod=_CDC_MOD,
+)
+
+_register("dedup_cdc_chunk_dupes", _cdc_chunk_dupes, _DD_CDC)
