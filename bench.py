@@ -101,6 +101,11 @@ HEADLINE = [
     "train_dsir_select",  # r9: DSIR importance resampling (two token passes, broadcast weights)
     "retrieval_phrase_match",  # r9: positional-postings phrase intersection
     "dedup_incremental_new_batch",  # r9: new-batch admission dedup (hash semi-join)
+    "graph_hits_trade",  # r9w3: HITS — per-iteration normalization (1-row total) joins the iterative class
+    "graph_kcore_copurchase",  # r9w3: k-core peel — degree-filter fixpoint workload, fixpoint-proved
+    "dedup_winnow_shared_fp",  # r9w3: MOSS winnowing — char-gram hashing + packed-key window min
+    "dedup_cdc_chunk_dupes",  # r9w3: content-defined chunking — one hash per character, lag window
+    "customer_survival_km",  # r9w3: Kaplan-Meier — per-customer lead + bounded risk-set windows
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

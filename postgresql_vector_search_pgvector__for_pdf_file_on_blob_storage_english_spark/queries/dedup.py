@@ -850,7 +850,10 @@ def _winnow_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+    # three consumers (frequency cap + both join sides): pin the
+    # corpus-sized fingerprint relation once or each branch re-runs the
+    # gram hashing (the r8 branch-copy pathology — 10 exchanges -> 5).
+    fps = winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W).localCheckpoint(eager=False)
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_nd"))
