@@ -440,3 +440,52 @@ ORDER BY nation
 """
 
 _register("stats_gini_revenue", _stats_gini, _DD_GINI)
+
+
+# ==========================================================================
+# Streaming changepoint monitor (streaming/monitor_stream.py): the
+# hourly count series maintained as a log-structured additive summary
+# across 4 micro-batches, CUSUM scored on the read-side fold.  Hourly
+# sums merge by addition, so drained-stream == one-shot-batch exactly
+# and the oracle is the SAME SQL as events_cusum_changepoint.
+# ==========================================================================
+
+
+def _stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.monitoring import cusum_scores
+    from ..streaming.monitor_stream import hourly_counts_read, stream_into_hourly_counts
+    from ._base import _drain
+
+    ev = _events(spark, sf_dir).select("event_id", "ts")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_cusum_{tag}_{os.getpid()}"
+    )
+    src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(f"{src}/f{i}")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = stream_into_hourly_counts(stream, log, ckpt)
+    _drain(q, 120)
+
+    hourly = hourly_counts_read(spark, log)
+    scored = cusum_scores(hourly, "cnt", "hour")
+    return (
+        scored.orderBy(F.col("cusum_pos").desc(), "hour")
+        .limit(30)
+        .select("hour", "cnt", "cusum_pos", "cusum_neg")
+    )
+
+
+_register("stream_cusum_replay", _stream_cusum_replay, _DD_CUSUM)

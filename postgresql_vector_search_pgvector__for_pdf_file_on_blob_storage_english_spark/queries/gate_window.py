@@ -116,7 +116,12 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # graph_khop_reach, events_attribution_last_touch,
 # graph_ppr_copurchase, corpus_snapshot_diff, train_shard_hrw_churn,
 # layout_hilbert_report, serve_mmr_rerank, serve_context_expansion,
-# ann_ivfpq_recall_trained.
+# ann_ivfpq_recall_trained.  Wave-3 additions (late r9, all
+# never-driver-evidenced): graph_hits_trade, graph_kcore_copurchase,
+# events_cusum_changepoint (monitoring family's first slot),
+# customer_survival_km, stats_ks_price_drift / stats_gini_revenue /
+# stats_benford_price_audit, dedup_winnow_shared_fp,
+# dedup_cdc_chunk_dupes, orders_ewma_revenue_trend.
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the

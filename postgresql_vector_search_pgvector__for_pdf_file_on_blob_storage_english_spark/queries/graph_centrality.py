@@ -13,6 +13,7 @@ from ._base import (  # noqa: F401
     DataFrame,
     F,
     SparkSession,
+    Window,
     _register,
     _t,
 )
@@ -225,3 +226,139 @@ LIMIT {_KCORE_TOP}
 
 
 _register("graph_kcore_copurchase", _graph_kcore, _dd_kcore_sql(_KCORE_ROUNDS))
+
+
+# ==========================================================================
+# TextRank keyword extraction (Mihalcea & Tarau 2004, public method) —
+# the word co-occurrence graph (adjacent surviving tokens, window 2)
+# ranked by the SAME integer fixed-point PageRank operator the trade
+# graph uses.  Word ids come from the two-pass global_rank over the
+# bounded vocabulary (no 1-partition window); the oracle replays
+# tokenization, adjacency, id assignment, and the unrolled walk.
+# ==========================================================================
+
+_TR_ITERS = 4
+_TR_TOP = 20
+_TR_UNIT = 1_000_000_000
+
+
+def _textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus keywords by TextRank — PageRank over words linked
+    when adjacent in a document (after dropping short/non-alpha
+    tokens, the classic POS-filter stand-in).  Scale shape: token
+    explode (linear), per-doc lead window (never global), distinct
+    pair aggregate, then the |E|-linear iterations; the vocabulary and
+    its id table are bounded by the language, not the corpus."""
+    from ..operators.graph import pagerank
+    from ..operators.ranking import global_rank
+    from ..operators.retrieval import tokenize_pos
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize_pos(docs).filter(F.col("term").rlike("^[a-z]{4,}$"))
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        toks.withColumn("_next", F.lead("term").over(wseq))
+        .filter(F.col("_next").isNotNull() & (F.col("_next") != F.col("term")))
+    )
+    pairs = (
+        adj.select(
+            F.least("term", "_next").alias("wu"),
+            F.greatest("term", "_next").alias("wv"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        pairs.select(F.col("wu").alias("term"))
+        .union(pairs.select(F.col("wv").alias("term")))
+        .distinct()
+    )
+    vocab = (
+        global_rank(vocab, [F.col("term")])
+        .select("term", F.col("_rank").alias("id"))
+        .localCheckpoint(eager=False)
+    )
+    fwd = (
+        pairs.join(vocab.select(F.col("term").alias("wu"), F.col("id").alias("src")), "wu")
+        .join(vocab.select(F.col("term").alias("wv"), F.col("id").alias("dst")), "wv")
+        .select("src", "dst")
+    )
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, n_iters=_TR_ITERS)
+    return (
+        ranks.join(vocab, ranks.node == vocab.id)
+        .orderBy(F.col("rank_units").desc(), "term")
+        .limit(_TR_TOP)
+        .select(F.col("term").alias("word"), "rank_units")
+    )
+
+
+def _dd_textrank_sql(n_iters: int) -> str:
+    u = _TR_UNIT
+    from ._base import _DD_NORMALIZE, dd_sql
+
+    head = f"""
+WITH n AS (SELECT doc_id, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+terms AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(trim(norm), ' '), x -> lower(x)),
+                     x -> x != '') AS ts
+  FROM n
+),
+pos AS (
+  SELECT doc_id, i.i AS pos, ts[i.i + 1] AS term
+  FROM terms, unnest(range(0, len(ts))) AS i(i)
+),
+filt AS (SELECT doc_id, pos, term FROM pos WHERE regexp_full_match(term, '[a-z]{{4,}}')),
+seq AS (
+  SELECT doc_id, term,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM filt
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT least(term, nxt) AS wu, greatest(term, nxt) AS wv
+  FROM seq WHERE nxt IS NOT NULL AND nxt != term
+),
+vocab AS MATERIALIZED (
+  SELECT term, row_number() OVER (ORDER BY term) AS id
+  FROM (SELECT DISTINCT wu AS term FROM pairs UNION SELECT wv FROM pairs)
+),
+e AS MATERIALIZED (
+  SELECT u.id AS src, v.id AS dst
+  FROM pairs JOIN vocab u ON wu = u.term JOIN vocab v ON wv = v.term
+  UNION ALL
+  SELECT v.id, u.id
+  FROM pairs JOIN vocab u ON wu = u.term JOIN vocab v ON wv = v.term
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+od AS MATERIALIZED (SELECT src AS node, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(({u} - {u} % nn.n) / nn.n AS BIGINT) AS r FROM nodes, nn
+),"""
+    steps = []
+    for i in range(1, n_iters + 1):
+        steps.append(f"""
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         CAST((({15 * u}) - ({15 * u}) % (100 * nn.n)) / (100 * nn.n) AS BIGINT)
+         + CAST(((85 * coalesce(inc.s, 0)) - (85 * coalesce(inc.s, 0)) % 100) / 100 AS BIGINT) AS r
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST((p.r - p.r % od.outdeg) / od.outdeg AS BIGINT)) AS BIGINT) AS s
+    FROM e JOIN r{i - 1} p ON e.src = p.node JOIN od ON od.node = e.src
+    GROUP BY e.dst
+  ) inc ON inc.node = nodes.node
+  CROSS JOIN nn
+),""")
+    body = (head + "".join(steps)).rstrip(",")
+    return f"""{body}
+SELECT v.term AS word, r.r AS rank_units
+FROM r{n_iters} r JOIN vocab v ON r.node = v.id
+ORDER BY rank_units DESC, word
+LIMIT {_TR_TOP}
+"""
+
+
+_register("text_textrank_keywords", _textrank_keywords, _dd_textrank_sql(_TR_ITERS))

@@ -138,3 +138,29 @@ class TestKcore:
             kcore(edges, k=0)
         with pytest.raises(ValueError, match="n_rounds"):
             kcore(edges, k=2, n_rounds=0)
+
+
+class TestTextrankKeywords:
+    def test_tiny_corpus_ranks_the_hub_word(self, spark, tmp_path):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        docs = [
+            (1, "spark engine runs spark jobs with spark shuffle"),
+            (2, "engine tuning makes spark engine faster"),
+            (3, "ab x1 no, qualifying! tokens here"),  # short/non-alpha only survivors: 'tokens' 'here'
+        ]
+        root = tmp_path / "sf"
+        root.mkdir()
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            str(root / "documents.parquet")
+        )
+        rows = REGISTRY["text_textrank_keywords"][0](spark, str(root)).collect()
+        words = [r["word"] for r in rows]
+        # every surviving word is >= 4 alpha chars
+        assert all(w.isalpha() and len(w) >= 4 for w in words)
+        # 'spark' is the co-occurrence hub of docs 1-2: top-ranked
+        assert words[0] == "spark"
+        # mass bounded by one UNIT
+        assert sum(r["rank_units"] for r in rows) <= 1_000_000_000
