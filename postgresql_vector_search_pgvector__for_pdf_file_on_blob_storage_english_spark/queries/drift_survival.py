@@ -489,3 +489,64 @@ def _stream_cusum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("stream_cusum_replay", _stream_cusum_replay, _DD_CUSUM)
+
+
+# ==========================================================================
+# Column-level mutual information between two categorical columns —
+# the feature-redundancy / leakage screen next to the chi-square
+# independence profile (stats_chi2_lang_source).  The LM-family
+# micro-nat convention: each cell's pointwise term
+# ln(N * c_xy / (c_x * c_y)) is quantized ONCE to an integer
+# (floor(ln * 1e6 + 0.5) — the only float op, same contract as the
+# perplexity models), then MI = sum(c_xy * pmi_micro) div N is exact
+# integer arithmetic, order-free and bit-replayable.
+# ==========================================================================
+
+
+def _stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row MI report for documents.lang x documents.source, in
+    integer micro-nats per row.  Scale shape: one partial-agg groupBy
+    on the (lang, source) key; everything downstream is bounded by the
+    cell count (|langs| x |sources|)."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cxy"))
+    margx = cells.groupBy("lang").agg(F.sum("cxy").alias("cx"))
+    margy = cells.groupBy("source").agg(F.sum("cxy").alias("cy"))
+    tot = cells.agg(F.sum("cxy").alias("n"))
+    scored = (
+        cells.join(F.broadcast(margx), "lang")
+        .join(F.broadcast(margy), "source")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "cxy",
+            "n",
+            "CAST(floor(ln(CAST(n AS DOUBLE) * cxy / (CAST(cx AS DOUBLE) * cy)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro",
+        )
+    )
+    return scored.groupBy().agg(
+        F.max("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.expr(
+            "CAST((sum(cxy * pmi_micro) - sum(cxy * pmi_micro) % max(n)) / max(n) AS BIGINT)"
+        ).alias("mi_micro_per_row"),
+    )
+
+
+_DD_MI = """
+WITH cells AS (
+  SELECT lang, source, count(*)::BIGINT AS cxy FROM documents GROUP BY 1, 2
+),
+margx AS (SELECT lang, sum(cxy)::BIGINT AS cx FROM cells GROUP BY 1),
+margy AS (SELECT source, sum(cxy)::BIGINT AS cy FROM cells GROUP BY 1),
+tot AS (SELECT sum(cxy)::BIGINT AS n FROM cells),
+scored AS (
+  SELECT cxy, n,
+         CAST(floor(ln(n::DOUBLE * cxy / (cx::DOUBLE * cy)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+  FROM cells JOIN margx USING (lang) JOIN margy USING (source), tot
+)
+SELECT max(n) AS n_rows, count(*)::BIGINT AS n_cells,
+       CAST((sum(cxy * pmi_micro) - sum(cxy * pmi_micro) % max(n)) // max(n) AS BIGINT) AS mi_micro_per_row
+FROM scored
+"""
+
+_register("stats_mutual_info_lang_source", _stats_mutual_info, _DD_MI)

@@ -121,7 +121,9 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # events_cusum_changepoint (monitoring family's first slot),
 # customer_survival_km, stats_ks_price_drift / stats_gini_revenue /
 # stats_benford_price_audit, dedup_winnow_shared_fp,
-# dedup_cdc_chunk_dupes, orders_ewma_revenue_trend.
+# dedup_cdc_chunk_dupes, orders_ewma_revenue_trend.  Wave 4:
+# text_textrank_keywords, stream_cusum_replay (streaming-monitor
+# family's first slot), stats_mutual_info_lang_source.
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the

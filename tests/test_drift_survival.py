@@ -220,3 +220,32 @@ class TestEntriesOnTinyFixture:
         assert len(out) == 12
         for r in out:
             assert r["ewma_cents"] == r["revenue_cents"] == 150000
+
+
+class TestMutualInfo:
+    def _run(self, spark, rows, tmp_path, name):
+        root = tmp_path / name
+        root.mkdir()
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(str(root / "documents.parquet"))
+        return REGISTRY["stats_mutual_info_lang_source"][0](spark, str(root)).collect()[0]
+
+    def test_independent_columns_score_zero(self, spark, tmp_path):
+        # perfectly balanced grid: lang carries no information about source
+        rows = [
+            (i, "t", f"L{i % 2}", f"S{(i // 2) % 3}", 1)
+            for i in range(60)
+        ]
+        r = self._run(spark, rows, tmp_path, "mi_indep")
+        assert r["n_rows"] == 60 and r["n_cells"] == 6
+        assert abs(r["mi_micro_per_row"]) <= 1  # quantization only
+
+    def test_deterministic_mapping_scores_entropy(self, spark, tmp_path):
+        import math
+
+        # source is a function of lang, uniform over 4 langs: MI = ln(4)
+        rows = [(i, "t", f"L{i % 4}", f"S{i % 4}", 1) for i in range(80)]
+        r = self._run(spark, rows, tmp_path, "mi_dep")
+        assert r["n_cells"] == 4
+        assert abs(r["mi_micro_per_row"] - round(math.log(4) * 1_000_000)) <= 2

@@ -426,3 +426,69 @@ class TestRound8Session2Plans:
         out = connected_components(edges, rounds=5)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
+
+
+class TestWave3Plans:
+    def test_winnow_hashes_each_gram_exactly_once(self, spark):
+        # pins the two Catalyst pathologies (ROOTCAUSES.md r9w3): a
+        # CollapseProject inlining makes md5 run once per WINDOW START
+        # (O(P^2)), and InferFiltersFromGenerate duplicates the whole
+        # expression into a pushed filter.  Exactly one md5 in the
+        # optimized plan == one hash per gram.
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        plan = winnow_fingerprints(docs)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("md5") == 1
+
+    def test_winnow_zero_shuffle_before_fp_output(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        assert count_exchanges(winnow_fingerprints(docs)) == 0
+
+    def test_cdc_boundary_hash_not_duplicated(self, spark):
+        # exactly two md5 families: one for boundaries, one for chunk
+        # hashes — a pushed size() filter would add a third copy
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.dedup import (
+            cdc_chunks,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+        plan = cdc_chunks(docs)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("md5") == 2
+
+    def test_monitoring_entries_shuffle_only_aggregated_series(self, spark):
+        # fact tables reduce via one partial-agg exchange; every window
+        # runs on the bounded series (hours/months/values), so exchange
+        # counts stay O(1)
+        for name, cap in (
+            ("events_cusum_changepoint", 4),
+            ("orders_ewma_revenue_trend", 3),
+            ("stats_benford_price_audit", 3),
+            ("stats_gini_revenue", 4),
+        ):
+            assert count_exchanges(q(spark, name)) <= cap, name
+
+    def test_hits_broadcasts_normalization_totals(self, spark):
+        # the 1-row L1 totals join back as broadcasts, never shuffles —
+        # asserted on the UNMATERIALIZED operator form (the registry
+        # entry's totals sit behind per-iteration localCheckpoints, so
+        # the final plan can't show them; same approach as the PageRank
+        # iteration-shape gate)
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            hits,
+        )
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
+            explain_str,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        plan = explain_str(hits(edges, n_iters=1, materialize=False), "simple")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
