@@ -212,6 +212,30 @@ SECTIONS = [
      "The base side is reduced to DISTINCT fingerprints before anything moves; "
      "the semi-join and the within-batch window exchange only (16-byte hash, id) "
      "pairs — the corpus text never shuffles (plan-gated in tests/test_dedup.py)."),
+    ("graph_hits_trade", "HITS hubs/authorities (r9w3)",
+     "Two |E|-keyed join+partial-agg passes per iteration on the checkpointed "
+     "edge relation; the L1 normalization totals are 1-row aggregates broadcast "
+     "back in-plan (asserted on the unmaterialized form in tests/test_plans.py); "
+     "every score is an exact integer, the division exact through DECIMAL(38,0)."),
+    ("graph_kcore_copurchase", "k-core peel (r9w3)",
+     "Each round is one degree groupBy (map-side partial) plus two semi-joins "
+     "against the survivor set, localCheckpointed so the lineage stays one round "
+     "deep; the fixpoint-proof pass is one extra bounded aggregate."),
+    ("dedup_winnow_shared_fp", "MOSS winnowing fingerprints (r9w3)",
+     "The entire per-document selection (gram hashing, packed-key window min, "
+     "rightmost tie) runs INSIDE the row as chained array projections — md5 "
+     "appears exactly once in the optimized plan (plan-gated) and nothing "
+     "shuffles until the (id, fp) longs; the pair join is fingerprint-bucketed "
+     "behind a frequency cap with the fingerprint relation checkpointed once."),
+    ("dedup_cdc_chunk_dupes", "Content-defined chunk dedup (r9w3)",
+     "One hash per character position (codegen), a per-document lag window over "
+     "the boundary list, then a partial-agg groupBy on the 16-byte chunk hash — "
+     "text never crosses an exchange; the whole operator is two exchanges."),
+    ("customer_survival_km", "Kaplan-Meier survival (r9w3)",
+     "The orders scan reduces through a per-customer lead window (partitioned, "
+     "never global) to a distinct-duration relation bounded by the day span; "
+     "risk sets, event counts and the cumulative product all run on that "
+     "bounded series."),
 ]
 
 
