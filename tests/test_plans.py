@@ -269,6 +269,20 @@ class TestRegistryWindowSweep:
         # separately gated by
         # TestRetrievalPlans.test_rrf_rank_windows_sit_on_pretruncated_lists
         "hybrid_rrf_knn_bm25",
+        # r9w3 monitoring family: every window below runs on a series the
+        # fact table was ALREADY reduced to by a partial-agg groupBy —
+        # exchange counts separately capped by
+        # TestWave3Plans.test_monitoring_entries_shuffle_only_aggregated_series
+        # hour-cardinality relation (CUSUM prefix sums over hourly rollup)
+        "events_cusum_changepoint",
+        # month-cardinality relation (EWMA lags over monthly rollup)
+        "orders_ewma_revenue_trend",
+        # distinct-price-cents relation — bounded by the price DOMAIN
+        # (range x 100 cents), not row count; a corpus where the value
+        # domain itself is unbounded would histogram first
+        "stats_ks_price_drift",
+        # distinct-gap-days relation — bounded by the calendar span
+        "customer_survival_km",
     }
 
     def test_no_single_partition_ordered_windows(self, spark):
