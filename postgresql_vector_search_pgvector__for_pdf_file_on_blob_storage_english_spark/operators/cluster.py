@@ -144,17 +144,18 @@ def cluster_survivors(
         .drop("component")
     )
     w = Window.partitionBy("cluster_id")
-    best = F.max(
-        F.struct(F.col("score").alias("s"), (-F.col("id")).alias("negid"))
-    ).over(w)
+    # row_number over (score desc, id asc) instead of max(struct(score,
+    # -id)): negating the id fails analysis for string doc ids, which
+    # the id_col parameter (and exact_dedup's min_by survivor rule)
+    # supports.  Same semantics: exactly one survivor per cluster, the
+    # max-score member, ties broken by the smallest id.
+    wo = w.orderBy(F.col("score").desc(), F.col("id").asc())
     return labeled.select(
         "id",
         "cluster_id",
         F.count("*").over(w).alias("cluster_size"),
         "score",
-        ((best["s"] == F.col("score")) & (best["negid"] == -F.col("id"))).alias(
-            "is_survivor"
-        ),
+        (F.row_number().over(wo) == 1).alias("is_survivor"),
     )
 
 

@@ -46,21 +46,39 @@ def mg_partials(df: DataFrame, key_col: str, k: int) -> DataFrame:
     def summarize(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        # Null keys are a legitimate value (a null-keyed true heavy
+        # hitter must survive — ADVICE r9), but value_counts() drops
+        # them and NaN index alignment across batches is fragile, so
+        # the null counter is tracked out-of-band as a scalar and takes
+        # part in the (k+1)-th-largest deduction like any other key.
         counters = pd.Series(dtype="int64")
+        null_cnt = 0
         for pdf in batches:
             if not len(pdf):
                 continue
-            vc = pdf[key_col].value_counts()
+            col = pdf[key_col]
+            null_cnt += int(col.isna().sum())
+            vc = col.dropna().value_counts()
             combined = counters.add(vc, fill_value=0).astype("int64")
-            if len(combined) > k:
-                d = int(combined.nlargest(k + 1).iloc[-1])
+            n_keys = len(combined) + (1 if null_cnt > 0 else 0)
+            if n_keys > k:
+                vals = sorted(
+                    combined.tolist() + ([null_cnt] if null_cnt > 0 else []),
+                    reverse=True,
+                )
+                d = int(vals[k])
                 combined = combined - d
                 combined = combined[combined > 0]
+                null_cnt = max(0, null_cnt - d)
             counters = combined
-        if len(counters):
-            yield pd.DataFrame(
-                {key_col: counters.index, "cnt": counters.values}
-            )
+        if len(counters) or null_cnt > 0:
+            out = pd.DataFrame({key_col: counters.index, "cnt": counters.values})
+            if null_cnt > 0:
+                out = pd.concat(
+                    [out, pd.DataFrame({key_col: [None], "cnt": [null_cnt]})],
+                    ignore_index=True,
+                )
+            yield out
 
     return df.select(key_col).mapInPandas(summarize, schema)
 
@@ -75,8 +93,12 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
     candidates' own counts."""
     partials = mg_partials(df, key_col, k)
     candidates = partials.groupBy(key_col).agg(F.sum("cnt").alias("_est"))
+    # eqNullSafe: a null candidate key must still semi-join its rows
+    # (plain equality never matches null = null, which would drop a
+    # null-keyed heavy hitter right after the summary preserved it).
+    cand_keys = F.broadcast(candidates.select(F.col(key_col).alias("_cand_k")))
     exact = (
-        df.join(F.broadcast(candidates.select(key_col)), key_col, "left_semi")
+        df.join(cand_keys, F.col(key_col).eqNullSafe(F.col("_cand_k")), "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n_true"))
     )

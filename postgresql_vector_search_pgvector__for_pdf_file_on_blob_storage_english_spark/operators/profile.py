@@ -311,6 +311,13 @@ def psi_drift(
     micro-units BEFORE the sum, so the result is an int64 both engines
     reproduce bit-for-bit.
 
+    The group spine is base UNION current group keys: a group present
+    only in ``current`` (a brand-new population segment — the strongest
+    drift signal a deployment gate exists to catch) is reported with
+    smoothed-only base mass (``n_base = 0``, every base bucket at the
+    Laplace floor) rather than silently dropped; its bounds fall back
+    to the current snapshot's own min/max.
+
     Shape at 100 TB: two scans reduced by map-side-partial groupBys to
     (group, bucket) counts — at most groups x n_buckets rows anywhere
     downstream."""
@@ -319,9 +326,22 @@ def psi_drift(
     q = F.expr(f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)")
     keys = [group_col] if group_col else []
 
-    bounds = base.select(q.alias("_v"), *keys).groupBy(*keys).agg(
-        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    base_bounds = base.select(q.alias("_v"), *keys).groupBy(*keys).agg(
+        F.min("_v").alias("_blo"), F.max("_v").alias("_bhi")
     )
+    if keys:
+        cur_bounds = current.select(q.alias("_v"), *keys).groupBy(*keys).agg(
+            F.min("_v").alias("_clo"), F.max("_v").alias("_chi")
+        )
+        bounds = base_bounds.join(cur_bounds, keys, "full_outer").select(
+            *keys,
+            F.coalesce("_blo", "_clo").alias("_lo"),
+            F.coalesce("_bhi", "_chi").alias("_hi"),
+        )
+    else:
+        bounds = base_bounds.select(
+            F.col("_blo").alias("_lo"), F.col("_bhi").alias("_hi")
+        )
 
     def bucketed(df: DataFrame, cnt_name: str) -> DataFrame:
         staged = df.select(q.alias("_v"), *keys)

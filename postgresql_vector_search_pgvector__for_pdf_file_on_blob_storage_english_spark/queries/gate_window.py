@@ -100,30 +100,53 @@ from ._base import Entry, REGISTRY  # noqa: F401
 #        mm_image_features       → train_prune_prototypes  (mm keeps
 #                      audio + aHash; D4 SSL-prototypes second stage)
 #
-# Round-10 rotation candidates (none driver-evidenced yet).  The r9
-# additions first — each is its family's only entry or first slot:
-# train_dsir_select (DSIR data selection), linkage_fs_confusion
-# (probabilistic record linkage), privacy_k_anonymity_audit (privacy
-# family), agg_heavy_hitters_events or stream_heavy_hitters_replay
-# (Misra-Gries; the streaming row also widens streaming evidence),
-# dedup_lsh_verified_pairs (candidates->verify split),
-# retrieval_phrase_match, dedup_incremental_new_batch or
-# stream_incremental_dedup_replay (persisted-state admission),
-# url_canonical_dupes, text_unicode_nfc_stats, plus the five probe
-# twins (ann_ivf_probe etc. — serving-path rows).  Carried from r9's
-# list: dedup_edjoin_part_pairs, stream_bt_matrix_replay /
-# stream_kmv_replay, join_not_in_vs_not_exists (NAAJ),
-# graph_khop_reach, events_attribution_last_touch,
-# graph_ppr_copurchase, corpus_snapshot_diff, train_shard_hrw_churn,
-# layout_hilbert_report, serve_mmr_rerank, serve_context_expansion,
-# ann_ivfpq_recall_trained.  Wave-3 additions (late r9, all
-# never-driver-evidenced): graph_hits_trade, graph_kcore_copurchase,
-# events_cusum_changepoint (monitoring family's first slot),
-# customer_survival_km, stats_ks_price_drift / stats_gini_revenue /
-# stats_benford_price_audit, dedup_winnow_shared_fp,
-# dedup_cdc_chunk_dupes, orders_ewma_revenue_trend.  Wave 4:
-# text_textrank_keywords, stream_cusum_replay (streaming-monitor
-# family's first slot), stats_mutual_info_lang_source.
+# Round-10 rotation (VERDICT r9 item 1 + 4): twelve slots driver-green
+# in the r9 snapshot rotate out for the never-driver-evidenced r9
+# families the judge named.  Out → in, with the family cover for every
+# out slot:
+#   dedup_edjoin_blocking_quality → dedup_winnow_shared_fp (fuzzy-join
+#                 family evidenced r9; winnowing is the fingerprinting
+#                 marquee — VERDICT's #1 pick)
+#   agg_median_histogram_select → train_dsir_select (histogram-descent
+#                 evidenced r9; DSIR data selection's first slot)
+#   recsys_item_item_cosine → linkage_fs_confusion (item-item CF
+#                 evidenced r9; Fellegi-Sunter linkage's first slot)
+#   sketch_kmv_priority_overlap → stream_heavy_hitters_replay (KMV
+#                 evidenced r9; Misra-Gries first slot + widens
+#                 streaming evidence — VERDICT r9 #4)
+#   sketch_quantiles_by_nation → events_cusum_changepoint (quantile
+#                 sketch evidenced r8+r9; monitoring family's first slot)
+#   text_lm_perplexity_kn → retrieval_phrase_match (KN perplexity
+#                 evidenced r9; positional-postings phrase search)
+#   vocab_wordpiece_merges → privacy_k_anonymity_audit (tokenizer trio
+#                 fully evidenced r7/r8/r9; privacy family's first slot)
+#   pref_bt_source_strength → dedup_incremental_new_batch (Bradley-
+#                 Terry evidenced r9; persisted-state admission)
+#   graph_order_episodes → graph_kcore_copurchase (star-CC evidenced
+#                 r9; k-core peel's first slot)
+#   graph_label_propagation → sql_recursive_bfs_depth (label-prop
+#                 evidenced r9; cross-engine WITH RECURSIVE first slot)
+#   stream_hnsw_upsert_replay → stream_cusum_replay (HNSW replay
+#                 evidenced r9; streaming-monitor family's first slot,
+#                 second new streaming row — VERDICT r9 #4)
+#   train_prune_prototypes → text_textrank_keywords (SSL-prototypes
+#                 evidenced r9; TextRank keyword extraction)
+#
+# Still queued for r11+ (never driver-evidenced): the five probe twins
+# (ann_ivf_probe etc. — serving-path rows), dedup_lsh_verified_pairs,
+# stream_incremental_dedup_replay, url_canonical_dupes,
+# text_unicode_nfc_stats, dedup_edjoin_part_pairs,
+# stream_bt_matrix_replay / stream_kmv_replay,
+# join_not_in_vs_not_exists (NAAJ), graph_khop_reach,
+# events_attribution_last_touch, graph_ppr_copurchase,
+# corpus_snapshot_diff, train_shard_hrw_churn, layout_hilbert_report,
+# serve_mmr_rerank, serve_context_expansion, ann_ivfpq_recall_trained,
+# graph_hits_trade, customer_survival_km, stats_ks_price_drift,
+# stats_gini_revenue, stats_benford_price_audit, dedup_cdc_chunk_dupes,
+# orders_ewma_revenue_trend, stats_mutual_info_lang_source,
+# privacy_l_diversity_audit, dedup_ngram_containment_pairs,
+# dedup_cluster_best_quality, train_curriculum_interleave,
+# train_dsir_token_budget, plus every r10 addition.
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the
@@ -157,28 +180,28 @@ _WINDOW_50: list[str] = [
     "pipeline_e2e_ingest_knn",   # S3 + end-to-end ingest
     # -- LLM-data-pipeline families -------------------------------------
     "dedup_exact_survivors",
-    "dedup_edjoin_blocking_quality",  # r9: Ed-Join audit, completeness == 1.0
+    "dedup_winnow_shared_fp",      # r10: winnowing fingerprints (MOSS)
     "bloom_semi_join_revenue",    # r7: bloom semi-join's first driver slot
-    "agg_median_histogram_select",  # r9: histogram-descent order statistic
-    "recsys_item_item_cosine",     # r9: item-item CF's first driver slot
-    "graph_order_episodes",        # r9: large/small-star connected components
+    "train_dsir_select",           # r10: DSIR importance-resampled selection
+    "linkage_fs_confusion",        # r10: Fellegi-Sunter record linkage
+    "graph_kcore_copurchase",      # r10: k-core peel fixed point
     "decontam_ngram_overlap",
     "text_pii_redaction",
     "stream_pii_scrub_replay",
-    "text_lm_perplexity_kn",       # r9: Kneser-Ney LM train + score
-    "vocab_wordpiece_merges",      # r9: WordPiece (tokenizer trio complete)
+    "retrieval_phrase_match",      # r10: positional-postings phrase search
+    "privacy_k_anonymity_audit",   # r10: k-anonymity QI-group audit
     "text_token_stats",
-    "sketch_kmv_priority_overlap", # r9: KMV/theta unbiased intersection
+    "stream_heavy_hitters_replay", # r10: Misra-Gries streamed log + verify
     "ann_ivfpq_index_search",      # r6: persisted IVF-PQ (VERDICT r5 #3)
     "tpch_q21_waiting_suppliers",  # r8: Q21 analog (semi/anti joins)
-    "pref_bt_source_strength",     # r9: Bradley-Terry MM fixed point
-    "stream_hnsw_upsert_replay",   # r9: HNSW streaming upsert + replay
-    "sketch_quantiles_by_nation",  # r8: grouped base-2 quantile sketch
+    "dedup_incremental_new_batch", # r10: persisted-state corpus admission
+    "stream_cusum_replay",         # r10: streaming CUSUM changepoint
+    "events_cusum_changepoint",    # r10: monitoring family's first slot
     "ann_ivf_index_compact",       # r8: index-maintenance family's first slot
-    "graph_label_propagation",     # r9: label propagation fixed point
+    "sql_recursive_bfs_depth",     # r10: cross-engine WITH RECURSIVE BFS
     "bm25_topk_docs",
     "stream_ivf_upsert_replay",    # r8: streaming-index replay family
-    "train_prune_prototypes",      # r9: SSL-prototypes pruning (D4 stage 2)
+    "text_textrank_keywords",      # r10: TextRank keyword extraction
     "mm_audio_features",
     "mm_image_ahash_dupes",        # r8: aHash perceptual image dedup
 ]

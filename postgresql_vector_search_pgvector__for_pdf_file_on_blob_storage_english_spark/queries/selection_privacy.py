@@ -1083,7 +1083,13 @@ cur AS (
   SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
   FROM events WHERE event_id % 2 = 1
 ),
-bounds AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM base GROUP BY 1),
+bbounds AS (SELECT event_type, min(v) AS blo, max(v) AS bhi FROM base GROUP BY 1),
+cbounds AS (SELECT event_type, min(v) AS clo, max(v) AS chi FROM cur GROUP BY 1),
+bounds AS (
+  SELECT coalesce(b.event_type, c.event_type) AS event_type,
+         coalesce(blo, clo) AS lo, coalesce(bhi, chi) AS hi
+  FROM bbounds b FULL OUTER JOIN cbounds c ON b.event_type = c.event_type
+),
 bb AS (
   SELECT b.event_type,
          CAST(((greatest(least(b.v, bd.hi), bd.lo) - bd.lo) * 10)

@@ -85,8 +85,11 @@ def verified_heavy_hitters_from_log(
     deterministic output the batch :func:`~..operators.heavyhitters.
     heavy_hitters` produces, now fed by streamed state."""
     candidates = mg_read(spark, path, key_col)
+    # eqNullSafe mirrors the batch operator: a null-keyed candidate
+    # must still match its rows in the exact re-count.
+    cand_keys = F.broadcast(candidates.select(F.col(key_col).alias("_cand_k")))
     exact = (
-        df.join(F.broadcast(candidates.select(key_col)), key_col, "left_semi")
+        df.join(cand_keys, F.col(key_col).eqNullSafe(F.col("_cand_k")), "left_semi")
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n_true"))
     )

@@ -117,3 +117,23 @@ class TestClusterSurvivors:
         assert got[2] == (1, 3, True)
         assert got[3] == (1, 3, False)
         assert got[4] == (4, 1, True)  # singleton survives itself
+
+    def test_string_doc_ids(self, spark):
+        """ADVICE r9: the tie-break must analyze for string id columns
+        (the old -F.col('id') negation failed on strings)."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.cluster import (
+            cluster_survivors,
+        )
+
+        corpus = spark.createDataFrame(
+            [("a", 10), ("b", 30), ("c", 30), ("d", 7)],
+            "doc_id string, score long",
+        )
+        pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+        got = {r["id"]: (r["cluster_id"], r["is_survivor"])
+               for r in cluster_survivors(corpus, pairs, "score").collect()}
+        # max score in {a,b,c} is 30, tie b/c -> min id 'b'
+        assert got["a"] == ("a", False)
+        assert got["b"] == ("a", True)
+        assert got["c"] == ("a", False)
+        assert got["d"] == ("d", True)

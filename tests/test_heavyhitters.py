@@ -84,6 +84,39 @@ class TestHeavyHittersReport:
         with pytest.raises(ValueError, match="k must be"):
             mg_partials(_skewed(spark), "k", 0)
 
+    def test_null_keyed_heavy_hitter_reported(self, spark):
+        """ADVICE r9: a null key at 50% frequency with k=3 must appear
+        in the verified report (completeness guarantee covers null)."""
+        df = spark.range(400).select(
+            F.when(F.col("id") % 2 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("z"), (F.col("id") % 37).cast("string")))
+            .alias("k")
+        ).repartition(5)
+        got = {r["k"]: r["n_true"] for r in heavy_hitters(df, "k", 3).collect()}
+        assert got == {None: 200}
+
+    def test_null_key_guarantee_across_partitionings(self, spark):
+        """Null joins the candidate set whenever it is a true heavy
+        hitter, for several k and partition counts."""
+        df = spark.range(900).select(
+            F.when(F.col("id") % 4 == 0, F.lit(None).cast("string"))
+            .when(F.col("id") % 3 == 0, F.lit("B"))
+            .otherwise(F.concat(F.lit("z"), F.col("id").cast("string")))
+            .alias("k")
+        )
+        n = 900
+        exact = {
+            r["k"]: r["c"]
+            for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        for parts in (1, 6):
+            part = df.repartition(parts)
+            for k in (2, 5):
+                got = {r["k"]: r["n_true"]
+                       for r in heavy_hitters(part, "k", k).collect()}
+                want = {key: c for key, c in exact.items() if c * (k + 1) > n}
+                assert got == want, (parts, k)
+
 
 class TestStreamingMg:
     """Log-structured MG maintenance (streaming/heavyhitters_stream.py)."""

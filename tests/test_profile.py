@@ -379,3 +379,29 @@ class TestPsiDrift:
         df = spark.createDataFrame([(1.0,)], "value double")
         with _pt.raises(ValueError, match="n_buckets"):
             psi_drift(df, df, "value", n_buckets=1)
+
+    def test_current_only_group_reported(self, spark):
+        """ADVICE r9: a group present only in `current` (a brand-new
+        population segment) must surface as a drift row with smoothed-
+        only base mass, not vanish from the report."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.profile import (
+            psi_drift,
+        )
+
+        base = spark.createDataFrame(
+            [("old", float(i % 20)) for i in range(200)], "g string, value double"
+        )
+        cur = spark.createDataFrame(
+            [("old", float(i % 20)) for i in range(100)]
+            + [("new", float(i % 5)) for i in range(100)],
+            "g string, value double",
+        )
+        got = {r["g"]: r for r in
+               psi_drift(base, cur, "value", group_col="g").collect()}
+        assert set(got) == {"old", "new"}
+        new = got["new"]
+        assert new["n_base"] == 0 and new["n_current"] == 100
+        # all current mass vs a uniform smoothed base: loud drift
+        assert new["psi_micro"] > 250_000
+        # and the established segment stays in the stable band
+        assert got["old"]["psi_micro"] < 100_000
