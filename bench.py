@@ -136,6 +136,13 @@ REPEATS = {
     "ann_ivfpq_probe": 3,
     "bm25_probe": 3,
     "quant_sq8_probe": 3,
+    # r10 (VERDICT r9 #2): the five lines that drifted r8->r9 on
+    # unchanged code ran with REPEATS=1, so a single noisy run became
+    # the round's number; medians-of-3 so the delta reflects the plan.
+    "layout_hilbert_report": 3,     # 0.909 -> 2.773 s r8->r9, code untouched
+    "graph_order_episodes": 3,      # 4.712 -> 7.013 s r8->r9
+    "serve_context_expansion": 3,   # 1.71 -> 2.43 s r8->r9
+    "agg_median_histogram_select": 3,  # 0.91 -> 1.22 s r8->r9
 }
 
 
@@ -165,7 +172,7 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
@@ -180,7 +187,43 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    # The complete record, printed first AND written next to this file:
+    # the driver's round artifact keeps only the last 2000 characters of
+    # stdout (VERDICT r9 #6 — the r9 line outgrew that and truncated the
+    # flagship number out of the record), so the durable full map lives
+    # in BENCH_FULL.json (committed per round as BENCH_LOCAL_r{N}.json).
+    print(json.dumps(full))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    # The LAST line is what the driver parses; it must fit the 2000-char
+    # tail whole.  Keep every entry if possible; otherwise drop entries
+    # by REVERSE priority (flagship + this round's newest lines are
+    # listed first in HEADLINE... no: HEADLINE is oldest-first, so keep
+    # the flagship head and the newest tail, dropping from the stable
+    # middle last-in-first-out) — concretely: keep HEADLINE[0] (the
+    # flagship) and then entries from the END of HEADLINE backwards,
+    # which preserves the newest lines the current round is graded on;
+    # anything dropped is still in BENCH_FULL.json and the verbose line.
+    tail_budget = 1900  # driver tail is 2000 chars; leave margin for \n + noise
+    keep_order = [HEADLINE[0]] + [n for n in reversed(HEADLINE[1:])]
+    compact = dict(full)
+    compact.pop("basis", None)
+    kept: dict[str, float] = {}
+    for name in keep_order:
+        trial = dict(kept, **{name: timings[name]})
+        compact["queries"] = {n: timings[n] for n in HEADLINE if n in trial}
+        compact["queries_omitted"] = len(timings) - len(trial)
+        if len(json.dumps(compact, separators=(",", ":"))) > tail_budget:
+            break
+        kept = trial
+    compact["queries"] = {n: timings[n] for n in HEADLINE if n in kept}
+    compact["queries_omitted"] = len(timings) - len(kept)
+    if compact["queries_omitted"]:
+        compact["full_map"] = "BENCH_FULL.json"
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
