@@ -159,6 +159,53 @@ def cluster_survivors(
     )
 
 
+def leakage_safe_split(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_pct: int = 10,
+    salt: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup-aware train/test split: every member of a near-duplicate
+    cluster lands on the SAME side, so a test document's near-copy can
+    never sit in train (the contamination a row-hash split like
+    ``groupwise.train_test_split_hash`` silently permits — eval numbers
+    inflate when the model has memorized the training-side twin).
+
+    The split key is the CLUSTER id (min-id member via connected
+    components; singletons key on themselves), bucketed by the same
+    stable md5 hash as the row-level split, so membership is
+    deterministic across runs, engines, partitionings and appends.
+
+    Returns ``(id, cluster_id, split)``.  Shape: the CC labeling
+    (linear-in-|pairs| star rounds) plus one codegen hash — no window,
+    no extra exchange beyond the CC join.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    labeled = (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col("id")))
+        .drop("component")
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("§", F.lit(salt), F.col("cluster_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") % 100
+    return labeled.select(
+        "id",
+        "cluster_id",
+        F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train")).alias(
+            "split"
+        ),
+    )
+
+
 def duplicate_clusters(
     corpus: DataFrame,
     pairs: DataFrame,

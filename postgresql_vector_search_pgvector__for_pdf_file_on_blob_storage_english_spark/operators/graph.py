@@ -272,6 +272,7 @@ def connected_components(
     edges: DataFrame,
     rounds: int = 5,
     check_converged: bool = True,
+    self_loops: bool = True,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii
@@ -293,12 +294,25 @@ def connected_components(
     PROVES the labels are the true component minima (one more round
     would be a no-op).  A non-converged graph raises rather than
     returning a plausible-but-wrong labeling.
+
+    ``self_loops=False`` is a caller ASSERTION that ``edges`` cannot
+    contain ``u == v`` rows (e.g. a lag-chain where v is strictly the
+    next row of the same partition), skipping the self-loop weave and
+    its shared edge checkpoint entirely.
     """
-    cur = (
-        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    proj = edges.select(
+        F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v")
     )
+    # One checkpointed (u, v) projection feeds BOTH the star rounds and
+    # the self-loop weave below: edges is often an expensive derived
+    # relation (the episodes entry builds it with a per-customer window
+    # pass), and before r10 the self-loop branch re-derived it in full
+    # even when the graph has no self-loops at all (VERDICT r9 #2 —
+    # the graph_order_episodes drift).  The checkpoint stores |E| longs
+    # once — the same order of local storage each star round already
+    # uses — and every consumer reads the materialized copy.
+    base = proj.localCheckpoint(eager=False) if self_loops else proj
+    cur = base.filter(F.col("u") != F.col("v")).distinct()
     for i in range(rounds):
         sym = cur.unionAll(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         cur = _small_star(_large_star(sym))
@@ -332,9 +346,11 @@ def connected_components(
     # but are still "incident to an edge" (ADVICE r8): weave them back
     # as size-1 components.  One anti-join bounded by the distinct
     # self-loop nodes — empty (and the filter free) on simple graphs.
+    if not self_loops:
+        return labeled
     self_only = (
-        edges.filter(F.col("u") == F.col("v"))
-        .select(F.col("u").cast("long").alias("node"))
+        base.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
         .distinct()
         .join(labeled.select("node"), "node", "left_anti")
         .select("node", F.col("node").alias("component"))

@@ -477,7 +477,10 @@ def _cc_order_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_pk").isNotNull()
         & (F.datediff("o_orderdate", "_pd") <= _CC_GAP_DAYS)
     ).select(F.col("_pk").alias("u"), F.col("o_orderkey").alias("v"))
-    labeled = connected_components(edges, rounds=_CC_ROUNDS)
+    # self_loops=False: u is strictly the PREVIOUS row of the same
+    # (o_orderdate, o_orderkey)-ordered partition, so u == v is
+    # impossible by construction — skip the weave and its checkpoint.
+    labeled = connected_components(edges, rounds=_CC_ROUNDS, self_loops=False)
     nodes = orders.select(F.col("o_orderkey").alias("node"))
     full = nodes.join(labeled, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")

@@ -184,3 +184,113 @@ ORDER BY true_label, pred_label
 """
 
 _register("ml_knn_label_confusion", _ml_knn_confusion, _DD_KNN_CONFUSION)
+
+
+# ==========================================================================
+# Scorer evaluation (round 10) — operators/evalmetrics.py.  Before a
+# learned scorer gates a 100 TB curation pipeline it has to be
+# EVALUATED at corpus scale: ROC-AUC (does it rank?) and the
+# calibration table (is the probability a probability?).  Both reduce
+# to integer arithmetic over one partial-agg groupBy keyed on the
+# quantized score, so the numbers hash-compare across engines.
+# ==========================================================================
+
+_AUC_TRUSTED = ("src0", "src1", "src2", "src3", "src4")
+
+
+def _eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ROC-AUC of document length predicting membership in
+    the trusted-source set — the shape of a quality-scorer validation
+    against a trusted-source proxy label.  Mann-Whitney rank identity,
+    exact longs end-to-end; the cumulative-negatives window is
+    partitioned by lang (never global)."""
+    from ..operators.evalmetrics import auc_roc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("double").alias("score"),
+        F.col("source").isin(*_AUC_TRUSTED).alias("label"),
+    )
+    return auc_roc(docs, "score", "label", group_col="lang", scale=1).orderBy(
+        "lang"
+    )
+
+
+_DD_AUC = f"""
+WITH s AS (
+  SELECT lang,
+         CAST(floor(n_chars * 1 + 0.5) AS BIGINT) AS sc,
+         source IN {_AUC_TRUSTED} AS y
+  FROM documents
+),
+per AS (
+  SELECT lang, sc,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+  FROM s GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, pos, neg,
+         coalesce(sum(neg) OVER (PARTITION BY lang ORDER BY sc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negb
+  FROM per
+),
+agg AS (
+  SELECT lang, sum(pos) AS n_pos, sum(neg) AS n_neg,
+         sum(2 * pos * negb + pos * neg) AS u2
+  FROM cum GROUP BY lang
+)
+SELECT lang, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                 THEN (u2 * 1000000) // (2 * n_pos * n_neg) END AS BIGINT)
+         AS auc_micro
+FROM agg ORDER BY lang
+"""
+
+_register("eval_auc_doclen_trusted", _eval_auc, _DD_AUC)
+
+
+def _eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reliability table of document length vs the
+    lang='en' rate — ten equal-width bins over each source's own score
+    range, mean score and positive rate in exact integer micro-units.
+    No window at all; two partial-agg groupBys bounded by
+    sources x bins."""
+    from ..operators.evalmetrics import calibration_bins
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return calibration_bins(
+        docs, "score", "label", group_col="source", n_bins=10, scale=1
+    ).orderBy("source", "bin")
+
+
+_DD_CALIBRATION = """
+WITH s AS (
+  SELECT source,
+         CAST(floor(n_chars * 1 + 0.5) AS BIGINT) AS sc,
+         (lang = 'en') AS y
+  FROM documents
+),
+bounds AS (SELECT source, min(sc) AS lo, max(sc) AS hi FROM s GROUP BY 1),
+binned AS (
+  SELECT s.source,
+         CAST(((sc - lo) * 10) // (hi - lo + 1) AS INT) AS bin,
+         sc, y
+  FROM s JOIN bounds USING (source)
+),
+agg AS (
+  SELECT source, bin, count(*) AS n, sum(sc) AS ssum,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS npos
+  FROM binned GROUP BY 1, 2
+)
+SELECT source, bin, CAST(n AS BIGINT) AS n,
+       CAST((ssum * 1000000) // (n * 1) AS BIGINT) AS mean_score_micro,
+       CAST((npos * 1000000) // n AS BIGINT) AS pos_rate_micro
+FROM agg ORDER BY source, bin
+"""
+
+_register("eval_calibration_doclen_en", _eval_calibration, _DD_CALIBRATION)

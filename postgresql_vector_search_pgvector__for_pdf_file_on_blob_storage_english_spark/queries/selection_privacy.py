@@ -1135,3 +1135,143 @@ FROM terms GROUP BY event_type ORDER BY event_type
 """
 
 _register("profile_psi_value_drift", _psi_value_drift, _DD_PSI)
+
+
+# --------------------------------------------------------------------------
+# 18. Leakage-safe train/test split (round 10 — operators/cluster.py::
+# leakage_safe_split).  The row-hash split (train_test_split_hash) can
+# put a test document's near-copy in train, inflating eval numbers;
+# the leakage-safe form splits by near-dup CLUSTER so twins always
+# land on the same side.  The oracle reproduces the whole table:
+# MinHash-LSH pairs -> recursive-CTE connected components -> the same
+# md5 bucket of the cluster id.
+# --------------------------------------------------------------------------
+
+
+def _split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import leakage_safe_split
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from .dedup import _LSH_BANDS
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_perm=16, shingle_n=3, seed=42)
+    pairs = lsh_candidate_pairs(sigs, bands=_LSH_BANDS)
+    return leakage_safe_split(corpus, pairs, test_pct=10).orderBy("id")
+
+
+def _dd_split_leakage_safe() -> str:
+    from .dedup import _DD_MINHASH_LSH
+
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_DD_MINHASH_LSH}),
+sym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+minreach AS (SELECT src AS id, min(dst) AS mr FROM reach GROUP BY src),
+corpus AS ({_DD_NEARDUP_CORPUS}),
+labeled AS (
+  SELECT c.doc_id AS id,
+         least(c.doc_id, coalesce(m.mr, c.doc_id)) AS cluster_id
+  FROM corpus c LEFT JOIN minreach m ON c.doc_id = m.id
+)
+SELECT id, cluster_id,
+       CASE WHEN (('0x' || substr(md5('split' || '§' || cluster_id::VARCHAR),
+                   1, 8))::BIGINT % 100) < 10
+            THEN 'test' ELSE 'train' END AS split
+FROM labeled ORDER BY id
+"""
+
+
+_register(
+    "train_split_leakage_safe", _split_leakage_safe, _dd_split_leakage_safe()
+)
+
+
+# --------------------------------------------------------------------------
+# 19. Streaming AUC (round 10 — streaming/evalmetrics_stream.py).
+# Scorer health monitoring without retaining scored rows: each
+# micro-batch appends its bounded per-score count table; AUC folds the
+# log.  Same oracle as a one-shot AUC over every streamed row, proving
+# the histogram log loses nothing; a deliberate batch-0 replay must be
+# absorbed by the stamp dedup.
+# --------------------------------------------------------------------------
+
+
+def _stream_auc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.evalmetrics_stream import (
+        auc_from_log,
+        stream_into_score_counts,
+    )
+    from ._base import _drain
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_auc_{tag}_{os.getpid()}"
+    )
+    src, log = os.path.join(root, "src"), os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+
+    scored = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    scored.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("score double, label boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_score_counts(stream, log, ckpt, "score", "label", scale=100)
+    _drain(q, 300)
+
+    # deliberate replay: re-append batch 0's count rows verbatim
+    first = spark.read.parquet(log).filter(F.col("batch_id") == 0)
+    first.write.mode("append").parquet(log)
+
+    return auc_from_log(spark, log)
+
+
+_DD_STREAM_AUC = """
+WITH s AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS sc,
+         (event_type = 'purchase') AS y
+  FROM events
+),
+per AS (
+  SELECT sc,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS neg
+  FROM s GROUP BY 1
+),
+cum AS (
+  SELECT pos, neg,
+         coalesce(sum(neg) OVER (ORDER BY sc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negb
+  FROM per
+),
+agg AS (
+  SELECT sum(pos) AS n_pos, sum(neg) AS n_neg,
+         sum(2 * pos * negb + pos * neg) AS u2
+  FROM cum
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                 THEN (u2 * 1000000) // (2 * n_pos * n_neg) END AS BIGINT)
+         AS auc_micro
+FROM agg
+"""
+
+_register("stream_auc_replay", _stream_auc_replay, _DD_STREAM_AUC)

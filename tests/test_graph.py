@@ -305,6 +305,21 @@ class TestConnectedComponents:
         # 7 is self-loop-only -> size-1 component; 2 also has a real edge
         assert got == {1: 1, 2: 1, 7: 7}
 
+    def test_self_loops_false_matches_on_simple_graph(self, spark):
+        """self_loops=False (r10: the caller-asserted fast path that
+        skips the weave + shared checkpoint) must label a simple graph
+        identically to the default."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+        df = spark.createDataFrame(edges, "u long, v long")
+        want = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        got = {r["node"]: r["component"]
+               for r in connected_components(df, self_loops=False).collect()}
+        assert got == want == _py_components(edges)
+
     def test_non_convergence_raises(self, spark):
         from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
             connected_components,
