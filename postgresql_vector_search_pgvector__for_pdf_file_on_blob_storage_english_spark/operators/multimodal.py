@@ -252,6 +252,48 @@ def video_frame_sample(
     return df.mapInPandas(run, schema)
 
 
+def video_scene_cuts(
+    df: DataFrame,
+    threshold_ppm: int = 335_000,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Scene-cut detection — the shot-boundary primitive of every video
+    curation pipeline (sample per shot, not per frame): integer
+    sum-of-absolute-differences between consecutive frames, a cut where
+    the delta exceeds ``threshold_ppm`` parts-per-million of the
+    maximum possible frame difference (``n_px * 255``).
+
+    One row per consecutive frame pair ``(media_id, frame_index,
+    delta, n_px, is_cut)`` with ``frame_index`` the LATER frame.  All
+    integer arithmetic (the cut test cross-multiplies instead of
+    dividing), so the table hash-compares across engines.
+
+    Scale shape: one decode per media row inside an Arrow batch, rows
+    out bounded by total frames; no shuffle at all — downstream
+    aggregation (cuts per video, shot lengths) is the caller's
+    partial-agg groupBy on the id."""
+    import pandas as pd
+
+    schema = T.StructType.fromDDL(
+        f"{id_col} long, frame_index int, delta long, n_px int, is_cut boolean"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                frames = decode_video(bytes(blob)).astype(np.int64)
+                n_px = int(frames.shape[1] * frames.shape[2])
+                for k in range(1, frames.shape[0]):
+                    delta = int(np.abs(frames[k] - frames[k - 1]).sum())
+                    cut = delta * 1_000_000 > threshold_ppm * n_px * 255
+                    rows.append((mid, k, delta, n_px, bool(cut)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)
+
+
 # ---- deterministic fixture synthesis (LCG pixels/samples; SQL-replayable) -
 
 A_PIX, B_PIX = 2654435761, 40503        # pixel i of doc d: (d*A + i*B) % 256

@@ -308,3 +308,45 @@ ORDER BY ahash_bits
 """
 
 _register("mm_image_ahash_dupes", _mm_image_ahash_dupes, _DD_MM_AHASH)
+
+
+def _mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary table over the synthetic videos (round 10): exact
+    integer SAD between consecutive frames, cut threshold at 428000 ppm
+    of the max frame delta — the MEDIAN of the LCG fixture's delta
+    distribution (the per-pixel diff is 79 or 177 depending on the
+    wrap, centering deltas near 428k ppm), so both cut and non-cut
+    rows are exercised.  Oracle reconstructs every pixel pair
+    from the synthesis arithmetic."""
+    from ..operators.multimodal import video_scene_cuts
+
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="video")
+    return video_scene_cuts(media, threshold_ppm=428_000).orderBy(
+        "media_id", "frame_index"
+    )
+
+
+_DD_MM_SCENECUT = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id, (4 + doc_id % 5)::INT AS f,
+         (8 + doc_id % 9)::INT AS w, (8 + doc_id % 7)::INT AS h
+  FROM documents
+),
+pairs AS (
+  SELECT media_id, w, h, k.k::INT AS frame_index
+  FROM dims, unnest(range(1, f::BIGINT)) AS k(k)
+),
+px AS (
+  SELECT media_id, frame_index, w, h,
+         abs((((media_id + frame_index) * {A_PIX} + i.i * {B_PIX}) % 256)
+             - (((media_id + frame_index - 1) * {A_PIX} + i.i * {B_PIX}) % 256)) AS d
+  FROM pairs, unnest(range(0, (w * h)::BIGINT)) AS i(i)
+)
+SELECT media_id, frame_index, CAST(sum(d) AS BIGINT) AS delta,
+       (w * h)::INT AS n_px,
+       (sum(d) * 1000000 > 428000::BIGINT * (w * h) * 255) AS is_cut
+FROM px GROUP BY media_id, frame_index, w, h
+ORDER BY media_id, frame_index
+"""
+
+_register("mm_video_scene_cuts", _mm_video_scene_cuts, _DD_MM_SCENECUT)

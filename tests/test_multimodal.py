@@ -118,6 +118,48 @@ class TestStages:
         media = synth_media_df(docs, kind="image")
         assert "content" not in image_features(media).columns
 
+    def test_video_scene_cuts_matches_python(self, spark, docs):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            video_scene_cuts,
+        )
+
+        media = synth_media_df(docs, kind="video")
+        got = {(r["media_id"], r["frame_index"]): r
+               for r in video_scene_cuts(media, threshold_ppm=428_000).collect()}
+        for d in range(10):
+            f, w, h = 4 + d % 5, 8 + d % 9, 8 + d % 7
+            frames = [synth_image_pixels(d + k, w, h, 1)[:, :, 0].astype(np.int64)
+                      for k in range(f)]
+            for k in range(1, f):
+                delta = int(np.abs(frames[k] - frames[k - 1]).sum())
+                r = got[(d, k)]
+                assert r["delta"] == delta and r["n_px"] == w * h
+                assert r["is_cut"] == (delta * 1_000_000 > 428_000 * w * h * 255)
+        # one pair per consecutive-frame boundary, nothing else
+        assert len(got) == sum((4 + d % 5) - 1 for d in range(10))
+
+    def test_video_scene_cuts_container_independent(self, spark, docs):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            video_scene_cuts,
+        )
+
+        raw = video_scene_cuts(synth_media_df(docs, kind="video")).collect()
+        mp4 = video_scene_cuts(
+            synth_media_df(docs, kind="video", container="real")
+        ).collect()
+        assert sorted(map(tuple, raw)) == sorted(map(tuple, mp4))
+
+    def test_video_scene_cuts_threshold_extremes(self, spark, docs):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            video_scene_cuts,
+        )
+
+        media = synth_media_df(docs, kind="video")
+        all_cut = video_scene_cuts(media, threshold_ppm=0).collect()
+        assert all(r["is_cut"] for r in all_cut)
+        none_cut = video_scene_cuts(media, threshold_ppm=1_000_000).collect()
+        assert not any(r["is_cut"] for r in none_cut)
+
 
 class TestImageAhash:
     """Perceptual average-hash (r7): python reference parity, container
