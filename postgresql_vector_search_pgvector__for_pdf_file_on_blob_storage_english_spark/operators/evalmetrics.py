@@ -126,30 +126,48 @@ def calibration_bins(
     Both reported columns are exact integer floors of 1e6-scaled
     ratios, so the table hash-compares across engines.
     """
+    keys = [group_col] if group_col else []
+    per_score = (
+        df.select(
+            *keys,
+            _quantized(score_col, scale).alias("_s"),
+            F.col(label_col).cast("boolean").alias("_y"),
+        )
+        .groupBy(*(keys + ["_s"]))
+        .agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_pos"),
+            F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("_neg"),
+        )
+    )
+    return calibration_from_score_counts(per_score, keys, n_bins, scale)
+
+
+def calibration_from_score_counts(
+    per_score: DataFrame, keys: list[str], n_bins: int = 10, scale: int = 100
+) -> DataFrame:
+    """The counts -> reliability-table stage of :func:`calibration_bins`
+    over a PER-SCORE COUNT relation (``keys..., _s, _pos, _neg``) —
+    shared with the streamed score-count log, which holds exactly this
+    histogram (streaming/evalmetrics_stream.py)."""
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
-    keys = [group_col] if group_col else []
-    staged = df.select(
-        *keys,
-        _quantized(score_col, scale).alias("_s"),
-        F.col(label_col).cast("boolean").alias("_y"),
-    )
-    bounds = staged.groupBy(*keys).agg(
+    bounds = per_score.groupBy(*keys).agg(
         F.min("_s").alias("_lo"), F.max("_s").alias("_hi")
     )
     j = (
-        staged.join(F.broadcast(bounds), keys)
+        per_score.join(F.broadcast(bounds), keys)
         if keys
-        else staged.crossJoin(F.broadcast(bounds))
+        else per_score.crossJoin(F.broadcast(bounds))
     )
     b = F.expr(f"CAST(((_s - _lo) * {n_bins}) div (_hi - _lo + 1) AS INT)")
+    cnt = F.col("_pos") + F.col("_neg")
     agg = (
         j.withColumn("bin", b)
         .groupBy(*(keys + ["bin"]))
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("_s").alias("_ssum"),
-            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_npos"),
+            F.sum(cnt).alias("n"),
+            F.sum(F.col("_s") * cnt).alias("_ssum"),
+            F.sum("_pos").alias("_npos"),
         )
     )
 

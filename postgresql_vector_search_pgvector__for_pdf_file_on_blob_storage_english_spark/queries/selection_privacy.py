@@ -1275,3 +1275,72 @@ FROM agg
 """
 
 _register("stream_auc_replay", _stream_auc_replay, _DD_STREAM_AUC)
+
+
+def _stream_calibration_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reliability table folded from the streamed score-count log
+    (one log serves both scorer-health metrics — this entry gates the
+    calibration read of the same histogram `stream_auc_replay` gates
+    the AUC read of).  Same replay harness: 4 micro-batches, batch-0
+    counts re-appended and absorbed by the stamp dedup."""
+    from ..streaming.evalmetrics_stream import (
+        calibration_from_log,
+        stream_into_score_counts,
+    )
+    from ._base import _drain
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_cal_{tag}_{os.getpid()}"
+    )
+    src, log = os.path.join(root, "src"), os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+
+    scored = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    scored.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("score double, label boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_score_counts(stream, log, ckpt, "score", "label", scale=100)
+    _drain(q, 300)
+
+    first = spark.read.parquet(log).filter(F.col("batch_id") == 0)
+    first.write.mode("append").parquet(log)
+
+    return calibration_from_log(spark, log, n_bins=10, scale=100).orderBy("bin")
+
+
+_DD_STREAM_CAL = """
+WITH s AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS sc,
+         (event_type = 'purchase') AS y
+  FROM events
+),
+bounds AS (SELECT min(sc) AS lo, max(sc) AS hi FROM s),
+binned AS (
+  SELECT CAST(((sc - lo) * 10) // (hi - lo + 1) AS INT) AS bin, sc, y
+  FROM s, bounds
+),
+agg AS (
+  SELECT bin, count(*) AS n, sum(sc) AS ssum,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS npos
+  FROM binned GROUP BY 1
+)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       CAST((ssum * 1000000) // (n * 100) AS BIGINT) AS mean_score_micro,
+       CAST((npos * 1000000) // n AS BIGINT) AS pos_rate_micro
+FROM agg ORDER BY bin
+"""
+
+_register("stream_calibration_replay", _stream_calibration_replay, _DD_STREAM_CAL)

@@ -86,3 +86,18 @@ def auc_from_log(spark, path: str) -> DataFrame:
     every batch to — bounded by the score DOMAIN (scale x range), never
     by stream volume."""
     return auc_from_score_counts(score_counts_read(spark, path), [])
+
+
+def calibration_from_log(
+    spark, path: str, n_bins: int = 10, scale: int = 100
+) -> DataFrame:
+    """Running reliability table from the SAME streamed log
+    :func:`auc_from_log` reads — the score histogram determines both
+    metrics, so one log feeds ranking health AND calibration health.
+    Output contract identical to the batch ``calibration_bins`` on the
+    same rows (gated by ``stream_calibration_replay``)."""
+    from ..operators.evalmetrics import calibration_from_score_counts
+
+    return calibration_from_score_counts(
+        score_counts_read(spark, path), [], n_bins=n_bins, scale=scale
+    )

@@ -127,6 +127,18 @@ class TestStreamingAuc:
         streamed = auc_from_log(spark, log).first()
         assert tuple(streamed) == tuple(batch)
 
+        # the SAME log feeds the calibration read — must equal the
+        # batch reliability table on the same rows
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.evalmetrics_stream import (
+            calibration_from_log,
+        )
+
+        cal_batch = sorted(
+            map(tuple, calibration_bins(df, "score", "label").collect())
+        )
+        cal_stream = sorted(map(tuple, calibration_from_log(spark, log).collect()))
+        assert cal_stream == cal_batch
+
         # replay batch 0's counts verbatim: stamp dedup must absorb it
         before = sorted(map(tuple, score_counts_read(spark, log).collect()))
         first = spark.read.parquet(log).filter(F.col("batch_id") == 0)
