@@ -198,3 +198,56 @@ def kth_smallest_histogram(
         if span == 1:
             return lo
     raise RuntimeError("kth_smallest_histogram: did not converge (raise max_levels)")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lo_ppm: int = 50_000,
+    hi_ppm: int = 950_000,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group exact winsorization — the robust-statistics clamp every
+    metrics pipeline needs before a mean is trustworthy: values are
+    clamped to the group's [p_lo, p_hi] percentiles (rank-based
+    ``percentile_disc`` semantics: the smallest value whose cumulative
+    count reaches ``ceil(n * p)``), with percentiles as exact integer
+    ppm so the cutoffs — and therefore every clamped value — are
+    bit-identical across engines and partitionings.
+
+    Appends ``{value_col}_wins`` (the clamped QUANTIZED value, long).
+
+    Shape at 100 TB: one partial-agg groupBy to (group, quantized
+    value) counts — bounded by the value DOMAIN per group, not rows —
+    one group-partitioned cumulative window over that bounded relation,
+    and a broadcast join of the 2-cutoff-per-group table back onto the
+    corpus.  The raw relation is scanned twice, shuffled never."""
+    if not (0 <= lo_ppm <= hi_ppm <= 1_000_000):
+        raise ValueError(f"need 0 <= lo_ppm <= hi_ppm <= 1e6, got {lo_ppm}, {hi_ppm}")
+    keys = [group_col] if group_col else []
+    q = F.expr(f"CAST(floor({value_col} * {scale} + 0.5) AS BIGINT)")
+    staged = df.withColumn("_v", q)
+    vc = staged.groupBy(*(keys + ["_v"])).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ).orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.withColumn("_cum", F.sum("_c").over(w))
+    tot = cum.groupBy(*keys).agg(F.sum("_c").alias("_n"))
+    j = cum.join(F.broadcast(tot), keys) if keys else cum.crossJoin(F.broadcast(tot))
+    # k = ceil(n * ppm / 1e6), exactly, in longs
+    k_lo = F.expr(f"(_n * {lo_ppm} + 999999) div 1000000")
+    k_hi = F.expr(f"(_n * {hi_ppm} + 999999) div 1000000")
+    cutoffs = j.groupBy(*keys).agg(
+        F.min(F.when(F.col("_cum") >= k_lo, F.col("_v"))).alias("_lo"),
+        F.min(F.when(F.col("_cum") >= k_hi, F.col("_v"))).alias("_hi"),
+    )
+    out = (
+        staged.join(F.broadcast(cutoffs), keys)
+        if keys
+        else staged.crossJoin(F.broadcast(cutoffs))
+    )
+    return out.withColumn(
+        f"{value_col}_wins",
+        F.greatest(F.least(F.col("_v"), F.col("_hi")), F.col("_lo")),
+    ).drop("_v", "_lo", "_hi")

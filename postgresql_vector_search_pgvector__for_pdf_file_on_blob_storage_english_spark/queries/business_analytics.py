@@ -1171,3 +1171,68 @@ FROM scored
 QUALIFY rank <= {_II_TOP} AND u < {_II_ITEM_CAP}
 """,
 )
+
+
+# ==========================================================================
+# Winsorized robust statistics (round 10) — operators/ranking.py::
+# winsorize.  Clamp order prices to each priority class's exact
+# [p5, p95] (rank-based percentile_disc cutoffs in integer ppm), then
+# report the robust aggregate a metrics pipeline would trust.  The
+# cumulative window runs over the (group, distinct cents) relation a
+# partial-agg groupBy already reduced the fact table to — the
+# monitoring-family boundedness argument, but group-partitioned.
+# ==========================================================================
+
+
+def _winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import winsorize
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    clamped = winsorize(
+        orders, "o_totalprice", group_col="o_orderpriority",
+        lo_ppm=50_000, hi_ppm=950_000, scale=100,
+    )
+    return (
+        clamped.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice_wins").alias("sum_wins_cents"),
+            F.min("o_totalprice_wins").alias("lo_cents"),
+            F.max("o_totalprice_wins").alias("hi_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_DD_WINSOR = """
+WITH s AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+),
+vc AS (SELECT g, v, count(*) AS c FROM s GROUP BY 1, 2),
+cum AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM vc
+),
+tot AS (SELECT g, sum(c) AS n FROM vc GROUP BY 1),
+cut AS (
+  SELECT cum.g,
+         min(CASE WHEN cm >= (n * 50000 + 999999) // 1000000 THEN v END) AS lo,
+         min(CASE WHEN cm >= (n * 950000 + 999999) // 1000000 THEN v END) AS hi
+  FROM cum JOIN tot ON cum.g = tot.g
+  GROUP BY cum.g
+),
+clamped AS (
+  SELECT s.g, greatest(least(s.v, cut.hi), cut.lo) AS w
+  FROM s JOIN cut ON s.g = cut.g
+)
+SELECT g AS o_orderpriority, count(*)::BIGINT AS n,
+       CAST(sum(w) AS BIGINT) AS sum_wins_cents,
+       CAST(min(w) AS BIGINT) AS lo_cents, CAST(max(w) AS BIGINT) AS hi_cents
+FROM clamped GROUP BY g ORDER BY g
+"""
+
+_register("orders_winsorized_price_stats", _winsorized_price_stats, _DD_WINSOR)

@@ -155,3 +155,82 @@ class TestKthSmallestHistogram:
 
         with _pt.raises(ValueError, match="exceeds"):
             kth_smallest_histogram(df, "v", 4)
+
+
+class TestWinsorize:
+    """Exact per-group winsorization (operators/ranking.py::winsorize, r10)."""
+
+    def _py_cutoffs(self, vals, lo_ppm, hi_ppm):
+        s = sorted(vals)
+        n = len(s)
+        k_lo = -(-(n * lo_ppm) // 1_000_000)  # ceil
+        k_hi = -(-(n * hi_ppm) // 1_000_000)
+        return s[max(k_lo, 1) - 1], s[max(k_hi, 1) - 1]
+
+    def test_matches_percentile_disc_reference(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+            winsorize,
+        )
+
+        vals = [float(v) for v in (1, 2, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        out = winsorize(df, "x", lo_ppm=100_000, hi_ppm=900_000, scale=1).collect()
+        qlo, qhi = self._py_cutoffs([round(v) for v in vals], 100_000, 900_000)
+        got = sorted(r["x_wins"] for r in out)
+        want = sorted(min(max(round(v), qlo), qhi) for v in vals)
+        assert got == want
+
+    def test_grouped_cutoffs_independent(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+            winsorize,
+        )
+
+        rows = [("a", float(i)) for i in range(1, 101)] + [
+            ("b", float(1000 + i)) for i in range(1, 11)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = winsorize(df, "x", group_col="g", lo_ppm=50_000,
+                        hi_ppm=950_000, scale=1).collect()
+        for g, n in (("a", 100), ("b", 10)):
+            vals = sorted(r["x_wins"] for r in out if r["g"] == g)
+            src = [i for i in range(1, n + 1)] if g == "a" else [
+                1000 + i for i in range(1, 11)]
+            qlo, qhi = self._py_cutoffs(src, 50_000, 950_000)
+            assert vals == sorted(min(max(v, qlo), qhi) for v in src)
+
+    def test_full_range_is_identity_on_quantized(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+            winsorize,
+        )
+
+        df = spark.createDataFrame(
+            [(float(v),) for v in (3, 1, 4, 1, 5)], "x double"
+        )
+        out = sorted(r["x_wins"] for r in
+                     winsorize(df, "x", lo_ppm=0, hi_ppm=1_000_000, scale=1).collect())
+        assert out == [1, 1, 3, 4, 5]
+
+    def test_partitioning_invariant(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+            winsorize,
+        )
+
+        rows = [(float((i * 37) % 251),) for i in range(400)]
+        df = spark.createDataFrame(rows, "x double")
+        vals = {
+            tuple(sorted(r["x_wins"] for r in
+                         winsorize(df.repartition(p), "x", scale=1).collect()))
+            for p in (1, 8, 32)
+        }
+        assert len(vals) == 1
+
+    def test_rejects_bad_ppm(self, spark):
+        import pytest as _pt
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.ranking import (
+            winsorize,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with _pt.raises(ValueError, match="ppm"):
+            winsorize(df, "x", lo_ppm=900_000, hi_ppm=100_000)
