@@ -186,3 +186,78 @@ def calibration_from_score_counts(
         ),
         micro_ratio(F.col("_npos"), F.col("n")).alias("pos_rate_micro"),
     )
+
+
+def ndcg_discounts_micro(k: int) -> list[tuple[int, int]]:
+    """The literal rank-discount table ``(rank, floor(1e6 / log2(rank
+    + 1)))`` for ranks 1..k — computed ONCE in Python so neither engine
+    evaluates a logarithm at query time (the PSI lesson, taken one step
+    further: no runtime transcendental at all, both engines consume
+    identical integer literals)."""
+    import math
+
+    return [(i, int(1_000_000 / math.log2(i + 1))) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """nDCG@k per query — THE graded ranking metric (Järvelin &
+    Kekäläinen 2002) a retrieval stack is tuned against, next to the
+    existing MRR/recall entry.
+
+    ``results``: retrieved ranking ``(query, rank 1.., doc-level
+    rel)``; ``qrels``: the full judged relevance set ``(query, rel)``
+    per query (ideal DCG takes its top-k relevances, so a system is
+    penalized for missing relevant docs it never retrieved — the
+    standard convention, not within-retrieved-set renormalization).
+
+    Exact arithmetic end-to-end: DCG = sum(rel * disc(rank)) over the
+    literal micro-discount table, nDCG in ppm-of-a-million via exact
+    integer floor division; queries with zero ideal gain report NULL.
+
+    Shape: two bounded aggregations (results are <= k rows per query
+    already; the ideal side is a query-partitioned top-k window over
+    qrels) and a broadcast-sized per-query join."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    disc = F.create_map(
+        *[F.lit(x) for pair in ndcg_discounts_micro(k) for x in pair]
+    )
+    dcg = (
+        results.filter(F.col(rank_col) <= k)
+        .withColumn("_d", disc[F.col(rank_col)])
+        .groupBy(query_col)
+        .agg(F.sum(F.col(rel_col) * F.col("_d")).alias("_dcg"))
+    )
+    # rel-desc alone is a sufficient ideal order: equal relevances are
+    # interchangeable across discount slots (rel * disc sums the same
+    # under any tie permutation), so no tie-break column is needed for
+    # determinism.
+    ideal = (
+        qrels.select(query_col, rel_col)
+        .withColumn("_r", F.row_number().over(
+            Window.partitionBy(query_col).orderBy(F.col(rel_col).desc())
+        ))
+        .filter(F.col("_r") <= k)
+        .withColumn("_d", disc[F.col("_r")])
+        .groupBy(query_col)
+        .agg(F.sum(F.col(rel_col) * F.col("_d")).alias("_idcg"))
+    )
+    j = dcg.join(ideal, query_col, "full_outer").fillna(
+        0, subset=["_dcg", "_idcg"]
+    )
+    num = F.col("_dcg") * 1_000_000
+    den = F.col("_idcg")
+    ndcg = ((num - num % den) / den).cast("long")
+    return j.select(
+        query_col,
+        F.col("_dcg").alias("dcg_micro"),
+        F.col("_idcg").alias("idcg_micro"),
+        F.when(F.col("_idcg") > 0, ndcg).alias("ndcg_ppm"),
+    )

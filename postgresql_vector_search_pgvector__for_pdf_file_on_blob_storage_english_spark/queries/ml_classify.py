@@ -294,3 +294,66 @@ FROM agg ORDER BY source, bin
 """
 
 _register("eval_calibration_doclen_en", _eval_calibration, _DD_CALIBRATION)
+
+
+def _eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language nDCG@10 of the length-descending document ranking
+    against the trusted-source relevance label — graded ranking
+    evaluation next to the AUC entry, over the same proxy task.  Exact
+    integers end-to-end: both engines consume the identical literal
+    discount table (no runtime logarithm anywhere)."""
+    from pyspark.sql import Window
+
+    from ..operators.evalmetrics import ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        "n_chars",
+        F.when(F.col("source").isin(*_AUC_TRUSTED), 1).otherwise(0).alias("rel"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    results = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "rel")
+    )
+    qrels = docs.select("query_id", "rel")
+    return ndcg_at_k(results, qrels, k=10).orderBy("query_id")
+
+
+def _dd_ndcg() -> str:
+    from ..operators.evalmetrics import ndcg_discounts_micro
+
+    disc_rows = ", ".join(f"({r}, {d})" for r, d in ndcg_discounts_micro(10))
+    return f"""
+WITH disc(r, d) AS (VALUES {disc_rows}),
+docs AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN source IN {_AUC_TRUSTED} THEN 1 ELSE 0 END AS rel
+  FROM documents
+),
+res AS (
+  SELECT lang, rel,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM docs QUALIFY rk <= 10
+),
+dcg AS (SELECT lang, sum(rel * d) AS dcg FROM res JOIN disc ON rk = r GROUP BY 1),
+ideal AS (
+  SELECT lang, rel,
+         row_number() OVER (PARTITION BY lang ORDER BY rel DESC) AS rk
+  FROM docs QUALIFY rk <= 10
+),
+idcg AS (SELECT lang, sum(rel * d) AS idcg FROM ideal JOIN disc ON rk = r GROUP BY 1)
+SELECT dcg.lang AS query_id,
+       CAST(dcg AS BIGINT) AS dcg_micro, CAST(idcg AS BIGINT) AS idcg_micro,
+       CAST(CASE WHEN idcg > 0 THEN (dcg * 1000000) // idcg END AS BIGINT)
+         AS ndcg_ppm
+FROM dcg JOIN idcg ON dcg.lang = idcg.lang ORDER BY query_id
+"""
+
+
+_register("eval_ndcg_doclen_trusted", _eval_ndcg, _dd_ndcg())

@@ -210,3 +210,91 @@ class TestLeakageSafeSplit:
         ref = {r["doc_id"]: r["split"]
                for r in train_test_split_hash(ref_in, "cluster_id", 10).collect()}
         assert got == ref
+
+
+class TestNdcg:
+    """Graded ranking metric (operators/evalmetrics.py::ndcg_at_k, r10)."""
+
+    def _py_ndcg(self, ranked_rels, all_rels, k=10):
+        import math
+
+        disc = {i: int(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)}
+        dcg = sum(rel * disc[i + 1] for i, rel in enumerate(ranked_rels[:k]))
+        ideal = sorted(all_rels, reverse=True)[:k]
+        idcg = sum(rel * disc[i + 1] for i, rel in enumerate(ideal))
+        return dcg, idcg, (dcg * 1_000_000) // idcg if idcg else None
+
+    def test_matches_python_reference(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.evalmetrics import (
+            ndcg_at_k,
+        )
+
+        ranked = [3, 0, 2, 1, 0]          # retrieved top-5, graded rels
+        judged = [3, 3, 2, 2, 1, 1, 0, 0]  # full qrels (misses two relevant)
+        results = spark.createDataFrame(
+            [("q", i + 1, r) for i, r in enumerate(ranked)],
+            "query_id string, rank int, rel int",
+        )
+        qrels = spark.createDataFrame(
+            [("q", r) for r in judged], "query_id string, rel int"
+        )
+        got = ndcg_at_k(results, qrels, k=5).first()
+        dcg, idcg, ndcg = self._py_ndcg(ranked, judged, k=5)
+        assert (got["dcg_micro"], got["idcg_micro"], got["ndcg_ppm"]) == (
+            dcg, idcg, ndcg,
+        )
+
+    def test_perfect_ranking_is_one(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.evalmetrics import (
+            ndcg_at_k,
+        )
+
+        rels = [5, 4, 3, 2, 1]
+        results = spark.createDataFrame(
+            [("q", i + 1, r) for i, r in enumerate(rels)],
+            "query_id string, rank int, rel int",
+        )
+        qrels = spark.createDataFrame(
+            [("q", r) for r in rels], "query_id string, rel int"
+        )
+        assert ndcg_at_k(results, qrels, k=5).first()["ndcg_ppm"] == 1_000_000
+
+    def test_no_relevant_docs_reports_null(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.evalmetrics import (
+            ndcg_at_k,
+        )
+
+        results = spark.createDataFrame(
+            [("q", 1, 0), ("q", 2, 0)], "query_id string, rank int, rel int"
+        )
+        qrels = spark.createDataFrame(
+            [("q", 0), ("q", 0)], "query_id string, rel int"
+        )
+        r = ndcg_at_k(results, qrels, k=2).first()
+        assert r["ndcg_ppm"] is None and r["idcg_micro"] == 0
+
+    def test_missing_relevant_docs_penalized(self, spark):
+        """Retrieving nothing relevant while qrels hold relevant docs
+        must give 0 — the standard convention, not within-retrieved
+        renormalization."""
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.evalmetrics import (
+            ndcg_at_k,
+        )
+
+        results = spark.createDataFrame(
+            [("q", 1, 0)], "query_id string, rank int, rel int"
+        )
+        qrels = spark.createDataFrame(
+            [("q", 3), ("q", 0)], "query_id string, rel int"
+        )
+        r = ndcg_at_k(results, qrels, k=2).first()
+        assert r["ndcg_ppm"] == 0 and r["idcg_micro"] > 0
+
+    def test_rejects_bad_k(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.evalmetrics import (
+            ndcg_at_k,
+        )
+
+        df = spark.createDataFrame([("q", 1, 0)], "query_id string, rank int, rel int")
+        with pytest.raises(ValueError, match="k must be"):
+            ndcg_at_k(df, df.select("query_id", "rel"), k=0)
