@@ -223,3 +223,86 @@ def prototypicality_prune(
     return ranked.filter(F.col("_rn") > cut).select(
         id_col, label_col, F.round("proto_dist2", 4).alias("proto_dist2")
     )
+
+
+def mine_bitext_margin(
+    df: DataFrame,
+    k: int = 2,
+    margin_threshold: float = 1.05,
+    block_col: str = "block",
+    side_col: str = "side",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix
+    / LASER recipe — public method): candidate translation pairs are
+    the pairs whose cosine STANDS OUT from each side's neighborhood,
+    scored with the ratio margin
+
+        margin(x, y) = 2 * cos(x, y) / (avg_k(x -> tgt) + avg_k(y -> src))
+
+    where ``avg_k`` is the mean cosine of the row's k nearest
+    neighbors on the OTHER side.  Raw cosine ranks false friends (hubs
+    near everything) above true pairs; the margin normalizes by each
+    point's own neighborhood density — the reason every production
+    bitext miner uses it.
+
+    ``df`` carries ``(block, side 'src'|'tgt', id, vec)``.  Mining runs
+    INSIDE blocks (one applyInPandas group per block, one GEMM per
+    side-pair): at 100 TB the blocks come from a coarse quantizer (IVF
+    assignment / LSH bucket — the persisted-index operators here), the
+    standard sharded-mining layout; a block missing either side emits
+    nothing.  Candidates = the union of x's top-k and y's top-k
+    (value-ties at the k-th cosine are all admitted — deterministic,
+    order-free); pairs with ``margin > margin_threshold`` are emitted
+    as ``(block, src_id, tgt_id, cos, margin)`` with RAW double scores
+    (gating entries round with F.round so both engines share one
+    rounding rule).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bt = df.schema[block_col].dataType.simpleString()
+    it = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{block_col} {bt}, src_id {it}, tgt_id {it}, cos double, margin double"
+    )
+
+    def mine(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cols = [block_col, "src_id", "tgt_id", "cos", "margin"]
+        src = pdf[pdf[side_col] == "src"]
+        tgt = pdf[pdf[side_col] == "tgt"]
+        if not len(src) or not len(tgt):
+            return pd.DataFrame(columns=cols)
+        A = np.array(src[vec_col].tolist(), dtype=np.float64)
+        B = np.array(tgt[vec_col].tolist(), dtype=np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        C = A @ B.T  # (S, T) cosines
+        kf, kb = min(k, C.shape[1]), min(k, C.shape[0])
+        top_f = np.sort(C, axis=1)[:, -kf:]          # per-src top-k cosines
+        top_b = np.sort(C, axis=0)[-kb:, :]          # per-tgt top-k cosines
+        avg_f = top_f.mean(axis=1)                   # (S,)
+        avg_b = top_b.mean(axis=0)                   # (T,)
+        margin = 2.0 * C / (avg_f[:, None] + avg_b[None, :])
+        kth_f = top_f[:, 0][:, None]                 # k-th largest per row
+        kth_b = top_b[0, :][None, :]                 # k-th largest per col
+        cand = (C >= kth_f) | (C >= kth_b)
+        keep = cand & (margin > margin_threshold)
+        si, ti = np.nonzero(keep)
+        sids = src[id_col].to_numpy()
+        tids = tgt[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                block_col: pdf[block_col].iloc[0],
+                "src_id": sids[si],
+                "tgt_id": tids[ti],
+                "cos": C[si, ti],
+                "margin": margin[si, ti],
+            },
+            columns=cols,
+        )
+
+    return df.groupBy(block_col).applyInPandas(mine, schema)

@@ -1344,3 +1344,82 @@ FROM agg ORDER BY bin
 """
 
 _register("stream_calibration_replay", _stream_calibration_replay, _DD_STREAM_CAL)
+
+
+# --------------------------------------------------------------------------
+# 20. Margin-based bitext mining (round 10 — operators/mining.py::
+# mine_bitext_margin).  Training-data ACQUISITION, not just cleaning:
+# the CCMatrix/LASER ratio-margin criterion over coarse blocks (here
+# the label quantizer stands in for the IVF assignment a 100x run
+# would block by).  The even/odd vec_id halves play src/tgt corpora.
+# --------------------------------------------------------------------------
+
+_BITEXT_K = 2
+_BITEXT_THR = 1.0
+
+
+def _mine_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mining import mine_bitext_margin
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (F.col("label") % 10).alias("block"),
+        F.when(F.col("vec_id") % 2 == 0, F.lit("src"))
+        .otherwise(F.lit("tgt"))
+        .alias("side"),
+    )
+    out = mine_bitext_margin(
+        emb, k=_BITEXT_K, margin_threshold=_BITEXT_THR
+    )
+    return out.select(
+        "block",
+        "src_id",
+        "tgt_id",
+        F.round("cos", 4).alias("cos"),
+        F.round("margin", 4).alias("margin"),
+    ).orderBy("block", "src_id", "tgt_id")
+
+
+def _dd_bitext() -> str:
+    from ._base import _dd_dot, _dd_norm
+
+    cos = f"{_dd_dot('s.embedding', 't.embedding')} / ({_dd_norm('s.embedding')} * {_dd_norm('t.embedding')})"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, label % 10 AS block,
+         CASE WHEN vec_id % 2 = 0 THEN 'src' ELSE 'tgt' END AS side
+  FROM embeddings
+),
+p AS (
+  SELECT s.block, s.vec_id AS sid, t.vec_id AS tid, {cos} AS cos
+  FROM e s JOIN e t ON s.block = t.block
+  WHERE s.side = 'src' AND t.side = 'tgt'
+),
+fr AS (
+  SELECT block, sid, avg(cos) AS avg_f, min(cos) AS kth_f
+  FROM (SELECT *, row_number() OVER (PARTITION BY block, sid
+                                     ORDER BY cos DESC) AS r
+        FROM p QUALIFY r <= {_BITEXT_K})
+  GROUP BY 1, 2
+),
+bw AS (
+  SELECT block, tid, avg(cos) AS avg_b, min(cos) AS kth_b
+  FROM (SELECT *, row_number() OVER (PARTITION BY block, tid
+                                     ORDER BY cos DESC) AS r
+        FROM p QUALIFY r <= {_BITEXT_K})
+  GROUP BY 1, 2
+)
+SELECT p.block, p.sid AS src_id, p.tid AS tgt_id,
+       round(p.cos, 4) AS cos,
+       round(2.0 * p.cos / (avg_f + avg_b), 4) AS margin
+FROM p
+JOIN fr ON fr.block = p.block AND fr.sid = p.sid
+JOIN bw ON bw.block = p.block AND bw.tid = p.tid
+WHERE (p.cos >= kth_f OR p.cos >= kth_b)
+  AND 2.0 * p.cos / (avg_f + avg_b) > {_BITEXT_THR}
+ORDER BY p.block, src_id, tgt_id
+"""
+
+
+_register("train_mine_bitext_margin", _mine_bitext, _dd_bitext())

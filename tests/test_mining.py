@@ -169,3 +169,94 @@ class TestPrototypicalityPrune:
             prototypicality_prune(self._df(spark), keep="best")
         with _pt.raises(ValueError, match="pct_prune"):
             prototypicality_prune(self._df(spark), pct_prune=101)
+
+
+class TestBitextMargin:
+    """Margin-based bitext mining (operators/mining.py::mine_bitext_margin, r10)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "block long, side string, vec_id long, embedding array<float>"
+        )
+
+    def test_matches_python_reference(self, spark):
+        import numpy as np
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+            mine_bitext_margin,
+        )
+
+        rng = np.random.default_rng(7)
+        src = [(0, "src", i, rng.standard_normal(8).astype(float).tolist())
+               for i in range(5)]
+        tgt = [(0, "tgt", 100 + i, rng.standard_normal(8).astype(float).tolist())
+               for i in range(6)]
+        df = self._df(spark, src + tgt)
+        got = {(r["src_id"], r["tgt_id"]): (r["cos"], r["margin"])
+               for r in mine_bitext_margin(df, k=2, margin_threshold=1.0).collect()}
+
+        # The Spark column is array<float>: values reach the operator
+        # float32-quantized, so the reference must quantize identically.
+        A = np.array([r[3] for r in src], dtype=np.float32).astype(np.float64)
+        B = np.array([r[3] for r in tgt], dtype=np.float32).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        C = A @ B.T
+        tf = np.sort(C, axis=1)[:, -2:]
+        tb = np.sort(C, axis=0)[-2:, :]
+        margin = 2 * C / (tf.mean(axis=1)[:, None] + tb.mean(axis=0)[None, :])
+        cand = (C >= tf[:, 0][:, None]) | (C >= tb[0, :][None, :])
+        want = {}
+        for i, j in zip(*np.nonzero(cand & (margin > 1.0))):
+            want[(i, 100 + j)] = (C[i, j], margin[i, j])
+        assert set(got) == set(want)
+        for key, (c, m) in want.items():
+            assert got[key][0] == pytest.approx(c, abs=1e-9)
+            assert got[key][1] == pytest.approx(m, abs=1e-9)
+
+    def test_margin_demotes_hubs(self, spark):
+        """A hub (near everything on the other side) must score a LOWER
+        margin than a true pair of equal raw cosine — the reason the
+        ratio margin exists."""
+        import numpy as np
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+            mine_bitext_margin,
+        )
+
+        # tgt 100 is a hub: moderately close to BOTH srcs; tgt 101 is
+        # uniquely close to src 1 only.
+        e = lambda *v: [float(x) for x in v]
+        rows = [
+            (0, "src", 0, e(1, 0.3, 0, 0)),
+            (0, "src", 1, e(0, 1, 0, 0)),
+            (0, "tgt", 100, e(0.7, 0.7, 0.2, 0)),   # hub
+            (0, "tgt", 101, e(0, 1, 0.05, 0)),      # true pair of src 1
+            (0, "tgt", 102, e(0, 0, 0, 1)),         # background
+        ]
+        out = {(r["src_id"], r["tgt_id"]): r["margin"]
+               for r in mine_bitext_margin(self._df(spark, rows), k=2,
+                                           margin_threshold=0.0).collect()}
+        assert out[(1, 101)] > out[(1, 100)]
+
+    def test_block_missing_side_emits_nothing(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+            mine_bitext_margin,
+        )
+
+        rows = [
+            (0, "src", 0, [1.0, 0.0]), (0, "src", 1, [0.0, 1.0]),
+            (1, "src", 2, [1.0, 0.0]), (1, "tgt", 100, [1.0, 0.1]),
+        ]
+        got = mine_bitext_margin(self._df(spark, rows), k=1,
+                                 margin_threshold=0.0).collect()
+        assert {r["block"] for r in got} == {1}
+
+    def test_rejects_bad_k(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.mining import (
+            mine_bitext_margin,
+        )
+
+        df = self._df(spark, [(0, "src", 0, [1.0])])
+        with pytest.raises(ValueError, match="k must be"):
+            mine_bitext_margin(df, k=0)
