@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -166,3 +167,97 @@ def fs_score_pairs(
     return c.join(d, "_blk").select(
         "clean_id", "dirty_id", score.alias("score_micro")
     )
+
+
+# ==========================================================================
+# Jaro-Winkler string similarity — the APPROXIMATE-agreement comparator
+# the Fellegi-Sunter scorer above plugs in when exact field equality is
+# too brittle (typos, token swaps).  Implemented as an Arrow-batched
+# pandas UDF replicating the reference algorithm bit-for-bit (verified
+# exactly equal to DuckDB's jaro_winkler_similarity on 4000 randomized
+# cases in tests): Jaro with the max(l1,l2)/2 - 1 match window and
+# sequential transposition count, then the Winkler boost
+# j + p*0.1*(1-j) applied only when j > 0.7 with prefix p capped at 4.
+# Empty strings score 0.0 (DuckDB convention), even against themselves.
+# ==========================================================================
+
+
+def jaro_winkler_py(s1: str, s2: str) -> float:
+    """Reference implementation (driver/UDF shared; pure python)."""
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    m2 = [False] * l2
+    m1 = [False] * l1
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / l1 + m / l2 + (m - t) / m) / 3
+    if j > 0.7:
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            p += 1
+        j += p * 0.1 * (1 - j)
+    return j
+
+
+def jaro_winkler_col(a, b):
+    """Column-level Jaro-Winkler via an Arrow-batched pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [jaro_winkler_py(x or "", y or "") for x, y in zip(s1, s2)],
+            dtype="float64",
+        )
+
+    return _jw(F.col(a) if isinstance(a, str) else a,
+               F.col(b) if isinstance(b, str) else b)
+
+
+def jw_blocked_pairs(
+    names: DataFrame,
+    name_col: str,
+    block_col: str,
+) -> DataFrame:
+    """All within-block unordered pairs of DISTINCT name values scored
+    with Jaro-Winkler.  ``names`` must already be the distinct-value
+    relation (carry a count column alongside if row mass matters —
+    the Ed-Join distinct-value discipline: candidate generation is
+    quadratic only within a block and only over VALUES, never rows).
+
+    Returns ``(name_a, name_b, jw)`` with name_a < name_b.
+    """
+    a = names.select(
+        F.col(name_col).alias("name_a"), F.col(block_col).alias("_blk")
+    )
+    b = names.select(
+        F.col(name_col).alias("name_b"), F.col(block_col).alias("_blk2")
+    )
+    pairs = a.join(
+        b, (F.col("_blk") == F.col("_blk2")) & (F.col("name_a") < F.col("name_b"))
+    ).select("name_a", "name_b")
+    return pairs.withColumn("jw", jaro_winkler_col("name_a", "name_b"))

@@ -1236,3 +1236,76 @@ FROM clamped GROUP BY g ORDER BY g
 """
 
 _register("orders_winsorized_price_stats", _winsorized_price_stats, _DD_WINSOR)
+
+
+# ==========================================================================
+# Daily activity streaks (round 10) — operators/nonparam.py::
+# daily_streaks.  The gaps-and-islands primitive: per-user runs of
+# consecutive active days (the "7-day streak" engagement metric), top
+# 20 users by longest run.  Every window is partitioned by user_id;
+# the per-user relation is distinct active DAYS, calendar-bounded.
+# ==========================================================================
+
+
+def _events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by longest consecutive-day activity streak, with
+    total active days, number of islands, and the start (epoch day)
+    of the earliest longest streak."""
+    from ..operators.nonparam import daily_streaks
+
+    runs = daily_streaks(_events(spark, sf_dir), "user_id", "ts")
+    per_user = runs.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+    )
+    start = (
+        runs.join(
+            F.broadcast(per_user.select("user_id", "longest_streak")), "user_id"
+        )
+        .filter(F.col("streak_len") == F.col("longest_streak"))
+        .groupBy("user_id")
+        .agg(F.min("start_epochday").alias("longest_start_epochday"))
+    )
+    return (
+        per_user.join(start, "user_id")
+        .orderBy(F.col("longest_streak").desc(), "user_id")
+        .limit(20)
+        .select(
+            "user_id", "n_active_days", "n_streaks",
+            "longest_streak", "longest_start_epochday",
+        )
+    )
+
+
+_register(
+    "events_activity_streaks",
+    _events_streaks,
+    """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))::BIGINT AS ed
+  FROM events
+),
+islands AS (
+  SELECT user_id, anchor, min(ed2) AS start_epochday, count(*)::BIGINT AS streak_len
+  FROM (
+    SELECT user_id, ed AS ed2,
+           ed - row_number() OVER (PARTITION BY user_id ORDER BY ed) AS anchor
+    FROM d
+  ) GROUP BY user_id, anchor
+),
+per_user AS (
+  SELECT user_id, sum(streak_len)::BIGINT AS n_active_days,
+         count(*)::BIGINT AS n_streaks, max(streak_len)::BIGINT AS longest_streak
+  FROM islands GROUP BY user_id
+)
+SELECT p.user_id, p.n_active_days, p.n_streaks, p.longest_streak,
+       min(i.start_epochday)::BIGINT AS longest_start_epochday
+FROM per_user p JOIN islands i
+  ON p.user_id = i.user_id AND i.streak_len = p.longest_streak
+GROUP BY p.user_id, p.n_active_days, p.n_streaks, p.longest_streak
+ORDER BY p.longest_streak DESC, p.user_id
+LIMIT 20
+""",
+)

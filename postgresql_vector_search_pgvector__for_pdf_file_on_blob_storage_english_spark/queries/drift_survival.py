@@ -550,3 +550,110 @@ FROM scored
 """
 
 _register("stats_mutual_info_lang_source", _stats_mutual_info, _DD_MI)
+
+
+# ==========================================================================
+# Mann-Whitney U (round 10) — operators/nonparam.py::mann_whitney_u.
+# Two-sample rank test between URGENT and LOW order-price
+# distributions: the distribution-free sibling of the KS entry above,
+# with AVERAGE tie-ranks carried as exact doubled integers.  Same
+# scale shape as KS: one partial-agg groupBy to (distinct cents,
+# per-group counts), then one cumulative window over that bounded
+# domain relation.
+# ==========================================================================
+
+_MW_A = "1-URGENT"
+_MW_B = "5-LOW"
+
+
+def _stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact Mann-Whitney U report: does URGENT pricing
+    stochastically dominate LOW?  auc_ppm is the common-language
+    effect size in ppm, exact via HUGEINT/DECIMAL division."""
+    from ..operators.nonparam import mann_whitney_u
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_MW_A, _MW_B)
+    )
+    prepped = orders.select(
+        _cents().alias("v"),
+        (F.col("o_orderpriority") == _MW_A).cast("long").alias("is_a"),
+    )
+    return mann_whitney_u(prepped, "v", "is_a")
+
+
+_DD_MW = f"""
+WITH s AS (
+  SELECT {_CENTS} AS v, (o_orderpriority = '{_MW_A}')::BIGINT AS is_a
+  FROM orders WHERE o_orderpriority IN ('{_MW_A}', '{_MW_B}')
+),
+per_v AS (SELECT v, sum(is_a)::BIGINT AS a, sum(1 - is_a)::BIGINT AS b FROM s GROUP BY v),
+cum AS (
+  SELECT v, a, b,
+         coalesce(sum(a + b) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM per_v
+),
+agg AS (
+  SELECT sum(a)::HUGEINT AS na, sum(b)::HUGEINT AS nb,
+         sum(a::HUGEINT * (2 * cb + a + b + 1)) AS r2a
+  FROM cum
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(r2a AS BIGINT) AS r2_a,
+       CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+       CAST(2 * na * nb - (r2a - na * (na + 1)) AS BIGINT) AS u2_b,
+       CAST(((r2a - na * (na + 1)) * 1000000) // (2 * na * nb) AS BIGINT) AS auc_ppm
+FROM agg
+"""
+
+_register("stats_mannwhitney_price", _stats_mannwhitney, _DD_MW)
+
+
+# ==========================================================================
+# Theil-Sen robust trend (round 10) — operators/nonparam.py::
+# theil_sen_micro.  Median of pairwise slopes over the MONTHLY revenue
+# series: the estimator a 29%-outlier-contaminated trend still
+# survives, where the OLS line (stats_linreg) does not.  The pair
+# relation is calendar^2-bounded (~80 months -> ~3k pairs at any
+# corpus scale); the winning slope is re-derived as an exact
+# floor-division integer in micro-cents/month.
+# ==========================================================================
+
+
+def _stats_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Theil-Sen slope of monthly revenue (micro-cents per
+    month).  Scale shape: fact scan -> partial-agg groupBy to months
+    -> bounded self-join + one ordered window over ~3k pair rows."""
+    from ..operators.nonparam import theil_sen_micro
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx")
+    ).agg(F.sum(_cents()).alias("rev"))
+    return theil_sen_micro(monthly, "mx", "rev")
+
+
+_DD_TS = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+         sum({_CENTS})::BIGINT AS rev
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT a.mx AS xi, b.mx AS xj, b.mx - a.mx AS dx, b.rev - a.rev AS dy,
+         (b.rev - a.rev)::DOUBLE / (b.mx - a.mx)::DOUBLE AS slope_dbl
+  FROM monthly a JOIN monthly b ON a.mx < b.mx
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY slope_dbl, xi, xj) AS rn,
+         count(*) OVER () AS cnt
+  FROM pairs
+)
+SELECT (SELECT count(*) FROM monthly)::BIGINT AS n_points,
+       cnt::BIGINT AS n_pairs,
+       CAST(CASE WHEN dy >= 0 THEN (dy * 1000000) // dx
+                 ELSE -((-dy * 1000000 + dx - 1) // dx) END AS BIGINT) AS slope_micro
+FROM ranked WHERE rn = (cnt + 1) // 2
+"""
+
+_register("stats_theilsen_revenue_trend", _stats_theilsen, _DD_TS)

@@ -357,3 +357,89 @@ FROM dcg JOIN idcg ON dcg.lang = idcg.lang ORDER BY query_id
 
 
 _register("eval_ndcg_doclen_trusted", _eval_ndcg, _dd_ndcg())
+
+
+# ==========================================================================
+# Supervised categorical encoding (round 10) — operators/encoding.py.
+# Leave-one-out target encoding (the leakage-safe mean encoder) and
+# the WOE/IV scorecard audit, both one partial-agg groupBy to the
+# category/bucket domain + broadcast joins — no window, no float mean.
+# ==========================================================================
+
+
+def _ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 500 docs with the leave-one-out encoded `source` feature
+    against the lang='en' target, in exact ppm.  The encoding table is
+    bounded by the source domain; raw rows take one broadcast join."""
+    from ..operators.encoding import target_encode_loo
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", (F.col("lang") == "en").cast("long").alias("y")
+    )
+    return (
+        target_encode_loo(docs, "source", "y")
+        .select("doc_id", "source", "y", "loo_ppm")
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+_DD_TE_LOO = """
+WITH s AS (
+  SELECT doc_id, source, (lang = 'en')::BIGINT AS y FROM documents
+),
+g AS (SELECT source, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy FROM s GROUP BY 1)
+SELECT s.doc_id, s.source, s.y,
+       CASE WHEN g.n > 1
+            THEN ((g.sy - s.y) * 1000000) // (g.n - 1) END AS loo_ppm
+FROM s JOIN g USING (source)
+ORDER BY s.doc_id
+LIMIT 500
+"""
+
+_register("ml_target_encode_loo", _ml_target_encode, _DD_TE_LOO)
+
+
+def _ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE/IV scorecard of the doc-length bucket (width 64 chars)
+    against the trusted-source label: per-bucket micro-nat WOE plus
+    the feature-level IV repeated on each row.  Bucket relation is
+    bounded by the LENGTH DOMAIN / 64 at any corpus scale."""
+    from ..operators.encoding import woe_iv
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.expr("n_chars div 64").alias("b"),
+        F.col("source").isin(*_AUC_TRUSTED).cast("long").alias("y"),
+    )
+    return woe_iv(docs, "b", "y").orderBy("bucket")
+
+
+_DD_WOE = f"""
+WITH s AS (
+  SELECT n_chars // 64 AS b, (source IN {_AUC_TRUSTED})::BIGINT AS y
+  FROM documents
+),
+per_b AS (
+  SELECT b AS bucket, sum(y)::BIGINT + 1 AS g,
+         sum(1 - y)::BIGINT + 1 AS bb
+  FROM s GROUP BY 1
+),
+tot AS (SELECT sum(g)::BIGINT AS gt, sum(bb)::BIGINT AS bt FROM per_b),
+scored AS (
+  SELECT bucket, g, bb, gt, bt,
+         CAST(floor(ln((g * bt)::DOUBLE / (bb * gt)) * 1000000 + 0.5) AS BIGINT) AS woe_micro
+  FROM per_b, tot
+),
+-- the IV numerator is provably >= 0 (each term's factors share sign),
+-- so // here equals Spark's truncating div
+iv AS (
+  SELECT CAST(sum((g::HUGEINT * bt - bb::HUGEINT * gt) * woe_micro)
+              // (max(gt)::HUGEINT * max(bt)) AS BIGINT) AS iv_micro
+  FROM scored
+)
+SELECT bucket, g - 1 AS n_good, bb - 1 AS n_bad, woe_micro, iv_micro
+FROM scored, iv
+ORDER BY bucket
+"""
+
+_register("ml_woe_iv_doclen", _ml_woe_iv, _DD_WOE)

@@ -1423,3 +1423,122 @@ ORDER BY p.block, src_id, tgt_id
 
 
 _register("train_mine_bitext_margin", _mine_bitext, _dd_bitext())
+
+
+# ==========================================================================
+# k-center greedy coreset (round 10) — operators/coreset.py.  The
+# diversity-selection counterpart of DSIR/prototype picks: k rounds of
+# farthest-point selection, each a full-scan argmax (TakeOrdered(1),
+# map-side reduced) with the engine-wide sequential-fold l2^2 and a
+# vec_id tiebreak; seed = min vec_id.  Oracle = the same k rounds
+# unrolled as CTEs with identical fold order and least() chaining.
+# ==========================================================================
+
+_KCENTER_K = 6
+
+
+def _train_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.coreset import kcenter_greedy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, "embedding", "vec_id", _KCENTER_K).orderBy(
+        "sel_order"
+    )
+
+
+def _dd_kcenter(k: int) -> str:
+    def l2sq(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a})+1), "
+            f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
+        f"m1 AS (SELECT e.vec_id, e.embedding, {l2sq('e.embedding', 'c1.embedding')} AS mind FROM e, c1)",
+    ]
+    for i in range(2, k + 1):
+        prev = f"m{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT vec_id, embedding, mind FROM {prev} "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"m{i} AS (SELECT p.vec_id, p.embedding, "
+                f"least(p.mind, {l2sq('p.embedding', f'c{i}.embedding')}) AS mind "
+                f"FROM {prev} p, c{i})"
+            )
+    selects = ["SELECT 1 AS sel_order, vec_id, CAST(NULL AS DOUBLE) AS dist FROM c1"] + [
+        f"SELECT {i} AS sel_order, vec_id, round(sqrt(mind), 4) AS dist FROM c{i}"
+        for i in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY sel_order"
+    )
+
+
+_register("train_kcenter_coreset", _train_kcenter, _dd_kcenter(_KCENTER_K))
+
+
+# ==========================================================================
+# Jaro-Winkler blocked linkage (round 10) — operators/linkage.py::
+# jw_blocked_pairs.  The approximate-agreement comparator for the FS
+# scorer, gated against DuckDB's NATIVE jaro_winkler_similarity (the
+# pandas-UDF implementation is bit-identical — verified on 4000
+# randomized cases in tests/test_linkage.py).  Distinct-value form:
+# pairs are quadratic only within a (first-token) block and only over
+# the 64-value name domain, never over part rows.
+# ==========================================================================
+
+
+def _linkage_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linkage import jw_blocked_pairs
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_rows_a"))
+        .withColumn("blk", F.split(F.col("name"), " ").getItem(0))
+    )
+    pairs = jw_blocked_pairs(names.select("name", "blk"), "name", "blk")
+    counts = names.select("name", "n_rows_a")
+    out = (
+        pairs.join(F.broadcast(counts), pairs.name_a == counts.name)
+        .drop("name")
+        .withColumnRenamed("n_rows_a", "rows_a")
+        .join(
+            F.broadcast(counts.withColumnRenamed("n_rows_a", "rows_b")),
+            F.col("name_b") == F.col("name"),
+        )
+        .drop("name")
+    )
+    return (
+        out.orderBy(F.col("jw").desc(), "name_a", "name_b")
+        .limit(20)
+        .select("name_a", "name_b", "rows_a", "rows_b", F.round("jw", 4).alias("jw_r4"))
+    )
+
+
+_DD_JW = """
+WITH names AS (
+  SELECT p_name AS name, count(*)::BIGINT AS n_rows,
+         split_part(p_name, ' ', 1) AS blk
+  FROM part GROUP BY 1
+),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b, a.n_rows AS rows_a,
+         b.n_rows AS rows_b,
+         jaro_winkler_similarity(a.name, b.name) AS jw
+  FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+)
+SELECT name_a, name_b, rows_a, rows_b, round(jw, 4) AS jw_r4
+FROM pairs
+ORDER BY jw DESC, name_a, name_b
+LIMIT 20
+"""
+
+_register("linkage_jw_name_pairs", _linkage_jw, _DD_JW)

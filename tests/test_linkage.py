@@ -95,3 +95,66 @@ class TestScoring:
         w = fs_weights(clean, dirty, truth, ["name"])
         with pytest.raises(ValueError, match="no weights"):
             fs_score_pairs(clean, dirty, w, ["name", "grade"], "blk")
+
+
+class TestJaroWinkler:
+    def test_bit_exact_vs_duckdb_randomized(self, spark):
+        # the cross-engine gate stands on bit-identical doubles: verify
+        # the python reference against DuckDB's native implementation on
+        # randomized word-strings AND short adversarial alphabets
+        import random
+
+        import duckdb
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.linkage import (
+            jaro_winkler_py,
+        )
+
+        con = duckdb.connect()
+        rng = random.Random(20260816)
+        words = ["golden", "rod", "lavender", "spring", "lace", "navy"]
+        cases = []
+        for _ in range(700):
+            cases.append(
+                (
+                    " ".join(rng.choices(words, k=rng.randint(1, 4))),
+                    " ".join(rng.choices(words, k=rng.randint(1, 4))),
+                )
+            )
+        for _ in range(700):
+            cases.append(
+                (
+                    "".join(rng.choices("abcd", k=rng.randint(0, 10))),
+                    "".join(rng.choices("abcd", k=rng.randint(0, 10))),
+                )
+            )
+        cases += [("", ""), ("a", ""), ("martha", "marhta"), ("x", "x")]
+        for s1, s2 in cases:
+            d = con.execute(
+                "select jaro_winkler_similarity(?, ?)", [s1, s2]
+            ).fetchone()[0]
+            assert jaro_winkler_py(s1, s2) == d, (s1, s2)
+
+    def test_known_values(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.linkage import (
+            jaro_winkler_py,
+        )
+
+        assert jaro_winkler_py("martha", "marhta") == pytest.approx(0.9611111111111111)
+        assert jaro_winkler_py("same", "same") == 1.0
+        assert jaro_winkler_py("", "") == 0.0  # DuckDB convention
+        assert jaro_winkler_py("abc", "xyz") == 0.0
+
+    def test_blocked_pairs_stay_in_block(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.linkage import (
+            jw_blocked_pairs,
+        )
+
+        names = spark.createDataFrame(
+            [("red bolt", "red"), ("red boat", "red"), ("blue bolt", "blue")],
+            "name string, blk string",
+        )
+        rows = jw_blocked_pairs(names, "name", "blk").collect()
+        assert len(rows) == 1  # cross-block candidates never form
+        assert rows[0].name_a == "red boat" and rows[0].name_b == "red bolt"
+        assert 0.9 < rows[0].jw < 1.0

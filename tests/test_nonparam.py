@@ -1,0 +1,133 @@
+"""Nonparametric family: Mann-Whitney U (exact tie handling),
+Theil-Sen slope (exact micro floor-division, negative branch), and
+gaps-and-islands daily streaks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+    daily_streaks,
+    mann_whitney_u,
+    theil_sen_micro,
+)
+
+
+class TestMannWhitney:
+    def test_hand_computed_with_ties(self, spark):
+        # A = [1, 2, 2], B = [2, 3].  Pooled average ranks:
+        # v=1 -> 1; v=2 (three-way tie, ranks 2,3,4) -> 3; v=3 -> 5.
+        # R_A = 1 + 3 + 3 = 7 -> r2_a = 14; U_A = R_A - nA(nA+1)/2 = 1
+        # -> u2_a = 2; u2_b = 2*3*2 - 2 = 10; AUC = 1/6.
+        df = spark.createDataFrame(
+            [(1, 1), (2, 1), (2, 1), (2, 0), (3, 0)], "v long, is_a long"
+        )
+        row = mann_whitney_u(df, "v", "is_a").collect()[0]
+        assert (row.n_a, row.n_b) == (3, 2)
+        assert row.r2_a == 14
+        assert row.u2_a == 2
+        assert row.u2_b == 10
+        assert row.auc_ppm == 1_000_000 // 6
+
+    def test_no_overlap_gives_full_dominance(self, spark):
+        df = spark.createDataFrame(
+            [(10, 1), (11, 1), (1, 0), (2, 0)], "v long, is_a long"
+        )
+        row = mann_whitney_u(df, "v", "is_a").collect()[0]
+        assert row.u2_a == 2 * row.n_a * row.n_b  # every A beats every B
+        assert row.auc_ppm == 1_000_000
+
+    def test_identical_samples_are_half(self, spark):
+        df = spark.createDataFrame(
+            [(5, 1), (7, 1), (5, 0), (7, 0)], "v long, is_a long"
+        )
+        row = mann_whitney_u(df, "v", "is_a").collect()[0]
+        assert row.u2_a == row.u2_b
+        assert row.auc_ppm == 500_000
+
+
+class TestTheilSen:
+    def test_exact_line_recovers_slope(self, spark):
+        # y = 7x + 3: every pairwise slope is exactly 7.
+        rows = [(x, 7 * x + 3) for x in range(1, 9)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        row = theil_sen_micro(df, "x", "y").collect()[0]
+        assert row.n_points == 8
+        assert row.n_pairs == 8 * 7 // 2
+        assert row.slope_micro == 7_000_000
+
+    def test_outlier_resistant_where_mean_is_not(self, spark):
+        # y = 2x with one wild outlier; the median slope stays 2.
+        rows = [(x, 2 * x) for x in range(1, 10)]
+        rows[4] = (5, 1000)
+        df = spark.createDataFrame(rows, "x long, y long")
+        row = theil_sen_micro(df, "x", "y").collect()[0]
+        assert row.slope_micro == 2_000_000
+
+    def test_negative_slope_floor_division(self, spark):
+        # y = -3x - 1 exactly: slope_micro must be -3_000_000 (the
+        # negative branch must not truncate toward zero).
+        rows = [(x, -3 * x - 1) for x in range(1, 7)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        row = theil_sen_micro(df, "x", "y").collect()[0]
+        assert row.slope_micro == -3_000_000
+
+    def test_negative_non_integral_slope_floors(self, spark):
+        # two points, slope -1/3: floor(-1000000/3) = -333334
+        df = spark.createDataFrame([(0, 0), (3, -1)], "x long, y long")
+        row = theil_sen_micro(df, "x", "y").collect()[0]
+        assert row.slope_micro == -333_334
+
+
+class TestDailyStreaks:
+    def test_islands_split_on_gaps(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-03"),
+                (1, "2024-01-05"),
+                (2, "2024-01-01"), (2, "2024-01-01"),  # same day twice
+            ],
+            "user_id long, ts string",
+        ).select("user_id", F.to_timestamp("ts").alias("ts"))
+        runs = {
+            (r.user_id, r.start_epochday): r.streak_len
+            for r in daily_streaks(df, "user_id", "ts").collect()
+        }
+        d0 = 19723  # 2024-01-01 epoch day
+        assert runs == {(1, d0): 3, (1, d0 + 4): 1, (2, d0): 1}
+
+    def test_single_long_run(self, spark):
+        df = spark.createDataFrame(
+            [(9, f"2024-02-{d:02d}") for d in range(1, 11)],
+            "user_id long, ts string",
+        ).select("user_id", F.to_timestamp("ts").alias("ts"))
+        rows = daily_streaks(df, "user_id", "ts").collect()
+        assert len(rows) == 1 and rows[0].streak_len == 10
+
+
+class TestRegisteredEntries:
+    @pytest.mark.parametrize(
+        "name",
+        ["stats_mannwhitney_price", "stats_theilsen_revenue_trend",
+         "events_activity_streaks"],
+    )
+    def test_smoke_shapes(self, spark, sf_dir, name):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY[name]
+        df = fn(spark, sf_dir)
+        rows = df.collect()
+        assert sql is not None
+        assert len(rows) >= 1
+        if name == "stats_mannwhitney_price":
+            r = rows[0]
+            assert r.u2_a + r.u2_b == 2 * r.n_a * r.n_b
+            assert 0 <= r.auc_ppm <= 1_000_000
+        if name == "events_activity_streaks":
+            assert all(r.longest_streak >= 1 for r in rows)
+            # sorted by longest desc then user_id
+            keys = [(-r.longest_streak, r.user_id) for r in rows]
+            assert keys == sorted(keys)

@@ -283,6 +283,12 @@ class TestRegistryWindowSweep:
         "stats_ks_price_drift",
         # distinct-gap-days relation — bounded by the calendar span
         "customer_survival_km",
+        # r10 nonparametric family, same reduced-relation contract:
+        # distinct-price-cents relation (rank cumulation, like KS above)
+        "stats_mannwhitney_price",
+        # month-PAIR relation — bounded by calendar span squared (~3k
+        # rows for 80 months at any corpus scale)
+        "stats_theilsen_revenue_trend",
     }
 
     def test_no_single_partition_ordered_windows(self, spark):
