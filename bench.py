@@ -106,6 +106,11 @@ HEADLINE = [
     "dedup_winnow_shared_fp",  # r9w3: MOSS winnowing — char-gram hashing + packed-key window min
     "dedup_cdc_chunk_dupes",  # r9w3: content-defined chunking — one hash per character, lag window
     "customer_survival_km",  # r9w3: Kaplan-Meier — per-customer lead + bounded risk-set windows
+    "train_kcenter_coreset",  # r10: k rounds of full-scan argmax (iterative selection class)
+    "events_activity_streaks",  # r10: gaps-and-islands over per-user distinct days
+    "linkage_jw_name_pairs",  # r10: Arrow-batched pandas-UDF comparator over blocked distinct values
+    "graph_link_prediction_jaccard",  # r10: hub-capped wedge join + anti-join (candidate-generation class)
+    "stats_bootstrap_ci_revenue",  # r10: B=20 in-map replicate explode, partial-agg to B rows
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

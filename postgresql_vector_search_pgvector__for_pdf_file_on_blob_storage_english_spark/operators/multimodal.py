@@ -400,3 +400,57 @@ def image_ahash(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(run, schema)
+
+
+def audio_silence_runs(
+    df: DataFrame,
+    threshold: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Silence-run analysis — the primitive under silence trimming /
+    voice-activity gating in audio corpus prep: maximal runs of
+    consecutive samples with ``|s| < threshold``.
+
+    Returns per media: ``n_samples, n_silent, n_runs, longest_run,
+    longest_start`` (start index of the EARLIEST maximal-length run;
+    zeros/NULL start when no sample is silent).
+
+    Scale shape: runs are found with numpy edge-detection INSIDE the
+    same Arrow batch that decoded the samples — the waveform never
+    leaves the worker, nothing is exploded, and the operator's output
+    is one row per media regardless of duration.
+    """
+    import pandas as pd
+
+    schema = T.StructType.fromDDL(
+        f"{id_col} long, n_samples long, n_silent long, n_runs long, "
+        "longest_run long, longest_start long"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                s, _rate = decode_audio(bytes(blob))
+                mask = np.abs(s.astype(np.int64)) < threshold
+                n = len(s)
+                if n == 0 or not mask.any():
+                    rows.append((mid, n, 0, 0, 0, None))
+                    continue
+                edges = np.diff(mask.astype(np.int8))
+                starts = np.flatnonzero(edges == 1) + 1
+                ends = np.flatnonzero(edges == -1) + 1
+                if mask[0]:
+                    starts = np.concatenate(([0], starts))
+                if mask[-1]:
+                    ends = np.concatenate((ends, [n]))
+                lens = ends - starts
+                li = int(np.argmax(lens))  # first maximal run
+                rows.append(
+                    (mid, n, int(mask.sum()), len(lens),
+                     int(lens[li]), int(starts[li]))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)

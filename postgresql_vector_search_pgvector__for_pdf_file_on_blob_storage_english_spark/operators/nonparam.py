@@ -158,3 +158,71 @@ def daily_streaks(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
         .agg(F.min("_d").alias("start_epochday"), F.count(F.lit(1)).alias("streak_len"))
         .select(F.col("_k").alias(key_col), "start_epochday", "streak_len")
     )
+
+
+# ==========================================================================
+# Poisson bootstrap — THE scalable bootstrap: classic resampling draws
+# n rows with replacement (impossible to coordinate across a cluster);
+# the Poisson approximation gives every row an independent Poisson(1)
+# weight per replicate, which needs no coordination at all and is
+# exact as n -> inf (Chamandy et al., "Estimating uncertainty for
+# massive data streams", Google 2012 — the production method for CIs
+# over data too large to resample).
+#
+# Determinism: the weight is a literal-threshold inverse-CDF lookup on
+# the engine-wide salted 60-bit md5 of (replicate, row id) — the
+# thresholds below are floor(CDF_Poisson(1)(k) * 2^60) computed ONCE in
+# python and embedded as integer literals on BOTH engines, so weights
+# (and therefore every replicate aggregate) are exact integers.  The
+# tail is truncated at w = 9 (P ~ 1.1e-6, shared by construction).
+# ==========================================================================
+
+POISSON1_T60 = (
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776, 1152920207336574720,
+)
+
+
+def poisson_weight_expr(b_col: str, id_col: str) -> str:
+    """Spark SQL expression string for the Poisson(1) weight of row
+    ``id_col`` in replicate ``b_col``: count of literal thresholds at
+    or below the salted 60-bit md5 hash.  (The DuckDB oracle spells the
+    same thresholds with its own md5-to-int idiom.)"""
+    h = (
+        f"CAST(conv(substring(md5(concat('boot', CAST({b_col} AS STRING), '§', "
+        f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    w = " + ".join(f"(CASE WHEN {h} >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_T60)
+    return w
+
+
+def poisson_bootstrap_means(
+    df: DataFrame, id_col: str, value_col: str, n_replicates: int = 20
+) -> DataFrame:
+    """Per-replicate weighted means of an integral ``value_col`` in
+    exact micro units: ``(b, n_eff, mean_micro)``, one row per
+    replicate.
+
+    Scale shape: one in-map explode of the replicate array (B x CPU,
+    never B x shuffle — the groupBy partial-aggregates to B rows per
+    partition before the exchange), then a B-row aggregate.  No
+    resampled copy of the data ever exists.
+    """
+    if n_replicates < 2:
+        raise ValueError(f"need >= 2 replicates, got {n_replicates}")
+    reps = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("_x"),
+        F.explode(F.array(*[F.lit(b) for b in range(n_replicates)])).alias("b"),
+    )
+    w = F.expr(poisson_weight_expr("b", "_id"))
+    agg = reps.select("b", "_x", w.alias("_w")).groupBy("b").agg(
+        F.sum("_w").alias("n_eff"),
+        F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_x")).alias("_sx"),
+    )
+    return agg.selectExpr(
+        "b",
+        "CAST(n_eff AS BIGINT) AS n_eff",
+        "CAST((_sx * 1000000) div n_eff AS BIGINT) AS mean_micro",
+    )

@@ -523,3 +523,39 @@ def kmv_set_estimates(
         jac.alias("jaccard"),
         (jac * est_u).alias("est_intersect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-priority reservoir: a fixed-size UNIFORM ROW SAMPLE as a
+# mergeable summary.  Classic reservoir sampling is sequential; the
+# distributed form keeps the k rows with the SMALLEST salted-hash
+# priority — any fixed hash of a unique row id is a uniform random
+# order, so bottom-k by priority IS a uniform k-sample, and the merge
+# law is union-then-truncate exactly like KMV (idempotent: a replayed
+# batch contributes identical (hv, payload) rows the distinct fold
+# absorbs).  Unlike KMV this carries the ROW PAYLOAD, not just the
+# hash — it is a sample, not a cardinality sketch.
+# ---------------------------------------------------------------------------
+
+
+def reservoir_sample(
+    df: DataFrame, id_col: str, payload_cols: list[str] | tuple[str, ...], k: int
+) -> DataFrame:
+    """Bottom-k rows by the 60-bit salted-md5 priority of ``id_col``.
+
+    ``id_col`` must be unique per row (it defines the permutation).
+    Sort + limit compiles to TakeOrderedAndProject — per-partition
+    top-k, k rows to one reducer, no global sort.  Returns
+    ``(hv, <payload_cols>)``."""
+    pr = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("§", F.lit("rsv"), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .select(pr.alias("hv"), *payload_cols)
+        .orderBy("hv")
+        .limit(k)
+    )

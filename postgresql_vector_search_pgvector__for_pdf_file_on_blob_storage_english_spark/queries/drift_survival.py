@@ -657,3 +657,79 @@ FROM ranked WHERE rn = (cnt + 1) // 2
 """
 
 _register("stats_theilsen_revenue_trend", _stats_theilsen, _DD_TS)
+
+
+# ==========================================================================
+# Poisson bootstrap CI (round 10) — operators/nonparam.py::
+# poisson_bootstrap_means.  Uncertainty for the mean order price
+# WITHOUT resampling the data: B=20 independent Poisson(1) row weights
+# from literal inverse-CDF thresholds on the salted md5 (exact
+# integers both engines), replicate means in exact micro-cents, CI =
+# the 2nd / 19th order statistics (the 5%/95% percentile bootstrap at
+# B=20).  The only post-aggregate stage is over the B-row replicate
+# relation — bounded by construction.
+# ==========================================================================
+
+_BOOT_B = 20
+
+
+def _stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nonparam import poisson_bootstrap_means
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents().alias("cents")
+    )
+    means = poisson_bootstrap_means(orders, "o_orderkey", "cents", _BOOT_B)
+    w = Window.orderBy("mean_micro")
+    ranked = means.withColumn("rn", F.row_number().over(w))
+    ci = ranked.agg(
+        F.min(F.when(F.col("rn") == 2, F.col("mean_micro"))).alias("ci_lo_micro"),
+        F.min(F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_micro"))).alias("ci_hi_micro"),
+        F.count(F.lit(1)).alias("b_replicates"),
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("CAST((sum(CAST(cents AS DECIMAL(38,0))) * 1000000) div count(1) AS BIGINT)").alias(
+            "mean_micro_cents"
+        ),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "mean_micro_cents", "b_replicates", "ci_lo_micro", "ci_hi_micro"
+    )
+
+
+def _dd_bootstrap_sql() -> str:
+    from ..operators.nonparam import POISSON1_T60
+
+    h = "('0x' || substr(md5('boot' || b::VARCHAR || '§' || o_orderkey::VARCHAR), 1, 15))::BIGINT"
+    w = " + ".join(f"(CASE WHEN {h} >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_T60)
+    return f"""
+WITH src AS (
+  SELECT o_orderkey, {_CENTS} AS cents FROM orders
+),
+reps AS (SELECT b FROM range(0, {_BOOT_B}) t(b)),
+weighted AS (
+  SELECT r.b, cents, ({w}) AS wt FROM src, reps r
+),
+means AS (
+  SELECT b, CAST((sum(wt::HUGEINT * cents) * 1000000) // sum(wt) AS BIGINT) AS mean_micro
+  FROM weighted GROUP BY b
+),
+ranked AS (SELECT mean_micro, row_number() OVER (ORDER BY mean_micro) AS rn FROM means),
+ci AS (
+  SELECT min(CASE WHEN rn = 2 THEN mean_micro END) AS ci_lo_micro,
+         min(CASE WHEN rn = {_BOOT_B - 1} THEN mean_micro END) AS ci_hi_micro,
+         count(*)::BIGINT AS b_replicates
+  FROM ranked
+),
+point AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         CAST((sum(cents::HUGEINT) * 1000000) // count(*) AS BIGINT) AS mean_micro_cents
+  FROM src
+)
+SELECT n_rows, mean_micro_cents, b_replicates, ci_lo_micro, ci_hi_micro
+FROM point, ci
+"""
+
+
+_register("stats_bootstrap_ci_revenue", _stats_bootstrap, _dd_bootstrap_sql())

@@ -362,3 +362,51 @@ LIMIT {_TR_TOP}
 
 
 _register("text_textrank_keywords", _textrank_keywords, _dd_textrank_sql(_TR_ITERS))
+
+
+# ==========================================================================
+# Jaccard link prediction (round 10) — operators/graph.py::
+# link_prediction_jaccard over the co-purchase graph: top-20
+# non-adjacent part pairs by common-neighbor Jaccard, wedges generated
+# at hub-capped centers (<= 64 true degree) so candidate fan-out is
+# bounded per center; scores exact ppm integers.
+# ==========================================================================
+
+_LP_CAP = 64
+_LP_K = 20
+
+
+def _graph_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, link_prediction_jaccard
+
+    li = _t(spark, sf_dir, "lineitem")
+    return link_prediction_jaccard(copurchase_edges(li), _LP_CAP, _LP_K)
+
+
+_DD_LINKPRED = f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+small AS (SELECT node FROM deg WHERE deg <= {_LP_CAP}),
+cc AS (SELECT s.nbr AS c, s.node AS x FROM sym s JOIN small ON small.node = s.nbr),
+cand AS (
+  SELECT a.x AS pu, b.x AS pw, count(*)::BIGINT AS cn
+  FROM cc a JOIN cc b ON a.c = b.c AND a.x < b.x
+  GROUP BY 1, 2
+),
+non_adj AS (
+  SELECT cand.* FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.pu AND e.v = cand.pw)
+)
+SELECT pu AS u, pw AS w, cn, du.deg AS deg_u, dw.deg AS deg_w,
+       (cn * 1000000) // (du.deg + dw.deg - cn) AS jaccard_ppm
+FROM non_adj JOIN deg du ON du.node = pu JOIN deg dw ON dw.node = pw
+ORDER BY jaccard_ppm DESC, cn DESC, pu, pw
+LIMIT {_LP_K}
+"""
+
+_register("graph_link_prediction_jaccard", _graph_link_pred, _DD_LINKPRED)

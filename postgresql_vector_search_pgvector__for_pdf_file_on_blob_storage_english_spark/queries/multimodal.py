@@ -350,3 +350,65 @@ ORDER BY media_id, frame_index
 """
 
 _register("mm_video_scene_cuts", _mm_video_scene_cuts, _DD_MM_SCENECUT)
+
+
+# --------------------------------------------------------------------------
+# Audio silence runs (round 10) — operators/multimodal.py::
+# audio_silence_runs.  The primitive under silence trimming / VAD
+# gating: maximal runs of consecutive |sample| < threshold, found with
+# numpy edge detection INSIDE the decode batch (the waveform never
+# leaves the worker; output is one row per media).  Oracle replays the
+# LCG synthesis per sample and finds the same runs with the
+# gaps-and-islands anchor — the SQL-side twin of the same analysis.
+# --------------------------------------------------------------------------
+
+_SIL_T = 8192  # |s| < 8192 -> "silent" (1/4 of the synthetic amplitude range)
+
+
+def _mm_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_silence_runs
+
+    media = synth_media_df(_t(spark, sf_dir, "documents"), kind="audio")
+    return audio_silence_runs(media, _SIL_T).orderBy("media_id")
+
+
+_DD_MM_SILENCE = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id, (256 + doc_id % 128)::BIGINT AS n FROM documents
+),
+smp AS (
+  SELECT media_id, n, i.i AS i,
+         abs((((media_id * {A_AUD} + i.i * {B_AUD}) % 65536) - 32768)::BIGINT) AS a
+  FROM dims, unnest(range(0, n)) AS i(i)
+),
+sil AS (SELECT media_id, n, i FROM smp WHERE a < {_SIL_T}),
+runs AS (
+  SELECT media_id, n, min(i) AS start_i, count(*)::BIGINT AS len
+  FROM (
+    SELECT media_id, n, i,
+           i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS anchor
+    FROM sil
+  ) GROUP BY media_id, n, anchor
+),
+per AS (
+  SELECT media_id, max(n) AS n_samples, sum(len)::BIGINT AS n_silent,
+         count(*)::BIGINT AS n_runs, max(len)::BIGINT AS longest_run
+  FROM runs GROUP BY media_id
+),
+starts AS (
+  SELECT p.media_id, min(r.start_i)::BIGINT AS longest_start
+  FROM per p JOIN runs r ON p.media_id = r.media_id AND r.len = p.longest_run
+  GROUP BY p.media_id
+)
+SELECT d.media_id, d.n AS n_samples,
+       coalesce(p.n_silent, 0) AS n_silent,
+       coalesce(p.n_runs, 0) AS n_runs,
+       coalesce(p.longest_run, 0) AS longest_run,
+       s.longest_start
+FROM dims d
+LEFT JOIN per p ON d.media_id = p.media_id
+LEFT JOIN starts s ON d.media_id = s.media_id
+ORDER BY d.media_id
+"""
+
+_register("mm_audio_silence_runs", _mm_audio_silence, _DD_MM_SILENCE)

@@ -988,3 +988,71 @@ FROM est, exact
 """
 
 _register("sketch_countmin_join_size", _sketch_cm_join_size, _DD_CM_JOIN_SIZE)
+
+
+# ---------------------------------------------------------------------------
+# Streaming uniform reservoir (round 10): a fixed-size uniform ROW
+# sample of the event stream kept live as a mergeable bottom-k-by-
+# hash-priority summary (operators/sketch.py::reservoir_sample).
+# Union-then-truncate is idempotent like KMV's, and the entry
+# re-appends batch 0's sample deliberately to exercise replay
+# absorption.  Oracle: the one-shot batch SQL — the drained stream's
+# sample equals the global bottom-k bit-for-bit, which is exactly the
+# "distributed reservoir == sequential reservoir" guarantee.
+# ---------------------------------------------------------------------------
+
+_RSV_K = 40
+
+
+def _stream_reservoir_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import reservoir_sample
+    from ..streaming.sketch_stream import reservoir_read, stream_into_reservoir
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_rsv_{tag}_{os.getpid()}"
+    )
+    src, log, ckpt = (os.path.join(base, d) for d in ("src", "log", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    _drain(
+        stream_into_reservoir(
+            stream, log, ckpt, "event_id", ["event_id", "user_id", "event_type"],
+            k=_RSV_K,
+        ),
+        120,
+    )
+    # deliberate replay: batch 0's sample appended a second time — the
+    # distinct fold must absorb it (idempotent merge law)
+    reservoir_sample(
+        ev.filter(F.col("event_id") % 3 == 0), "event_id",
+        ["event_id", "user_id", "event_type"], _RSV_K,
+    ).write.mode("append").parquet(log)
+
+    return reservoir_read(spark, log, k=_RSV_K).orderBy("hv")
+
+
+_DD_RSV_REPLAY = f"""
+SELECT ('0x' || substr(md5('rsv' || '§' || event_id::VARCHAR), 1, 15))::BIGINT AS hv,
+       event_id, user_id, event_type
+FROM events
+ORDER BY hv
+LIMIT {_RSV_K}
+"""
+
+_register("stream_reservoir_replay", _stream_reservoir_replay, _DD_RSV_REPLAY)

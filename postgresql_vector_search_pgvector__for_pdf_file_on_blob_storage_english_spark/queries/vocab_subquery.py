@@ -247,3 +247,88 @@ GROUP BY o_orderpriority
 
 
 # ==========================================================================
+
+
+# ==========================================================================
+# Zipf slope (round 10): the log-log OLS slope over the top-100 word
+# frequencies — the corpus-health fingerprint (natural text ~ -1;
+# boilerplate-heavy or synthetic corpora drift off).  Both ln() inputs
+# are quantized to micro-nats FIRST (identical BIGINTs cross-engine),
+# so every sum is exact integer arithmetic and the slope is one
+# explicit floor division — no float accumulation order anywhere.
+# The ordered window ranks the top-100 LIMIT output (bounded by
+# construction; allowlisted in the plan sweep).
+# ==========================================================================
+
+_ZIPF_TOP = 100
+
+
+def _vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(normalize_whitespace_col("text")), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    top = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), "w")
+        .limit(_ZIPF_TOP)
+    )
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("tf").desc(), "w"))
+    ).select(
+        F.floor(F.log(F.col("r").cast("double")) * 1_000_000 + 0.5)
+        .cast("decimal(38,0)").alias("xq"),
+        F.floor(F.log(F.col("tf").cast("double")) * 1_000_000 + 0.5)
+        .cast("decimal(38,0)").alias("yq"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_words",
+        """CAST(CASE WHEN n * sxy - sx * sy >= 0
+                THEN ((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)
+                ELSE -((-(n * sxy - sx * sy) * 1000000 + (n * sxx - sx * sx) - 1)
+                       div (n * sxx - sx * sx))
+           END AS BIGINT) AS zipf_slope_micro""",
+    )
+
+
+_DD_ZIPF = f"""
+WITH words AS (
+  SELECT w
+  FROM (SELECT {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+),
+top AS (
+  SELECT w, count(*)::BIGINT AS tf FROM words GROUP BY w
+  ORDER BY tf DESC, w LIMIT {_ZIPF_TOP}
+),
+ranked AS (
+  SELECT CAST(floor(ln(row_number() OVER (ORDER BY tf DESC, w)::DOUBLE) * 1000000 + 0.5) AS HUGEINT) AS xq,
+         CAST(floor(ln(tf::DOUBLE) * 1000000 + 0.5) AS HUGEINT) AS yq
+  FROM top
+),
+agg AS (
+  SELECT count(*)::HUGEINT AS n, sum(xq) AS sx, sum(yq) AS sy,
+         sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_words,
+       CAST(CASE WHEN n * sxy - sx * sy >= 0
+            THEN ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+            ELSE -((-(n * sxy - sx * sy) * 1000000 + (n * sxx - sx * sx) - 1)
+                   // (n * sxx - sx * sx))
+       END AS BIGINT) AS zipf_slope_micro
+FROM agg
+"""
+
+_register("vocab_zipf_slope", _vocab_zipf, _DD_ZIPF)

@@ -305,3 +305,48 @@ def kmv_compact(spark, path: str, dest: str, k: int = 64) -> None:
     if path == dest:
         raise ValueError("compact writes to a new path; swap after validation")
     kmv_read(spark, path, k=k).write.mode("overwrite").parquet(dest)
+
+
+def stream_into_reservoir(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str,
+    payload_cols,
+    k: int = 64,
+    available_now: bool = True,
+):
+    """readStream of rows -> per-batch bottom-k sample appended to the
+    reservoir log at ``path``.  The merge law is union-then-truncate on
+    the hash priority (the k smallest of a union of bottom-k sets IS
+    the union's bottom-k), idempotent like KMV's — a replayed batch
+    re-appends bit-identical (hv, payload) rows and the distinct fold
+    absorbs them, so no batch stamping is needed."""
+    from ..operators.sketch import reservoir_sample
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        reservoir_sample(batch_df, id_col, payload_cols, k).write.mode(
+            "append"
+        ).parquet(path)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def reservoir_read(spark, path: str, k: int = 64) -> DataFrame:
+    """Materialize the uniform k-sample from its log: distinct union
+    then the k smallest priorities (the merge law).  Output schema
+    matches ``reservoir_sample``."""
+    return spark.read.parquet(path).distinct().orderBy("hv").limit(k)
+
+
+def reservoir_compact(spark, path: str, dest: str, k: int = 64) -> None:
+    """Fold the reservoir log to one k-sample at ``dest`` (write to a
+    NEW path and swap, never in-place)."""
+    if path == dest:
+        raise ValueError("compact writes to a new path; swap after validation")
+    reservoir_read(spark, path, k=k).write.mode("overwrite").parquet(dest)

@@ -444,3 +444,61 @@ class TestPersonalizedPagerank:
         got = {r["node"]: r["rank_units"] for r in personalized_pagerank(e, seeds, n_iters=3).collect()}
         assert got[10] == 0 and got[11] == 0
         assert got[1] > 0 and got[2] > 0
+
+
+class TestLinkPredictionJaccard:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "u long, v long")
+
+    def test_square_predicts_diagonals(self, spark):
+        # cycle 1-2-3-4-1: non-adjacent pairs (1,3) and (2,4) each share
+        # exactly 2 common neighbors; jaccard = 2/(2+2-2) = 1.0
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            link_prediction_jaccard,
+        )
+
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+        rows = link_prediction_jaccard(e, 64, 10).collect()
+        got = {(r.u, r.w): (r.cn, r.jaccard_ppm) for r in rows}
+        assert got == {(1, 3): (2, 1_000_000), (2, 4): (2, 1_000_000)}
+
+    def test_adjacent_pairs_never_predicted(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            link_prediction_jaccard,
+        )
+
+        # triangle + pendant: every pair of 1,2,3 is adjacent; only
+        # (1,4)? no — 4 attaches to 3; candidates sharing a neighbor:
+        # (1,4) via 3, (2,4) via 3.
+        e = self._edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        rows = link_prediction_jaccard(e, 64, 10).collect()
+        pairs = {(r.u, r.w) for r in rows}
+        assert pairs == {(1, 4), (2, 4)}
+
+    def test_hub_cap_suppresses_center(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            link_prediction_jaccard,
+        )
+
+        # star: hub 0 connected to 1..9 — every leaf pair shares hub 0.
+        e = self._edges(spark, [(0, i) for i in range(1, 10)])
+        with_hub = link_prediction_jaccard(e, 64, 100).collect()
+        assert len(with_hub) == 9 * 8 // 2
+        capped = link_prediction_jaccard(e, 5, 100).collect()
+        assert capped == []  # the only wedge center is the hub
+
+    def test_true_degrees_survive_capping(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            link_prediction_jaccard,
+        )
+
+        # path 1-2-3 plus extra edges on 1: cap high enough to keep
+        # center 2, check deg_u reports 1's TRUE degree (3)
+        e = self._edges(spark, [(1, 2), (2, 3), (1, 8), (1, 9)])
+        rows = {
+            (r.u, r.w): r
+            for r in link_prediction_jaccard(e, 64, 100).collect()
+        }
+        r13 = rows[(1, 3)]
+        assert r13.deg_u == 3 and r13.deg_w == 1
+        assert r13.jaccard_ppm == 1_000_000 // 3

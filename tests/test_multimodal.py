@@ -235,3 +235,44 @@ class TestImageAhash:
         got = {r["media_id"]: r["ahash_bits"] for r in image_ahash(df).collect()}
         assert got[0] == got[1]
         assert got[0] != got[2]
+
+
+class TestAudioSilenceRuns:
+    def _media(self, spark, samples):
+        import numpy as np
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            encode_audio,
+        )
+
+        blob = encode_audio(np.array(samples, dtype=np.int64), 16000)
+        return spark.createDataFrame(
+            [(1, bytearray(blob))], "media_id long, content binary"
+        )
+
+    def _run(self, spark, samples, t=100):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            audio_silence_runs,
+        )
+
+        return audio_silence_runs(self._media(spark, samples), t).collect()[0]
+
+    def test_leading_and_trailing_runs(self, spark):
+        # silent(3), loud(2), silent(1), loud(1), silent(2)
+        r = self._run(spark, [0, 5, -50, 900, -900, 99, 500, 0, 0])
+        assert (r.n_samples, r.n_silent, r.n_runs) == (9, 6, 3)
+        assert r.longest_run == 3 and r.longest_start == 0
+
+    def test_earliest_maximal_run_wins_ties(self, spark):
+        # two runs of length 2: starts 1 and 4 -> report start 1
+        r = self._run(spark, [500, 0, 0, 500, 0, 0, 500])
+        assert r.longest_run == 2 and r.longest_start == 1 and r.n_runs == 2
+
+    def test_no_silence(self, spark):
+        r = self._run(spark, [500, -500, 900])
+        assert (r.n_silent, r.n_runs, r.longest_run) == (0, 0, 0)
+        assert r.longest_start is None
+
+    def test_all_silent(self, spark):
+        r = self._run(spark, [0, 1, -1, 2])
+        assert (r.n_silent, r.n_runs, r.longest_run, r.longest_start) == (4, 1, 4, 0)

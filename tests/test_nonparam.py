@@ -131,3 +131,60 @@ class TestRegisteredEntries:
             # sorted by longest desc then user_id
             keys = [(-r.longest_streak, r.user_id) for r in rows]
             assert keys == sorted(keys)
+
+
+class TestPoissonBootstrap:
+    def test_weights_are_poisson_one_ish(self, spark):
+        # mean weight over many (b, id) draws must sit near 1 and the
+        # zero-fraction near e^-1 (deterministic given the fixed hash)
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+            poisson_weight_expr,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(2000).select(
+            F.col("id"), F.lit(0).alias("b")
+        ).withColumn("w", F.expr(poisson_weight_expr("b", "id")))
+        agg = df.agg(
+            F.avg("w").alias("m"),
+            F.avg((F.col("w") == 0).cast("double")).alias("z"),
+        ).collect()[0]
+        assert 0.93 < agg.m < 1.07
+        assert 0.33 < agg.z < 0.41
+
+    def test_replicate_means_bracket_truth(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+            poisson_bootstrap_means,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(3000).select(
+            F.col("id"), (F.col("id") % 100).alias("x")
+        )
+        means = poisson_bootstrap_means(df, "id", "x", 12).collect()
+        assert len(means) == 12
+        vals = [r.mean_micro / 1e6 for r in means]
+        # true mean 49.5; every replicate mean of 3000 rows stays close
+        assert all(45 < v < 54 for v in vals)
+        assert min(vals) < 49.5 < max(vals)
+
+    def test_deterministic_across_runs(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+            poisson_bootstrap_means,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(500).select(F.col("id"), (F.col("id") * 3 % 7).alias("x"))
+        a = sorted((r.b, r.mean_micro) for r in poisson_bootstrap_means(df, "id", "x", 5).collect())
+        b = sorted((r.b, r.mean_micro) for r in poisson_bootstrap_means(df.repartition(7), "id", "x", 5).collect())
+        assert a == b  # partitioning-independent (exact integer path)
+
+    def test_rejects_degenerate_b(self, spark):
+        import pytest as _pt
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+            poisson_bootstrap_means,
+        )
+
+        with _pt.raises(ValueError):
+            poisson_bootstrap_means(spark.range(5), "id", "id", 1)

@@ -289,6 +289,11 @@ class TestRegistryWindowSweep:
         # month-PAIR relation — bounded by calendar span squared (~3k
         # rows for 80 months at any corpus scale)
         "stats_theilsen_revenue_trend",
+        # ranks the output of a LIMIT 100 — bounded by construction
+        "vocab_zipf_slope",
+        # ranks the B=20 bootstrap-replicate means — bounded by the
+        # replicate count, a literal
+        "stats_bootstrap_ci_revenue",
     }
 
     def test_no_single_partition_ordered_windows(self, spark):

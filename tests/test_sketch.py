@@ -656,3 +656,63 @@ class TestKmvSketch:
 
         df = spark.createDataFrame([(1,), (None,), (2,), (None,)], "k long")
         assert kmv_minset(df, "k", k=8).count() == 2
+
+
+class TestReservoirSample:
+    def test_merge_law_union_then_truncate(self, spark):
+        # bottom-k of the union of two bottom-k sets == bottom-k of the
+        # full relation (the property the streaming fold stands on)
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            reservoir_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"u{i % 7}") for i in range(500)], "event_id long, tagv string"
+        )
+        k = 16
+        full = reservoir_sample(df, "event_id", ["event_id", "tagv"], k).collect()
+        a = reservoir_sample(
+            df.filter("event_id % 2 = 0"), "event_id", ["event_id", "tagv"], k
+        )
+        b = reservoir_sample(
+            df.filter("event_id % 2 = 1"), "event_id", ["event_id", "tagv"], k
+        )
+        merged = (
+            a.unionByName(b).distinct().orderBy("hv").limit(k).collect()
+        )
+        assert sorted(r.event_id for r in merged) == sorted(
+            r.event_id for r in full
+        )
+
+    def test_replay_is_absorbed(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            reservoir_sample,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(200)], "event_id long")
+        k = 8
+        s = reservoir_sample(df, "event_id", ["event_id"], k)
+        once = s.collect()
+        twice = s.unionByName(s).distinct().orderBy("hv").limit(k).collect()
+        assert sorted(r.event_id for r in twice) == sorted(r.event_id for r in once)
+
+    def test_sample_is_exact_size_and_unbiased_order(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            reservoir_sample,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(1000)], "event_id long")
+        rows = reservoir_sample(df, "event_id", ["event_id"], 50).collect()
+        assert len(rows) == 50
+        ids = [r.event_id for r in rows]
+        # a uniform 5% sample of 0..999 should not be a contiguous slab
+        assert max(ids) - min(ids) > 500
+
+    def test_null_ids_dropped(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.sketch import (
+            reservoir_sample,
+        )
+
+        df = spark.createDataFrame([(None,), (1,), (2,)], "event_id long")
+        rows = reservoir_sample(df, "event_id", ["event_id"], 10).collect()
+        assert sorted(r.event_id for r in rows) == [1, 2]
