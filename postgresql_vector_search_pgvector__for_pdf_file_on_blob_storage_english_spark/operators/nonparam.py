@@ -184,21 +184,37 @@ POISSON1_T60 = (
 )
 
 
-def poisson_weight_expr(b_col: str, id_col: str) -> str:
+def poisson_weight_expr(b_col: str, id_col: str, hash_fn: str = "md5") -> str:
     """Spark SQL expression string for the Poisson(1) weight of row
     ``id_col`` in replicate ``b_col``: count of literal thresholds at
-    or below the salted 60-bit md5 hash.  (The DuckDB oracle spells the
-    same thresholds with its own md5-to-int idiom.)"""
-    h = (
-        f"CAST(conv(substring(md5(concat('boot', CAST({b_col} AS STRING), '§', "
-        f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    )
+    or below a salted 60-bit hash.
+
+    ``hash_fn='md5'`` is the cross-engine form (the DuckDB oracle
+    spells the same thresholds with its own md5-to-int idiom) — and,
+    at ~20 md5s/row for B=20, the dominant cost of the operator (the
+    sf1 SCALE row measures it linear in B x rows, as it must be).
+    ``hash_fn='xxhash64'`` is the production path: Spark's native
+    codegen hash at a fraction of the cost, same weight law, same
+    determinism — it just has no DuckDB twin, so gated entries use md5
+    and deployments at real scale flip this switch."""
+    if hash_fn == "md5":
+        h = (
+            f"CAST(conv(substring(md5(concat('boot', CAST({b_col} AS STRING), '§', "
+            f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+    elif hash_fn == "xxhash64":
+        # fold the sign bit away and keep 60 bits, matching the md5
+        # variant's [0, 2^60) domain
+        h = f"(abs(xxhash64('boot', {b_col}, {id_col})) % {1 << 60})"
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     w = " + ".join(f"(CASE WHEN {h} >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_T60)
     return w
 
 
 def poisson_bootstrap_means(
-    df: DataFrame, id_col: str, value_col: str, n_replicates: int = 20
+    df: DataFrame, id_col: str, value_col: str, n_replicates: int = 20,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-replicate weighted means of an integral ``value_col`` in
     exact micro units: ``(b, n_eff, mean_micro)``, one row per
@@ -216,7 +232,7 @@ def poisson_bootstrap_means(
         F.col(value_col).alias("_x"),
         F.explode(F.array(*[F.lit(b) for b in range(n_replicates)])).alias("b"),
     )
-    w = F.expr(poisson_weight_expr("b", "_id"))
+    w = F.expr(poisson_weight_expr("b", "_id", hash_fn))
     agg = reps.select("b", "_x", w.alias("_w")).groupBy("b").agg(
         F.sum("_w").alias("n_eff"),
         F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_x")).alias("_sx"),

@@ -100,3 +100,78 @@ def l_diversity_audit(
         )
         .orderBy("l")
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    t_ppms: Sequence[int] = (100_000, 200_000, 300_000),
+) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian 2007) — the third rung
+    of the release-audit ladder: a group can be k-anonymous AND
+    l-diverse yet still leak if its sensitive-value DISTRIBUTION sits
+    far from the global one (e.g. a group that is 95% one diagnosis).
+    For categorical attributes the distance is total variation,
+    ``tv = 0.5 * sum_s |p_g(s) - p(s)|``, computed CROSS-MULTIPLIED —
+    ``tv_ppm = sum_s |c_gs * N - c_s * n_g| * 10^6 // (2 * N * n_g)``
+    — so no float distribution ever forms and the audit is exact.
+
+    Returns one row per requested threshold: ``(t_ppm, n_groups,
+    n_violating_groups, n_rows_at_risk, max_tv_ppm)``; a group
+    violates t when its tv_ppm EXCEEDS the threshold.
+
+    Scale shape: one groupBy on (QI, sensitive) cells plus two
+    marginal aggregates of that cell relation — every exchange is
+    bounded by the attribute domains, never the row count.
+    """
+    if not qi_cols:
+        raise ValueError("t_closeness_audit needs at least one QI column")
+    if not t_ppms or any(t <= 0 or t > 1_000_000 for t in t_ppms):
+        raise ValueError(f"t_ppms must be in (0, 1e6], got {t_ppms!r}")
+    qi = [F.col(c) for c in qi_cols]
+    cells = df.groupBy(*qi, F.col(sensitive_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_c_gs")
+    )
+    gmarg = cells.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.sum("_c_gs").alias("_n_g")
+    )
+    smarg = cells.groupBy("_s").agg(F.sum("_c_gs").alias("_c_s"))
+    tot = cells.agg(F.sum("_c_gs").alias("_N"))
+    # every sensitive value must appear for every group (a group MISSING
+    # a value contributes |0 - c_s * n_g|), so build the full spine
+    spine = gmarg.crossJoin(F.broadcast(smarg)).crossJoin(F.broadcast(tot))
+    full = spine.join(cells, [*qi_cols, "_s"], "left").withColumn(
+        "_c_gs", F.coalesce("_c_gs", F.lit(0))
+    )
+    per_group = full.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.max("_n_g").alias("_n_g"),
+        F.max("_N").alias("_N"),
+        F.sum(
+            F.abs(
+                F.col("_c_gs").cast("decimal(38,0)") * F.col("_N")
+                - F.col("_c_s").cast("decimal(38,0)") * F.col("_n_g")
+            )
+        ).alias("_tvnum"),
+    ).selectExpr(
+        "_n_g",
+        "CAST((_tvnum * 1000000) div (2 * CAST(_N AS DECIMAL(38,0)) * _n_g) AS BIGINT) AS _tv_ppm",
+    )
+    per_t = per_group.select(
+        "_n_g", "_tv_ppm",
+        F.explode(F.array(*[F.lit(int(t)) for t in t_ppms])).alias("t_ppm"),
+    )
+    return (
+        per_t.groupBy("t_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("_tv_ppm") > F.col("t_ppm"), 1).otherwise(0)).alias(
+                "n_violating_groups"
+            ),
+            F.sum(
+                F.when(F.col("_tv_ppm") > F.col("t_ppm"), F.col("_n_g")).otherwise(0)
+            ).alias("n_rows_at_risk"),
+            F.max("_tv_ppm").alias("max_tv_ppm"),
+        )
+        .orderBy("t_ppm")
+    )

@@ -1309,3 +1309,93 @@ ORDER BY p.longest_streak DESC, p.user_id
 LIMIT 20
 """,
 )
+
+
+# ==========================================================================
+# A/B experiment analysis (round 10): deterministic hash assignment
+# (salted md5 parity — the reproducible traffic split every experiment
+# platform uses), per-user conversion, two-proportion z.  Rates and
+# lift are exact ppm integers; the z statistic is the one rounded
+# double (identical short IEEE expression both engines).  Scale shape:
+# one per-user groupBy (map-side partial), then a 2-row arm aggregate.
+# ==========================================================================
+
+
+def _events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("purchases")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("§", F.lit("ab"), F.col("user_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % 2
+    )
+    # conversion threshold near the per-user median so both arms split
+    # informatively (purchases > 0 is degenerate on this fixture: every
+    # user buys, pooled p = 1, zero variance)
+    assigned = per_user.withColumn("arm", arm).withColumn(
+        "conv", (F.col("purchases") >= 14).cast("long")
+    )
+    arms = assigned.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    return arms.selectExpr(
+        "n_a", "n_b", "conv_a", "conv_b",
+        "CAST((conv_a * CAST(1000000 AS BIGINT)) div n_a AS BIGINT) AS rate_a_ppm",
+        "CAST((conv_b * CAST(1000000 AS BIGINT)) div n_b AS BIGINT) AS rate_b_ppm",
+        "CAST((conv_a * CAST(1000000 AS BIGINT)) div n_a - (conv_b * CAST(1000000 AS BIGINT)) div n_b AS BIGINT) AS lift_ppm",
+        """CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+           THEN round(
+             (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt(
+                 (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)
+               ), 4) END AS z_r4""",
+    )
+
+
+_register(
+    "events_ab_test_analysis",
+    _events_ab_test,
+    """
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchases
+  FROM events GROUP BY 1
+),
+assigned AS (
+  SELECT ('0x' || substr(md5('ab' || '§' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+         (purchases >= 14)::BIGINT AS conv
+  FROM per_user
+),
+arms AS (
+  SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+         sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+  FROM assigned
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       CAST((conv_a * 1000000) // n_a AS BIGINT) AS rate_a_ppm,
+       CAST((conv_b * 1000000) // n_b AS BIGINT) AS rate_b_ppm,
+       CAST((conv_a * 1000000) // n_a - (conv_b * 1000000) // n_b AS BIGINT) AS lift_ppm,
+       CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+       THEN round(
+         (conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+         / sqrt(
+             ((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+             * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+             * (1.0 / n_a + 1.0 / n_b)
+           ), 4) END AS z_r4
+FROM arms
+""",
+)

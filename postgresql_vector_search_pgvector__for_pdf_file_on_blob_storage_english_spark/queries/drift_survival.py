@@ -733,3 +733,169 @@ FROM point, ci
 
 
 _register("stats_bootstrap_ci_revenue", _stats_bootstrap, _dd_bootstrap_sql())
+
+
+# ==========================================================================
+# Classical seasonal decomposition (round 10): monthly revenue =
+# trend + seasonal + residual, the moving-average method (the additive
+# "classical decomposition" every monitoring stack runs before
+# anomaly-flagging a seasonal series).  All integer: the centered 2x12
+# moving average is carried x24 (r_{m-6} + r_{m+6} + 2*sum_{-5..5}),
+# detrended values are 24*r - trend_x24, monthly seasonal indexes are
+# explicit floor divisions (negative branch spelled out), residual =
+# detrended - seasonal.  The month spine is GENERATED (sequence over
+# [min, max]) so missing months cannot misalign the lag/lead windows.
+# Windows run over the calendar-bounded month spine (allowlisted).
+# ==========================================================================
+
+
+def _orders_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx")
+    ).agg(F.sum(_cents()).alias("rev"))
+    bounds = monthly.agg(F.min("mx").alias("lo"), F.max("mx").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("mx")
+    )
+    s = spine.join(monthly, "mx", "left").select(
+        "mx", F.coalesce("rev", F.lit(0)).alias("rev")
+    )
+    w = Window.orderBy("mx")
+    win11 = Window.orderBy("mx").rowsBetween(-5, 5)
+    full = s.withColumn(
+        "trend_x24",
+        F.lag("rev", 6).over(w) + F.lead("rev", 6).over(w)
+        + 2 * F.sum("rev").over(win11),
+    ).withColumn("d24", 24 * F.col("rev") - F.col("trend_x24")).withColumn(
+        "moy", F.col("mx") % 12
+    )
+    defined = full.filter(F.col("trend_x24").isNotNull())
+    seas = defined.groupBy("moy").agg(
+        F.sum("d24").alias("sd"), F.count(F.lit(1)).alias("cnt")
+    ).selectExpr(
+        "moy",
+        """CAST(CASE WHEN sd >= 0 THEN sd div cnt
+                ELSE -((-sd + cnt - 1) div cnt) END AS BIGINT) AS seasonal_x24""",
+    )
+    return (
+        defined.join(F.broadcast(seas), "moy")
+        .select(
+            "mx", "moy", "rev", "trend_x24", "seasonal_x24",
+            (F.col("d24") - F.col("seasonal_x24")).alias("resid_x24"),
+        )
+        .orderBy("mx")
+    )
+
+
+_DD_SEASONAL = f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+         sum({_CENTS})::BIGINT AS rev
+  FROM orders GROUP BY 1
+),
+spine AS (
+  SELECT i.x AS mx FROM (SELECT min(mx) AS lo, max(mx) AS hi FROM monthly),
+       unnest(range(lo, hi + 1)) AS i(x)
+),
+s AS (
+  SELECT spine.mx, coalesce(monthly.rev, 0)::BIGINT AS rev
+  FROM spine LEFT JOIN monthly ON spine.mx = monthly.mx
+),
+full_t AS (
+  SELECT mx, rev,
+         lag(rev, 6) OVER (ORDER BY mx) + lead(rev, 6) OVER (ORDER BY mx)
+           + 2 * sum(rev) OVER (ORDER BY mx ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+           AS trend_x24,
+         mx % 12 AS moy
+  FROM s
+),
+defined AS (
+  SELECT *, 24 * rev - trend_x24 AS d24 FROM full_t WHERE trend_x24 IS NOT NULL
+),
+seas AS (
+  SELECT moy,
+         CAST(CASE WHEN sum(d24) >= 0 THEN sum(d24) // count(*)
+              ELSE -((-sum(d24) + count(*) - 1) // count(*)) END AS BIGINT)
+           AS seasonal_x24
+  FROM defined GROUP BY moy
+)
+SELECT d.mx, d.moy, d.rev, CAST(d.trend_x24 AS BIGINT) AS trend_x24,
+       seas.seasonal_x24,
+       CAST(d.d24 - seas.seasonal_x24 AS BIGINT) AS resid_x24
+FROM defined d JOIN seas USING (moy)
+ORDER BY d.mx
+"""
+
+_register("orders_seasonal_decompose", _orders_seasonal, _DD_SEASONAL)
+
+
+# ==========================================================================
+# Hill tail-index estimator (round 10): how heavy is the right tail of
+# the order-price distribution?  alpha_hat = 1 / mean(ln(x_i / x_{k+1}))
+# over the top-k order statistics — the standard estimator for power-law
+# tails (degree distributions, value distributions, file sizes), and the
+# profiling signal that decides salting / skew strategy at 100x.  The
+# top-(k+1) values arrive via TakeOrdered (bounded); each ln is
+# quantized to micro-nats from identical integers, the mean is an
+# explicit integer floor division, and the index is one exact ppm
+# division — no float accumulates.
+# ==========================================================================
+
+_HILL_K = 100
+
+
+def _stats_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    topk = (
+        orders.select(_cents().alias("v"), "o_orderkey")
+        .orderBy(F.col("v").desc(), "o_orderkey")
+        .limit(_HILL_K + 1)
+    )
+    w = Window.orderBy(F.col("v").desc(), "o_orderkey")
+    ranked = topk.withColumn("rn", F.row_number().over(w)).withColumn(
+        "lnv_micro",
+        F.floor(F.log(F.col("v").cast("double")) * 1_000_000 + 0.5).cast("long"),
+    )
+    ref = ranked.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("lnv_micro").alias("ln_ref")
+    )
+    agg = (
+        ranked.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(ref))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("lnv_micro") - F.col("ln_ref")).alias("s_micro"),
+        )
+    )
+    return agg.selectExpr(
+        "CAST(k AS BIGINT) AS k",
+        "CAST(s_micro div k AS BIGINT) AS mean_excess_micro",
+        # alpha_ppm = 1e6 / mean_excess (mean_excess in micro-nats ->
+        # alpha_ppm = 1e12 div (s_micro div k)); s_micro > 0 for a
+        # strictly decreasing tail
+        "CAST(CAST(1000000000000 AS BIGINT) div (s_micro div k) AS BIGINT) AS alpha_ppm",
+    )
+
+
+_DD_HILL = f"""
+WITH topk AS (
+  SELECT {_CENTS} AS v, o_orderkey FROM orders
+  ORDER BY v DESC, o_orderkey LIMIT {_HILL_K + 1}
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v DESC, o_orderkey) AS rn,
+         CAST(floor(ln(v::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS lnv_micro
+  FROM topk
+),
+ref AS (SELECT lnv_micro AS ln_ref FROM ranked WHERE rn = {_HILL_K + 1}),
+agg AS (
+  SELECT count(*)::BIGINT AS k, sum(lnv_micro - ln_ref)::BIGINT AS s_micro
+  FROM ranked, ref WHERE rn <= {_HILL_K}
+)
+SELECT k, CAST(s_micro // k AS BIGINT) AS mean_excess_micro,
+       CAST(1000000000000 // (s_micro // k) AS BIGINT) AS alpha_ppm
+FROM agg
+"""
+
+_register("stats_hill_tail_index", _stats_hill, _DD_HILL)

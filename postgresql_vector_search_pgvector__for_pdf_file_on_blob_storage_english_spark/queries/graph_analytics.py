@@ -632,7 +632,10 @@ def _graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dd_lp_sql(iters: int) -> str:
+def _dd_lp_body(iters: int) -> str:
+    """Shared CTE chain (edges, sym adjacency, seeds, iters rounds of
+    clamped majority vote) — the label-prop oracle's body, reused by
+    the modularity entry below so both gates replay ONE definition."""
     head = """
 WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
 e0 AS MATERIALIZED (
@@ -663,8 +666,11 @@ l{i} AS (
   UNION ALL
   SELECT node, label FROM i{i} WHERE node NOT IN (SELECT node FROM seeds)
 ),""")
-    body = (head + "".join(steps)).rstrip(",")
-    return f"""{body}
+    return (head + "".join(steps)).rstrip(",")
+
+
+def _dd_lp_sql(iters: int) -> str:
+    return f"""{_dd_lp_body(iters)}
 SELECT (p.p_partkey % 5 = 0) AS is_seed,
        CASE WHEN l.label IS NULL THEN 'unlabeled'
             WHEN l.label = p.p_brand THEN 'correct'
@@ -758,3 +764,104 @@ LIMIT {_PPR_TOP}
 
 
 _register("graph_ppr_copurchase", _graph_ppr, _dd_ppr_sql(_PPR_ITERS))
+
+
+# ==========================================================================
+# Modularity (round 10): the quality score of the label-propagation
+# communities above — Q = sum_c [e_c/m - (d_c/2m)^2], the number that
+# says whether a partition beats random edge placement.  Computed
+# CROSS-MULTIPLIED: Q_ppm = (sum_c (4 m e_c - d_c^2)) * 10^6 //
+# (4 m^2), exact integers end-to-end with the explicit negative floor
+# branch (Q < 0 is possible).  Unlabeled nodes form singleton
+# communities (they contribute only -d_c^2 mass).  Oracle replays the
+# SAME label-prop CTE chain (_dd_lp_body) plus the modularity algebra.
+# ==========================================================================
+
+
+def _graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    edges = copurchase_edges(li)
+    seeds = part.filter(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
+    )
+    labels = label_propagation(edges, seeds, iters=_LP_ITERS)
+
+    sym = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    com = deg.join(labels, "node", "left").select(
+        "node", "deg",
+        F.coalesce(F.col("label"), F.concat(F.lit("n"), F.col("node"))).alias("com"),
+    )
+    cu = com.select(F.col("node").alias("u"), F.col("com").alias("cu"))
+    cv = com.select(F.col("node").alias("v"), F.col("com").alias("cv"))
+    intra = (
+        edges.join(cu, "u").join(cv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("com"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    dsum = com.groupBy("com").agg(F.sum("deg").alias("d_c"))
+    per_c = dsum.join(intra, "com", "left").select(
+        "com", "d_c", F.coalesce("e_c", F.lit(0)).alias("e_c")
+    )
+    m = edges.count()
+    agg = per_c.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("e_c").alias("intra_edges"),
+        F.sum(
+            4 * F.lit(m).cast("decimal(38,0)") * F.col("e_c")
+            - F.col("d_c").cast("decimal(38,0)") * F.col("d_c")
+        ).alias("_qnum"),
+    )
+    den = 4 * m * m
+    return agg.selectExpr(
+        f"CAST({m} AS BIGINT) AS n_edges",
+        "CAST(n_communities AS BIGINT) AS n_communities",
+        "CAST(intra_edges AS BIGINT) AS intra_edges",
+        f"""CAST(CASE WHEN _qnum >= 0
+             THEN (_qnum * 1000000) div CAST({den} AS DECIMAL(38,0))
+             ELSE -((-_qnum * 1000000 + {den} - 1) div CAST({den} AS DECIMAL(38,0)))
+        END AS BIGINT) AS q_ppm""",
+    )
+
+
+def _dd_modularity_sql(iters: int) -> str:
+    return f"""{_dd_lp_body(iters)},
+nodes AS (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM nodes GROUP BY 1),
+com AS (
+  SELECT deg.node, deg.deg,
+         coalesce(l.label, 'n' || deg.node::VARCHAR) AS com
+  FROM deg LEFT JOIN l{iters} l ON l.node = deg.node
+),
+m AS (SELECT count(*)::BIGINT AS m FROM e0),
+intra AS (
+  SELECT a.com, count(*)::BIGINT AS e_c
+  FROM e0 JOIN com a ON a.node = e0.u JOIN com b ON b.node = e0.v
+  WHERE a.com = b.com GROUP BY 1
+),
+dsum AS (SELECT com, sum(deg)::BIGINT AS d_c FROM com GROUP BY 1),
+per_c AS (
+  SELECT dsum.com, d_c, coalesce(e_c, 0)::BIGINT AS e_c
+  FROM dsum LEFT JOIN intra ON dsum.com = intra.com
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_communities, sum(e_c)::BIGINT AS intra_edges,
+         sum(4 * m::HUGEINT * e_c - d_c::HUGEINT * d_c) AS qnum, max(m) AS m
+  FROM per_c, m
+)
+SELECT m AS n_edges, n_communities, intra_edges,
+       CAST(CASE WHEN qnum >= 0
+            THEN (qnum * 1000000) // (4 * m::HUGEINT * m)
+            ELSE -((-qnum * 1000000 + 4 * m::HUGEINT * m - 1) // (4 * m::HUGEINT * m))
+       END AS BIGINT) AS q_ppm
+FROM agg
+"""
+
+
+_register("graph_modularity_labelprop", _graph_modularity, _dd_modularity_sql(_LP_ITERS))

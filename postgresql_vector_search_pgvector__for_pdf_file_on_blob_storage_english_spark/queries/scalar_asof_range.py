@@ -214,3 +214,61 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
 
 
 # ==========================================================================
+
+
+# ==========================================================================
+# Forward as-of with tolerance (round 10): for every error event, the
+# same user's NEXT purchase, kept only when it lands within 2 hours —
+# the "time-to-recovery" join incident analytics runs.  Exercises
+# operators/asof.py's direction='forward' path; the tolerance is a
+# post-join filter expressed as a CASE that nulls out-of-window
+# matches, preserving left-asof row counts.  Delays are exact
+# microsecond integers (epoch-micro subtraction both engines).
+# Oracle = DuckDB's native forward ASOF (p.ts <= b.ts).
+# ==========================================================================
+
+_ASOF_TOL_US = 7_200_000_000  # 2 hours
+
+
+def _asof_error_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    out = asof_join(errors, purchases, key="user_id", ts="ts", direction="forward")
+    delay = F.unix_micros(F.col("ts_asof")) - F.unix_micros(F.col("ts"))
+    in_tol = F.col("ts_asof").isNotNull() & (delay <= _ASOF_TOL_US)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("error_ts"),
+        F.when(in_tol, F.col("purchase_id_asof")).alias("next_purchase_id"),
+        F.when(in_tol, delay).alias("delay_us"),
+        F.when(in_tol, F.round("value_asof", 4)).alias("next_purchase_value"),
+    )
+
+
+_register(
+    "asof_join_forward_tolerance",
+    _asof_error_next_purchase,
+    f"""
+WITH j AS (
+  SELECT p.event_id, p.user_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+         b.event_id AS pid,
+         epoch_us(b.ts) - epoch_us(p.ts) AS delay_us,
+         round(b.value, 4) AS pval
+  FROM (SELECT * FROM events WHERE event_type = 'error') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+    ON p.user_id = b.user_id AND p.ts <= b.ts
+)
+SELECT event_id, user_id, error_ts,
+       CASE WHEN delay_us <= {_ASOF_TOL_US} THEN pid END AS next_purchase_id,
+       CASE WHEN delay_us <= {_ASOF_TOL_US} THEN delay_us END AS delay_us,
+       CASE WHEN delay_us <= {_ASOF_TOL_US} THEN pval END AS next_purchase_value
+FROM j
+""",
+)

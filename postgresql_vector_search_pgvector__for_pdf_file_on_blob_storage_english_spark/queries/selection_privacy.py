@@ -1542,3 +1542,56 @@ LIMIT 20
 """
 
 _register("linkage_jw_name_pairs", _linkage_jw, _DD_JW)
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit (round 10) — operators/privacy.py::
+# t_closeness_audit: the third rung of the release ladder (a group can
+# be k-anonymous AND l-diverse and still leak its sensitive
+# DISTRIBUTION).  Total-variation distance cross-multiplied to exact
+# ppm; the (QI x sensitive) spine makes missing cells count.
+# --------------------------------------------------------------------------
+
+_T_PPMS = (100_000, 200_000, 300_000)
+
+
+def _t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import t_closeness_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    return t_closeness_audit(cust, ["c_nationkey"], "c_mktsegment", t_ppms=_T_PPMS)
+
+
+_DD_T_CLOSE = f"""
+WITH cells AS (
+  SELECT c_nationkey AS g, c_mktsegment AS s, count(*)::BIGINT AS c_gs
+  FROM customer GROUP BY 1, 2
+),
+gmarg AS (SELECT g, sum(c_gs)::BIGINT AS n_g FROM cells GROUP BY 1),
+smarg AS (SELECT s, sum(c_gs)::BIGINT AS c_s FROM cells GROUP BY 1),
+tot AS (SELECT sum(c_gs)::BIGINT AS N FROM cells),
+spine AS (SELECT g, n_g, s, c_s, N FROM gmarg, smarg, tot),
+full_cells AS (
+  SELECT spine.g, spine.n_g, spine.N, spine.c_s,
+         coalesce(cells.c_gs, 0)::BIGINT AS c_gs
+  FROM spine LEFT JOIN cells ON spine.g = cells.g AND spine.s = cells.s
+),
+per_group AS (
+  SELECT g, max(n_g) AS n_g,
+         CAST((sum(abs(c_gs::HUGEINT * N - c_s::HUGEINT * n_g)) * 1000000)
+              // (2 * max(N)::HUGEINT * max(n_g)) AS BIGINT) AS tv_ppm
+  FROM full_cells GROUP BY g
+),
+per_t AS (
+  SELECT n_g, tv_ppm, t_ppm
+  FROM per_group, unnest([{", ".join(str(t) for t in _T_PPMS)}]) AS t(t_ppm)
+)
+SELECT t_ppm,
+       count(*)::BIGINT AS n_groups,
+       CAST(sum(CASE WHEN tv_ppm > t_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(sum(CASE WHEN tv_ppm > t_ppm THEN n_g ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       max(tv_ppm) AS max_tv_ppm
+FROM per_t GROUP BY t_ppm ORDER BY t_ppm
+"""
+
+_register("privacy_t_closeness_audit", _t_closeness, _DD_T_CLOSE)

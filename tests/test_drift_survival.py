@@ -249,3 +249,76 @@ class TestMutualInfo:
         r = self._run(spark, rows, tmp_path, "mi_dep")
         assert r["n_cells"] == 4
         assert abs(r["mi_micro_per_row"] - round(math.log(4) * 1_000_000)) <= 2
+
+
+class TestSeasonalDecompose:
+    def test_identity_and_trend_on_fixture(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["orders_seasonal_decompose"]
+        rows = fn(spark, sf_dir).collect()
+        assert sql is not None and len(rows) >= 12
+        for r in rows:
+            # additive identity in x24 units: 24*rev = trend + seasonal + resid
+            assert 24 * r.rev == r.trend_x24 + r.seasonal_x24 + r.resid_x24
+            assert r.moy == r.mx % 12
+        # consecutive month spine (no misaligned windows)
+        mxs = [r.mx for r in rows]
+        assert mxs == list(range(mxs[0], mxs[0] + len(mxs)))
+
+    def test_pure_seasonal_series_zero_residual(self, spark):
+        # rev(m) = 1200 + pattern[m % 12] with sum(pattern) == 0: the
+        # centered MA recovers the constant trend and the seasonal
+        # means absorb the pattern, leaving zero residuals.
+        import postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries as Q
+
+        pattern = [60, -36, 24, -12, 0, 12, -24, 36, -60, 48, -48, 0]
+        rows = [(m, 1200 + pattern[m % 12]) for m in range(24000, 24048)]
+        df = spark.createDataFrame(rows, "mx long, rev long")
+        from pyspark.sql import Window, functions as F
+
+        w = Window.orderBy("mx")
+        win11 = Window.orderBy("mx").rowsBetween(-5, 5)
+        full = df.withColumn(
+            "trend_x24",
+            F.lag("rev", 6).over(w) + F.lead("rev", 6).over(w)
+            + 2 * F.sum("rev").over(win11),
+        ).withColumn("d24", 24 * F.col("rev") - F.col("trend_x24"))
+        defined = full.filter(F.col("trend_x24").isNotNull()).collect()
+        assert all(r.trend_x24 == 24 * 1200 for r in defined)
+        assert all(r.d24 == 24 * pattern[r.mx % 12] for r in defined)
+
+
+class TestHillTailIndex:
+    def test_exact_pareto_tail_recovers_alpha(self, spark):
+        # v_i = C * i^(-1/alpha) for i = 1..N is an exact Pareto tail:
+        # the Hill estimator over top-k must land near alpha.
+        import math
+
+        from pyspark.sql import Window, functions as F
+
+        alpha = 2.0
+        vals = [(i, int(1e9 * (i ** (-1.0 / alpha)))) for i in range(1, 2001)]
+        df = spark.createDataFrame(vals, "o_orderkey long, v long")
+        k = 100
+        topk = df.orderBy(F.col("v").desc(), "o_orderkey").limit(k + 1)
+        w = Window.orderBy(F.col("v").desc(), "o_orderkey")
+        ranked = topk.withColumn("rn", F.row_number().over(w)).withColumn(
+            "lnv", F.floor(F.log(F.col("v").cast("double")) * 1e6 + 0.5).cast("long")
+        ).collect()
+        ref = [r.lnv for r in ranked if r.rn == k + 1][0]
+        s = sum(r.lnv - ref for r in ranked if r.rn <= k)
+        alpha_hat = 1e12 / (s // k)
+        assert abs(alpha_hat / 1e6 - alpha) < 0.05
+
+    def test_registered_entry_positive(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["stats_hill_tail_index"]
+        r = fn(spark, sf_dir).collect()[0]
+        assert sql is not None
+        assert r.k == 100 and r.mean_excess_micro > 0 and r.alpha_ppm > 0

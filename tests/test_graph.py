@@ -502,3 +502,17 @@ class TestLinkPredictionJaccard:
         r13 = rows[(1, 3)]
         assert r13.deg_u == 3 and r13.deg_w == 1
         assert r13.jaccard_ppm == 1_000_000 // 3
+
+
+class TestModularityEntry:
+    def test_fixture_identity_and_bounds(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["graph_modularity_labelprop"]
+        r = fn(spark, sf_dir).collect()[0]
+        assert sql is not None
+        assert -1_000_000 <= r.q_ppm <= 1_000_000
+        assert 0 <= r.intra_edges <= r.n_edges
+        assert r.n_communities >= 1

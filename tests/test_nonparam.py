@@ -188,3 +188,58 @@ class TestPoissonBootstrap:
 
         with _pt.raises(ValueError):
             poisson_bootstrap_means(spark.range(5), "id", "id", 1)
+
+
+class TestPoissonBootstrapFastHash:
+    def test_xxhash_path_same_weight_law(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+            poisson_weight_expr,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.range(4000).select(F.col("id"), F.lit(3).alias("b"))
+        agg = df.withColumn(
+            "w", F.expr(poisson_weight_expr("b", "id", "xxhash64"))
+        ).agg(
+            F.avg("w").alias("m"),
+            F.avg((F.col("w") == 0).cast("double")).alias("z"),
+        ).collect()[0]
+        assert 0.93 < agg.m < 1.07
+        assert 0.33 < agg.z < 0.41
+
+    def test_xxhash_markedly_cheaper_plan(self, spark):
+        # the fast path must stay whole-stage-codegen (no python, no
+        # conv/md5 string machinery): assert it is pure native exprs
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+            poisson_weight_expr,
+        )
+
+        e = poisson_weight_expr("b", "id", "xxhash64")
+        assert "md5" not in e and "conv" not in e and "xxhash64" in e
+
+    def test_rejects_unknown_hash(self, spark):
+        import pytest as _pt
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+            poisson_weight_expr,
+        )
+
+        with _pt.raises(ValueError):
+            poisson_weight_expr("b", "id", "sha1")
+
+
+class TestAbTestEntry:
+    def test_arm_balance_and_identities(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["events_ab_test_analysis"]
+        r = fn(spark, sf_dir).collect()[0]
+        assert sql is not None
+        assert r.n_a > 0 and r.n_b > 0
+        assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+        assert r.lift_ppm == r.rate_a_ppm - r.rate_b_ppm
+        # hash split is roughly even (binomial, wide tolerance)
+        total = r.n_a + r.n_b
+        assert abs(r.n_a - total / 2) < total * 0.25

@@ -294,6 +294,12 @@ class TestRegistryWindowSweep:
         # ranks the B=20 bootstrap-replicate means — bounded by the
         # replicate count, a literal
         "stats_bootstrap_ci_revenue",
+        # lag/lead/MA windows over the GENERATED month spine —
+        # calendar-bounded like the EWMA entry above
+        "orders_seasonal_decompose",
+        # ranks the output of a LIMIT 101 (top-k tail) — bounded by
+        # construction
+        "stats_hill_tail_index",
     }
 
     def test_no_single_partition_ordered_windows(self, spark):

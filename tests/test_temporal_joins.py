@@ -103,3 +103,40 @@ class TestRangeJoin:
         )
         slow = {(r["lid"], r["rid"]) for r in naive.collect()}
         assert fast == slow and len(fast) > 0
+
+
+class TestAsofForwardTolerance:
+    def test_registered_entry_semantics(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["asof_join_forward_tolerance"]
+        rows = fn(spark, sf_dir).collect()
+        assert sql is not None and len(rows) >= 1
+        for r in rows:
+            if r.next_purchase_id is not None:
+                assert 0 <= r.delay_us <= 7_200_000_000
+            else:
+                assert r.delay_us is None and r.next_purchase_value is None
+
+    def test_forward_picks_next_not_nearest(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.asof import (
+            asof_join,
+        )
+
+        probe = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 100)], "user_id long, ts string, event_id long"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"), "event_id")
+        build = spark.createDataFrame(
+            [
+                (1, "2024-01-01 09:59:00", 7),   # closer, but in the PAST
+                (1, "2024-01-01 10:30:00", 8),
+                (1, "2024-01-01 11:00:00", 9),
+            ],
+            "user_id long, ts string, bid long",
+        ).select("user_id", F.to_timestamp("ts").alias("ts"), "bid")
+        out = asof_join(probe, build, key="user_id", ts="ts", direction="forward").collect()
+        assert len(out) == 1 and out[0].bid_asof == 8
