@@ -454,3 +454,61 @@ def audio_silence_runs(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# pHash: DCT perceptual hash — the frequency-domain sibling of aHash
+# above.  aHash thresholds raw cells (robust to exact re-encodes only);
+# pHash thresholds LOW-FREQUENCY DCT coefficients, so global brightness
+# shifts and high-frequency noise flip far fewer bits.  The DCT basis
+# is quantized ONCE at import to integers (round(cos((2i+1)u*pi/16) *
+# 2^14)); every coefficient is then an exact int64 sum of int products
+# — bit-identical in any engine that consumes the same literal table,
+# which is how the SQL oracle replays it.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+PHASH_SCALE = 1 << 14
+PHASH_T = tuple(
+    tuple(int(round(_math.cos((2 * i + 1) * u * _math.pi / 16) * PHASH_SCALE))
+          for i in range(8))
+    for u in range(8)
+)
+
+
+def image_phash(
+    df: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-image pHash bits: decode -> integer luminance -> 8x8
+    nearest-neighbor grid (the aHash index law) -> exact integer 2-D
+    DCT-II via the PHASH_T table -> keep the 15 low-frequency
+    coefficients (u, v) in [0, 4)^2 minus DC -> threshold each against
+    their LOWER MEDIAN (8th smallest of 15, an exact integer order
+    statistic) -> 15-char '0'/'1' string in (u, v) row-major order.
+    """
+    import pandas as pd
+
+    schema = T.StructType.fromDDL(f"{id_col} long, phash_bits string")
+    tmat = np.array(PHASH_T, dtype=np.int64)  # [u][i]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                px = decode_image(bytes(blob)).astype(np.int64)
+                h, w, _c = px.shape
+                s3 = px.sum(axis=2)
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                g = s3[np.ix_(ys, xs)]  # 8x8 int
+                # C[u][v] = T[u] @ g @ T[v]^T — exact int64
+                c = tmat @ g @ tmat.T
+                low = [c[u][v] for u in range(4) for v in range(4)
+                       if not (u == 0 and v == 0)]
+                med = sorted(low)[(len(low) - 1) // 2]  # lower median of 15
+                bits = "".join("1" if x > med else "0" for x in low)
+                rows.append((mid, bits))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema)

@@ -1399,3 +1399,63 @@ SELECT n_a, n_b, conv_a, conv_b,
 FROM arms
 """,
 )
+
+
+# ==========================================================================
+# Price-volume-mix decomposition (round 10): WHY did revenue move
+# between 1995 and 1996, per order priority — the volume effect
+# ((n2 - n1) at period-1 average price) vs the price effect (n2 times
+# the average-price change), the first decomposition any revenue
+# review asks for.  Averages are exact micro-cents floor divisions;
+# both effects are exact integer products of those (the flooring
+# residual lands in the price effect by construction:
+# vol + price == n2*avg2 - n1*avg1 exactly in micro units).
+# ==========================================================================
+
+
+def _orders_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    per = (
+        orders.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy("o_orderpriority", F.year("o_orderdate").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("rev"))
+    )
+    a = per.filter(F.col("yr") == 1995).select(
+        "o_orderpriority", F.col("n").alias("n1"), F.col("rev").alias("rev1")
+    )
+    b = per.filter(F.col("yr") == 1996).select(
+        "o_orderpriority", F.col("n").alias("n2"), F.col("rev").alias("rev2")
+    )
+    j = a.join(b, "o_orderpriority")
+    return j.selectExpr(
+        "o_orderpriority", "n1", "n2",
+        "CAST((rev1 * CAST(1000000 AS BIGINT)) div n1 AS BIGINT) AS avg1_micro",
+        "CAST((rev2 * CAST(1000000 AS BIGINT)) div n2 AS BIGINT) AS avg2_micro",
+        "CAST((n2 - n1) * ((rev1 * CAST(1000000 AS BIGINT)) div n1) AS BIGINT) AS volume_effect_micro",
+        "CAST(n2 * ((rev2 * CAST(1000000 AS BIGINT)) div n2 - (rev1 * CAST(1000000 AS BIGINT)) div n1) AS BIGINT) AS price_effect_micro",
+    ).orderBy("o_orderpriority")
+
+
+_register(
+    "orders_pvm_decomposition",
+    _orders_pvm,
+    """
+WITH per AS (
+  SELECT o_orderpriority, year(o_orderdate) AS yr,
+         count(*)::BIGINT AS n,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS rev
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2
+),
+a AS (SELECT o_orderpriority, n AS n1, rev AS rev1 FROM per WHERE yr = 1995),
+b AS (SELECT o_orderpriority, n AS n2, rev AS rev2 FROM per WHERE yr = 1996)
+SELECT o_orderpriority, n1, n2,
+       CAST((rev1 * 1000000) // n1 AS BIGINT) AS avg1_micro,
+       CAST((rev2 * 1000000) // n2 AS BIGINT) AS avg2_micro,
+       CAST((n2 - n1) * ((rev1 * 1000000) // n1) AS BIGINT) AS volume_effect_micro,
+       CAST(n2 * ((rev2 * 1000000) // n2 - (rev1 * 1000000) // n1) AS BIGINT) AS price_effect_micro
+FROM a JOIN b USING (o_orderpriority)
+ORDER BY o_orderpriority
+""",
+)

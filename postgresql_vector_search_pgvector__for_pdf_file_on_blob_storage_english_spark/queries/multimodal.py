@@ -412,3 +412,98 @@ ORDER BY d.media_id
 """
 
 _register("mm_audio_silence_runs", _mm_audio_silence, _DD_MM_SILENCE)
+
+
+# --------------------------------------------------------------------------
+# pHash DCT dupes (round 10) — operators/multimodal.py::image_phash.
+# The frequency-domain dedup fingerprint next to aHash: exact integer
+# 2-D DCT over the 8x8 luminance grid with the SHARED quantized
+# cosine table (PHASH_T — the oracle consumes the identical literal
+# list), 15 low-frequency bits vs their lower median.  Same dup-group
+# report shape as the aHash entry so the two fingerprints are
+# side-by-side comparable.
+# --------------------------------------------------------------------------
+
+
+def _mm_image_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_phash
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.select((F.col("doc_id") % _AHASH_MOD).alias("doc_id")).distinct()
+    media = synth_media_df(seeds, kind="image", container="real").select(
+        F.col("media_id").alias("seed"), "content"
+    )
+    keyed = docs.select(
+        "doc_id", (F.col("doc_id") % _AHASH_MOD).alias("seed")
+    ).join(media, "seed")
+    hashed = image_phash(
+        keyed.select(F.col("doc_id").alias("media_id"), "content")
+    )
+    return (
+        hashed.groupBy("phash_bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("min_media_id"),
+        )
+        .filter(F.col("n_images") > 1)
+        .orderBy("phash_bits")
+    )
+
+
+def _dd_phash_sql() -> str:
+    from ..operators.multimodal import PHASH_T
+
+    flat = ", ".join(str(t) for row in PHASH_T for t in row)
+    return f"""
+WITH seeds AS (SELECT DISTINCT (doc_id % {_AHASH_MOD}) AS seed FROM documents),
+dims AS (
+  SELECT seed, (8 + seed % 9)::BIGINT AS w, (8 + seed % 7)::BIGINT AS h
+  FROM seeds
+),
+cells AS (
+  SELECT seed, ty.ty, tx.tx,
+         (((ty.ty * h) // 8) * w + ((tx.tx * w) // 8)) * 3 AS base
+  FROM dims, unnest(range(0, 8)) AS ty(ty), unnest(range(0, 8)) AS tx(tx)
+),
+lum AS (
+  SELECT seed, ty, tx,
+         ((seed * {A_PIX} + (base + 0) * {B_PIX}) % 256)
+         + ((seed * {A_PIX} + (base + 1) * {B_PIX}) % 256)
+         + ((seed * {A_PIX} + (base + 2) * {B_PIX}) % 256) AS v
+  FROM cells
+),
+tmat AS (
+  SELECT u.u, i.i, ([{flat}])[u.u * 8 + i.i + 1]::BIGINT AS t
+  FROM unnest(range(0, 4)) AS u(u), unnest(range(0, 8)) AS i(i)
+),
+coef AS (
+  SELECT l.seed, tu.u AS cu, tv.u AS cv,
+         CAST(sum(l.v * tu.t * tv.t) AS BIGINT) AS c
+  FROM lum l
+  JOIN tmat tu ON tu.i = l.ty
+  JOIN tmat tv ON tv.i = l.tx
+  WHERE NOT (tu.u = 0 AND tv.u = 0)
+  GROUP BY l.seed, tu.u, tv.u
+),
+med AS (SELECT seed, quantile_disc(c, 0.5) AS m FROM coef GROUP BY seed),
+bits AS (
+  SELECT coef.seed,
+         string_agg(CASE WHEN c > m THEN '1' ELSE '0' END, ''
+                    ORDER BY cu, cv) AS phash_bits
+  FROM coef JOIN med USING (seed)
+  GROUP BY coef.seed
+),
+members AS (
+  SELECT d.doc_id, b.phash_bits
+  FROM documents d JOIN bits b ON b.seed = d.doc_id % {_AHASH_MOD}
+)
+SELECT phash_bits, count(*)::BIGINT AS n_images,
+       min(doc_id) AS min_media_id
+FROM members
+GROUP BY phash_bits
+HAVING count(*) > 1
+ORDER BY phash_bits
+"""
+
+
+_register("mm_image_phash_dupes", _mm_image_phash_dupes, _dd_phash_sql())

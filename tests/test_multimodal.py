@@ -276,3 +276,66 @@ class TestAudioSilenceRuns:
     def test_all_silent(self, spark):
         r = self._run(spark, [0, 1, -1, 2])
         assert (r.n_silent, r.n_runs, r.longest_run, r.longest_start) == (4, 1, 4, 0)
+
+
+class TestImagePhash:
+    def _img_df(self, spark, px):
+        import numpy as np
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            encode_image,
+        )
+
+        blob = encode_image(np.asarray(px, dtype=np.uint8))
+        return spark.createDataFrame(
+            [(1, bytearray(blob))], "media_id long, content binary"
+        )
+
+    def _grid(self, seed, h=8, w=8, c=3):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 255, size=(h, w, c)).astype(np.uint8)
+
+    def test_python_parity(self, spark):
+        import numpy as np
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            PHASH_T,
+            image_phash,
+        )
+
+        px = self._grid(7)
+        got = image_phash(self._img_df(spark, px)).collect()[0].phash_bits
+        t = np.array(PHASH_T, dtype=np.int64)
+        g = px.astype(np.int64).sum(axis=2)
+        c = t @ g @ t.T
+        low = [c[u][v] for u in range(4) for v in range(4) if (u, v) != (0, 0)]
+        med = sorted(low)[7]
+        want = "".join("1" if x > med else "0" for x in low)
+        assert got == want and len(got) == 15
+
+    def test_brightness_shift_invariant(self, spark):
+        # adding a constant to every pixel moves ONLY the DC
+        # coefficient (the quantized basis rows still cancel exactly by
+        # symmetry), and DC is excluded — pHash must not move
+        import numpy as np
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            image_phash,
+        )
+
+        px = np.minimum(self._grid(11), 225)  # headroom: +30 never clips
+        base = image_phash(self._img_df(spark, px)).collect()[0].phash_bits
+        brighter = (px.astype(np.int64) + 30).astype(np.uint8)
+        got = image_phash(self._img_df(spark, brighter)).collect()[0].phash_bits
+        assert got == base
+
+    def test_distinct_images_distinct_hashes(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.multimodal import (
+            image_phash,
+        )
+
+        a = image_phash(self._img_df(spark, self._grid(1))).collect()[0].phash_bits
+        b = image_phash(self._img_df(spark, self._grid(2))).collect()[0].phash_bits
+        assert a != b
