@@ -111,6 +111,8 @@ HEADLINE = [
     "linkage_jw_name_pairs",  # r10: Arrow-batched pandas-UDF comparator over blocked distinct values
     "graph_link_prediction_jaccard",  # r10: hub-capped wedge join + anti-join (candidate-generation class)
     "stats_bootstrap_ci_revenue",  # r10: B=20 in-map replicate explode, partial-agg to B rows
+    "graph_walk_corpus",  # r10: n_steps keyed joins, |V| walks (embedding corpus generation class)
+    "orders_seasonal_decompose",  # r10: generated month spine + calendar-bounded MA windows
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

@@ -25,7 +25,7 @@ RANKING is the product.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 UNIT = 1_000_000_000  # 1.0 of rank, in nano-units
@@ -745,3 +745,72 @@ def link_prediction_jaccard(
             "cn", "deg_u", "deg_w", "jaccard_ppm",
         )
     )
+
+
+def hash_walks(
+    edges: DataFrame,
+    n_steps: int = 4,
+) -> DataFrame:
+    """Deterministic 'random' walks — the corpus-generation stage of
+    DeepWalk/node2vec-style graph embeddings: one walk per node, each
+    step choosing among the current vertex's neighbors by a salted
+    hash of (position, current, start).  Every walk is replayable
+    bit-for-bit (no RNG state, no seed coordination across executors)
+    — the property that makes a 1000-executor walk corpus resumable
+    and its oracle checkable.
+
+    Returns ``(start, path)`` where path is the '->'-joined vertex
+    list (length n_steps + 1).  Walks stop early at sinks (isolated
+    direction) only if the graph is directed; edges here are treated
+    UNDIRECTED as ``(u, v), u < v`` distinct pairs.
+
+    Scale shape: one degree/rank table (per-node partitioned window),
+    then n_steps keyed joins — each linear in |V| walks, with the
+    neighbor lookup a (node, rank) equi-join, never a per-row UDF.
+    """
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    sym = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    w = Window.partitionBy("node").orderBy("nbr")
+    ranked = sym.withColumn("rk", F.row_number().over(w))
+    deg = ranked.groupBy("node").agg(F.max("rk").alias("deg"))
+
+    cur = deg.select(
+        F.col("node").alias("start"),
+        F.col("node").alias("cur"),
+        F.col("node").cast("string").alias("path"),
+    )
+    for pos in range(1, n_steps + 1):
+        with_deg = cur.join(deg.withColumnRenamed("node", "cur"), "cur")
+        pick = with_deg.withColumn(
+            "rk",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "§",
+                                F.lit(f"walk{pos}"),
+                                F.col("cur").cast("string"),
+                                F.col("start").cast("string"),
+                            )
+                        ),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long") % F.col("deg")
+            ) + 1,
+        )
+        stepped = pick.join(
+            ranked.withColumnRenamed("node", "cur"), ["cur", "rk"]
+        )
+        cur = stepped.select(
+            "start",
+            F.col("nbr").alias("cur"),
+            F.concat(F.col("path"), F.lit("->"), F.col("nbr").cast("string")).alias(
+                "path"
+            ),
+        )
+    return cur.select("start", "path")

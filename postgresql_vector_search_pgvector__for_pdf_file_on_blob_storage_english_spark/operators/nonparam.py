@@ -242,3 +242,47 @@ def poisson_bootstrap_means(
         "CAST(n_eff AS BIGINT) AS n_eff",
         "CAST((_sx * 1000000) div n_eff AS BIGINT) AS mean_micro",
     )
+
+
+def wilcoxon_signed_rank(df: DataFrame, d_col: str) -> DataFrame:
+    """Exact Wilcoxon signed-rank test over integral paired
+    differences — the PAIRED sibling of :func:`mann_whitney_u` (same
+    subject measured twice; is the median difference zero?).
+
+    Zero differences are dropped (the standard treatment); |d| ties
+    get AVERAGE ranks carried as exact DOUBLED integers via the same
+    (distinct value, per-sign counts) reduction.  Returns one row:
+    ``n_pairs, w2_pos, w2_neg`` (doubled rank sums of positive /
+    negative differences, ``w2_pos + w2_neg == n(n+1)``) and
+    ``pos_rank_ppm`` = floor(1e6 * W+ / (W+ + W-)), the rank-biserial
+    effect direction in exact ppm.
+    """
+    nz = df.filter(F.col(d_col) != 0).select(
+        F.abs(F.col(d_col)).alias("_a"),
+        (F.col(d_col) > 0).cast("long").alias("_p"),
+    )
+    per_v = nz.groupBy("_a").agg(
+        F.sum("_p").alias("_np"), F.sum(F.lit(1) - F.col("_p")).alias("_nn")
+    )
+    w = Window.orderBy("_a").rowsBetween(Window.unboundedPreceding, -1)
+    scored = per_v.withColumn(
+        "_cb", F.coalesce(F.sum(F.col("_np") + F.col("_nn")).over(w), F.lit(0))
+    )
+    # doubled average rank mass at value a: count_side * (2*cb + cnt + 1)
+    agg = scored.agg(
+        F.sum(F.col("_np") + F.col("_nn")).cast("decimal(38,0)").alias("_n"),
+        F.sum(
+            F.col("_np").cast("decimal(38,0)")
+            * (2 * F.col("_cb") + F.col("_np") + F.col("_nn") + 1)
+        ).alias("_w2p"),
+        F.sum(
+            F.col("_nn").cast("decimal(38,0)")
+            * (2 * F.col("_cb") + F.col("_np") + F.col("_nn") + 1)
+        ).alias("_w2n"),
+    )
+    return agg.selectExpr(
+        "CAST(_n AS BIGINT) AS n_pairs",
+        "CAST(_w2p AS BIGINT) AS w2_pos",
+        "CAST(_w2n AS BIGINT) AS w2_neg",
+        f"CAST((_w2p * {PPM}) div (_w2p + _w2n) AS BIGINT) AS pos_rank_ppm",
+    )

@@ -1459,3 +1459,74 @@ FROM a JOIN b USING (o_orderpriority)
 ORDER BY o_orderpriority
 """,
 )
+
+
+# ==========================================================================
+# Cohort LTV curve (round 10): cumulative revenue per acquisition
+# cohort by age-in-months — the lifetime-value chart behind every
+# retention program.  One groupBy to (cohort, age) cells, a cumulative
+# window PARTITIONED BY cohort (calendar-bounded per key), LTV per
+# customer in exact micro-cents.
+# ==========================================================================
+
+
+def _orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    mx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    base = orders.select("o_custkey", mx.alias("mx"), cents.alias("cents"))
+    cohort = base.groupBy("o_custkey").agg(F.min("mx").alias("cohort"))
+    sized = cohort.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    cells = (
+        base.join(F.broadcast(cohort), "o_custkey")
+        .groupBy("cohort", (F.col("mx") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(sized), "cohort")
+        .selectExpr(
+            "cohort", "age", "cohort_customers", "rev_cents",
+            "CAST(cum_cents AS BIGINT) AS cum_cents",
+            "CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000) div cohort_customers AS BIGINT) AS ltv_micro",
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+_register(
+    "orders_cohort_ltv",
+    _orders_cohort_ltv,
+    """
+WITH base AS (
+  SELECT o_custkey, (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+cohort AS (SELECT o_custkey, min(mx) AS cohort FROM base GROUP BY 1),
+sized AS (SELECT cohort, count(*)::BIGINT AS cohort_customers FROM cohort GROUP BY 1),
+cells AS (
+  SELECT c.cohort, b.mx - c.cohort AS age, sum(b.cents)::BIGINT AS rev_cents
+  FROM base b JOIN cohort c USING (o_custkey)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort, age, rev_cents,
+         sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM cells
+)
+SELECT cum.cohort, age, cohort_customers, rev_cents,
+       CAST(cum_cents AS BIGINT) AS cum_cents,
+       CAST((cum_cents::HUGEINT * 1000000) // cohort_customers AS BIGINT) AS ltv_micro
+FROM cum JOIN sized USING (cohort)
+ORDER BY cum.cohort, age
+""",
+)

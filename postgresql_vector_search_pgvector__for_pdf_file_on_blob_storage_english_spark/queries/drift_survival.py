@@ -899,3 +899,167 @@ FROM agg
 """
 
 _register("stats_hill_tail_index", _stats_hill, _DD_HILL)
+
+
+# ==========================================================================
+# Seasonal-naive-with-drift forecast, BACKTESTED (round 10): hold out
+# the last 12 months, forecast each as "same month last year + 12
+# months of Theil-Sen drift" (the robust drift the r10 estimator
+# already gates), and report the exact integer MAE/MAPE of the
+# backtest — a forecast entry that grades itself, like the
+# label-propagation confusion.  All arithmetic exact micro-cents; the
+# pair/median stages run on the calendar-bounded month relation.
+# ==========================================================================
+
+_FC_HOLDOUT = 12
+
+
+def _orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nonparam import theil_sen_micro
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx")
+    ).agg(F.sum(_cents()).alias("rev"))
+    hi = monthly.agg(F.max("mx").alias("hi")).first()["hi"]
+    cut = hi - _FC_HOLDOUT
+    train = monthly.filter(F.col("mx") <= cut)
+    slope = theil_sen_micro(train, "mx", "rev").first()["slope_micro"]
+    base = monthly.select(
+        (F.col("mx") + 12).alias("mx"),
+        (F.col("rev").cast("decimal(38,0)") * 1_000_000
+         + 12 * F.lit(int(slope)).cast("decimal(38,0)")).alias("fc_micro"),
+    )
+    holdout = monthly.filter(F.col("mx") > cut)
+    scored = holdout.join(base, "mx").select(
+        "mx", "rev", "fc_micro",
+        F.abs(
+            F.col("fc_micro") - F.col("rev").cast("decimal(38,0)") * 1_000_000
+        ).alias("abs_err_micro"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_holdout"),
+        F.sum("abs_err_micro").alias("sae"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).alias("sactual"),
+    )
+    return agg.selectExpr(
+        "CAST(n_holdout AS BIGINT) AS n_holdout",
+        f"CAST({int(slope)} AS BIGINT) AS slope_micro",
+        "CAST(sae div n_holdout AS BIGINT) AS mae_micro",
+        "CAST(sae div sactual AS BIGINT) AS mape_ppm",
+    )
+
+
+def _dd_forecast_sql() -> str:
+    return f"""
+WITH monthly AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mx,
+         sum({_CENTS})::BIGINT AS rev
+  FROM orders GROUP BY 1
+),
+cut AS (SELECT max(mx) - {_FC_HOLDOUT} AS c FROM monthly),
+train AS (SELECT mx, rev FROM monthly, cut WHERE mx <= c),
+pairs AS (
+  SELECT b.mx - a.mx AS dx, b.rev - a.rev AS dy,
+         (b.rev - a.rev)::DOUBLE / (b.mx - a.mx)::DOUBLE AS slope_dbl,
+         a.mx AS xi, b.mx AS xj
+  FROM train a JOIN train b ON a.mx < b.mx
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY slope_dbl, xi, xj) AS rn,
+         count(*) OVER () AS cnt
+  FROM pairs
+),
+slope AS (
+  SELECT CAST(CASE WHEN dy >= 0 THEN (dy * 1000000) // dx
+              ELSE -((-dy * 1000000 + dx - 1) // dx) END AS BIGINT) AS s
+  FROM ranked WHERE rn = (cnt + 1) // 2
+),
+fc AS (
+  SELECT m.mx + 12 AS mx, m.rev::HUGEINT * 1000000 + 12 * s AS fc_micro
+  FROM monthly m, slope
+),
+scored AS (
+  SELECT h.mx, h.rev, fc.fc_micro,
+         abs(fc.fc_micro - h.rev::HUGEINT * 1000000) AS abs_err_micro
+  FROM monthly h JOIN fc USING (mx), cut WHERE h.mx > c
+),
+agg AS (
+  SELECT count(*)::HUGEINT AS n_holdout, sum(abs_err_micro) AS sae,
+         sum(rev::HUGEINT) AS sactual
+  FROM scored
+)
+SELECT CAST(n_holdout AS BIGINT) AS n_holdout,
+       (SELECT CAST(s AS BIGINT) FROM slope) AS slope_micro,
+       CAST(sae // n_holdout AS BIGINT) AS mae_micro,
+       CAST(sae // sactual AS BIGINT) AS mape_ppm
+FROM agg
+"""
+
+
+_register("orders_seasonal_forecast_backtest", _orders_forecast_backtest, _dd_forecast_sql())
+
+
+# ==========================================================================
+# Wilcoxon signed-rank (round 10) — operators/nonparam.py::
+# wilcoxon_signed_rank.  The PAIRED sibling of the Mann-Whitney entry:
+# did per-customer spend shift between 1995 and 1996, customer by
+# customer?  Differences in exact cents, |d| ties as doubled average
+# ranks over the (distinct |d|, sign counts) reduction, one cumulative
+# window over that value-domain-bounded relation (allowlisted).
+# ==========================================================================
+
+
+def _stats_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nonparam import wilcoxon_signed_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        orders.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.year("o_orderdate") == 1995, _cents())).alias("r95"),
+            F.sum(F.when(F.year("o_orderdate") == 1996, _cents())).alias("r96"),
+        )
+        .filter(F.col("r95").isNotNull() & F.col("r96").isNotNull())
+        .select((F.col("r96") - F.col("r95")).alias("d"))
+    )
+    return wilcoxon_signed_rank(per, "d")
+
+
+_DD_WILCOXON = f"""
+WITH per AS (
+  SELECT o_custkey,
+         sum(CASE WHEN year(o_orderdate) = 1995 THEN {_CENTS} END)::BIGINT AS r95,
+         sum(CASE WHEN year(o_orderdate) = 1996 THEN {_CENTS} END)::BIGINT AS r96
+  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY 1
+),
+d AS (
+  SELECT r96 - r95 AS d FROM per
+  WHERE r95 IS NOT NULL AND r96 IS NOT NULL AND r96 - r95 != 0
+),
+per_v AS (
+  SELECT abs(d) AS a,
+         sum((d > 0)::BIGINT)::BIGINT AS np,
+         sum((d < 0)::BIGINT)::BIGINT AS nn
+  FROM d GROUP BY 1
+),
+cum AS (
+  SELECT a, np, nn,
+         coalesce(sum(np + nn) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM per_v
+),
+agg AS (
+  SELECT sum(np + nn)::HUGEINT AS n,
+         sum(np::HUGEINT * (2 * cb + np + nn + 1)) AS w2p,
+         sum(nn::HUGEINT * (2 * cb + np + nn + 1)) AS w2n
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(w2p AS BIGINT) AS w2_pos, CAST(w2n AS BIGINT) AS w2_neg,
+       CAST((w2p * 1000000) // (w2p + w2n) AS BIGINT) AS pos_rank_ppm
+FROM agg
+"""
+
+_register("stats_wilcoxon_signed_rank", _stats_wilcoxon, _DD_WILCOXON)

@@ -146,7 +146,24 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # orders_ewma_revenue_trend, stats_mutual_info_lang_source,
 # privacy_l_diversity_audit, dedup_ngram_containment_pairs,
 # dedup_cluster_best_quality, train_curriculum_interleave,
-# train_dsir_token_budget, plus every r10 addition.
+# train_dsir_token_budget, plus every r10 addition — notably (r10
+# session work, never driver-evidenced): the scorer-evaluation family
+# (eval_auc_doclen_trusted, eval_ndcg_doclen_trusted,
+# eval_calibration_doclen_en, train_split_leakage_safe,
+# stream_auc_replay / stream_calibration_replay),
+# train_mine_bitext_margin, orders_winsorized_price_stats,
+# mm_video_scene_cuts, stats_mannwhitney_price,
+# stats_theilsen_revenue_trend, events_activity_streaks,
+# ml_target_encode_loo, ml_woe_iv_doclen, train_kcenter_coreset,
+# linkage_jw_name_pairs, stream_reservoir_replay,
+# mm_audio_silence_runs, vocab_zipf_slope,
+# graph_link_prediction_jaccard, stats_bootstrap_ci_revenue,
+# asof_join_forward_tolerance, orders_seasonal_decompose,
+# stats_hill_tail_index, privacy_t_closeness_audit,
+# events_ab_test_analysis, graph_modularity_labelprop,
+# mm_image_phash_dupes, orders_pvm_decomposition,
+# orders_seasonal_forecast_backtest, vocab_oov_rate_curve,
+# graph_walk_corpus.
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the

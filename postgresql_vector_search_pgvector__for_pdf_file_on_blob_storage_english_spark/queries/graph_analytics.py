@@ -783,7 +783,9 @@ def _graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    edges = copurchase_edges(li)
+    # the edge relation feeds label-prop (2 rounds), degrees, AND the
+    # intra-edge count — derive the distinct self-join ONCE
+    edges = copurchase_edges(li).localCheckpoint(eager=False)
     seeds = part.filter(F.col("p_partkey") % 5 == 0).select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("label")
     )

@@ -410,3 +410,55 @@ LIMIT {_LP_K}
 """
 
 _register("graph_link_prediction_jaccard", _graph_link_pred, _DD_LINKPRED)
+
+
+# ==========================================================================
+# Deterministic walk corpus (round 10) — operators/graph.py::
+# hash_walks.  The DeepWalk/node2vec corpus-generation stage with
+# hash-driven (replayable, coordination-free) neighbor choice; the
+# gated output is EVERY walk (start, path), so one divergent step
+# anywhere in the corpus fails the value hash.  n_steps keyed joins,
+# each linear in |V|; neighbor lookup is a (node, rank) equi-join.
+# ==========================================================================
+
+_WALK_STEPS = 4
+
+
+def _graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, hash_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hash_walks(copurchase_edges(li), n_steps=_WALK_STEPS).orderBy("start")
+
+
+def _dd_walks_sql(n_steps: int) -> str:
+    head = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+ranked AS MATERIALIZED (
+  SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY nbr) AS rk
+  FROM sym
+),
+deg AS MATERIALIZED (SELECT node, max(rk)::BIGINT AS deg FROM ranked GROUP BY 1),
+c0 AS (SELECT node AS start, node AS cur, node::VARCHAR AS path FROM deg)"""
+    steps = []
+    for pos in range(1, n_steps + 1):
+        steps.append(f""",
+c{pos} AS (
+  SELECT c.start, r.nbr AS cur, c.path || '->' || r.nbr::VARCHAR AS path
+  FROM c{pos - 1} c
+  JOIN deg d ON d.node = c.cur
+  JOIN ranked r ON r.node = c.cur
+   AND r.rk = ('0x' || substr(md5('walk{pos}' || '§' || c.cur::VARCHAR || '§' || c.start::VARCHAR), 1, 15))::BIGINT % d.deg + 1
+)""")
+    return (
+        head + "".join(steps)
+        + f"\nSELECT start, path FROM c{n_steps} ORDER BY start"
+    )
+
+
+_register("graph_walk_corpus", _graph_walks, _dd_walks_sql(_WALK_STEPS))

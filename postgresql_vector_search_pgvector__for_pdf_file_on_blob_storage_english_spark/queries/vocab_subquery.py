@@ -332,3 +332,69 @@ FROM agg
 """
 
 _register("vocab_zipf_slope", _vocab_zipf, _DD_ZIPF)
+
+
+# ==========================================================================
+# OOV-rate curve (round 10): token coverage vs vocabulary size — the
+# tokenizer-ROI curve ("how big must the vocab be before <unk> is
+# rare").  One TakeOrdered top-1000 (bounded), ranked within that
+# bounded relation (allowlisted), then per-k coverage sums — the fact
+# table is touched by one word-count groupBy only.  All exact ppm.
+# ==========================================================================
+
+_OOV_KS = (100, 300, 1000)
+
+
+def _vocab_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(normalize_whitespace_col("text")), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count("*").alias("tf"))
+    total = counts.agg(F.sum("tf").alias("n")).first()["n"]
+    top = counts.orderBy(F.col("tf").desc(), "w").limit(max(_OOV_KS))
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("tf").desc(), "w"))
+    )
+    per_k = ranked.select(
+        "tf", F.explode(F.array(*[F.lit(k) for k in _OOV_KS])).alias("k")
+    ).filter(F.col("r") <= F.col("k"))
+    return (
+        per_k.groupBy("k")
+        .agg(F.sum("tf").alias("vocab_tokens"))
+        .selectExpr(
+            "k",
+            "vocab_tokens",
+            f"CAST({total} AS BIGINT) - vocab_tokens AS oov_tokens",
+            f"CAST(((CAST({total} AS BIGINT) - vocab_tokens) * CAST(1000000 AS BIGINT)) div {total} AS BIGINT) AS oov_ppm",
+        )
+        .orderBy("k")
+    )
+
+
+_DD_OOV = f"""
+WITH words AS (
+  SELECT w
+  FROM (SELECT {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+),
+counts AS (SELECT w, count(*)::BIGINT AS tf FROM words GROUP BY w),
+tot AS (SELECT sum(tf)::BIGINT AS n FROM counts),
+top AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, w) AS r
+  FROM (SELECT w, tf FROM counts ORDER BY tf DESC, w LIMIT {max(_OOV_KS)})
+),
+per_k AS (
+  SELECT tf, k FROM top, unnest([{", ".join(str(k) for k in _OOV_KS)}]) AS t(k)
+  WHERE r <= k
+)
+SELECT k, sum(tf)::BIGINT AS vocab_tokens,
+       max(n) - sum(tf)::BIGINT AS oov_tokens,
+       CAST(((max(n) - sum(tf)) * 1000000) // max(n) AS BIGINT) AS oov_ppm
+FROM per_k, tot GROUP BY k ORDER BY k
+"""
+
+_register("vocab_oov_rate_curve", _vocab_oov_curve, _DD_OOV)

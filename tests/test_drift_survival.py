@@ -322,3 +322,33 @@ class TestHillTailIndex:
         r = fn(spark, sf_dir).collect()[0]
         assert sql is not None
         assert r.k == 100 and r.mean_excess_micro > 0 and r.alpha_ppm > 0
+
+
+class TestForecastBacktest:
+    def test_self_grading_identities(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["orders_seasonal_forecast_backtest"]
+        r = fn(spark, sf_dir).collect()[0]
+        assert sql is not None
+        assert r.n_holdout == 12
+        assert r.mae_micro >= 0 and 0 <= r.mape_ppm <= 2_000_000
+
+
+class TestOovCurve:
+    def test_monotone_coverage(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["vocab_oov_rate_curve"]
+        rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.k)
+        assert sql is not None and len(rows) == 3
+        # bigger vocab -> more covered tokens, fewer OOV
+        for a, b in zip(rows, rows[1:]):
+            assert b.vocab_tokens >= a.vocab_tokens
+            assert b.oov_ppm <= a.oov_ppm
+        for r in rows:
+            assert r.vocab_tokens + r.oov_tokens == rows[0].vocab_tokens + rows[0].oov_tokens

@@ -516,3 +516,35 @@ class TestModularityEntry:
         assert -1_000_000 <= r.q_ppm <= 1_000_000
         assert 0 <= r.intra_edges <= r.n_edges
         assert r.n_communities >= 1
+
+
+class TestHashWalks:
+    def test_walks_follow_edges_and_are_deterministic(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            hash_walks,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)], "u long, v long"
+        )
+        adj = {1: {2, 4}, 2: {1, 3, 4}, 3: {2, 4}, 4: {1, 2, 3}}
+        out = {r.start: r.path for r in hash_walks(e, 3).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        for start, path in out.items():
+            hops = [int(x) for x in path.split("->")]
+            assert hops[0] == start and len(hops) == 4
+            for a, b in zip(hops, hops[1:]):
+                assert b in adj[a], path
+        # repartitioning must not change a single walk
+        again = {r.start: r.path for r in hash_walks(e.repartition(5), 3).collect()}
+        assert again == out
+
+    def test_rejects_bad_steps(self, spark):
+        import pytest as _pt
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            hash_walks,
+        )
+
+        with _pt.raises(ValueError):
+            hash_walks(spark.createDataFrame([(1, 2)], "u long, v long"), 0)

@@ -243,3 +243,59 @@ class TestAbTestEntry:
         # hash split is roughly even (binomial, wide tolerance)
         total = r.n_a + r.n_b
         assert abs(r.n_a - total / 2) < total * 0.25
+
+
+class TestWilcoxonSignedRank:
+    def test_hand_computed_with_ties(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+            wilcoxon_signed_rank,
+        )
+
+        # d = [+1, -1, +2, +2, -3, 0]; zero dropped -> n = 5
+        # |d| ranks: 1,1 -> avg 1.5 each; 2,2 -> avg 3.5 each; 3 -> 5
+        # W+ = 1.5 + 3.5 + 3.5 = 8.5 -> w2_pos = 17
+        # W- = 1.5 + 5 = 6.5 -> w2_neg = 13; sum = n(n+1) = 30
+        df = spark.createDataFrame([(1,), (-1,), (2,), (2,), (-3,), (0,)], "d long")
+        r = wilcoxon_signed_rank(df, "d").collect()[0]
+        assert r.n_pairs == 5
+        assert r.w2_pos == 17 and r.w2_neg == 13
+        assert r.w2_pos + r.w2_neg == 5 * 6
+        assert r.pos_rank_ppm == 17 * 1_000_000 // 30
+
+    def test_all_positive(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+            wilcoxon_signed_rank,
+        )
+
+        df = spark.createDataFrame([(5,), (9,), (2,)], "d long")
+        r = wilcoxon_signed_rank(df, "d").collect()[0]
+        assert r.w2_neg == 0 and r.pos_rank_ppm == 1_000_000
+
+    def test_symmetric_is_half(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.nonparam import (
+            wilcoxon_signed_rank,
+        )
+
+        df = spark.createDataFrame([(4,), (-4,), (7,), (-7,)], "d long")
+        r = wilcoxon_signed_rank(df, "d").collect()[0]
+        assert r.w2_pos == r.w2_neg and r.pos_rank_ppm == 500_000
+
+
+class TestCohortLtvEntry:
+    def test_monotone_cumulative(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["orders_cohort_ltv"]
+        rows = fn(spark, sf_dir).collect()
+        assert sql is not None and rows
+        by_cohort = {}
+        for r in rows:
+            by_cohort.setdefault(r.cohort, []).append(r)
+        for cohort, rs in by_cohort.items():
+            rs.sort(key=lambda r: r.age)
+            assert rs[0].age == 0  # the acquisition month is always present
+            cums = [r.cum_cents for r in rs]
+            assert cums == sorted(cums)  # cumulative never decreases
+            assert all(r.ltv_micro >= 0 for r in rs)

@@ -286,6 +286,8 @@ class TestRegistryWindowSweep:
         # r10 nonparametric family, same reduced-relation contract:
         # distinct-price-cents relation (rank cumulation, like KS above)
         "stats_mannwhitney_price",
+        # distinct-|d|-cents relation (paired variant, same reduction)
+        "stats_wilcoxon_signed_rank",
         # month-PAIR relation — bounded by calendar span squared (~3k
         # rows for 80 months at any corpus scale)
         "stats_theilsen_revenue_trend",
@@ -297,6 +299,8 @@ class TestRegistryWindowSweep:
         # lag/lead/MA windows over the GENERATED month spine —
         # calendar-bounded like the EWMA entry above
         "orders_seasonal_decompose",
+        # ranks the output of a LIMIT 1000 — bounded by construction
+        "vocab_oov_rate_curve",
         # ranks the output of a LIMIT 101 (top-k tail) — bounded by
         # construction
         "stats_hill_tail_index",

@@ -236,6 +236,27 @@ SECTIONS = [
      "never global) to a distinct-duration relation bounded by the day span; "
      "risk sets, event counts and the cumulative product all run on that "
      "bounded series."),
+    ("graph_link_prediction_jaccard", "Jaccard link prediction (r10)",
+     "Wedge generation is keyed on the CENTER vertex after the hub-cap "
+     "semi-join (deg <= 64) — the candidate stage is a keyed self-join whose "
+     "per-key fan-out is capped, never a cartesian; the anti-join against "
+     "existing edges and both degree joins are hash joins; scores are one "
+     "codegen projection.  No BroadcastNestedLoop, no CartesianProduct "
+     "(plan-asserted in tests).  At 100x the cap is the knob: candidates "
+     "are linear in |E| * cap."),
+    ("stats_bootstrap_ci_revenue", "Poisson bootstrap CI (r10)",
+     "The B=20 replicate explode happens IN-MAP: the groupBy(b) partial-"
+     "aggregates inside each task, so the exchange carries B rows per "
+     "partition, never B x rows.  The replicate-mean ranking window runs on "
+     "the 20-row relation.  The per-row cost is the 20 salted md5s — "
+     "measured linear at sf1 (SCALE.md), with the xxhash64 production "
+     "path 4x cheaper."),
+    ("train_kcenter_coreset", "k-center greedy coreset (r10)",
+     "Each of the k rounds is a full scan + TakeOrderedAndProject(1) — a "
+     "map-side-reduced argmax, no global sort, no window; the running "
+     "min-distance is a least() chain over literal center vectors, and the "
+     "only driver transfer is one selected row per round (the audited "
+     "model-artifact collect pattern)."),
 ]
 
 

@@ -50,7 +50,22 @@ QUERIES = [
     "mm_audio_silence_runs",
     "graph_link_prediction_jaccard",
     "stats_bootstrap_ci_revenue",
+    # session-2 wave 3
+    "asof_join_forward_tolerance",
+    "orders_seasonal_decompose",
+    "stats_hill_tail_index",
+    "privacy_t_closeness_audit",
+    "events_ab_test_analysis",
+    "graph_modularity_labelprop",
+    "mm_image_phash_dupes",
+    "orders_pvm_decomposition",
+    "orders_seasonal_forecast_backtest",
+    "vocab_oov_rate_curve",
+    "graph_walk_corpus",
 ]
+
+# run only the names passed after sf dirs, else all
+
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -72,10 +87,12 @@ def main() -> None:
             [sys.executable, "/root/repo/tools/make_sf1.py", sf01, sf1, "10"],
             check=True,
         )
+    only = sys.argv[3:]
+    names = [n for n in QUERIES if not only or n in only]
     spark = get_spark("round10b_scale")
     print("| query | sf0.1 s | sf1 s | ratio at 10x |")
     print("|---|---|---|---|")
-    for name in QUERIES:
+    for name in names:
         s01 = run_query(spark, name, sf01)
         s1 = run_query(spark, name, sf1)
         print(f"| {name} | {s01} | {s1} | {s1 / s01:.2f}x |", flush=True)
