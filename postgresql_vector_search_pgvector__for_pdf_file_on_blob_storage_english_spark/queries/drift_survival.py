@@ -1063,3 +1063,96 @@ FROM agg
 """
 
 _register("stats_wilcoxon_signed_rank", _stats_wilcoxon, _DD_WILCOXON)
+
+
+# ==========================================================================
+# Hourly autocorrelation (round 10): ACF of the hourly event-count
+# series at lags 1 / 24 / 168 — the periodicity detector (daily and
+# weekly cycles) a monitoring stack runs before choosing its anomaly
+# baseline.  The hour spine is GENERATED (missing hours count 0, so a
+# silent outage cannot shift the lags), the mean is cleared by
+# n-scaling — num = sum((n x_t - S)(n x_{t+k} - S)) — and each lag is
+# one equi-join on (hour + k): exact integers end to end, NO window at
+# all; the ppm quotient takes the explicit negative floor branch.
+# ==========================================================================
+
+_ACF_LAGS = (1, 24, 168)
+
+
+def _events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hours = ev.groupBy(
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hours.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("h"))
+    s = spine.join(hours, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("S")
+    ).first()
+    n, S = int(tot["n"]), int(tot["S"])
+    centered = s.select(
+        "h", (F.lit(n).cast("decimal(38,0)") * F.col("c") - F.lit(S)).alias("z")
+    )
+    den_row = centered.agg(F.sum(F.col("z") * F.col("z")).alias("den")).first()
+    den = int(den_row["den"])
+    outs = []
+    for k in _ACF_LAGS:
+        a = centered.select(F.col("h"), F.col("z").alias("z0"))
+        b = centered.select((F.col("h") - k).alias("h"), F.col("z").alias("zk"))
+        num = a.join(b, "h").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("z0") * F.col("zk")).alias("num"),
+        )
+        outs.append(
+            num.selectExpr(
+                f"CAST({k} AS BIGINT) AS lag",
+                "CAST(n_pairs AS BIGINT) AS n_pairs",
+                f"""CAST(CASE WHEN num >= 0
+                     THEN (num * 1000000) div CAST({den} AS DECIMAL(38,0))
+                     ELSE -((-num * 1000000 + {den} - 1) div CAST({den} AS DECIMAL(38,0)))
+                END AS BIGINT) AS acf_ppm""",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("lag")
+
+
+def _dd_acf_sql() -> str:
+    lag_selects = []
+    for k in _ACF_LAGS:
+        lag_selects.append(f"""
+SELECT {k}::BIGINT AS lag, count(*)::BIGINT AS n_pairs,
+       CAST(CASE WHEN sum(a.z * b.z) >= 0
+            THEN (sum(a.z * b.z) * 1000000) // (SELECT den FROM den)
+            ELSE -((-sum(a.z * b.z) * 1000000 + (SELECT den FROM den) - 1)
+                   // (SELECT den FROM den))
+       END AS BIGINT) AS acf_ppm
+FROM centered a JOIN centered b ON b.h = a.h + {k}""")
+    body = "\nUNION ALL".join(lag_selects)
+    return f"""
+WITH hours AS (
+  SELECT (epoch_us(ts) // 3600000000)::BIGINT AS h, count(*)::BIGINT AS c
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT i.x AS h FROM (SELECT min(h) AS lo, max(h) AS hi FROM hours),
+       unnest(range(lo, hi + 1)) AS i(x)
+),
+s AS (
+  SELECT spine.h, coalesce(hours.c, 0)::BIGINT AS c
+  FROM spine LEFT JOIN hours ON spine.h = hours.h
+),
+tot AS (SELECT count(*)::HUGEINT AS n, sum(c)::HUGEINT AS S FROM s),
+centered AS (SELECT h, n * c - S AS z FROM s, tot),
+den AS (SELECT sum(z * z) AS den FROM centered)
+{body}
+ORDER BY lag
+"""
+
+
+_register("events_hourly_autocorr", _events_hourly_acf, _dd_acf_sql())

@@ -163,7 +163,9 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # events_ab_test_analysis, graph_modularity_labelprop,
 # mm_image_phash_dupes, orders_pvm_decomposition,
 # orders_seasonal_forecast_backtest, vocab_oov_rate_curve,
-# graph_walk_corpus.
+# graph_walk_corpus, stats_wilcoxon_signed_rank, orders_cohort_ltv,
+# stream_sessionize_replay, graph_degree_assortativity,
+# events_hourly_autocorr.
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the

@@ -462,3 +462,70 @@ c{pos} AS (
 
 
 _register("graph_walk_corpus", _graph_walks, _dd_walks_sql(_WALK_STEPS))
+
+
+# ==========================================================================
+# Degree assortativity (round 10): do high-degree parts co-purchase
+# with high-degree parts?  Pearson r over the DIRECTED edge list (both
+# orientations of each undirected edge — the standard Newman 2002
+# formulation): all sums exact integers over one |E| pass; r is the
+# one rounded double (identical short IEEE expression both engines).
+# The skew-strategy signal: disassortative graphs (hubs-to-leaves)
+# are exactly where the hub-cap levers earn their keep.
+# ==========================================================================
+
+
+def _graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li)
+    sym = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "dx")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dy")
+    directed = edges.join(du, "u").join(dv, "v").select("dx", "dy")
+    both = directed.unionAll(directed.select(F.col("dy").alias("dx"), F.col("dx").alias("dy")))
+    agg = both.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m2"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "CAST(m2 AS BIGINT) AS n_directed_edges",
+        "CAST(sxy AS BIGINT) AS sum_dxdy",
+        """round(
+             CAST(m2 * sxy - sx * sx AS DOUBLE)
+             / CAST(m2 * sxx - sx * sx AS DOUBLE), 4) AS assortativity_r4""",
+    )
+
+
+_DD_ASSORT = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+directed AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+),
+both_dir AS (SELECT dx, dy FROM directed UNION ALL SELECT dy, dx FROM directed),
+agg AS (
+  SELECT count(*)::HUGEINT AS m2, sum(dx)::HUGEINT AS sx,
+         sum(dx::HUGEINT * dx) AS sxx, sum(dx::HUGEINT * dy) AS sxy
+  FROM both_dir
+)
+SELECT CAST(m2 AS BIGINT) AS n_directed_edges,
+       CAST(sxy AS BIGINT) AS sum_dxdy,
+       round(CAST(m2 * sxy - sx * sx AS DOUBLE)
+             / CAST(m2 * sxx - sx * sx AS DOUBLE), 4) AS assortativity_r4
+FROM agg
+"""
+
+_register("graph_degree_assortativity", _graph_assortativity, _DD_ASSORT)

@@ -625,3 +625,101 @@ SELECT doc_id, source FROM (
 
 
 # ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# Streaming sessionization replay (round 10) — streaming/
+# sessionize_stream.py.  The canonical custom stateful operator: the
+# per-user (last_ts, session_start) survives micro-batch boundaries in
+# the state store, so a session SPANNING batches is stitched, not
+# split.  The source is split into 4 DISJOINT TIME RANGES streamed
+# with maxFilesPerTrigger=1 (a log-structured ingest's arrival order),
+# which forces cross-batch sessions; the gate folds the per-event sink
+# to sessions and must equal the one-shot batch sessionization SQL
+# row-for-row.
+# --------------------------------------------------------------------------
+
+
+def _stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.sessionize_stream import streaming_sessionize
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_sess_{tag}_{os.getpid()}"
+    )
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span = (hi - lo) + 1
+    for i in range(4):
+        a = lo + (span * i) // 4
+        b = lo + (span * (i + 1)) // 4
+        ev.filter(
+            (F.unix_micros("ts") >= a) & (F.unix_micros("ts") < b)
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_sessionize(stream)
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(_append)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 180)
+
+    labeled = spark.read.parquet(sink)
+    return (
+        labeled.groupBy("user_id", "session_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts_us").alias("session_end_us"),
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+_DD_STREAM_SESS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS _new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts_us)::BIGINT AS session_start_us,
+       count(*)::BIGINT AS n_events,
+       max(ts_us)::BIGINT AS session_end_us
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+_register("stream_sessionize_replay", _stream_sessionize_replay, _DD_STREAM_SESS)

@@ -352,3 +352,51 @@ class TestOovCurve:
             assert b.oov_ppm <= a.oov_ppm
         for r in rows:
             assert r.vocab_tokens + r.oov_tokens == rows[0].vocab_tokens + rows[0].oov_tokens
+
+
+class TestHourlyAutocorr:
+    def test_periodic_series_peaks_at_its_period(self, spark):
+        # synthetic: counts with period 24 -> acf(24) near 1e6, acf(1) low
+        from pyspark.sql import functions as F
+
+        rows = [(h, 10 + (7 if h % 24 == 3 else 0)) for h in range(24 * 30)]
+        s = spark.createDataFrame(rows, "h long, c long")
+        tot = s.agg(F.count("*").alias("n"), F.sum("c").alias("S")).first()
+        n, S = tot["n"], tot["S"]
+        centered = s.select("h", (F.lit(n) * F.col("c") - F.lit(S)).alias("z"))
+        den = centered.agg(F.sum(F.col("z") * F.col("z"))).first()[0]
+
+        def acf(k):
+            a = centered.select("h", F.col("z").alias("z0"))
+            b = centered.select((F.col("h") - k).alias("h"), F.col("z").alias("zk"))
+            num = a.join(b, "h").agg(F.sum(F.col("z0") * F.col("zk"))).first()[0]
+            return num / den
+
+        assert acf(24) > 0.9
+        assert abs(acf(1)) < 0.1
+
+    def test_registered_entry_shape(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["events_hourly_autocorr"]
+        rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.lag)
+        assert sql is not None
+        assert [r.lag for r in rows] == [1, 24, 168]
+        assert all(-1_000_000 <= r.acf_ppm <= 1_000_000 for r in rows)
+        # longer lags have fewer overlapping pairs
+        assert rows[0].n_pairs > rows[1].n_pairs > rows[2].n_pairs
+
+
+class TestAssortativityEntry:
+    def test_bounds_and_symmetric_sums(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["graph_degree_assortativity"]
+        r = fn(spark, sf_dir).collect()[0]
+        assert sql is not None
+        assert -1.0 <= r.assortativity_r4 <= 1.0
+        assert r.n_directed_edges % 2 == 0  # both orientations present

@@ -64,3 +64,56 @@ def test_stateful_final_state_equals_batch(spark, tmp_path):
     # state really did evolve across batches: some user appears twice
     multi = got_df.groupBy("user_id").count().filter(F.col("count") > 1).count()
     assert multi > 0
+
+
+class TestStreamingSessionize:
+    def test_session_spanning_batches_is_stitched(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.streaming.sessionize_stream import (
+            streaming_sessionize,
+        )
+
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        # user 1: events at t=0m, 10m (batch 0) and 20m, 80m (batch 1):
+        # 0-10-20 is ONE session across the batch boundary; 80m starts a
+        # second (gap 60m > 30m).  user 2: single event per batch, gap
+        # 5m -> one session.
+        b0 = [(1, 100, "2024-03-01 10:00:00"), (1, 101, "2024-03-01 10:10:00"),
+              (2, 200, "2024-03-01 10:00:00")]
+        b1 = [(1, 102, "2024-03-01 10:20:00"), (1, 103, "2024-03-01 11:40:00"),
+              (2, 201, "2024-03-01 10:05:00")]
+        for i, rows in enumerate((b0, b1)):
+            spark.createDataFrame(rows, "user_id long, event_id long, ts string") \
+                .select("user_id", "event_id", F.to_timestamp("ts").alias("ts")) \
+                .coalesce(1).write.parquet(f"{src}/f{i}")
+
+        stream = (
+            spark.readStream.schema("user_id long, event_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        out = streaming_sessionize(stream)
+
+        def _append(batch_df, _bid):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(_append)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+        got = spark.read.parquet(sink).collect()
+        by_event = {r.event_id: r.session_start_us for r in got}
+        assert len(by_event) == 6  # every event exactly once
+        t0 = by_event[100]
+        assert by_event[101] == t0 and by_event[102] == t0  # stitched
+        assert by_event[103] != t0  # 60m gap -> new session
+        assert by_event[201] == by_event[200]  # user 2 stitched too
