@@ -1156,3 +1156,88 @@ ORDER BY lag
 
 
 _register("events_hourly_autocorr", _events_hourly_acf, _dd_acf_sql())
+
+
+# ==========================================================================
+# Spearman rank correlation (round 10): monotone association between
+# per-customer order COUNT and total SPEND — the rank-stats trio's
+# third member (Mann-Whitney: two-sample; Wilcoxon: paired; Spearman:
+# bivariate).  Average tie-ranks carried as exact DOUBLED integers via
+# per-variable (distinct value, count) reductions; Pearson on the
+# doubled ranks is exact integer algebra until the single final
+# sqrt+divide (one rounded double, identical expression both engines).
+# ==========================================================================
+
+
+def _stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("nord"),
+        F.sum(_cents()).alias("spend"),
+    )
+
+    def ranked2(df, col, out):
+        # doubled average rank of `col`: 2*cum_before + cnt + 1 per
+        # distinct value, joined back (value-domain-bounded window)
+        per_v = df.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+        r2 = per_v.withColumn(
+            "_cb", F.coalesce(F.sum("_c").over(w), F.lit(0))
+        ).select(
+            F.col("_v").alias(col),
+            (2 * F.col("_cb") + F.col("_c") + 1).alias(out),
+        )
+        return df.join(F.broadcast(r2), col)
+
+    both = ranked2(ranked2(per, "nord", "rx2"), "spend", "ry2")
+    agg = both.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("rx2").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("ry2").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2").cast("decimal(38,0)") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("ry2")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_customers",
+        """round(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS spearman_r4""",
+    )
+
+
+_DD_SPEARMAN = f"""
+WITH per AS (
+  SELECT o_custkey, count(*)::BIGINT AS nord, sum({_CENTS})::BIGINT AS spend
+  FROM orders GROUP BY 1
+),
+rx AS (
+  SELECT nord AS v, 2 * coalesce(sum(c) OVER (ORDER BY nord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+  FROM (SELECT nord, count(*)::BIGINT AS c FROM per GROUP BY 1)
+),
+ry AS (
+  SELECT spend AS v, 2 * coalesce(sum(c) OVER (ORDER BY spend
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+  FROM (SELECT spend, count(*)::BIGINT AS c FROM per GROUP BY 1)
+),
+both_r AS (
+  SELECT rx.r2::HUGEINT AS rx2, ry.r2::HUGEINT AS ry2
+  FROM per JOIN rx ON per.nord = rx.v JOIN ry ON per.spend = ry.v
+),
+agg AS (
+  SELECT count(*)::HUGEINT AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+         sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy, sum(rx2 * ry2) AS sxy
+  FROM both_r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS spearman_r4
+FROM agg
+"""
+
+_register("stats_spearman_rank_corr", _stats_spearman, _DD_SPEARMAN)

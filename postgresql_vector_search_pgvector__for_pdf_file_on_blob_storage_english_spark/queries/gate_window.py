@@ -165,7 +165,8 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # orders_seasonal_forecast_backtest, vocab_oov_rate_curve,
 # graph_walk_corpus, stats_wilcoxon_signed_rank, orders_cohort_ltv,
 # stream_sessionize_replay, graph_degree_assortativity,
-# events_hourly_autocorr.
+# events_hourly_autocorr, stats_spearman_rank_corr,
+# vocab_heaps_growth.
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the

@@ -398,3 +398,49 @@ FROM per_k, tot GROUP BY k ORDER BY k
 """
 
 _register("vocab_oov_rate_curve", _vocab_oov_curve, _DD_OOV)
+
+
+# ==========================================================================
+# Heaps-law vocabulary growth (round 10): distinct words seen within
+# the first k documents, k in {100, 250, 500} — the vocab-growth
+# curve (Heaps' law, V ~ k^beta) that sizes vocabulary budgets and
+# dedup expectations at 100x.  Three filtered distinct-counts over the
+# word explode; exact integers.
+# ==========================================================================
+
+_HEAPS_KS = (100, 250, 500)
+
+
+def _vocab_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(normalize_whitespace_col("text")), " ")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    per_k = words.select(
+        "doc_id", "w",
+        F.explode(F.array(*[F.lit(k) for k in _HEAPS_KS])).alias("k"),
+    ).filter(F.col("doc_id") < F.col("k"))
+    return (
+        per_k.groupBy("k")
+        .agg(F.countDistinct("w").alias("vocab_size"))
+        .orderBy("k")
+    )
+
+
+_DD_HEAPS = f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+)
+SELECT k, count(DISTINCT w)::BIGINT AS vocab_size
+FROM words, unnest([{", ".join(str(k) for k in _HEAPS_KS)}]) AS t2(k)
+WHERE doc_id < k
+GROUP BY k ORDER BY k
+"""
+
+_register("vocab_heaps_growth", _vocab_heaps, _DD_HEAPS)

@@ -299,3 +299,62 @@ class TestCohortLtvEntry:
             cums = [r.cum_cents for r in rs]
             assert cums == sorted(cums)  # cumulative never decreases
             assert all(r.ltv_micro >= 0 for r in rs)
+
+
+class TestSpearmanEntry:
+    def test_python_parity_on_synthetic(self, spark):
+        # build a small relation in the entry's own shape and compare
+        # against scipy-free hand computation with average ties
+        from pyspark.sql import Window, functions as F
+
+        rows = [(1, 3, 100), (2, 1, 40), (3, 3, 90), (4, 7, 200), (5, 1, 40)]
+        per = spark.createDataFrame(rows, "c long, nord long, spend long")
+
+        def ranked2(df, col, out):
+            per_v = df.groupBy(F.col(col).alias("_v")).agg(F.count("*").alias("_c"))
+            w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+            r2 = per_v.withColumn(
+                "_cb", F.coalesce(F.sum("_c").over(w), F.lit(0))
+            ).select(F.col("_v").alias(col), (2 * F.col("_cb") + F.col("_c") + 1).alias(out))
+            return df.join(F.broadcast(r2), col)
+
+        got = {r.c: (r.rx2, r.ry2) for r in ranked2(ranked2(per, "nord", "rx2"), "spend", "ry2").collect()}
+
+        def avg_ranks2(vals):
+            import collections
+            cnt = collections.Counter(vals)
+            out, cb = {}, 0
+            for v in sorted(cnt):
+                out[v] = 2 * cb + cnt[v] + 1
+                cb += cnt[v]
+            return out
+
+        rx = avg_ranks2([r[1] for r in rows])
+        ry = avg_ranks2([r[2] for r in rows])
+        for c, nord, spend in rows:
+            assert got[c] == (rx[nord], ry[spend])
+
+    def test_registered_entry_bounds(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["stats_spearman_rank_corr"]
+        r = fn(spark, sf_dir).collect()[0]
+        assert sql is not None
+        assert -1.0 <= r.spearman_r4 <= 1.0
+        # order count and spend are strongly monotone-associated
+        assert r.spearman_r4 > 0.5
+
+
+class TestHeapsEntry:
+    def test_monotone_vocab_growth(self, spark, sf_dir):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries import (
+            REGISTRY,
+        )
+
+        fn, sql = REGISTRY["vocab_heaps_growth"]
+        rows = sorted(fn(spark, sf_dir).collect(), key=lambda r: r.k)
+        assert sql is not None and [r.k for r in rows] == [100, 250, 500]
+        sizes = [r.vocab_size for r in rows]
+        assert sizes == sorted(sizes) and sizes[0] > 0

@@ -288,6 +288,9 @@ class TestRegistryWindowSweep:
         "stats_mannwhitney_price",
         # distinct-|d|-cents relation (paired variant, same reduction)
         "stats_wilcoxon_signed_rank",
+        # two rank cumulations, each over a distinct-value-domain
+        # relation (order-count domain / spend-cents domain)
+        "stats_spearman_rank_corr",
         # month-PAIR relation — bounded by calendar span squared (~3k
         # rows for 80 months at any corpus scale)
         "stats_theilsen_revenue_trend",
