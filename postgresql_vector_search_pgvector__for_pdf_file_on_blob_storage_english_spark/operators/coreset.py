@@ -53,16 +53,28 @@ def kcenter_greedy(emb: DataFrame, vec_col: str, id_col: str, k: int) -> DataFra
     if not seed:
         raise ValueError("empty input relation")
     picked = [(1, seed[0]["_id"], None)]
-    cur = base.withColumn("_mind", l2_distance_sq("_v", lit_vec(seed[0]["_v"])))
+    # Already-selected ids are filtered OUT of the candidate pool each
+    # round (ADVICE r10): with duplicate vectors (or k > distinct
+    # vectors) every remaining min-distance can be exactly 0 and the
+    # (mind desc, _id asc) tiebreak would otherwise re-select a chosen
+    # point, returning duplicate coreset rows.
+    cur = base.filter(F.col("_id") != F.lit(seed[0]["_id"])).withColumn(
+        "_mind", l2_distance_sq("_v", lit_vec(seed[0]["_v"]))
+    )
     for i in range(2, k + 1):
-        row = (
+        got = (
             cur.orderBy(F.col("_mind").desc(), F.col("_id"))
             .limit(1)
             .collect()
-        )[0]
+        )
+        if not got:
+            raise ValueError(
+                f"k={k} exceeds the number of distinct points ({i - 1} available)"
+            )
+        row = got[0]
         picked.append((i, row["_id"], row["_mind"]))
         if i < k:
-            cur = cur.withColumn(
+            cur = cur.filter(F.col("_id") != F.lit(row["_id"])).withColumn(
                 "_mind", F.least("_mind", l2_distance_sq("_v", lit_vec(row["_v"])))
             )
     out = spark.createDataFrame(

@@ -23,17 +23,22 @@ behavioral analytics is built on:
   so the operator scales with the per-key history, never globally.
 
 100 TB design: the only shuffles are partial-agg groupBys (value
-counts, per-key distinct days) and the per-key windows; the global
-ordered windows inside ``mann_whitney_u`` / ``theil_sen_micro`` see
-the REDUCED relation only (distinct cents / calendar-pair rows) —
-the same boundedness contract the monitoring family documents in
-tests/test_plans.py's allowlist.
+counts, per-key distinct days), the per-key windows, and the
+global_rank range exchange that ``mann_whitney_u`` /
+``wilcoxon_signed_rank`` use for their rank cumulations (r11: the
+distinct-cents relation tracks ROW cardinality — 14,999 at sf0.01 ->
+149,743 at sf0.1 — so no single-partition window may see it).  Only
+``theil_sen_micro`` keeps a global ordered window, over the
+calendar^2-bounded pair relation (tests/test_plans.py allowlist,
+executably checked by TestAllowlistBoundedness).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .ranking import global_rank
 
 PPM = 1_000_000
 
@@ -61,12 +66,19 @@ def mann_whitney_u(df: DataFrame, value_col: str, is_a_col: str) -> DataFrame:
             F.sum(F.lit(1) - F.col(is_a_col)).alias("_b"),
         )
     )
-    # cumulative count STRICTLY below v, over the bounded distinct-value
-    # series (allowlisted global window: the relation was reduced by the
-    # groupBy above; its size is the value DOMAIN, not the row count)
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-    scored = per_v.withColumn(
-        "_cb", F.coalesce(F.sum(F.col("_a") + F.col("_b")).over(w), F.lit(0))
+    # cumulative count STRICTLY below v.  The distinct-value relation is
+    # NOT domain-bounded in general (raw price cents are near-unique per
+    # row: 14,999 distinct at sf0.01 -> 149,743 at sf0.1, i.e. it grows
+    # WITH the data — VERDICT r10 #2's executable-boundedness audit), so
+    # the running count comes from the two-pass global_rank prefix sum,
+    # never a single-partition window.
+    scored = (
+        global_rank(
+            per_v.withColumn("_t", F.col("_a") + F.col("_b")),
+            [F.col("_v")],
+            prefix_col="_t",
+        )
+        .withColumnRenamed("_before", "_cb")
     )
     agg = scored.agg(
         F.sum("_a").cast("decimal(38,0)").alias("_na"),
@@ -264,9 +276,16 @@ def wilcoxon_signed_rank(df: DataFrame, d_col: str) -> DataFrame:
     per_v = nz.groupBy("_a").agg(
         F.sum("_p").alias("_np"), F.sum(F.lit(1) - F.col("_p")).alias("_nn")
     )
-    w = Window.orderBy("_a").rowsBetween(Window.unboundedPreceding, -1)
-    scored = per_v.withColumn(
-        "_cb", F.coalesce(F.sum(F.col("_np") + F.col("_nn")).over(w), F.lit(0))
+    # same scale contract as mann_whitney_u: distinct |d| over summed
+    # cents is near-row-cardinality, so the strict-below cumulation is
+    # the global_rank prefix sum, not a single-partition window
+    scored = (
+        global_rank(
+            per_v.withColumn("_t", F.col("_np") + F.col("_nn")),
+            [F.col("_a")],
+            prefix_col="_t",
+        )
+        .withColumnRenamed("_before", "_cb")
     )
     # doubled average rank mass at value a: count_side * (2*cb + cnt + 1)
     agg = scored.agg(

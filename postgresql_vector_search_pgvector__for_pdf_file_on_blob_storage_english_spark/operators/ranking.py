@@ -42,7 +42,7 @@ def global_rank(
     df: DataFrame,
     sort_cols: list[Column],
     npart: int = 32,
-    prefix_col: str | None = None,
+    prefix_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Exact 1-based global rank over ``sort_cols`` with no
     single-partition window.
@@ -51,7 +51,10 @@ def global_rank(
     ``_n`` (long, total row count).  When ``prefix_col`` is given, also
     adds ``_before`` — the EXCLUSIVE running sum of that column in rank
     order (0 for the first row), the building block of Pareto /
-    cumulative-share reports.
+    cumulative-share reports.  A LIST of column names yields one
+    ``_before_<col>`` per entry from the same single range exchange —
+    the two-sided CDF shape (KS cross-multiplied sup needs running
+    counts of BOTH samples in one pass).
 
     ``sort_cols`` must define a TOTAL order (include a unique tiebreak
     column) — equal composite keys could otherwise straddle a range
@@ -65,24 +68,33 @@ def global_rank(
     # global_rank cuts multiply it (the RFM entry measured 40
     # key-keyed exchanges for three cuts).  localCheckpoint pins the
     # range shuffle to one computation (MEMORY_AND_DISK, spillable).
+    if prefix_col is None:
+        prefix_cols, before_names = [], []
+    elif isinstance(prefix_col, str):
+        prefix_cols, before_names = [prefix_col], ["_before"]
+    else:
+        prefix_cols = list(prefix_col)
+        before_names = [f"_before_{c}" for c in prefix_cols]
+
     part = (
         df.repartitionByRange(npart, *sort_cols)
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
 
-    aggs = [F.count(F.lit(1)).alias("_c")]
-    if prefix_col is not None:
-        aggs.append(F.sum(prefix_col).alias("_s"))
+    aggs = [F.count(F.lit(1)).alias("_c")] + [
+        F.sum(c).alias(f"_s{i}x") for i, c in enumerate(prefix_cols)
+    ]
     summary = part.groupBy(_PID).agg(*aggs)
 
     # exclusive offsets: triangular self-join over the <=npart-row summary
     right = summary.select(
         *[F.col(c).alias(c + "2") for c in summary.columns]
     )
-    off_aggs = [F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias(_OFF)]
-    if prefix_col is not None:
-        off_aggs.append(F.coalesce(F.sum("_s2"), F.lit(0)).alias(_SOFF))
+    off_aggs = [F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias(_OFF)] + [
+        F.coalesce(F.sum(f"_s{i}x2"), F.lit(0)).alias(f"{_SOFF}{i}")
+        for i in range(len(prefix_cols))
+    ]
     offs = (
         summary.join(F.broadcast(right), F.col(_PID + "2") < F.col(_PID), "left")
         .groupBy(_PID)
@@ -97,13 +109,13 @@ def global_rank(
         .withColumn("_rank", (F.row_number().over(w) + F.col(_OFF)).cast("long"))
     )
     drop = [_PID, _OFF]
-    if prefix_col is not None:
-        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    for i, (c, out_name) in enumerate(zip(prefix_cols, before_names)):
         out = out.withColumn(
-            "_before",
-            F.coalesce(F.sum(prefix_col).over(wp), F.lit(0)) + F.col(_SOFF),
+            out_name,
+            F.coalesce(F.sum(c).over(wp), F.lit(0)) + F.col(f"{_SOFF}{i}"),
         )
-        drop.append(_SOFF)
+        drop.append(f"{_SOFF}{i}")
     return out.drop(*drop)
 
 

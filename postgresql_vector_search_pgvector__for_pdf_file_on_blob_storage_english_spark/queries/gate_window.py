@@ -132,8 +132,41 @@ from ._base import Entry, REGISTRY  # noqa: F401
 #   train_prune_prototypes → text_textrank_keywords (SSL-prototypes
 #                 evidenced r9; TextRank keyword extraction)
 #
-# Still queued for r11+ (never driver-evidenced): the five probe twins
-# (ann_ivf_probe etc. — serving-path rows), dedup_lsh_verified_pairs,
+# Round-11 rotation (VERDICT r10 item 3 — executes the queued list
+# verbatim): eleven slots driver-green in the r10 snapshot rotate out
+# for the never-driver-evidenced r10 families the judge named, plus
+# the two serving-path probe twins.  Out → in, with family cover:
+#   dedup_winnow_shared_fp → eval_auc_doclen_trusted (winnowing
+#                 evidenced r10; scorer-evaluation family's first slot)
+#   train_dsir_select → train_mine_bitext_margin (DSIR evidenced r10;
+#                 margin-based bitext mining's first slot)
+#   stream_cusum_replay → stream_sessionize_replay (streaming CUSUM
+#                 evidenced r10; the applyInPandasWithState stateful
+#                 sessionization marquee)
+#   mm_image_ahash_dupes → mm_image_phash_dupes (aHash evidenced
+#                 r8+r10; pHash DCT variant)
+#   events_cusum_changepoint → stats_mannwhitney_price (CUSUM
+#                 evidenced r10 twice; nonparametric-stats family's
+#                 first driver slot — freshly swapped to global_rank
+#                 cumulation this round, so driver evidence matters)
+#   linkage_fs_confusion → train_kcenter_coreset (FS linkage evidenced
+#                 r10; k-center coreset's first slot, post-ADVICE-fix)
+#   graph_kcore_copurchase → orders_cohort_ltv (k-core evidenced r10;
+#                 cohort-LTV family's first slot)
+#   sql_recursive_bfs_depth → graph_walk_corpus (recursive BFS
+#                 evidenced r10; the random-walk corpus — r10's
+#                 slowest bench line gets correctness evidence)
+#   retrieval_phrase_match → asof_join_forward_tolerance (phrase
+#                 search evidenced r10; as-of join family's first
+#                 driver slot)
+#   privacy_k_anonymity_audit → ann_ivf_probe (k-anonymity evidenced
+#                 r10; long-queued serving-path probe twin)
+#   text_textrank_keywords → bm25_probe (TextRank evidenced r10;
+#                 long-queued serving-path probe twin)
+#
+# Still queued for r12+ (never driver-evidenced): the remaining probe
+# twins (ann_lsh_probe, ann_hnsw_probe, ann_ivfpq_probe,
+# quant_sq8_probe, retrieval_phrase_probe), dedup_lsh_verified_pairs,
 # stream_incremental_dedup_replay, url_canonical_dupes,
 # text_unicode_nfc_stats, dedup_edjoin_part_pairs,
 # stream_bt_matrix_replay / stream_kmv_replay,
@@ -146,27 +179,23 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # orders_ewma_revenue_trend, stats_mutual_info_lang_source,
 # privacy_l_diversity_audit, dedup_ngram_containment_pairs,
 # dedup_cluster_best_quality, train_curriculum_interleave,
-# train_dsir_token_budget, plus every r10 addition — notably (r10
-# session work, never driver-evidenced): the scorer-evaluation family
-# (eval_auc_doclen_trusted, eval_ndcg_doclen_trusted,
-# eval_calibration_doclen_en, train_split_leakage_safe,
-# stream_auc_replay / stream_calibration_replay),
-# train_mine_bitext_margin, orders_winsorized_price_stats,
-# mm_video_scene_cuts, stats_mannwhitney_price,
-# stats_theilsen_revenue_trend, events_activity_streaks,
-# ml_target_encode_loo, ml_woe_iv_doclen, train_kcenter_coreset,
+# train_dsir_token_budget, plus the r10 additions the r11 rotation
+# did NOT cover: the scorer-evaluation family's remaining slots
+# (eval_ndcg_doclen_trusted, eval_calibration_doclen_en,
+# train_split_leakage_safe, stream_auc_replay /
+# stream_calibration_replay), orders_winsorized_price_stats,
+# mm_video_scene_cuts, stats_theilsen_revenue_trend,
+# events_activity_streaks, ml_target_encode_loo, ml_woe_iv_doclen,
 # linkage_jw_name_pairs, stream_reservoir_replay,
 # mm_audio_silence_runs, vocab_zipf_slope,
 # graph_link_prediction_jaccard, stats_bootstrap_ci_revenue,
-# asof_join_forward_tolerance, orders_seasonal_decompose,
-# stats_hill_tail_index, privacy_t_closeness_audit,
-# events_ab_test_analysis, graph_modularity_labelprop,
-# mm_image_phash_dupes, orders_pvm_decomposition,
+# orders_seasonal_decompose, stats_hill_tail_index,
+# privacy_t_closeness_audit, events_ab_test_analysis,
+# graph_modularity_labelprop, orders_pvm_decomposition,
 # orders_seasonal_forecast_backtest, vocab_oov_rate_curve,
-# graph_walk_corpus, stats_wilcoxon_signed_rank, orders_cohort_ltv,
-# stream_sessionize_replay, graph_degree_assortativity,
+# stats_wilcoxon_signed_rank, graph_degree_assortativity,
 # events_hourly_autocorr, stats_spearman_rank_corr,
-# vocab_heaps_growth.
+# vocab_heaps_growth, plus every r11 addition.
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the
@@ -200,30 +229,30 @@ _WINDOW_50: list[str] = [
     "pipeline_e2e_ingest_knn",   # S3 + end-to-end ingest
     # -- LLM-data-pipeline families -------------------------------------
     "dedup_exact_survivors",
-    "dedup_winnow_shared_fp",      # r10: winnowing fingerprints (MOSS)
+    "eval_auc_doclen_trusted",     # r11: scorer-eval family (exact AUC)
     "bloom_semi_join_revenue",    # r7: bloom semi-join's first driver slot
-    "train_dsir_select",           # r10: DSIR importance-resampled selection
-    "linkage_fs_confusion",        # r10: Fellegi-Sunter record linkage
-    "graph_kcore_copurchase",      # r10: k-core peel fixed point
+    "train_mine_bitext_margin",    # r11: margin-based bitext mining
+    "train_kcenter_coreset",       # r11: k-center greedy coreset
+    "orders_cohort_ltv",           # r11: cohort LTV triangle
     "decontam_ngram_overlap",
     "text_pii_redaction",
     "stream_pii_scrub_replay",
-    "retrieval_phrase_match",      # r10: positional-postings phrase search
-    "privacy_k_anonymity_audit",   # r10: k-anonymity QI-group audit
+    "asof_join_forward_tolerance", # r11: forward as-of join w/ tolerance
+    "ann_ivf_probe",               # r11: serving-path probe twin (IVF)
     "text_token_stats",
     "stream_heavy_hitters_replay", # r10: Misra-Gries streamed log + verify
     "ann_ivfpq_index_search",      # r6: persisted IVF-PQ (VERDICT r5 #3)
     "tpch_q21_waiting_suppliers",  # r8: Q21 analog (semi/anti joins)
     "dedup_incremental_new_batch", # r10: persisted-state corpus admission
-    "stream_cusum_replay",         # r10: streaming CUSUM changepoint
-    "events_cusum_changepoint",    # r10: monitoring family's first slot
+    "stream_sessionize_replay",    # r11: stateful sessionization (state store)
+    "stats_mannwhitney_price",     # r11: nonparam family (global_rank cumulation)
     "ann_ivf_index_compact",       # r8: index-maintenance family's first slot
-    "sql_recursive_bfs_depth",     # r10: cross-engine WITH RECURSIVE BFS
+    "graph_walk_corpus",           # r11: deterministic random-walk corpus
     "bm25_topk_docs",
     "stream_ivf_upsert_replay",    # r8: streaming-index replay family
-    "text_textrank_keywords",      # r10: TextRank keyword extraction
+    "bm25_probe",                  # r11: serving-path probe twin (BM25)
     "mm_audio_features",
-    "mm_image_ahash_dupes",        # r8: aHash perceptual image dedup
+    "mm_image_phash_dupes",        # r11: pHash DCT perceptual image dedup
 ]
 
 

@@ -16,6 +16,7 @@ from ._base import (  # noqa: F401
     DataFrame,
     F,
     SparkSession,
+    Window,
     _dd_l2,
     _register,
     _t,
@@ -443,3 +444,146 @@ ORDER BY bucket
 """
 
 _register("ml_woe_iv_doclen", _ml_woe_iv, _DD_WOE)
+
+
+# ==========================================================================
+# Split-conformal prediction intervals (round 11) — the scorer-eval
+# family's uncertainty member.  AUC says a scorer RANKS; calibration
+# says its probability is a probability; conformal says how WIDE an
+# interval must be to cover at a target rate, distribution-free
+# (Vovk et al.; Angelopoulos & Bates 2021 tutorial — public method).
+# Mondrian (per-source) variant: each source gets its own calibration
+# quantile, the standard guard against per-group miscoverage.
+#
+# Pipeline shape: a 50/50 hash split (engine stable-hash convention)
+# -> per-source integer mean model fit on CALIBRATION only ->
+# nonconformity r = |n_chars - mu| -> qhat = ceil(0.9 (n_cal + 1))-th
+# smallest calibration r -> empirical coverage of mu ± qhat on TEST.
+#
+# 100 TB design: two partial-agg groupBys (per-source sums, per
+# (source, r) counts); the quantile cumulation runs in a window
+# PARTITIONED by source over the (source, distinct r) relation, whose
+# per-source width is the n_chars DOMAIN (the fixture's 48..553 —
+# document-length ranges are capped by the chunker upstream, not by
+# corpus size), so no stage anywhere is global or row-cardinality.
+# All integers: exact k = (9 n_cal + 18) div 10, qhat an observed
+# residual, coverage in exact ppm.
+# ==========================================================================
+
+
+def _eval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("conf§"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    tagged = docs.withColumn("_cal", bucket < 50)
+    cal = tagged.filter(F.col("_cal"))
+    test = tagged.filter(~F.col("_cal"))
+
+    mu = cal.groupBy("source").agg(
+        F.sum("n_chars").alias("_s"), F.count(F.lit(1)).alias("n_cal")
+    ).select(
+        "source", "n_cal", F.expr("_s div n_cal").alias("_mu"),
+        F.expr("CAST((9 * n_cal + 18) div 10 AS BIGINT)").alias("k_idx"),
+    )
+    # per-(source, residual) counts; cumulative count in a window
+    # partitioned by source over the domain-bounded residual relation
+    r_cal = cal.join(F.broadcast(mu), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("_mu")).alias("_r")
+    )
+    per_r = r_cal.groupBy("source", "_r").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_r.withColumn("_cum", F.sum("_c").over(wcum))
+    qhat = (
+        cum.join(F.broadcast(mu.select("source", "k_idx", "n_cal")), "source")
+        # k > n_cal (tiny calibration set) would select nothing: clamp
+        # to the max residual so the interval covers everything, the
+        # standard finite-sample fallback
+        .filter(F.col("_cum") >= F.least(F.col("k_idx"), F.col("n_cal")))
+        .groupBy("source")
+        .agg(F.min("_r").alias("qhat"))
+    )
+    cov = (
+        test.join(F.broadcast(mu), "source")
+        .join(F.broadcast(qhat), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.abs(F.col("n_chars") - F.col("_mu")) <= F.col("qhat"))
+                .cast("long")
+            ).alias("_hit"),
+        )
+    )
+    out = (
+        mu.select("source", "n_cal", "k_idx")
+        .join(qhat, "source")
+        .join(cov, "source")
+    )
+    return out.selectExpr(
+        "source",
+        "CAST(n_cal AS BIGINT) AS n_cal",
+        "CAST(n_test AS BIGINT) AS n_test",
+        "k_idx",
+        "CAST(qhat AS BIGINT) AS qhat",
+        "CAST((_hit * 1000000) div n_test AS BIGINT) AS coverage_ppm",
+    ).orderBy("source")
+
+
+_DD_CONFORMAL = """
+WITH tagged AS (
+  SELECT doc_id, source, n_chars,
+         (('0x' || substr(md5('conf' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT
+          % 100) < 50 AS cal
+  FROM documents
+),
+mu AS (
+  SELECT source, count(*)::BIGINT AS n_cal,
+         sum(n_chars)::BIGINT // count(*)::BIGINT AS mu,
+         (9 * count(*)::BIGINT + 18) // 10 AS k_idx
+  FROM tagged WHERE cal GROUP BY source
+),
+per_r AS (
+  SELECT t.source, abs(t.n_chars - mu.mu) AS r, count(*)::BIGINT AS c
+  FROM tagged t JOIN mu USING (source)
+  WHERE t.cal GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, r,
+         sum(c) OVER (PARTITION BY source ORDER BY r
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM per_r
+),
+qhat AS (
+  SELECT cum.source, min(r) AS qhat
+  FROM cum JOIN mu USING (source)
+  WHERE cm >= least(mu.k_idx, mu.n_cal)
+  GROUP BY 1
+),
+cov AS (
+  SELECT t.source, count(*)::BIGINT AS n_test,
+         sum((abs(t.n_chars - mu.mu) <= q.qhat)::BIGINT)::BIGINT AS hit
+  FROM tagged t JOIN mu USING (source) JOIN qhat q ON q.source = t.source
+  WHERE NOT t.cal GROUP BY 1
+)
+SELECT mu.source, mu.n_cal, cov.n_test, mu.k_idx,
+       CAST(q.qhat AS BIGINT) AS qhat,
+       (cov.hit * 1000000) // cov.n_test AS coverage_ppm
+FROM mu JOIN qhat q ON q.source = mu.source JOIN cov ON cov.source = mu.source
+ORDER BY mu.source
+"""
+
+_register("eval_conformal_doclen", _eval_conformal, _DD_CONFORMAL)

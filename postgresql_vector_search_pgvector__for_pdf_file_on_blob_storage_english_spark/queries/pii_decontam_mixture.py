@@ -660,12 +660,24 @@ def _stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).first()
     span = (hi - lo) + 1
+    # Spark's file stream orders NEW files by modification time; four
+    # writes can land in the same ms and reorder batches, violating the
+    # per-user event-time-order precondition the emission contract
+    # needs (ADVICE r10).  Pin arrival order = time order by touching
+    # every data file with strictly increasing mtimes.
+    epoch = None
     for i in range(4):
         a = lo + (span * i) // 4
         b = lo + (span * (i + 1)) // 4
         ev.filter(
             (F.unix_micros("ts") >= a) & (F.unix_micros("ts") < b)
         ).coalesce(1).write.parquet(f"{src}/f{i}")
+        for root, _dirs, files in os.walk(f"{src}/f{i}"):
+            for fn in files:
+                p = os.path.join(root, fn)
+                if epoch is None:
+                    epoch = os.stat(p).st_mtime
+                os.utime(p, (epoch + i, epoch + i))
 
     stream = (
         spark.readStream.schema(ev.schema)

@@ -1456,7 +1456,10 @@ def _dd_kcenter(k: int) -> str:
     ctes = [
         "e AS (SELECT vec_id, embedding FROM embeddings)",
         "c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
-        f"m1 AS (SELECT e.vec_id, e.embedding, {l2sq('e.embedding', 'c1.embedding')} AS mind FROM e, c1)",
+        # selected ids leave the candidate pool each round, matching the
+        # Spark side's anti-filter (ADVICE r10 duplicate-vector guard)
+        f"m1 AS (SELECT e.vec_id, e.embedding, {l2sq('e.embedding', 'c1.embedding')} AS mind "
+        f"FROM e, c1 WHERE e.vec_id <> c1.vec_id)",
     ]
     for i in range(2, k + 1):
         prev = f"m{i - 1}"
@@ -1468,7 +1471,7 @@ def _dd_kcenter(k: int) -> str:
             ctes.append(
                 f"m{i} AS (SELECT p.vec_id, p.embedding, "
                 f"least(p.mind, {l2sq('p.embedding', f'c{i}.embedding')}) AS mind "
-                f"FROM {prev} p, c{i})"
+                f"FROM {prev} p, c{i} WHERE p.vec_id <> c{i}.vec_id)"
             )
     selects = ["SELECT 1 AS sel_order, vec_id, CAST(NULL AS DOUBLE) AS dist FROM c1"] + [
         f"SELECT {i} AS sel_order, vec_id, round(sqrt(mind), 4) AS dist FROM c{i}"

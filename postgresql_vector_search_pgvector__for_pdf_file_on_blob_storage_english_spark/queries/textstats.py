@@ -139,3 +139,77 @@ _register("text_fingerprint", _fingerprint, _DD_FINGERPRINT)
 
 
 # ==========================================================================
+
+
+# ==========================================================================
+# Readability scores (round 11): LIX (Björnsson 1968 — language-
+# agnostic readability from sentence length and long-word share; the
+# public formula words/sentences + 100 * longwords/words) per document,
+# aggregated per language.  A curation pipeline tiers corpora by
+# reading level next to the quality/gopher flags.  All integer: counts
+# from identical string primitives on both engines, the two divisions
+# as exact micro floor-divs, per-lang mean as a final floor-div.
+# Scale shape: per-row expressions (JVM string functions, no UDF) +
+# one partial-agg groupBy on lang — nothing else.
+# ==========================================================================
+
+
+def _readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    words = F.size(toks)
+    longw = F.size(F.filter(toks, lambda t: F.length(t) >= 7))
+    sents = F.greatest(
+        F.lit(1),
+        F.length("text") - F.length(F.translate("text", ".!?", "")),
+    )
+    per_doc = docs.select(
+        "lang",
+        words.alias("_w"),
+        longw.alias("_lw"),
+        sents.alias("_s"),
+    ).withColumn(
+        "_lix_micro",
+        F.expr("(_w * 1000000) div _s + (_lw * 100000000) div _w"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("_ws"),
+            F.sum("_lw").alias("_lws"),
+            F.sum("_lix_micro").alias("_lixs"),
+        )
+        .selectExpr(
+            "lang",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(_ws div n_docs AS BIGINT) AS avg_words",
+            "CAST((_lws * 1000000) div _ws AS BIGINT) AS longword_ppm",
+            "CAST(_lixs div n_docs AS BIGINT) AS avg_lix_micro",
+        )
+        .orderBy("lang")
+    )
+
+
+_DD_READABILITY = """
+WITH per_doc AS (
+  SELECT lang,
+         len(string_split(trim(text), ' '))::BIGINT AS w,
+         len(list_filter(string_split(trim(text), ' '),
+                         t -> length(t) >= 7))::BIGINT AS lw,
+         greatest(1, length(text) - length(translate(text, '.!?', '')))::BIGINT AS s
+  FROM documents
+),
+scored AS (
+  SELECT lang, w, lw,
+         (w * 1000000) // s + (lw * 100000000) // w AS lix_micro
+  FROM per_doc
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(w)::BIGINT // count(*)::BIGINT AS avg_words,
+       (sum(lw)::BIGINT * 1000000) // sum(w)::BIGINT AS longword_ppm,
+       sum(lix_micro)::BIGINT // count(*)::BIGINT AS avg_lix_micro
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+_register("text_readability_scores", _readability, _DD_READABILITY)

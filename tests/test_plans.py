@@ -277,20 +277,21 @@ class TestRegistryWindowSweep:
         "events_cusum_changepoint",
         # month-cardinality relation (EWMA lags over monthly rollup)
         "orders_ewma_revenue_trend",
-        # distinct-price-cents relation — bounded by the price DOMAIN
-        # (range x 100 cents), not row count; a corpus where the value
-        # domain itself is unbounded would histogram first
-        "stats_ks_price_drift",
+        # (stats_ks_price_drift / stats_mannwhitney_price /
+        # stats_wilcoxon_signed_rank were allowlisted r10 as "price-
+        # DOMAIN-bounded" — measurement says otherwise: 14,999 distinct
+        # order-price cents at sf0.01 grow to 149,743 at sf0.1, i.e.
+        # the distinct-value relation tracks ROW cardinality.  r11
+        # swapped their cumulations to global_rank prefix sums; no
+        # allowlist slots needed.)
         # distinct-gap-days relation — bounded by the calendar span
         "customer_survival_km",
-        # r10 nonparametric family, same reduced-relation contract:
-        # distinct-price-cents relation (rank cumulation, like KS above)
-        "stats_mannwhitney_price",
-        # distinct-|d|-cents relation (paired variant, same reduction)
-        "stats_wilcoxon_signed_rank",
-        # two rank cumulations, each over a distinct-value-domain
-        # relation (order-count domain / spend-cents domain)
-        "stats_spearman_rank_corr",
+        # (stats_spearman_rank_corr was allowlisted r10 with a WRONG
+        # boundedness claim — the spend relation is row-cardinality,
+        # 14,998 distinct spends / 14,999 customers at sf0.1; r11
+        # swapped its windows for global_rank prefix sums, so it needs
+        # no allowlist slot.  TestAllowlistBoundedness now makes every
+        # remaining claim executable.)
         # month-PAIR relation — bounded by calendar span squared (~3k
         # rows for 80 months at any corpus scale)
         "stats_theilsen_revenue_trend",
@@ -329,6 +330,122 @@ class TestRegistryWindowSweep:
         assert not unexpected, f"single-partition ordered windows: {unexpected}"
         # the allowlist must not rot: every entry still exists
         assert self.ALLOWED <= set(REGISTRY)
+
+
+def _global_window_input_rows(df) -> tuple[int, int]:
+    """Execute ``df`` and return (max rows feeding any unpartitioned
+    ordered WindowExec, max rows produced by any file scan) from the
+    executed plan's runtime metrics.
+
+    ``collect()`` runs on the DataFrame's OWN QueryExecution, so the
+    metric accumulators on this exact plan tree are the ones populated.
+    Window input size = the nearest descendant of the WindowExec that
+    carries a ``numOutputRows`` metric (WindowExec itself has none; its
+    input cardinality equals its output's, and the sort/exchange/agg
+    directly below it reports the same relation).
+    """
+
+    def _rows(node):
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                return int(kv._2().value())
+        return None
+
+    # limit-like operators cap their output but carry no numOutputRows
+    # metric — stats_hill_tail_index's window sits directly on a
+    # TakeOrderedAndProject(101) and would otherwise read the 150k scan
+    # below it as its input size
+    _LIMIT_NODES = {
+        "TakeOrderedAndProjectExec",
+        "GlobalLimitExec",
+        "LocalLimitExec",
+        "CollectLimitExec",
+    }
+
+    def _first_descendant_rows(node):
+        stack = [node.children().apply(i) for i in range(node.children().size())]
+        while stack:
+            n = stack.pop(0)
+            if n.getClass().getSimpleName() in _LIMIT_NODES:
+                return int(n.limit())
+            r = _rows(n)
+            if r is not None:
+                return r
+            stack = [
+                n.children().apply(i) for i in range(n.children().size())
+            ] + stack
+        return 0
+
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    win_max, scan_max = 0, 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "WindowExec" and node.partitionSpec().isEmpty() and node.orderSpec().size() > 0:
+            win_max = max(win_max, _first_descendant_rows(node))
+        elif cls == "FileSourceScanExec":
+            r = _rows(node)
+            if r is not None:
+                scan_max = max(scan_max, r)
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return win_max, scan_max
+
+
+class TestAllowlistBoundedness:
+    """VERDICT r10 #2: boundedness claims must be EXECUTABLE, not prose.
+
+    For every plan-sweep ALLOWED entry, measure the actual row count
+    flowing into each unpartitioned ordered window at sf0.01 and at
+    sf0.1 (runtime metrics of the executed plan, AQE off so the static
+    plan tree carries them), and assert the windowed relation grows
+    SUBLINEARLY vs the base-table scan — or sits under an absolute cap.
+
+    This test retro-fails every wrong r10 claim: pre-fix
+    ``stats_spearman_rank_corr`` windowed the distinct-spend relation —
+    1,500 rows at sf0.01 -> 14,998 at sf0.1 (across 14,999 customers),
+    a 10.0x growth against the 10x orders scan, ratio 1.0x of base ==
+    fails the 0.4x-of-base bar.  Likewise pre-fix stats_ks_price_drift
+    / stats_mannwhitney_price / stats_wilcoxon_signed_rank windowed
+    distinct order-price cents: 14,999 at sf0.01 -> 149,743 at sf0.1
+    (9.98x).  All four were r11-swapped to global_rank prefix sums and
+    removed from ALLOWED; what remains must pass this gate forever.
+    """
+
+    SF_A = "/root/testdata/sf0.01"
+    SF_B = "/root/testdata/sf0.1"
+    # a windowed relation this small is bounded regardless of growth
+    # (k-row top lists, B-replicate tables, calendar spines)
+    ABS_CAP = 5000
+
+    def test_allowed_windows_grow_sublinearly(self, spark):
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            failures = {}
+            for name in sorted(TestRegistryWindowSweep.ALLOWED):
+                fn = REGISTRY[name][0]
+                wa, sa = _global_window_input_rows(fn(spark, self.SF_A))
+                wb, sb = _global_window_input_rows(fn(spark, self.SF_B))
+                if wb <= self.ABS_CAP:
+                    continue  # bounded by construction at 10x the test sf
+                assert wa > 0 and sa > 0 and sb > sa, (
+                    f"{name}: degenerate measurement wa={wa} sa={sa} sb={sb}"
+                )
+                win_ratio = wb / wa
+                base_ratio = sb / sa
+                if win_ratio > max(2.0, 0.4 * base_ratio):
+                    failures[name] = (
+                        f"window rows {wa} -> {wb} ({win_ratio:.2f}x) vs "
+                        f"base scan {sa} -> {sb} ({base_ratio:.2f}x)"
+                    )
+            assert not failures, f"allowlisted windows grow with the data: {failures}"
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
 class TestRound6Plans:

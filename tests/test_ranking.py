@@ -234,3 +234,44 @@ class TestWinsorize:
         df = spark.createDataFrame([(1.0,)], "x double")
         with _pt.raises(ValueError, match="ppm"):
             winsorize(df, "x", lo_ppm=900_000, hi_ppm=100_000)
+
+
+class TestMultiPrefix:
+    def test_list_prefix_matches_single_calls(self, spark):
+        # r11: the KS shape — two running sums from ONE range exchange
+        rows = [(i, (i * 7) % 13, (i * 11) % 5, (i * 3) % 4) for i in range(1, 101)]
+        df = spark.createDataFrame(rows, "id int, v long, a long, b long")
+        sort = [F.col("v").asc(), F.col("id").asc()]
+        multi = {
+            r["id"]: (r["_before_a"], r["_before_b"])
+            for r in global_rank(df, sort, npart=6, prefix_col=["a", "b"]).collect()
+        }
+        ref_a = {
+            r["id"]: r["_before"]
+            for r in global_rank(df, sort, npart=6, prefix_col="a").collect()
+        }
+        ref_b = {
+            r["id"]: r["_before"]
+            for r in global_rank(df, sort, npart=6, prefix_col="b").collect()
+        }
+        assert multi == {i: (ref_a[i], ref_b[i]) for i in ref_a}
+
+    def test_many_prefix_cols_no_alias_collision(self, spark):
+        # 13+ prefix columns: the r11 alias fix ("_s1" + "2" used to
+        # collide with "_s12") — Kendall's per-x-bucket pivot needs this
+        n_cols = 14
+        rows = [
+            tuple([i] + [(i * (j + 3)) % 7 for j in range(n_cols)])
+            for i in range(1, 41)
+        ]
+        schema = "id int, " + ", ".join(f"c{j} long" for j in range(n_cols))
+        df = spark.createDataFrame(rows, schema)
+        cols = [f"c{j}" for j in range(n_cols)]
+        out = global_rank(df, [F.col("id").asc()], npart=4, prefix_col=cols)
+        got = {r["id"]: [r[f"_before_{c}"] for c in cols] for r in out.collect()}
+        # exclusive prefix of each column in id order, computed in python
+        run = [0] * n_cols
+        for i in range(1, 41):
+            assert got[i] == run
+            for j in range(n_cols):
+                run[j] += (i * (j + 3)) % 7
