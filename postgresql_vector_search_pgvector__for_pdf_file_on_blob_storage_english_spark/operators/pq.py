@@ -40,10 +40,20 @@ def fixed_codebooks(
     broadcast of trained centroids performs.
     """
     rows = corpus.select(vec_col).orderBy(id_col).limit(ksub).collect()
-    dim = len(rows[0][0])
+    return codebooks_from_vectors([r[0] for r in rows], m)
+
+
+def codebooks_from_vectors(
+    vectors: list, m: int
+) -> list[list[list[float]]]:
+    """The vectors -> codebooks step of :func:`fixed_codebooks`, split
+    out so a caller that already holds the seed vectors (e.g. a query
+    whose probe vector is among them) builds books from ONE driver
+    collect instead of two jobs."""
+    dim = len(vectors[0])
     dsub = dim // m
     return [
-        [[float(v) for v in r[0][j * dsub : (j + 1) * dsub]] for r in rows]
+        [[float(x) for x in v[j * dsub : (j + 1) * dsub]] for v in vectors]
         for j in range(m)
     ]
 
@@ -82,7 +92,10 @@ def pq_encode(
 
     codes = []
     for j, book in enumerate(codebooks):
-        book_col = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        # one nested-list literal per book (not ksub*dsub F.lit calls —
+        # the py4j round-trips were the dominant CONSTRUCTION cost of
+        # the ADC entry; ROOTCAUSES.md r11)
+        book_col = F.lit([[float(x) for x in c] for c in book])
         dists = F.transform(book_col, make_dist(j * dsub))
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return df.withColumn(code_col, F.array(*codes))
@@ -382,7 +395,7 @@ def pq_search(
     ]
     dist = F.lit(0.0)
     for j, table in enumerate(lut):
-        lut_col = F.array(*[F.lit(v) for v in table])
+        lut_col = F.lit([float(v) for v in table])
         dist = dist + F.element_at(lut_col, F.element_at(F.col(code_col), j + 1) + 1)
     cols = list(payload_cols) if payload_cols is not None else [
         c for c in encoded.columns if c != code_col

@@ -43,6 +43,7 @@ def global_rank(
     sort_cols: list[Column],
     npart: int = 32,
     prefix_col: str | list[str] | None = None,
+    prefix_op: str = "sum",
 ) -> DataFrame:
     """Exact 1-based global rank over ``sort_cols`` with no
     single-partition window.
@@ -56,12 +57,22 @@ def global_rank(
     the two-sided CDF shape (KS cross-multiplied sup needs running
     counts of BOTH samples in one pass).
 
+    ``prefix_op`` selects the running aggregate: ``"sum"`` (default,
+    exclusive running sum with identity 0) or ``"max"`` (exclusive
+    running max with identity NULL — the 2D-skyline sweep's "best seen
+    among all strictly-better-sorted rows").  Any commutative
+    associative op with the same partition-offset decomposition fits
+    the same two-pass shape.
+
     ``sort_cols`` must define a TOTAL order (include a unique tiebreak
     column) — equal composite keys could otherwise straddle a range
     boundary and make ranks partitioning-dependent.  ``npart`` bounds
     the summary relation and the per-task sort size: size it to the
     cluster (rows/npart must fit one task), not to the data.
     """
+    if prefix_op not in ("sum", "max"):
+        raise ValueError(f"unsupported prefix_op {prefix_op!r}")
+    agg_fn = F.sum if prefix_op == "sum" else F.max
     # The ranged relation feeds three branches (summary -> offsets,
     # total, and the final rank join); without a lineage cut each
     # branch re-derives the CALLER's whole upstream plan — chained
@@ -83,7 +94,7 @@ def global_rank(
     )
 
     aggs = [F.count(F.lit(1)).alias("_c")] + [
-        F.sum(c).alias(f"_s{i}x") for i, c in enumerate(prefix_cols)
+        agg_fn(c).alias(f"_s{i}x") for i, c in enumerate(prefix_cols)
     ]
     summary = part.groupBy(_PID).agg(*aggs)
 
@@ -92,7 +103,13 @@ def global_rank(
         *[F.col(c).alias(c + "2") for c in summary.columns]
     )
     off_aggs = [F.coalesce(F.sum("_c2"), F.lit(0)).cast("long").alias(_OFF)] + [
-        F.coalesce(F.sum(f"_s{i}x2"), F.lit(0)).alias(f"{_SOFF}{i}")
+        # sum's identity is 0; max's is NULL (F.max already yields NULL
+        # over an empty/all-null group, so no coalesce for "max")
+        (
+            F.coalesce(F.sum(f"_s{i}x2"), F.lit(0))
+            if prefix_op == "sum"
+            else F.max(f"_s{i}x2")
+        ).alias(f"{_SOFF}{i}")
         for i in range(len(prefix_cols))
     ]
     offs = (
@@ -111,10 +128,15 @@ def global_rank(
     drop = [_PID, _OFF]
     wp = w.rowsBetween(Window.unboundedPreceding, -1)
     for i, (c, out_name) in enumerate(zip(prefix_cols, before_names)):
-        out = out.withColumn(
-            out_name,
-            F.coalesce(F.sum(c).over(wp), F.lit(0)) + F.col(f"{_SOFF}{i}"),
-        )
+        if prefix_op == "sum":
+            combined = (
+                F.coalesce(F.sum(c).over(wp), F.lit(0)) + F.col(f"{_SOFF}{i}")
+            )
+        else:
+            # greatest() skips NULLs (all-NULL -> NULL), exactly the
+            # identity behavior an exclusive running max needs
+            combined = F.greatest(F.max(c).over(wp), F.col(f"{_SOFF}{i}"))
+        out = out.withColumn(out_name, combined)
         drop.append(f"{_SOFF}{i}")
     return out.drop(*drop)
 

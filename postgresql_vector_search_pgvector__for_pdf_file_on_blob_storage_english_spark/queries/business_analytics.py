@@ -1530,3 +1530,75 @@ FROM cum JOIN sized USING (cohort)
 ORDER BY cum.cohort, age
 """,
 )
+
+
+# ==========================================================================
+# 2D skyline / Pareto frontier (round 11): customers no other customer
+# dominates on (total spend, recency) — the "best tradeoff" query the
+# Pareto-ABC share report doesn't answer (Börzsönyi et al. 2001, the
+# SKYLINE operator; public literature).  Dominance: q beats p when
+# q.spend >= p.spend AND q.rec >= p.rec with at least one strict.
+#
+# Naive is the O(n^2) NOT EXISTS self-join — that stays as the ORACLE.
+# The engine side is the sort-sweep identity, distributed: reduce to
+# one row per distinct spend (max recency at that spend + the count
+# needed nowhere), then one global_rank pass ordered spend DESC with
+# prefix_op="max" gives every spend level the best recency among all
+# STRICTLY higher spends; a customer is on the skyline iff that
+# exclusive prefix-max is NULL or < its recency (no richer customer is
+# also at-least-as-recent) AND it holds its own spend level's max
+# recency (no equal-spend customer is strictly more recent).  Two
+# partial-agg groupBys + one range exchange; no O(n^2) anywhere.
+# ==========================================================================
+
+
+def _customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("spend_cents"),
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("last_epochday"),
+    )
+    per_spend = per.groupBy("spend_cents").agg(
+        F.max("last_epochday").alias("_mrec")
+    )
+    swept = global_rank(
+        per_spend,
+        [F.col("spend_cents").desc()],
+        prefix_col="_mrec",
+        prefix_op="max",
+    ).select("spend_cents", "_mrec", F.col("_before").alias("_best_above"))
+    return (
+        per.join(swept, "spend_cents")
+        .filter(
+            (F.col("_best_above").isNull() | (F.col("_best_above") < F.col("last_epochday")))
+            & (F.col("last_epochday") == F.col("_mrec"))
+        )
+        .select("o_custkey", "spend_cents", "last_epochday")
+        .orderBy(F.col("spend_cents").desc(), "o_custkey")
+    )
+
+
+_DD_SKYLINE = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS spend_cents,
+         date_diff('day', DATE '1970-01-01', max(o_orderdate))::BIGINT AS last_epochday
+  FROM orders GROUP BY 1
+)
+SELECT p.o_custkey, p.spend_cents, p.last_epochday
+FROM per p
+WHERE NOT EXISTS (
+  SELECT 1 FROM per q
+  WHERE q.spend_cents >= p.spend_cents AND q.last_epochday >= p.last_epochday
+    AND (q.spend_cents > p.spend_cents OR q.last_epochday > p.last_epochday)
+)
+ORDER BY p.spend_cents DESC, p.o_custkey
+"""
+
+_register("customer_skyline_spend_recency", _customer_skyline, _DD_SKYLINE)

@@ -587,3 +587,101 @@ ORDER BY mu.source
 """
 
 _register("eval_conformal_doclen", _eval_conformal, _DD_CONFORMAL)
+
+
+# ==========================================================================
+# Isotonic calibration (round 11): the monotone regression of the
+# trusted-source rate onto the doclen score — THE standard calibration
+# map for a scorer whose ranking is right but whose probabilities are
+# not (Zadrozny & Elkan 2002; pool-adjacent-violators, Barlow-Brunk
+# 1972 — public methods).  Completes the scorer-eval family: AUC says
+# it ranks, calibration_bins says how far off the probabilities are,
+# isotonic produces the corrected monotone probability table.
+#
+# Engine side: the per-score (cnt, pos) relation is bounded by the
+# SCORE DOMAIN (n_chars 48..553 — never row count), so it collects to
+# the driver like any bounded model artifact (centroids, bin bounds)
+# and exact PAVA runs in integer rationals — comparisons by cross-
+# multiplication, no float until the final ppm floor.  The ORACLE is a
+# derivation-independent cross-check: the minimax identity
+# fit_i = max_{j<=i} min_{k>=i} avg(pos[j..k]) / avg(cnt[j..k])
+# expanded as an O(D^3) triple join in SQL (D ~ 300-500 -> a few
+# million rows, trivial single-node), with argmin/argmax carrying the
+# exact (num, den) pair so the final ppm is integer on both sides.
+# ==========================================================================
+
+
+def _eval_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"),
+        F.col("source").isin(*_AUC_TRUSTED).cast("long").alias("y"),
+    )
+    per_s = (
+        docs.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+        .orderBy("s")
+    )
+    rows = per_s.collect()  # bounded by the n_chars domain, not rows
+    # exact PAVA: blocks of (num=pos, den=cnt); merge while the last
+    # two violate monotonicity (cross-multiplied integer compare)
+    blocks: list[list[int]] = []  # [num, den, n_scores]
+    for r in rows:
+        blocks.append([int(r["pos"]), int(r["n"]), 1])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+        # a block's fit applies to every score it pooled
+    fits: list[int] = []
+    for num, den, span in blocks:
+        fits.extend([(num * 1_000_000) // den] * span)
+    out_rows = [
+        (int(r["s"]), int(r["n"]), int(r["pos"]), fit)
+        for r, fit in zip(rows, fits)
+    ]
+    return spark.createDataFrame(
+        out_rows, "s long, n long, pos long, fit_ppm long"
+    ).orderBy("s")
+
+
+_DD_ISOTONIC = f"""
+WITH d AS (
+  SELECT n_chars AS s, (source IN {_AUC_TRUSTED})::BIGINT AS y FROM documents
+),
+per AS (SELECT s, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos FROM d GROUP BY 1),
+pre AS (
+  SELECT s, n, pos,
+         row_number() OVER (ORDER BY s) AS r,
+         sum(n) OVER (ORDER BY s) AS c_incl,
+         sum(pos) OVER (ORDER BY s) AS p_incl
+  FROM per
+),
+pairs AS (
+  SELECT j.r AS rj, k.r AS rk,
+         k.p_incl - (j.p_incl - j.pos) AS num,
+         k.c_incl - (j.c_incl - j.n) AS den
+  FROM pre j JOIN pre k ON j.r <= k.r
+),
+inner_min AS (
+  SELECT p.rj, i.r AS ri, p.num, p.den
+  FROM pairs p JOIN pre i ON p.rj <= i.r AND i.r <= p.rk
+  QUALIFY row_number() OVER (PARTITION BY p.rj, i.r
+                             ORDER BY p.num::DOUBLE / p.den, p.rk) = 1
+),
+outer_max AS (
+  SELECT ri, num, den
+  FROM inner_min
+  QUALIFY row_number() OVER (PARTITION BY ri
+                             ORDER BY num::DOUBLE / den DESC, rj) = 1
+)
+SELECT pre.s, pre.n, pre.pos,
+       CAST((o.num * 1000000) // o.den AS BIGINT) AS fit_ppm
+FROM pre JOIN outer_max o ON o.ri = pre.r
+ORDER BY pre.s
+"""
+
+_register("eval_isotonic_calibration", _eval_isotonic, _DD_ISOTONIC)

@@ -71,10 +71,19 @@ FROM codes GROUP BY vec_id
 
 
 def _pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import codebooks_from_vectors
+
     emb = _t(spark, sf_dir, "embeddings")
-    books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
+    # the probe id sits inside the ksub lowest-id seed vectors, so ONE
+    # driver collect yields both the codebooks and the query vector —
+    # construction cost profiled at half the r10 line's driver time
+    # (ROOTCAUSES.md r11: the ADC scan itself executes in 0.80 s at
+    # sf0.1, already faster than the r1 execute-only 0.87 s)
+    assert _PQ_PROBE_ID < _PQ_KSUB
+    seed = emb.select("vec_id", "embedding").orderBy("vec_id").limit(_PQ_KSUB).collect()
+    books = codebooks_from_vectors([r["embedding"] for r in seed], _PQ_M)
+    qvec = next(r["embedding"] for r in seed if r["vec_id"] == _PQ_PROBE_ID)
     encoded = pq_encode(emb, books).select("vec_id", "label", "pq_code")
-    qvec = emb.filter(F.col("vec_id") == _PQ_PROBE_ID).first()["embedding"]
     out = pq_search(encoded, list(qvec), books, k=5, payload_cols=["vec_id", "label"])
     return out.select("vec_id", "label", F.round("adc_dist_sq", 4).alias("adc_dist_sq"))
 

@@ -275,3 +275,30 @@ class TestMultiPrefix:
             assert got[i] == run
             for j in range(n_cols):
                 run[j] += (i * (j + 3)) % 7
+
+
+class TestPrefixMax:
+    def test_exclusive_prefix_max_matches_window(self, spark):
+        # r11: prefix_op="max" — the 2D-skyline sweep primitive
+        rows = [(i, (i * 37) % 50, (i * 13) % 23) for i in range(1, 201)]
+        df = spark.createDataFrame(rows, "id int, v long, m long")
+        sort = [F.col("v").desc(), F.col("id").asc()]
+        got = {
+            r["id"]: r["_before"]
+            for r in global_rank(
+                df, sort, npart=7, prefix_col="m", prefix_op="max"
+            ).collect()
+        }
+        wp = Window.orderBy(*sort).rowsBetween(Window.unboundedPreceding, -1)
+        ref = {
+            r["id"]: r["ref"]
+            for r in df.withColumn("ref", F.max("m").over(wp)).collect()
+        }
+        assert got == ref
+        # the first row in sort order has an empty prefix -> NULL
+        assert None in got.values()
+
+    def test_rejects_unknown_op(self, spark):
+        df = spark.createDataFrame([(1, 2)], "id int, c long")
+        with pytest.raises(ValueError):
+            global_rank(df, [F.col("id")], prefix_col="c", prefix_op="min")
