@@ -113,6 +113,14 @@ HEADLINE = [
     "stats_bootstrap_ci_revenue",  # r10: B=20 in-map replicate explode, partial-agg to B rows
     "graph_walk_corpus",  # r10: n_steps keyed joins, |V| walks (embedding corpus generation class)
     "orders_seasonal_decompose",  # r10: generated month spine + calendar-bounded MA windows
+    "stats_spearman_rank_corr",  # r11: global_rank-swapped rank cumulation (ex-scale-killer, watched line)
+    "stats_kendall_tau",  # r11: bounded-domain pivot + one global_rank pass (rank trio closer)
+    "customer_skyline_spend_recency",  # r11: prefix-max sweep skyline (new global_rank op class)
+    "eval_isotonic_calibration",  # r11: bounded-domain collect + exact driver PAVA
+    "eval_conformal_doclen",  # r11: Mondrian split-conformal (per-source quantile + coverage)
+    "text_readability_scores",  # r11: pure per-row string expressions (bytes-linear class)
+    "retrieval_prf_expansion",  # r11: RM3 two-pass BM25 (serving-path, bounded feedback collects)
+    "hybrid_minmax_knn_bm25",  # r11: min-max weighted fusion (k-row pool normalization)
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

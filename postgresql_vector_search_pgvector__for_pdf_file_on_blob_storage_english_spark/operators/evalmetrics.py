@@ -82,12 +82,29 @@ def auc_from_score_counts(per_score: DataFrame, keys: list[str]) -> DataFrame:
     log (streaming/evalmetrics_stream.py), where the raw rows are long
     gone but their (score, label) histogram survives.  Input columns:
     ``keys..., _s (quantized score), _pos, _neg``."""
-    w = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy()
-    ).orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
-    staged = per_score.withColumn(
-        "_neg_below", F.coalesce(F.sum("_neg").over(w), F.lit(0))
-    )
+    if keys:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_s")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        staged = per_score.withColumn(
+            "_neg_below", F.coalesce(F.sum("_neg").over(w), F.lit(0))
+        )
+    else:
+        # ungrouped: the distinct-score relation is bounded only by the
+        # caller's quantization scale — at scale=100 it measured 2.7x
+        # growth for 10x rows (partial domain saturation), and a finer
+        # scale makes it row-cardinality.  The r11 discipline: no
+        # single-partition window may depend on a tuning knob for its
+        # boundedness — cumulate through the global_rank prefix sum.
+        from .ranking import global_rank
+
+        staged = (
+            global_rank(per_score, [F.col("_s")], prefix_col="_neg")
+            .withColumnRenamed("_before", "_neg_below")
+            .drop("_rank", "_n")
+        )
     out = staged.groupBy(*keys).agg(
         F.sum("_pos").alias("n_pos"),
         F.sum("_neg").alias("n_neg"),

@@ -1295,9 +1295,17 @@ def _stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from operator import add as _add
 
     orders = _t(spark, sf_dir, "orders")
-    per = orders.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("nord"),
-        F.sum(_cents()).alias("spend"),
+    # `per` feeds five branches (x-domain collect, grid, n, and the two
+    # tie margins) — without a lineage cut each one re-scans orders and
+    # re-runs the per-customer groupBy (measured 4 redundant fact scans
+    # at sf0.1); the checkpoint pins it to one computation
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("nord"),
+            F.sum(_cents()).alias("spend"),
+        )
+        .localCheckpoint(eager=False)
     )
     xvals = [
         r["nord"]
@@ -1357,10 +1365,15 @@ def _stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n_customers",
         "CAST(conc AS BIGINT) AS n_conc",
         "CAST(disc AS BIGINT) AS n_disc",
-        """round(
+        # a variable that is constant (all pairs tied) makes its tie
+        # correction swallow n0 and tau undefined — NULL, not a
+        # divide-by-zero NaN (the Hill-entry guard discipline)
+        """CASE WHEN n * (n - 1) div 2 - n1 > 0 AND n * (n - 1) div 2 - n2 > 0
+           THEN round(
              CAST(conc - disc AS DOUBLE)
              / sqrt(CAST(n * (n - 1) div 2 - n1 AS DOUBLE)
-                    * CAST(n * (n - 1) div 2 - n2 AS DOUBLE)), 4) AS kendall_tau4""",
+                    * CAST(n * (n - 1) div 2 - n2 AS DOUBLE)), 4)
+           END AS kendall_tau4""",
     )
 
 
@@ -1383,9 +1396,11 @@ ty AS (SELECT sum(u * (u - 1) // 2)::HUGEINT AS n2
 SELECT CAST(n AS BIGINT) AS n_customers,
        CAST(conc AS BIGINT) AS n_conc,
        CAST(disc AS BIGINT) AS n_disc,
-       round(CAST(conc - disc AS DOUBLE)
+       CASE WHEN n * (n - 1) // 2 - n1 > 0 AND n * (n - 1) // 2 - n2 > 0
+       THEN round(CAST(conc - disc AS DOUBLE)
              / sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
-                    * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)), 4) AS kendall_tau4
+                    * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)), 4)
+       END AS kendall_tau4
 FROM cd, n_tot, tx, ty
 """
 

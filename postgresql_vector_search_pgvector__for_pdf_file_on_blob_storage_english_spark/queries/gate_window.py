@@ -163,6 +163,12 @@ from ._base import Entry, REGISTRY  # noqa: F401
 #                 r10; long-queued serving-path probe twin)
 #   text_textrank_keywords → bm25_probe (TextRank evidenced r10;
 #                 long-queued serving-path probe twin)
+#   text_token_stats → stats_spearman_rank_corr (token stats evidenced
+#                 r6-r10; text family keeps pii_redaction +
+#                 stream_pii_scrub + readability's local gate.  Spearman
+#                 was driver-green r10 but was REWRITTEN onto
+#                 global_rank this round — the headline fix re-earns
+#                 its evidence on the new code)
 #
 # Still queued for r12+ (never driver-evidenced): the remaining probe
 # twins (ann_lsh_probe, ann_hnsw_probe, ann_ivfpq_probe,
@@ -195,7 +201,18 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # orders_seasonal_forecast_backtest, vocab_oov_rate_curve,
 # stats_wilcoxon_signed_rank, graph_degree_assortativity,
 # events_hourly_autocorr, stats_spearman_rank_corr,
-# vocab_heaps_growth, plus every r11 addition.
+# vocab_heaps_growth, plus the r11 session additions (never
+# driver-evidenced; highest-value first for the r12 rotation):
+# stats_kendall_tau (rank-trio closer, per-x-bucket prefix sums),
+# customer_skyline_spend_recency (the prefix-max sweep's first slot),
+# eval_isotonic_calibration (minimax-identity oracle),
+# eval_conformal_doclen / stream_conformal_replay (conformal pair —
+# batch coverage + the residual-histogram log replay),
+# text_readability_scores.  Also strong r12 candidates:
+# stats_ks_price_drift and stats_wilcoxon_signed_rank — both were
+# REWRITTEN onto global_rank in r11 and their driver evidence predates
+# the rewrite (Spearman and Mann-Whitney, the other two rewrites, sit
+# in the r11 window already).
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the
@@ -239,7 +256,7 @@ _WINDOW_50: list[str] = [
     "stream_pii_scrub_replay",
     "asof_join_forward_tolerance", # r11: forward as-of join w/ tolerance
     "ann_ivf_probe",               # r11: serving-path probe twin (IVF)
-    "text_token_stats",
+    "stats_spearman_rank_corr",    # r11: THE headline fix — global_rank rewrite needs fresh driver evidence
     "stream_heavy_hitters_replay", # r10: Misra-Gries streamed log + verify
     "ann_ivfpq_index_search",      # r6: persisted IVF-PQ (VERDICT r5 #3)
     "tpch_q21_waiting_suppliers",  # r8: Q21 analog (semi/anti joins)

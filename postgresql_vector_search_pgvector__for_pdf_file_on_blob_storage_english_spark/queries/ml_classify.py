@@ -685,3 +685,163 @@ ORDER BY pre.s
 """
 
 _register("eval_isotonic_calibration", _eval_isotonic, _DD_ISOTONIC)
+
+
+# --------------------------------------------------------------------------
+# Streaming conformal coverage replay (round 11).  Production shape:
+# the calibration model (per-source mu, qhat) is FROZEN batch-side;
+# the serving layer scores a live document stream and logs only the
+# per-source nonconformity HISTOGRAM (streaming/evalmetrics_stream.py
+# residual-count log — addition merge law, batch-stamped appends);
+# monitoring folds the log into running per-source coverage, gated
+# here against the one-shot batch computation row-for-row.  Same
+# replay discipline as the AUC log: 4 micro-batches, batch-0 rows
+# re-appended verbatim, the stamp dedup must absorb them.
+# --------------------------------------------------------------------------
+
+
+def _stream_conformal_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.evalmetrics_stream import (
+        residual_counts_read,
+        stream_into_residual_counts,
+    )
+    from ._base import _drain
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_conf_{tag}_{os.getpid()}"
+    )
+    src, log = os.path.join(root, "src"), os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("conf§"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    tagged = docs.withColumn("_cal", bucket < 50)
+    mu = (
+        tagged.filter(F.col("_cal"))
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("_s"), F.count(F.lit(1)).alias("n_cal"))
+        .select(
+            "source",
+            "n_cal",
+            F.expr("_s div n_cal").alias("_mu"),
+            F.expr("CAST((9 * n_cal + 18) div 10 AS BIGINT)").alias("k_idx"),
+        )
+    )
+    r_cal = tagged.filter(F.col("_cal")).join(F.broadcast(mu), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("_mu")).alias("_r")
+    )
+    per_r = r_cal.groupBy("source", "_r").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    qhat = (
+        per_r.withColumn("_cum", F.sum("_c").over(wcum))
+        .join(F.broadcast(mu.select("source", "k_idx", "n_cal")), "source")
+        .filter(F.col("_cum") >= F.least(F.col("k_idx"), F.col("n_cal")))
+        .groupBy("source")
+        .agg(F.min("_r").alias("qhat"))
+    )
+
+    # serving side: the TEST stream scored against the frozen mu
+    scored = (
+        tagged.filter(~F.col("_cal"))
+        .join(F.broadcast(mu.select("source", "_mu")), "source")
+        .select("source", F.abs(F.col("n_chars") - F.col("_mu")).alias("r"))
+    )
+    scored.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("source string, r bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_into_residual_counts(stream, log, ckpt, "source", "r")
+    _drain(q, 300)
+
+    # deliberate replay: re-append batch 0's histogram rows verbatim
+    first = spark.read.parquet(log).filter(F.col("batch_id") == 0)
+    first.write.mode("append").parquet(log)
+
+    hist = residual_counts_read(spark, log)
+    return (
+        hist.join(F.broadcast(qhat), hist._g == qhat.source)
+        .groupBy("source", "qhat")
+        .agg(
+            F.sum("_c").alias("n_test"),
+            F.sum(F.when(F.col("_r") <= F.col("qhat"), F.col("_c")).otherwise(0)).alias(
+                "_hit"
+            ),
+        )
+        .selectExpr(
+            "source",
+            "CAST(n_test AS BIGINT) AS n_test",
+            "CAST(qhat AS BIGINT) AS qhat",
+            "CAST((_hit * 1000000) div n_test AS BIGINT) AS coverage_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+_DD_STREAM_CONFORMAL = """
+WITH tagged AS (
+  SELECT doc_id, source, n_chars,
+         (('0x' || substr(md5('conf' || '§' || doc_id::VARCHAR), 1, 8))::BIGINT
+          % 100) < 50 AS cal
+  FROM documents
+),
+mu AS (
+  SELECT source, count(*)::BIGINT AS n_cal,
+         sum(n_chars)::BIGINT // count(*)::BIGINT AS mu,
+         (9 * count(*)::BIGINT + 18) // 10 AS k_idx
+  FROM tagged WHERE cal GROUP BY source
+),
+per_r AS (
+  SELECT t.source, abs(t.n_chars - mu.mu) AS r, count(*)::BIGINT AS c
+  FROM tagged t JOIN mu USING (source)
+  WHERE t.cal GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, r,
+         sum(c) OVER (PARTITION BY source ORDER BY r
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM per_r
+),
+qhat AS (
+  SELECT cum.source, min(r) AS qhat
+  FROM cum JOIN mu USING (source)
+  WHERE cm >= least(mu.k_idx, mu.n_cal)
+  GROUP BY 1
+),
+cov AS (
+  SELECT t.source, count(*)::BIGINT AS n_test,
+         sum((abs(t.n_chars - mu.mu) <= q.qhat)::BIGINT)::BIGINT AS hit
+  FROM tagged t JOIN mu USING (source) JOIN qhat q ON q.source = t.source
+  WHERE NOT t.cal GROUP BY 1
+)
+SELECT cov.source, cov.n_test, CAST(q.qhat AS BIGINT) AS qhat,
+       (cov.hit * 1000000) // cov.n_test AS coverage_ppm
+FROM cov JOIN qhat q ON q.source = cov.source
+ORDER BY cov.source
+"""
+
+_register("stream_conformal_replay", _stream_conformal_replay, _DD_STREAM_CONFORMAL)

@@ -596,3 +596,180 @@ ORDER BY rank
 
 
 _register("serve_mmr_rerank", _serve_mmr_rerank, _dd_mmr())
+
+
+# ==========================================================================
+# Pseudo-relevance feedback query expansion (round 11) — RM3-style
+# two-pass retrieval (Lavrenko & Croft relevance models; the RM3
+# interpolation simplified to deterministic term selection so the gate
+# is exact): BM25 pass 1 -> take the top-5 feedback documents -> the
+# top-3 expansion terms by frequency inside the feedback set
+# (seed terms excluded, length >= 4 to skip function words, alphabetic
+# tiebreak) -> BM25 pass 2 with seed + expansion terms.
+#
+# Scale shape: pass 1 is the gated bm25_topk (term-pushed tf, corpus
+# stats broadcast, TakeOrdered top-k); the feedback set is k0=5 doc
+# ids (bounded driver artifact), term counting runs over ONLY those
+# docs via a pushed isin filter; the 3 expansion terms are another
+# bounded collect; pass 2 is bm25_topk again with 6 terms.  Nothing
+# anywhere scales past the corpus scan that BM25 itself costs.
+# ==========================================================================
+
+_PRF_K0, _PRF_M, _PRF_MINLEN = 5, 3, 4
+
+
+def _retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    fb_ids = [
+        r["doc_id"]
+        for r in bm25_topk(docs, _BM25_TERMS, k=_PRF_K0).select("doc_id").collect()
+    ]
+    exp = [
+        r["term"]
+        for r in (
+            tokenize(docs.filter(F.col("doc_id").isin(fb_ids)))
+            .filter(~F.col("term").isin([t.lower() for t in _BM25_TERMS]))
+            .filter(F.length("term") >= _PRF_MINLEN)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "term")
+            .limit(_PRF_M)
+            .collect()
+        )
+    ]
+    expanded = sorted(set(_BM25_TERMS) | set(exp))
+    out = bm25_topk(docs, expanded, k=10)
+    return out.select(
+        "doc_id",
+        F.round("bm25", 4).alias("bm25"),
+        F.lit(",".join(sorted(exp))).alias("expansion"),
+    )
+
+
+_DD_PRF = (
+    dd_sql(_DD_BM25_SCORED, terms=_DD_TERMS_LIST)
+    + f""",
+fb AS (
+  SELECT doc_id FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {_PRF_K0}
+),
+exp_terms AS (
+  SELECT term FROM tokens JOIN fb USING (doc_id)
+  WHERE term NOT IN ({_DD_TERMS_LIST}) AND length(term) >= {_PRF_MINLEN}
+  GROUP BY term ORDER BY count(*) DESC, term LIMIT {_PRF_M}
+),
+qterms AS (
+  SELECT term FROM exp_terms UNION SELECT unnest(ARRAY[{_DD_TERMS_LIST}])
+),
+tf2 AS (
+  SELECT t.doc_id, t.term, count(*) AS tf FROM tokens t JOIN qterms q USING (term)
+  GROUP BY t.doc_id, t.term
+),
+dfreq2 AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf2 GROUP BY term),
+scored2 AS (
+  SELECT tf2.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({_BM25_K1} + 1.0)
+           / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)) AS s
+  FROM tf2
+  JOIN doc_len USING (doc_id)
+  CROSS JOIN corpus
+  JOIN dfreq2 USING (term)
+),
+bm25_2 AS (SELECT doc_id, sum(s) AS bm25 FROM scored2 GROUP BY doc_id),
+exp_str AS (SELECT string_agg(term, ',' ORDER BY term) AS expansion FROM exp_terms)
+SELECT doc_id, round(bm25, 4) AS bm25, expansion
+FROM bm25_2, exp_str
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+)
+
+_register("retrieval_prf_expansion", _retrieval_prf, _DD_PRF)
+
+
+# ==========================================================================
+# Weighted min-max score fusion (round 11): the other standard hybrid
+# baseline next to RRF — normalize each list's scores to [0, 1] over
+# its own candidate pool (min-max), then a weighted sum (w=0.5 each).
+# Unlike RRF it preserves score MAGNITUDE (a dominant lexical match
+# outranks a pile of mediocre vector neighbors), which is why serving
+# stacks ship both and A/B them.  Similarity for the vector list =
+# negated L2 so "bigger is better" on both sides before normalizing.
+# Every normalization runs over a k-row pool (TakeOrdered output) —
+# bounded by construction, the same contract the RRF windows gate.
+# ==========================================================================
+
+
+def _hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("query_vec"))
+    knn_pool = knn(emb, q, k=_HYBRID_POOL, metric="l2", payload_cols=["vec_id"]).select(
+        F.col("vec_id").alias("doc_id"), (-F.col("distance")).alias("s")
+    )
+    bm_pool = bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=_HYBRID_POOL).select(
+        "doc_id", F.col("bm25").alias("s")
+    )
+
+    def norm(pool):
+        ext = pool.agg(F.min("s").alias("_lo"), F.max("s").alias("_hi"))
+        return pool.crossJoin(F.broadcast(ext)).select(
+            "doc_id",
+            F.when(F.col("_hi") > F.col("_lo"),
+                   (F.col("s") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")))
+            .otherwise(F.lit(1.0))
+            .alias("ns"),
+        )
+
+    a = norm(knn_pool).withColumnRenamed("ns", "ns_knn")
+    b = norm(bm_pool).withColumnRenamed("ns", "ns_bm25")
+    fused = (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                0.5 * F.coalesce(F.col("ns_knn"), F.lit(0.0))
+                + 0.5 * F.coalesce(F.col("ns_bm25"), F.lit(0.0))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+    return fused.select("doc_id", F.round("score", 6).alias("score"))
+
+
+_register(
+    "hybrid_minmax_knn_bm25",
+    _hybrid_minmax,
+    dd_sql(_DD_BM25_SCORED, terms=_DD_TERMS_LIST)
+    + f""",
+knn_pool AS (
+  SELECT e.vec_id AS doc_id, -{_dd_l2("e.embedding", "q.qe")} AS s
+  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+  ORDER BY s DESC, e.vec_id
+  LIMIT {_HYBRID_POOL}
+),
+bm25_pool AS (
+  SELECT doc_id, bm25 AS s FROM bm25 ORDER BY s DESC, doc_id LIMIT {_HYBRID_POOL}
+),
+knn_n AS (
+  SELECT doc_id, CASE WHEN max(s) OVER () > min(s) OVER ()
+    THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+    ELSE 1.0 END AS ns
+  FROM knn_pool
+),
+bm25_n AS (
+  SELECT doc_id, CASE WHEN max(s) OVER () > min(s) OVER ()
+    THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ())
+    ELSE 1.0 END AS ns
+  FROM bm25_pool
+),
+fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         0.5 * coalesce(a.ns, 0.0) + 0.5 * coalesce(b.ns, 0.0) AS score
+  FROM knn_n a FULL OUTER JOIN bm25_n b USING (doc_id)
+)
+SELECT doc_id, round(score, 6) AS score FROM fused
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+)

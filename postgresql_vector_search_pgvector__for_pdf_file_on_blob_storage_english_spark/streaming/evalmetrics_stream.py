@@ -101,3 +101,52 @@ def calibration_from_log(
     return calibration_from_score_counts(
         score_counts_read(spark, path), [], n_bins=n_bins, scale=scale
     )
+
+
+def stream_into_residual_counts(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_col: str,
+    resid_col: str,
+    available_now: bool = True,
+):
+    """readStream of (group, nonconformity) rows -> per-batch per-group
+    residual histogram ``(group, _r, _c, batch_id)`` appended to the
+    log at ``path`` — the conformal-coverage twin of the score-count
+    log (round 11).  The serving layer computes each row's
+    nonconformity |y - yhat| against the FROZEN calibration model;
+    monitoring needs only the histogram, which merges by addition ->
+    batch-stamped appends, deterministic counts, ``max`` dedup."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col(group_col).alias("_g"), F.col(resid_col).alias("_r")
+            )
+            .groupBy("_g", "_r")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def residual_counts_read(spark, path: str) -> DataFrame:
+    """Merged per-group residual histogram from the log: per-(batch,
+    group, r) dedup (counts are deterministic -> ``max``) through the
+    shared null-stamp guard, then addition fold."""
+    df = spark.read.parquet(path)
+    return (
+        df.groupBy(_stamped_batch_id(path).alias("batch_id"), "_g", "_r")
+        .agg(F.max("_c").alias("_c"))
+        .groupBy("_g", "_r")
+        .agg(F.sum("_c").alias("_c"))
+    )

@@ -647,3 +647,70 @@ class TestWave3Plans:
         )
         plan = explain_str(hits(edges, n_iters=1, materialize=False), "simple")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestRound11Plans:
+    def test_kendall_no_pair_enumeration(self, spark):
+        # tau-b without O(n^2): no cartesian product, no nested-loop
+        # join on anything but the broadcast 1-row aggregates, exactly
+        # one window and it is partitioned (global_rank's per-pid rank)
+        df = q(spark, "stats_kendall_tau")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "CartesianProduct" not in plan
+        win_lines = [
+            l.strip().lstrip("+-: ")
+            for l in plan.splitlines()
+            if l.strip().lstrip("+-: ").startswith("Window ")
+        ]
+        for s in win_lines:
+            # partitioned windows print 3 bracket groups
+            assert s.count("], [") == 2, s[:120]
+
+    def test_skyline_sweep_shape(self, spark):
+        # per-spend reduction + ONE range exchange + plain join back:
+        # the NOT EXISTS dominance join must exist only in the oracle
+        df = q(spark, "customer_skyline_spend_recency")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # no O(n^2) join: every Join line is an equi-join on spend_cents
+        # or a broadcast of the <=npart-row offset/total relations
+        assert count_exchanges(df) <= 10
+
+    def test_conformal_windows_partitioned_by_source(self, spark):
+        df = q(spark, "eval_conformal_doclen")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-: ")
+            if s.startswith("Window "):
+                assert s.count("], [") == 2 and "source" in s.rsplit(
+                    "], [", 2
+                )[1], s[:120]
+
+    def test_ungrouped_auc_cumulation_uses_global_rank(self, spark):
+        # r11: auc_from_score_counts(keys=[]) must not fall back to a
+        # single-partition window — its relation is bounded only by the
+        # quantization knob
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.evalmetrics import (
+            auc_roc,
+        )
+        from pyspark.sql import functions as SF
+
+        df = spark.createDataFrame(
+            [(float(i % 7), i % 2 == 0) for i in range(50)], "s double, y boolean"
+        )
+        out = auc_roc(df, "s", "y")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-: ")
+            if s.startswith("Window ") and s.count("], [") == 1:
+                last = s.rsplit("], [", 1)[1]
+                assert " ASC" not in last and " DESC" not in last, s[:120]
+        # and the number is still right: AUC of a perfectly balanced
+        # alternating score/label pattern, checked by brute force
+        row = out.collect()[0]
+        pos = [float(i % 7) for i in range(50) if i % 2 == 0]
+        neg = [float(i % 7) for i in range(50) if i % 2 == 1]
+        wins = sum(
+            1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+        )
+        assert row["auc_micro"] == int(wins * 1_000_000 / (len(pos) * len(neg)))
