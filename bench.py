@@ -121,6 +121,8 @@ HEADLINE = [
     "text_readability_scores",  # r11: pure per-row string expressions (bytes-linear class)
     "retrieval_prf_expansion",  # r11: RM3 two-pass BM25 (serving-path, bounded feedback collects)
     "hybrid_minmax_knn_bm25",  # r11: min-max weighted fusion (k-row pool normalization)
+    "events_markov_transitions",  # r11: per-user lag window + type-domain matrix
+    "parts_abc_xyz_classes",  # r11: global_rank Pareto tiers x integer cv tiers
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

@@ -554,3 +554,63 @@ SELECT (SELECT cents FROM o ORDER BY cents
        (SELECT n_rows FROM n) AS n_rows
 """,
 )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences
+# (round 11): P(next event type | current event type) — the behavioral
+# fingerprint behind next-action prediction, bot detection (near-
+# deterministic rows), and simulation.  The lag runs in a window
+# PARTITIONED by user (cost = per-user history, parallel across the
+# key space — the daily_streaks contract); the matrix itself is an
+# (event-type x event-type) relation, bounded by the type domain at
+# any corpus scale.  Row probabilities in exact ppm floor-divs.
+# --------------------------------------------------------------------------
+
+
+def _events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = pairs.groupBy("from_type").agg(F.sum("n").alias("_rt"))
+    return (
+        pairs.join(row_tot, "from_type")
+        .selectExpr(
+            "from_type",
+            "to_type",
+            "CAST(n AS BIGINT) AS n",
+            "CAST((n * 1000000) div _rt AS BIGINT) AS p_ppm",
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_DD_MARKOV = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts)::BIGINT, event_id) AS prev
+  FROM events
+),
+pairs AS (
+  SELECT prev AS from_type, event_type AS to_type, count(*)::BIGINT AS n
+  FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+rt AS (SELECT from_type, sum(n)::BIGINT AS rt FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       (p.n * 1000000) // rt.rt AS p_ppm
+FROM pairs p JOIN rt USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+_register("events_markov_transitions", _events_markov, _DD_MARKOV)

@@ -1602,3 +1602,122 @@ ORDER BY p.spend_cents DESC, p.o_custkey
 """
 
 _register("customer_skyline_spend_recency", _customer_skyline, _DD_SKYLINE)
+
+
+# ==========================================================================
+# ABC-XYZ inventory classification (round 11): the standard two-axis
+# part segmentation — ABC = cumulative revenue share (Pareto tiers at
+# 80/95%), XYZ = demand variability (coefficient of variation of
+# monthly quantities at 0.5 / 1.0).  Every boundary is an exact
+# integer comparison: ABC tiers compare 100*exclusive_prefix against
+# 80/95*total (the global_rank prefix sum — no single-partition
+# window over the row-cardinality part relation), and the cv
+# thresholds cross-multiply (4(nQ - S^2) < S^2 for cv < 0.5 with
+# population variance (nQ - S^2)/n^2 and mean S/n), so no engine ever
+# forms a float to decide a class.  Output: the 3x3 class grid with
+# part counts and revenue share in ppm.
+# ==========================================================================
+
+
+def _abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("_cents"),
+        F.col("l_quantity").cast("long").alias("_qty"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("_mx"),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("_cents").alias("rev")).localCheckpoint(
+        eager=False
+    )
+    tot = per_part.agg(F.sum("rev").alias("_tot"))
+    abc = (
+        global_rank(
+            per_part,
+            [F.col("rev").desc(), F.col("l_partkey").asc()],
+            prefix_col="rev",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "rev",
+            F.when(100 * F.col("_before") < 80 * F.col("_tot"), "A")
+            .when(100 * F.col("_before") < 95 * F.col("_tot"), "B")
+            .otherwise("C")
+            .alias("abc"),
+        )
+    )
+    monthly = li.groupBy("l_partkey", "_mx").agg(F.sum("_qty").alias("q"))
+    xyz = (
+        monthly.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            F.sum("q").cast("decimal(38,0)").alias("_s"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("_qq"),
+        )
+        .selectExpr(
+            "l_partkey",
+            # cv^2 = (n*qq - s^2)/s^2; X: cv<0.5, Y: cv<1.0, Z: else
+            """CASE WHEN 4 * (_n * _qq - _s * _s) < _s * _s THEN 'X'
+                    WHEN _n * _qq - _s * _s < _s * _s THEN 'Y'
+                    ELSE 'Z' END AS xyz""",
+        )
+    )
+    grid = (
+        abc.join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr("CAST((sum(rev) * 1000000) div max(_tot) AS BIGINT)").alias(
+                "rev_share_ppm"
+            ),
+        )
+    )
+    return grid.selectExpr(
+        "abc", "xyz", "CAST(n_parts AS BIGINT) AS n_parts", "rev_share_ppm"
+    ).orderBy("abc", "xyz")
+
+
+_DD_ABC_XYZ = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         l_quantity::BIGINT AS qty,
+         (year(l_shipdate) * 12 + month(l_shipdate))::BIGINT AS mx
+  FROM lineitem
+),
+per_part AS (SELECT l_partkey, sum(cents)::BIGINT AS rev FROM li GROUP BY 1),
+tot AS (SELECT sum(rev)::HUGEINT AS t FROM per_part),
+abc AS (
+  SELECT l_partkey, rev,
+         CASE WHEN 100 * coalesce(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::HUGEINT
+                   < 80 * (SELECT t FROM tot) THEN 'A'
+              WHEN 100 * coalesce(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::HUGEINT
+                   < 95 * (SELECT t FROM tot) THEN 'B'
+              ELSE 'C' END AS abc
+  FROM per_part
+),
+monthly AS (SELECT l_partkey, mx, sum(qty)::HUGEINT AS q FROM li GROUP BY 1, 2),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN 4 * (count(*)::HUGEINT * sum(q * q) - sum(q) * sum(q))
+                   < sum(q) * sum(q) THEN 'X'
+              WHEN count(*)::HUGEINT * sum(q * q) - sum(q) * sum(q)
+                   < sum(q) * sum(q) THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM monthly GROUP BY 1
+)
+SELECT abc.abc, xyz.xyz, count(*)::BIGINT AS n_parts,
+       CAST((sum(abc.rev)::HUGEINT * 1000000) // (SELECT t FROM tot) AS BIGINT)
+         AS rev_share_ppm
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY 1, 2 ORDER BY abc, xyz
+"""
+
+_register("parts_abc_xyz_classes", _abc_xyz, _DD_ABC_XYZ)
