@@ -123,6 +123,7 @@ HEADLINE = [
     "hybrid_minmax_knn_bm25",  # r11: min-max weighted fusion (k-row pool normalization)
     "events_markov_transitions",  # r11: per-user lag window + type-domain matrix
     "parts_abc_xyz_classes",  # r11: global_rank Pareto tiers x integer cv tiers
+    "window_relative_ranks",  # r11: percent_rank/cume_dist via prefix sums (native-fn oracle)
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

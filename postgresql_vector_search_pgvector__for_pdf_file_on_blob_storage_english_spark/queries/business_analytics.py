@@ -1721,3 +1721,74 @@ GROUP BY 1, 2 ORDER BY abc, xyz
 """
 
 _register("parts_abc_xyz_classes", _abc_xyz, _DD_ABC_XYZ)
+
+
+# ==========================================================================
+# percent_rank / cume_dist reconstruction (round 11): the two
+# SQL-standard relative-rank functions, rebuilt WITHOUT their global
+# ordered window from global_rank primitives — and gated against
+# DuckDB's NATIVE percent_rank()/cume_dist(), so the two-pass plan is
+# proven to match the standard's tie semantics, not a paraphrase:
+# percent_rank = (rank - 1)/(n - 1) with rank = the MINIMUM position
+# of the tie group (reconstructed as exclusive running count of
+# strictly-smaller values + 1), cume_dist = (rows <= mine)/n (the tie
+# group's inclusive prefix).  Both reported as exact ppm floor-divs of
+# integer counts — ties hit identical integers on both engines.
+# Output: the top-20 spenders' relative ranks.
+# ==========================================================================
+
+
+def _window_relrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("spend")
+    )
+    per_v = per.groupBy("spend").agg(F.count(F.lit(1)).alias("_c"))
+    pref = global_rank(per_v, [F.col("spend").asc()], prefix_col="_c").select(
+        "spend",
+        F.col("_before").alias("_below"),          # rows strictly below
+        (F.col("_before") + F.col("_c")).alias("_le"),  # rows <= mine
+        F.col("_n").alias("_nv"),
+    )
+    n_tot = per.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        per.join(pref, "spend")
+        .crossJoin(F.broadcast(n_tot))
+        .selectExpr(
+            "o_custkey",
+            "spend",
+            # min-rank of the tie group = _below + 1
+            "CAST(((_below) * 1000000) div (_n - 1) AS BIGINT) AS percent_rank_ppm",
+            "CAST((_le * 1000000) div _n AS BIGINT) AS cume_dist_ppm",
+        )
+    )
+    return scored.orderBy(F.col("spend").desc(), "o_custkey").limit(20)
+
+
+_DD_RELRANK = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS spend
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey, spend,
+         percent_rank() OVER (ORDER BY spend) AS pr,
+         cume_dist() OVER (ORDER BY spend) AS cd,
+         count(*) OVER () AS n
+  FROM per
+)
+SELECT o_custkey, spend,
+       -- pr = k/(n-1) exactly, so round() recovers the integer k that
+       -- floor() loses to a one-ulp-low product
+       CAST(CAST(round(pr * (n - 1)) AS BIGINT) * 1000000 // (n - 1) AS BIGINT) AS percent_rank_ppm,
+       CAST(CAST(round(cd * n) AS BIGINT) * 1000000 // n AS BIGINT) AS cume_dist_ppm
+FROM scored
+ORDER BY spend DESC, o_custkey LIMIT 20
+"""
+
+_register("window_relative_ranks", _window_relrank, _DD_RELRANK)
