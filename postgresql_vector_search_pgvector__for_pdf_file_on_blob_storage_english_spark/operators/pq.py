@@ -70,35 +70,43 @@ def pq_encode(
     distances come from ``transform`` over it with an inner sequential
     fold (ascending dimension index — the oracle's accumulation order),
     and argmin is ``array_position`` of the min (ties break to the
-    lowest centroid id, the first occurrence).  The nested-HOF form
-    keeps the expression tree O(m) instead of O(m * ksub * dsub)
-    unrolled nodes — ~2x faster to plan+run at m=4, ksub=16.
+    lowest centroid id, the first occurrence).
+
+    The whole m-code array is emitted as ONE ``F.expr`` SQL string
+    (book values spelled as round-tripping double literals): r11
+    profiling showed the Column-API form spent ~1 s per query in py4j
+    round-trips (~80 calls per book building the unrolled fold) — a
+    per-QUERY driver cost independent of corpus size.  One string parse
+    is a single py4j call and Catalyst parses JVM-side; r12 measured
+    construction 1.05 s -> ~0.05 s with an identical resolved plan.
     """
     dsub = len(codebooks[0][0])
-    vec = F.col(vec_col)
-
-    def make_dist(off: int):
-        # closure factory: the transform lambda must take EXACTLY one
-        # parameter — PySpark infers (element, index) arity from the
-        # signature, so extra default args silently rebind to the index
-        def dist_to(c: Column) -> Column:
-            total = F.lit(0.0)
-            for i in range(dsub):
-                d = F.element_at(vec, off + i + 1).cast("double") - F.element_at(c, i + 1)
-                total = total + d * d
-            return total
-
-        return dist_to
-
-    codes = []
+    vc = f"`{vec_col}`"
+    codes_sql = []
     for j, book in enumerate(codebooks):
-        # one nested-list literal per book (not ksub*dsub F.lit calls —
-        # the py4j round-trips were the dominant CONSTRUCTION cost of
-        # the ADC entry; ROOTCAUSES.md r11)
-        book_col = F.lit([[float(x) for x in c] for c in book])
-        dists = F.transform(book_col, make_dist(j * dsub))
-        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return df.withColumn(code_col, F.array(*codes))
+        off = j * dsub
+        book_lit = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in book
+            )
+            + ")"
+        )
+        # sequential fold, ascending dimension index — left-association
+        # spelled explicitly so the float accumulation order is the
+        # oracle's (and the pre-r12 Column form's) exactly
+        acc = "0.0D"
+        for i in range(dsub):
+            d = (
+                f"(CAST(element_at({vc}, {off + i + 1}) AS DOUBLE)"
+                f" - element_at(c, {i + 1}))"
+            )
+            acc = f"({acc} + {d} * {d})"
+        dists = f"transform({book_lit}, c -> {acc})"
+        codes_sql.append(
+            f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+        )
+    return df.withColumn(code_col, F.expr("array(" + ", ".join(codes_sql) + ")"))
 
 
 def ivfpq_encode(
@@ -381,6 +389,8 @@ def pq_search(
     literals; each row costs m ``element_at`` lookups + (m-1) adds,
     inside codegen.  ``orderBy().limit(k)`` keeps the
     TakeOrderedAndProject no-shuffle shape of the exact-KNN flagship.
+    Like :func:`pq_encode`, the scoring expression is one ``F.expr``
+    SQL string — a single py4j call instead of per-literal round-trips.
     """
     dsub = len(codebooks[0][0])
     lut = [
@@ -393,10 +403,14 @@ def pq_search(
         ]
         for j, book in enumerate(codebooks)
     ]
-    dist = F.lit(0.0)
+    # left-associated + chain == the pre-r12 sequential F.lit(0.0) fold
+    dist_sql = "0.0D"
     for j, table in enumerate(lut):
-        lut_col = F.lit([float(v) for v in table])
-        dist = dist + F.element_at(lut_col, F.element_at(F.col(code_col), j + 1) + 1)
+        lut_lit = "array(" + ",".join(f"{float(v)!r}D" for v in table) + ")"
+        dist_sql += (
+            f" + element_at({lut_lit}, element_at(`{code_col}`, {j + 1}) + 1)"
+        )
+    dist = F.expr(dist_sql)
     cols = list(payload_cols) if payload_cols is not None else [
         c for c in encoded.columns if c != code_col
     ]

@@ -1644,8 +1644,18 @@ def _abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_partkey",
             "rev",
-            F.when(100 * F.col("_before") < 80 * F.col("_tot"), "A")
-            .when(100 * F.col("_before") < 95 * F.col("_tot"), "B")
+            # decimal(38,0) before the 100*/80*/95* products: with ANSI
+            # off a BIGINT product wraps silently once class revenue
+            # cents exceed ~9.2e16, and the oracle side is HUGEINT — the
+            # XYZ branch below already follows this convention.
+            F.col("_before").cast("decimal(38,0)").alias("_b38"),
+            F.col("_tot").cast("decimal(38,0)").alias("_t38"),
+        )
+        .select(
+            "l_partkey",
+            "rev",
+            F.when(100 * F.col("_b38") < 80 * F.col("_t38"), "A")
+            .when(100 * F.col("_b38") < 95 * F.col("_t38"), "B")
             .otherwise("C")
             .alias("abc"),
         )
@@ -1672,9 +1682,12 @@ def _abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("abc", "xyz")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.expr("CAST((sum(rev) * 1000000) div max(_tot) AS BIGINT)").alias(
-                "rev_share_ppm"
-            ),
+            # decimal(38,0) arithmetic mirrors the oracle's HUGEINT —
+            # sum(rev)*1e6 in BIGINT wraps at ~9.2e12 class cents.
+            F.expr(
+                "CAST((sum(CAST(rev AS DECIMAL(38,0))) * 1000000)"
+                " div max(CAST(_tot AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("rev_share_ppm"),
         )
     )
     return grid.selectExpr(

@@ -1311,6 +1311,20 @@ def _stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["nord"]
         for r in per.select("nord").distinct().orderBy("nord").collect()
     ]
+    # loud guard on the pivot width: the per-x-bucket prefix-sum trick
+    # turns each distinct x into one aggregate column, which is sound
+    # ONLY because x = orders-per-customer is domain-bounded (tens —
+    # measured |x-domain| = 27 at sf1, SCALE.md).  A future fixture
+    # whose x is row-cardinality would silently build thousands of
+    # pivot columns; fail loudly instead so the entry gets re-derived
+    # (e.g. bucketize x first) rather than melting the planner.
+    if len(xvals) > 64:
+        raise ValueError(
+            f"stats_kendall_tau: x-domain width {len(xvals)} exceeds the 64-column "
+            "pivot cap; the per-x-bucket prefix-sum derivation assumes a "
+            "domain-bounded x (orders per customer ~ tens). Re-derive with "
+            "bucketized x before raising the cap."
+        )
     grid = per.groupBy("nord", "spend").agg(F.count(F.lit(1)).alias("c"))
     per_y = grid.groupBy("spend").agg(
         *[

