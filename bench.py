@@ -124,6 +124,12 @@ HEADLINE = [
     "events_markov_transitions",  # r11: per-user lag window + type-domain matrix
     "parts_abc_xyz_classes",  # r11: global_rank Pareto tiers x integer cv tiers
     "window_relative_ranks",  # r11: percent_rank/cume_dist via prefix sums (native-fn oracle)
+    "stats_kruskal_wallis",  # r12: k-sample rank test, one global_rank pass + 5-way conditional agg
+    "eval_brier_decomposition",  # r12: Murphy decomposition, one groupBy to B=10 bins
+    "events_attribution_position",  # r12: bucketed range join + per-conversion credit windows
+    "graph_adamic_adar",  # r12: rarity-weighted wedge join (quantized per-center terms)
+    "events_scd2_pit_join",  # r12: PIT state lookup via union-timeline carry (no interval join)
+    "text_rake_keywords",  # r12: gaps-and-islands phrase runs + deg/freq scoring
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

@@ -747,6 +747,71 @@ def link_prediction_jaccard(
     )
 
 
+def link_prediction_adamic_adar(
+    edges: DataFrame,
+    max_center_degree: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Adamic-Adar link prediction over the same wedge machinery as
+    :func:`link_prediction_jaccard` — but each shared neighbor z
+    contributes 1/ln(deg(z)) instead of 1, so RARE shared neighbors
+    dominate (sharing a 3-degree niche part predicts a link; sharing a
+    hub predicts nothing).  The standard second baseline next to
+    Jaccard in every link-prediction benchmark (Liben-Nowell & Kleinberg
+    2003).
+
+    Exactness: a float sum over wedges would be partition-order-
+    dependent, so each center's term is quantized FIRST —
+    ``term = 10^12 div ln_micro(deg)`` with ``ln_micro(d) =
+    floor(ln(d) * 10^6 + 0.5)`` from the identical integer degree on
+    both engines — and the score is an order-free INTEGER sum of those
+    terms.  Centers need deg >= 2 to form a wedge (ln(1) = 0 never
+    divides).  Hub capping and tiebreaks mirror the Jaccard operator;
+    true degrees are reported alongside.
+    """
+    sym = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    centers = (
+        deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_center_degree))
+        .select(
+            F.col("node").alias("c"),
+            F.expr(
+                "CAST(1000000000000 AS BIGINT)"
+                " div CAST(floor(ln(CAST(deg AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("term"),
+        )
+    )
+    cc = sym.select(F.col("nbr").alias("c"), F.col("node").alias("x")).join(
+        centers, "c"
+    )
+    a = cc.select("c", F.col("x").alias("pu"), "term")
+    b = cc.select("c", F.col("x").alias("pw"))
+    cand = (
+        a.join(b, "c")
+        .filter(F.col("pu") < F.col("pw"))
+        .groupBy("pu", "pw")
+        .agg(F.count(F.lit(1)).alias("cn"), F.sum("term").alias("aa_micro"))
+    )
+    non_adj = cand.join(
+        edges.withColumnRenamed("u", "pu").withColumnRenamed("v", "pw"),
+        ["pu", "pw"],
+        "left_anti",
+    )
+    scored = non_adj.join(
+        deg.withColumnRenamed("node", "pu").withColumnRenamed("deg", "deg_u"), "pu"
+    ).join(deg.withColumnRenamed("node", "pw").withColumnRenamed("deg", "deg_w"), "pw")
+    return (
+        scored.orderBy(F.col("aa_micro").desc(), F.col("cn").desc(), "pu", "pw")
+        .limit(k)
+        .select(
+            F.col("pu").alias("u"), F.col("pw").alias("w"),
+            "cn", "deg_u", "deg_w", "aa_micro",
+        )
+    )
+
+
 def hash_walks(
     edges: DataFrame,
     n_steps: int = 4,

@@ -614,3 +614,220 @@ ORDER BY from_type, to_type
 """
 
 _register("events_markov_transitions", _events_markov, _DD_MARKOV)
+
+
+# --------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution (round 12): the
+# industry-standard 40/20/40 credit model next to the last-touch entry
+# above — first touch 40%, last touch 40%, the middle touches share
+# 20%.  Credit is exact integer ppm: m=1 -> 1,000,000; m=2 -> 500,000
+# each; m>=3 -> 400,000 / 200,000 div (m-2) per middle / 400,000 with
+# the flooring REMAINDER of the middle share assigned to the last
+# touch (deterministic rule, spelled on both engines), so every
+# conversion's credits sum to exactly 10^6.  Credited revenue =
+# credit_ppm x purchase cents, a BIGINT-safe micro-cents integer.
+#
+# Scale shape: the purchase x touch pairing is a BUCKETED range join —
+# touches key on (user_id, ms div W); each purchase probes its own and
+# the previous W-bucket (a 2-row explode), so the join is equi-keyed
+# and shuffle-friendly with a bounded x2 probe factor; the exact
+# 7-day/strictly-before predicate filters after the equi-join.  The
+# rank/count windows are partitioned per conversion — bounded by one
+# user's 7-day activity, never global.
+# --------------------------------------------------------------------------
+
+
+def _attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = _ATTR_WINDOW_MS
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+        F.unix_millis("ts").alias("ms"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("ms").alias("t_ms"),
+        F.col("event_type").alias("t_type"),
+        F.expr(f"ms div {W}").alias("bucket"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ms").alias("p_ms"),
+        "vc",
+    )
+    probe = purch.withColumn(
+        "bucket", F.explode(F.expr(f"array(p_ms div {W}, p_ms div {W} - 1)"))
+    )
+    pairs = probe.join(touches, ["user_id", "bucket"]).filter(
+        (
+            (F.col("t_ms") < F.col("p_ms"))
+            | ((F.col("t_ms") == F.col("p_ms")) & (F.col("t_id") < F.col("p_id")))
+        )
+        & (F.col("p_ms") - F.col("t_ms") <= W)
+    )
+    w_p = Window.partitionBy("p_id")
+    ranked = pairs.select(
+        "p_id", "vc", "t_type",
+        F.row_number().over(w_p.orderBy("t_ms", "t_id")).alias("rk"),
+        F.count(F.lit(1)).over(w_p).alias("m"),
+    )
+    credits = ranked.selectExpr(
+        "t_type AS touch",
+        "vc",
+        """CASE WHEN m = 1 THEN 1000000
+                WHEN m = 2 THEN 500000
+                WHEN rk = 1 THEN 400000
+                WHEN rk = m THEN 400000 + (200000 - (200000 div (m - 2)) * (m - 2))
+                ELSE 200000 div (m - 2) END AS credit""",
+    )
+    unatt = purch.join(
+        pairs.select("p_id").distinct(), "p_id", "left_anti"
+    ).selectExpr("'unattributed' AS touch", "vc", "CAST(1000000 AS INT) AS credit")
+    allc = credits.unionByName(unatt)
+    return (
+        allc.groupBy("touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit").cast("long").alias("credit_ppm"),
+            F.sum(F.col("credit").cast("decimal(38,0)") * F.col("vc"))
+            .cast("long")
+            .alias("credited_rev_microcents"),
+        )
+        .orderBy("touch")
+    )
+
+
+_register(
+    "events_attribution_position",
+    _attribution_position,
+    f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+         epoch_ms(ts)::BIGINT AS ms
+  FROM events
+),
+t AS (SELECT event_id AS t_id, user_id, ms AS t_ms, event_type AS t_type
+      FROM ev WHERE event_type IN ('click', 'view')),
+p AS (SELECT event_id AS p_id, user_id, ms AS p_ms, vc
+      FROM ev WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT p.p_id, p.vc, t.t_id, t.t_ms, t.t_type
+  FROM p JOIN t USING (user_id)
+  WHERE (t.t_ms < p.p_ms OR (t.t_ms = p.p_ms AND t.t_id < p.p_id))
+    AND p.p_ms - t.t_ms <= {_ATTR_WINDOW_MS}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY t_ms, t_id) AS rk,
+         count(*) OVER (PARTITION BY p_id) AS m
+  FROM pairs
+),
+credits AS (
+  SELECT t_type AS touch, vc,
+         CASE WHEN m = 1 THEN 1000000
+              WHEN m = 2 THEN 500000
+              WHEN rk = 1 THEN 400000
+              WHEN rk = m THEN 400000 + (200000 - (200000 // (m - 2)) * (m - 2))
+              ELSE 200000 // (m - 2) END AS credit
+  FROM ranked
+),
+unatt AS (
+  SELECT 'unattributed' AS touch, vc, 1000000 AS credit
+  FROM p WHERE p_id NOT IN (SELECT p_id FROM pairs)
+),
+allc AS (SELECT * FROM credits UNION ALL SELECT * FROM unatt)
+SELECT touch, count(*)::BIGINT AS n_touches,
+       sum(credit)::BIGINT AS credit_ppm,
+       CAST(sum(credit::HUGEINT * vc) AS BIGINT) AS credited_rev_microcents
+FROM allc GROUP BY touch ORDER BY touch
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# Streaming Markov-transition replay (round 12) — streaming/
+# sessionize_stream.py::streaming_transitions, the stateful twin of
+# events_markov_transitions above.  Per-user last-(ts, event_id, type)
+# survives micro-batch boundaries in the state store, so transitions
+# STRADDLING a batch boundary are counted, not dropped — the exact
+# failure mode a naive per-batch lag would have.  Source split into 4
+# disjoint time ranges, mtime-pinned arrival order (the sessionize
+# precedent), availableNow drain; the folded sink must equal the
+# one-shot batch transition matrix row-for-row, ppm and all.
+# --------------------------------------------------------------------------
+
+
+def _stream_markov_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ._base import _drain
+    from ..streaming.sessionize_stream import streaming_transitions
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_markov_{tag}_{os.getpid()}"
+    )
+    src, sink, ckpt = (os.path.join(base, d) for d in ("src", "sink", "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    span = (hi - lo) + 1
+    epoch = None
+    for i in range(4):
+        a = lo + (span * i) // 4
+        b = lo + (span * (i + 1)) // 4
+        ev.filter(
+            (F.unix_micros("ts") >= a) & (F.unix_micros("ts") < b)
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+        for root, _dirs, files in os.walk(f"{src}/f{i}"):
+            for fn in files:
+                p = os.path.join(root, fn)
+                if epoch is None:
+                    epoch = os.stat(p).st_mtime
+                os.utime(p, (epoch + i, epoch + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_transitions(stream)
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(_append)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q, 180)
+
+    trans = spark.read.parquet(sink)
+    pairs = trans.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = pairs.groupBy("from_type").agg(F.sum("n").alias("_rt"))
+    return (
+        pairs.join(row_tot, "from_type")
+        .selectExpr(
+            "from_type",
+            "to_type",
+            "CAST(n AS BIGINT) AS n",
+            "CAST((n * 1000000) div _rt AS BIGINT) AS p_ppm",
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# gate: the drained streaming fold must equal the BATCH matrix — the
+# oracle is events_markov_transitions' SQL verbatim
+_register("stream_markov_replay", _stream_markov_replay, _DD_MARKOV)

@@ -1419,3 +1419,118 @@ FROM cd, n_tot, tx, ty
 """
 
 _register("stats_kendall_tau", _stats_kendall, _DD_KENDALL)
+
+
+# ==========================================================================
+# Kruskal-Wallis H test (round 12): the k-sample generalization of the
+# Mann-Whitney entry above — does order pricing differ across ALL FIVE
+# priority classes at once?  The one-way ANOVA-on-ranks every
+# experimentation stack reaches for when normality can't be assumed
+# and there are more than two arms.
+#
+# Derivation (same discipline as MW/Wilcoxon/Spearman/KS, r11): the
+# fact table reduces to the (distinct price-cents, per-group counts)
+# relation by a partial-agg groupBy; average ranks for ties come from
+# the global_rank range-exchange prefix sum (the distinct-cents
+# relation tracks ROW cardinality, so no single-partition window may
+# see it); per-group DOUBLED rank sums R2_g = sum_v c_gv*(2*cb_v +
+# t_v + 1) stay exact in DECIMAL(38,0), as do N and the tie term
+# T = sum_v (t_v^3 - t_v).  The group axis is the DOMAIN-bounded
+# o_orderpriority literal set (5 values), so per-group sums are five
+# conditional-agg columns in one pass — no pivot, no per-group scan.
+#
+# H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) with R_g = R2_g/2
+#   = 3 * sum_g R2_g^2/n_g / (N(N+1)) - 3(N+1),
+# tie-corrected H_c = H / (1 - T/(N^3 - N)).  The final H is the one
+# rounded double this family allows (kendall precedent): an IDENTICAL
+# left-associated expression over identical exact integers on both
+# engines, floored at micro precision.
+# ==========================================================================
+
+_KW_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+# shared final-H expression — ONE source string so the Spark selectExpr
+# and the DuckDB SQL are textually identical (IEEE ops on identical
+# exact integers => identical doubles => identical micro floors)
+_KW_S = (
+    "(((("
+    + ") + (".join(
+        f"CAST(r2{g} AS DOUBLE) * CAST(r2{g} AS DOUBLE) / CAST(n{g} AS DOUBLE)"
+        for g in range(5)
+    )
+    + "))))"
+)
+_KW_H = (
+    f"(3.0 * {_KW_S} / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))"
+    " - 3.0 * (CAST(nn AS DOUBLE) + 1.0))"
+)
+_KW_HC = (
+    f"({_KW_H} / (1.0 - CAST(tt AS DOUBLE)"
+    " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)"
+    " - CAST(nn AS DOUBLE))))"
+)
+_KW_FINAL = (
+    "CAST(nn AS BIGINT) AS n_total",
+    "CAST(tt AS BIGINT) AS tie_t",
+    f"CAST(floor({_KW_H} * 1000000 + 0.5) AS BIGINT) AS h_micro",
+    f"CAST(floor({_KW_HC} * 1000000 + 0.5) AS BIGINT) AS hc_micro",
+)
+
+
+def _stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_v = orders.groupBy(_cents().alias("_v")).agg(
+        *[
+            F.sum((F.col("o_orderpriority") == F.lit(gv)).cast("long")).alias(f"c{g}")
+            for g, gv in enumerate(_KW_GROUPS)
+        ],
+        F.count(F.lit(1)).alias("_t"),
+    )
+    scored = global_rank(per_v, [F.col("_v")], prefix_col="_t").withColumnRenamed(
+        "_before", "_cb"
+    )
+    agg = scored.agg(
+        *[
+            F.sum(F.col(f"c{g}")).cast("decimal(38,0)").alias(f"n{g}")
+            for g in range(5)
+        ],
+        *[
+            F.sum(
+                F.col(f"c{g}").cast("decimal(38,0)")
+                * (2 * F.col("_cb") + F.col("_t") + 1)
+            ).alias(f"r2{g}")
+            for g in range(5)
+        ],
+        F.sum("_t").cast("decimal(38,0)").alias("nn"),
+        F.sum(
+            F.col("_t").cast("decimal(38,0)") * F.col("_t") * F.col("_t")
+            - F.col("_t")
+        ).alias("tt"),
+    )
+    return agg.selectExpr(*_KW_FINAL)
+
+
+_DD_KW = f"""
+WITH s AS (SELECT {_CENTS} AS v, o_orderpriority AS g FROM orders),
+per_v AS (
+  SELECT v,
+         {", ".join(f"sum((g = '{gv}')::BIGINT) AS c{g}" for g, gv in enumerate(_KW_GROUPS))},
+         count(*)::BIGINT AS t
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT *, coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM per_v
+),
+agg AS (
+  SELECT {", ".join(f"sum(c{g})::HUGEINT AS n{g}" for g in range(5))},
+         {", ".join(f"sum(c{g}::HUGEINT * (2 * cb + t + 1)) AS r2{g}" for g in range(5))},
+         sum(t)::HUGEINT AS nn,
+         sum(t::HUGEINT * t * t - t) AS tt
+  FROM cum
+)
+SELECT {", ".join(_KW_FINAL)}
+FROM agg
+"""
+
+_register("stats_kruskal_wallis", _stats_kruskal, _DD_KW)

@@ -300,8 +300,17 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # graph_modularity_labelprop, orders_pvm_decomposition,
 # orders_seasonal_forecast_backtest, vocab_oov_rate_curve,
 # graph_degree_assortativity, events_hourly_autocorr,
-# vocab_heaps_growth — plus any r12 session additions (list them here
-# when registered, highest-value first for the r13 rotation).
+# vocab_heaps_growth — plus the r12 session additions (never
+# driver-evidenced; highest-value first for the r13 rotation):
+# stats_kruskal_wallis (k-sample rank test — completes the
+# nonparametric family with MW/Wilcoxon/KS/Spearman/Kendall),
+# eval_brier_decomposition (proper-scoring Murphy decomposition,
+# exact per-bin ppm), stream_markov_replay (stateful transition
+# counting across batch boundaries), events_attribution_position
+# (U-shaped multi-touch credit, bucketed range join),
+# graph_adamic_adar (rarity-weighted link prediction),
+# events_scd2_pit_join (PIT lookup vs interval-join oracle),
+# text_rake_keywords (RAKE phrase extraction).
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the

@@ -413,6 +413,59 @@ _register("graph_link_prediction_jaccard", _graph_link_pred, _DD_LINKPRED)
 
 
 # ==========================================================================
+# Adamic-Adar link prediction (round 12) — operators/graph.py::
+# link_prediction_adamic_adar: the rarity-weighted companion to the
+# Jaccard entry above (each shared neighbor z contributes
+# 1/ln(deg(z)), so niche shared parts dominate hubs).  Per-center
+# terms are quantized to exact integers (10^12 div micro-nats of the
+# degree) BEFORE the wedge sum, so the score is an order-free integer
+# aggregation — no float sum over partitions.  Same hub cap, same
+# non-adjacency anti-join, same tiebreak discipline.
+# ==========================================================================
+
+
+def _graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import copurchase_edges, link_prediction_adamic_adar
+
+    li = _t(spark, sf_dir, "lineitem")
+    return link_prediction_adamic_adar(copurchase_edges(li), _LP_CAP, _LP_K)
+
+
+_DD_ADAMIC = f"""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+deg AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+centers AS (
+  SELECT node AS c,
+         CAST(1000000000000 // CAST(floor(ln(deg::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS BIGINT) AS term
+  FROM deg WHERE deg >= 2 AND deg <= {_LP_CAP}
+),
+cc AS (SELECT s.nbr AS c, s.node AS x, centers.term
+       FROM sym s JOIN centers ON centers.c = s.nbr),
+cand AS (
+  SELECT a.x AS pu, b.x AS pw, count(*)::BIGINT AS cn,
+         sum(a.term)::BIGINT AS aa_micro
+  FROM cc a JOIN cc b ON a.c = b.c AND a.x < b.x
+  GROUP BY 1, 2
+),
+non_adj AS (
+  SELECT cand.* FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.pu AND e.v = cand.pw)
+)
+SELECT pu AS u, pw AS w, cn, du.deg AS deg_u, dw.deg AS deg_w, aa_micro
+FROM non_adj JOIN deg du ON du.node = pu JOIN deg dw ON dw.node = pw
+ORDER BY aa_micro DESC, cn DESC, pu, pw
+LIMIT {_LP_K}
+"""
+
+_register("graph_adamic_adar", _graph_adamic_adar, _DD_ADAMIC)
+
+
+# ==========================================================================
 # Deterministic walk corpus (round 10) — operators/graph.py::
 # hash_walks.  The DeepWalk/node2vec corpus-generation stage with
 # hash-driven (replayable, coordination-free) neighbor choice; the

@@ -855,3 +855,99 @@ ORDER BY cov.source
 """
 
 _register("stream_conformal_replay", _stream_conformal_replay, _DD_STREAM_CONFORMAL)
+
+
+# ==========================================================================
+# Brier score with Murphy decomposition (round 12): the proper-scoring
+# companion to the AUC / nDCG / calibration / isotonic entries — the
+# standard "is this scorer USABLE as a probability" report.  Brier =
+# reliability - resolution + uncertainty; monitoring watches REL (drift
+# of the calibration map) separately from RES (lost discriminative
+# power), which a single Brier number conflates.
+#
+# Forecast model under test: the bin-midpoint forecaster over B=10
+# equal-width n_chars bins — p_k = (2k+1)/(2B), the same deterministic
+# doclen scorer the calibration/isotonic entries gate, so every term
+# of the decomposition is a RATIONAL of integer counts:
+#   brier contribution of bin k = (n_k u^2 - 4B u pos_k + 4B^2 pos_k)
+#                                 / (4B^2 N),          u = 2k+1
+#   REL_k = (u n_k - 2B pos_k)^2 / (4B^2 n_k N)
+#   RES_k = (pos_k N - n_k P)^2  / (n_k N^3)
+# — all floored at ppm from DECIMAL(38,0)/HUGEINT integers; every
+# numerator is a square (or a completed one), so truncating `div` ==
+# flooring `//`.  Per-bin rows, not one scalar: the gate then pins all
+# 3B contributions, and the reader sees WHERE calibration loss lives.
+#
+# Scale shape: one partial-agg groupBy to (bin, n, pos) — B=10 rows —
+# plus two broadcast one-row joins (global min/max, global N/P).  No
+# windows, no collect.
+# ==========================================================================
+
+_BRIER_B = 10
+
+
+def _eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("sc"),
+        F.col("source").isin(*_AUC_TRUSTED).cast("long").alias("y"),
+    )
+    bounds = docs.agg(F.min("sc").alias("lo"), F.max("sc").alias("hi"))
+    binned = docs.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"CAST(((sc - lo) * {_BRIER_B}) div (hi - lo + 1) AS INT)").alias(
+            "bin"
+        ),
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("pos"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").alias("nn"), F.sum("pos").alias("pp")
+    )
+    b = _BRIER_B
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bin",
+            "CAST(n AS BIGINT) AS n",
+            "CAST(pos AS BIGINT) AS pos",
+            f"CAST((1000000 * (n * (2*bin+1) * (2*bin+1) - {4*b} * (2*bin+1) * pos"
+            f" + {4*b*b} * pos)) div ({4*b*b} * nn) AS BIGINT) AS brier_contrib_ppm",
+            f"CAST((1000000 * ((2*bin+1) * n - {2*b} * pos) * ((2*bin+1) * n - {2*b} * pos))"
+            f" div ({4*b*b} * n * nn) AS BIGINT) AS rel_contrib_ppm",
+            "CAST((1000000 * (pos * nn - n * pp) * (pos * nn - n * pp))"
+            " div (n * nn * nn * nn) AS BIGINT) AS res_contrib_ppm",
+        )
+        .orderBy("bin")
+    )
+
+
+_DD_BRIER = f"""
+WITH d AS (
+  SELECT n_chars::BIGINT AS sc, (source IN {_AUC_TRUSTED})::BIGINT AS y
+  FROM documents
+),
+bounds AS (SELECT min(sc) AS lo, max(sc) AS hi FROM d),
+binned AS (
+  SELECT CAST(((sc - lo) * {_BRIER_B}) // (hi - lo + 1) AS INT) AS bin, y
+  FROM d, bounds
+),
+per_bin AS (
+  SELECT bin, count(*)::HUGEINT AS n, sum(y)::HUGEINT AS pos
+  FROM binned GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nn, sum(pos) AS pp FROM per_bin)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+       CAST((1000000 * (n * (2*bin+1) * (2*bin+1) - {4*_BRIER_B} * (2*bin+1) * pos
+             + {4*_BRIER_B*_BRIER_B} * pos)) // ({4*_BRIER_B*_BRIER_B} * nn) AS BIGINT)
+         AS brier_contrib_ppm,
+       CAST((1000000 * ((2*bin+1) * n - {2*_BRIER_B} * pos) * ((2*bin+1) * n - {2*_BRIER_B} * pos))
+            // ({4*_BRIER_B*_BRIER_B} * n * nn) AS BIGINT) AS rel_contrib_ppm,
+       CAST((1000000 * (pos * nn - n * pp) * (pos * nn - n * pp))
+            // (n * nn * nn * nn) AS BIGINT) AS res_contrib_ppm
+FROM per_bin, tot
+ORDER BY bin
+"""
+
+_register("eval_brier_decomposition", _eval_brier, _DD_BRIER)

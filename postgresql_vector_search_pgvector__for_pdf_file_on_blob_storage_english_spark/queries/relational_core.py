@@ -198,3 +198,100 @@ SELECT user_id, event_type AS state,
 FROM changes
 """,
 )
+
+
+# ==========================================================================
+# SCD2 point-in-time join (round 12): the other half of the type-2
+# dimension workflow — given the validity intervals the entry above
+# builds, answer "what state was each user in WHEN they purchased".
+# The warehouse-canonical PIT lookup (fact ts BETWEEN valid_from AND
+# valid_to), which naively is a per-user interval join.
+#
+# The Spark derivation avoids the interval join entirely: state-change
+# rows and purchase facts UNION into one per-user timeline, and two
+# last(ignorenulls) carry windows (both reading the same deterministic
+# (ts, event_id) order, so they pick the same carrying row — the
+# last-touch precedent) attach the in-effect state and its valid_from
+# to every purchase.  One shuffle, keyed by user; windows partitioned
+# per user, never global.  The ORACLE is the naive interval join
+# against the lead()-built intervals — derivation-independent, with
+# the interval boundary spelled as the same lexicographic
+# (ts, event_id) comparison the carry order implies.
+# ==========================================================================
+
+
+def _events_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 499 == 7).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    st = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        st.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+        .select(
+            "user_id", "ts", "event_id",
+            F.col("event_type").alias("_state"),
+            F.date_format("ts", fmt).alias("_vf"),
+            F.lit(0).alias("_kind"),
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("string").alias("_state"),
+        F.lit(None).cast("string").alias("_vf"),
+        F.lit(1).alias("_kind"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = changes.unionByName(purch).select(
+        "*",
+        F.last("_state", ignorenulls=True).over(wc).alias("_st_c"),
+        F.last("_vf", ignorenulls=True).over(wc).alias("_vf_c"),
+    )
+    return (
+        carried.filter(F.col("_kind") == 1)
+        .select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.coalesce("_st_c", F.lit("none")).alias("state"),
+            F.col("_vf_c").alias("valid_from"),
+        )
+        .orderBy("p_id")
+    )
+
+
+_register(
+    "events_scd2_pit_join",
+    _events_scd2_pit,
+    """
+WITH ev AS (SELECT * FROM events WHERE user_id % 499 = 7),
+st AS (SELECT user_id, event_type, ts, event_id FROM ev
+       WHERE event_type != 'purchase'),
+changes AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM st
+  QUALIFY prev IS NULL OR prev != event_type
+),
+iv AS (
+  SELECT user_id, state, ts AS vf, event_id AS vf_id,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt_id
+  FROM changes
+),
+p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM ev
+      WHERE event_type = 'purchase')
+SELECT p.p_id, p.user_id, coalesce(iv.state, 'none') AS state,
+       strftime(iv.vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from
+FROM p LEFT JOIN iv
+  ON iv.user_id = p.user_id
+ AND (iv.vf < p.p_ts OR (iv.vf = p.p_ts AND iv.vf_id < p.p_id))
+ AND (iv.vt IS NULL OR iv.vt > p.p_ts OR (iv.vt = p.p_ts AND iv.vt_id > p.p_id))
+ORDER BY p.p_id
+""",
+)

@@ -213,3 +213,132 @@ FROM scored GROUP BY lang ORDER BY lang
 """
 
 _register("text_readability_scores", _readability, _DD_READABILITY)
+
+
+# ==========================================================================
+# RAKE keyword extraction (round 12) — Rapid Automatic Keyword
+# Extraction (Rose et al. 2010, public method): candidate phrases are
+# the maximal token runs BETWEEN delimiters (stopwords / non-alpha /
+# single-char tokens), each word scores deg(w)/freq(w) over the
+# candidate corpus (deg = summed length of phrases containing w, freq
+# = occurrences), and a phrase scores the sum of its words' scores —
+# the degree-weighting that makes RAKE prefer longer collocations
+# where TextRank (sibling entry, graph_centrality.py) prefers central
+# words.  Word scores are quantized to exact ppm integers BEFORE the
+# phrase sum (same convention as Adamic-Adar's per-center terms), so
+# the sum is order-free and cross-engine exact.
+#
+# Scale shape: phrase runs come from the per-doc gaps-and-islands
+# window (pos - row_number over kept tokens — partitioned by doc,
+# never global); word stats are one partial-agg groupBy over exploded
+# phrase words; the rest is two keyed joins and a TakeOrdered top-20.
+# Candidates are capped at 4 words (the standard RAKE maxWords
+# config) so no phrase row exceeds a bounded width.
+# ==========================================================================
+
+_RAKE_MAXW = 4
+_RAKE_TOP = 20
+
+
+def _text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.retrieval import tokenize_pos
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize_pos(docs)
+    kept = toks.filter(
+        F.col("term").rlike("^[a-z]{2,}$") & ~F.col("term").isin(STOPWORDS_EN)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = kept.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+    occ = (
+        runs.groupBy("doc_id", "_isl")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAXW)
+    )
+    words = occ.select(
+        "phrase", "plen", F.explode(F.split("phrase", " ")).alias("term")
+    )
+    wstats = words.groupBy("term").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    wscore = wstats.select(
+        "term",
+        F.expr("(deg * CAST(1000000 AS BIGINT)) div freq").alias("ws_ppm"),
+    )
+    pscore = (
+        words.join(wscore, "term")
+        .groupBy("phrase")
+        .agg(
+            F.sum("ws_ppm").alias("_tot_ppm"),
+            F.count(F.lit(1)).alias("_n_wordocc"),
+            F.max("plen").alias("n_words"),
+        )
+    )
+    # identical phrases contribute plen words per occurrence; normalize
+    # the summed score back to ONE occurrence (exact: _tot is a multiple)
+    scored = pscore.select(
+        "phrase",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.expr("(_n_wordocc div n_words)").cast("long").alias("n_occ"),
+        F.expr("_tot_ppm div (_n_wordocc div n_words)").alias("score_ppm"),
+    )
+    return scored.orderBy(
+        F.col("score_ppm").desc(), F.col("n_occ").desc(), "phrase"
+    ).limit(_RAKE_TOP)
+
+
+_DD_RAKE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim({dd_sql(_DD_NORMALIZE, col="text")}), ' ') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS pos, lower(w[i]) AS term
+  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+  WHERE w[i] != ''
+),
+kept AS (
+  SELECT doc_id, pos, term,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM pos
+  WHERE regexp_matches(term, '^[a-z]{{2,}}$')
+    AND term NOT IN ({", ".join(f"'{s}'" for s in STOPWORDS_EN)})
+),
+occ AS (
+  SELECT doc_id, isl, string_agg(term, ' ' ORDER BY pos) AS phrase,
+         count(*)::BIGINT AS plen
+  FROM kept GROUP BY 1, 2
+  HAVING count(*) <= {_RAKE_MAXW}
+),
+words AS (
+  SELECT phrase, plen, u.term
+  FROM occ, unnest(string_split(phrase, ' ')) AS u(term)
+),
+wscore AS (
+  SELECT term, (sum(plen)::BIGINT * 1000000) // count(*)::BIGINT AS ws_ppm
+  FROM words GROUP BY term
+),
+pscore AS (
+  SELECT w.phrase, sum(s.ws_ppm)::BIGINT AS tot_ppm,
+         count(*)::BIGINT AS n_wordocc, max(w.plen)::BIGINT AS n_words
+  FROM words w JOIN wscore s USING (term)
+  GROUP BY w.phrase
+)
+SELECT phrase, n_words, (n_wordocc // n_words) AS n_occ,
+       tot_ppm // (n_wordocc // n_words) AS score_ppm
+FROM pscore
+ORDER BY score_ppm DESC, n_occ DESC, phrase
+LIMIT {_RAKE_TOP}
+"""
+
+_register("text_rake_keywords", _text_rake, _DD_RAKE)

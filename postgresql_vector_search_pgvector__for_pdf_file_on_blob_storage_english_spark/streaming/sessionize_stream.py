@@ -86,3 +86,74 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming first-order transitions — the stateful twin of the batch
+# events_markov_transitions entry (analytics_breadth.py).  The batch
+# form lags within per-user windows; a stream needs each user's LAST
+# (ts, event_id, event_type) to persist across triggers so the
+# transition that straddles a micro-batch boundary is counted, not
+# dropped.  State is two longs + one short string per ACTIVE user.
+#
+# Emission contract: one output row per event that HAS a predecessor
+# (the user's first-ever event emits nothing), emitted in the batch
+# that carried the successor event, labeled (from_type, to_type).
+# Labels are final at emission (a later event never rewrites an
+# earlier transition), so the drained sink folds to the batch matrix
+# row-for-row under the same arrival-order precondition sessionize
+# documents (per-user event-time order across batches).
+# --------------------------------------------------------------------------
+
+TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+    ]
+)
+TRANSITION_STATE = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def _emit_transitions(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort")
+    if state.exists:
+        last_ts, last_id, last_type = state.get
+    else:
+        last_ts, last_id, last_type = None, None, None
+    out = []
+    for eid, ts, et in zip(rows["event_id"], rows["ts_us"], rows["event_type"]):
+        if last_type is not None:
+            out.append((int(user), int(eid), last_type, str(et)))
+        last_ts, last_id, last_type = int(ts), int(eid), str(et)
+    state.update((last_ts, last_id, last_type))
+    yield pd.DataFrame(
+        out, columns=["user_id", "event_id", "from_type", "to_type"]
+    )
+
+
+def streaming_transitions(events: DataFrame) -> DataFrame:
+    """events stream (user_id, event_id, ts, event_type) -> one row per
+    (predecessor, successor) transition with per-user state persisted
+    across micro-batches."""
+    prepped = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _emit_transitions,
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=TRANSITION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
