@@ -1314,7 +1314,8 @@ def _stats_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loud guard on the pivot width: the per-x-bucket prefix-sum trick
     # turns each distinct x into one aggregate column, which is sound
     # ONLY because x = orders-per-customer is domain-bounded (tens —
-    # measured |x-domain| = 27 at sf1, SCALE.md).  A future fixture
+    # measured |x-domain| = 23 at BOTH sf0.1 and sf1, SCALE.md r12).  A
+    # future fixture
     # whose x is row-cardinality would silently build thousands of
     # pivot columns; fail loudly instead so the entry gets re-derived
     # (e.g. bucketize x first) rather than melting the planner.
