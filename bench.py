@@ -130,6 +130,10 @@ HEADLINE = [
     "graph_adamic_adar",  # r12: rarity-weighted wedge join (quantized per-center terms)
     "events_scd2_pit_join",  # r12: PIT state lookup via union-timeline carry (no interval join)
     "text_rake_keywords",  # r12: gaps-and-islands phrase runs + deg/freq scoring
+    "eval_pr_auc_doclen",  # r12: AP via score-descending global_rank suffix sums
+    "scores_quantile_normalize",  # r12: two global_rank passes + position equi-join
+    "events_user_entropy_bots",  # r12: micro-nat entropy, two partial aggs + TakeOrdered
+    "stats_cramers_v_lang_source",  # r12: quantized complete-grid chi2 sum + one final double
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

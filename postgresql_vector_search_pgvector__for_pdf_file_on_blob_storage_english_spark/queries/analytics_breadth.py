@@ -831,3 +831,168 @@ def _stream_markov_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate: the drained streaming fold must equal the BATCH matrix — the
 # oracle is events_markov_transitions' SQL verbatim
 _register("stream_markov_replay", _stream_markov_replay, _DD_MARKOV)
+
+
+# --------------------------------------------------------------------------
+# Behavioral-entropy bot screen (round 12): the fraud/abuse companion
+# to the Markov entries — a user whose event-type distribution has
+# near-zero Shannon entropy behaves deterministically (clickers,
+# scrapers, replay bots), while organic users mix types.  Report the
+# 20 most deterministic users with enough history (n >= 20).
+#
+# Exactness: H = sum_t (c_t/n) ln(n/c_t) rewritten as
+# (sum_t c_t * (ln_micro(n) - ln_micro(c_t))) div n — micro-nats from
+# IDENTICAL integers on both engines (the repo's ln convention), one
+# exact integer floor-div, no float sum.  Shape: two partial-agg
+# groupBys ((user, type) then user) + TakeOrdered 20; no windows, no
+# collect — per-user cost is the type domain (5), corpus cost is one
+# scan.
+# --------------------------------------------------------------------------
+
+_ENT_MIN_EVENTS = 20
+_ENT_TOP = 20
+
+
+def _user_entropy_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_u = (
+        per_ut.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(
+                F.col("c")
+                * (-F.expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+            ).alias("_neg_clnc"),
+        )
+        .filter(F.col("n_events") >= _ENT_MIN_EVENTS)
+        .selectExpr(
+            "user_id",
+            "CAST(n_events AS BIGINT) AS n_events",
+            "CAST(n_types AS BIGINT) AS n_types",
+            "CAST((n_events * CAST(floor(ln(CAST(n_events AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+            " + _neg_clnc) div n_events AS BIGINT) AS entropy_micro",
+        )
+    )
+    return per_u.orderBy("entropy_micro", "user_id").limit(_ENT_TOP)
+
+
+_register(
+    "events_user_entropy_bots",
+    _user_entropy_bots,
+    f"""
+WITH per_ut AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+per_u AS (
+  SELECT user_id, sum(c)::BIGINT AS n_events, count(*)::BIGINT AS n_types,
+         sum(c * -CAST(floor(ln(c::DOUBLE) * 1000000 + 0.5) AS BIGINT))::BIGINT
+           AS neg_clnc
+  FROM per_ut GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       (n_events * CAST(floor(ln(n_events::DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        + neg_clnc) // n_events AS entropy_micro
+FROM per_u WHERE n_events >= {_ENT_MIN_EVENTS}
+ORDER BY entropy_micro, user_id LIMIT {_ENT_TOP}
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# Cramér's V effect size (round 12): the chi2 entry above deliberately
+# gates per-cell contributions and refuses the cross-cell float sum
+# (summation order is engine-dependent); this entry completes the
+# independence report by QUANTIZING each cell's contribution to exact
+# micro integers first (floor(contrib * 1e6 + 0.5) from identical
+# doubles — the Adamic-Adar convention), integer-summing, and deriving
+# V = sqrt(chi2 / (n * min(r-1, c-1))) as the family's one final
+# rounded double from identical integers.  Unlike the profile entry
+# the grid here is COMPLETE: zero-observed (lang x source) cells
+# contribute their full expected count, which the observed-only
+# groupBy misses — the domain-bounded cross join costs nothing.
+# --------------------------------------------------------------------------
+
+
+def _cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("rt"))
+    ct = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        rt.crossJoin(ct)
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "rt", "ct", "n", "coalesce(o, 0) AS o",
+        )
+        .selectExpr(
+            "rt", "ct", "n",
+            "CAST(floor((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT) AS cell_micro",
+        )
+    )
+    agg = grid.agg(
+        F.sum("cell_micro").alias("chi2_micro"),
+        F.max("n").alias("n"),
+    )
+    dims = (
+        docs.agg(
+            F.count_distinct("lang").alias("r"),
+            F.count_distinct("source").alias("c"),
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_docs",
+            "CAST(r AS BIGINT) AS n_langs",
+            "CAST(c AS BIGINT) AS n_sources",
+            "CAST((r - 1) * (c - 1) AS BIGINT) AS dof",
+            "chi2_micro",
+            "round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0"
+            " / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)"
+            " AS cramers_v6",
+        )
+    )
+
+
+_register(
+    "stats_cramers_v_lang_source",
+    _cramers_v,
+    """
+WITH obs AS (SELECT lang, source, count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, count(*)::BIGINT AS rt FROM documents GROUP BY 1),
+ct AS (SELECT source, count(*)::BIGINT AS ct FROM documents GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+grid AS (
+  SELECT rt.rt, ct.ct, n.n, coalesce(obs.o, 0)::BIGINT AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+  CROSS JOIN n
+),
+cells AS (
+  SELECT rt, ct, n,
+         CAST(floor((o::DOUBLE - rt::DOUBLE * ct::DOUBLE / n::DOUBLE)
+              * (o::DOUBLE - rt::DOUBLE * ct::DOUBLE / n::DOUBLE)
+              / (rt::DOUBLE * ct::DOUBLE / n::DOUBLE)
+              * 1000000 + 0.5) AS BIGINT) AS cell_micro
+  FROM grid
+),
+agg AS (SELECT sum(cell_micro)::BIGINT AS chi2_micro, max(n)::BIGINT AS n FROM cells),
+dims AS (SELECT count(DISTINCT lang)::BIGINT AS r,
+                count(DISTINCT source)::BIGINT AS c FROM documents)
+SELECT n AS n_docs, r AS n_langs, c AS n_sources,
+       (r - 1) * (c - 1) AS dof, chi2_micro,
+       round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+             / (n::DOUBLE * least(r - 1, c - 1)::DOUBLE)), 6) AS cramers_v6
+FROM agg, dims
+""",
+)

@@ -310,7 +310,13 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # (U-shaped multi-touch credit, bucketed range join),
 # graph_adamic_adar (rarity-weighted link prediction),
 # events_scd2_pit_join (PIT lookup vs interval-join oracle),
-# text_rake_keywords (RAKE phrase extraction).
+# text_rake_keywords (RAKE phrase extraction),
+# eval_pr_auc_doclen (average precision — the imbalance-robust
+# scorer metric, score-descending global_rank suffix sums),
+# scores_quantile_normalize (cross-source quantile normalization,
+# two global_rank passes + position equi-join),
+# events_user_entropy_bots (micro-nat behavioral entropy screen),
+# stats_cramers_v_lang_source (quantized complete-grid chi2 -> V).
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the

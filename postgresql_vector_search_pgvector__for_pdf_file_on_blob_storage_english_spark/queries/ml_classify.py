@@ -951,3 +951,94 @@ ORDER BY bin
 """
 
 _register("eval_brier_decomposition", _eval_brier, _DD_BRIER)
+
+
+# ==========================================================================
+# Average precision / PR-AUC (round 12): the ranking metric that
+# matters when positives are RARE — ROC-AUC (gated above) saturates
+# under class imbalance because FPR's denominator is the huge negative
+# class; curation pipelines hunting a 1% trusted slice rank scorers by
+# AP instead.  Step-wise AP over distinct-score thresholds descending:
+#   AP = (1/P) * sum_s pos_s * TP_s / (TP_s + FP_s)
+# with TP_s/FP_s the INCLUSIVE cumulative counts at scores >= s.
+#
+# Exactness: per-threshold precision quantizes to ppm FIRST
+# (floor(1e6*TP/(TP+FP)) from exact integers — the Adamic-Adar
+# quantize-before-sum convention), so the weighted sum is an
+# order-free integer aggregation and the final div by P is one exact
+# floor.  Cumulation: the distinct-score relation tracks row
+# cardinality (same argument as the ungrouped AUC), so the suffix
+# sums come from ONE global_rank pass ordered score-DESCENDING with
+# two prefix columns — never a single-partition window.
+# ==========================================================================
+
+
+def _eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("s"),
+        F.col("source").isin(*_AUC_TRUSTED).cast("long").alias("y"),
+    )
+    per_s = docs.groupBy("s").agg(
+        F.sum("y").alias("_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("_neg"),
+    )
+    staged = global_rank(
+        per_s, [F.col("s").desc()], prefix_col=["_pos", "_neg"]
+    ).select(
+        "_pos",
+        (F.col("_before__pos") + F.col("_pos")).alias("_tp"),
+        (F.col("_before__neg") + F.col("_neg")).alias("_fp"),
+    )
+    tot = per_s.agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum("_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_thresholds"),
+    )
+    wsum = staged.agg(
+        F.sum(
+            F.col("_pos")
+            * F.expr("(_tp * CAST(1000000 AS BIGINT)) div (_tp + _fp)")
+        ).alias("_wsum")
+    )
+    return (
+        tot.crossJoin(F.broadcast(wsum))
+        .selectExpr(
+            "CAST(n_pos AS BIGINT) AS n_pos",
+            "CAST(n_neg AS BIGINT) AS n_neg",
+            "CAST(n_thresholds AS BIGINT) AS n_thresholds",
+            "CAST(_wsum div n_pos AS BIGINT) AS ap_ppm",
+        )
+    )
+
+
+_DD_PR_AUC = f"""
+WITH d AS (
+  SELECT n_chars::BIGINT AS s, (source IN {_AUC_TRUSTED})::BIGINT AS y
+  FROM documents
+),
+per AS (
+  SELECT s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg
+  FROM d GROUP BY 1
+),
+cum AS (
+  SELECT pos,
+         sum(pos) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         sum(neg) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+  FROM per
+),
+agg AS (
+  SELECT sum(pos * ((tp * 1000000) // (tp + fp)))::BIGINT AS wsum FROM cum
+),
+tot AS (
+  SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+         count(*)::BIGINT AS n_thresholds
+  FROM per
+)
+SELECT n_pos, n_neg, n_thresholds,
+       CAST(wsum // n_pos AS BIGINT) AS ap_ppm
+FROM tot, agg
+"""
+
+_register("eval_pr_auc_doclen", _eval_pr_auc, _DD_PR_AUC)

@@ -1598,3 +1598,94 @@ FROM per_t GROUP BY t_ppm ORDER BY t_ppm
 """
 
 _register("privacy_t_closeness_audit", _t_closeness, _DD_T_CLOSE)
+
+
+# ==========================================================================
+# Cross-source quantile normalization (round 12): the curation
+# normalizer that makes per-source quality scores COMPARABLE before a
+# global threshold — each document's score is replaced by the pooled
+# corpus's order statistic at the same within-source quantile (the
+# microarray-normalization classic applied to corpus mixing; without
+# it a global quality cutoff silently over-prunes whichever source
+# scores low on its own scale).
+#
+# Distributed shape — no per-source pass, no per-source window:
+#   1. ONE global_rank over (source, score, doc_id) gives every doc
+#      `offset(source) + rank_in_source` in one range exchange;
+#      per-source offsets are a SOURCE-DOMAIN-bounded artifact
+#      (collected like centroids / bin bounds) subtracted via a
+#      broadcast join.
+#   2. ONE global_rank over (score, doc_id) ranks the pooled corpus.
+#   3. target pooled position = (rank_in_source * N) div n_source + 1
+#      — pure integers — and an equi-join on position fetches the
+#      normalized value.
+# Gated on the deterministic doc_id % 29 slice (full-corpus ranks,
+# sliced output).  Everything is exact: ranks are unique under the
+# (score, doc_id) total order; the normalized value is an existing
+# integer score.
+# ==========================================================================
+
+
+def _quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_rank
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("score")
+    )
+    # per-source counts -> exclusive offsets in source order (bounded
+    # by the source domain — driver-side like any small model artifact)
+    per_src = sorted(
+        (r["source"], int(r["n"]))
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for src, n_s in per_src:
+        offsets.append((src, acc, n_s))
+        acc += n_s
+    n_total = acc
+    off_df = spark.createDataFrame(offsets, "source string, _off long, _ns long")
+
+    ranked = (
+        global_rank(docs, [F.col("source"), F.col("score"), F.col("doc_id")])
+        .join(F.broadcast(off_df), "source")
+        .select(
+            "doc_id", "source", "score",
+            (F.col("_rank") - 1 - F.col("_off")).alias("_rk"),  # 0-based in-source
+            "_ns",
+        )
+    )
+    pooled = global_rank(docs, [F.col("score"), F.col("doc_id")]).select(
+        F.col("score").alias("norm_score"), F.col("_rank").alias("_pr")
+    )
+    picked = ranked.filter(F.col("doc_id") % 29 == 0).withColumn(
+        "_target", F.expr(f"(_rk * CAST({n_total} AS BIGINT)) div _ns + 1")
+    )
+    return (
+        picked.join(pooled, picked._target == pooled._pr)
+        .select("doc_id", "source", "score", "norm_score")
+        .orderBy("doc_id")
+    )
+
+
+_DD_QNORM = """
+WITH d AS (SELECT doc_id, source, n_chars::BIGINT AS score FROM documents),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source ORDER BY score, doc_id) - 1 AS rk,
+         count(*) OVER (PARTITION BY source) AS ns
+  FROM d
+),
+pooled AS (
+  SELECT score AS norm_score,
+         row_number() OVER (ORDER BY score, doc_id) AS pr
+  FROM d
+),
+n AS (SELECT count(*)::BIGINT AS n FROM d)
+SELECT r.doc_id, r.source, r.score, p.norm_score
+FROM ranked r, n
+JOIN pooled p ON p.pr = (r.rk * n.n) // r.ns + 1
+WHERE r.doc_id % 29 = 0
+ORDER BY r.doc_id
+"""
+
+_register("scores_quantile_normalize", _quantile_normalize, _DD_QNORM)

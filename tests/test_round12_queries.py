@@ -347,3 +347,133 @@ class TestStreamMarkovReplay:
             map(tuple, REGISTRY["events_markov_transitions"][0](spark, SF).collect())
         )
         assert streamed == batch
+
+
+class TestPrAuc:
+    def test_threshold_sweep_recompute(self, spark):
+        import pyspark.sql.functions as F
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            F.col("n_chars").cast("long").alias("s"),
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+            .cast("long")
+            .alias("y"),
+        )
+        per: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+        for r in docs.collect():
+            per[int(r["s"])][0] += int(r["y"])
+            per[int(r["s"])][1] += 1 - int(r["y"])
+        tp = fp = 0
+        wsum = 0
+        for s in sorted(per, reverse=True):
+            pos, neg = per[s]
+            tp += pos
+            fp += neg
+            wsum += pos * ((tp * 10**6) // (tp + fp))
+        out = REGISTRY["eval_pr_auc_doclen"][0](spark, SF).collect()[0]
+        assert out["n_pos"] == tp and out["n_neg"] == fp
+        assert out["n_thresholds"] == len(per)
+        assert out["ap_ppm"] == wsum // tp
+
+    def test_perfect_and_inverted_rankers_bracket(self, spark):
+        """Sanity on the metric itself: AP of the doclen scorer must lie
+        strictly between the prevalence baseline and 1.0."""
+        out = REGISTRY["eval_pr_auc_doclen"][0](spark, SF).collect()[0]
+        prevalence_ppm = out["n_pos"] * 10**6 // (out["n_pos"] + out["n_neg"])
+        assert prevalence_ppm * 0.5 < out["ap_ppm"] <= 10**6
+
+
+class TestQuantileNormalize:
+    def test_rank_mapping_recompute(self, spark):
+        docs = [
+            (int(r["doc_id"]), r["source"], int(r["n_chars"]))
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source", "n_chars")
+            .collect()
+        ]
+        pooled = sorted((sc, did) for did, _s, sc in docs)
+        by_src: dict[str, list] = defaultdict(list)
+        for did, src, sc in docs:
+            by_src[src].append((sc, did))
+        n = len(docs)
+        expected = {}
+        for src, rows in by_src.items():
+            rows.sort()
+            for rk, (sc, did) in enumerate(rows):
+                if did % 29 == 0:
+                    expected[did] = (src, sc, pooled[(rk * n) // len(rows)][0])
+        out = REGISTRY["scores_quantile_normalize"][0](spark, SF).collect()
+        assert len(out) == len(expected)
+        for r in out:
+            src, sc, norm = expected[r["doc_id"]]
+            assert (r["source"], r["score"], r["norm_score"]) == (src, sc, norm)
+
+    def test_normalized_sources_share_quantiles(self, spark):
+        """The operator's purpose: after normalization, each source's
+        rank-k value is drawn from ONE pooled distribution, so the
+        normalized minimum over a source's gated rows can never be an
+        outlier of the pooled score range."""
+        import pyspark.sql.functions as F
+
+        pooled = spark.read.parquet(f"{SF}/documents.parquet").agg(
+            F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+        ).first()
+        out = REGISTRY["scores_quantile_normalize"][0](spark, SF).collect()
+        assert all(pooled["lo"] <= r["norm_score"] <= pooled["hi"] for r in out)
+
+
+class TestUserEntropyBots:
+    def test_micro_nats_recompute(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries._base import (
+            _events,
+        )
+
+        ev = _events(spark, SF).select("user_id", "event_type").collect()
+        per: dict[int, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+        for r in ev:
+            per[int(r["user_id"])][r["event_type"]] += 1
+        def lnm(x: int) -> int:
+            return math.floor(math.log(x) * 1e6 + 0.5)
+        scored = []
+        for uid, counts in per.items():
+            n = sum(counts.values())
+            if n < 20:
+                continue
+            h = (n * lnm(n) - sum(c * lnm(c) for c in counts.values())) // n
+            scored.append((h, uid, n, len(counts)))
+        scored.sort()
+        out = REGISTRY["events_user_entropy_bots"][0](spark, SF).collect()
+        assert len(out) == min(20, len(scored))
+        for row, (h, uid, n, k) in zip(out, scored[:20]):
+            assert (row["user_id"], row["n_events"], row["n_types"],
+                    row["entropy_micro"]) == (uid, n, k, h)
+
+
+class TestCramersV:
+    def test_quantized_cell_sum_recompute(self, spark):
+        docs = [
+            (r["lang"], r["source"])
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("lang", "source")
+            .collect()
+        ]
+        n = len(docs)
+        rt: dict[str, int] = defaultdict(int)
+        ct: dict[str, int] = defaultdict(int)
+        obs: dict[tuple, int] = defaultdict(int)
+        for la, src in docs:
+            rt[la] += 1
+            ct[src] += 1
+            obs[(la, src)] += 1
+        chi2_micro = 0
+        for la in rt:
+            for src in ct:
+                e = rt[la] * ct[src] / n
+                o = obs.get((la, src), 0)
+                chi2_micro += math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
+        out = REGISTRY["stats_cramers_v_lang_source"][0](spark, SF).collect()[0]
+        assert out["n_docs"] == n
+        assert out["chi2_micro"] == chi2_micro
+        assert out["dof"] == (len(rt) - 1) * (len(ct) - 1)
+        v = math.sqrt(chi2_micro / 1e6 / (n * min(len(rt) - 1, len(ct) - 1)))
+        assert out["cramers_v6"] == pytest.approx(round(v, 6), abs=1e-9)

@@ -277,6 +277,39 @@ SECTIONS = [
      "giving every spend level the best recency among strictly richer "
      "customers, and a plain join back with two filter predicates. The "
      "O(n^2) NOT EXISTS dominance join exists only on the oracle side."),
+    ("stats_kruskal_wallis", "Kruskal-Wallis H (r12)",
+     "One partial-agg groupBy reduces the fact table to the distinct-cents "
+     "relation with the five priority counts as conditional-agg columns "
+     "(the group axis is a 5-literal domain — no pivot, no per-group "
+     "scan); ONE global_rank range exchange supplies the tie-averaged "
+     "rank mass; the final one-row aggregate carries exact DECIMAL(38,0) "
+     "rank sums into a textually-shared double H expression."),
+    ("events_attribution_position", "Position-based attribution (r12)",
+     "The purchase x touch pairing is an EQUI-join on (user_id, W-bucket) "
+     "— the purchase side explodes to 2 probe buckets, bounding fan-out "
+     "at x2 — with the exact 7-day/strictly-before predicate as a "
+     "post-join filter. Rank/count windows are partitioned per "
+     "conversion (one user's 7-day activity), never global; the final "
+     "matrix is a 3-row aggregate."),
+    ("graph_adamic_adar", "Adamic-Adar link prediction (r12)",
+     "Same hub-capped wedge shape as the Jaccard twin — centers above "
+     "deg 64 never enter the pair join, so candidates are |E| x cap, not "
+     "deg^2 at hubs — but each center carries its pre-quantized integer "
+     "1/ln(deg) term, making the wedge aggregation an order-free integer "
+     "sum (no float accumulation across partitions)."),
+    ("events_scd2_pit_join", "SCD2 point-in-time join (r12)",
+     "No interval join anywhere in the plan: state-change rows and "
+     "purchase facts union into one relation, ONE hash exchange on "
+     "user_id feeds the per-user carry windows (two last-ignorenulls "
+     "over the same frame), and purchases leave with their in-effect "
+     "state attached. The naive validity-interval join exists only on "
+     "the oracle side."),
+    ("text_rake_keywords", "RAKE keyword phrases (r12)",
+     "Token explode is bytes-linear map work; the islands window is "
+     "partitioned per document; phrase and word statistics are two "
+     "partial-agg groupBys over vocabulary-bounded relations; word "
+     "scores quantize to ppm integers BEFORE the phrase-sum join, so "
+     "the top-20 TakeOrdered sees exact integers."),
 ]
 
 

@@ -40,6 +40,11 @@ QUERIES = [
     "graph_adamic_adar",
     "events_scd2_pit_join",
     "text_rake_keywords",
+    # wave 2
+    "eval_pr_auc_doclen",
+    "scores_quantile_normalize",
+    "events_user_entropy_bots",
+    "stats_cramers_v_lang_source",
 ]
 
 
