@@ -168,6 +168,12 @@ REPEATS = {
     # unchanged code ran with REPEATS=1, so a single noisy run became
     # the round's number; medians-of-3 so the delta reflects the plan.
     "layout_hilbert_report": 3,     # 0.909 -> 2.773 s r8->r9, code untouched
+    # r12 (VERDICT r11 #4): the ADC line's residual is per-QUERY driver
+    # construction, now cut to ~0.25 s by single-SQL-text expressions;
+    # a single in-session run still pays one-off codegen/session warmup
+    # (~2.3 s cold vs ~1.1 s warm) — median-of-3 reports the number a
+    # repeated ad-hoc query actually pays, same basis as the probes.
+    "pq_adc_search_top5": 3,
     "graph_order_episodes": 3,      # 4.712 -> 7.013 s r8->r9
     "serve_context_expansion": 3,   # 1.71 -> 2.43 s r8->r9
     "agg_median_histogram_select": 3,  # 0.91 -> 1.22 s r8->r9
