@@ -134,6 +134,8 @@ HEADLINE = [
     "scores_quantile_normalize",  # r12: two global_rank passes + position equi-join
     "events_user_entropy_bots",  # r12: micro-nat entropy, two partial aggs + TakeOrdered
     "stats_cramers_v_lang_source",  # r12: quantized complete-grid chi2 sum + one final double
+    "events_page_hinkley",  # r12: running-mean drift scores over the hourly rollup
+    "text_js_divergence_sources",  # r12: per-source JSD in micro-nats (vocab x sources grid)
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

@@ -53,6 +53,50 @@ def cusum_scores(
     )
 
 
+def page_hinkley_scores(
+    series: DataFrame,
+    value_col: str,
+    order_col: str,
+    delta_micro: int = 0,
+) -> DataFrame:
+    """Page-Hinkley drift scores for an integer series (Page 1954 /
+    Hinkley 1971, public method) — CUSUM's self-referencing sibling:
+    instead of a FIXED reference mu it deviates against the RUNNING
+    mean, so no training period chooses the level:
+
+        m_t  = sum_{i<=t} (x_i - xbar_i - delta)
+        PH_t = m_t - min(0, min_{i<=t} m_i)
+
+    (origin 0 in the min = the virtual empty prefix, the same S_0 = 0
+    convention as :func:`cusum_scores`).  Exactness: the running mean
+    S_i/i is quantized PER TERM to micro units (floor(S_i * 1e6 / i)
+    from exact integers — truncating div == floor on the positive
+    prefix), so every m_t is an exact BIGINT prefix sum and the oracle
+    replays the identity verbatim.  Adds ``ph_micro``; input columns
+    pass through.
+    """
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        series.withColumn("_s", F.sum(value_col).over(w))
+        .withColumn("_i", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_term",
+            F.expr(
+                f"CAST(`{value_col}` AS BIGINT) * 1000000"
+                " - CAST(CAST(_s AS DECIMAL(38,0)) * 1000000 div _i AS BIGINT)"
+                f" - {int(delta_micro)}"
+            ),
+        )
+        .withColumn("_m", F.sum("_term").over(w))
+    )
+    return (
+        d.withColumn(
+            "ph_micro", F.col("_m") - F.least(F.min("_m").over(w), F.lit(0))
+        )
+        .drop("_s", "_i", "_term", "_m")
+    )
+
+
 def km_curve(durations: DataFrame, dur_col: str = "dur", observed_col: str = "observed") -> DataFrame:
     """Kaplan-Meier survival table (Kaplan & Meier 1958, public method)
     from a relation of ``(duration, observed)`` rows — observed = 1 for

@@ -88,6 +88,74 @@ _register("events_cusum_changepoint", _events_cusum, _DD_CUSUM)
 
 
 # ==========================================================================
+# Page-Hinkley drift scores (round 12) — operators/monitoring.py::
+# page_hinkley_scores, CUSUM's self-referencing sibling: deviations
+# accumulate against the RUNNING mean instead of a fixed mu, so the
+# monitor needs no training period to choose its reference level (the
+# standard online-drift detector in the river/MOA literature).  Same
+# scale shape as the CUSUM entry: one partial-agg groupBy reduces the
+# fact table to the calendar-bounded hourly series; every window runs
+# over those ~10^3-10^4 rows regardless of corpus size (the CUSUM
+# allowlist class, executably checked by TestAllowlistBoundedness).
+# All arithmetic is exact: the per-row running-mean term quantizes to
+# micro BEFORE the prefix sum.
+# ==========================================================================
+
+_PH_DELTA_MICRO = 2_000_000  # delta = 2 events/hour drift tolerance
+
+
+def _events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.monitoring import page_hinkley_scores
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        )
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    scored = page_hinkley_scores(hourly, "cnt", "hour", _PH_DELTA_MICRO)
+    return (
+        scored.orderBy(F.col("ph_micro").desc(), "hour")
+        .limit(30)
+        .select("hour", "cnt", "ph_micro")
+    )
+
+
+_DD_PAGE_HINKLEY = f"""
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+),
+pre AS (
+  SELECT hour, cnt,
+         sum(cnt) OVER w AS s,
+         count(*) OVER w AS i
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+terms AS (
+  SELECT hour, cnt,
+         cnt * 1000000 - CAST(s::HUGEINT * 1000000 // i AS BIGINT)
+           - {_PH_DELTA_MICRO} AS term
+  FROM pre
+),
+m AS (
+  SELECT hour, cnt,
+         sum(term) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS m
+  FROM terms
+)
+SELECT hour, cnt,
+       (m - least(min(m) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0))::BIGINT AS ph_micro
+FROM m
+ORDER BY ph_micro DESC, hour
+LIMIT 30
+"""
+
+_register("events_page_hinkley", _events_page_hinkley, _DD_PAGE_HINKLEY)
+
+
+# ==========================================================================
 # Truncated EWMA (alpha = 0.2, window 8) over monthly revenue.  The
 # geometric weights 0.8^j are EXACT integers once scaled by 10^7
 # (w_j = 8^j * 10^(7-j)), so the smoother is floor(sum(w_j x_{t-j}) /

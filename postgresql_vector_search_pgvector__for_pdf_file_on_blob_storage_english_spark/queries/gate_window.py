@@ -316,7 +316,9 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # scores_quantile_normalize (cross-source quantile normalization,
 # two global_rank passes + position equi-join),
 # events_user_entropy_bots (micro-nat behavioral entropy screen),
-# stats_cramers_v_lang_source (quantized complete-grid chi2 -> V).
+# stats_cramers_v_lang_source (quantized complete-grid chi2 -> V),
+# events_page_hinkley (running-mean drift, CUSUM's sibling),
+# text_js_divergence_sources (per-source JSD drift in micro-nats).
 #
 # Everything NOT in the window is still verified by the full local gate
 # (tools/check_oracle.py runs all entries), just not re-recorded in the

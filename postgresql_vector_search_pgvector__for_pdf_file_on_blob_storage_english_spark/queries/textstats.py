@@ -342,3 +342,126 @@ LIMIT {_RAKE_TOP}
 """
 
 _register("text_rake_keywords", _text_rake, _DD_RAKE)
+
+
+# ==========================================================================
+# Jensen-Shannon source divergence (round 12): for every source s,
+# JSD(P_s || Q_s) between its unigram distribution and the REST of the
+# corpus — the symmetric, always-finite drift number corpus intake
+# dashboards plot per source (KL alone explodes on unshared words;
+# the mutual-information entry reports a different, global quantity).
+#
+# Exactness (micro-nats, quantize-before-sum):
+#   p_w/m_w = 2 c_w n_q / (c_w n_q + d_w n_s)  (all integers), so each
+#   word's KL(P||M) term is c_w * (ln_micro(2 c_w n_q) -
+#   ln_micro(c_w n_q + d_w n_s)) — an exact BIGINT — and
+#   KL_micro = sum(term) div n_s; symmetrically for KL(Q||M); JSD =
+#   (KL_p + KL_q) div 2.  No float ever sums across rows.
+#
+# Scale shape: one tokenize pass, one (source, term) partial-agg
+# groupBy, one per-term global groupBy, a broadcast of the per-source
+# totals (source domain), and a vocabulary x sources grid for the
+# Q-side support (linear in vocabulary, which is language-bounded).
+# ==========================================================================
+
+
+def _js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import tokenize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = tokenize(docs).join(docs.select("doc_id", "source"), "doc_id")
+    per_st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    per_t = per_st.groupBy("term").agg(F.sum("c").alias("g"))
+    per_s = per_st.groupBy("source").agg(F.sum("c").alias("ns"))
+    tot = per_s.agg(F.sum("ns").alias("nt"))
+    # full (source x term) grid so words ABSENT from a source still
+    # carry their Q-side mass; c coalesces to 0
+    grid = (
+        per_s.crossJoin(F.broadcast(tot))
+        .crossJoin(per_t)
+        .join(per_st, ["source", "term"], "left")
+        .selectExpr(
+            "source",
+            "ns",
+            "nt - ns AS nq",
+            "coalesce(c, CAST(0 AS BIGINT)) AS c",
+            "g - coalesce(c, CAST(0 AS BIGINT)) AS d",
+        )
+    )
+    lnm = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+    term_p = (
+        "CASE WHEN c > 0 THEN c * ("
+        + lnm.format(x="2 * c * nq")
+        + " - "
+        + lnm.format(x="c * nq + d * ns")
+        + ") ELSE 0 END"
+    )
+    term_q = (
+        "CASE WHEN d > 0 THEN d * ("
+        + lnm.format(x="2 * d * ns")
+        + " - "
+        + lnm.format(x="d * ns + c * nq")
+        + ") ELSE 0 END"
+    )
+    agg = grid.groupBy("source").agg(
+        F.max("ns").alias("n_tokens_src"),
+        F.max("nq").alias("n_tokens_rest"),
+        F.expr(f"sum({term_p})").alias("_kp"),
+        F.expr(f"sum({term_q})").alias("_kq"),
+    )
+    # KL >= 0 mathematically, but per-term micro quantization can push a
+    # near-zero sum a few micro NEGATIVE on a degenerate fixture — and
+    # Spark's div truncates toward zero while DuckDB's // floors, so the
+    # floor is spelled out for the negative branch on both engines.
+    fdiv = (
+        "CASE WHEN {a} >= 0 THEN {a} div {b}"
+        " ELSE -((-({a}) + {b} - 1) div {b}) END"
+    )
+    kp_f = fdiv.format(a="_kp", b="n_tokens_src")
+    kq_f = fdiv.format(a="_kq", b="n_tokens_rest")
+    half = fdiv.format(a=f"(({kp_f}) + ({kq_f}))", b="2")
+    return agg.selectExpr(
+        "source",
+        "CAST(n_tokens_src AS BIGINT) AS n_tokens_src",
+        "CAST(n_tokens_rest AS BIGINT) AS n_tokens_rest",
+        f"CAST({half} AS BIGINT) AS jsd_micro",
+    ).orderBy("source")
+
+
+def _dd_lnm(x: str) -> str:
+    return f"CAST(floor(ln(({x})::DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+
+
+_DD_JSD = f"""
+WITH {{tokens}},
+st AS (
+  SELECT d.source, t.term, count(*)::BIGINT AS c
+  FROM tokens t JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+),
+pt AS (SELECT term, sum(c)::BIGINT AS g FROM st GROUP BY 1),
+ps AS (SELECT source, sum(c)::BIGINT AS ns FROM st GROUP BY 1),
+tot AS (SELECT sum(ns)::BIGINT AS nt FROM ps),
+grid AS (
+  SELECT ps.source, ps.ns, tot.nt - ps.ns AS nq,
+         coalesce(st.c, 0)::BIGINT AS c,
+         pt.g - coalesce(st.c, 0)::BIGINT AS d
+  FROM ps CROSS JOIN tot CROSS JOIN pt
+  LEFT JOIN st ON st.source = ps.source AND st.term = pt.term
+),
+agg AS (
+  SELECT source, max(ns)::BIGINT AS n_tokens_src, max(nq)::BIGINT AS n_tokens_rest,
+         sum(CASE WHEN c > 0 THEN c * ({_dd_lnm('2 * c * nq')} - {_dd_lnm('c * nq + d * ns')}) ELSE 0 END)::BIGINT AS kp,
+         sum(CASE WHEN d > 0 THEN d * ({_dd_lnm('2 * d * ns')} - {_dd_lnm('d * ns + c * nq')}) ELSE 0 END)::BIGINT AS kq
+  FROM grid GROUP BY 1
+)
+SELECT source, n_tokens_src, n_tokens_rest,
+       (kp // n_tokens_src + kq // n_tokens_rest) // 2 AS jsd_micro
+FROM agg ORDER BY source
+"""
+
+_register(
+    "text_js_divergence_sources",
+    _js_divergence_sources,
+    _DD_JSD.replace("{tokens}", "tokens AS (\n  SELECT doc_id, lower(w) AS term\n  FROM (SELECT doc_id, " + dd_sql(_DD_NORMALIZE, col="text") + " AS norm FROM documents),\n       unnest(string_split(trim(norm), ' ')) AS t(w)\n  WHERE w != ''\n)"),
+)

@@ -275,6 +275,9 @@ class TestRegistryWindowSweep:
         # TestWave3Plans.test_monitoring_entries_shuffle_only_aggregated_series
         # hour-cardinality relation (CUSUM prefix sums over hourly rollup)
         "events_cusum_changepoint",
+        # hour-cardinality relation (Page-Hinkley running-mean prefix
+        # sums over the same hourly rollup — r12, same class as CUSUM)
+        "events_page_hinkley",
         # month-cardinality relation (EWMA lags over monthly rollup)
         "orders_ewma_revenue_trend",
         # (stats_ks_price_drift / stats_mannwhitney_price /

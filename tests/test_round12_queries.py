@@ -477,3 +477,99 @@ class TestCramersV:
         assert out["dof"] == (len(rt) - 1) * (len(ct) - 1)
         v = math.sqrt(chi2_micro / 1e6 / (n * min(len(rt) - 1, len(ct) - 1)))
         assert out["cramers_v6"] == pytest.approx(round(v, 6), abs=1e-9)
+
+
+class TestPageHinkley:
+    def test_prefix_identity_recompute(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries._base import (
+            _events,
+        )
+        import pyspark.sql.functions as F
+
+        ev = _events(spark, SF)
+        hourly = sorted(
+            (r["hour"], int(r["cnt"]))
+            for r in ev.groupBy(
+                F.date_format(
+                    F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"
+                ).alias("hour")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        s = i = m = 0
+        min_m = 0
+        scores = []
+        for hour, cnt in hourly:
+            s += cnt
+            i += 1
+            m += cnt * 10**6 - (s * 10**6) // i - 2_000_000
+            min_m = min(min_m, m)
+            scores.append((hour, cnt, m - min_m))
+        top = sorted(scores, key=lambda x: (-x[2], x[0]))[:30]
+        out = REGISTRY["events_page_hinkley"][0](spark, SF).collect()
+        assert [(r["hour"], r["cnt"], r["ph_micro"]) for r in out] == top
+
+
+class TestJsDivergence:
+    def _recompute(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries._base import (
+            _t,
+        )
+        import re as _re
+
+        docs = _t(spark, SF, "documents").select("source", "text").collect()
+        per_st: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+        for r in docs:
+            toks = [
+                t.lower()
+                for t in _re.sub(r"\s{2,}", " ", r["text"].replace("\n", " "))
+                .strip()
+                .split(" ")
+                if t
+            ]
+            for t in toks:
+                per_st[r["source"]][t] += 1
+        g: dict[str, int] = defaultdict(int)
+        for src, cs in per_st.items():
+            for t, c in cs.items():
+                g[t] += c
+        nt = sum(g.values())
+
+        def lnm(x: int) -> int:
+            return math.floor(math.log(x) * 1e6 + 0.5)
+
+        def fdiv(a: int, b: int) -> int:
+            return a // b  # python // floors, matching both engines
+
+        exp = {}
+        for src, cs in per_st.items():
+            ns = sum(cs.values())
+            nq = nt - ns
+            kp = kq = 0
+            for t, gt in g.items():
+                c = cs.get(t, 0)
+                d = gt - c
+                if c > 0:
+                    kp += c * (lnm(2 * c * nq) - lnm(c * nq + d * ns))
+                if d > 0:
+                    kq += d * (lnm(2 * d * ns) - lnm(d * ns + c * nq))
+            exp[src] = (ns, nq, fdiv(fdiv(kp, ns) + fdiv(kq, nq), 2))
+        return exp
+
+    def test_micro_nats_recompute(self, spark):
+        exp = self._recompute(spark)
+        out = REGISTRY["text_js_divergence_sources"][0](spark, SF).collect()
+        assert len(out) == len(exp)
+        for r in out:
+            ns, nq, jsd = exp[r["source"]]
+            assert (r["n_tokens_src"], r["n_tokens_rest"], r["jsd_micro"]) == (
+                ns, nq, jsd,
+            )
+
+    def test_jsd_bounds(self, spark):
+        """JSD is bounded by [0, ln 2] (~693147 micro-nats); quantization
+        slack stays within a few micro."""
+        out = REGISTRY["text_js_divergence_sources"][0](spark, SF).collect()
+        for r in out:
+            assert -5 <= r["jsd_micro"] <= 693147 + 5

@@ -45,6 +45,9 @@ QUERIES = [
     "scores_quantile_normalize",
     "events_user_entropy_bots",
     "stats_cramers_v_lang_source",
+    # wave 3
+    "events_page_hinkley",
+    "text_js_divergence_sources",
 ]
 
 
