@@ -357,3 +357,95 @@ def temperature_mixture_sample(
         .filter(bucket < F.col("rate_bp"))
         .drop("rate_bp")
     )
+
+
+def waterfill_budget(
+    avail: DataFrame,
+    budget_num: int = 4,
+    budget_den: int = 10,
+    group_col: str = "source",
+    avail_col: str = "avail",
+) -> DataFrame:
+    """Water-filling token-budget allocation across groups — the
+    mixture-construction step AFTER rates are chosen: given each
+    source's available token count and a total budget
+    ``T = (budget_num * sum(avail)) div budget_den``, allocate
+    ``min(avail_g, level)`` per group with the unique level that spends
+    the budget exactly, +1 token to the first ``T mod``-many
+    unsaturated groups (rank order) so ``sum(alloc) == T`` to the
+    token.  Small sources are kept WHOLE (saturated), large sources are
+    clipped to the common level — max-min fairness, the standard cure
+    for "the biggest crawl eats the whole budget".
+
+    Exact integer derivation, no floats anywhere: groups sort by
+    (avail, group) through :func:`~..operators.ranking.global_rank`
+    (rank + exclusive prefix sum, never a single-partition window); the
+    pivot rank r is the unique row where
+    ``level = (T - prefix_r) div (n - r + 1)`` falls in
+    ``[avail_{r-1}, avail_r)`` — every rank below r is saturated.  Both
+    Spark ``div``/``%`` and DuckDB ``//``/``%`` truncate toward zero,
+    and all pivot-side operands are non-negative, so the engines agree
+    bit-for-bit.  The degenerate ``T >= total`` case allocates
+    everything (pivot row is NULL).
+
+    Scale shape: one partial-agg groupBy to the per-group relation
+    (|groups| rows — bounded by the source domain), one global_rank
+    over it, a rank-shift self-join for the predecessor, and broadcast
+    one-row joins for totals/pivot.  Data rows are touched exactly
+    once, in the caller's aggregation.
+    """
+    from .ranking import global_rank
+
+    if budget_num <= 0 or budget_den <= 0 or budget_num >= budget_den:
+        raise ValueError(
+            f"budget fraction must be in (0, 1): {budget_num}/{budget_den}"
+        )
+    ranked = global_rank(
+        avail,
+        [F.col(avail_col).asc(), F.col(group_col).asc()],
+        prefix_col=avail_col,
+    )
+    tot = avail.agg(
+        F.sum(avail_col).alias("_total"),
+        F.expr(f"({budget_num} * sum({avail_col})) div {budget_den}").alias(
+            "_budget"
+        ),
+    )
+    prev = ranked.select(
+        (F.col("_rank") + 1).alias("_nrank"),
+        F.col(avail_col).alias("_pavail"),
+    )
+    cand = (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(prev), F.col("_rank") == F.col("_nrank"), "left")
+        .withColumn("_pavail", F.coalesce("_pavail", F.lit(0)))
+        .withColumn(
+            "_level", F.expr("(_budget - _before) div (_n - _rank + 1)")
+        )
+        .withColumn(
+            "_rem", F.expr("(_budget - _before) % (_n - _rank + 1)")
+        )
+    )
+    pivot = cand.where(
+        f"_budget < _total AND _level >= _pavail AND _level < {avail_col}"
+    ).agg(
+        F.max("_rank").alias("_pivot_rank"),
+        F.max("_level").alias("_plevel"),
+        F.max("_rem").alias("_prem"),
+    )
+    return (
+        cand.crossJoin(F.broadcast(pivot))
+        .selectExpr(
+            group_col,
+            f"CAST({avail_col} AS BIGINT) AS avail_tokens",
+            f"""CAST(CASE
+                WHEN _pivot_rank IS NULL THEN {avail_col}
+                WHEN _rank < _pivot_rank THEN {avail_col}
+                ELSE _plevel
+                     + CASE WHEN _rank - _pivot_rank + 1 <= _prem
+                            THEN 1 ELSE 0 END
+            END AS BIGINT) AS alloc_tokens""",
+            "CAST(CASE WHEN _pivot_rank IS NULL OR _rank < _pivot_rank"
+            " THEN 1 ELSE 0 END AS BIGINT) AS saturated",
+        )
+    )

@@ -23,8 +23,36 @@ one sqrt saved per lookup).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _dlit(x: float) -> str:
+    """A double value as a round-tripping SQL literal.
+
+    The literal-SQL fast path (r12) formats codebook/LUT values with
+    ``repr()``; a non-finite value would render as ``infD``/``nanD`` and
+    fail to parse where the old ``F.lit`` form survived (ADVICE r12 #2).
+    A non-finite codebook is always an upstream bug (degenerate training
+    input), so fail loudly here instead of deep inside Catalyst.
+    """
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(
+            f"non-finite codebook/LUT value {v!r}: PQ codebooks must be "
+            "finite — check the training corpus for inf/nan embeddings"
+        )
+    return f"{v!r}D"
+
+
+def _qcol(name: str) -> str:
+    """Backtick-quote an identifier for the literal-SQL fast path,
+    rejecting names that would escape the quoting (ADVICE r12 #2)."""
+    if "`" in name:
+        raise ValueError(f"column name {name!r} must not contain backticks")
+    return f"`{name}`"
 
 
 def fixed_codebooks(
@@ -81,14 +109,14 @@ def pq_encode(
     construction 1.05 s -> ~0.05 s with an identical resolved plan.
     """
     dsub = len(codebooks[0][0])
-    vc = f"`{vec_col}`"
+    vc = _qcol(vec_col)
     codes_sql = []
     for j, book in enumerate(codebooks):
         off = j * dsub
         book_lit = (
             "array("
             + ",".join(
-                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in book
+                "array(" + ",".join(_dlit(x) for x in c) + ")" for c in book
             )
             + ")"
         )
@@ -405,10 +433,11 @@ def pq_search(
     ]
     # left-associated + chain == the pre-r12 sequential F.lit(0.0) fold
     dist_sql = "0.0D"
+    cc = _qcol(code_col)
     for j, table in enumerate(lut):
-        lut_lit = "array(" + ",".join(f"{float(v)!r}D" for v in table) + ")"
+        lut_lit = "array(" + ",".join(_dlit(v) for v in table) + ")"
         dist_sql += (
-            f" + element_at({lut_lit}, element_at(`{code_col}`, {j + 1}) + 1)"
+            f" + element_at({lut_lit}, element_at({cc}, {j + 1}) + 1)"
         )
     dist = F.expr(dist_sql)
     cols = list(payload_cols) if payload_cols is not None else [

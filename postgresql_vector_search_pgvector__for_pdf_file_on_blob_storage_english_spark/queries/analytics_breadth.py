@@ -957,9 +957,15 @@ def _cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(c AS BIGINT) AS n_sources",
             "CAST((r - 1) * (c - 1) AS BIGINT) AS dof",
             "chi2_micro",
-            "round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0"
+            # Degenerate-domain guard (ADVICE r12 #3): a single-lang or
+            # single-source corpus has least(r-1, c-1) = 0; chi2 is then 0
+            # by construction (observed == expected on every cell), so V is
+            # DEFINED as 0.0 instead of a divide-by-zero NULL.  Same CASE
+            # on the oracle.
+            "CASE WHEN least(r - 1, c - 1) = 0 THEN CAST(0.0 AS DOUBLE)"
+            " ELSE round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0"
             " / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 6)"
-            " AS cramers_v6",
+            " END AS cramers_v6",
         )
     )
 
@@ -991,8 +997,10 @@ dims AS (SELECT count(DISTINCT lang)::BIGINT AS r,
                 count(DISTINCT source)::BIGINT AS c FROM documents)
 SELECT n AS n_docs, r AS n_langs, c AS n_sources,
        (r - 1) * (c - 1) AS dof, chi2_micro,
-       round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
-             / (n::DOUBLE * least(r - 1, c - 1)::DOUBLE)), 6) AS cramers_v6
+       CASE WHEN least(r - 1, c - 1) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+                  / (n::DOUBLE * least(r - 1, c - 1)::DOUBLE)), 6)
+       END AS cramers_v6
 FROM agg, dims
 """,
 )

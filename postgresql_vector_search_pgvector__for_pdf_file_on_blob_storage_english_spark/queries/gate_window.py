@@ -325,6 +325,86 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # driver's 50-row snapshot.  Since r12 the local gate's --json records
 # also carry a per-entry salted result hash (VERDICT r11 item 2), so
 # the never-driver-evidenced tail is independently diffable evidence.
+#
+# Round-13 rotation (VERDICT r12 item 1 — executes the queued list
+# verbatim, then goes further per item 4's burn-the-backlog mandate):
+# ALL 25 LLM-family slots rotate — every outgoing entry is driver-green
+# in the r12 snapshot, every incoming entry has NEVER had a driver row
+# (but is green with hashes in both committed r12 local records, and
+# the four touched this round — brier/pr-auc/cramers-v/jsd — were
+# re-oracled on the fixed code before rotating in).  In = the 13
+# never-evidenced r12 session additions + the 3 queued probe twins +
+# 9 more from the never-evidenced tail.  Out → in, family cover:
+#   dedup_exact_survivors → dedup_lsh_verified_pairs (dedup: the
+#                 banded-LSH verified-pair path takes the slot)
+#   eval_ndcg_doclen_trusted → eval_brier_decomposition (scorer-eval;
+#                 RES term freshly overflow-proofed — evidence lands
+#                 on the fixed code, the ABC-XYZ r12 precedent)
+#   eval_conformal_doclen → eval_pr_auc_doclen (scorer-eval; wsum
+#                 freshly DECIMAL(38,0)-ridden)
+#   eval_isotonic_calibration → scores_quantile_normalize (score-map
+#                 transforms: PAVA out, quantile normalization in)
+#   stats_kendall_tau → stats_kruskal_wallis (rank stats: KW closes
+#                 the nonparametric family)
+#   stats_ks_price_drift → stats_cramers_v_lang_source (independence
+#                 stats; freshly degenerate-guarded, ADVICE r12 #3)
+#   stats_wilcoxon_signed_rank → stats_gini_revenue (stats tail)
+#   customer_skyline_spend_recency → customer_survival_km (customer
+#                 analytics: Kaplan-Meier's first driver slot)
+#   window_relative_ranks → join_not_in_vs_not_exists (relational
+#                 core: the NAAJ pair's first driver slot)
+#   parts_abc_xyz_classes → events_attribution_position (business
+#                 analytics: U-shaped multi-touch credit)
+#   asof_join_forward_tolerance → events_scd2_pit_join (point-in-time
+#                 join family — the direct sibling)
+#   stream_auc_replay → stream_markov_replay (streaming replay)
+#   stream_conformal_replay → stream_incremental_dedup_replay
+#                 (streaming replay + dedup double cover)
+#   stream_sessionize_replay → events_user_entropy_bots (per-user
+#                 event aggregation: sessionize's bot-screen sibling)
+#   events_markov_transitions → events_page_hinkley (events
+#                 time-series drift: CUSUM's sibling)
+#   ann_ivfpq_index_search → ann_ivfpq_probe (ANN: the index's own
+#                 probe twin takes the slot)
+#   ann_lsh_probe → quant_sq8_probe (ANN/quantization probe twin)
+#   ann_hnsw_probe → privacy_l_diversity_audit (ANN keeps two fresh
+#                 slots above; privacy family's first driver slot —
+#                 never evidenced since r8)
+#   retrieval_prf_expansion → retrieval_phrase_probe (retrieval
+#                 probe twin — the last queued probe)
+#   bm25_topk_docs → serve_mmr_rerank (retrieval/serving: MMR
+#                 diversification over the gated KNN)
+#   hybrid_minmax_knn_bm25 → serve_context_expansion (retrieval/
+#                 serving: neighbor-chunk context windows)
+#   graph_walk_corpus → graph_adamic_adar (graph: rarity-weighted
+#                 link prediction, new r12 code)
+#   text_readability_scores → text_rake_keywords (text/keywords)
+#   text_pii_redaction → text_js_divergence_sources (text/corpus
+#                 drift; freshly single-source-guarded, ADVICE r12 #3)
+#   mm_image_phash_dupes → mm_video_scene_cuts (multimodal)
+#
+# Still queued for r14+ (never driver-evidenced after this window):
+# url_canonical_dupes, text_unicode_nfc_stats, dedup_edjoin_part_pairs,
+# stream_bt_matrix_replay / stream_kmv_replay, graph_khop_reach,
+# events_attribution_last_touch, graph_ppr_copurchase,
+# corpus_snapshot_diff, train_shard_hrw_churn, layout_hilbert_report,
+# ann_ivfpq_recall_trained, graph_hits_trade, stats_benford_price_audit,
+# dedup_cdc_chunk_dupes, orders_ewma_revenue_trend,
+# stats_mutual_info_lang_source, dedup_ngram_containment_pairs,
+# dedup_cluster_best_quality, train_curriculum_interleave,
+# train_dsir_token_budget, eval_calibration_doclen_en,
+# train_split_leakage_safe, stream_calibration_replay,
+# orders_winsorized_price_stats, stats_theilsen_revenue_trend,
+# events_activity_streaks, ml_target_encode_loo, ml_woe_iv_doclen,
+# linkage_jw_name_pairs, stream_reservoir_replay, mm_audio_silence_runs,
+# vocab_zipf_slope, graph_link_prediction_jaccard,
+# stats_bootstrap_ci_revenue, orders_seasonal_decompose,
+# stats_hill_tail_index, privacy_t_closeness_audit,
+# events_ab_test_analysis, graph_modularity_labelprop,
+# orders_pvm_decomposition, orders_seasonal_forecast_backtest,
+# vocab_oov_rate_curve, graph_degree_assortativity,
+# events_hourly_autocorr, vocab_heaps_growth — plus any r13 session
+# additions (each lands with its oracle + a 10x SCALE row).
 _WINDOW_50: list[str] = [
     # -- SURVEY §2 operators --------------------------------------------
     "q2_knn_l2_top5",            # Q2/S7 flagship
@@ -352,32 +432,32 @@ _WINDOW_50: list[str] = [
     "pipeline_chunks",           # P2+P3 composed
     "pipeline_embed_stats",      # P5
     "pipeline_e2e_ingest_knn",   # S3 + end-to-end ingest
-    # -- LLM-data-pipeline families -------------------------------------
-    "dedup_exact_survivors",
-    "eval_ndcg_doclen_trusted",     # r12: nDCG completes the ranking-metric pair
-    "stream_auc_replay",            # r12: score-count-log AUC replay
-    "stats_kendall_tau",            # r12: rank-correlation trio closer
-    "stats_ks_price_drift",         # r12: KS rewritten onto global_rank in r11
-    "stats_wilcoxon_signed_rank",   # r12: Wilcoxon rewritten onto global_rank in r11
-    "customer_skyline_spend_recency",  # r12: prefix-max skyline sweep
-    "window_relative_ranks",        # r12: percent_rank/cume_dist vs native oracle
-    "text_pii_redaction",
-    "asof_join_forward_tolerance", # r11: forward as-of join w/ tolerance
-    "stream_conformal_replay",      # r12: conformal residual-histogram replay
-    "eval_conformal_doclen",        # r12: split-conformal batch coverage
-    "eval_isotonic_calibration",    # r12: exact PAVA vs minimax-identity oracle
-    "ann_ivfpq_index_search",      # r6: persisted IVF-PQ (VERDICT r5 #3)
-    "retrieval_prf_expansion",      # r12: RM3-style two-pass expansion
-    "hybrid_minmax_knn_bm25",       # r12: weighted min-max fusion
-    "stream_sessionize_replay",    # r11: stateful sessionization (state store)
-    "events_markov_transitions",    # r12: first-order transition matrix
-    "parts_abc_xyz_classes",        # r12: ABC-XYZ (DECIMAL-hardened this round)
-    "graph_walk_corpus",           # r11: deterministic random-walk corpus
-    "bm25_topk_docs",
-    "text_readability_scores",      # r12: LIX readability
-    "ann_lsh_probe",                # r12: serving-path probe twin (LSH)
-    "ann_hnsw_probe",               # r12: serving-path probe twin (HNSW)
-    "mm_image_phash_dupes",        # r11: pHash DCT perceptual image dedup
+    # -- LLM-data-pipeline families (r13: all 25 never-driver-evidenced) --
+    "stats_kruskal_wallis",         # r13: k-sample rank test (nonparametric closer)
+    "eval_brier_decomposition",     # r13: Murphy decomposition, RES overflow-proofed
+    "eval_pr_auc_doclen",           # r13: average precision, DECIMAL-ridden wsum
+    "events_attribution_position",  # r13: U-shaped multi-touch credit
+    "events_scd2_pit_join",         # r13: SCD2 point-in-time lookup
+    "events_page_hinkley",          # r13: running-mean drift (CUSUM sibling)
+    "events_user_entropy_bots",     # r13: micro-nat behavioral entropy screen
+    "stats_cramers_v_lang_source",  # r13: quantized complete-grid chi2 -> V
+    "scores_quantile_normalize",    # r13: cross-source quantile normalization
+    "graph_adamic_adar",            # r13: rarity-weighted link prediction
+    "text_rake_keywords",           # r13: RAKE phrase extraction
+    "text_js_divergence_sources",   # r13: per-source JSD drift (micro-nats)
+    "stream_markov_replay",         # r13: stateful transition counting replay
+    "ann_ivfpq_probe",              # r13: serving-path probe twin (IVF-PQ)
+    "quant_sq8_probe",              # r13: serving-path probe twin (SQ8)
+    "retrieval_phrase_probe",       # r13: serving-path probe twin (phrase)
+    "dedup_lsh_verified_pairs",     # r13: banded-LSH verified candidate pairs
+    "customer_survival_km",         # r13: Kaplan-Meier retention curve
+    "stream_incremental_dedup_replay",  # r13: incremental-admission replay
+    "join_not_in_vs_not_exists",    # r13: NAAJ null-semantics pair
+    "serve_mmr_rerank",             # r13: MMR diversification over gated KNN
+    "serve_context_expansion",      # r13: neighbor-chunk context windows
+    "stats_gini_revenue",           # r13: Gini coefficient (rank prefix sums)
+    "privacy_l_diversity_audit",    # r13: l-diversity audit
+    "mm_video_scene_cuts",          # r13: frame-diff scene-cut detection
 ]
 
 

@@ -872,10 +872,14 @@ _register("stream_conformal_replay", _stream_conformal_replay, _DD_STREAM_CONFOR
 #   brier contribution of bin k = (n_k u^2 - 4B u pos_k + 4B^2 pos_k)
 #                                 / (4B^2 N),          u = 2k+1
 #   REL_k = (u n_k - 2B pos_k)^2 / (4B^2 n_k N)
-#   RES_k = (pos_k N - n_k P)^2  / (n_k N^3)
+#   RES_k = n_k * (ybar_ppm_k - base_ppm)^2 / (N * 1e6),
+#           ybar_ppm_k = floor(1e6 pos_k / n_k), base_ppm = floor(1e6 P / N)
 # — all floored at ppm from DECIMAL(38,0)/HUGEINT integers; every
 # numerator is a square (or a completed one), so truncating `div` ==
-# flooring `//`.  Per-bin rows, not one scalar: the gate then pins all
+# flooring `//`.  RES quantizes its two rates to ppm BEFORE the square
+# (VERDICT r12 #1): the raw-count form (pos N - n P)^2 / (n N^3) blows
+# past DECIMAL(38,0) near N ~ 1e9 docs, while n * diff_ppm^2 <= N * 1e12
+# holds to N ~ 1e26.  Per-bin rows, not one scalar: the gate then pins all
 # 3B contributions, and the reader sees WHERE calibration loss lives.
 #
 # Scale shape: one partial-agg groupBy to (bin, n, pos) — B=10 rows —
@@ -916,8 +920,16 @@ def _eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + {4*b*b} * pos)) div ({4*b*b} * nn) AS BIGINT) AS brier_contrib_ppm",
             f"CAST((1000000 * ((2*bin+1) * n - {2*b} * pos) * ((2*bin+1) * n - {2*b} * pos))"
             f" div ({4*b*b} * n * nn) AS BIGINT) AS rel_contrib_ppm",
-            "CAST((1000000 * (pos * nn - n * pp) * (pos * nn - n * pp))"
-            " div (n * nn * nn * nn) AS BIGINT) AS res_contrib_ppm",
+            # RES = (pos/n - pp/nn)^2 * n/nn.  The raw-count form
+            # (pos*nn - n*pp)^2 / (n*nn^3) reaches 10^38+ once nn nears
+            # ~10^9 docs (VERDICT r12 #1), so QUANTIZE the two rates to
+            # ppm FIRST (exact floors of nonneg integers — div == // here)
+            # and square the ppm difference: n * diff_ppm^2 stays under
+            # 10^38 until nn ~ 10^26.  ppm-before-square is the same
+            # Adamic-Adar convention the file already cites.
+            "CAST((n * ((1000000 * pos) div n - (1000000 * pp) div nn)"
+            " * ((1000000 * pos) div n - (1000000 * pp) div nn))"
+            " div (nn * 1000000) AS BIGINT) AS res_contrib_ppm",
         )
         .orderBy("bin")
     )
@@ -944,8 +956,9 @@ SELECT bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
          AS brier_contrib_ppm,
        CAST((1000000 * ((2*bin+1) * n - {2*_BRIER_B} * pos) * ((2*bin+1) * n - {2*_BRIER_B} * pos))
             // ({4*_BRIER_B*_BRIER_B} * n * nn) AS BIGINT) AS rel_contrib_ppm,
-       CAST((1000000 * (pos * nn - n * pp) * (pos * nn - n * pp))
-            // (n * nn * nn * nn) AS BIGINT) AS res_contrib_ppm
+       CAST((n * ((1000000 * pos) // n - (1000000 * pp) // nn)
+             * ((1000000 * pos) // n - (1000000 * pp) // nn))
+            // (nn * 1000000) AS BIGINT) AS res_contrib_ppm
 FROM per_bin, tot
 ORDER BY bin
 """
@@ -996,10 +1009,17 @@ def _eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_neg").alias("n_neg"),
         F.count(F.lit(1)).alias("n_thresholds"),
     )
+    # Overflow audit (VERDICT r12 #3): _tp <= N, so _tp * 1e6 would leave
+    # BIGINT near N ~ 9e12; and wsum = sum(pos * prec_ppm) <= 1e6 * P
+    # likewise.  Both ride DECIMAL(38,0) here (div is exact integral
+    # divide on decimals) — the oracle's window sums are already HUGEINT
+    # in DuckDB, so the engines stay symmetric to N ~ 1e32.
     wsum = staged.agg(
         F.sum(
-            F.col("_pos")
-            * F.expr("(_tp * CAST(1000000 AS BIGINT)) div (_tp + _fp)")
+            F.expr(
+                "CAST(_pos AS DECIMAL(38,0))"
+                " * ((CAST(_tp AS DECIMAL(38,0)) * 1000000) div (_tp + _fp))"
+            )
         ).alias("_wsum")
     )
     return (
@@ -1029,7 +1049,7 @@ cum AS (
   FROM per
 ),
 agg AS (
-  SELECT sum(pos * ((tp * 1000000) // (tp + fp)))::BIGINT AS wsum FROM cum
+  SELECT sum(pos * ((tp * 1000000) // (tp + fp)))::HUGEINT AS wsum FROM cum
 ),
 tot AS (
   SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,

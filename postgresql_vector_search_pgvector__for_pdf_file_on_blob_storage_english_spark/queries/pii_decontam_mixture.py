@@ -735,3 +735,75 @@ ORDER BY user_id, session_start_us
 """
 
 _register("stream_sessionize_replay", _stream_sessionize_replay, _DD_STREAM_SESS)
+
+
+# ==========================================================================
+# Water-filling token-budget allocation (round 13, VERDICT r12 item 7) —
+# operators/groupwise.py::waterfill_budget.  The mixture entries above
+# choose RATES; this entry spends an absolute budget: given per-source
+# available tokens (the ~4-chars/token estimate, integer-exact
+# (n_chars + 3) div 4) and T = 40% of the corpus's total tokens,
+# max-min-fair allocation keeps small sources whole and clips the big
+# crawls to a common level, with sum(alloc) == T exactly (remainder
+# tokens go to the first unsaturated sources in rank order).  All
+# integer math; the unique pivot rank comes from global_rank prefix
+# sums — no windows on the Spark side.  The DuckDB oracle derives the
+# same pivot from NATIVE row_number/lag/prefix windows (independent
+# cumulation path).
+# ==========================================================================
+
+from ..operators.groupwise import waterfill_budget  # noqa: E402
+
+
+def _waterfill_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.expr("sum((n_chars + 3) div 4)").alias("avail")
+    )
+    return waterfill_budget(per, budget_num=4, budget_den=10).orderBy("source")
+
+
+_DD_WATERFILL = """
+WITH per AS (
+  SELECT source, sum((n_chars + 3) // 4)::BIGINT AS avail
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT sum(avail)::BIGINT AS total, count(*)::BIGINT AS n,
+         CAST((4 * sum(avail)) // 10 AS BIGINT) AS t_budget
+  FROM per
+),
+ranked AS (
+  SELECT source, avail,
+         row_number() OVER (ORDER BY avail, source) AS r,
+         CAST(coalesce(sum(avail) OVER (ORDER BY avail, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS pre,
+         CAST(coalesce(lag(avail) OVER (ORDER BY avail, source), 0) AS BIGINT)
+           AS pavail
+  FROM per
+),
+cand AS (
+  SELECT ranked.*, tot.total, tot.n, tot.t_budget,
+         CAST((t_budget - pre) // (n - r + 1) AS BIGINT) AS lvl,
+         CAST((t_budget - pre) % (n - r + 1) AS BIGINT) AS rem
+  FROM ranked, tot
+),
+piv AS (
+  SELECT max(r) AS pivot_rank, max(lvl) AS plevel, max(rem) AS prem
+  FROM cand
+  WHERE t_budget < total AND lvl >= pavail AND lvl < avail
+)
+SELECT c.source, c.avail AS avail_tokens,
+       CAST(CASE WHEN p.pivot_rank IS NULL THEN c.avail
+            WHEN c.r < p.pivot_rank THEN c.avail
+            ELSE p.plevel + CASE WHEN c.r - p.pivot_rank + 1 <= p.prem
+                                 THEN 1 ELSE 0 END
+       END AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN p.pivot_rank IS NULL OR c.r < p.pivot_rank
+            THEN 1 ELSE 0 END AS BIGINT) AS saturated
+FROM cand c LEFT JOIN piv p ON TRUE
+ORDER BY c.source
+"""
+
+_register("train_waterfill_token_budget", _waterfill_token_budget, _DD_WATERFILL)

@@ -387,6 +387,12 @@ def _js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coalesce(c, CAST(0 AS BIGINT)) AS c",
             "g - coalesce(c, CAST(0 AS BIGINT)) AS d",
         )
+        # Degenerate-domain guard (ADVICE r12 #3): with a single source the
+        # complement corpus is empty (nq = 0) and JSD-vs-rest is undefined
+        # (ln(2*c*nq) = ln 0, division by n_tokens_rest = 0).  Drop such
+        # sources on BOTH engines so the result is defined (empty for a
+        # single-source corpus) instead of NULL/error.
+        .where("nq > 0")
     )
     lnm = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
     term_p = (
@@ -410,16 +416,13 @@ def _js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sum({term_q})").alias("_kq"),
     )
     # KL >= 0 mathematically, but per-term micro quantization can push a
-    # near-zero sum a few micro NEGATIVE on a degenerate fixture — and
-    # Spark's div truncates toward zero while DuckDB's // floors, so the
-    # floor is spelled out for the negative branch on both engines.
-    fdiv = (
-        "CASE WHEN {a} >= 0 THEN {a} div {b}"
-        " ELSE -((-({a}) + {b} - 1) div {b}) END"
-    )
-    kp_f = fdiv.format(a="_kp", b="n_tokens_src")
-    kq_f = fdiv.format(a="_kq", b="n_tokens_rest")
-    half = fdiv.format(a=f"(({kp_f}) + ({kq_f}))", b="2")
+    # near-zero sum a few micro NEGATIVE on a degenerate fixture.  Spark's
+    # `div` and DuckDB's integer `//` BOTH truncate toward zero (verified:
+    # (-7)//2 = -3 in DuckDB), so plain div already matches the oracle —
+    # no floor rewrite needed (ADVICE r12 #1).
+    kp_f = "_kp div n_tokens_src"
+    kq_f = "_kq div n_tokens_rest"
+    half = f"(({kp_f}) + ({kq_f})) div 2"
     return agg.selectExpr(
         "source",
         "CAST(n_tokens_src AS BIGINT) AS n_tokens_src",
@@ -448,6 +451,7 @@ grid AS (
          pt.g - coalesce(st.c, 0)::BIGINT AS d
   FROM ps CROSS JOIN tot CROSS JOIN pt
   LEFT JOIN st ON st.source = ps.source AND st.term = pt.term
+  WHERE tot.nt > ps.ns
 ),
 agg AS (
   SELECT source, max(ns)::BIGINT AS n_tokens_src, max(nq)::BIGINT AS n_tokens_rest,

@@ -1328,3 +1328,184 @@ SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
 FROM orders GROUP BY 1
 """,
 )
+
+
+# ==========================================================================
+# Prototype-distance PSI (round 13, VERDICT r12 item 7): the PSI-gated
+# twin of embed_prototype_drift above — that entry reports the raw L2
+# shift of each class prototype; this one closes the monitoring loop
+# with the population-stability index the drift family (events PSI /
+# CUSUM / Page-Hinkley) already speaks, over EMBEDDINGS: bucket every
+# vector's squared distance to its class prototype (reference-half
+# prototypes), compare the reference half's bucket distribution to the
+# current half's, PSI = sum_b (pA - pB) ln(pA/pB) in micro-nats.
+#
+# Exactness: d2 is the same ordered float fold the confusion/drift
+# entries gate (identical IEEE arithmetic on both engines), quantized
+# at 1e4 BEFORE binning; buckets are the Brier-style integer-range
+# split over the global [lo, hi]; Laplace +1 on the COMPLETE
+# label x bucket grid makes every proportion positive; each bucket's
+# term is (cA'nB' - cB'nA') * (lnm(cA'nB') - lnm(cB'nA')) — both
+# factors share a sign (lnm is monotone), so the per-label sum is an
+# order-free aggregation of NON-NEGATIVE integers, divided once by
+# nA'nB' (truncation == floor).  DECIMAL(38,0)/HUGEINT intermediates:
+# c*n <= N^2 stays exact to N ~ 1e16 per label.
+#
+# Scale shape: prototypes are |labels| x dim (broadcast); the corpus
+# is touched twice (prototype partial-agg, then one scoring pass);
+# the grid is domain-bounded (|labels| x 8); no windows, no collect.
+# ==========================================================================
+
+_PSI_B = 8
+
+
+def _embed_prototype_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mining import label_prototypes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    is_ref = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("§", F.lit("protopsi"), F.col("vec_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 2 == 0
+    )
+    ref = emb.filter(is_ref)
+    protos = label_prototypes(ref).select("label", "prototype")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("prototype"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = emb.join(F.broadcast(protos), "label").select(
+        "label",
+        is_ref.cast("long").alias("is_ref"),
+        F.floor(d2 * 10000 + F.lit(0.5)).cast("long").alias("d2q"),
+    )
+    bounds = scored.agg(F.min("d2q").alias("lo"), F.max("d2q").alias("hi"))
+    bucketed = scored.crossJoin(F.broadcast(bounds)).selectExpr(
+        "label", "is_ref",
+        f"CAST(((d2q - lo) * {_PSI_B}) div (hi - lo + 1) AS INT) AS bucket",
+    )
+    counts = bucketed.groupBy("label", "bucket").agg(
+        F.sum("is_ref").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("cb"),
+    )
+    labels = counts.select("label").distinct()
+    grid = (
+        labels.select(
+            "label", F.explode(F.sequence(F.lit(0), F.lit(_PSI_B - 1))).alias("bucket")
+        )
+        .join(counts, ["label", "bucket"], "left")
+        .selectExpr(
+            "label", "bucket",
+            "coalesce(ca, CAST(0 AS BIGINT)) + 1 AS ca1",
+            "coalesce(cb, CAST(0 AS BIGINT)) + 1 AS cb1",
+        )
+    )
+    per_label = counts.groupBy("label").agg(
+        F.sum("ca").alias("n_ref"), F.sum("cb").alias("n_cur")
+    )
+    lnm = "CAST(floor(ln(CAST({x} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+    term = (
+        "(axb - bxa) * ("
+        + lnm.format(x="axb")
+        + " - "
+        + lnm.format(x="bxa")
+        + ")"
+    )
+    return (
+        grid.join(F.broadcast(per_label), "label")
+        .selectExpr(
+            "label", "n_ref", "n_cur",
+            f"CAST(ca1 AS DECIMAL(38,0)) * (n_cur + {_PSI_B}) AS axb",
+            f"CAST(cb1 AS DECIMAL(38,0)) * (n_ref + {_PSI_B}) AS bxa",
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.expr(f"sum({term})").alias("_num"),
+        )
+        .selectExpr(
+            "label",
+            "CAST(n_ref AS BIGINT) AS n_ref",
+            "CAST(n_cur AS BIGINT) AS n_cur",
+            f"CAST(_num div (CAST(n_ref + {_PSI_B} AS DECIMAL(38,0))"
+            f" * (n_cur + {_PSI_B})) AS BIGINT) AS psi_micro",
+        )
+        .orderBy("label")
+    )
+
+
+def _dd_psi_lnm(x: str) -> str:
+    return f"CAST(floor(ln(({x})::DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+
+
+_DD_PROTO_PSI = f"""
+WITH flagged AS (
+  SELECT label, vec_id, embedding,
+         (('0x' || substr(md5('protopsi' || '§' || vec_id::VARCHAR), 1, 8))::BIGINT % 2) = 0 AS is_ref
+  FROM embeddings
+),
+ex AS (
+  SELECT label, pos, val FROM (
+    SELECT label, unnest(range(1, len(embedding) + 1)) AS pos, unnest(embedding) AS val
+    FROM flagged WHERE is_ref
+  )
+),
+per AS (
+  SELECT label, pos, round(sum(val::DOUBLE) / count(*), 4) + 0.0 AS v
+  FROM ex GROUP BY 1, 2
+),
+protos AS (SELECT label, list(v ORDER BY pos) AS p FROM per GROUP BY label),
+scored AS (
+  SELECT f.label, f.is_ref::BIGINT AS is_ref,
+         CAST(floor(list_sum(list_transform(range(1, len(pr.p) + 1),
+              i -> (f.embedding[i]::DOUBLE - pr.p[i]) * (f.embedding[i]::DOUBLE - pr.p[i])))
+              * 10000 + 0.5) AS BIGINT) AS d2q
+  FROM flagged f JOIN protos pr ON f.label = pr.label
+),
+bounds AS (SELECT min(d2q) AS lo, max(d2q) AS hi FROM scored),
+bucketed AS (
+  SELECT label, is_ref,
+         CAST(((d2q - lo) * {_PSI_B}) // (hi - lo + 1) AS INT) AS bucket
+  FROM scored, bounds
+),
+counts AS (
+  SELECT label, bucket, sum(is_ref)::BIGINT AS ca, sum(1 - is_ref)::BIGINT AS cb
+  FROM bucketed GROUP BY 1, 2
+),
+grid AS (
+  SELECT l.label, b.bucket,
+         coalesce(c.ca, 0)::BIGINT + 1 AS ca1,
+         coalesce(c.cb, 0)::BIGINT + 1 AS cb1
+  FROM (SELECT DISTINCT label FROM counts) l
+  CROSS JOIN (SELECT unnest(range(0, {_PSI_B})) AS bucket) b
+  LEFT JOIN counts c ON c.label = l.label AND c.bucket = b.bucket
+),
+per_label AS (
+  SELECT label, sum(ca)::BIGINT AS n_ref, sum(cb)::BIGINT AS n_cur
+  FROM counts GROUP BY 1
+),
+terms AS (
+  SELECT g.label, p.n_ref, p.n_cur,
+         ca1::HUGEINT * (p.n_cur + {_PSI_B}) AS axb,
+         cb1::HUGEINT * (p.n_ref + {_PSI_B}) AS bxa
+  FROM grid g JOIN per_label p ON g.label = p.label
+)
+SELECT label, max(n_ref)::BIGINT AS n_ref, max(n_cur)::BIGINT AS n_cur,
+       CAST(sum((axb - bxa) * ({_dd_psi_lnm('axb')} - {_dd_psi_lnm('bxa')}))
+            // (max(n_ref)::HUGEINT + {_PSI_B}) // (max(n_cur) + {_PSI_B})
+            AS BIGINT) AS psi_micro
+FROM terms GROUP BY label
+ORDER BY label
+"""
+
+_register("embed_prototype_psi", _embed_prototype_psi, _DD_PROTO_PSI)
