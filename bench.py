@@ -136,6 +136,8 @@ HEADLINE = [
     "stats_cramers_v_lang_source",  # r12: quantized complete-grid chi2 sum + one final double
     "events_page_hinkley",  # r12: running-mean drift scores over the hourly rollup
     "text_js_divergence_sources",  # r12: per-source JSD in micro-nats (vocab x sources grid)
+    "train_waterfill_token_budget",  # r13: water-filling budget, one corpus pass + source-domain pivot
+    "embed_prototype_psi",  # r13: prototype-distance PSI, two corpus passes + domain grid
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

@@ -310,6 +310,20 @@ SECTIONS = [
      "partial-agg groupBys over vocabulary-bounded relations; word "
      "scores quantize to ppm integers BEFORE the phrase-sum join, so "
      "the top-20 TakeOrdered sees exact integers."),
+    ("train_waterfill_token_budget", "Water-filling token budget (r13)",
+     "Data rows are touched exactly once, by the per-source partial-agg "
+     "groupBy; everything downstream (global_rank's range exchange, the "
+     "rank-shift self-join for the predecessor, the pivot filter) runs "
+     "on the source-domain relation — a handful of rows regardless of "
+     "corpus size. Totals and the pivot enter as broadcast one-row "
+     "joins; no windows, no collect."),
+    ("embed_prototype_psi", "Prototype-distance PSI drift (r13)",
+     "Two corpus passes: the prototype partial agg keyed (label, dim), "
+     "then one scoring pass with the |labels| x dim prototype table "
+     "broadcast — the d2 fold runs inside a codegen projection. The "
+     "bucket split reuses the Brier broadcast-bounds shape; the PSI "
+     "grid (labels x 8 buckets, Laplace-completed) and the per-label "
+     "totals are domain-bounded relations joined by broadcast."),
 ]
 
 

@@ -40,6 +40,8 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spa
 )
 
 QUERIES = ["graph_adamic_adar", "text_rake_keywords"]
+# the round's NEW entries: standard 10x-rows probe only
+NEW_10X = ["train_waterfill_token_budget", "embed_prototype_psi"]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -134,6 +136,15 @@ def main() -> None:
             f"{t30 / t1:.2f}x |",
             flush=True,
         )
+
+    new_names = [n for n in NEW_10X if not only or n in only]
+    if new_names:
+        print("| query | sf0.1 s | sf1 s | ratio at 10x |")
+        print("|---|---|---|---|")
+        for name in new_names:
+            t1 = run_query(spark, name, sf01)
+            t10 = run_query(spark, name, "/tmp/sf1")
+            print(f"| {name} | {t1} | {t10} | {t10 / t1:.2f}x |", flush=True)
 
 
 if __name__ == "__main__":
