@@ -138,6 +138,8 @@ HEADLINE = [
     "text_js_divergence_sources",  # r12: per-source JSD in micro-nats (vocab x sources grid)
     "train_waterfill_token_budget",  # r13: water-filling budget, one corpus pass + source-domain pivot
     "embed_prototype_psi",  # r13: prototype-distance PSI, two corpus passes + domain grid
+    "vocab_good_turing_mass",  # r13: unseen-mass/Chao1 off one word-frequency groupBy
+    "eval_cohens_kappa_doclen",  # r13: chance-corrected agreement, one 2x2 reduction
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

@@ -1062,3 +1062,103 @@ FROM tot, agg
 """
 
 _register("eval_pr_auc_doclen", _eval_pr_auc, _DD_PR_AUC)
+
+
+# ==========================================================================
+# Cohen's kappa (round 13): chance-corrected agreement — the label-QA
+# number for "does the cheap classifier agree with the trusted label
+# BEYOND what the class balance hands it for free" (accuracy saturates
+# under imbalance exactly like ROC-AUC does; kappa is the standard
+# correction).  Raters: the doclen rule (n_chars above the exact corpus
+# mean — compared as n_chars * n > sum(n_chars), no division) vs the
+# trusted-source label the whole scorer-eval family gates.
+#
+#   kappa = (po - pe) / (1 - pe)
+#         = (a*n - b) / (n^2 - b),  a = tp+tn,
+#           b = (tp+fn)(tp+fp) + (fp+tn)(fn+tn)
+# — one exact rational of confusion counts; ppm floor at the end.
+# kappa can be legitimately NEGATIVE (worse than chance): Spark div and
+# DuckDB // both truncate toward zero, so no floor compensation (the
+# r13 lesson).  b and n^2 ride DECIMAL(38,0)/HUGEINT (n^2 wraps BIGINT
+# past n ~ 3e9 docs).  Degenerate pe = 1 (both raters constant) forces
+# po = 1; kappa is DEFINED as 1e6 there on both engines.
+#
+# Scale shape: one broadcast 1-row join (n, sum) + one partial-agg
+# reduction to the 2x2 confusion — no windows, no collect.
+# ==========================================================================
+
+
+def _eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("c"),
+        F.col("source").isin(*_AUC_TRUSTED).cast("long").alias("y"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+    conf = (
+        docs.crossJoin(F.broadcast(tot))
+        .selectExpr("CASE WHEN c * n > s THEN 1 ELSE 0 END AS p", "y")
+        .agg(
+            F.sum(F.expr("p * y")).alias("tp"),
+            F.sum(F.expr("p * (1 - y)")).alias("fp"),
+            F.sum(F.expr("(1 - p) * y")).alias("fn"),
+            F.sum(F.expr("(1 - p) * (1 - y)")).alias("tn"),
+        )
+    )
+    return conf.selectExpr(
+        "CAST(tp AS BIGINT) AS tp", "CAST(fp AS BIGINT) AS fp",
+        "CAST(fn AS BIGINT) AS fn", "CAST(tn AS BIGINT) AS tn",
+        "CAST((1000000 * (tp + tn)) div (tp + fp + fn + tn) AS BIGINT)"
+        " AS po_ppm",
+        """CAST((1000000 * (CAST(tp + fn AS DECIMAL(38,0)) * (tp + fp)
+                 + CAST(fp + tn AS DECIMAL(38,0)) * (fn + tn)))
+            div (CAST(tp + fp + fn + tn AS DECIMAL(38,0))
+                 * (tp + fp + fn + tn)) AS BIGINT) AS pe_ppm""",
+        """CAST(CASE WHEN CAST(tp + fp + fn + tn AS DECIMAL(38,0))
+                          * (tp + fp + fn + tn)
+                     = CAST(tp + fn AS DECIMAL(38,0)) * (tp + fp)
+                       + CAST(fp + tn AS DECIMAL(38,0)) * (fn + tn)
+                THEN 1000000
+                ELSE (1000000 * (CAST(tp + tn AS DECIMAL(38,0))
+                                 * (tp + fp + fn + tn)
+                                 - (CAST(tp + fn AS DECIMAL(38,0)) * (tp + fp)
+                                    + CAST(fp + tn AS DECIMAL(38,0)) * (fn + tn))))
+                     div (CAST(tp + fp + fn + tn AS DECIMAL(38,0))
+                          * (tp + fp + fn + tn)
+                          - (CAST(tp + fn AS DECIMAL(38,0)) * (tp + fp)
+                             + CAST(fp + tn AS DECIMAL(38,0)) * (fn + tn)))
+           END AS BIGINT) AS kappa_ppm""",
+    )
+
+
+_DD_KAPPA = f"""
+WITH d AS (
+  SELECT n_chars::BIGINT AS c, (source IN {_AUC_TRUSTED})::BIGINT AS y
+  FROM documents
+),
+tot AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s FROM d),
+conf AS (
+  SELECT sum(p * y)::BIGINT AS tp, sum(p * (1 - y))::BIGINT AS fp,
+         sum((1 - p) * y)::BIGINT AS fn, sum((1 - p) * (1 - y))::BIGINT AS tn
+  FROM (SELECT CASE WHEN c * n > s THEN 1 ELSE 0 END AS p, y FROM d, tot)
+)
+SELECT tp, fp, fn, tn,
+       CAST((1000000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT) AS po_ppm,
+       CAST((1000000 * ((tp + fn)::HUGEINT * (tp + fp)
+              + (fp + tn)::HUGEINT * (fn + tn)))
+            // ((tp + fp + fn + tn)::HUGEINT * (tp + fp + fn + tn))
+            AS BIGINT) AS pe_ppm,
+       CAST(CASE WHEN (tp + fp + fn + tn)::HUGEINT * (tp + fp + fn + tn)
+                      = (tp + fn)::HUGEINT * (tp + fp)
+                        + (fp + tn)::HUGEINT * (fn + tn)
+            THEN 1000000
+            ELSE (1000000 * ((tp + tn)::HUGEINT * (tp + fp + fn + tn)
+                             - ((tp + fn)::HUGEINT * (tp + fp)
+                                + (fp + tn)::HUGEINT * (fn + tn))))
+                 // ((tp + fp + fn + tn)::HUGEINT * (tp + fp + fn + tn)
+                     - ((tp + fn)::HUGEINT * (tp + fp)
+                        + (fp + tn)::HUGEINT * (fn + tn)))
+       END AS BIGINT) AS kappa_ppm
+FROM conf
+"""
+
+_register("eval_cohens_kappa_doclen", _eval_cohens_kappa, _DD_KAPPA)

@@ -444,3 +444,74 @@ GROUP BY k ORDER BY k
 """
 
 _register("vocab_heaps_growth", _vocab_heaps, _DD_HEAPS)
+
+
+# ==========================================================================
+# Good-Turing unseen mass + Chao1 richness (round 13): the corpus-
+# coverage questions a tokenizer/vocab budget hangs on — "how much
+# probability mass belongs to words we have NOT seen yet" (Good-Turing:
+# p0 = n1/N, the singleton share, the quantity Katz smoothing reserves)
+# and "how many types exist in the population" (Chao1: V + n1^2/(2 n2),
+# bias-corrected V + n1(n1-1)/2 when no doubletons).  Complements the
+# Heaps/Zipf/OOV trio with the UNSEEN side of the curve.
+#
+# Exactness: n1/n2/V/N are exact integer counts off one word-frequency
+# groupBy; mass is one ppm floor; Chao1's square rides DECIMAL(38,0)/
+# HUGEINT (n1^2 would wrap BIGINT past vocab ~3e9).  Scale shape: the
+# explode is bytes-linear map work; the only shuffle key is the word;
+# the frequency-of-frequencies reduction is a second partial agg over
+# the vocab-bounded relation.
+# ==========================================================================
+
+
+def _vocab_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(normalize_whitespace_col("text")), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    agg = tf.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("tf").alias("n_tokens"),
+        F.sum((F.col("tf") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("tf") == 2).cast("long")).alias("n2"),
+    )
+    return agg.selectExpr(
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(vocab_size AS BIGINT) AS vocab_size",
+        "CAST(n1 AS BIGINT) AS n_singletons",
+        "CAST(n2 AS BIGINT) AS n_doubletons",
+        "CAST((1000000 * n1) div n_tokens AS BIGINT) AS unseen_mass_ppm",
+        """CAST(CASE WHEN n2 > 0
+                THEN vocab_size + (CAST(n1 AS DECIMAL(38,0)) * n1) div (2 * n2)
+                ELSE vocab_size + (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1)) div 2
+           END AS BIGINT) AS chao1_richness""",
+    )
+
+
+_DD_GOOD_TURING = f"""
+WITH words AS (
+  SELECT w
+  FROM (SELECT {dd_sql(_DD_NORMALIZE, col="text")} AS norm FROM documents),
+       unnest(string_split(trim(norm), ' ')) AS t(w)
+  WHERE w != ''
+),
+tf AS (SELECT w, count(*)::BIGINT AS tf FROM words GROUP BY w),
+agg AS (
+  SELECT count(*)::BIGINT AS vocab_size, sum(tf)::BIGINT AS n_tokens,
+         sum((tf = 1)::BIGINT)::BIGINT AS n1,
+         sum((tf = 2)::BIGINT)::BIGINT AS n2
+  FROM tf
+)
+SELECT n_tokens, vocab_size, n1 AS n_singletons, n2 AS n_doubletons,
+       CAST((1000000 * n1) // n_tokens AS BIGINT) AS unseen_mass_ppm,
+       CAST(CASE WHEN n2 > 0
+            THEN vocab_size + (n1::HUGEINT * n1) // (2 * n2)
+            ELSE vocab_size + (n1::HUGEINT * (n1 - 1)) // 2
+       END AS BIGINT) AS chao1_richness
+FROM agg
+"""
+
+_register("vocab_good_turing_mass", _vocab_good_turing, _DD_GOOD_TURING)

@@ -224,3 +224,67 @@ class TestTailSample:
         a = sorted(random.Random(99).sample(tail1, 10))
         b = sorted(random.Random(99).sample(tail1, 10))
         assert a == b and set(a) <= set(tail1)
+
+
+class TestGoodTuringMass:
+    def test_counts_recompute(self, spark):
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.queries._base import (
+            normalize_whitespace_col,
+        )
+        import pyspark.sql.functions as F
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        texts = [
+            r[0]
+            for r in docs.select(normalize_whitespace_col("text")).collect()
+        ]
+        freq: dict[str, int] = defaultdict(int)
+        for t in texts:
+            for w in t.strip().split(" "):
+                if w:
+                    freq[w] += 1
+        n_tokens = sum(freq.values())
+        v = len(freq)
+        n1 = sum(1 for c in freq.values() if c == 1)
+        n2 = sum(1 for c in freq.values() if c == 2)
+        chao1 = v + (n1 * n1) // (2 * n2) if n2 else v + (n1 * (n1 - 1)) // 2
+        (row,) = _run(spark, "vocab_good_turing_mass")
+        assert (
+            row["n_tokens"], row["vocab_size"], row["n_singletons"],
+            row["n_doubletons"], row["unseen_mass_ppm"], row["chao1_richness"],
+        ) == (n_tokens, v, n1, n2, (1000000 * n1) // n_tokens, chao1)
+
+
+class TestCohensKappa:
+    def test_confusion_and_kappa_recompute(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+        trusted = {"src0", "src1", "src2", "src3", "src4"}
+        n = len(docs)
+        s = sum(int(r["n_chars"]) for r in docs)
+        tp = fp = fn = tn = 0
+        for r in docs:
+            p = int(r["n_chars"]) * n > s
+            y = r["source"] in trusted
+            if p and y:
+                tp += 1
+            elif p:
+                fp += 1
+            elif y:
+                fn += 1
+            else:
+                tn += 1
+        a, b = tp + tn, (tp + fn) * (tp + fp) + (fp + tn) * (fn + tn)
+        num, den = 1000000 * (a * n - b), n * n - b
+
+        def tdiv(x: int, y: int) -> int:  # truncation toward zero
+            q = abs(x) // abs(y)
+            return q if (x >= 0) == (y > 0) else -q
+
+        kappa = 1000000 if den == 0 else tdiv(num, den)
+        (row,) = _run(spark, "eval_cohens_kappa_doclen")
+        assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+        assert row["po_ppm"] == (1000000 * a) // n
+        assert row["pe_ppm"] == (1000000 * b) // (n * n)
+        assert row["kappa_ppm"] == kappa
+        # kappa <= po always; kappa in [-1e6, 1e6]
+        assert -1000000 <= row["kappa_ppm"] <= 1000000

@@ -41,7 +41,12 @@ from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spa
 
 QUERIES = ["graph_adamic_adar", "text_rake_keywords"]
 # the round's NEW entries: standard 10x-rows probe only
-NEW_10X = ["train_waterfill_token_budget", "embed_prototype_psi"]
+NEW_10X = [
+    "train_waterfill_token_budget",
+    "embed_prototype_psi",
+    "vocab_good_turing_mass",
+    "eval_cohens_kappa_doclen",
+]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
