@@ -403,8 +403,15 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # events_ab_test_analysis, graph_modularity_labelprop,
 # orders_pvm_decomposition, orders_seasonal_forecast_backtest,
 # vocab_oov_rate_curve, graph_degree_assortativity,
-# events_hourly_autocorr, vocab_heaps_growth — plus any r13 session
-# additions (each lands with its oracle + a 10x SCALE row).
+# events_hourly_autocorr, vocab_heaps_growth — plus the r13 session
+# additions (each landed with its oracle at two scales, an independent
+# python-reference test, and a 10x SCALE row; highest-value first for
+# the r14 rotation): train_waterfill_token_budget (max-min-fair
+# absolute token budget, exact integer pivot), embed_prototype_psi
+# (PSI over prototype distances — the embedding-side drift monitor),
+# eval_cohens_kappa_doclen (chance-corrected agreement, one exact
+# rational of confusion counts), vocab_good_turing_mass (unseen mass +
+# Chao1 — the coverage curve's unseen side).
 _WINDOW_50: list[str] = [
     # -- SURVEY §2 operators --------------------------------------------
     "q2_knn_l2_top5",            # Q2/S7 flagship
