@@ -140,6 +140,8 @@ HEADLINE = [
     "embed_prototype_psi",  # r13: prototype-distance PSI, two corpus passes + domain grid
     "vocab_good_turing_mass",  # r13: unseen-mass/Chao1 off one word-frequency groupBy
     "eval_cohens_kappa_doclen",  # r13: chance-corrected agreement, one 2x2 reduction
+    "embed_silhouette_labels",  # r13: zero-shuffle prototype-array silhouette
+    "embed_davies_bouldin",  # r13: per-class confusability ratios on the labels^2 grid
 ]
 
 # Noise control (VERDICT r2 item 6): the KNN-batch variants showed a ±17%

@@ -411,7 +411,9 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # (PSI over prototype distances — the embedding-side drift monitor),
 # eval_cohens_kappa_doclen (chance-corrected agreement, one exact
 # rational of confusion counts), vocab_good_turing_mass (unseen mass +
-# Chao1 — the coverage curve's unseen side).
+# Chao1 — the coverage curve's unseen side), embed_silhouette_labels
+# (zero-shuffle prototype-array silhouette in exact ppm), and
+# embed_davies_bouldin (per-class confusability ratios).
 _WINDOW_50: list[str] = [
     # -- SURVEY §2 operators --------------------------------------------
     "q2_knn_l2_top5",            # Q2/S7 flagship

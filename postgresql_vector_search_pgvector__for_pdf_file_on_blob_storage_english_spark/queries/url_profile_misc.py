@@ -1509,3 +1509,262 @@ ORDER BY label
 """
 
 _register("embed_prototype_psi", _embed_prototype_psi, _DD_PROTO_PSI)
+
+
+# ==========================================================================
+# Simplified silhouette (round 13, wave 2): the label-quality gauge the
+# prototype family was missing — for every vector, a = distance to its
+# OWN class prototype, b = distance to the NEAREST OTHER prototype,
+# s = (b - a)/max(a, b) in [-1, 1]; per-label mean answers "is this
+# class a coherent region or an annotation soup" (the centroid-based
+# simplified silhouette — O(n L), not the O(n^2) pairwise original).
+#
+# Exactness: each distance is the family's ordered fold + sqrt
+# (identical IEEE on both engines), quantized to micro BEFORE the
+# ratio, so s_ppm = ((b - a) * 1e6) div max(a, b) is pure integer
+# arithmetic (truncation agrees cross-engine, negative s included);
+# floor-of-min == min-of-floors (monotone), so DuckDB may min first.
+# The per-label mean is an integer sum div count.
+#
+# Scale shape: prototypes (|labels| x dim) collapse to ONE broadcast
+# row (collect_list of structs); every vector computes its full
+# distance profile inside a single codegen projection — transform/
+# filter/array_min over the broadcast array, ZERO shuffle for scoring;
+# the only exchange is the |labels|-bounded final groupBy.
+# ==========================================================================
+
+_SIL_DIST = (
+    "sqrt(aggregate(zip_with(embedding, p.prototype,"
+    " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+def _embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mining import label_prototypes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    parr = label_prototypes(emb).agg(
+        F.collect_list(F.struct("label", "prototype")).alias("parr")
+    )
+    scored = emb.crossJoin(F.broadcast(parr)).select(
+        "label",
+        F.expr(
+            f"transform(parr, p -> struct(p.label AS l, {_SIL_DIST} AS d))"
+        ).alias("ds"),
+    ).select(
+        "label",
+        F.expr(
+            "CAST(floor(element_at(filter(ds, s -> s.l = label), 1).d"
+            " * 1000000 + 0.5) AS BIGINT) AS a_micro"
+        ),
+        F.expr(
+            "CAST(floor(array_min(transform(filter(ds, s -> s.l != label),"
+            " s -> s.d)) * 1000000 + 0.5) AS BIGINT) AS b_micro"
+        ),
+    )
+    return (
+        scored.selectExpr(
+            "label",
+            "CASE WHEN greatest(a_micro, b_micro) = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE ((b_micro - a_micro) * 1000000) div greatest(a_micro, b_micro)"
+            " END AS s_ppm",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("sum(s_ppm) div count(1)").alias("mean_silhouette_ppm"),
+        )
+        .selectExpr(
+            "label",
+            "CAST(n_members AS BIGINT) AS n_members",
+            "CAST(mean_silhouette_ppm AS BIGINT) AS mean_silhouette_ppm",
+        )
+        .orderBy("label")
+    )
+
+
+_DD_PROTO_CTE = """
+pex AS (
+  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos, unnest(embedding) AS val
+  FROM embeddings
+),
+pper AS (
+  SELECT label, pos, round(sum(val::DOUBLE) / count(*), 4) + 0.0 AS v
+  FROM pex GROUP BY 1, 2
+),
+protos AS (SELECT label, list(v ORDER BY pos) AS p FROM pper GROUP BY label)
+"""
+
+_DD_SIL = f"""
+WITH {_DD_PROTO_CTE},
+scored AS (
+  SELECT e.vec_id, e.label, pr.label AS pl,
+         sqrt(list_sum(list_transform(range(1, len(pr.p) + 1),
+           i -> (e.embedding[i]::DOUBLE - pr.p[i]) * (e.embedding[i]::DOUBLE - pr.p[i])))) AS d
+  FROM embeddings e CROSS JOIN protos pr
+),
+ab AS (
+  SELECT vec_id, label,
+         CAST(floor(min(CASE WHEN pl = label THEN d END) * 1000000 + 0.5) AS BIGINT) AS a_micro,
+         CAST(floor(min(CASE WHEN pl != label THEN d END) * 1000000 + 0.5) AS BIGINT) AS b_micro
+  FROM scored GROUP BY 1, 2
+),
+s AS (
+  SELECT label,
+         CASE WHEN greatest(a_micro, b_micro) = 0 THEN 0
+              ELSE ((b_micro - a_micro) * 1000000) // greatest(a_micro, b_micro)
+         END AS s_ppm
+  FROM ab
+)
+SELECT label, count(*)::BIGINT AS n_members,
+       CAST(sum(s_ppm) // count(*) AS BIGINT) AS mean_silhouette_ppm
+FROM s GROUP BY label ORDER BY label
+"""
+
+_register("embed_silhouette_labels", _embed_silhouette, _DD_SIL)
+
+
+# ==========================================================================
+# Davies-Bouldin confusability report (round 13, wave 2): silhouette's
+# per-class companion from the other direction — for each class i,
+# sigma_i = mean member distance to its prototype (tightness) and
+# max_{j != i} (sigma_i + sigma_j) / d(c_i, c_j) (the worst-confusable
+# neighbor ratio; the mean of these maxima is the classic DB index,
+# left to the reader — per-class rows name WHICH class is the problem).
+#
+# Fully integer after quantization: member and centroid-pair distances
+# floor to micro from the identical ordered-fold + sqrt doubles;
+# sigma_micro = sum div n; ratios are ((sigma_i + sigma_j) * 1e6) div
+# d_micro — exact rationals, argmax tiebroken to the LOWEST other
+# label via a max-then-filter-min second pass (no order-dependent
+# arg_max).  Coincident centroids (d_micro = 0) pin the ratio to the
+# loud sentinel 1e12.
+#
+# Scale shape: one corpus pass for sigma (the silhouette projection's
+# own-label distance, |labels|-bounded groupBy); everything pairwise
+# runs on the |labels|^2 prototype grid — broadcast joins, no windows.
+# ==========================================================================
+
+_DB_SENTINEL = 1000000000000
+
+
+def _embed_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mining import label_prototypes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    protos = label_prototypes(emb).select("label", "prototype")
+    parr = protos.agg(
+        F.collect_list(F.struct("label", "prototype")).alias("parr")
+    )
+    sigma = (
+        emb.crossJoin(F.broadcast(parr))
+        .select(
+            "label",
+            F.expr(
+                "CAST(floor(element_at(filter(transform(parr,"
+                f" p -> struct(p.label AS l, {_SIL_DIST} AS d)),"
+                " s -> s.l = label), 1).d * 1000000 + 0.5) AS BIGINT)"
+                " AS a_micro"
+            ),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("sum(a_micro) div count(1)").alias("sigma_micro"),
+        )
+    )
+    a = protos.select(F.col("label").alias("li"), F.col("prototype").alias("pi"))
+    b = protos.select(F.col("label").alias("lj"), F.col("prototype").alias("pj"))
+    pd_ = (
+        a.join(F.broadcast(b), F.col("li") != F.col("lj"))
+        .select(
+            "li", "lj",
+            F.expr(
+                "CAST(floor(sqrt(aggregate(zip_with(pi, pj,"
+                " (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),"
+                " (acc, v) -> acc + v)) * 1000000 + 0.5) AS BIGINT) AS d_micro"
+            ),
+        )
+    )
+    si = sigma.selectExpr("label AS li", "sigma_micro AS s_i", "n_members")
+    sj = sigma.selectExpr("label AS lj", "sigma_micro AS s_j")
+    ratios = (
+        pd_.join(F.broadcast(si), "li")
+        .join(F.broadcast(sj), "lj")
+        .selectExpr(
+            "li", "lj", "n_members", "s_i",
+            f"CASE WHEN d_micro = 0 THEN CAST({_DB_SENTINEL} AS BIGINT)"
+            " ELSE ((s_i + s_j) * 1000000) div d_micro END AS r_ppm",
+        )
+    )
+    worst = ratios.groupBy("li").agg(
+        F.max("n_members").alias("n_members"),
+        F.max("s_i").alias("sigma_micro"),
+        F.max("r_ppm").alias("worst_ratio_ppm"),
+    )
+    return (
+        ratios.select("li", "lj", "r_ppm")
+        .join(F.broadcast(worst), "li")
+        .where("r_ppm = worst_ratio_ppm")
+        .groupBy("li")
+        .agg(
+            F.max("n_members").alias("n_members"),
+            F.max("sigma_micro").alias("sigma_micro"),
+            F.max("worst_ratio_ppm").alias("worst_ratio_ppm"),
+            F.min("lj").alias("worst_other_label"),
+        )
+        .selectExpr(
+            "CAST(li AS INT) AS label",
+            "CAST(n_members AS BIGINT) AS n_members",
+            "CAST(sigma_micro AS BIGINT) AS sigma_micro",
+            "CAST(worst_other_label AS INT) AS worst_other_label",
+            "CAST(worst_ratio_ppm AS BIGINT) AS worst_ratio_ppm",
+        )
+        .orderBy("label")
+    )
+
+
+_DD_DB = f"""
+WITH {_DD_PROTO_CTE},
+am AS (
+  SELECT e.vec_id, e.label,
+         CAST(floor(sqrt(list_sum(list_transform(range(1, len(pr.p) + 1),
+           i -> (e.embedding[i]::DOUBLE - pr.p[i]) * (e.embedding[i]::DOUBLE - pr.p[i]))))
+           * 1000000 + 0.5) AS BIGINT) AS a_micro
+  FROM embeddings e JOIN protos pr ON pr.label = e.label
+),
+sigma AS (
+  SELECT label, count(*)::BIGINT AS n_members,
+         CAST(sum(a_micro) // count(*) AS BIGINT) AS sigma_micro
+  FROM am GROUP BY 1
+),
+pd AS (
+  SELECT a.label AS li, b.label AS lj,
+         CAST(floor(sqrt(list_sum(list_transform(range(1, len(a.p) + 1),
+           i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])))) * 1000000 + 0.5) AS BIGINT) AS d_micro
+  FROM protos a JOIN protos b ON a.label != b.label
+),
+ratios AS (
+  SELECT pd.li, pd.lj, si.n_members, si.sigma_micro AS s_i,
+         CASE WHEN pd.d_micro = 0 THEN CAST({_DB_SENTINEL} AS BIGINT)
+              ELSE ((si.sigma_micro + sj.sigma_micro) * 1000000) // pd.d_micro
+         END AS r_ppm
+  FROM pd JOIN sigma si ON si.label = pd.li JOIN sigma sj ON sj.label = pd.lj
+),
+worst AS (
+  SELECT li, max(n_members) AS n_members, max(s_i) AS sigma_micro,
+         max(r_ppm) AS worst_ratio_ppm
+  FROM ratios GROUP BY 1
+)
+SELECT CAST(r.li AS INT) AS label,
+       CAST(w.n_members AS BIGINT) AS n_members,
+       CAST(w.sigma_micro AS BIGINT) AS sigma_micro,
+       CAST(min(r.lj) AS INT) AS worst_other_label,
+       CAST(w.worst_ratio_ppm AS BIGINT) AS worst_ratio_ppm
+FROM ratios r JOIN worst w ON w.li = r.li AND r.r_ppm = w.worst_ratio_ppm
+GROUP BY r.li, w.n_members, w.sigma_micro, w.worst_ratio_ppm
+ORDER BY label
+"""
+
+_register("embed_davies_bouldin", _embed_davies_bouldin, _DD_DB)

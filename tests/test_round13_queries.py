@@ -288,3 +288,90 @@ class TestCohensKappa:
         assert row["kappa_ppm"] == kappa
         # kappa <= po always; kappa in [-1e6, 1e6]
         assert -1000000 <= row["kappa_ppm"] <= 1000000
+
+
+def _protos_ref(spark):
+    """Reference prototypes: per-label 4dp-rounded mean embeddings."""
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    vecs = [(int(r["vec_id"]), int(r["label"]), list(r["embedding"])) for r in rows]
+    by_label: dict[int, list[list[float]]] = defaultdict(list)
+    for _, lab, v in vecs:
+        by_label[lab].append(v)
+    protos = {}
+    for lab, vs in by_label.items():
+        dim = len(vs[0])
+        protos[lab] = [
+            round(math.fsum(float(v[i]) for v in vs) / len(vs), 4) + 0.0
+            for i in range(dim)
+        ]
+    return vecs, protos
+
+
+def _dist_seq(v, p) -> float:
+    """The engine's ordered fold + sqrt."""
+    acc = 0.0
+    for i in range(len(p)):
+        d = float(v[i]) - p[i]
+        acc = acc + d * d
+    return math.sqrt(acc)
+
+
+class TestSilhouette:
+    def test_integer_recompute(self, spark):
+        vecs, protos = _protos_ref(spark)
+        agg: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+        for _, lab, v in vecs:
+            a = math.floor(_dist_seq(v, protos[lab]) * 1000000 + 0.5)
+            b = math.floor(
+                min(_dist_seq(v, p) for l, p in protos.items() if l != lab)
+                * 1000000 + 0.5
+            )
+            m = max(a, b)
+            # truncation toward zero, matching Spark div / DuckDB //
+            num = (b - a) * 1000000
+            s = 0 if m == 0 else (abs(num) // m) * (1 if num >= 0 else -1)
+            agg[lab][0] += 1
+            agg[lab][1] += s
+        expect = {
+            lab: (n, (abs(t) // n) * (1 if t >= 0 else -1))
+            for lab, (n, t) in agg.items()
+        }
+        got = {
+            r["label"]: (r["n_members"], r["mean_silhouette_ppm"])
+            for r in _run(spark, "embed_silhouette_labels")
+        }
+        assert got == expect
+
+    def test_bounds(self, spark):
+        rows = _run(spark, "embed_silhouette_labels")
+        assert all(-1000000 <= r["mean_silhouette_ppm"] <= 1000000 for r in rows)
+
+
+class TestDaviesBouldin:
+    def test_integer_recompute(self, spark):
+        vecs, protos = _protos_ref(spark)
+        n: dict[int, int] = defaultdict(int)
+        asum: dict[int, int] = defaultdict(int)
+        for _, lab, v in vecs:
+            n[lab] += 1
+            asum[lab] += math.floor(_dist_seq(v, protos[lab]) * 1000000 + 0.5)
+        sigma = {lab: asum[lab] // n[lab] for lab in n}
+        expect = {}
+        for i in protos:
+            best = None
+            for j in protos:
+                if j == i:
+                    continue
+                dm = math.floor(_dist_seq(protos[i], protos[j]) * 1000000 + 0.5)
+                r = 10**12 if dm == 0 else ((sigma[i] + sigma[j]) * 1000000) // dm
+                if best is None or r > best[0] or (r == best[0] and j < best[1]):
+                    best = (r, j)
+            expect[i] = (n[i], sigma[i], best[1], best[0])
+        got = {
+            r["label"]: (
+                r["n_members"], r["sigma_micro"],
+                r["worst_other_label"], r["worst_ratio_ppm"],
+            )
+            for r in _run(spark, "embed_davies_bouldin")
+        }
+        assert got == expect

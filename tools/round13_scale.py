@@ -46,6 +46,8 @@ NEW_10X = [
     "embed_prototype_psi",
     "vocab_good_turing_mass",
     "eval_cohens_kappa_doclen",
+    "embed_silhouette_labels",
+    "embed_davies_bouldin",
 ]
 
 
