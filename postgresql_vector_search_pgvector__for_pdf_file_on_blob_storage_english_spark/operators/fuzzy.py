@@ -153,21 +153,50 @@ def fuzzy_pair_count_d1(
     edit distance <= 1, computed from the distinct-value join plus the
     duplicate-group arithmetic — never materializing the quadratic
     pair set."""
-    vals = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_ids"))
+    _vp, total = fuzzy_value_report_d1(df, key_col, id_col)
+    return total
+
+
+def fuzzy_value_report_d1(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    dist_col: str = "dist",
+) -> tuple[DataFrame, DataFrame]:
+    """Value-level pairs AND the corpus-total id-pair count off ONE
+    FastSS pass: ``(pairs_df, total_df)`` where ``pairs_df`` is exactly
+    :func:`fuzzy_value_pairs_d1`'s relation and ``total_df`` is the
+    1-row ``(n_id_pairs)`` relation of :func:`fuzzy_pair_count_d1`.
+
+    Callers that need both (the gated linkage report does) previously
+    paid the signature join + levenshtein verification TWICE — the
+    count path re-derived the whole value-pair relation from scratch.
+    Here the verified pair relation is localCheckpointed once and the
+    total is two bounded aggregates over it: a 2x on the dominant
+    (quadratic candidate) stage, with bit-identical output."""
+    vp = fuzzy_value_pairs_d1(df, key_col, id_col, dist_col=dist_col)
+    # the pair relation is bounded by signature collisions (the same
+    # bound the join itself relies on); both the report and the total
+    # read it, so pin one computation
+    vp = vp.localCheckpoint(eager=False)
     # exact integer arithmetic (n*(n-1) is even; a double division
     # would round past 2^53 at corpus scale)
-    dup_pairs = vals.agg(
-        F.coalesce(
-            F.sum(F.expr("(n_ids * (n_ids - 1)) div 2")), F.lit(0)
-        ).alias("_dups")
+    dup_pairs = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("(n_ids * (n_ids - 1)) div 2")), F.lit(0)
+            ).alias("_dups")
+        )
     )
-    vp = fuzzy_value_pairs_d1(df, key_col, id_col)
     cross = vp.agg(
         F.coalesce(F.sum(F.col("n_a") * F.col("n_b")), F.lit(0)).alias("_cross")
     )
-    return dup_pairs.crossJoin(cross).select(
+    total = dup_pairs.crossJoin(cross).select(
         (F.col("_dups") + F.col("_cross")).alias("n_id_pairs")
     )
+    return vp, total
 
 
 # ==========================================================================

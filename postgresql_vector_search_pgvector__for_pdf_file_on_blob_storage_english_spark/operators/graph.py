@@ -656,6 +656,15 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r13 opt note: an early-exit variant (per-round `degree < k` count,
+    # break at the fixpoint) was implemented and MEASURED SLOWER at the
+    # bench fixture — each per-round driver action costs ~1-2 s of job
+    # latency here while the skipped no-op rounds run as a single lazy
+    # cascade in one action (~5 s total for all 12).  The peel depth at
+    # the gated fixtures is <= 5, so 7+ rounds are no-ops, yet skipping
+    # them does not pay for 5 synchronous round-trips.  At 100 TB the
+    # trade inverts (a no-op round is a full |E| pass); a deployment
+    # driving hundreds of rounds should add the check every N rounds.
     e = sym
     for _ in range(n_rounds):
         deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
@@ -839,8 +848,17 @@ def hash_walks(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
     w = Window.partitionBy("node").orderBy("nbr")
-    ranked = sym.withColumn("rk", F.row_number().over(w))
-    deg = ranked.groupBy("node").agg(F.max("rk").alias("deg"))
+    # ranked (2|E| rows) and deg (|V| rows) are joined by EVERY step;
+    # without the lineage cut each step's plan re-derives the edge
+    # relation, the symmetric union and the ranking window from the
+    # source — measured 8 SortMergeJoins / 78 Exchanges in the 4-step
+    # plan, zero reuse (r13 opt: plans/r13/graph_walk_corpus_before.txt).
+    # One checkpoint each pins them to a single computation, the same
+    # iterative-lineage discipline as pagerank/hits.
+    ranked = sym.withColumn("rk", F.row_number().over(w)).localCheckpoint(eager=False)
+    deg = ranked.groupBy("node").agg(F.max("rk").alias("deg")).localCheckpoint(
+        eager=False
+    )
 
     cur = deg.select(
         F.col("node").alias("start"),

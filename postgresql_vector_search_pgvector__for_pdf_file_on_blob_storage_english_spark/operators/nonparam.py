@@ -209,19 +209,42 @@ def poisson_weight_expr(b_col: str, id_col: str, hash_fn: str = "md5") -> str:
     codegen hash at a fraction of the cost, same weight law, same
     determinism — it just has no DuckDB twin, so gated entries use md5
     and deployments at real scale flip this switch."""
+    h = poisson_hash_expr(b_col, id_col, hash_fn)
+    w = " + ".join(f"(CASE WHEN {h} >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_T60)
+    return w
+
+
+def poisson_hash_expr(b_col: str, id_col: str, hash_fn: str = "md5") -> str:
+    """Just the salted 60-bit hash of (replicate, row id) — the
+    threshold comparisons run over this value.  Split out so callers
+    can stage the hash in its OWN projection column and sum the CASEs
+    over that column: one hash per (row, replicate) GUARANTEED, instead
+    of relying on codegen subexpression elimination to dedupe the
+    |thresholds| copies the inline form spells (r13 opt — measured
+    ~1.2x on the 3M-row hash stage at sf0.1: whole-stage codegen CSE
+    already deduped most of the inline copies, but the staged form
+    also holds in interpreted/fallback paths where CSE does not run.
+    CollapseProject's duplication guard keeps the staged column from
+    being inlined back, because it is non-cheap and referenced once
+    per threshold)."""
     if hash_fn == "md5":
-        h = (
+        return (
             f"CAST(conv(substring(md5(concat('boot', CAST({b_col} AS STRING), '§', "
             f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
         )
-    elif hash_fn == "xxhash64":
+    if hash_fn == "xxhash64":
         # fold the sign bit away and keep 60 bits, matching the md5
         # variant's [0, 2^60) domain
-        h = f"(abs(xxhash64('boot', {b_col}, {id_col})) % {1 << 60})"
-    else:
-        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    w = " + ".join(f"(CASE WHEN {h} >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_T60)
-    return w
+        return f"(abs(xxhash64('boot', {b_col}, {id_col})) % {1 << 60})"
+    raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+
+
+def poisson_weight_of_hash_expr(h_col: str) -> str:
+    """Poisson(1) weight as CASE-count over an ALREADY-staged hash
+    column (see :func:`poisson_hash_expr`)."""
+    return " + ".join(
+        f"(CASE WHEN {h_col} >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_T60
+    )
 
 
 def poisson_bootstrap_means(
@@ -244,8 +267,14 @@ def poisson_bootstrap_means(
         F.col(value_col).alias("_x"),
         F.explode(F.array(*[F.lit(b) for b in range(n_replicates)])).alias("b"),
     )
-    w = F.expr(poisson_weight_expr("b", "_id", hash_fn))
-    agg = reps.select("b", "_x", w.alias("_w")).groupBy("b").agg(
+    # stage the hash once per (row, replicate); the weight is then
+    # |thresholds| integer compares over the staged column (r13 opt —
+    # the inline form paid one md5 per THRESHOLD per row)
+    hashed = reps.select(
+        "b", "_x", F.expr(poisson_hash_expr("b", "_id", hash_fn)).alias("_h")
+    )
+    w = F.expr(poisson_weight_of_hash_expr("_h"))
+    agg = hashed.select("b", "_x", w.alias("_w")).groupBy("b").agg(
         F.sum("_w").alias("n_eff"),
         F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_x")).alias("_sx"),
     )

@@ -93,24 +93,42 @@ def pca_fit(
     return mu, comps
 
 
+def _sql_double_array(vals: np.ndarray) -> str:
+    """A float64 vector as one SQL array literal.  ``repr`` round-trips
+    doubles exactly; non-finite values would render as unparseable
+    ``infD``/``nanD`` (the ADVICE r12 pq.py lesson), so guard loudly —
+    a finite corpus always fits finite components."""
+    if not np.all(np.isfinite(np.asarray(vals, dtype=np.float64))):
+        raise ValueError("pca projection contains non-finite values")
+    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+
+
 def pca_project_col(
-    vec: Column, mean: np.ndarray, components: np.ndarray
+    vec_sql: str, mean: np.ndarray, components: np.ndarray
 ) -> Column:
-    """The fitted projection as a pure codegen expression:
+    """The fitted projection over the column named/spelled ``vec_sql``:
     ``proj_j = dot(x, comp_j) - dot(mean, comp_j)`` — the mean-centering
     collapses to one precomputed scalar per output dim, so the hot path
-    is ``out_dim`` fused dot products over the input array."""
-    offsets = components @ mean  # (out_dim,)
-    outs = []
-    for j in range(components.shape[0]):
-        comp = F.array(*[F.lit(float(c)) for c in components[j]])
-        dot = F.aggregate(
-            F.zip_with(vec, comp, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        outs.append(dot - F.lit(float(offsets[j])))
-    return F.array(*outs)
+    is ``out_dim`` fused dot products over the input array.
+
+    Built as ONE SQL-text expression (a single py4j call carrying a
+    nested array literal) rather than ``out_dim`` python-side aggregate
+    trees: the old form shipped ~``out_dim * dim`` Literal objects
+    through py4j and Catalyst per plan, and that CONSTRUCTION dominated
+    the gated query — 5.9-6.9 s per fresh plan at (32, 64) over a
+    2000-row corpus vs ~0.8 s for this form, execution unchanged (r13
+    opt; the same single-SQL-text fix the PQ ADC path took in r12).
+    Arithmetic and fold order are identical to the old per-dim
+    aggregates, so the projected floats are bit-identical."""
+    m_sql = (
+        "array(" + ",".join(_sql_double_array(row) for row in components) + ")"
+    )
+    offs = _sql_double_array(components @ mean)
+    return F.expr(
+        f"zip_with(transform({m_sql}, _pcomp -> "
+        f"aggregate(zip_with({vec_sql}, _pcomp, (a, b) -> CAST(a AS DOUBLE) * b), "
+        f"0.0D, (acc, v) -> acc + v)), {offs}, (_pd, _po) -> _pd - _po)"
+    )
 
 
 def _proj_l2sq(a: Column, b: Column) -> Column:
@@ -143,8 +161,8 @@ def pca_knn(
     )
     scored = (
         corpus.crossJoin(F.broadcast(query_df))
-        .withColumn("p_corpus", pca_project_col(F.col(vec_col), mu, comps))
-        .withColumn("p_query", pca_project_col(F.col("query_vec"), mu, comps))
+        .withColumn("p_corpus", pca_project_col(f"`{vec_col}`", mu, comps))
+        .withColumn("p_query", pca_project_col("query_vec", mu, comps))
         .withColumn("pdist", _proj_l2sq(F.col("p_corpus"), F.col("p_query")))
     )
     return _approx_then_exact(
@@ -173,10 +191,10 @@ def pca_knn_join(
         corpus, out_dim=out_dim, vec_col=vec_col, id_col=id_col, train_limit=train_limit
     )
     q_proj = queries.withColumn(
-        "p_query", pca_project_col(F.col(query_vec_col), mu, comps)
+        "p_query", pca_project_col(f"`{query_vec_col}`", mu, comps)
     )
     scored = (
-        corpus.withColumn("p_corpus", pca_project_col(F.col(vec_col), mu, comps))
+        corpus.withColumn("p_corpus", pca_project_col(f"`{vec_col}`", mu, comps))
         .crossJoin(F.broadcast(q_proj))
         .withColumn("pdist", _proj_l2sq(F.col("p_corpus"), F.col("p_query")))
     )
@@ -204,7 +222,7 @@ def pca_index_write(
     mu, comps = pca_fit(
         corpus, out_dim=out_dim, vec_col=vec_col, id_col=id_col, train_limit=train_limit
     )
-    proj = corpus.withColumn("proj", pca_project_col(F.col(vec_col), mu, comps))
+    proj = corpus.withColumn("proj", pca_project_col(f"`{vec_col}`", mu, comps))
     proj.select(id_col, *payload_cols, "proj").write.mode("overwrite").parquet(path)
     return mu, comps
 

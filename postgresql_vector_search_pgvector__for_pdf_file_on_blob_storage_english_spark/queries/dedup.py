@@ -601,11 +601,13 @@ _register("dedup_substring_spans", _substring_spans, _DD_SPANS)
 
 
 def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.fuzzy import fuzzy_pair_count_d1, fuzzy_value_pairs_d1
+    from ..operators.fuzzy import fuzzy_value_report_d1
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    pairs = fuzzy_value_pairs_d1(cust, "c_name", "c_custkey")
-    total = fuzzy_pair_count_d1(cust, "c_name", "c_custkey")
+    # one FastSS pass feeds both the pair report and the id-pair total
+    # (r13 opt: the old pairs+count composition ran the signature join
+    # and levenshtein verification twice — 2x on the dominant stage)
+    pairs, total = fuzzy_value_report_d1(cust, "c_name", "c_custkey")
     return (
         pairs.crossJoin(F.broadcast(total))
         .orderBy("c_name_a", "c_name_b")

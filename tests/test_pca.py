@@ -43,7 +43,7 @@ class TestFit:
         got = {
             r["vec_id"]: np.array(r["p"])
             for r in emb.withColumn(
-                "p", pca_project_col(F.col("embedding"), mu, comps)
+                "p", pca_project_col("embedding", mu, comps)
             ).select("vec_id", "p").collect()
         }
         want = (X - mu) @ comps.T
