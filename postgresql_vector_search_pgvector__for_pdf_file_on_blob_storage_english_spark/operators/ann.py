@@ -45,15 +45,38 @@ def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]
     return [vals[i * dim : (i + 1) * dim] for i in range(n_planes)]
 
 
-def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Signature bit b = 1 iff dot(vec, plane_b) >= 0; bucket = Σ bit<<b."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bucket = F.lit(0).cast("long")
-    for b, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot_product(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + F.shiftleft(bit, b)
-    return bucket
+def sql_double_array(vals: list[float]) -> str:
+    """A float vector as one SQL array literal (``repr`` round-trips
+    doubles exactly; loud guard against unparseable inf/nan)."""
+    import math
+
+    if not all(math.isfinite(float(v)) for v in vals):
+        raise ValueError("non-finite value in SQL array literal")
+    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+
+
+def lsh_bucket(vec_sql: str, planes: list[list[float]]) -> Column:
+    """Signature bit b = 1 iff dot(vec, plane_b) >= 0; bucket = Σ bit<<b.
+
+    ``vec_sql`` is the vector column's name (or any SQL expression text,
+    e.g. a :func:`sql_double_array` literal for a driver-side query
+    vector).  Built as ONE SQL-text expression: the old per-plane
+    ``F.array(*[F.lit(x) ...])`` form shipped n_planes*dim Literal
+    objects through py4j per call — pure plan-construction overhead
+    (r13 opt, the pca.py/pq.py single-SQL-text pattern).  The fold is
+    the same sequential index aggregate as ``dot_product``, so bucket
+    ids are bit-identical."""
+    dots = [
+        f"aggregate(sequence(1, size({vec_sql})), 0.0D, (acc, i) -> "
+        f"acc + CAST(element_at({vec_sql}, i) AS DOUBLE)"
+        f" * CAST(element_at({sql_double_array(plane)}, i) AS DOUBLE))"
+        for plane in planes
+    ]
+    bits = " + ".join(
+        f"shiftleft(CASE WHEN ({d}) >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, {b})"
+        for b, d in enumerate(dots)
+    )
+    return F.expr(f"(CAST(0 AS BIGINT) + {bits})")
 
 
 def assign_ivf(
@@ -528,8 +551,8 @@ def recall_sweep(
     )
 
     # LSH (single bucket probe, cosine)
-    tagged = corpus.select(id_col, vec_col, lsh_bucket(vec_col, planes).alias("_bucket"))
-    qb = Q.select(qid_col, qvec_col, lsh_bucket(F.col(qvec_col), planes).alias("_qbucket"))
+    tagged = corpus.select(id_col, vec_col, lsh_bucket(f"`{vec_col}`", planes).alias("_bucket"))
+    qb = Q.select(qid_col, qvec_col, lsh_bucket(f"`{qvec_col}`", planes).alias("_qbucket"))
     lsh_cand = (
         tagged.join(F.broadcast(qb), F.col("_bucket") == F.col("_qbucket"))
         .select(qid_col, id_col, cos(F.col(vec_col), F.col(qvec_col)).alias("_d"))
@@ -561,8 +584,8 @@ def lsh_search(
     """Exact top-k restricted to the query's LSH bucket."""
     from .knn import knn
 
-    tagged = corpus.withColumn("_bucket", lsh_bucket(vec_col, planes))
-    qbucket = lsh_bucket(knn_query_col(query_vec), planes)
+    tagged = corpus.withColumn("_bucket", lsh_bucket(f"`{vec_col}`", planes))
+    qbucket = lsh_bucket(sql_double_array([float(v) for v in query_vec]), planes)
     bucket = tagged.filter(F.col("_bucket") == qbucket).drop("_bucket")
     return knn(
         bucket, query_vec, k=k, metric=metric, vec_col=vec_col, id_col=id_col,
@@ -589,7 +612,7 @@ def lsh_index_write(
     within file-size sweet spots (at 100 TB / 8 bits, ~400 GB per
     bucket directory — pick 12-16 bits there).
     """
-    tagged = corpus.withColumn(bucket_col, lsh_bucket(vec_col, planes))
+    tagged = corpus.withColumn(bucket_col, lsh_bucket(f"`{vec_col}`", planes))
     tagged.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
 
 
@@ -619,7 +642,7 @@ def lsh_index_search(
     from .knn import knn
 
     qrow = spark.range(1).select(knn_query_col(query_vec).alias("_qv"))
-    qbucket = qrow.select(lsh_bucket(F.col("_qv"), planes).alias("_b")).first()["_b"]
+    qbucket = qrow.select(lsh_bucket("_qv", planes).alias("_b")).first()["_b"]
     index = (
         spark.read.parquet(path)
         .filter(F.col(bucket_col) == F.lit(qbucket))
@@ -665,9 +688,9 @@ def lsh_search_multiprobe(
 
     spark = corpus.sparkSession
     qrow = spark.range(1).select(knn_query_col(query_vec).alias("_qv"))
-    qbucket = qrow.select(lsh_bucket(F.col("_qv"), planes).alias("_b")).first()["_b"]
+    qbucket = qrow.select(lsh_bucket("_qv", planes).alias("_b")).first()["_b"]
     probe = multiprobe_buckets(qbucket, len(planes), max_flips)
-    tagged = corpus.withColumn("_bucket", lsh_bucket(vec_col, planes))
+    tagged = corpus.withColumn("_bucket", lsh_bucket(f"`{vec_col}`", planes))
     bucket = tagged.filter(F.col("_bucket").isin(probe)).drop("_bucket")
     return knn(
         bucket, query_vec, k=k, metric=metric, vec_col=vec_col, id_col=id_col,
@@ -695,7 +718,7 @@ def lsh_index_search_multiprobe(
     from .knn import knn
 
     qrow = spark.range(1).select(knn_query_col(query_vec).alias("_qv"))
-    qbucket = qrow.select(lsh_bucket(F.col("_qv"), planes).alias("_b")).first()["_b"]
+    qbucket = qrow.select(lsh_bucket("_qv", planes).alias("_b")).first()["_b"]
     probe = multiprobe_buckets(qbucket, len(planes), max_flips)
     index = (
         spark.read.parquet(path)

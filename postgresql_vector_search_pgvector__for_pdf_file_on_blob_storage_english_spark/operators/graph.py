@@ -200,11 +200,14 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # consumed by both wedge sides AND the closing semi-join — pin one
+    # computation of the degree-attachment joins (r13 opt, the same
+    # branch-copy discipline as the link-prediction operators)
     oriented = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(
         F.col("src").alias("_a"), F.col("dst").alias("_b"), F.col("ddeg").alias("_bd")
     )
@@ -712,16 +715,28 @@ def link_prediction_jaccard(
     Scores are exact ppm integers — ``cn * 10^6 div (deg_u + deg_w -
     cn)`` — ranked with (score desc, cn desc, u, w) tiebreaks.
     """
+    # edges is typically an EXPENSIVE derived relation (the co-purchase
+    # builder is a fact-table self-join + distinct) and it feeds the
+    # wedge machinery AND the non-adjacency anti-join; sym/deg/cc are
+    # each read 2-3 times downstream.  Without lineage cuts every branch
+    # re-derives the whole chain from the source — 52 parquet scans / 44
+    # exchanges measured in the gated entry's plan (r13 opt:
+    # plans/r13/graph_link_prediction_jaccard_before.txt).  Lazy
+    # checkpoints pin each relation to one computation (|E|-order local
+    # storage, the same budget the star rounds use).
+    edges = edges.localCheckpoint(eager=False)
     sym = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
     # adjacency keyed by CENTER (the neighbor), true-degree preserved
     centered = sym.select(F.col("nbr").alias("c"), F.col("node").alias("x"))
     small_centers = deg.filter(F.col("deg") <= max_center_degree).select(
         F.col("node").alias("c")
     )
-    cc = centered.join(small_centers, "c")
+    cc = centered.join(small_centers, "c").localCheckpoint(eager=False)
     a = cc.select("c", F.col("x").alias("pu"))
     b = cc.select("c", F.col("x").alias("pw"))
     cand = (
@@ -778,10 +793,17 @@ def link_prediction_adamic_adar(
     divides).  Hub capping and tiebreaks mirror the Jaccard operator;
     true degrees are reported alongside.
     """
+    # same lineage-cut discipline as link_prediction_jaccard (r13 opt):
+    # edges/deg/cc are each consumed by 2-3 downstream branches, and the
+    # un-checkpointed plan re-derived the co-purchase self-join once per
+    # branch (52 parquet scans measured).
+    edges = edges.localCheckpoint(eager=False)
     sym = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
     centers = (
         deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_center_degree))
         .select(
@@ -794,7 +816,7 @@ def link_prediction_adamic_adar(
     )
     cc = sym.select(F.col("nbr").alias("c"), F.col("node").alias("x")).join(
         centers, "c"
-    )
+    ).localCheckpoint(eager=False)
     a = cc.select("c", F.col("x").alias("pu"), "term")
     b = cc.select("c", F.col("x").alias("pw"))
     cand = (

@@ -404,15 +404,26 @@ def bm25_index_write(
     from .index_maint import write_bulk
 
     tokens = tokenize(docs, text_col=text_col, id_col=id_col)
-    doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
-    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # ONE tokenize pass (r13 opt): tf is the only consumer of the raw
+    # token stream — doc length is recovered algebraically as sum(tf)
+    # per doc, so the corpus-sized stream is never re-derived and never
+    # materialized; the three writes (postings / terms / stats) all read
+    # the checkpointed distinct-key-sized tf relation.  The old shape
+    # re-ran tokenization once per derived relation per write — 4 full
+    # corpus passes for one index build.
+    tf = (
+        tokens.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     postings = tf.join(doc_len, id_col).withColumn(
         "term_bucket", term_bucket_col(F.col("term"), n_buckets)
     )
     write_bulk(postings, f"{path}/postings", "term_bucket")
     dfreq = (
         tf.groupBy("term")
-        .agg(F.countDistinct(id_col).alias("df"))
+        .agg(F.count("*").alias("df"))
         .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
     )
     dfreq.write.mode("overwrite").partitionBy("term_bucket").parquet(f"{path}/terms")
@@ -512,8 +523,14 @@ def bm25_index_append(
 
     spark = new_docs.sparkSession
     tokens = tokenize(new_docs, text_col=text_col, id_col=id_col)
-    doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
-    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # same single-tokenize shape as bm25_index_write (r13 opt): dl is
+    # recovered as sum(tf) per doc off the one checkpointed tf relation
+    tf = (
+        tokens.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     postings = tf.join(doc_len, id_col).withColumn(
         "term_bucket", term_bucket_col(F.col("term"), n_buckets)
     )
