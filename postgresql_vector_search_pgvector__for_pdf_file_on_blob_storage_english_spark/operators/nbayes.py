@@ -55,6 +55,12 @@ def nb_train(
     """
     tagged = tokens.join(labels.select(id_col, label_col), id_col)
     tf = tagged.groupBy(label_col, term_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # tf is the (classes x vocab)-bounded model relation, but three
+    # downstream branches (weights / vocab / totals) each re-derived it
+    # from the raw token stream as plan copies (the gated confusion
+    # entry's plan showed 42 parquet scans, r13 opt) — pin one
+    # computation so the tokenize+join+groupBy chain runs once
+    tf = tf.localCheckpoint(eager=False)
     weights = tf.select(
         label_col, term_col, _units(F.col("_cnt") + 1).alias("w_units")
     )
@@ -90,6 +96,10 @@ def nb_predict(
 
     Ties break to the lexicographically first class — deterministic."""
     tf = tokens.groupBy(id_col, term_col).agg(F.count(F.lit(1)).alias("_tf"))
+    # same branch-copy discipline as nb_train (r13 opt): matched and
+    # ntok both fold over tf — pin it so the held-out token stream is
+    # tokenized and aggregated once, not once per branch
+    tf = tf.localCheckpoint(eager=False)
     matched = (
         tf.join(F.broadcast(weights), term_col)
         .groupBy(id_col, label_col)

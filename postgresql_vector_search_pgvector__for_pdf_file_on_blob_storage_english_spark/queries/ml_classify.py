@@ -33,7 +33,9 @@ def _ml_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import tokenize
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize(docs)
+    # the train tf and the held-out tf each tokenize the corpus — pin
+    # the token stream so the explode runs once for both (r13 opt)
+    toks = tokenize(docs).localCheckpoint(eager=False)
     labels = docs.select("doc_id", F.col("lang").alias("label"))
     train_ids = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id")
     test_ids = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
@@ -495,6 +497,10 @@ def _eval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_cal", F.expr("_s div n_cal").alias("_mu"),
         F.expr("CAST((9 * n_cal + 18) div 10 AS BIGINT)").alias("k_idx"),
     )
+    # mu (per-source, domain-bounded) feeds four branches and each
+    # re-ran the md5 split + calibration aggregate over the corpus
+    # (18 parquet scans in the gated plan, r13 opt) — pin it
+    mu = mu.localCheckpoint(eager=False)
     # per-(source, residual) counts; cumulative count in a window
     # partitioned by source over the domain-bounded residual relation
     r_cal = cal.join(F.broadcast(mu), "source").select(
@@ -516,6 +522,9 @@ def _eval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.min("_r").alias("qhat"))
     )
+    # qhat (per-source) is consumed by cov and the output join — pin
+    # so the residual-quantile chain runs once (r13 opt)
+    qhat = qhat.localCheckpoint(eager=False)
     cov = (
         test.join(F.broadcast(mu), "source")
         .join(F.broadcast(qhat), "source")

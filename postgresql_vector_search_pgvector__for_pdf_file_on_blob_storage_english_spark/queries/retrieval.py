@@ -717,6 +717,12 @@ def _hybrid_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def norm(pool):
+        # each pool is a k-row TakeOrdered output whose lineage is a
+        # full KNN / BM25 pass; min-max needs the pool TWICE (extrema
+        # + the normalize scan) and as plain branches each re-ran the
+        # whole retrieval (24 parquet scans in the gated plan, r13
+        # opt) — pin the k bounded rows
+        pool = pool.localCheckpoint(eager=False)
         ext = pool.agg(F.min("s").alias("_lo"), F.max("s").alias("_hi"))
         return pool.crossJoin(F.broadcast(ext)).select(
             "doc_id",

@@ -371,6 +371,11 @@ def _js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     toks = tokenize(docs).join(docs.select("doc_id", "source"), "doc_id")
     per_st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    # per_st (sources x vocab, domain-bounded) feeds three branches
+    # (per_t / per_s / the grid left join) and each re-ran the full
+    # tokenize pass (16 parquet scans in the gated plan, r13 opt) —
+    # pin so the corpus is tokenized once
+    per_st = per_st.localCheckpoint(eager=False)
     per_t = per_st.groupBy("term").agg(F.sum("c").alias("g"))
     per_s = per_st.groupBy("source").agg(F.sum("c").alias("ns"))
     tot = per_s.agg(F.sum("ns").alias("nt"))

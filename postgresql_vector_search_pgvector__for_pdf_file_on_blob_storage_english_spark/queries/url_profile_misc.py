@@ -1388,6 +1388,11 @@ def _embed_prototype_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_ref.cast("long").alias("is_ref"),
         F.floor(d2 * 10000 + F.lit(0.5)).cast("long").alias("d2q"),
     )
+    # bounds and bucketed both consume scored, whose lineage is the
+    # full corpus distance fold plus the prototype aggregation — as
+    # plain branches each re-ran that chain (24 parquet scans in the
+    # gated plan, r13 opt); pin the 3-int-per-row scored relation
+    scored = scored.localCheckpoint(eager=False)
     bounds = scored.agg(F.min("d2q").alias("lo"), F.max("d2q").alias("hi"))
     bucketed = scored.crossJoin(F.broadcast(bounds)).selectExpr(
         "label", "is_ref",
@@ -1397,6 +1402,10 @@ def _embed_prototype_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_ref").alias("ca"),
         F.sum(F.lit(1) - F.col("is_ref")).alias("cb"),
     )
+    # counts (|labels| x 8 rows) feeds three branches (labels grid,
+    # left join, per-label totals) — pin it so the bucketing pass over
+    # the corpus runs once (r13 opt)
+    counts = counts.localCheckpoint(eager=False)
     labels = counts.select("label").distinct()
     grid = (
         labels.select(
@@ -1654,6 +1663,11 @@ def _embed_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     protos = label_prototypes(emb).select("label", "prototype")
+    # protos (|labels| rows, each a full corpus aggregation) feeds three
+    # branches (parr / a / b) and sigma feeds two (si / sj) — as plain
+    # branch copies the gated plan re-ran the corpus prototype pass per
+    # branch (24 parquet scans, r13 opt); pin both bounded relations
+    protos = protos.localCheckpoint(eager=False)
     parr = protos.agg(
         F.collect_list(F.struct("label", "prototype")).alias("parr")
     )
@@ -1674,6 +1688,8 @@ def _embed_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(a_micro) div count(1)").alias("sigma_micro"),
         )
     )
+    # one corpus tightness pass, reused by si and sj (r13 opt)
+    sigma = sigma.localCheckpoint(eager=False)
     a = protos.select(F.col("label").alias("li"), F.col("prototype").alias("pi"))
     b = protos.select(F.col("label").alias("lj"), F.col("prototype").alias("pj"))
     pd_ = (
@@ -1698,6 +1714,9 @@ def _embed_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE ((s_i + s_j) * 1000000) div d_micro END AS r_ppm",
         )
     )
+    # the |labels|^2 ratio grid is read by worst AND the argmax filter
+    # join — pin it so the pairwise-distance join runs once (r13 opt)
+    ratios = ratios.localCheckpoint(eager=False)
     worst = ratios.groupBy("li").agg(
         F.max("n_members").alias("n_members"),
         F.max("s_i").alias("sigma_micro"),
