@@ -90,10 +90,18 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("_outdeg")
     )
+    if materialize:
+        # nodes joins into every iteration's spine and outdeg
+        # broadcasts into every iteration's contrib join; without a pin
+        # each iteration re-runs the union+distinct and the degree
+        # groupBy from the edge checkpoint — 2 extra shuffle stages per
+        # step (r13 opt)
+        nodes = nodes.localCheckpoint(eager=False)
+        outdeg = outdeg.localCheckpoint(eager=False)
+    n = nodes.agg(F.count(F.lit(1)).alias("_n"))
 
     # rank_0 = UNIT / N for every node; base = (100 - d) * UNIT / (100 N)
     ranks = nodes.crossJoin(F.broadcast(n)).select(
@@ -570,6 +578,11 @@ def hits(
         nodes = nodes.localCheckpoint(eager=True)
 
     def _l1_normalize(scored: DataFrame, col: str) -> DataFrame:
+        # scored (|V| rows) is read twice — the L1 total and the
+        # normalize projection; as a plain branch each read re-ran the
+        # half-step's |E| join+groupBy (r13 opt) — pin it
+        if materialize:
+            scored = scored.localCheckpoint(eager=False)
         tot = scored.agg(F.sum(col).alias("_tot"))
         return (
             scored.crossJoin(F.broadcast(tot))
@@ -671,6 +684,10 @@ def kcore(
     e = sym
     for _ in range(n_rounds):
         deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+        # keep feeds both semi-joins from the round's pinned e; a
+        # per-round localCheckpoint of keep was measured SLOWER at bench
+        # scale (adds a blocking job boundary every round), so the
+        # groupBy runs twice off the checkpointed edges instead.
         keep = deg.filter(F.col("degree") >= k).select("node")
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
