@@ -14,7 +14,7 @@ from ._base import (  # noqa: F401
     _t,
     dd_sql,
 )
-from .ann_ivf_lsh import _N_CENTROIDS, assign_ivf  # noqa: F401
+from .ann_ivf_lsh import _N_CENTROIDS, _local_centroids, assign_ivf  # noqa: F401
 from .dedup import _DD_NVEC  # noqa: F401
 # Product quantization (operators/pq.py): m=4 subspaces x 16 centroids
 # over the 64-dim fixtures; codebooks = subvectors of the 16 lowest-id
@@ -137,9 +137,7 @@ def _ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import ivfpq_encode, ivfpq_search
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
-    )
+    centroids = _local_centroids(spark, emb)
     books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
     encoded = ivfpq_encode(emb, centroids, books, payload_cols=["vec_id", "label"])
     qvec = list(emb.filter(F.col("vec_id") == _PQ_PROBE_ID).first()["embedding"])
@@ -232,9 +230,7 @@ def _pq_index_path(sf_dir: str, name: str) -> str:
 
 def _ivfpq_fixture(spark: SparkSession, sf_dir: str):
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
-    )
+    centroids = _local_centroids(spark, emb)
     books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
     return emb, centroids, books
 
