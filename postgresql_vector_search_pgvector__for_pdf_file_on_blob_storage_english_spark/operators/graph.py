@@ -331,22 +331,34 @@ def connected_components(
         # re-derive rounds 1..r (the PageRank localCheckpoint pattern).
         cur = cur.localCheckpoint(eager=False)
     if check_converged:
-        stats = cur.agg(
-            F.count(F.lit(1)).alias("n_edges"),
-            F.countDistinct("u").alias("n_leaves"),
+        # Both convergence facts — every leaf has exactly one parent
+        # (n_edges == n_distinct_u) and no node sits on both sides —
+        # fall out of ONE side-tagged per-node aggregation over the
+        # checkpointed forest.  The old shape ran two blocking jobs
+        # (an agg collect, then a semi-join count); this is one job,
+        # map-side combinable, same raise conditions (r13 opt).
+        tagged = cur.select(
+            F.col("u").alias("node"), F.lit(1).alias("_l"), F.lit(0).alias("_r")
+        ).unionAll(
+            cur.select(F.col("v").alias("node"), F.lit(0).alias("_l"), F.lit(1).alias("_r"))
+        )
+        per_node = tagged.groupBy("node").agg(
+            F.max("_l").alias("_ml"), F.max("_r").alias("_mr"), F.sum("_l").alias("_su")
+        )
+        stats = per_node.agg(
+            F.coalesce(F.sum("_su"), F.lit(0)).alias("n_edges"),
+            F.coalesce(F.sum("_ml"), F.lit(0)).alias("n_leaves"),
+            F.coalesce(F.sum(F.col("_ml") * F.col("_mr")), F.lit(0)).alias("overlap"),
         ).collect()[0]
         if stats.n_edges != stats.n_leaves:
             raise RuntimeError(
                 f"connected_components: not converged after {rounds} rounds "
                 f"(a leaf keeps {stats.n_edges - stats.n_leaves + 1} parents); raise `rounds`"
             )
-        overlap = (
-            cur.select("u").join(cur.select(F.col("v").alias("u")), "u", "left_semi").count()
-        )
-        if overlap:
+        if stats.overlap:
             raise RuntimeError(
                 f"connected_components: not converged after {rounds} rounds "
-                f"({overlap} interior nodes); raise `rounds`"
+                f"({stats.overlap} interior nodes); raise `rounds`"
             )
     roots = cur.select(F.col("v").alias("node")).distinct().select(
         "node", F.col("node").alias("component")
