@@ -846,28 +846,43 @@ _WIN_MINSHARED = 2
 def _winnow_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing >= 2 winnowed fingerprints — the MOSS
     overlap report.  Scale shape: linear gram hashing (codegen), one
-    bounded per-doc window, fingerprint-bucketed pair join with a
-    frequency cap — never all-pairs; only (doc_id, fp) longs cross the
+    bounded per-doc window, then ONE fp groupBy whose frequency-capped
+    doc lists generate the pairs inline — never all-pairs, no pair
+    join; only (doc_id, fp) longs cross the single corpus-sized
     exchange."""
     from ..operators.dedup import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # three consumers (frequency cap + both join sides): pin the
-    # corpus-sized fingerprint relation once or each branch re-runs the
-    # gram hashing (the r8 branch-copy pathology — 10 exchanges -> 5).
-    fps = winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W).localCheckpoint(eager=False)
-    keep = (
+    # The frequency cap (2 <= n_docs <= _WIN_MAXDOCS) bounds every
+    # surviving fingerprint's doc list to a handful of ids, so the pair
+    # join is unnecessary: ONE groupBy collects the (sorted) doc list
+    # per fp and the C(n,2) <= C(10,2) ordered pairs are generated
+    # inline.  The corpus-sized fingerprint relation crosses exactly one
+    # exchange; the old shape (cap groupBy + cap join per pair side +
+    # fp self-join) shuffled it three times (r13 opt — identical pair
+    # multiset: sort_array makes doc_a < doc_b enumeration order-free).
+    fps = winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W)
+    grouped = (
         fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_nd"))
-        .filter((F.col("_nd") >= 2) & (F.col("_nd") <= _WIN_MAXDOCS))
-        .select("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ds"))
+        .filter((F.size("_ds") >= 2) & (F.size("_ds") <= _WIN_MAXDOCS))
     )
-    bucketed = fps.join(keep, "fp")
-    a = bucketed.select("fp", F.col("doc_id").alias("doc_a"))
-    b = bucketed.select("fp", F.col("doc_id").alias("doc_b"))
+    # stage the pair array as an attribute before the explode: Generate
+    # re-evaluates a non-attribute generator per OUTPUT row (the
+    # decontam pathology) — unstaged, the C(n,2) enumeration would
+    # re-run once per emitted pair.  explode_OUTER so the inferred
+    # size() filter can't re-inline the enumeration below the Generate;
+    # size(_ds) >= 2 already guarantees >= 1 pair, so it is
+    # value-identical.
+    pairs = grouped.select(
+        F.expr(
+            "flatten(transform(_ds, (a, i) -> "
+            "transform(slice(_ds, i + 2, size(_ds)), "
+            "b -> struct(a AS doc_a, b AS doc_b))))"
+        ).alias("_pairs")
+    ).select(F.explode_outer("_pairs").alias("p"))
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MINSHARED)
