@@ -146,39 +146,59 @@ def bpe_learn_merges(
     cur = word_freqs.select(
         _wrap_chars(F.col("term")).alias("seq"), "freq"
     ).localCheckpoint(eager=True)
-    merges: list[tuple[int, str, str, int, int]] = []
+    merges: list[list] = []
     n_syms = F.size(
         F.split(
             F.expr("substring(seq, 2, length(seq) - 2)"), SYM_CLOSE + SYM_OPEN
         )
     )
+    # ONE job per step (r13 opt; was two): the argmax is
+    # min(struct(-count, left, right)) — identical to the old
+    # (count desc, left, right) orderBy-limit-1 tiebreak under binary
+    # string ordering — and the freq-weighted symbol total falls out of
+    # the SAME pair scan: every s-symbol word emits s-1 pairs, so
+    # sum(freq * s) = sum over pairs of freq + sum over words of freq.
+    # That identity yields the PREVIOUS step's syms_after cross-check
+    # (it aggregates the pre-merge relation), so each value is filled
+    # one step later and only the final step pays a dedicated scan.
+    word_total = int(cur.agg(F.sum("freq")).collect()[0][0])
     for step in range(1, n_merges + 1):
         pairs = cur.select(
             "freq", F.explode(_adjacent_pairs("seq")).alias("p")
         ).select("freq", "p.left", "p.right")
-        best = (
+        row = (
             pairs.groupBy("left", "right")
             .agg(F.sum("freq").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), "left", "right")
-            .limit(1)
-            .collect()
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("pair_count")).alias("_nc"), "left", "right"
+                    )
+                ).alias("b"),
+                F.sum("pair_count").alias("t"),
+            )
+            .collect()[0]
         )
-        if not best:
+        if merges:
+            merges[-1][4] = int(row["t"] or 0) + word_total
+        if row["b"] is None:
             break
-        left, right, cnt = best[0]["left"], best[0]["right"], int(best[0]["pair_count"])
+        left, right = row["b"]["left"], row["b"]["right"]
+        cnt = int(-row["b"]["_nc"])
         pat, rep = merge_pattern(left, right)
         cur = cur.select(
             F.replace("seq", F.lit(pat), F.lit(rep)).alias("seq"), "freq"
         )
+        merges.append([step, left, right, cnt, None])
+    if merges and merges[-1][4] is None:
         # Cross-check column (module docstring): freq-weighted symbol
-        # total AFTER this merge — a scalar agg over the distinct-word
-        # relation, independent of pair_count under greedy overlap.
-        syms_after = int(
+        # total AFTER the final merge — the one step with no following
+        # pair scan to derive it from.
+        merges[-1][4] = int(
             cur.select(F.sum(F.col("freq") * n_syms)).collect()[0][0]
         )
-        merges.append((step, left, right, cnt, syms_after))
     return spark.createDataFrame(
-        merges,
+        [tuple(m) for m in merges],
         "step int, left string, right string, pair_count long, syms_after long",
     )
 

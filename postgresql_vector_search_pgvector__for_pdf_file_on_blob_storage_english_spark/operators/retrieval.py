@@ -87,25 +87,51 @@ def bm25_topk(
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
+    # ONE tokenize pass: doc length and every per-term tf fall out of a
+    # single per-doc conditional aggregation.  The old shape derived
+    # doc_len and tf from `tokens` and dfreq + scored from `tf` as
+    # plain branches — the corpus tokenized up to 4x per call (r13
+    # opt).  The pinned relation is one narrow row per document
+    # (id, dl, |terms| counts), so the checkpoint is cheap; every
+    # downstream value (tf, dl, df, n_docs, avgdl) is identical, so the
+    # BM25 expression is bit-identical.
     tokens = tokenize(docs, text_col=text_col, id_col=id_col)
-    doc_len = tokens.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = doc_len.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    per_doc = tokens.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == t, F.lit(1))).alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).localCheckpoint(eager=False)
+    stats = per_doc.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # (id, term, tf, dl) rows for query terms only — distinct (id, term)
+    # by construction, so dfreq's per-term doc count is a plain count
     tf = (
-        tokens.filter(F.col("term").isin(list(terms)))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
+        per_doc.select(
+            id_col,
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"), F.col(f"_tf_{i}").alias("tf")
+                        )
+                        for i, t in enumerate(terms)
+                    ]
+                )
+            ).alias("_g"),
+        )
+        .select(id_col, "dl", F.col("_g.term").alias("term"), F.col("_g.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
-    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     term_score = idf * F.col("tf") * (k1 + 1.0) / denom
 
     scored = (
-        tf.join(doc_len, id_col)
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .join(F.broadcast(dfreq), "term")
         .select(id_col, term_score.alias("_s"))
     )

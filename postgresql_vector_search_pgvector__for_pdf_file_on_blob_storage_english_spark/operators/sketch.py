@@ -336,7 +336,12 @@ def qsketch_quantiles_grouped(
     triangular cumulative join and the min-bucket cut both run within
     groups, so no global sort or single-partition window appears at any
     group count."""
-    pos = sketch.filter(F.col("bucket") >= 0)
+    # the sketch summary is bounded at groups x buckets BY CONSTRUCTION
+    # (the operator's whole point) but feeds three consumers (both
+    # triangular-join sides + totals) — as a plain branch each consumer
+    # re-ran the full build scan (12 source scans at the gated entry;
+    # r13 opt).  Pin it once.
+    pos = sketch.filter(F.col("bucket") >= 0).localCheckpoint(eager=False)
     cum = (
         pos.select(F.col("grp"), F.col("bucket").alias("b"))
         .join(

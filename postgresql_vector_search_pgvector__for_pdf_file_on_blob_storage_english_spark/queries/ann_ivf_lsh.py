@@ -645,6 +645,12 @@ def _ann_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Deliberately a LAZY corpus branch: localizing these 16 rows via
+    # collect (the _local_centroids form that won for the IVF-PQ
+    # fixtures) measured a consistent REGRESSION here in an alternating
+    # same-session A/B (5.41/4.52 -> 7.07/6.90 s median/min at sf0.1) —
+    # this fixture's cost is the index parquet writes, and the blocking
+    # collect serializes the write pipeline it feeds.
     centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )

@@ -58,7 +58,10 @@ def _llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
 
     surv = exact_dedup(docs).select("doc_id", "text", "source")
-    train = surv.filter(F.col("doc_id") % 50 != 0)
+    # train feeds the langid/quality chain AND the decontam gram side;
+    # as a plain branch each consumer re-ran the dedup shuffle over the
+    # full corpus text (r13 opt — pin once)
+    train = surv.filter(F.col("doc_id") % 50 != 0).localCheckpoint(eager=False)
 
     enriched = quality_score(
         language_id(train, keep_cols=("text", "source")),

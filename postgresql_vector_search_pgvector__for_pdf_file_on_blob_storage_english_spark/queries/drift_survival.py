@@ -1249,10 +1249,14 @@ _register("events_hourly_autocorr", _events_hourly_acf, _dd_acf_sql())
 
 def _stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
+    # per is read by each ranked2 pass (distinct-value relation + join
+    # base) — as a plain branch the orders scan+groupBy re-ran ~5x;
+    # pin it (one narrow row per customer; r13 opt), and pin the first
+    # ranked2 output for the same two-consumer reason.
     per = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("nord"),
         F.sum(_cents()).alias("spend"),
-    )
+    ).localCheckpoint(eager=False)
 
     def ranked2(df, col, out):
         # doubled average rank of `col`: 2*cum_before + cnt + 1 per
@@ -1273,7 +1277,9 @@ def _stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return df.join(r2, col)
 
-    both = ranked2(ranked2(per, "nord", "rx2"), "spend", "ry2")
+    both = ranked2(
+        ranked2(per, "nord", "rx2").localCheckpoint(eager=False), "spend", "ry2"
+    )
     agg = both.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum(F.col("rx2").cast("decimal(38,0)")).alias("sx"),

@@ -544,7 +544,13 @@ def _graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = pairs.select(
         (F.col("o_custkey") * 2).alias("src"), (F.col("l_suppkey") * 2 + 1).alias("dst")
     )
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # the edge relation is loop-invariant but sat in every BFS level's
+    # frontier-join lineage — each of the 3 hops re-ran the
+    # lineitem x orders join + distinct (r13 opt, same pin as the
+    # pagerank nodes/outdeg fix)
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
     seeds = spark.range(1).select(F.lit(2 * _BFS_SEED_CUST).cast("long").alias("node"))
     levels = bfs_levels(edges, seeds, max_hops=_BFS_HOPS)
     return (

@@ -251,6 +251,11 @@ def _serve_context_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.serving import expand_context
 
     corpus, _status = ingest_pages(_synth_pages(spark, sf_dir), dim=_EMBED_DIM)
+    # corpus feeds the KNN hit subtree AND the expansion's neighbor
+    # scan; as a plain branch each side re-ran the whole Python ingest
+    # chain (chunk UDTF + Arrow embed) — pin it so the JVM<->Python
+    # boundary is paid once (r13 opt, guide §4).
+    corpus = corpus.localCheckpoint(eager=False)
     hits = knn(
         corpus, _E2E_QVEC, k=5, metric="l2", id_col="id",
         payload_cols=["id", "fileName", "pageNumber"],
