@@ -400,11 +400,18 @@ def waterfill_budget(
         raise ValueError(
             f"budget fraction must be in (0, 1): {budget_num}/{budget_den}"
         )
+    # Three |groups|-row relations each feed 2 consumers (avail ->
+    # rank+totals, ranked -> predecessor+cand, cand -> pivot+final);
+    # as plain branches the fan-out multiplied — the caller's corpus
+    # aggregation re-ran up to 8x (44 Exchange nodes in the gated
+    # plan; r13 opt).  Pin each once: the chain above the data rows
+    # runs exactly once.
+    avail = avail.localCheckpoint(eager=False)
     ranked = global_rank(
         avail,
         [F.col(avail_col).asc(), F.col(group_col).asc()],
         prefix_col=avail_col,
-    )
+    ).localCheckpoint(eager=False)
     tot = avail.agg(
         F.sum(avail_col).alias("_total"),
         F.expr(f"({budget_num} * sum({avail_col})) div {budget_den}").alias(
@@ -425,6 +432,7 @@ def waterfill_budget(
         .withColumn(
             "_rem", F.expr("(_budget - _before) % (_n - _rank + 1)")
         )
+        .localCheckpoint(eager=False)
     )
     pivot = cand.where(
         f"_budget < _total AND _level >= _pavail AND _level < {avail_col}"

@@ -110,9 +110,13 @@ def km_curve(durations: DataFrame, dur_col: str = "dur", observed_col: str = "ob
     in order), with the ln argument NULLed (not ln(0)) when the risk
     set is exhausted and those rows forced to exactly 0.0.
     """
+    # bounded distinct-duration series feeding TWO consumers (totals +
+    # risk table) — as a plain branch each re-ran the upstream duration
+    # derivation (per-key lead() window over the full scan at the gated
+    # entry; r13 opt).  Pin once.
     per_t = durations.groupBy(F.col(dur_col).alias("dur")).agg(
         F.count(F.lit(1)).alias("_n_at"), F.sum(observed_col).alias("d_events")
-    )
+    ).localCheckpoint(eager=False)
     tot = per_t.agg(F.sum("_n_at").alias("_n"))
     w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
     risk = (

@@ -180,8 +180,12 @@ def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab-sized); the final top-k is TakeOrderedAndProject."""
     docs = _t(spark, sf_dir, "documents")
     words = F.split(F.trim(normalize_whitespace_col("text")), " ")
-    # No checkpoint: the tokenized corpus is re-derived per branch — at
-    # scale a double parquet scan is cheaper than pinning tokens in memory.
+    # No checkpoint, MEASURED (r13): pinning the vocab-sized uni/big
+    # aggregates (to cap the corpus tokenize at 2 passes instead of 6)
+    # ran SLOWER in both the alternating warm A/B (med 1.26 -> 1.59 s)
+    # and bench-like one-shot sessions — at this scale the re-derived
+    # passes cost less than the two checkpoint materializations.
+    # Revisit at a scale where the tokenize pass dominates.
     staged = docs.select(words.alias("_w"))
     uni = (
         staged.select(F.explode("_w").alias("w"))
@@ -418,6 +422,8 @@ SELECT n_matches, count(*)::BIGINT AS n_users FROM matched GROUP BY n_matches
 
 def _chi2_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # Plain branches by MEASUREMENT — same verdict as _cramers_v (r13):
+    # the pinned single-pass marginal form ran slower at bench scale.
     obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
     rt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("rt"))
     ct = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
@@ -651,6 +657,11 @@ def _attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("t_type"),
         F.expr(f"ms div {W}").alias("bucket"),
     )
+    # Plain branches by MEASUREMENT (r13): pinning purch and pairs (to
+    # stop the anti-join re-running the event scan + range join) ran
+    # SLOWER in two alternating warm A/Bs (med 1.44 -> 1.64 and
+    # 1.82 -> 1.87 s) — the checkpoint materialization of the pair
+    # relation costs more than the re-derived narrow scans here.
     purch = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("p_id"),
@@ -920,6 +931,11 @@ ORDER BY entropy_micro, user_id LIMIT {_ENT_TOP}
 
 def _cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # Plain branches, MEASURED (r13): deriving rt/ct/n/dims as marginals
+    # of a pinned contingency relation (one corpus pass instead of 5)
+    # ran SLOWER in the alternating warm A/B (med 0.54 -> 0.72 s) and in
+    # bench-like one-shot sessions — the scans are narrow (lang, source
+    # only) and cost less than the checkpoint materialization here.
     obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
     rt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("rt"))
     ct = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))

@@ -825,9 +825,13 @@ _register("stats_bootstrap_ci_revenue", _stats_bootstrap, _dd_bootstrap_sql())
 
 def _orders_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
+    # calendar-bounded month relation feeding TWO consumers (bounds +
+    # the spine join) — unpinned, each re-ran the orders scan+groupBy;
+    # same for `defined` below (seasonal means + the final join re-ran
+    # the whole window chain).  8 scans -> 2 in the gated plan (r13 opt).
     monthly = orders.groupBy(
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mx")
-    ).agg(F.sum(_cents()).alias("rev"))
+    ).agg(F.sum(_cents()).alias("rev")).localCheckpoint(eager=False)
     bounds = monthly.agg(F.min("mx").alias("lo"), F.max("mx").alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("mx")
@@ -844,7 +848,9 @@ def _orders_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("d24", 24 * F.col("rev") - F.col("trend_x24")).withColumn(
         "moy", F.col("mx") % 12
     )
-    defined = full.filter(F.col("trend_x24").isNotNull())
+    defined = full.filter(F.col("trend_x24").isNotNull()).localCheckpoint(
+        eager=False
+    )
     seas = defined.groupBy("moy").agg(
         F.sum("d24").alias("sd"), F.count(F.lit(1)).alias("cnt")
     ).selectExpr(

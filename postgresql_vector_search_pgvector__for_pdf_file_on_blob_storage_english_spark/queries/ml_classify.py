@@ -911,10 +911,14 @@ def _eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "y",
     )
+    # B=10 rows feeding TWO consumers (the totals and the contribution
+    # projection) — as a plain branch each re-ran the corpus bin scan
+    # (r13 opt).  The min/max bounds pass stays separate: binning needs
+    # the global bounds before the bin groupBy, an irreducible 2nd pass.
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("y").cast("decimal(38,0)").alias("pos"),
-    )
+    ).localCheckpoint(eager=False)
     tot = per_bin.agg(
         F.sum("n").alias("nn"), F.sum("pos").alias("pp")
     )

@@ -702,13 +702,18 @@ def _sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
     a_rows = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     b_rows = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    # ONE orders pass per side (r13 opt): the sketch and the exact
+    # counts both consume the pinned distinct-key relation — hashing
+    # distinct keys yields the identical distinct-hv minset the raw
+    # rows did (kmv_minset drops NULLs and re-distincts), and unpinned
+    # the sketch + intersect + two counts re-scanned orders 6x.
+    ca = a_rows.select("o_custkey").distinct().localCheckpoint(eager=False)
+    cb = b_rows.select("o_custkey").distinct().localCheckpoint(eager=False)
     est = kmv_set_estimates(
-        kmv_minset(a_rows, "o_custkey", k=_KMV_K),
-        kmv_minset(b_rows, "o_custkey", k=_KMV_K),
+        kmv_minset(ca, "o_custkey", k=_KMV_K),
+        kmv_minset(cb, "o_custkey", k=_KMV_K),
         k=_KMV_K,
     )
-    ca = a_rows.select("o_custkey").distinct()
-    cb = b_rows.select("o_custkey").distinct()
     exact = (
         ca.intersect(cb)
         .agg(F.count(F.lit(1)).alias("exact_intersect"))
