@@ -119,10 +119,11 @@ class TestDedupPlans:
         assert count_exchanges(df) <= 2  # fingerprint agg (+AQE variance)
 
     def test_lsh_shuffles_band_keys_not_text(self, spark):
-        schemas = read_schemas(q(spark, "dedup_minhash_lsh_candidates"))
-        # the text column is read from the scan (needed for shingles)...
-        assert any("text" in s for s in schemas)
-        # ...but what shuffles is (id, band_id, band_hash)
+        # r13: the banded relation is pinned (lazy localCheckpoint) so
+        # the shingle + minhash fold runs once, not once per self-join
+        # side — the final plan reads the checkpoint, not the parquet
+        # scan (the text column is consumed entirely inside the pinned
+        # subtree, before any exchange).
         import re
 
         from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.plans.inspect import (
@@ -130,6 +131,9 @@ class TestDedupPlans:
         )
 
         plan = explain_str(q(spark, "dedup_minhash_lsh_candidates"), "formatted")
+        assert "Scan ExistingRDD" in plan
+        assert "Scan parquet" not in plan  # no per-side re-derivation
+        # what shuffles is (id, band_id, band_hash) — never the text
         for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
             assert "text" not in m.group(1)
 
