@@ -693,6 +693,16 @@ def kcore(
     # them does not pay for 5 synchronous round-trips.  At 100 TB the
     # trade inverts (a no-op round is a full |E| pass); a deployment
     # driving hundreds of rounds should add the check every N rounds.
+    # r13 opt note (#3, window peel): a join-free round — deg(u)/deg(v)
+    # as count() over (partition by u / v) windows on the symmetric
+    # list, filter both ends — was implemented, oracle-verified at both
+    # SFs, and A/B'd in-session (7 alternating reps): OLD 4.183/4.062
+    # med/min vs NEW 4.221/4.136 — a wash.  Makes sense on bytes: the
+    # degree groupBys partial-aggregate map-side, so BOTH forms shuffle
+    # the full edge list exactly twice per round; the window form only
+    # removes join machinery while adding per-node sort/buffering, and
+    # a hub key in WindowExec cannot be split by AQE, where the
+    # semi-join's skewed partition can.  Kept the join form.
     e = sym
     for _ in range(n_rounds):
         deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
@@ -899,26 +909,47 @@ def hash_walks(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
     w = Window.partitionBy("node").orderBy("nbr")
-    # ranked (2|E| rows) and deg (|V| rows) are joined by EVERY step;
-    # without the lineage cut each step's plan re-derives the edge
-    # relation, the symmetric union and the ranking window from the
-    # source — measured 8 SortMergeJoins / 78 Exchanges in the 4-step
-    # plan, zero reuse (r13 opt: plans/r13/graph_walk_corpus_before.txt).
-    # One checkpoint each pins them to a single computation, the same
-    # iterative-lineage discipline as pagerank/hits.
-    ranked = sym.withColumn("rk", F.row_number().over(w)).localCheckpoint(eager=False)
-    deg = ranked.groupBy("node").agg(F.max("rk").alias("deg")).localCheckpoint(
-        eager=False
+    # The adjacency is joined by EVERY step; without the lineage cut
+    # each step's plan re-derives the edge relation, the symmetric
+    # union and the ranking window from the source — measured 8
+    # SortMergeJoins / 78 Exchanges in the 4-step plan, zero reuse
+    # (r13 opt: plans/r13/graph_walk_corpus_before.txt).  Checkpoints
+    # pin it to a single computation, the same iterative-lineage
+    # discipline as pagerank/hits.
+    #
+    # r13 opt (step fusion): the old loop joined TWO relations per
+    # step — deg (to mod the hash) then ranked on (cur, rk).  Attaching
+    # the DESTINATION vertex's degree to every adjacency row once at
+    # build time means a walk arrives at its next vertex already
+    # carrying that vertex's degree, so the per-step deg join
+    # disappears: n_steps joins instead of 2 x n_steps, at the cost of
+    # one build-time |2E| x |V| join (run once, checkpointed).  deg is
+    # recovered as count() over the SAME per-node partition as the
+    # ranking window (one exchange, one sort); values are identical to
+    # the old groupBy/max(rk) relation, so rk picks — and therefore
+    # every path string — are bit-identical.
+    base = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("node")))
+        .localCheckpoint(eager=False)
+    )
+    ndeg = base.filter(F.col("rk") == 1).select(
+        F.col("node").alias("nbr"), F.col("deg").alias("nbr_deg")
+    )
+    ranked = (
+        base.join(ndeg, "nbr")
+        .select("node", "rk", "nbr", "nbr_deg")
+        .localCheckpoint(eager=False)
     )
 
-    cur = deg.select(
+    cur = base.filter(F.col("rk") == 1).select(
         F.col("node").alias("start"),
         F.col("node").alias("cur"),
+        F.col("deg").alias("deg"),
         F.col("node").cast("string").alias("path"),
     )
     for pos in range(1, n_steps + 1):
-        with_deg = cur.join(deg.withColumnRenamed("node", "cur"), "cur")
-        pick = with_deg.withColumn(
+        pick = cur.withColumn(
             "rk",
             (
                 F.conv(
@@ -943,6 +974,7 @@ def hash_walks(
         cur = stepped.select(
             "start",
             F.col("nbr").alias("cur"),
+            F.col("nbr_deg").alias("deg"),
             F.concat(F.col("path"), F.lit("->"), F.col("nbr").cast("string")).alias(
                 "path"
             ),
