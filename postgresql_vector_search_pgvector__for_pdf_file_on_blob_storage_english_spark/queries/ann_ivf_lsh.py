@@ -30,13 +30,20 @@ def _local_centroids(spark: SparkSession, emb: DataFrame, n: int = _N_CENTROIDS)
     the same small movement a broadcast of trained centroids performs,
     instead of re-scanning the corpus parquet once per downstream use
     (the assign and every probe ranking each re-derived the
-    filter+project branch; r13 opt).  Measured a win only for the
-    multi-step IVF-PQ fixtures (codes build + LUT + rerank consume it
-    across many actions); for single-search in-memory IVF entries the
-    blocking collect cost more than the lazy subplan scans it removed,
-    so those call sites keep the plain branch.  Values round-trip
+    filter+project branch; r13 opt).  Values round-trip
     collect -> createDataFrame exactly (float32 widens to double and
-    narrows back losslessly), so every distance is bit-identical."""
+    narrows back losslessly), so every distance is bit-identical.
+
+    UNUSED after re-measurement: a warm in-session min-of-9 A/B showed
+    a win for the multi-step IVF-PQ fixtures, but both the 5-run cold
+    bench medians (ann_ivfpq_probe 0.77 -> 0.93 s, ann_ivfpq_index_search
+    4.02 -> 4.75 s) and an alternating bench-like process A/B
+    (tools/ab_cold_ivfpq.py: probe ~2.27 vs ~1.00 s) measured the
+    blocking collect + createDataFrame as a consistent per-invocation
+    REGRESSION, so every call site keeps the lazy pushed-filter branch
+    (the form the single-search IVF entries never left).  Kept as the
+    documented trade for a deployment whose trained centroids already
+    live on the driver."""
     src = emb.filter(F.col("vec_id") < n).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
@@ -646,8 +653,8 @@ def _ann_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     # Deliberately a LAZY corpus branch: localizing these 16 rows via
-    # collect (the _local_centroids form that won for the IVF-PQ
-    # fixtures) measured a consistent REGRESSION here in an alternating
+    # collect (the _local_centroids form, since reverted everywhere)
+    # measured a consistent REGRESSION here in an alternating
     # same-session A/B (5.41/4.52 -> 7.07/6.90 s median/min at sf0.1) —
     # this fixture's cost is the index parquet writes, and the blocking
     # collect serializes the write pipeline it feeds.

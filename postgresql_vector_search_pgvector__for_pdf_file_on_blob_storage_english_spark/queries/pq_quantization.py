@@ -14,7 +14,7 @@ from ._base import (  # noqa: F401
     _t,
     dd_sql,
 )
-from .ann_ivf_lsh import _N_CENTROIDS, _local_centroids, assign_ivf  # noqa: F401
+from .ann_ivf_lsh import _N_CENTROIDS, assign_ivf  # noqa: F401
 from .dedup import _DD_NVEC  # noqa: F401
 # Product quantization (operators/pq.py): m=4 subspaces x 16 centroids
 # over the 64-dim fixtures; codebooks = subvectors of the 16 lowest-id
@@ -137,7 +137,12 @@ def _ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import ivfpq_encode, ivfpq_search
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = _local_centroids(spark, emb)
+    # lazy corpus branch, NOT _local_centroids: the batch-5
+    # localization was re-measured with alternating bench-like
+    # process-cold runs and REVERTED — see _ivfpq_fixture
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
     books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
     encoded = ivfpq_encode(emb, centroids, books, payload_cols=["vec_id", "label"])
     qvec = list(emb.filter(F.col("vec_id") == _PQ_PROBE_ID).first()["embedding"])
@@ -229,8 +234,19 @@ def _pq_index_path(sf_dir: str, name: str) -> str:
 
 
 def _ivfpq_fixture(spark: SparkSession, sf_dir: str):
+    # r13 opt, tried and REVERTED (twice-measured): `_local_centroids`
+    # (collect the 16-row centroid relation once, rebuild local) won a
+    # warm in-session min-of-9 A/B, but both the 5-run cold bench
+    # medians (probe 0.77 -> 0.93 s, index_search 4.02 -> 4.75 s vs the
+    # pre-change baseline) and an alternating bench-like process A/B
+    # (tools/ab_cold_ivfpq.py, 8 runs each: probe ~2.27 vs ~1.00 s,
+    # index_search ~3.68 vs ~3.00 s) show the blocking collect +
+    # createDataFrame costs far more per invocation than the lazy
+    # 16-row pushed-filter scans it removes.  Keep the lazy branch.
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = _local_centroids(spark, emb)
+    centroids = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
     books = fixed_codebooks(emb, m=_PQ_M, ksub=_PQ_KSUB)
     return emb, centroids, books
 
