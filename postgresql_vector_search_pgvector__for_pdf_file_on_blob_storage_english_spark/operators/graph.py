@@ -94,26 +94,35 @@ def pagerank(
         F.count(F.lit(1)).alias("_outdeg")
     )
     if materialize:
-        # nodes joins into every iteration's spine and outdeg
-        # broadcasts into every iteration's contrib join; without a pin
-        # each iteration re-runs the union+distinct and the degree
-        # groupBy from the edge checkpoint — 2 extra shuffle stages per
-        # step (r13 opt)
-        nodes = nodes.localCheckpoint(eager=False)
+        # outdeg broadcasts into every iteration's contrib join;
+        # without a pin each iteration re-runs the degree groupBy from
+        # the edge checkpoint (r13 opt)
         outdeg = outdeg.localCheckpoint(eager=False)
+    redistribute = dangling == "redistribute"
+    if redistribute:
+        # r13 opt (flag, not join): the per-step dangling-mass term
+        # needs "sum of rank over nodes with no out-edge".  The old
+        # shape kept a separate `dang` relation and ran a |V|-sized
+        # left-semi join against the rank relation EVERY step; tagging
+        # each node once with `_dang` (outdeg missing) and carrying the
+        # flag through the rank relation turns every step's mass term
+        # into a plain filtered 1-row aggregate — n_iters semi-joins
+        # removed, the summed set (and therefore every rank) identical.
+        nodes = nodes.join(outdeg, "node", "left").select(
+            "node", F.col("_outdeg").isNull().cast("int").alias("_dang")
+        )
+    if materialize:
+        # nodes joins into every iteration's spine; without a pin each
+        # iteration re-runs the union+distinct (and, under
+        # redistribute, the flag join) from the edge checkpoint (r13)
+        nodes = nodes.localCheckpoint(eager=False)
     n = nodes.agg(F.count(F.lit(1)).alias("_n"))
 
     # rank_0 = UNIT / N for every node; base = (100 - d) * UNIT / (100 N)
     ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "node", _idiv(F.lit(UNIT), F.col("_n")).alias("rank_units")
+        *nodes.columns, _idiv(F.lit(UNIT), F.col("_n")).alias("rank_units")
     )
     base = _idiv(F.lit((100 - damping_pct) * UNIT), F.lit(100) * F.col("_n"))
-
-    dang = None
-    if dangling == "redistribute":
-        dang = nodes.join(outdeg, "node", "left_anti")
-        if materialize:
-            dang = dang.localCheckpoint(eager=True)
 
     for _ in range(n_iters):
         contrib = (
@@ -133,22 +142,23 @@ def pagerank(
             F.lit(damping_pct) * F.coalesce(F.col("_in"), F.lit(0)),
             F.lit(100),
         )
-        if dang is not None:
-            # Dangling mass this step: a 1-row sum over the dangling
-            # slice of the |V|-sized rank relation, broadcast back as a
-            # scalar — the redistribution term floor(d * D / (100 N))
-            # stays in exact integer arithmetic.
-            dmass = (
-                ranks.join(dang, "node", "left_semi")
-                .agg(
-                    F.coalesce(F.sum("rank_units"), F.lit(0)).alias("_dm")
-                )
+        if redistribute:
+            # Dangling mass this step: a 1-row filtered sum over the
+            # |V|-sized rank relation (the carried `_dang` flag — no
+            # join), broadcast back as a scalar — the redistribution
+            # term floor(d * D / (100 N)) stays in exact integer
+            # arithmetic.
+            dmass = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_dang") == 1, F.col("rank_units"))),
+                    F.lit(0),
+                ).alias("_dm")
             )
             nxt = nxt.crossJoin(F.broadcast(dmass))
             rank_expr = rank_expr + _idiv(
                 F.lit(damping_pct) * F.col("_dm"), F.lit(100) * F.col("_n")
             )
-        ranks = nxt.select("node", rank_expr.alias("rank_units"))
+        ranks = nxt.select(*nodes.columns, rank_expr.alias("rank_units"))
         if materialize:
             # Per-iteration lineage cut: iteration i's rank relation is
             # read TWICE by iteration i+1 (contrib join + the dangling
@@ -156,7 +166,7 @@ def pagerank(
             # per step — measured as 92 node-keyed exchanges for 4
             # dangling iterations before the cut, 1 per step after.
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks.select("node", "rank_units")
 
 
 def copurchase_edges(

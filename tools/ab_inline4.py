@@ -46,6 +46,8 @@ def main() -> None:
     table = {
         "kcore": ("kcore", "graph_kcore_copurchase"),
         "walks": ("hash_walks", "graph_walk_corpus"),
+        "prdang": ("pagerank", "graph_pagerank_dangling"),
+        "prtrade": ("pagerank", "graph_pagerank_trade"),
     }
 
     spark = get_spark("ab4")
