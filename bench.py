@@ -176,6 +176,37 @@ REPEATS = {
     # unchanged code ran with REPEATS=1, so a single noisy run became
     # the round's number; medians-of-3 so the delta reflects the plan.
     "layout_hilbert_report": 3,     # 0.909 -> 2.773 s r8->r9, code untouched
+    # r14 (VERDICT r13 item 4): the highest-variance REPEATS=1 lines by
+    # absolute run-to-run swing in BENCH_RUNS_r13.json (rel spread x
+    # median), plus the four the judge named (graph family, kmv, rake,
+    # quantile_normalize) — these swung 0.47-0.70x in the driver's
+    # single hot-window run with code untouched.  Median-of-3 so the
+    # driver's one bench invocation self-medians where it matters.
+    "ann_ivf_index_compact": 3,        # spread 0.36 x 4.72 s
+    "dedup_winnow_shared_fp": 3,       # spread 0.29 x 5.24 s
+    "stats_kendall_tau": 3,            # spread 0.40 x 3.69 s
+    "dedup_fuzzy_name_pairs": 3,       # spread 0.33 x 4.27 s
+    "graph_hits_trade": 3,             # spread 0.28 x 4.83 s
+    "graph_khop_reach": 3,             # spread 0.45 x 2.97 s
+    "graph_kcore_copurchase": 3,       # spread 0.24 x 5.44 s
+    "stats_bootstrap_ci_revenue": 3,   # spread 0.21 x 4.97 s
+    "graph_link_prediction_jaccard": 3,  # spread 0.24 x 4.06 s
+    "pref_bt_source_strength": 3,      # spread 0.37 x 2.51 s
+    "ml_nb_langid_confusion": 3,       # spread 0.41 x 2.17 s
+    "dedup_substring_spans": 3,        # spread 0.29 x 3.05 s
+    "dedup_simhash_neardup_pairs": 3,  # spread 0.34 x 2.53 s
+    "vocab_bpe_merges": 3,             # spread 0.27 x 3.20 s
+    "graph_adamic_adar": 3,            # spread 0.20 x 4.21 s
+    "bloom_semi_join_revenue": 3,      # spread 0.91 x 0.91 s
+    "train_kcenter_coreset": 3,        # spread 0.39 x 2.09 s
+    "stats_spearman_rank_corr": 3,     # spread 0.41 x 1.88 s
+    "ann_ivfpq_index_search": 3,       # spread 0.25 x 3.01 s
+    "recsys_item_item_cosine": 3,      # spread 0.37 x 1.95 s (judge-named)
+    "graph_pagerank_dangling": 3,      # spread 0.16 x 4.12 s
+    "graph_walk_corpus": 3,            # biggest line (7.05 s median)
+    "sketch_kmv_priority_overlap": 3,  # judge-named (0.66x driver swing)
+    "text_rake_keywords": 3,           # judge-named (0.65x driver swing)
+    "scores_quantile_normalize": 3,    # judge-named (0.645x driver swing)
     # r12 (VERDICT r11 #4): the ADC line's residual is per-QUERY driver
     # construction, now cut to ~0.25 s by single-SQL-text expressions;
     # a single in-session run still pays one-off codegen/session warmup
@@ -248,22 +279,55 @@ def main() -> None:
     # flagship) and then entries from the END of HEADLINE backwards,
     # which preserves the newest lines the current round is graded on;
     # anything dropped is still in BENCH_FULL.json and the verbose line.
+    # r14 telemetry fix (VERDICT r13 item 2): the compact line dropped 7
+    # previously-graded lines in r13 because the keep order was purely
+    # newest-backwards.  Two changes, both to the COMPACT line only (the
+    # verbose line above and BENCH_FULL.json keep full 3-decimal values
+    # for every query):
+    #   1. values are rounded to 2 decimals (saves ~1 char/line), and
+    #   2. the keep order guarantees any line present in the previous
+    #      round's driver-parsed map (the committed BENCH_r{N}.json with
+    #      the highest N) is kept FIRST, so PERF_r{N+1} never loses a
+    #      line it graded last round; remaining space is filled
+    #      newest-backwards as before.
     tail_budget = 1900  # driver tail is 2000 chars; leave margin for \n + noise
-    keep_order = [HEADLINE[0]] + [n for n in reversed(HEADLINE[1:])]
+    prev_parsed: list[str] = []
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        snaps = []
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = re.search(r"BENCH_r(\d+)\.json$", p)
+            if m:
+                snaps.append((int(m.group(1)), p))
+        if snaps:
+            with open(max(snaps)[1]) as fh:
+                prev_parsed = [
+                    q
+                    for q in json.load(fh).get("parsed", {}).get("queries", {})
+                    if q in timings
+                ]
+    except Exception:
+        prev_parsed = []
+    keep_order = [HEADLINE[0]]
+    keep_order += [n for n in HEADLINE if n in prev_parsed and n not in keep_order]
+    keep_order += [n for n in reversed(HEADLINE[1:]) if n not in keep_order]
     compact = dict(full)
     compact.pop("basis", None)
+    compact["full_map"] = "BENCH_FULL.json"  # sized into the budget below
     kept: dict[str, float] = {}
     for name in keep_order:
-        trial = dict(kept, **{name: timings[name]})
-        compact["queries"] = {n: timings[n] for n in HEADLINE if n in trial}
+        trial = dict(kept, **{name: round(timings[name], 2)})
+        compact["queries"] = {n: trial[n] for n in HEADLINE if n in trial}
         compact["queries_omitted"] = len(timings) - len(trial)
-        if len(json.dumps(compact, separators=(",", ":"))) > tail_budget:
-            break
-        kept = trial
-    compact["queries"] = {n: timings[n] for n in HEADLINE if n in kept}
+        if len(json.dumps(compact, separators=(",", ":"))) <= tail_budget:
+            kept = trial
+    compact["queries"] = {n: kept[n] for n in HEADLINE if n in kept}
     compact["queries_omitted"] = len(timings) - len(kept)
-    if compact["queries_omitted"]:
-        compact["full_map"] = "BENCH_FULL.json"
+    if not compact["queries_omitted"]:
+        compact.pop("full_map")
     sys.stdout.flush()
     print(json.dumps(compact, separators=(",", ":")))
 
