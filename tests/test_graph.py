@@ -548,3 +548,24 @@ class TestHashWalks:
 
         with _pt.raises(ValueError):
             hash_walks(spark.createDataFrame([(1, 2)], "u long, v long"), 0)
+
+    def test_broadcast_and_sortmerge_branches_identical(self, spark):
+        # r14: the frontier-broadcast guard picks a JOIN STRATEGY only;
+        # both branches must produce byte-identical walk corpora.
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.operators.graph import (
+            hash_walks,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4), (4, 5), (5, 1)],
+            "u long, v long",
+        )
+        bc = {
+            r.start: r.path
+            for r in hash_walks(e, 4, broadcast_frontier=True).collect()
+        }
+        smj = {
+            r.start: r.path
+            for r in hash_walks(e, 4, broadcast_frontier=False).collect()
+        }
+        assert bc == smj and set(bc) == {1, 2, 3, 4, 5}

@@ -36,11 +36,12 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--tag", default=None, help="plan file suffix, e.g. before/after; omit to skip plan dump")
+    ap.add_argument("--round", default="r14", help="plans/<round>/ output dir")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
     spark = get_spark("profile")
-    plan_dir = os.path.join(REPO, "plans", "r13")
+    plan_dir = os.path.join(REPO, "plans", args.round)
     os.makedirs(plan_dir, exist_ok=True)
 
     for name in args.names:
