@@ -414,6 +414,74 @@ from ._base import Entry, REGISTRY  # noqa: F401
 # Chao1 — the coverage curve's unseen side), embed_silhouette_labels
 # (zero-shuffle prototype-array silhouette in exact ppm), and
 # embed_davies_bouldin (per-class confusability ratios).
+#
+# Round-14 rotation (VERDICT r13 item 10 — executes the queued list,
+# the 6 r13 session additions first): ALL 25 LLM-family slots rotate
+# again.  Every outgoing entry is driver-green in the r13 snapshot
+# (CORRECTNESS_r13.json); every incoming entry has NEVER had a driver
+# row but is green with result hashes in the committed local gate
+# records and in this round's fresh 398/398 sweep.  Out → in, family
+# cover:
+#   stats_kruskal_wallis → stats_benford_price_audit (stats: Benford
+#                 first-digit audit; KW evidenced r13)
+#   eval_brier_decomposition → eval_cohens_kappa_doclen (scorer-eval;
+#                 r13 session addition, queued-first mandate)
+#   eval_pr_auc_doclen → eval_calibration_doclen_en (scorer-eval:
+#                 calibration curve twin)
+#   events_attribution_position → events_attribution_last_touch
+#                 (attribution: the last-touch sibling)
+#   events_scd2_pit_join → events_ab_test_analysis (events analytics)
+#   events_page_hinkley → events_hourly_autocorr (time-series drift)
+#   events_user_entropy_bots → events_activity_streaks (per-user
+#                 behavioral aggregation)
+#   stats_cramers_v_lang_source → stats_mutual_info_lang_source (the
+#                 same lang x source contingency grid, MI form)
+#   scores_quantile_normalize → ml_target_encode_loo (score/feature
+#                 transforms: leave-one-out target encoding)
+#   graph_adamic_adar → graph_link_prediction_jaccard (graph link
+#                 prediction: the Jaccard sibling earns its first row)
+#   text_rake_keywords → text_unicode_nfc_stats (text normalization)
+#   text_js_divergence_sources → vocab_zipf_slope (corpus/vocab stats)
+#   stream_markov_replay → stream_bt_matrix_replay (streaming replay)
+#   ann_ivfpq_probe → ann_ivfpq_recall_trained (IVF-PQ family: the
+#                 trained-recall audit row)
+#   quant_sq8_probe → layout_hilbert_report (layout family: Hilbert
+#                 clustering's first slot; SQ8 evidenced r13)
+#   retrieval_phrase_probe → url_canonical_dupes (URL canonicalization
+#                 dedup's first slot; phrase evidenced r13)
+#   dedup_lsh_verified_pairs → dedup_cluster_best_quality (dedup
+#                 cluster-survivor family)
+#   customer_survival_km → embed_silhouette_labels (r13 session
+#                 addition, queued-first mandate)
+#   stream_incremental_dedup_replay → stream_kmv_replay (streaming
+#                 replay + KMV sketch double cover)
+#   join_not_in_vs_not_exists → embed_davies_bouldin (r13 session
+#                 addition, queued-first mandate)
+#   serve_mmr_rerank → train_waterfill_token_budget (r13 session
+#                 addition, queued-first mandate)
+#   serve_context_expansion → embed_prototype_psi (r13 session
+#                 addition, queued-first mandate)
+#   stats_gini_revenue → vocab_good_turing_mass (r13 session addition,
+#                 queued-first mandate)
+#   privacy_l_diversity_audit → privacy_t_closeness_audit (privacy:
+#                 the t-closeness sibling)
+#   mm_video_scene_cuts → mm_audio_silence_runs (multimodal: audio)
+#
+# Still queued for r15+ (never driver-evidenced after this window):
+# text_pii_redaction-family remainder from earlier rotations plus
+# dedup_edjoin_part_pairs, graph_khop_reach, graph_ppr_copurchase,
+# corpus_snapshot_diff, train_shard_hrw_churn, graph_hits_trade,
+# dedup_cdc_chunk_dupes, orders_ewma_revenue_trend,
+# dedup_ngram_containment_pairs, train_curriculum_interleave,
+# train_dsir_token_budget, train_split_leakage_safe,
+# stream_calibration_replay, orders_winsorized_price_stats,
+# stats_theilsen_revenue_trend, ml_woe_iv_doclen, linkage_jw_name_pairs,
+# stream_reservoir_replay, graph_modularity_labelprop,
+# stats_bootstrap_ci_revenue, orders_seasonal_decompose,
+# stats_hill_tail_index, orders_pvm_decomposition,
+# orders_seasonal_forecast_backtest, vocab_oov_rate_curve,
+# graph_degree_assortativity, vocab_heaps_growth — plus any r14
+# session additions.
 _WINDOW_50: list[str] = [
     # -- SURVEY §2 operators --------------------------------------------
     "q2_knn_l2_top5",            # Q2/S7 flagship
@@ -441,32 +509,32 @@ _WINDOW_50: list[str] = [
     "pipeline_chunks",           # P2+P3 composed
     "pipeline_embed_stats",      # P5
     "pipeline_e2e_ingest_knn",   # S3 + end-to-end ingest
-    # -- LLM-data-pipeline families (r13: all 25 never-driver-evidenced) --
-    "stats_kruskal_wallis",         # r13: k-sample rank test (nonparametric closer)
-    "eval_brier_decomposition",     # r13: Murphy decomposition, RES overflow-proofed
-    "eval_pr_auc_doclen",           # r13: average precision, DECIMAL-ridden wsum
-    "events_attribution_position",  # r13: U-shaped multi-touch credit
-    "events_scd2_pit_join",         # r13: SCD2 point-in-time lookup
-    "events_page_hinkley",          # r13: running-mean drift (CUSUM sibling)
-    "events_user_entropy_bots",     # r13: micro-nat behavioral entropy screen
-    "stats_cramers_v_lang_source",  # r13: quantized complete-grid chi2 -> V
-    "scores_quantile_normalize",    # r13: cross-source quantile normalization
-    "graph_adamic_adar",            # r13: rarity-weighted link prediction
-    "text_rake_keywords",           # r13: RAKE phrase extraction
-    "text_js_divergence_sources",   # r13: per-source JSD drift (micro-nats)
-    "stream_markov_replay",         # r13: stateful transition counting replay
-    "ann_ivfpq_probe",              # r13: serving-path probe twin (IVF-PQ)
-    "quant_sq8_probe",              # r13: serving-path probe twin (SQ8)
-    "retrieval_phrase_probe",       # r13: serving-path probe twin (phrase)
-    "dedup_lsh_verified_pairs",     # r13: banded-LSH verified candidate pairs
-    "customer_survival_km",         # r13: Kaplan-Meier retention curve
-    "stream_incremental_dedup_replay",  # r13: incremental-admission replay
-    "join_not_in_vs_not_exists",    # r13: NAAJ null-semantics pair
-    "serve_mmr_rerank",             # r13: MMR diversification over gated KNN
-    "serve_context_expansion",      # r13: neighbor-chunk context windows
-    "stats_gini_revenue",           # r13: Gini coefficient (rank prefix sums)
-    "privacy_l_diversity_audit",    # r13: l-diversity audit
-    "mm_video_scene_cuts",          # r13: frame-diff scene-cut detection
+    # -- LLM-data-pipeline families (r14: all 25 never-driver-evidenced) --
+    "train_waterfill_token_budget",  # r14: max-min-fair token budget (r13 addition)
+    "embed_prototype_psi",          # r14: prototype-distance PSI drift (r13 addition)
+    "eval_cohens_kappa_doclen",     # r14: chance-corrected agreement (r13 addition)
+    "vocab_good_turing_mass",       # r14: unseen mass + Chao1 (r13 addition)
+    "embed_silhouette_labels",      # r14: prototype-array silhouette (r13 addition)
+    "embed_davies_bouldin",         # r14: per-class confusability (r13 addition)
+    "stats_benford_price_audit",    # r14: Benford first-digit audit
+    "eval_calibration_doclen_en",   # r14: calibration curve by doclen
+    "events_attribution_last_touch",  # r14: last-touch attribution
+    "events_ab_test_analysis",      # r14: A/B lift + z-score analysis
+    "events_hourly_autocorr",       # r14: hourly autocorrelation drift
+    "events_activity_streaks",      # r14: gaps-and-islands streaks
+    "stats_mutual_info_lang_source",  # r14: lang x source mutual information
+    "ml_target_encode_loo",         # r14: leave-one-out target encoding
+    "graph_link_prediction_jaccard",  # r14: Jaccard link prediction
+    "text_unicode_nfc_stats",       # r14: unicode NFC normalization stats
+    "vocab_zipf_slope",             # r14: Zipf rank-frequency slope
+    "stream_bt_matrix_replay",      # r14: Bradley-Terry matrix replay
+    "ann_ivfpq_recall_trained",     # r14: trained IVF-PQ recall audit
+    "layout_hilbert_report",        # r14: Hilbert-curve clustering report
+    "url_canonical_dupes",          # r14: URL canonicalization dedup
+    "dedup_cluster_best_quality",   # r14: cluster best-quality survivors
+    "stream_kmv_replay",            # r14: KMV sketch replay
+    "privacy_t_closeness_audit",    # r14: t-closeness audit
+    "mm_audio_silence_runs",        # r14: audio silence-run detection
 ]
 
 
