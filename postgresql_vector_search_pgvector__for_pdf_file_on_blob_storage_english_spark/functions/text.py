@@ -112,15 +112,83 @@ def split_chunks_pandas_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: [] if t is None else split_chunks(t))
 
 
+def split_chunks_col(norm: Column, max_length: int = MAX_CHUNK_LEN) -> Column:
+    """``array<string>`` of chunks for an ALREADY normalized text
+    column — the r14 native port of :func:`split_chunks` (guide §4:
+    the punctuation-window scan is pure integer/string work, so the
+    corpus text no longer crosses the Python boundary just to be cut).
+
+    The whole Function.java:216-252 loop is ONE ordered-alternation
+    regex over the text, evaluated by a single codegen'd
+    ``regexp_extract_all`` (global matching resumes where the previous
+    chunk ended, which IS the loop's remainder semantics):
+
+    1. ``(?=.{7501}).{7201,7500}(?=[.:;?!])`` — more than max_length
+       remains and some position in the scan window ``(7200, 7500]``
+       holds a punctuation char: the GREEDY bounded quantifier
+       backtracks from 7500 down, so the first success is the LAST
+       such position — exactly the reference's backwards scan — and
+       the lookahead leaves the punctuation char to start the next
+       chunk;
+    2. ``(?=.{7501}).{7200}`` — more than max_length remains, no
+       punctuation in the window: cut at 7200 (the reference's
+       splitIndex == start exit);
+    3. ``.{1,7500}$`` — the remainder.
+
+    Every position with >= 1 char remaining matches one alternative
+    (when more than max_length remains, alternative 2 always can), so
+    matches are contiguous and ``''.join(chunks) == text`` holds.  The
+    empty page is the one case with no match — handled by the explicit
+    CASE (the reference returns ``['']``).  Lengths are code points on
+    both sides; the BMP caveat in the module docstring applies
+    unchanged.
+
+    Callers should stage ``norm`` and the result as real columns
+    before exploding — see :func:`chunk_exploded` — or expression
+    duplication re-runs the scan per reference (the repo's
+    explode-staging pitfall, r13).
+    """
+    start = max_length - SPLIT_WINDOW
+    punct = "[.:;?!]"
+    pat = (
+        f"(?s)(?:(?=.{{{max_length + 1}}}).{{{start + 1},{max_length}}}(?={punct})"
+        f"|(?=.{{{max_length + 1}}}).{{{start}}}"
+        f"|.{{1,{max_length}}}$)"
+    )
+    return F.when(F.length(norm) == 0, F.array(F.lit(""))).otherwise(
+        F.regexp_extract_all(norm, F.lit(pat), 0)
+    )
+
+
 def chunk_exploded(df, text_col: str = "text", out_prefix: str = "chunk"):
-    """normalize -> split -> posexplode to (chunk_index, chunk_text) rows."""
-    normalized = normalize_whitespace_col(text_col)
-    return df.select(
-        "*",
-        F.posexplode(split_chunks_pandas_udf(normalized)).alias(
+    """normalize -> split -> posexplode to (chunk_index, chunk_text)
+    rows.
+
+    r14: fully native (no Python eval node) — normalization and the
+    chunk array are staged as real columns (bare attributes) so each
+    is evaluated once per row, then posexplode'd.  A NULL text yields
+    no rows, exactly like the old pandas-UDF path (``None -> []`` ->
+    posexplode drops the row).  The pandas UDF and row UDF remain as
+    parity twins, tested against this path."""
+    cols = list(df.columns)
+    staged = df.withColumn(
+        "_cnorm", normalize_whitespace_col(text_col)
+    ).withColumn("_cchunks", split_chunks_col(F.col("_cnorm")))
+    # posexplode_outer, NOT posexplode: plain posexplode infers a
+    # size(arr) > 0 filter that re-inlines the whole staged pipeline
+    # below the Generate (the repo's explode-staging pitfall — measured
+    # 3x here: 116 regexp_replace nodes in the plan).  The outer form
+    # adds no filter; the only rows it keeps that inner would drop are
+    # the empty/null arrays (NULL text), which surface as NULL
+    # positions and are dropped by one cheap post-Generate filter on
+    # the OUTPUT attribute — restoring exact UDF-path semantics
+    # (None -> [] -> no rows).
+    return staged.select(
+        *cols,
+        F.posexplode_outer("_cchunks").alias(
             f"{out_prefix}_index", f"{out_prefix}_text"
         ),
-    )
+    ).filter(F.col(f"{out_prefix}_index").isNotNull())
 
 
 def make_chunk_udtf():

@@ -101,10 +101,21 @@ def next_batch_id(spark: SparkSession, path: str) -> int:
 def write_bulk(
     df: DataFrame, path: str, list_key: str | list[str]
 ) -> None:
-    """The bulk index build: everything lands under ``batch_id=0``."""
+    """The bulk index build: everything lands under ``batch_id=0``.
+
+    r14 opt (guide §6 — output file sizing): the rows are REBALANCE'd
+    on the list key before the partitioned write.  Without it, a
+    ``partitionBy`` write emits one file per (task x list) — at 100 TB
+    that is tasks x nlist tiny files; with it, AQE sizes the write
+    partitions to its advisory target, clustering each list's rows
+    while still SPLITTING a skewed list across tasks (where a plain
+    ``repartition(key)`` would serialize a giant list through one
+    task).  Row content is untouched; only the physical layout
+    changes."""
     keys = [list_key] if isinstance(list_key, str) else list(list_key)
     (
         df.withColumn(BATCH_COL, F.lit(0))
+        .hint("rebalance", *keys)
         .write.mode("overwrite")
         .partitionBy(BATCH_COL, *keys)
         .parquet(path)
@@ -328,5 +339,7 @@ def compact_index(
             raise ValueError(f"list_key_types for non-key columns: {unknown}")
         for k, t in list_key_types.items():
             clean = clean.withColumn(k, F.col(k).cast(t))
-    clean = clean.repartition(*[F.col(k) for k in keys])
+    # layout is handled by write_bulk's keyed REBALANCE (r14, guide §6)
+    # — the old repartition(keys) here forced ONE task per list, which
+    # at scale both serializes a hot list and emits one oversized file.
     write_bulk(clean, dest_path, keys)

@@ -8,9 +8,9 @@ INSERT -> [FINISH_DB_INSERTION] -> [COMPLETED | FAILED_DB_INSERTION].
 
 Spark restatement: one declarative job —
 
-    pages -> normalize (native regex) -> chunk UDTF -> posexplode
-          -> deterministic chunk id -> embed (Arrow-batched pandas UDF)
-          -> corpus rows (§1.1 schema)
+    pages -> normalize (native regex) -> chunk (native bounds scan,
+          r14 — no Python) -> posexplode -> deterministic chunk id
+          -> embed (Arrow-batched pandas UDF) -> corpus rows (§1.1)
 
 plus a status-event relation derived from the same lineage (the
 reference's per-chunk Cosmos writes become one set-oriented append;
@@ -18,8 +18,9 @@ resolve with operators.status.status_upsert).  Per-chunk sequencing,
 20 ms pacing and per-chunk JDBC connections disappear — batching *is*
 the rate limiter, and one write per job replaces row-at-a-time inserts.
 
-Scale notes: the only Python stages are the chunker UDF (amortized per
-page) and the embedder (Arrow-batched).  Everything between is
+Scale notes: the ONLY Python stage is the embedder (Arrow-batched;
+r14 made the chunker native, so the corpus text crosses the
+JVM<->Python boundary once instead of twice).  Everything else is
 whole-stage codegen.  The corpus write partitions by ``fileName``
 prefix bucket so a 1000-executor ingest lays out files without a
 single hot partition; embeddings never shuffle (the pipeline is
@@ -33,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.embed import DEFAULT_DIM, make_embedder
 from ..functions.hashing import chunk_id
-from ..functions.text import normalize_whitespace_col, split_chunks_pandas_udf
+from ..functions.text import chunk_exploded
 
 CORPUS_COLS = ["id", "embedding", "origntext", "fileName", "pageNumber", "chunk_index"]
 
@@ -46,11 +47,17 @@ def pages_to_chunks(pages: DataFrame) -> DataFrame:
     identity here is content-addressed — sha2(fileName § pageNumber §
     chunk_index) — so re-ingesting a file is idempotent (same keys).
     """
-    norm = normalize_whitespace_col("text")
-    chunked = pages.select(
+    # r14: fully native chunking (functions/text.py::chunk_exploded) —
+    # the page text no longer crosses the Python boundary to find cut
+    # points; the embedder below is now the pipeline's ONLY Python
+    # stage, so the corpus text crosses JVM<->Python once, not twice.
+    chunked = chunk_exploded(
+        pages.select("fileName", "pageNumber", "text"), "text", "c"
+    ).select(
         "fileName",
         "pageNumber",
-        F.posexplode(split_chunks_pandas_udf(norm)).alias("chunk_index", "origntext"),
+        F.col("c_index").alias("chunk_index"),
+        F.col("c_text").alias("origntext"),
     )
     return chunked.select(
         chunk_id("fileName", "pageNumber", "chunk_index").alias("id"),

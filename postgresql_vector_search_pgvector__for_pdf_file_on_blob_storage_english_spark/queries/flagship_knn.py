@@ -282,10 +282,12 @@ def _p3_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixture docs are < 7500 chars: every doc yields exactly one chunk ==
     # its normalized text.  The real splitting logic is oracle-checked by
     # p3_chunk_long_stats below and unit-pinned in tests/test_chunker.py.
+    # r14: native chunking (functions/text.py) — no Python eval node.
+    from ..functions.text import chunk_exploded
+
     docs = _t(spark, sf_dir, "documents")
-    norm = normalize_whitespace_col("text")
-    return docs.select(
-        "doc_id", F.posexplode(split_chunks_pandas_udf(norm)).alias("chunk_index", "chunk_text")
+    return chunk_exploded(docs.select("doc_id", "text"), "text", "chunk").select(
+        "doc_id", "chunk_index", "chunk_text"
     )
 
 
@@ -304,10 +306,14 @@ def _p3_chunk_long_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     window start (index 7200 — see functions/text.py): chunk count and
     sizes are closed-form, which is exactly what the oracle asserts.
     """
-    docs = _t(spark, sf_dir, "documents")
-    long_text = normalize_whitespace_col(F.repeat(F.concat(F.col("text"), F.lit("\n")), 40))
-    chunks = docs.select(
-        "doc_id", F.posexplode(split_chunks_pandas_udf(long_text)).alias("chunk_index", "chunk_text")
+    from ..functions.text import chunk_exploded
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.repeat(F.concat(F.col("text"), F.lit("\n")), 40).alias("_long")
+    )
+    # r14: native chunking; chunk_exploded normalizes internally
+    chunks = chunk_exploded(docs, "_long", "chunk").select(
+        "doc_id", "chunk_index", "chunk_text"
     )
     return chunks.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_chunks"),

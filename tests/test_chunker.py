@@ -173,6 +173,58 @@ class TestPandasUdfParity:
             assert r["row_udf"] == r["arrow_udf"]
 
 
+class TestNativeChunkerParity:
+    def test_native_regex_matches_python_reference(self, spark):
+        """r14: the hot path is the NATIVE single-regex chunker
+        (split_chunks_col / chunk_exploded) — assert byte-identical
+        chunks against the pure-Python reference across the
+        7200/7500 punctuation-window edges, multi-cut texts, the empty
+        page and NULL, plus randomized punctuated texts."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from postgresql_vector_search_pgvector__for_pdf_file_on_blob_storage_english_spark.functions.text import (
+            chunk_exploded,
+            normalize_whitespace,
+            split_chunks,
+        )
+
+        random.seed(14)
+        base = "abcdefghij" * 751  # 7510 chars, no punctuation
+        cases = ["", "short.", "x" * 7500, "x" * 7501, base, None]
+        for pos in (7199, 7200, 7201, 7205, 7499, 7500):
+            s = list(base)
+            s[pos] = "."
+            cases.append("".join(s))
+        both = list(base)
+        both[7201] = ";"
+        both[7500] = "?"  # scan must pick 7500, not 7201
+        cases.append("".join(both))
+        for _ in range(10):
+            n = random.randint(0, 40000)
+            cases.append(
+                "".join(random.choice("ab cd.ef:g;h?i!x") for _ in range(n))
+            )
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cases)], "i long, t string"
+        )
+        out = (
+            chunk_exploded(df, "t", "c")
+            .groupBy("i")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("c_index", "c_text"))).alias(
+                    "cs"
+                )
+            )
+            .collect()
+        )
+        got = {r["i"]: [x["c_text"] for x in r["cs"]] for r in out}
+        for i, t in enumerate(cases):
+            want = [] if t is None else split_chunks(normalize_whitespace(t))
+            assert got.get(i, []) == want, f"case {i}"
+
+
 class TestSlidingChunks:
     def test_overlap_contract(self, spark):
         from pyspark.sql import functions as F
