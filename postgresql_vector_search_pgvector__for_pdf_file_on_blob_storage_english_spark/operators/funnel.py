@@ -39,6 +39,7 @@ def funnel_counts(
     ts_col: str = "ts",
     type_col: str = "event_type",
     within_seconds: int | None = None,
+    pin=None,
 ) -> DataFrame:
     """Per-step converted-user counts for the ordered ``steps`` funnel.
 
@@ -47,9 +48,21 @@ def funnel_counts(
     ``within_seconds`` set, every later step must also complete within
     that window of the user's FIRST-step conversion (the standard
     conversion-deadline funnel: "purchased within 6 h of first view");
-    the deadline anchors on step 1, not the previous step."""
+    the deadline anchors on step 1, not the previous step.
+
+    ``pin`` (r14, VERDICT r13 item 9): optional per-step lineage pin
+    (e.g. ``lambda df: df.localCheckpoint(eager=False)``).  Each step's
+    converted-user relation feeds BOTH the next stage's join and its
+    own count branch, so without a pin the per-step count re-derives
+    the whole chain so far — O(steps^2) event scans across the union.
+    Unconditional per-step pins measured SLOWER at sf0.1 (r13: med
+    +12-26%, the materialization beats the cheap re-scans), so the
+    caller passes a data-size-guarded pin; results are identical either
+    way."""
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if pin is None:
+        pin = lambda df: df  # noqa: E731
     converted: list[DataFrame] = []
     prev: DataFrame | None = None
     for i, step in enumerate(steps):
@@ -75,6 +88,7 @@ def funnel_counts(
                 .agg(F.min("_ev_ts").alias("_conv_ts"))
                 .withColumn("_t0", F.col("_conv_ts"))
             )
+        cur = pin(cur)
         converted.append(
             cur.agg(
                 F.lit(i).alias("step_idx"),

@@ -43,6 +43,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# r14 (VERDICT r13 item 9): scale-conditional lineage pins.  Several
+# r13 pin experiments measured SLOWER at sf0.1 (the checkpoint
+# materialization + lost pipeline fusion cost more than the re-derived
+# corpus passes they remove) but invert once the source is large
+# enough that a full tokenize/scan pass dominates.  The guard derives
+# from the DATA — the source table's on-disk bytes — not from a core
+# count or an env profile, so both branches compute identical results
+# and the plan adapts to the input: small fixtures keep the fused
+# plain-branch plan, big corpora pin.  Threshold overridable via
+# SPARK_GRAFT_PIN_SRC_BYTES (default 256 MB — ~40x the sf0.1 documents
+# table and ~4x its 10x replica, safely past every measured
+# crossover); a non-local source path (object store) returns None size
+# and pins, the right default where corpus passes are the cost.
+import os as _os
+
+_PIN_SRC_BYTES = int(_os.environ.get("SPARK_GRAFT_PIN_SRC_BYTES", str(256 * 1024**2)))
+
+
+def _src_bytes(sf_dir: str, name: str) -> int | None:
+    p = f"{sf_dir}/{name}.parquet"
+    try:
+        if _os.path.isfile(p):
+            return _os.path.getsize(p)
+        if _os.path.isdir(p):
+            return sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for root, _dirs, files in _os.walk(p)
+                for f in files
+            )
+    except OSError:
+        return None
+    return None
+
+
+def _pin_if_large(sf_dir: str, name: str) -> Callable[[DataFrame], DataFrame]:
+    """Return a pin function: lazy localCheckpoint when the source
+    table ``name`` under ``sf_dir`` is large (or its size is unknown),
+    identity otherwise.  Pins never change results — only whether a
+    multi-consumer relation is re-derived per branch."""
+    b = _src_bytes(sf_dir, name)
+    if b is None or b >= _PIN_SRC_BYTES:
+        return lambda df: df.localCheckpoint(eager=False)
+    return lambda df: df
+
+
 def _drain(q, timeout: int) -> None:
     """Await a replay query's drain and FAIL LOUDLY on timeout: a
     silently partial log folds into a wrong-but-plausible result

@@ -47,6 +47,7 @@ from ._base import (  # noqa: F401
     Window,
     _DD_NORMALIZE,
     _events,
+    _pin_if_large,
     _register,
     _t,
     dd_sql,
@@ -180,21 +181,27 @@ def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab-sized); the final top-k is TakeOrderedAndProject."""
     docs = _t(spark, sf_dir, "documents")
     words = F.split(F.trim(normalize_whitespace_col("text")), " ")
-    # No checkpoint, MEASURED (r13): pinning the vocab-sized uni/big
+    # MEASURED (r13): unconditionally pinning the vocab-sized uni/big
     # aggregates (to cap the corpus tokenize at 2 passes instead of 6)
-    # ran SLOWER in both the alternating warm A/B (med 1.26 -> 1.59 s)
-    # and bench-like one-shot sessions — at this scale the re-derived
-    # passes cost less than the two checkpoint materializations.
-    # Revisit at a scale where the tokenize pass dominates.
+    # ran SLOWER at sf0.1 in both the alternating warm A/B
+    # (med 1.26 -> 1.59 s) and bench-like one-shot sessions — at small
+    # scale the re-derived passes cost less than the two checkpoint
+    # materializations.  r14 (VERDICT r13 item 9): the pin is now
+    # GUARDED on the documents source size (_pin_if_large) — small
+    # fixtures keep the measured-faster fused plan, corpora past the
+    # threshold tokenize twice instead of six times.  Both branches
+    # compute identical counts (a pin never changes results) and both
+    # are oracle-gated (tests/test_guarded_pins.py).
+    pin = _pin_if_large(sf_dir, "documents")
     staged = docs.select(words.alias("_w"))
-    uni = (
+    uni = pin(
         staged.select(F.explode("_w").alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     k = F.size("_w") - 1
-    big = (
+    big = pin(
         staged.select(
             F.explode(
                 F.when(
@@ -657,26 +664,34 @@ def _attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("t_type"),
         F.expr(f"ms div {W}").alias("bucket"),
     )
-    # Plain branches by MEASUREMENT (r13): pinning purch and pairs (to
-    # stop the anti-join re-running the event scan + range join) ran
-    # SLOWER in two alternating warm A/Bs (med 1.44 -> 1.64 and
-    # 1.82 -> 1.87 s) — the checkpoint materialization of the pair
-    # relation costs more than the re-derived narrow scans here.
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("p_id"),
-        F.col("ms").alias("p_ms"),
-        "vc",
+    # Plain branches at SMALL scale by MEASUREMENT (r13):
+    # unconditionally pinning purch and pairs (to stop the anti-join
+    # re-running the event scan + range join) ran SLOWER in two
+    # alternating warm A/Bs (med 1.44 -> 1.64 and 1.82 -> 1.87 s) —
+    # the checkpoint materialization of the pair relation costs more
+    # than the re-derived narrow scans at sf0.1.  r14 (VERDICT r13
+    # item 9): guarded on the events source size — a big log pays the
+    # pins and scans the events once per relation instead of twice.
+    pin = _pin_if_large(sf_dir, "events")
+    purch = pin(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("p_id"),
+            F.col("ms").alias("p_ms"),
+            "vc",
+        )
     )
     probe = purch.withColumn(
         "bucket", F.explode(F.expr(f"array(p_ms div {W}, p_ms div {W} - 1)"))
     )
-    pairs = probe.join(touches, ["user_id", "bucket"]).filter(
-        (
-            (F.col("t_ms") < F.col("p_ms"))
-            | ((F.col("t_ms") == F.col("p_ms")) & (F.col("t_id") < F.col("p_id")))
+    pairs = pin(
+        probe.join(touches, ["user_id", "bucket"]).filter(
+            (
+                (F.col("t_ms") < F.col("p_ms"))
+                | ((F.col("t_ms") == F.col("p_ms")) & (F.col("t_id") < F.col("p_id")))
+            )
+            & (F.col("p_ms") - F.col("t_ms") <= W)
         )
-        & (F.col("p_ms") - F.col("t_ms") <= W)
     )
     w_p = Window.partitionBy("p_id")
     ranked = pairs.select(

@@ -2,7 +2,17 @@
 # registration side effects run at import, in package order.
 from __future__ import annotations
 
-from ._base import DataFrame, F, SparkSession, _dd_l2, _events, _register, _t, dd_sql  # noqa: F401
+from ._base import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    _dd_l2,
+    _events,
+    _pin_if_large,
+    _register,
+    _t,
+    dd_sql,
+)
 from .pii_decontam_mixture import (  # noqa: F401
     _DD_MIX_CASE,
     _MIX_DEFAULT,
@@ -345,7 +355,10 @@ ORDER BY n_name
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.funnel import funnel_counts
 
-    return funnel_counts(_events(spark, sf_dir), ["view", "click", "purchase"])
+    return funnel_counts(
+        _events(spark, sf_dir), ["view", "click", "purchase"],
+        pin=_pin_if_large(sf_dir, "events"),
+    )
 
 
 _register(
@@ -384,6 +397,7 @@ def _events_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(
         _events(spark, sf_dir), ["view", "click", "purchase"],
         within_seconds=6 * 3600,
+        pin=_pin_if_large(sf_dir, "events"),
     )
 
 
